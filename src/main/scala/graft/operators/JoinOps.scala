@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval / range joins — the reference's event-labeling machinery
+  * (SURVEY §2.5 J3-J5): timeline × event windows, look-back labeling.
+  *
+  * Scale design: the interval side (accretion_events analogue) is tiny, so
+  * we force `broadcast()` — the non-equi condition then runs as a
+  * BroadcastNestedLoopJoin where every big-side partition streams once past
+  * the in-memory interval list; no shuffle of the big side at all. If the
+  * interval side ever grows large, switch to bucketed range binning (map
+  * each side to overlapping time buckets, equi-join on bucket, post-filter).
+  */
+object JoinOps {
+
+  /** Point-in-interval left join: rows of `facts` matched to intervals where
+    * `lo <= facts.ts < hi` (reference `create_target_variables`,
+    * `pre_processing.py:1443-1562`). `intervals` is broadcast. */
+  def pointInInterval(facts: DataFrame, intervals: DataFrame,
+                      factTs: Column, lo: Column, hi: Column,
+                      joinType: String = "left"): DataFrame =
+    facts.join(broadcast(intervals), factTs >= lo && factTs < hi, joinType)
+
+  /** Look-back window join: flag fact rows within `hours` *before* an event
+    * timestamp (reference `accretion_next_{24,48,72}h`,
+    * `simple_pre_processing.py:520-535`). */
+  def lookbackFlag(facts: DataFrame, events: DataFrame,
+                   factTs: Column, eventTs: Column, hours: Int): DataFrame = {
+    val cond = factTs >= eventTs - expr(s"INTERVAL $hours HOURS") && factTs < eventTs
+    facts.join(broadcast(events), cond, "left")
+  }
+
+  /** Severity curve for active intervals: `((t - t0) / (t1 - t0)) ^ 1.5`
+    * (reference `get_active_accretions`, `data_generator.py:131-151`). */
+  def severity(t: Column, t0: Column, t1: Column): Column = {
+    val el  = (unix_timestamp(t)  - unix_timestamp(t0)).cast("double")
+    val tot = (unix_timestamp(t1) - unix_timestamp(t0)).cast("double")
+    when(tot > 0, pow(least(el / tot, lit(1.0)), 1.5)).otherwise(lit(null))
+  }
+}

@@ -1,0 +1,9 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+/** All verifiable queries, merged from the per-domain suites. */
+object Registry {
+  def all: ListMap[String, Q] =
+    Relational.queries
+}

@@ -1,0 +1,293 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import Q.{dec4, dec6}
+import scala.collection.immutable.ListMap
+
+/** Relational core: scans, projection/filter, joins, aggregation, pivot,
+  * top-k, set ops (SURVEY §2.1-2.3, §2.5-2.6, §2.8-2.10) demonstrated on the
+  * TPC-H-ish testdata. Every query has a DuckDB oracle. */
+object Relational {
+
+  val queries: ListMap[String, Q] = ListMap(
+
+    // S1/S6 + A1-ish: pricing summary (scan with pushed filter, hash agg).
+    // Maps the reference's load + dup-key group-mean (`pre_processing.py:97-99`).
+    "q01_pricing_summary" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < to_timestamp(lit("2000-01-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dec4(sum("l_quantity")).as("sum_qty"),
+          dec4(sum("l_extendedprice")).as("sum_base_price"),
+          dec4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          dec6(avg("l_quantity")).as("avg_qty"),
+          dec6(avg("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |round(sum(l_quantity), 4) AS sum_qty,
+              |round(sum(l_extendedprice), 4) AS sum_base_price,
+              |round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+              |round(avg(l_quantity), 6) AS avg_qty,
+              |round(avg(l_discount), 6) AS avg_disc,
+              |count(*) AS count_order
+              |FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // P1/P2: projection + time-range predicate, both pushed to the parquet scan.
+    "q02_filter_project" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate").between(to_timestamp(lit("1996-01-01")), to_timestamp(lit("1996-12-31")))
+          && col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem
+             |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+             |  AND l_discount > 0.05
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // J2 + A1: multi-way equi join; nation/region are broadcast (tiny dims).
+    "q03_join_agg" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dec4(sum("o_totalprice")).as("total_price"))
+        .orderBy("r_name", "c_mktsegment"),
+      Some(s"""SELECT r_name, c_mktsegment, count(*) AS n_orders,
+              |round(sum(o_totalprice), 4) AS total_price
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name, c_mktsegment ORDER BY r_name, c_mktsegment""".stripMargin)),
+
+    // O3/A7: top-k by aggregate (TakeOrderedAndProject — no full sort at scale).
+    "q04_topk_customers" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(dec4(sum("o_totalprice")).as("total"), count(lit(1)).as("n_orders"))
+        .orderBy(col("total").desc, col("o_custkey"))
+        .limit(10),
+      Some(s"""SELECT o_custkey, round(sum(o_totalprice), 4) AS total, count(*) AS n_orders
+              |FROM orders GROUP BY o_custkey
+              |ORDER BY total DESC, o_custkey LIMIT 10""".stripMargin)),
+
+    // P3: latest row per key via row_number (reference `.iloc[-1:]`, `dashboard.py:263`).
+    "q05_latest_per_user" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_id", "ts", "event_type", "value")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, ts, event_type, value FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+             |ORDER BY user_id""".stripMargin)),
+
+    // Anti + semi joins (reference boolean-mask exclusion,
+    // `train_models_simple.py:682-688`): customers with no high-value order.
+    "q06_anti_join" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // A5: column statistics pass (variance/distinct/nulls) used by the
+    // reference's zero-variance prune (`train_models_simple.py:277-281`).
+    // At 100 TB swap countDistinct -> approx_count_distinct.
+    "q07_column_stats" -> Q(
+      (s, d) => Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        dec6(avg("l_quantity")).as("avg_qty"),
+        dec6(var_samp(col("l_quantity"))).as("var_qty"),
+        dec6(stddev_samp(col("l_quantity"))).as("std_qty"),
+        sum(col("l_quantity").isNull.cast("int")).as("null_qty")),
+      Some(s"""SELECT count(*) AS n_rows,
+              |count(DISTINCT l_partkey) AS n_parts,
+              |count(DISTINCT l_suppkey) AS n_supps,
+              |round(avg(l_quantity), 6) AS avg_qty,
+              |round(var_samp(l_quantity), 6) AS var_qty,
+              |round(stddev_samp(l_quantity), 6) AS std_qty,
+              |sum(CAST(l_quantity IS NULL AS INT)) AS null_qty
+              |FROM lineitem""".stripMargin)),
+
+    // A6: Pearson correlation (reference `X[var].corr(X[target])`,
+    // `train_models_simple.py:756`).
+    "q08_correlation" -> Q(
+      (s, d) => Tables.lineitem(s, d).agg(
+        dec6(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        dec6(corr(col("l_discount"), col("l_tax"))).as("corr_disc_tax"),
+        dec4(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qty_price")),
+      Some(s"""SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+              |round(corr(l_discount, l_tax), 6) AS corr_disc_tax,
+              |round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+              |FROM lineitem""".stripMargin)),
+
+    // P7: binning to ordered categories (reference `pd.cut`,
+    // `pre_processing.py:1311-1315`) as a chained when/CASE.
+    "q09_binning" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "Low")
+            .when(col("o_totalprice") < 150000, "Medium")
+            .when(col("o_totalprice") < 300000, "High")
+            .otherwise("Critical"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), dec4(avg("o_totalprice")).as("avg_price"))
+        .orderBy("bucket"),
+      Some(s"""SELECT CASE WHEN o_totalprice < 50000 THEN 'Low'
+              |WHEN o_totalprice < 150000 THEN 'Medium'
+              |WHEN o_totalprice < 300000 THEN 'High' ELSE 'Critical' END AS bucket,
+              |count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+              |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // Set op: union-by-name of filtered subsets (reference `pd.concat`,
+    // `data_generator.py:967`).
+    "q10_union" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.filter(col("event_type") === "click")
+          .unionByName(ev.filter(col("event_type") === "error"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dec4(sum("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+              |FROM (SELECT * FROM events WHERE event_type = 'click'
+              |      UNION ALL SELECT * FROM events WHERE event_type = 'error')
+              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // R1: pivot long->wide with explicit value list (SURVEY §7.4-5: explicit
+    // values skip the pivot-discovery pass — one shuffle only).
+    "q11_pivot" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dec4(sum("l_quantity")))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+              |round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f,
+              |round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_o
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // R3: wide->long unpivot (reference per-zone column iteration,
+    // `pre_processing.py:239-241`).
+    "q12_unpivot" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 100 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+             |FROM lineitem WHERE l_orderkey % 100 = 0
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+             |FROM lineitem WHERE l_orderkey % 100 = 0
+             |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)),
+
+    // P8: dictionary encode via CASE (reference zone->sequential id,
+    // `pre_processing.py:1540-1560`).
+    "q13_dict_encode" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .withColumn("priority_code",
+          when(col("o_orderpriority") === "1-URGENT", 1)
+            .when(col("o_orderpriority") === "2-HIGH", 2)
+            .when(col("o_orderpriority") === "3-MEDIUM", 3)
+            .when(col("o_orderpriority") === "4-NOT SPECIFIED", 4)
+            .otherwise(5))
+        .groupBy("priority_code", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("priority_code", "o_orderpriority"),
+      Some("""SELECT CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+             |WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4 ELSE 5 END AS priority_code,
+             |o_orderpriority, count(*) AS n
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY priority_code, o_orderpriority""".stripMargin)),
+
+    // P9: data-level string matching (reference `'Material bridging' in values`,
+    // `simple_pre_processing.py:587-589`).
+    "q14_string_match" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(
+          sum(col("text").contains("spark").cast("int")).as("n_spark"),
+          sum(lower(col("text")).like("%table%").cast("int")).as("n_table"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang"),
+      Some("""SELECT lang, sum(CAST(contains(text, 'spark') AS INT)) AS n_spark,
+             |sum(CAST(lower(text) LIKE '%table%' AS INT)) AS n_table,
+             |count(*) AS n_docs
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // JSON-ish extraction from the events props payload (SURVEY §2.10 json).
+    "q15_json_extract" -> Q(
+      (s, d) => Tables.events(s, d)
+        .withColumn("k", regexp_extract(col("props"), "([0-9]+)", 1).cast("int"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), dec4(avg("value")).as("avg_value"))
+        .orderBy("k"),
+      Some(s"""SELECT CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k,
+              |count(*) AS n, round(avg(value), 4) AS avg_value
+              |FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
+
+    // P12: stride downsample (reference every-k-th row, `dashboard.py:1468`).
+    // Note: at scale, prefer TABLESAMPLE; this exact-stride variant needs a
+    // global row_number (single-partition window) — fine for serving slices.
+    "q16_stride_sample" -> Q(
+      (s, d) => {
+        val w = Window.orderBy("event_id")
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter((col("rn") - 1) % 100 === 0)
+          .select("event_id", "user_id", "event_type", "value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |QUALIFY (row_number() OVER (ORDER BY event_id) - 1) % 100 = 0
+             |ORDER BY event_id""".stripMargin)),
+
+    // O5: exact interpolated percentiles (reference `np.percentile`,
+    // `models.py:836-838`). At 100 TB use percentile_approx / t-digest.
+    "q17_percentiles" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          dec4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+          dec4(expr("percentile(l_extendedprice, 0.95)")).as("p95"),
+          dec4(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+              |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+              |round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+              |round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // A9: global time bounds (reference alignment bounds, `pre_processing.py:200-201`).
+    "q18_time_bounds" -> Q(
+      (s, d) => Tables.events(s, d).agg(
+        min("ts").as("min_ts"), max("ts").as("max_ts"),
+        datediff(max(col("ts")).cast("date"), min(col("ts")).cast("date")).as("span_days"),
+        count(lit(1)).as("n")),
+      Some("""SELECT min(ts) AS min_ts, max(ts) AS max_ts,
+             |date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS span_days,
+             |count(*) AS n FROM events""".stripMargin))
+  )
+}

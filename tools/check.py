@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the same parquet tables and compare (column-name-sorted,
+row-sorted) values against the Spark parquet dumps produced by graft.Verify.
+
+Usage: python3 tools/check.py [sf_dir] [verify_out_dir]
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            # decimals -> canonical string
+            df[c] = s.map(lambda v: None if v is None else str(v))
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+    if len(df):
+        df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+    return df
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    all_dirs = {os.path.basename(p) for p in glob.glob(f"{out}/*") if os.path.isdir(p)}
+    for name in sorted(all_dirs):
+        files = glob.glob(f"{out}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output files"); n_fail += 1; continue
+        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        if name not in oracle:
+            print(f"ROWS {name}: {len(got)} rows (no oracle)"); continue
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL {name}: columns spark={list(g.columns)} duck={list(e.columns)}")
+            n_fail += 1; continue
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows spark={len(g)} duck={len(e)}"); n_fail += 1; continue
+        try:
+            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+            print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+        except AssertionError as ex:
+            n_fail += 1
+            print(f"FAIL {name}: value mismatch")
+            # show first differing cells
+            for c in g.columns:
+                neq = ~((g[c] == e[c]) | (g[c].isna() & e[c].isna()))
+                if neq.any():
+                    i = neq.idxmax()
+                    print(f"  col {c} row {i}: spark={g[c][i]!r} duck={e[c][i]!r} ({int(neq.sum())} diffs)")
+    print(f"== {n_pass} pass, {n_fail} fail, {len(all_dirs)} total")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
