@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.round
+import org.apache.spark.sql.functions.{floor, lit}
 
 /** One verifiable query: a Spark implementation plus (where SQL-expressible)
   * an equivalent ANSI-SQL oracle run by the driver in DuckDB. */
@@ -9,11 +9,17 @@ case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String] = N
 
 object Q {
   /** Computed float measures are rounded on BOTH sides (Spark and the DuckDB
-    * oracle SQL) so the driver's value hash sees identical doubles: for
-    * |x|·10^n < 2^53 both engines produce the nearest double to the same
-    * decimal, so round-tripping is bit-exact. 4 decimals for money/quantity
-    * scale, 6 for statistics. Raw column passthroughs stay unrounded
-    * (identical source bits on both sides). */
-  def dec4(c: Column): Column = round(c, 4)
-  def dec6(c: Column): Column = round(c, 6)
+    * oracle SQL) with the explicit formula `floor(x·10^n + 0.5)/10^n` rather
+    * than each engine's `round`: Spark rounds the shortest decimal repr
+    * (BigDecimal HALF_UP) while DuckDB rounds the binary value, and
+    * interpolated/averaged measures structurally land on exact halves, where
+    * the two disagree. An identical arithmetic formula over identical input
+    * doubles is bit-deterministic in both engines. 4 decimals for
+    * money/quantity scale, 6 for statistics. Raw column passthroughs stay
+    * unrounded (identical source bits on both sides). */
+  def dec4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+  def dec6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+  /** SQL-side mirrors of [[dec4]]/[[dec6]] for authoring oracle queries. */
+  def r4(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+  def r6(e: String): String = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
 }
