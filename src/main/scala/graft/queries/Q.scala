@@ -8,6 +8,13 @@ import org.apache.spark.sql.functions.{floor, lit}
 case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String] = None)
 
 object Q {
+  /** Rounding offset 0.5 + phi/1000: window aggregates differ between Spark
+    * and DuckDB at the last ulp (different summation association), and means
+    * of terminating-decimal inputs structurally land on EXACT halves of the
+    * rounding grid, where a plain +0.5 offset flips between engines. Biasing
+    * the decision point to 0.499381966... puts it where terminating decimals
+    * cannot land, so ulp-level noise can no longer change the rounded value. */
+  val BIAS = 0.500618034
   /** Computed float measures are rounded on BOTH sides (Spark and the DuckDB
     * oracle SQL) with the explicit formula `floor(x·10^n + 0.5)/10^n` rather
     * than each engine's `round`: Spark rounds the shortest decimal repr
@@ -17,9 +24,9 @@ object Q {
     * doubles is bit-deterministic in both engines. 4 decimals for
     * money/quantity scale, 6 for statistics. Raw column passthroughs stay
     * unrounded (identical source bits on both sides). */
-  def dec4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
-  def dec6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+  def dec4(c: Column): Column = floor(c * lit(10000.0) + lit(BIAS)) / lit(10000.0)
+  def dec6(c: Column): Column = floor(c * lit(1000000.0) + lit(BIAS)) / lit(1000000.0)
   /** SQL-side mirrors of [[dec4]]/[[dec6]] for authoring oracle queries. */
-  def r4(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
-  def r6(e: String): String = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
+  def r4(e: String): String = s"floor(($e) * 10000.0 + $BIAS) / 10000.0"
+  def r6(e: String): String = s"floor(($e) * 1000000.0 + $BIAS) / 1000000.0"
 }

@@ -28,11 +28,11 @@ object Relational {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some(s"""SELECT l_returnflag, l_linestatus,
-              |floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
-              |floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS sum_base_price,
-              |floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS sum_disc_price,
-              |floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
-              |floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
+              |floor((sum(l_quantity)) * 10000.0 + 0.500618034) / 10000.0 AS sum_qty,
+              |floor((sum(l_extendedprice)) * 10000.0 + 0.500618034) / 10000.0 AS sum_base_price,
+              |floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.500618034) / 10000.0 AS sum_disc_price,
+              |floor((avg(l_quantity)) * 1000000.0 + 0.500618034) / 1000000.0 AS avg_qty,
+              |floor((avg(l_discount)) * 1000000.0 + 0.500618034) / 1000000.0 AS avg_disc,
               |count(*) AS count_order
               |FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
               |GROUP BY l_returnflag, l_linestatus
@@ -61,7 +61,7 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"), dec4(sum("o_totalprice")).as("total_price"))
         .orderBy("r_name", "c_mktsegment"),
       Some(s"""SELECT r_name, c_mktsegment, count(*) AS n_orders,
-              |floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS total_price
+              |floor((sum(o_totalprice)) * 10000.0 + 0.500618034) / 10000.0 AS total_price
               |FROM orders JOIN customer ON o_custkey = c_custkey
               |JOIN nation ON c_nationkey = n_nationkey
               |JOIN region ON n_regionkey = r_regionkey
@@ -74,7 +74,7 @@ object Relational {
         .agg(dec4(sum("o_totalprice")).as("total"), count(lit(1)).as("n_orders"))
         .orderBy(col("total").desc, col("o_custkey"))
         .limit(10),
-      Some(s"""SELECT o_custkey, floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS total, count(*) AS n_orders
+      Some(s"""SELECT o_custkey, floor((sum(o_totalprice)) * 10000.0 + 0.500618034) / 10000.0 AS total, count(*) AS n_orders
               |FROM orders GROUP BY o_custkey
               |ORDER BY total DESC, o_custkey LIMIT 10""".stripMargin)),
 
@@ -120,9 +120,9 @@ object Relational {
       Some(s"""SELECT count(*) AS n_rows,
               |count(DISTINCT l_partkey) AS n_parts,
               |count(DISTINCT l_suppkey) AS n_supps,
-              |floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
-              |floor((var_samp(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS var_qty,
-              |floor((stddev_samp(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS std_qty,
+              |floor((avg(l_quantity)) * 1000000.0 + 0.500618034) / 1000000.0 AS avg_qty,
+              |floor((var_samp(l_quantity)) * 1000000.0 + 0.500618034) / 1000000.0 AS var_qty,
+              |floor((stddev_samp(l_quantity)) * 1000000.0 + 0.500618034) / 1000000.0 AS std_qty,
               |sum(CAST(l_quantity IS NULL AS INT)) AS null_qty
               |FROM lineitem""".stripMargin)),
 
@@ -133,9 +133,9 @@ object Relational {
         dec6(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
         dec6(corr(col("l_discount"), col("l_tax"))).as("corr_disc_tax"),
         dec4(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qty_price")),
-      Some(s"""SELECT floor((corr(l_quantity, l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_price,
-              |floor((corr(l_discount, l_tax)) * 1000000.0 + 0.5) / 1000000.0 AS corr_disc_tax,
-              |floor((covar_samp(l_quantity, l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS covar_qty_price
+      Some(s"""SELECT floor((corr(l_quantity, l_extendedprice)) * 1000000.0 + 0.500618034) / 1000000.0 AS corr_qty_price,
+              |floor((corr(l_discount, l_tax)) * 1000000.0 + 0.500618034) / 1000000.0 AS corr_disc_tax,
+              |floor((covar_samp(l_quantity, l_extendedprice)) * 10000.0 + 0.500618034) / 10000.0 AS covar_qty_price
               |FROM lineitem""".stripMargin)),
 
     // P7: binning to ordered categories (reference `pd.cut`,
@@ -153,7 +153,7 @@ object Relational {
       Some(s"""SELECT CASE WHEN o_totalprice < 50000 THEN 'Low'
               |WHEN o_totalprice < 150000 THEN 'Medium'
               |WHEN o_totalprice < 300000 THEN 'High' ELSE 'Critical' END AS bucket,
-              |count(*) AS n, floor((avg(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price
+              |count(*) AS n, floor((avg(o_totalprice)) * 10000.0 + 0.500618034) / 10000.0 AS avg_price
               |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
     // Set op: union-by-name of filtered subsets (reference `pd.concat`,
@@ -167,7 +167,7 @@ object Relational {
           .agg(count(lit(1)).as("n"), dec4(sum("value")).as("sum_value"))
           .orderBy("event_type")
       },
-      Some(s"""SELECT event_type, count(*) AS n, floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+      Some(s"""SELECT event_type, count(*) AS n, floor((sum(value)) * 10000.0 + 0.500618034) / 10000.0 AS sum_value
               |FROM (SELECT * FROM events WHERE event_type = 'click'
               |      UNION ALL SELECT * FROM events WHERE event_type = 'error')
               |GROUP BY event_type ORDER BY event_type""".stripMargin)),
@@ -182,8 +182,8 @@ object Relational {
         .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
         .orderBy("l_returnflag"),
       Some(s"""SELECT l_returnflag,
-              |floor((sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)) * 10000.0 + 0.5) / 10000.0 AS qty_f,
-              |floor((sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)) * 10000.0 + 0.5) / 10000.0 AS qty_o
+              |floor((sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)) * 10000.0 + 0.500618034) / 10000.0 AS qty_f,
+              |floor((sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)) * 10000.0 + 0.500618034) / 10000.0 AS qty_o
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // R3: wide->long unpivot (reference per-zone column iteration,
@@ -245,7 +245,7 @@ object Relational {
         .agg(count(lit(1)).as("n"), dec4(avg("value")).as("avg_value"))
         .orderBy("k"),
       Some(s"""SELECT CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k,
-              |count(*) AS n, floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
+              |count(*) AS n, floor((avg(value)) * 10000.0 + 0.500618034) / 10000.0 AS avg_value
               |FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
 
     // P12: stride downsample (reference every-k-th row, `dashboard.py:1468`).
@@ -275,9 +275,9 @@ object Relational {
           dec4(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
         .orderBy("l_returnflag"),
       Some(s"""SELECT l_returnflag,
-              |floor((quantile_cont(l_extendedprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
-              |floor((quantile_cont(l_extendedprice, 0.95)) * 10000.0 + 0.5) / 10000.0 AS p95,
-              |floor((quantile_cont(l_extendedprice, 0.99)) * 10000.0 + 0.5) / 10000.0 AS p99
+              |floor((quantile_cont(l_extendedprice, 0.5)) * 10000.0 + 0.500618034) / 10000.0 AS p50,
+              |floor((quantile_cont(l_extendedprice, 0.95)) * 10000.0 + 0.500618034) / 10000.0 AS p95,
+              |floor((quantile_cont(l_extendedprice, 0.99)) * 10000.0 + 0.500618034) / 10000.0 AS p99
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // A9: global time bounds (reference alignment bounds, `pre_processing.py:200-201`).

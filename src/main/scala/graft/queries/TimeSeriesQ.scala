@@ -22,14 +22,14 @@ import scala.collection.immutable.ListMap
 object TimeSeriesQ {
 
   /** Common DuckDB CTE fragments for the hourly grid over `events`. */
-  private val sqlGrid =
+  private[queries] val sqlGrid =
     """grid AS (SELECT unnest(generate_series(a, b, INTERVAL 1 HOUR)) AS ts
       |  FROM (SELECT date_trunc('hour', min(ts)) AS a,
       |               date_trunc('hour', max(ts)) AS b FROM events))""".stripMargin
-  private val sqlHourly =
+  private[queries] val sqlHourly =
     """hourly AS (SELECT date_trunc('hour', ts) AS ts, event_type, avg(value) AS v
       |  FROM events GROUP BY 1, 2)""".stripMargin
-  private val sqlAligned =
+  private[queries] val sqlAligned =
     s"""$sqlGrid,
        |$sqlHourly,
        |types AS (SELECT DISTINCT event_type FROM events),
@@ -38,7 +38,7 @@ object TimeSeriesQ {
        |  LEFT JOIN hourly h ON h.ts = g.ts AND h.event_type = t.event_type)""".stripMargin
 
   /** Spark side of the dense (grid × event_type) frame with hourly means. */
-  private def aligned(s: SparkSession, d: String): DataFrame = {
+  private[queries] def aligned(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("ts"), col("event_type"))
       .agg(avg("value").as("v"))
@@ -58,7 +58,7 @@ object TimeSeriesQ {
           dec4(sum("value")).as("sum_value"))
         .orderBy("ts", "event_type"),
       Some("""SELECT date_trunc('hour', ts) AS ts, event_type, count(*) AS n,
-             |floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value, floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+             |floor((avg(value)) * 10000.0 + 0.500618034) / 10000.0 AS avg_value, floor((sum(value)) * 10000.0 + 0.500618034) / 10000.0 AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY ts, event_type""".stripMargin)),
 
     // T1: canonical hourly timeline (reference `pd.date_range`,
@@ -76,7 +76,7 @@ object TimeSeriesQ {
       Some(s"""WITH $sqlAligned
               |SELECT ts, event_type, floor((last_value(v IGNORE NULLS) OVER (
               |  PARTITION BY event_type ORDER BY ts
-              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0 AS v_ff
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0 + 0.500618034) / 10000.0 AS v_ff
               |FROM aligned ORDER BY ts, event_type""".stripMargin)),
 
     // T3: linear interpolation upsample (reference `resample('1h')
@@ -101,7 +101,7 @@ object TimeSeriesQ {
               |  WHEN v IS NOT NULL THEN v
               |  WHEN pv IS NOT NULL AND nv IS NOT NULL AND date_diff('second', pt, nt) > 0
               |    THEN pv + (nv - pv) * date_diff('second', pt, ts) / date_diff('second', pt, nt)
-              |  WHEN pv IS NOT NULL THEN pv END) * 10000.0 + 0.5) / 10000.0 AS v_interp
+              |  WHEN pv IS NOT NULL THEN pv END) * 10000.0 + 0.500618034) / 10000.0 AS v_interp
               |FROM x ORDER BY ts, event_type""".stripMargin)),
 
     // J6: as-of join — latest raw event value at or before each grid slot,
@@ -148,7 +148,7 @@ object TimeSeriesQ {
               |SELECT ts, event_type, floor((CASE
               |  WHEN pv IS NOT NULL AND (nv IS NULL OR
               |    date_diff('second', pt, ts) <= date_diff('second', ts, nt)) THEN pv
-              |  WHEN nv IS NOT NULL THEN nv END) * 10000.0 + 0.5) / 10000.0 AS v_nearest
+              |  WHEN nv IS NOT NULL THEN nv END) * 10000.0 + 0.500618034) / 10000.0 AS v_nearest
               |FROM x ORDER BY ts, event_type""".stripMargin)),
 
     // J3: interval (range) join — facts vs broadcast interval windows
@@ -171,7 +171,7 @@ object TimeSeriesQ {
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, count(l_orderkey) AS n_items,
-             |floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS rev
+             |floor((sum(l_extendedprice)) * 10000.0 + 0.500618034) / 10000.0 AS rev
              |FROM (SELECT * FROM orders WHERE o_orderkey % 500 = 0) o
              |LEFT JOIN lineitem
              |  ON l_shipdate >= o_orderdate
@@ -216,7 +216,7 @@ object TimeSeriesQ {
              |    INTERVAL 1 DAY)) AS day
              |  FROM orders WHERE o_orderkey % 500 = 0)
              |SELECT o_orderkey, day,
-             |floor((pow(least(date_diff('second', o_orderdate, day) / 2592000.0, 1.0), 1.5)) * 1000000.0 + 0.5) / 1000000.0
+             |floor((pow(least(date_diff('second', o_orderdate, day) / 2592000.0, 1.0), 1.5)) * 1000000.0 + 0.500618034) / 1000000.0
              |  AS severity
              |FROM iv ORDER BY o_orderkey, day""".stripMargin)),
 
@@ -250,11 +250,11 @@ object TimeSeriesQ {
               |  avg(CASE WHEN event_type = 'view' THEN v END) AS view
               |  FROM hourly GROUP BY ts)
               |SELECT g.ts,
-              |  floor((last_value(w.click IGNORE NULLS) OVER win) * 10000.0 + 0.5) / 10000.0 AS v_click,
-              |  floor((last_value(w.error IGNORE NULLS) OVER win) * 10000.0 + 0.5) / 10000.0 AS v_error,
-              |  floor((last_value(w.purchase IGNORE NULLS) OVER win) * 10000.0 + 0.5) / 10000.0 AS v_purchase,
-              |  floor((last_value(w.signup IGNORE NULLS) OVER win) * 10000.0 + 0.5) / 10000.0 AS v_signup,
-              |  floor((last_value(w.view IGNORE NULLS) OVER win) * 10000.0 + 0.5) / 10000.0 AS v_view
+              |  floor((last_value(w.click IGNORE NULLS) OVER win) * 10000.0 + 0.500618034) / 10000.0 AS v_click,
+              |  floor((last_value(w.error IGNORE NULLS) OVER win) * 10000.0 + 0.500618034) / 10000.0 AS v_error,
+              |  floor((last_value(w.purchase IGNORE NULLS) OVER win) * 10000.0 + 0.500618034) / 10000.0 AS v_purchase,
+              |  floor((last_value(w.signup IGNORE NULLS) OVER win) * 10000.0 + 0.500618034) / 10000.0 AS v_signup,
+              |  floor((last_value(w.view IGNORE NULLS) OVER win) * 10000.0 + 0.500618034) / 10000.0 AS v_view
               |FROM grid g LEFT JOIN wide w ON g.ts = w.ts
               |WINDOW win AS (ORDER BY g.ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               |ORDER BY g.ts""".stripMargin))

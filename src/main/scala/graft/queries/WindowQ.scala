@@ -1,0 +1,357 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{TimeSeriesOps, WindowOps}
+import Q.{dec4, dec6, r4, r6}
+import scala.collection.immutable.ListMap
+
+/** Window-feature suite (SURVEY §2.7 W1-W14): lags, rolling stats with
+  * `min_periods`, diffs/gradients, percent change, cooling-trend patterns,
+  * trailing z-score anomaly detection, drift, Savitzky-Golay smoothing and
+  * ML sequence windows — the reference's Numba kernels as pure window
+  * expressions over the forward-filled hourly series.
+  *
+  * Every window is `partitionBy(event_type)` — the long-layout design from
+  * SURVEY §7.4-1 that keeps the sort distributed at 100 TB (one series per
+  * partition group, never a global order over raw data).
+  */
+object WindowQ {
+
+  /** Forward-filled dense hourly series per event_type (the regular grid the
+    * reference's feature stages operate on, `pre_processing.py:180-243`). */
+  private def series(s: SparkSession, d: String): DataFrame =
+    TimeSeriesOps.ffillCols(TimeSeriesQ.aligned(s, d), Seq("event_type"), "ts", Seq("v"))
+
+  private val sqlSeries =
+    s"""${TimeSeriesQ.sqlAligned},
+       |series AS (SELECT ts, event_type, last_value(v IGNORE NULLS) OVER (
+       |  PARTITION BY event_type ORDER BY ts
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v FROM aligned)""".stripMargin
+
+  private def w = Window.partitionBy("event_type").orderBy("ts")
+
+  /** Savitzky-Golay width-11 order-3 weights, shared between the Spark
+    * expression and the generated oracle SQL so term order matches exactly. */
+  private val savgolW: Seq[(Int, Double)] =
+    Seq(-36, 9, 44, 69, 84, 89, 84, 69, 44, 9, -36).zipWithIndex
+      .map { case (n, i) => (i - 5, n / 429.0) }
+
+  val queries: ListMap[String, Q] = ListMap(
+
+    // W1: lag features at 1/6/24 h (reference `create_lag`,
+    // `pre_processing.py:333-347`; simple lags `simple_pre_processing.py:305`).
+    "q30_lag_features" -> Q(
+      (s, d) => series(s, d)
+        .select(col("ts"), col("event_type"), dec4(col("v")).as("v"),
+          dec4(WindowOps.lagF(col("v"), 1, w)).as("lag_1h"),
+          dec4(WindowOps.lagF(col("v"), 6, w)).as("lag_6h"),
+          dec4(WindowOps.lagF(col("v"), 24, w)).as("lag_24h"))
+        .orderBy("ts", "event_type"),
+      Some(s"""WITH $sqlSeries
+              |SELECT ts, event_type, ${r4("v")} AS v,
+              |${r4("lag(v, 1) OVER w")} AS lag_1h,
+              |${r4("lag(v, 6) OVER w")} AS lag_6h,
+              |${r4("lag(v, 24) OVER w")} AS lag_24h
+              |FROM series WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+              |ORDER BY ts, event_type""".stripMargin)),
+
+    // W2/W3/W5: rolling mean + std over 24 rows with min_periods=12
+    // (reference `rolling_mean_jit`/`rolling_std_jit`, `pre_processing.py:520-585`;
+    // population σ per `pre_processing.py:583`, sample σ per pandas default).
+    "q31_rolling_mean_std" -> Q(
+      (s, d) => series(s, d)
+        .select(col("ts"), col("event_type"),
+          dec6(WindowOps.rollAvg(col("v"), 24, 12, w)).as("ma24"),
+          dec6(WindowOps.rollStdPop(col("v"), 24, 12, w)).as("std24_pop"),
+          dec6(WindowOps.rollStdSamp(col("v"), 24, 12, w)).as("std24_samp"))
+        .orderBy("ts", "event_type"),
+      Some(s"""WITH $sqlSeries
+              |SELECT ts, event_type,
+              |${r6("CASE WHEN count(v) OVER w24 >= 12 THEN avg(v) OVER w24 END")} AS ma24,
+              |${r6("CASE WHEN count(v) OVER w24 >= 12 THEN stddev_pop(v) OVER w24 END")} AS std24_pop,
+              |${r6("CASE WHEN count(v) OVER w24 >= 12 THEN stddev_samp(v) OVER w24 END")} AS std24_samp
+              |FROM series WINDOW w24 AS (PARTITION BY event_type ORDER BY ts
+              |  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+              |ORDER BY ts, event_type""".stripMargin)),
+
+    // W4: rolling extrema (reference `rolling_min_jit`/`rolling_max_jit`,
+    // `pre_processing.py:587-637`).
+    "q32_rolling_minmax" -> Q(
+      (s, d) => series(s, d)
+        .select(col("ts"), col("event_type"),
+          dec4(WindowOps.rollMin(col("v"), 24, 1, w)).as("min24"),
+          dec4(WindowOps.rollMax(col("v"), 24, 1, w)).as("max24"),
+          dec4(WindowOps.rollSum(col("v"), 24, 1, w)).as("sum24"))
+        .orderBy("ts", "event_type"),
+      Some(s"""WITH $sqlSeries
+              |SELECT ts, event_type,
+              |${r4("min(v) OVER w24")} AS min24,
+              |${r4("max(v) OVER w24")} AS max24,
+              |${r4("sum(v) OVER w24")} AS sum24
+              |FROM series WINDOW w24 AS (PARTITION BY event_type ORDER BY ts
+              |  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+              |ORDER BY ts, event_type""".stripMargin)),
+
+    // W6: first difference + per-second gradient (`pre_processing.py:862-878`).
+    "q33_diff_gradient" -> Q(
+      (s, d) => series(s, d)
+        .select(col("ts"), col("event_type"),
+          dec4(WindowOps.diff(col("v"), w)).as("diff_1h"),
+          dec6(WindowOps.gradientPerSecond(col("v"), col("ts"), w)).as("grad_per_s"))
+        .orderBy("ts", "event_type"),
+      Some(s"""WITH $sqlSeries
+              |SELECT ts, event_type,
+              |${r4("v - lag(v, 1) OVER w")} AS diff_1h,
+              |${r6("CASE WHEN date_diff('second', lag(ts, 1) OVER w, ts) > 0 THEN " +
+                "(v - lag(v, 1) OVER w) / CAST(date_diff('second', lag(ts, 1) OVER w, ts) AS DOUBLE) END")} AS grad_per_s
+              |FROM series WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+              |ORDER BY ts, event_type""".stripMargin)),
+
+    // W7: percent change over 3 periods with null-not-inf semantics
+    // (`pct_change(periods=3)*100`, `pre_processing.py:870-871`; SURVEY §7.4-6).
+    "q34_pct_change" -> Q(
+      (s, d) => series(s, d)
+        .select(col("ts"), col("event_type"),
+          dec6(WindowOps.pctChange(col("v"), 3, w)).as("pct_3h"))
+        .orderBy("ts", "event_type"),
+      Some(s"""WITH $sqlSeries
+              |SELECT ts, event_type,
+              |${r6("CASE WHEN lag(v, 3) OVER w IS NOT NULL AND lag(v, 3) OVER w <> 0 " +
+                "THEN (v / lag(v, 3) OVER w - 1) * 100 END")} AS pct_3h
+              |FROM series WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+              |ORDER BY ts, event_type""".stripMargin)),
+
+    // W8: consecutive-decrease (cooling) trend flag
+    // (`calculate_cooling_trend`, `pre_processing.py:874-881`).
+    "q35_cooling_trend" -> Q(
+      (s, d) => series(s, d)
+        .withColumn("dcr", WindowOps.decreaseFlag(col("v"), w))
+        .withColumn("cooling",
+          (sum("dcr").over(w.rowsBetween(-2, 0)) >= 3).cast("int"))
+        .select("ts", "event_type", "dcr", "cooling")
+        .orderBy("ts", "event_type"),
+      Some(s"""WITH $sqlSeries,
+              |x AS (SELECT ts, event_type, v,
+              |  CASE WHEN lag(v, 1) OVER (PARTITION BY event_type ORDER BY ts) IS NOT NULL
+              |        AND v < lag(v, 1) OVER (PARTITION BY event_type ORDER BY ts)
+              |       THEN 1 ELSE 0 END AS dcr
+              |  FROM series)
+              |SELECT ts, event_type, dcr,
+              |CAST(sum(dcr) OVER (PARTITION BY event_type ORDER BY ts
+              |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 3 AS INT) AS cooling
+              |FROM x ORDER BY ts, event_type""".stripMargin)),
+
+    // W10+W11: trailing z-score anomaly detection over the previous 24 rows
+    // excluding current, ±2σ flags, drop magnitude, rolling drop count
+    // (`detect_anomalies_jit`, `pre_processing.py:996-1037,1102-1103`) —
+    // the reference's slowest stage (22.5 s, 65 % of its pipeline), here a
+    // pure window-expression composition inside one partitioned sort.
+    "q36_anomaly_zscore" -> Q(
+      (s, d) => {
+        val (m, sd, flag, dropPct) = WindowOps.anomalyZ(col("v"), w)
+        series(s, d)
+          .withColumn("mean24", dec6(m))
+          .withColumn("std24", dec6(sd))
+          .withColumn("anomaly", flag)
+          .withColumn("drop_pct", dec4(dropPct))
+          .withColumn("drops_12h",
+            sum((col("anomaly") === -1).cast("int")).over(w.rowsBetween(-11, 0)))
+          .select("ts", "event_type", "mean24", "std24", "anomaly", "drop_pct", "drops_12h")
+          .orderBy("ts", "event_type")
+      },
+      Some(s"""WITH $sqlSeries,
+              |x AS (SELECT ts, event_type, v,
+              |  count(v) OVER wp AS cnt,
+              |  avg(v) OVER wp AS m,
+              |  greatest(stddev_pop(v) OVER wp, 0.001) AS sd
+              |  FROM series
+              |  WINDOW wp AS (PARTITION BY event_type ORDER BY ts
+              |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+              |y AS (SELECT ts, event_type, v, cnt, m, sd,
+              |  CASE WHEN cnt <= 12 OR v IS NULL THEN 0
+              |       WHEN v < m - 2 * sd THEN -1
+              |       WHEN v > m + 2 * sd THEN 1 ELSE 0 END AS anomaly
+              |  FROM x)
+              |SELECT ts, event_type,
+              |${r6("CASE WHEN cnt > 12 THEN m END")} AS mean24,
+              |${r6("CASE WHEN cnt > 12 THEN sd END")} AS std24,
+              |anomaly,
+              |${r4("CASE WHEN anomaly = -1 AND m > 0 THEN (m - v) / m * 100 ELSE 0.0 END")} AS drop_pct,
+              |sum(CASE WHEN anomaly = -1 THEN 1 ELSE 0 END) OVER (
+              |  PARTITION BY event_type ORDER BY ts
+              |  ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS drops_12h
+              |FROM y ORDER BY ts, event_type""".stripMargin)),
+
+    // W13: baseline-ratio drift `(ma24/ma72 - 1)*100`, flag > 15 %
+    // (`pre_processing.py:1185-1199`).
+    "q37_drift" -> Q(
+      (s, d) => {
+        val dr = WindowOps.drift(col("v"), 24, 72, 18, w)
+        series(s, d)
+          .withColumn("drift_pct", dec6(dr))
+          .withColumn("drift_flag", when(dr > 15, 1).otherwise(0))
+          .select("ts", "event_type", "drift_pct", "drift_flag")
+          .orderBy("ts", "event_type")
+      },
+      Some(s"""WITH $sqlSeries,
+              |x AS (SELECT ts, event_type,
+              |  CASE WHEN count(v) OVER w24 >= 1 THEN avg(v) OVER w24 END AS ma_s,
+              |  CASE WHEN count(v) OVER w72 >= 18 THEN avg(v) OVER w72 END AS ma_l
+              |  FROM series
+              |  WINDOW w24 AS (PARTITION BY event_type ORDER BY ts
+              |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+              |  w72 AS (PARTITION BY event_type ORDER BY ts
+              |    ROWS BETWEEN 71 PRECEDING AND CURRENT ROW)),
+              |y AS (SELECT ts, event_type,
+              |  CASE WHEN ma_l IS NOT NULL AND ma_l <> 0 THEN (ma_s / ma_l - 1) * 100 END AS dr
+              |  FROM x)
+              |SELECT ts, event_type, ${r6("dr")} AS drift_pct,
+              |CASE WHEN dr > 15 THEN 1 ELSE 0 END AS drift_flag
+              |FROM y ORDER BY ts, event_type""".stripMargin)),
+
+    // W12: rolling z-score of the series vs its own 30-row baseline
+    // (`pre_processing.py:1240-1248`; sample σ floored at 0.001).
+    "q38_zscore_spread" -> Q(
+      (s, d) => {
+        val m = WindowOps.rollAvg(col("v"), 30, 7, w)
+        val sd = WindowOps.rollStdSamp(col("v"), 30, 7, w)
+        series(s, d)
+          .withColumn("z30", dec6(when(sd > 0.001, (col("v") - m) / sd)))
+          .select("ts", "event_type", "z30")
+          .orderBy("ts", "event_type")
+      },
+      Some(s"""WITH $sqlSeries,
+              |x AS (SELECT ts, event_type, v,
+              |  CASE WHEN count(v) OVER w30 >= 7 THEN avg(v) OVER w30 END AS m,
+              |  CASE WHEN count(v) OVER w30 >= 7 THEN stddev_samp(v) OVER w30 END AS sd
+              |  FROM series
+              |  WINDOW w30 AS (PARTITION BY event_type ORDER BY ts
+              |    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+              |SELECT ts, event_type,
+              |${r6("CASE WHEN sd > 0.001 THEN (v - m) / sd END")} AS z30
+              |FROM x ORDER BY ts, event_type""".stripMargin)),
+
+    // W14: sliding sequence windows for ML — last 10 event ids per user as an
+    // ordered list (`TimeSeriesDataset.__getitem__`, `models.py:66-111`);
+    // serialized to a string for engine-agnostic comparison.
+    "q39_sequence_windows" -> Q(
+      (s, d) => {
+        val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("seq", collect_list("event_id").over(wu.rowsBetween(-9, 0)))
+          .withColumn("seq_str", expr("array_join(transform(seq, x -> cast(x as string)), ',')"))
+          .select("event_id", "user_id", "seq_str")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |array_to_string(list_transform(
+             |  list(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+             |  x -> CAST(x AS VARCHAR)), ',') AS seq_str
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // T7: Savitzky-Golay smoothing as a fixed-weight FIR
+    // (`savgol_filter(temps, 11, 3)`, `data_generator.py:963`); null at the
+    // edges where the full centered window is unavailable.
+    "q40_savgol" -> Q(
+      (s, d) => series(s, d)
+        .select(col("ts"), col("event_type"),
+          dec6(WindowOps.savgol11o3(col("v"), w)).as("v_smooth"))
+        .orderBy("ts", "event_type"),
+      Some {
+        val terms = savgolW.map { case (off, wt) =>
+          val v = if (off < 0) s"lag(v, ${-off}) OVER w"
+                  else if (off > 0) s"lead(v, $off) OVER w" else "v"
+          s"($wt) * $v"
+        }.mkString(" + ")
+        s"""WITH $sqlSeries
+           |SELECT ts, event_type,
+           |${r6(s"CASE WHEN count(v) OVER (PARTITION BY event_type ORDER BY ts " +
+             s"ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) = 11 THEN $terms END")} AS v_smooth
+           |FROM series WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+           |ORDER BY ts, event_type""".stripMargin
+      }),
+
+    // A4: horizontal (row-wise) aggregates over the wide aligned matrix —
+    // `all_zones_avg`, `greatest`, count-above-threshold
+    // (`pre_processing.py:1140-1144,1302-1319`).
+    "q41_horizontal_agg" -> Q(
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val ev = Tables.events(s, d)
+        val wide = ev.groupBy(date_trunc("hour", col("ts")).as("ts"))
+          .pivot("event_type", types).agg(avg("value"))
+        val cols = types.map(col)
+        wide
+          .withColumn("all_avg", dec4(cols.reduce(_ + _) / cols.size))
+          .withColumn("all_max", dec4(greatest(cols: _*)))
+          .withColumn("n_above_50",
+            cols.map(c => when(c > 50, 1).otherwise(0)).reduce(_ + _))
+          .select("ts", "all_avg", "all_max", "n_above_50")
+          .orderBy("ts")
+      },
+      Some(s"""WITH wide AS (SELECT date_trunc('hour', ts) AS ts,
+              |  avg(CASE WHEN event_type = 'click' THEN value END) AS click,
+              |  avg(CASE WHEN event_type = 'error' THEN value END) AS error,
+              |  avg(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+              |  avg(CASE WHEN event_type = 'signup' THEN value END) AS signup,
+              |  avg(CASE WHEN event_type = 'view' THEN value END) AS view
+              |  FROM events GROUP BY 1)
+              |SELECT ts,
+              |${r4("(click + error + purchase + signup + view) / 5")} AS all_avg,
+              |${r4("greatest(click, error, purchase, signup, view)")} AS all_max,
+              |(CASE WHEN click > 50 THEN 1 ELSE 0 END + CASE WHEN error > 50 THEN 1 ELSE 0 END
+              | + CASE WHEN purchase > 50 THEN 1 ELSE 0 END + CASE WHEN signup > 50 THEN 1 ELSE 0 END
+              | + CASE WHEN view > 50 THEN 1 ELSE 0 END) AS n_above_50
+              |FROM wide ORDER BY ts""".stripMargin)),
+
+    // §7.2 flagship: accretion-early-warning shape end to end — downsample →
+    // align+ffill → trailing z anomaly (W10) → per-hour horizontal rollup
+    // (A4) → look-ahead truth labeling (J4 analogue). ~6 operators, one
+    // raw-data shuffle, everything else on the hourly grid.
+    "q70_early_warning" -> Q(
+      (s, d) => {
+        val (_, _, flag, _) = WindowOps.anomalyZ(col("v"), w)
+        val flagged = series(s, d).withColumn("anomaly", flag)
+        val perHour = flagged.groupBy("ts").agg(
+          sum((col("anomaly") === -1).cast("int")).as("series_in_drop"),
+          max((col("anomaly") === -1).cast("int")).as("any_warning"))
+        val errHourly = Tables.events(s, d).filter(col("event_type") === "error")
+          .groupBy(date_trunc("hour", col("ts")).as("ts")).agg(count(lit(1)).as("n_err"))
+        val wts = Window.orderBy("ts") // hourly grid: ≤ #hours rows
+        perHour.join(errHourly, Seq("ts"), "left")
+          .withColumn("incident", (coalesce(col("n_err"), lit(0L)) >= 5).cast("int"))
+          .withColumn("incident_next_24h", max("incident").over(wts.rowsBetween(0, 23)))
+          .select("ts", "series_in_drop", "any_warning", "incident_next_24h")
+          .orderBy("ts")
+      },
+      Some(s"""WITH $sqlSeries,
+              |x AS (SELECT ts, event_type, v,
+              |  count(v) OVER wp AS cnt, avg(v) OVER wp AS m,
+              |  greatest(stddev_pop(v) OVER wp, 0.001) AS sd
+              |  FROM series
+              |  WINDOW wp AS (PARTITION BY event_type ORDER BY ts
+              |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+              |y AS (SELECT ts, event_type,
+              |  CASE WHEN cnt <= 12 OR v IS NULL THEN 0
+              |       WHEN v < m - 2 * sd THEN -1
+              |       WHEN v > m + 2 * sd THEN 1 ELSE 0 END AS anomaly
+              |  FROM x),
+              |ph AS (SELECT ts,
+              |  sum(CASE WHEN anomaly = -1 THEN 1 ELSE 0 END) AS series_in_drop,
+              |  max(CASE WHEN anomaly = -1 THEN 1 ELSE 0 END) AS any_warning
+              |  FROM y GROUP BY ts),
+              |eh AS (SELECT date_trunc('hour', ts) AS ts, count(*) AS n_err
+              |  FROM events WHERE event_type = 'error' GROUP BY 1),
+              |z AS (SELECT ph.ts, ph.series_in_drop, ph.any_warning,
+              |  CASE WHEN coalesce(eh.n_err, 0) >= 5 THEN 1 ELSE 0 END AS incident
+              |  FROM ph LEFT JOIN eh ON ph.ts = eh.ts)
+              |SELECT ts, series_in_drop, any_warning,
+              |max(incident) OVER (ORDER BY ts ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING)
+              |  AS incident_next_24h
+              |FROM z ORDER BY ts""".stripMargin))
+  )
+}
