@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads travel as opaque `binary`
+  * columns with typed metadata; decode / feature-extraction runs batched
+  * per partition so a real codec would amortize model/codec init per
+  * partition (the Scala analogue of an Arrow-batched Python UDF).
+  *
+  * The decode itself is a STUB — image/audio codecs are not in this
+  * container — but it is a deterministic fake over the real bytes, so the
+  * Spark-side contract (schema, partitioning, batch shape, null handling)
+  * is real and testable end to end. */
+object MultimodalOps {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, byte_len: Int, head_byte: Int,
+                           byte_sum: Long, frames: Int)
+
+  /** Attach binary payload + metadata columns to a documents table —
+    * the ingest shape for image/audio/video sidecars. */
+  def withPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        octet_length(col(textCol)).as("byte_len"),
+        lit("application/octet-stream").as("mime"),
+        (floor(octet_length(col(textCol)) / lit(256.0)) + 1).cast("int").as("n_chunks")
+      ).as("media_meta"))
+
+  /** Batched per-partition "decode": one codec init per partition, then a
+    * streaming pass over rows. Swap the body for a real decoder (JNI codec,
+    * ONNX session, ...) without touching the plan shape. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        // real codecs would initialize HERE, once per partition
+        rows.map { r =>
+          val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
+          val sum = bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff))
+          MediaFeatures(
+            doc_id = r.doc_id,
+            byte_len = bytes.length,
+            head_byte = if (bytes.isEmpty) -1 else bytes(0) & 0xff,
+            byte_sum = sum,
+            frames = bytes.length / 256 + 1)
+        }
+      }
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`): brute-force
+  * cosine top-k as the exactness baseline, and a random-hyperplane LSH
+  * bucketed variant as the scale path (candidates come from an equi-join on
+  * the bucket signature, not a cross join).
+  *
+  * All vector math is higher-order array expressions (`zip_with` /
+  * `aggregate`) with explicit float→double casts BEFORE multiplication so
+  * results are bit-reproducible across engines. */
+object SimilarityOps {
+
+  /** Float array → double array (cast before arithmetic, not after). */
+  def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential-fold dot product — deterministic association order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm via the same sequential fold. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity of two double arrays; null when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = norm(a); val nb = norm(b)
+    when(na > 0 && nb > 0, dot(a, b) / (na * nb))
+  }
+
+  /** Brute-force top-k cosine neighbors of one query vector: the query row
+    * is broadcast, so the scan is a single pass with no shuffle until the
+    * final TakeOrdered(k). */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int, scoreOut: Column => Column): DataFrame = {
+    val e = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    val q = e.filter(col(idCol) === queryId).select(col("v").as("qv"))
+    e.crossJoin(broadcast(q))
+      .withColumn("cos_sim", scoreOut(cosine(col("v"), col("qv"))))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+      .select(idCol, "cos_sim")
+  }
+
+  /** Deterministic random hyperplanes (seeded Gaussian), as literal arrays
+    * baked into the plan — tiny (planes × dim doubles), no broadcast needed. */
+  def hyperplanes(seed: Long, planes: Int, dim: Int): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket signature of a double-array column. */
+  def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val lp = array(p.map(lit): _*)
+      shiftleft((dot(v, lp) > 0).cast("long"), i)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates share the query's bucket signature, then
+    * exact cosine + top-k within the bucket. Recall is tunable via number of
+    * planes (fewer planes → bigger buckets → higher recall, more work). */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+              k: Int, seed: Long, nPlanes: Int, dim: Int,
+              scoreOut: Column => Column): DataFrame = {
+    val hp = hyperplanes(seed, nPlanes, dim)
+    val e = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), hp))
+    val q = e.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    e.join(broadcast(q), col("bucket") === col("qbucket"))
+      .withColumn("cos_sim", scoreOut(cosine(col("v"), col("qv"))))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+      .select(idCol, "cos_sim")
+  }
+
+  /** Blocked exact near-dup pairs: equi-join on a blocking key (here a
+    * label/cluster column) bounds the quadratic term to block sizes — the
+    * standard scale pattern when a clustering or coarse quantizer exists. */
+  def blockedCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                         blockCol: String, threshold: Double,
+                         scoreOut: Column => Column): DataFrame = {
+    val e = emb.select(col(idCol), col(blockCol), toDouble(col(vecCol)).as("v"))
+    val a = e.select(col(idCol).as("id_a"), col(blockCol).as("blk"), col("v").as("va"))
+    val b = e.select(col(idCol).as("id_b"), col(blockCol).as("blk"), col("v").as("vb"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") > threshold)
+      .select(col("id_a"), col("id_b"), scoreOut(col("cos_sim")).as("cos_sim"))
+  }
+}

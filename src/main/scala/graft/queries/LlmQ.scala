@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import Q.{dec6, r6}
+import scala.collection.immutable.ListMap
+
+/** Training-data-pipeline suite over `documents` and `embeddings`: text
+  * analysis (tokens, quality, language ID, fingerprints), deduplication
+  * (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity search
+  * (brute-force and LSH-bucketed cosine), and multimodal binary-column
+  * plumbing. Hash-based variants (MinHash/SimHash/LSH) are deterministic but
+  * not SQL-expressible in DuckDB, so they get rows-only checks; everything
+  * else has an exact oracle. */
+object LlmQ {
+
+  private val sqlToks =
+    """toks AS (SELECT doc_id, lang, text,
+      |  string_split_regex(trim(text), '\s+') AS t FROM documents)""".stripMargin
+
+  /** DuckDB mirror of `TextOps.shingleSet(_, 3)`. */
+  private val sqlShingles =
+    s"""$sqlToks,
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |  generate_series(1, greatest(len(t) - 2, 0)),
+       |  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s FROM toks)""".stripMargin
+
+  val queries: ListMap[String, Q] = ListMap(
+
+    // Token counting (whitespace tokenizer) + length stats.
+    "q50_token_stats" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("t", TextOps.tokens(col("text")))
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(col("t")).as("n_tokens"),
+          dec6(aggregate(col("t"), lit(0.0), (acc, x) => acc + length(x)) / size(col("t")))
+            .as("avg_token_len"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $sqlToks
+              |SELECT doc_id, length(text) AS n_chars, len(t) AS n_tokens,
+              |${r6("list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE))) / len(t)")}
+              |  AS avg_token_len
+              |FROM toks ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: stopword ratio + length-capped score
+    // (the classic pre-training heuristics, cf. C4/Gopher-style filters).
+    "q51_quality_score" -> Q(
+      (s, d) => {
+        val stop = Seq("a", "the", "and", "of", "in", "to")
+        val docs = Tables.documents(s, d).withColumn("t", TextOps.tokens(col("text")))
+        val nStop = TextOps.markerCount(col("t"), stop)
+        val ratio = nStop / size(col("t"))
+        docs.select(col("doc_id"),
+            nStop.as("n_stop"),
+            dec6(ratio).as("stop_ratio"),
+            dec6(least(lit(1.0), size(col("t")) / lit(200.0)) * (lit(1.0) - ratio)).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlToks,
+              |x AS (SELECT doc_id, len(t) AS n,
+              |  len(list_filter(t, x -> x IN ('a', 'the', 'and', 'of', 'in', 'to'))) AS n_stop
+              |  FROM toks)
+              |SELECT doc_id, n_stop,
+              |${r6("CAST(n_stop AS DOUBLE) / n")} AS stop_ratio,
+              |${r6("least(1.0, n / 200.0) * (1.0 - CAST(n_stop AS DOUBLE) / n)")} AS quality
+              |FROM x ORDER BY doc_id""".stripMargin)),
+
+    // Language ID by marker-word scoring (n-gram-free heuristic, cf.
+    // fastText-style langid reduced to frequency evidence).
+    "q52_langid" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d).withColumn("t", TextOps.tokens(col("text")))
+        val scores = TextOps.langMarkers.map { case (l, ms) =>
+          TextOps.markerCount(col("t"), ms).as(s"s_$l")
+        }
+        docs.select((col("doc_id") +: col("lang") +: scores): _*)
+          .withColumn("pred_lang",
+            TextOps.predictLang(col("s_en"), col("s_de"), col("s_fr"), col("s_es")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlToks,
+              |x AS (SELECT doc_id, lang,
+              |  len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and'))) AS s_en,
+              |  len(list_filter(t, x -> x IN ('der', 'die', 'das', 'und'))) AS s_de,
+              |  len(list_filter(t, x -> x IN ('le', 'la', 'les', 'et'))) AS s_fr,
+              |  len(list_filter(t, x -> x IN ('el', 'los', 'las', 'y'))) AS s_es
+              |  FROM toks)
+              |SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+              |CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+              |     WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+              |     WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang
+              |FROM x ORDER BY doc_id""".stripMargin)),
+
+    // Content + bag-of-words fingerprints (document identity for dedup).
+    "q53_fingerprint" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp"),
+          TextOps.bagFingerprint(col("text")).as("bag_fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+             |md5(array_to_string(list_sort(list_distinct(
+             |  string_split_regex(trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+')
+             |)), ' ')) AS bag_fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Exact dedup: canonical id per identical-content group.
+    "q54_exact_dedup" -> Q(
+      (s, d) => DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text")
+        .select("doc_id", "fp", "canonical_id", "group_size", "is_duplicate")
+        .orderBy("doc_id"),
+      Some("""WITH x AS (SELECT doc_id,
+             |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+             |  FROM documents)
+             |SELECT doc_id, fp,
+             |min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+             |count(*) OVER (PARTITION BY fp) AS group_size,
+             |CAST(doc_id <> min(doc_id) OVER (PARTITION BY fp) AS INT) AS is_duplicate
+             |FROM x ORDER BY doc_id""".stripMargin)),
+
+    // n-gram Jaccard near-dup pairs via shared-shingle candidates (exact for
+    // any threshold > 0 — J=0 pairs share no shingle). Oracle brute-forces
+    // all pairs; the Spark side never cross-joins.
+    "q55_ngram_jaccard" -> Q(
+      (s, d) => DedupOps.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.2)
+        .select(col("id_a"), col("id_b"), dec6(col("jaccard")).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $sqlShingles,
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              |    / len(list_distinct(a.s || b.s)) AS j
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+              |SELECT id_a, id_b, ${r6("j")} AS jaccard
+              |FROM p WHERE j >= 0.2 ORDER BY id_a, id_b""".stripMargin)),
+
+    // MinHash+LSH banding (64 perms, 16 bands × 4 rows) with exact-Jaccard
+    // verification. Hash-specific candidate set → rows-only check.
+    "q56_minhash_lsh" -> Q(
+      (s, d) => DedupOps.minhashLshPairs(Tables.documents(s, d), "doc_id", "text")
+        .select(col("id_a"), col("id_b"), dec6(col("jaccard")).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // SimHash near-dup pairs (64-bit, Hamming ≤ 3) via the pigeonhole
+    // chunk join. Hash-specific → rows-only check.
+    "q57_simhash_pairs" -> Q(
+      (s, d) => DedupOps.simhashPairs(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
+    // Brute-force cosine top-k against a broadcast query vector — the
+    // exactness baseline for ANN.
+    "q58_ann_topk" -> Q(
+      (s, d) => SimilarityOps.bruteForceTopK(Tables.embeddings(s, d),
+        "vec_id", "embedding", queryId = 0L, k = 10, scoreOut = dec6),
+      Some(s"""WITH e AS (SELECT vec_id,
+              |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              |x AS (SELECT vec_id,
+              |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(v)),
+              |    i -> v[i] * qv[i])), (acc, y) -> acc + y) AS dot,
+              |  sqrt(list_reduce(list_prepend(0.0, list_transform(v, y -> y * y)),
+              |    (acc, y) -> acc + y)) AS nv,
+              |  sqrt(list_reduce(list_prepend(0.0, list_transform(qv, y -> y * y)),
+              |    (acc, y) -> acc + y)) AS nq
+              |  FROM e, q)
+              |SELECT vec_id,
+              |${r6("CASE WHEN nv > 0 AND nq > 0 THEN dot / (nv * nq) END")} AS cos_sim
+              |FROM x ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // LSH-bucketed ANN (8 random hyperplanes): candidates share the query's
+    // sign-bit bucket. Plane-specific → rows-only check.
+    "q59_ann_lsh" -> Q(
+      (s, d) => SimilarityOps.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10, seed = 7L, nPlanes = 4, dim = 64, scoreOut = dec6)),
+
+    // Embedding near-dup pairs blocked by the label column (the coarse-
+    // quantizer pattern): quadratic work bounded to block sizes.
+    "q60_cosine_pairs" -> Q(
+      (s, d) => SimilarityOps.blockedCosinePairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label", threshold = 0.3, scoreOut = dec6)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH e AS (SELECT vec_id, label,
+              |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.v)),
+              |    i -> a.v[i] * b.v[i])), (acc, y) -> acc + y) AS dot,
+              |  sqrt(list_reduce(list_prepend(0.0, list_transform(a.v, y -> y * y)),
+              |    (acc, y) -> acc + y)) AS na,
+              |  sqrt(list_reduce(list_prepend(0.0, list_transform(b.v, y -> y * y)),
+              |    (acc, y) -> acc + y)) AS nb
+              |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+              |c AS (SELECT id_a, id_b,
+              |  CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) END AS cos
+              |  FROM p)
+              |SELECT id_a, id_b, ${r6("cos")} AS cos_sim
+              |FROM c WHERE cos > 0.3 ORDER BY id_a, id_b""".stripMargin)),
+
+    // Multimodal metadata plumbing: binary payload + typed metadata struct.
+    "q61_mm_metadata" -> Q(
+      (s, d) => MultimodalOps.withPayload(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"),
+          col("media_meta.byte_len").as("byte_len"),
+          col("media_meta.mime").as("mime"),
+          col("media_meta.n_chunks").as("n_chunks"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
+             |'application/octet-stream' AS mime,
+             |CAST(floor(octet_length(encode(text)) / 256.0) + 1 AS INT) AS n_chunks
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Batched per-partition decode stub over the real bytes: demonstrates
+    // the schema/partitioning/batch contract of a real media decoder.
+    // Engine-side-only computation → rows-only check.
+    "q62_mm_decode" -> Q(
+      (s, d) => MultimodalOps.decodeFeatures(s,
+          MultimodalOps.withPayload(Tables.documents(s, d), "doc_id", "text"))
+        .toDF()
+        .orderBy("doc_id"))
+  )
+}
