@@ -22,8 +22,13 @@ object TextOps {
     when(size(toks) >= n, make).otherwise(array())
   }
 
-  /** Distinct shingle set (for Jaccard / MinHash). */
-  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(tokens(text), n))
+  /** Distinct shingle set (for Jaccard / MinHash).
+    *
+    * NOTE: `toks` must be a *bound attribute* (a materialized column), not an
+    * inline `tokens(text)` expression — the shingle lambda references it per
+    * index, and an inline `split` would be re-evaluated for every element_at
+    * (≈3× shingle-count regex splits per document; measured 13× slower). */
+  def shingleSet(toks: Column, n: Int): Column = array_distinct(shingles(toks, n))
 
   /** Token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
