@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming wrapper for the reference's "live" path
+  * (SURVEY §2.11): the dashboard's 60-second file-poll loop
+  * (`dashboard.py:113,528-539,690-694`) maps to a file-source stream with a
+  * processing-time trigger; its per-tick re-scoring maps to `foreachBatch`
+  * over the trailing window.
+  *
+  * Design: event-time tumbling windows with a watermark bound state; the
+  * heavy feature logic is NOT reimplemented for streaming — `foreachBatch`
+  * reuses the exact batch operators (WindowOps/TimeSeriesOps) on each
+  * micro-batch, which is both the faithful reproduction of the reference's
+  * recompute-the-tail loop and the recommended Spark pattern. */
+object StreamingOps {
+
+  /** Event-time hourly tumbling aggregate with late-data tolerance —
+    * streaming twin of `TimeSeriesOps.downsample` (reference T4). */
+  def hourlyAggStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), avg("value").as("avg_value"))
+      .select(col("w.start").as("ts"), col("event_type"), col("n"), col("avg_value"))
+
+  /** File-source stream over a directory of parquet drops — the engine-side
+    * equivalent of the reference's polling thread (S5). */
+  def fileSource(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
+    spark.readStream.schema(schemaFrom.schema).parquet(dir)
+
+  /** Re-score every micro-batch with an arbitrary batch transformation —
+    * the reference's `process_latest_data` + `predict_accretion` tick
+    * (`dashboard.py:259-479`) as a foreachBatch loop. */
+  def rescoreEachBatch(stream: DataFrame, intervalSec: Int)(
+      score: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(s"$intervalSec seconds"))
+      .foreachBatch { (batch: DataFrame, id: Long) => score(batch, id) }
+
+  /** Convenience: run a streaming aggregate to an in-memory table until all
+    * available data is processed (test/driver harness path). */
+  def runToMemory(agg: DataFrame, name: String): StreamingQuery = {
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, SimilarityOps}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat today and slept"),
+    (2L, "the cat sat on the mat today and slept"),   // exact dup of 1
+    (3L, "the cat sat on the mat today and purred loudly"), // near dup
+    (4L, "completely different words entirely unrelated content here now")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups identical docs under min id") {
+    val out = DedupOps.exactDedup(docs, "doc_id", "text")
+      .select("doc_id", "canonical_id", "is_duplicate").orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((1L, 1L, 0), (2L, 1L, 1), (3L, 3L, 0), (4L, 4L, 0)))
+  }
+
+  test("ngramJaccardPairs finds exact pair with J=1 and near pair, not the unrelated doc") {
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
+      .orderBy("id_a", "id_b").collect()
+    val asMap = pairs.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(asMap((1L, 2L)) == 1.0)
+    assert(asMap.contains(1L -> 3L) && asMap((1L, 3L)) < 1.0)
+    assert(!asMap.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhashLshPairs catches the exact duplicate (identical signatures)") {
+    val pairs = DedupOps.minhashLshPairs(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash of identical docs is identical; pairs report hamming 0") {
+    val sh = DedupOps.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    val pairs = DedupOps.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),
+    (3L, Array(-1.0f, 0.0f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("bruteForceTopK ranks query itself first, orthogonal/opposite last") {
+    val out = SimilarityOps.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 4, identity)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.head._1 == 0L && math.abs(out.head._2 - 1.0) < 1e-12)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.last._2 < 0)
+  }
+
+  test("lshTopK returns the query itself (same bucket) with cos 1") {
+    val out = SimilarityOps.lshTopK(vecs, "vec_id", "embedding", 0L, 4,
+      seed = 7L, nPlanes = 2, dim = 3, identity)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(out(0L) - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeriesOps
+
+class TimeSeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("timeline spans truncated min..max inclusive") {
+    val df = Seq(ts("2024-01-01 00:30:00"), ts("2024-01-01 03:10:00")).toDF("ts")
+    val grid = TimeSeriesOps.timeline(df, "ts").orderBy("ts").collect().map(_.getTimestamp(0))
+    assert(grid.length == 4)
+    assert(grid.head == ts("2024-01-01 00:00:00") && grid.last == ts("2024-01-01 03:00:00"))
+  }
+
+  test("interpolate: linear interior, null leading, carried trailing (pandas rules)") {
+    val df = Seq(
+      (ts("2024-01-01 00:00:00"), "a", None),
+      (ts("2024-01-01 01:00:00"), "a", Some(10.0)),
+      (ts("2024-01-01 02:00:00"), "a", None),
+      (ts("2024-01-01 03:00:00"), "a", Some(40.0)),
+      (ts("2024-01-01 04:00:00"), "a", None)
+    ).toDF("ts", "k", "v")
+    val out = TimeSeriesOps.interpolateCol(df, Seq("k"), "ts", "v", "o")
+      .orderBy("ts").collect()
+    assert(out(0).isNullAt(3))                       // leading null stays
+    assert(out(2).getDouble(3) == 25.0)              // midpoint
+    assert(out(4).getDouble(3) == 40.0)              // trailing carries last
+  }
+
+  test("asofJoinLast picks latest right at-or-before each left ts") {
+    val left = Seq((ts("2024-01-01 02:00:00"), "a"), (ts("2024-01-01 05:00:00"), "a"))
+      .toDF("ts", "k")
+    val right = Seq(
+      (ts("2024-01-01 01:00:00"), "a", 1.0),
+      (ts("2024-01-01 02:00:00"), "a", 2.0),  // exact tie: visible to left
+      (ts("2024-01-01 04:30:00"), "a", 3.0)
+    ).toDF("ts", "k", "v")
+    val out = TimeSeriesOps.asofJoinLast(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .orderBy("ts").collect()
+    assert(out(0).getDouble(2) == 2.0)
+    assert(out(1).getDouble(2) == 3.0)
+  }
+
+  test("nearest picks closer neighbor, prev on tie") {
+    val df = Seq(
+      (ts("2024-01-01 00:00:00"), "a", Some(1.0)),
+      (ts("2024-01-01 01:00:00"), "a", None),          // 1h to prev, 1h to next -> prev
+      (ts("2024-01-01 02:00:00"), "a", Some(5.0)),
+      (ts("2024-01-01 03:00:00"), "a", None),          // closer to 02:00 value
+      (ts("2024-01-01 06:00:00"), "a", Some(9.0))
+    ).toDF("ts", "k", "v")
+    val out = TimeSeriesOps.nearestCols(df, Seq("k"), "ts", "v", "o")
+      .orderBy("ts").collect()
+    assert(out(1).getDouble(3) == 1.0)  // tie -> previous
+    assert(out(3).getDouble(3) == 5.0)  // 1h back vs 3h forward
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.WindowOps
+
+/** Hand-computed expectations for the window combinators (SURVEY §2.7). */
+class WindowOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def w = Window.orderBy("i")
+
+  test("rollAvg honors min_periods (null below threshold)") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map(_.swap).toDF("i", "v")
+    val out = df.select(WindowOps.rollAvg($"v", 3, 2, w).as("m")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(None, Some(1.5), Some(2.0), Some(3.0)))
+  }
+
+  test("rollStdPop is population sigma (divides by n)") {
+    val df = Seq(2.0, 4.0).zipWithIndex.map(_.swap).toDF("i", "v")
+    val out = df.select(WindowOps.rollStdPop($"v", 2, 2, w).as("s")).collect()
+    assert(out(1).getDouble(0) == 1.0) // pop sigma of {2,4} = 1, sample = sqrt(2)
+  }
+
+  test("pctChange yields null (not inf) on zero base") {
+    val df = Seq(0.0, 5.0, 10.0).zipWithIndex.map(_.swap).toDF("i", "v")
+    val out = df.select(WindowOps.pctChange($"v", 1, w).as("p")).collect()
+    assert(out(1).isNullAt(0))       // base 0 -> null
+    assert(out(2).getDouble(0) == 100.0)
+  }
+
+  test("anomalyZ flags a drop below mean-2sigma, excluding current row") {
+    // 25 stable readings then a crash: trailing stats must exclude the crash
+    val vals = Seq.fill(25)(100.0) :+ 10.0
+    val df = vals.zipWithIndex.map(_.swap).toDF("i", "v")
+    val (_, _, flag, dropPct) = WindowOps.anomalyZ($"v", w)
+    val out = df.select(flag.as("f"), dropPct.as("d")).collect()
+    assert(out.last.getInt(0) == -1)
+    assert(math.abs(out.last.getDouble(1) - 90.0) < 1e-9) // (100-10)/100*100
+    assert(out.dropRight(1).forall(_.getInt(0) == 0))
+  }
+
+  test("ffill carries last non-null; bfill mirrors") {
+    val df = Seq((0, Some(1.0)), (1, None), (2, None), (3, Some(4.0)))
+      .toDF("i", "v")
+    val out = df.select(
+      WindowOps.ffill($"v", w).as("f"),
+      WindowOps.bfill($"v", w).as("b")).collect()
+    assert(out.map(_.getDouble(0)).toSeq == Seq(1.0, 1.0, 1.0, 4.0))
+    assert(out.map(_.getDouble(1)).toSeq == Seq(1.0, 4.0, 4.0, 4.0))
+  }
+
+  test("savgol11o3 reproduces a cubic exactly in the interior") {
+    // Savitzky-Golay of order 3 is exact on cubic polynomials
+    def f(x: Int): Double = 0.5 * x * x * x - 2 * x * x + 3 * x - 7
+    val df = (0 until 21).map(i => (i, f(i))).toDF("i", "v")
+    val out = df.orderBy("i").select(WindowOps.savgol11o3($"v", w).as("s")).collect()
+    assert(out.take(5).forall(_.isNullAt(0)))          // edges: null
+    assert(out.takeRight(5).forall(_.isNullAt(0)))
+    (5 until 16).foreach { i =>
+      assert(math.abs(out(i).getDouble(0) - f(i)) < 1e-6, s"at $i")
+    }
+  }
+}
