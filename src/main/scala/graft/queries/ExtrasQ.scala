@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{TimeSeriesOps, WindowOps}
+import Q.{dec4, dec6, r4, r6}
+import scala.collection.immutable.ListMap
+
+/** Coverage completions for SURVEY §2 items not exercised elsewhere:
+  * daily truth rollup with list aggregation (A11 + the ZONES_AFFECTED
+  * array mapping), adjacent-series conjunction patterns (W9), scaler
+  * transforms (§2.12), and the KNN-imputation substitution via per-series
+  * median + ffill (§2.12, documented deviation). */
+object ExtrasQ {
+
+  val queries: ListMap[String, Q] = ListMap(
+
+    // A11 + §1.4 array mapping: daily rollup — count, max, and the
+    // comma-joined entity list (`accretion_truth`, `data_generator.py:1013-1029`,
+    // ZONES_AFFECTED at `:1022`). Sorted-set join keeps it deterministic.
+    "q19_daily_rollup" -> Q(
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_type") === "error")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          dec4(max("value")).as("max_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          concat_ws(",", array_sort(collect_set(col("user_id").cast("string"))))
+            .as("users_affected"))
+        .orderBy("day"),
+      Some(s"""SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
+              |${r4("max(value)")} AS max_value,
+              |count(DISTINCT user_id) AS n_users,
+              |array_to_string(list_sort(list_distinct(list(CAST(user_id AS VARCHAR)))), ',')
+              |  AS users_affected
+              |FROM events WHERE event_type = 'error'
+              |GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // W9: multi-column conjunction pattern — adjacent series cooling
+    // simultaneously (`pre_processing.py:948-966`): per-hour count of
+    // adjacent type-pairs both below their trailing mean.
+    "q42_adjacent_pattern" -> Q(
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("ts"))
+          .pivot("event_type", types).agg(avg("value"))
+        val w = Window.orderBy("ts") // hourly grid
+        val cooled = types.foldLeft(wide) { (df, t) =>
+          df.withColumn(s"c_$t",
+            when(col(t) < avg(col(t)).over(w.rowsBetween(-24, -1)), 1).otherwise(0))
+        }
+        val pairFlags = types.sliding(2).map { case Seq(a, b) =>
+          (col(s"c_$a") === 1 && col(s"c_$b") === 1).cast("int")
+        }.toSeq
+        cooled
+          .withColumn("adjacent_pairs_cooling", pairFlags.reduce(_ + _))
+          .withColumn("any_adjacent", (col("adjacent_pairs_cooling") > 0).cast("int"))
+          .select("ts", "adjacent_pairs_cooling", "any_adjacent")
+          .orderBy("ts")
+      },
+      Some("""WITH wide AS (SELECT date_trunc('hour', ts) AS ts,
+             |  avg(CASE WHEN event_type = 'click' THEN value END) AS click,
+             |  avg(CASE WHEN event_type = 'error' THEN value END) AS error,
+             |  avg(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+             |  avg(CASE WHEN event_type = 'signup' THEN value END) AS signup,
+             |  avg(CASE WHEN event_type = 'view' THEN value END) AS view
+             |  FROM events GROUP BY 1),
+             |c AS (SELECT ts,
+             |  CASE WHEN click < avg(click) OVER w THEN 1 ELSE 0 END AS c_click,
+             |  CASE WHEN error < avg(error) OVER w THEN 1 ELSE 0 END AS c_error,
+             |  CASE WHEN purchase < avg(purchase) OVER w THEN 1 ELSE 0 END AS c_purchase,
+             |  CASE WHEN signup < avg(signup) OVER w THEN 1 ELSE 0 END AS c_signup,
+             |  CASE WHEN view < avg(view) OVER w THEN 1 ELSE 0 END AS c_view
+             |  FROM wide
+             |  WINDOW w AS (ORDER BY ts ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+             |p AS (SELECT ts,
+             |  (CASE WHEN c_click = 1 AND c_error = 1 THEN 1 ELSE 0 END
+             |   + CASE WHEN c_error = 1 AND c_purchase = 1 THEN 1 ELSE 0 END
+             |   + CASE WHEN c_purchase = 1 AND c_signup = 1 THEN 1 ELSE 0 END
+             |   + CASE WHEN c_signup = 1 AND c_view = 1 THEN 1 ELSE 0 END)
+             |  AS adjacent_pairs_cooling FROM c)
+             |SELECT ts, adjacent_pairs_cooling,
+             |CASE WHEN adjacent_pairs_cooling > 0 THEN 1 ELSE 0 END AS any_adjacent
+             |FROM p ORDER BY ts""".stripMargin)),
+
+    // §2.12 scalers: standard/min-max/robust scaling as plain aggregates
+    // (`pre_processing.py:288-315`) — grouped stats cross-joined back.
+    "q43_scaling" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+        val stats = li.groupBy("l_returnflag").agg(
+          avg("l_quantity").as("m"), stddev_samp(col("l_quantity")).as("sd"),
+          min("l_quantity").as("mn"), max("l_quantity").as("mx"),
+          expr("percentile(l_quantity, 0.5)").as("med"),
+          expr("percentile(l_quantity, 0.75) - percentile(l_quantity, 0.25)").as("iqr"))
+        li.join(stats, "l_returnflag")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            dec6(when(col("sd") > 0, (col("l_quantity") - col("m")) / col("sd"))).as("z_std"),
+            dec6(when(col("mx") =!= col("mn"),
+              (col("l_quantity") - col("mn")) / (col("mx") - col("mn")))).as("z_minmax"),
+            dec6(when(col("iqr") > 0, (col("l_quantity") - col("med")) / col("iqr"))).as("z_robust"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some(s"""WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0),
+              |st AS (SELECT l_returnflag, avg(l_quantity) AS m,
+              |  stddev_samp(l_quantity) AS sd, min(l_quantity) AS mn, max(l_quantity) AS mx,
+              |  quantile_cont(l_quantity, 0.5) AS med,
+              |  quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25) AS iqr
+              |  FROM li GROUP BY 1)
+              |SELECT l_orderkey, l_linenumber, li.l_returnflag,
+              |${r6("CASE WHEN sd > 0 THEN (l_quantity - m) / sd END")} AS z_std,
+              |${r6("CASE WHEN mx <> mn THEN (l_quantity - mn) / (mx - mn) END")} AS z_minmax,
+              |${r6("CASE WHEN iqr > 0 THEN (l_quantity - med) / iqr END")} AS z_robust
+              |FROM li JOIN st ON li.l_returnflag = st.l_returnflag
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // §2.12 KNN-imputation substitution (documented deviation, SURVEY
+    // §7.4-4): sparse grid slots filled by ffill, remaining leading nulls by
+    // the per-series median — the reference's own fallback modes
+    // (`pre_processing.py:274-279`).
+    "q44_impute" -> Q(
+      (s, d) => {
+        val a = TimeSeriesQ.aligned(s, d)
+        val w = Window.partitionBy("event_type").orderBy("ts")
+        val med = Window.partitionBy("event_type")
+        a.withColumn("v_ff", WindowOps.ffill(col("v"), w))
+          .withColumn("med", expr("percentile(v, 0.5)").over(med))
+          .select(col("ts"), col("event_type"),
+            dec4(coalesce(col("v_ff"), col("med"))).as("v_imputed"))
+          .orderBy("ts", "event_type")
+      },
+      Some(s"""WITH ${TimeSeriesQ.sqlAligned},
+              |x AS (SELECT ts, event_type,
+              |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff,
+              |  quantile_cont(v, 0.5) OVER (PARTITION BY event_type) AS med
+              |  FROM aligned)
+              |SELECT ts, event_type, ${r4("coalesce(v_ff, med)")} AS v_imputed
+              |FROM x ORDER BY ts, event_type""".stripMargin))
+  )
+}
