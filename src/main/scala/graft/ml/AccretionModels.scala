@@ -1,0 +1,102 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.GBTClassifier
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, RegressionEvaluator}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.GBTRegressor
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ML parity layer (SURVEY §7.1 step 9): the reference's three predictor
+  * heads (`models.py:726-904`, `models_backup.py` fit) and the prescriptor
+  * loop (`train_models_simple.py:655-862`) re-expressed on `spark.ml` —
+  * gradient-boosted trees replace XGBoost/LightGBM/LSTM (the nearest
+  * Spark-native models; inference is `Model.transform`, fully distributed).
+  *
+  * Time-based split, not random: the reference holds out the LAST 20 %
+  * (`train_models_simple.py:323-328`) because shuffled splits leak future
+  * sensor state into training — preserved here via a timestamp threshold. */
+object AccretionModels {
+
+  /** Numeric feature columns of a labeled kiln frame (excludes keys/labels). */
+  def featureColumns(df: DataFrame, exclude: Set[String]): Array[String] =
+    df.schema.fields.collect {
+      case f if !exclude.contains(f.name) &&
+        (f.dataType.typeName == "double" || f.dataType.typeName == "integer" ||
+         f.dataType.typeName == "long") => f.name
+    }
+
+  /** Time-based train/test split at the `frac` quantile of the ts column
+    * (quantile over epoch seconds — approxQuantile rejects TimestampType). */
+  def timeSplit(df: DataFrame, tsCol: String, frac: Double): (DataFrame, DataFrame) = {
+    val epochs = df.withColumn("__ep", unix_timestamp(col(tsCol)).cast("double"))
+    val cut = epochs.stat.approxQuantile("__ep", Array(frac), 0.001).head
+    (epochs.filter(col("__ep") <= cut).drop("__ep"),
+     epochs.filter(col("__ep") > cut).drop("__ep"))
+  }
+
+  private def assembler(features: Array[String]) = new VectorAssembler()
+    .setInputCols(features).setOutputCol("features").setHandleInvalid("keep")
+
+  /** Tree models reject NaN vector entries; window features are null at
+    * series heads (lags, warm-up frames) — zero-fill them (the reference
+    * fillna path, `pre_processing.py:275-277`). */
+  def prep(df: DataFrame, features: Array[String]): DataFrame =
+    df.na.fill(0.0, features.toIndexedSeq)
+
+  /** Head 1: binary accretion-risk classifier (reference binary head). */
+  def fitBinaryHead(train: DataFrame, features: Array[String],
+                    labelCol: String): PipelineModel =
+    new Pipeline().setStages(Array(
+      assembler(features),
+      new GBTClassifier().setLabelCol(labelCol).setFeaturesCol("features")
+        .setMaxIter(20).setMaxDepth(4).setSeed(42)))
+      .fit(prep(train, features))
+
+  /** Head 2: days-to-critical regressor (rows with a live countdown only,
+    * as the reference filters to pre-event rows). */
+  def fitDaysHead(train: DataFrame, features: Array[String],
+                  labelCol: String): PipelineModel =
+    new Pipeline().setStages(Array(
+      assembler(features),
+      new GBTRegressor().setLabelCol(labelCol).setFeaturesCol("features")
+        .setMaxIter(20).setMaxDepth(4).setSeed(42)))
+      .fit(prep(train.filter(col(labelCol).isNotNull), features))
+
+  /** Prescriptor (reference `KilnAccretionPrescriptor`): one regressor per
+    * controllable parameter, trained on pre-event windows to predict the
+    * parameter value associated with low subsequent risk. */
+  def fitPrescriptor(train: DataFrame, features: Array[String],
+                     controlCols: Seq[String]): Map[String, PipelineModel] =
+    controlCols.map { c =>
+      c -> new Pipeline().setStages(Array(
+        assembler(features.filterNot(_ == c)),
+        new GBTRegressor().setLabelCol(c).setFeaturesCol("features")
+          .setMaxIter(10).setMaxDepth(3).setSeed(42)))
+        .fit(prep(train, features))
+    }.toMap
+
+  /** AUC for the binary head (reference `evaluate`, `models.py:976-1034`). */
+  def auc(model: PipelineModel, test: DataFrame, labelCol: String): Double =
+    new BinaryClassificationEvaluator().setLabelCol(labelCol)
+      .setRawPredictionCol("rawPrediction").setMetricName("areaUnderROC")
+      .evaluate(model.transform(prep(test, model.stages.head.asInstanceOf[VectorAssembler].getInputCols)))
+
+  /** RMSE for the regression heads. */
+  def rmse(model: PipelineModel, test: DataFrame, labelCol: String): Double =
+    new RegressionEvaluator().setLabelCol(labelCol)
+      .setPredictionCol("prediction").setMetricName("rmse")
+      .evaluate(model.transform(prep(test.filter(col(labelCol).isNotNull), model.stages.head.asInstanceOf[VectorAssembler].getInputCols)))
+
+  /** Top-k feature importances of a fitted tree head (reference O3,
+    * `train_models_simple.py:448-449`). */
+  def featureImportances(model: PipelineModel, features: Array[String],
+                         k: Int): Seq[(String, Double)] = {
+    val imp = model.stages.last match {
+      case m: org.apache.spark.ml.classification.GBTClassificationModel => m.featureImportances
+      case m: org.apache.spark.ml.regression.GBTRegressionModel => m.featureImportances
+    }
+    features.zip(imp.toArray).sortBy(-_._2).take(k).toSeq
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ml.AccretionModels
+import graft.pipeline.KilnPipeline
+
+/** ML heads trained on the kiln fixture: the injected event is trivially
+  * separable, so the heads must recover it (reference evaluation protocol,
+  * `models.py:976-1034`, with the time-based split). */
+class AccretionModelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2024-06-01 00:00:00").getTime
+  // two events so both train (day 4-6) and test (day 8.5-9.5) halves see one
+  private lazy val events = Seq(
+    (1L, 3, Timestamp.valueOf("2024-06-04 00:00:00"), Timestamp.valueOf("2024-06-06 00:00:00")),
+    (2L, 4, Timestamp.valueOf("2024-06-09 12:00:00"), Timestamp.valueOf("2024-06-10 12:00:00"))
+  ).toDF("event_id", "zone", "start_date", "critical_date")
+
+  private lazy val labeled = {
+    val rows = for {
+      zone <- 3 to 5
+      minute <- 0 until (11 * 24 * 60) by 2
+    } yield {
+      val ts = new Timestamp(t0 + minute * 60000L)
+      val base = 800.0 + zone * 25.0
+      val inEv1 = zone == 3 && minute >= 3 * 24 * 60 && minute < 5 * 24 * 60
+      val inEv2 = zone == 4 && minute >= (8 * 24 + 12) * 60 && minute < (9 * 24 + 12) * 60
+      (ts, zone, if (inEv1 || inEv2) base - 150.0 else base)
+    }
+    KilnPipeline.process(rows.toDF("ts", "zone", "temp"), events)
+      .withColumn("label_active", col("accretion_active").cast("double"))
+      .na.fill(0.0, Seq("temp_pct_3h", "temp_diff"))
+      .cache()
+  }
+
+  test("binary head separates the injected events (AUC > 0.9 on future data)") {
+    val feats = AccretionModels.featureColumns(labeled,
+      exclude = Set("zone", "accretion_active", "label_active", "days_to_critical",
+        "accretion_next_24h", "accretion_next_48h", "accretion_next_72h"))
+    val (train, test) = AccretionModels.timeSplit(labeled, "ts", 0.7)
+    assert(train.filter(col("label_active") === 1).count() > 0, "train half sees an event")
+    assert(test.filter(col("label_active") === 1).count() > 0, "test half sees an event")
+    val m = AccretionModels.fitBinaryHead(train, feats, "label_active")
+    val auc = AccretionModels.auc(m, test, "label_active")
+    assert(auc > 0.9, s"AUC $auc")
+    val imp = AccretionModels.featureImportances(m, feats, 5)
+    assert(imp.nonEmpty && imp.head._2 > 0)
+  }
+
+  test("days head learns the countdown on pre-critical rows") {
+    val feats = Array("temp", "drop_pct", "drops_12h", "risk_score")
+    val (train, test) = AccretionModels.timeSplit(labeled, "ts", 0.7)
+    val m = AccretionModels.fitDaysHead(train, feats, "days_to_critical")
+    val r = AccretionModels.rmse(m, test, "days_to_critical")
+    assert(!r.isNaN && r < 2.0, s"RMSE $r days") // countdown spans 0..2 days
+  }
+}
