@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
 
 /** Similarity search over embedding columns (`Array[Float]`): brute-force
   * cosine top-k as the exactness baseline, and a random-hyperplane LSH
@@ -16,13 +17,22 @@ object SimilarityOps {
   /** Float array → double array (cast before arithmetic, not after). */
   def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Sequential-fold dot product — deterministic association order. */
+  /** Sequential-fold dot product — deterministic association order.
+    * Portable HOF form; the DataFrame ops below use the codegen'd
+    * [[graft.functions.DotProduct]] (identical accumulation order, so
+    * bit-identical results) once registered on the session. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Codegen'd dot product (requires [[VectorFunctions.register]]). */
+  def dotFast(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** L2 norm via the same sequential fold. */
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Codegen'd L2 norm (requires [[VectorFunctions.register]]). */
+  def normFast(a: Column): Column = call_function("graft_l2norm", a)
 
   /** Cosine similarity of two double arrays; null when either norm is 0. */
   def cosine(a: Column, b: Column): Column = {
@@ -35,10 +45,13 @@ object SimilarityOps {
     * final TakeOrdered(k). */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      queryId: Long, k: Int, scoreOut: Column => Column): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
     val q = e.filter(col(idCol) === queryId).select(col("v").as("qv"))
+    val na = normFast(col("v")); val nb = normFast(col("qv"))
     e.crossJoin(broadcast(q))
-      .withColumn("cos_sim", scoreOut(cosine(col("v"), col("qv"))))
+      .withColumn("cos_sim", scoreOut(
+        when(na > 0 && nb > 0, dotFast(col("v"), col("qv")) / (na * nb))))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
       .select(idCol, "cos_sim")
@@ -64,13 +77,16 @@ object SimilarityOps {
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
               k: Int, seed: Long, nPlanes: Int, dim: Int,
               scoreOut: Column => Column): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
     val hp = hyperplanes(seed, nPlanes, dim)
     val e = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), hp))
     val q = e.filter(col(idCol) === queryId)
       .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    val na = normFast(col("v")); val nb = normFast(col("qv"))
     e.join(broadcast(q), col("bucket") === col("qbucket"))
-      .withColumn("cos_sim", scoreOut(cosine(col("v"), col("qv"))))
+      .withColumn("cos_sim", scoreOut(
+        when(na > 0 && nb > 0, dotFast(col("v"), col("qv")) / (na * nb))))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
       .select(idCol, "cos_sim")
@@ -84,15 +100,16 @@ object SimilarityOps {
                          scoreOut: Column => Column): DataFrame = {
     // Norms are a per-ROW function: compute once before the pair join, not
     // once per pair — cuts the per-pair work to a single dot product.
+    VectorFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol), col(blockCol), toDouble(col(vecCol)).as("v"))
-      .withColumn("nv", norm(col("v")))
+      .withColumn("nv", normFast(col("v")))
     val a = e.select(col(idCol).as("id_a"), col(blockCol).as("blk"),
       col("v").as("va"), col("nv").as("na"))
     val b = e.select(col(idCol).as("id_b"), col(blockCol).as("blk"),
       col("v").as("vb"), col("nv").as("nb"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim",
-        when(col("na") > 0 && col("nb") > 0, dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+        when(col("na") > 0 && col("nb") > 0, dotFast(col("va"), col("vb")) / (col("na") * col("nb"))))
       .filter(col("cos_sim") > threshold)
       .select(col("id_a"), col("id_b"), scoreOut(col("cos_sim")).as("cos_sim"))
   }
