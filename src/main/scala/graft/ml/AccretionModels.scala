@@ -89,6 +89,13 @@ object AccretionModels {
       .setPredictionCol("prediction").setMetricName("rmse")
       .evaluate(model.transform(prep(test.filter(col(labelCol).isNotNull), model.stages.head.asInstanceOf[VectorAssembler].getInputCols)))
 
+  /** Model sink/source (reference `joblib.dump`/`load`, SURVEY S4,
+    * `models.py:1036-1046`): spark.ml's native MLWritable format —
+    * distributed-filesystem-friendly, versioned metadata + parquet params. */
+  def save(model: PipelineModel, path: String): Unit =
+    model.write.overwrite().save(path)
+  def load(path: String): PipelineModel = PipelineModel.load(path)
+
   /** Top-k feature importances of a fitted tree head (reference O3,
     * `train_models_simple.py:448-449`). */
   def featureImportances(model: PipelineModel, features: Array[String],

@@ -142,7 +142,10 @@ object DedupOps {
                    maxDist: Int = 3): DataFrame = {
     val nChunks = maxDist + 1
     val width = 64 / nChunks
-    val sh = simhash(docs, idCol, textCol)
+    // tiny (one row per doc) but feeds 3 plan branches (bucketing + both
+    // sides of the verification join) — persist to compute the 64-vote
+    // aggregation once
+    val sh = simhash(docs, idCol, textCol).persist()
     val chunks = (0 until nChunks).map { c =>
       struct(lit(c).as("ci"),
         shiftright(col("simhash"), c * width).bitwiseAND(lit((1L << width) - 1)).as("cv"))

@@ -49,6 +49,28 @@ class AccretionModelsSpec extends SparkSpec {
     assert(imp.nonEmpty && imp.head._2 > 0)
   }
 
+  test("model sink/source roundtrip preserves predictions") {
+    val feats = Array("temp", "drop_pct", "drops_12h", "risk_score")
+    val m = AccretionModels.fitBinaryHead(labeled, feats, "label_active")
+    val dir = java.nio.file.Files.createTempDirectory("model").toString + "/m"
+    AccretionModels.save(m, dir)
+    val m2 = AccretionModels.load(dir)
+    val p1 = m.transform(AccretionModels.prep(labeled, feats))
+      .agg(sum("prediction")).collect().head.getDouble(0)
+    val p2 = m2.transform(AccretionModels.prep(labeled, feats))
+      .agg(sum("prediction")).collect().head.getDouble(0)
+    assert(p1 == p2)
+  }
+
+  test("prescriptor fits one regressor per control and predicts in range") {
+    val feats = Array("temp", "drop_pct", "drops_12h", "risk_score")
+    val pres = AccretionModels.fitPrescriptor(labeled, feats, Seq("temp"))
+    assert(pres.keySet == Set("temp"))
+    val pred = pres("temp").transform(AccretionModels.prep(labeled, feats))
+      .agg(min("prediction"), max("prediction")).collect().head
+    assert(pred.getDouble(0) >= 600.0 && pred.getDouble(1) <= 900.0)
+  }
+
   test("days head learns the countdown on pre-critical rows") {
     val feats = Array("temp", "drop_pct", "drops_12h", "risk_score")
     val (train, test) = AccretionModels.timeSplit(labeled, "ts", 0.7)
