@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{DotProduct, L2Norm}
+
+/** Session-extension entry point: makes the engine's custom expressions
+  * available to any session via
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (cluster-wide, no
+  * code changes in user jobs). The library ops also self-register through
+  * `VectorFunctions.register` for programmatic use. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_l2norm"),
+      new ExpressionInfo(classOf[L2Norm].getName, "graft_l2norm"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        L2Norm(exprs.head)))
+  }
+}

@@ -31,4 +31,11 @@ object CsvIO {
     * implicit coalesce(1), which would serialize the write at scale. */
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Date-partitioned parquet sink — the cluster layout: `dt=YYYY-MM-DD/`
+    * directories make every time-range scan a partition-pruned scan
+    * (reference S6's 365-day filter becomes metadata-only). */
+  def writeDatePartitioned(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("dt").parquet(path)
 }

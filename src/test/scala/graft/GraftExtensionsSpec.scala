@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions path: a session configured with
+  * `spark.sql.extensions=graft.GraftExtensions` can call the custom
+  * functions from plain SQL with no registration call. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  test("graft_dot and graft_l2norm resolve through spark.sql.extensions") {
+    // the suite JVM may hold a default session without extensions; force a
+    // fresh session (same SparkContext) so the builder applies them
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    // spark.sql.extensions is a STATIC conf (read from the SparkContext at
+    // creation) — in a shared-context JVM use the builder hook, which is the
+    // same injection path the conf triggers on a fresh cluster
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val row = spark.sql(
+        "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+        "graft_l2norm(array(3.0D, 4.0D)) AS n").collect().head
+      assert(row.getDouble(0) == 11.0)
+      assert(row.getDouble(1) == 5.0)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
