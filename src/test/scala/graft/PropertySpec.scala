@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{TimeSeriesOps, WindowOps}
+
+/** Pipeline-level property tests (SURVEY §5b): invariants that must hold
+  * for ANY series, not just the fixtures. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sample stream from a ScalaCheck generator (the
+    * scalatest-scalacheck bridge isn't in the offline cache). */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def forAll[T](g: Gen[T], n: Int = 12)(body: T => Unit): Unit =
+    samples(g, n).foreach(body)
+
+  private def whenever(c: Boolean)(body: => Unit): Unit = if (c) body
+
+  private val seriesGen: Gen[List[Option[Double]]] =
+    Gen.listOfN(40, Gen.option(Gen.choose(-1000.0, 1000.0)))
+
+  private def toDf(vs: List[Option[Double]]) =
+    vs.zipWithIndex.map { case (v, i) =>
+      (new Timestamp(1700000000000L + i * 3600000L), "s", v)
+    }.toDF("ts", "k", "v")
+
+  test("property: resample-then-align preserves timeline cardinality") {
+    forAll(Gen.choose(2, 200)) { (n: Int) =>
+      val df = (0 until n).map(i =>
+        (new Timestamp(1700000000000L + i.toLong * 137 * 60000L), i.toDouble))
+        .toDF("ts", "v")
+      val grid = TimeSeriesOps.timeline(df, "ts")
+      val hourly = df.groupBy(date_trunc("hour", $"ts").as("ts")).agg(avg("v").as("v"))
+      val joined = grid.join(hourly, Seq("ts"), "left")
+      assert(joined.count() == grid.count()) // left join never drops grid slots
+    }
+  }
+
+  test("property: rolling results are null exactly below min_periods") {
+    forAll(Gen.zip(seriesGen, Gen.choose(2, 10))) { case (vs, minP) =>
+      whenever(vs.nonEmpty) {
+        val w = Window.orderBy("ts")
+        val out = toDf(vs)
+          .withColumn("cnt", count("v").over(w.rowsBetween(-9, 0)))
+          .withColumn("m", WindowOps.rollAvg($"v", 10, minP, w))
+          .collect()
+        out.foreach { r =>
+          val cnt = r.getLong(r.fieldIndex("cnt"))
+          val isNull = r.isNullAt(r.fieldIndex("m"))
+          assert(isNull == (cnt < minP), s"cnt=$cnt minP=$minP")
+        }
+      }
+    }
+  }
+
+  test("property: anomaly flags are always in {-1, 0, 1} and drop_pct >= 0 for drops") {
+    forAll(seriesGen) { vs =>
+      whenever(vs.nonEmpty) {
+        val w = Window.orderBy("ts")
+        val (_, _, flag, dropPct) = WindowOps.anomalyZ($"v", w)
+        val out = toDf(vs).select(flag.as("f"), dropPct.as("d")).collect()
+        out.foreach { r =>
+          assert(Set(-1, 0, 1).contains(r.getInt(0)))
+          if (r.getInt(0) == -1) assert(r.getDouble(1) >= 0.0 || r.getDouble(1) == 0.0)
+        }
+      }
+    }
+  }
+
+  test("property: ffill never produces a null after the first non-null") {
+    forAll(seriesGen) { vs =>
+      whenever(vs.exists(_.isDefined)) {
+        val w = Window.orderBy("ts")
+        val out = toDf(vs).select(WindowOps.ffill($"v", w).as("f")).collect()
+        val firstIdx = vs.indexWhere(_.isDefined)
+        out.zipWithIndex.foreach { case (r, i) =>
+          if (i >= firstIdx) assert(!r.isNullAt(0), s"null at $i after first value $firstIdx")
+          else assert(r.isNullAt(0))
+        }
+      }
+    }
+  }
+
+  test("property: interpolation is bounded by neighbor values on monotone gaps") {
+    forAll(Gen.zip(Gen.choose(1.0, 100.0), Gen.choose(101.0, 200.0), Gen.choose(1, 10))) {
+      case (lo, hi, gap) =>
+        val vs = List(Some(lo)) ++ List.fill(gap)(None) ++ List(Some(hi))
+        val out = TimeSeriesOps.interpolateCol(toDf(vs), Seq("k"), "ts", "v", "o")
+          .orderBy("ts").collect()
+        out.foreach { r =>
+          val o = r.getDouble(r.fieldIndex("o"))
+          assert(o >= lo - 1e-9 && o <= hi + 1e-9)
+        }
+        // strictly increasing across the gap
+        val series = out.map(_.getDouble(out.head.fieldIndex("o")))
+        assert(series.zip(series.tail).forall { case (a, b) => a <= b + 1e-9 })
+    }
+  }
+}
