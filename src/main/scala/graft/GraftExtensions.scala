@@ -16,11 +16,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs(0), exprs(1))))
+        DotProduct(graft.functions.VectorFunctions.toDoubleArray(exprs(0)),
+          graft.functions.VectorFunctions.toDoubleArray(exprs(1)))))
     e.injectFunction((
       new FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "graft_l2norm"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        L2Norm(exprs.head)))
+        L2Norm(graft.functions.VectorFunctions.toDoubleArray(exprs.head))))
   }
 }

@@ -89,11 +89,22 @@ case class L2Norm(child: Expression) extends UnaryExpression {
   * (`graft_dot`, `graft_l2norm`) — the stable way to build Columns from
   * custom expressions across Spark 4's Column API. */
 object VectorFunctions {
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.types.ArrayType
+
+  /** The expressions read 8-byte double slots from ArrayData; a float/int
+    * array input would be silently misread (or crash), so the SQL surface
+    * coerces every argument to array<double> first. */
+  def toDoubleArray(e: Expression): Expression = e.dataType match {
+    case ArrayType(DoubleType, _) => e
+    case _ => Cast(e, ArrayType(DoubleType))
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot",
-      { exprs => DotProduct(exprs(0), exprs(1)) }, "scala_udf")
+      { exprs => DotProduct(toDoubleArray(exprs(0)), toDoubleArray(exprs(1))) }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_l2norm",
-      { exprs => L2Norm(exprs.head) }, "scala_udf")
+      { exprs => L2Norm(toDoubleArray(exprs.head)) }, "scala_udf")
   }
 }

@@ -70,11 +70,14 @@ object AccretionModels {
   def fitPrescriptor(train: DataFrame, features: Array[String],
                      controlCols: Seq[String]): Map[String, PipelineModel] =
     controlCols.map { c =>
+      val feats = features.filterNot(_ == c)
+      // fill only the FEATURES — zero-filling the control column would
+      // fabricate label values; null-label rows are dropped instead
       c -> new Pipeline().setStages(Array(
-        assembler(features.filterNot(_ == c)),
+        assembler(feats),
         new GBTRegressor().setLabelCol(c).setFeaturesCol("features")
           .setMaxIter(10).setMaxDepth(3).setSeed(42)))
-        .fit(prep(train, features))
+        .fit(prep(train.filter(col(c).isNotNull), feats))
     }.toMap
 
   /** AUC for the binary head (reference `evaluate`, `models.py:976-1034`). */

@@ -11,7 +11,13 @@ import org.apache.spark.sql.functions._
   * pairs come from `groupBy`/join on a BUCKET key (band hash, simhash chunk,
   * shared shingle), never a cross join. At 100 TB the only quadratic step is
   * within-bucket pair expansion, bounded by bucket size (tunable via
-  * bands/rows and shingle width). */
+  * bands/rows and shingle width).
+  *
+  * Caching note: these ops `persist()` their exploded shingle/signature
+  * intermediates (they feed 3+ plan branches). The blocks live until the
+  * session evicts them (LRU) or the caller runs
+  * `spark.catalog.clearCache()`; long-lived sessions running many corpora
+  * should clear between runs. */
 object DedupOps {
 
   /** Exact dedup: canonical id = min doc id within an identical-content
@@ -83,6 +89,7 @@ object DedupOps {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 64, rows: Int = 4,
                       threshold: Double = 0.3): DataFrame = {
+    require(numHashes % rows == 0, s"numHashes ($numHashes) must divide evenly into rows of $rows")
     val bands = numHashes / rows
     val sh = docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
@@ -140,6 +147,7 @@ object DedupOps {
     * (chunk index, chunk value), then verify with bit_count(xor). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 31, s"maxDist must be in [1,31], got $maxDist")
     val nChunks = maxDist + 1
     val width = 64 / nChunks
     // tiny (one row per doc) but feeds 3 plan branches (bucketing + both

@@ -47,11 +47,14 @@ object SimilarityOps {
                      queryId: Long, k: Int, scoreOut: Column => Column): DataFrame = {
     VectorFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
-    val q = e.filter(col(idCol) === queryId).select(col("v").as("qv"))
-    val na = normFast(col("v")); val nb = normFast(col("qv"))
+    // query norm is a constant of the one broadcast row — compute it there,
+    // not once per scanned row
+    val q = e.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), normFast(col("v")).as("qn"))
+    val na = normFast(col("v"))
     e.crossJoin(broadcast(q))
       .withColumn("cos_sim", scoreOut(
-        when(na > 0 && nb > 0, dotFast(col("v"), col("qv")) / (na * nb))))
+        when(na > 0 && col("qn") > 0, dotFast(col("v"), col("qv")) / (na * col("qn")))))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
       .select(idCol, "cos_sim")
@@ -82,11 +85,11 @@ object SimilarityOps {
     val e = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), hp))
     val q = e.filter(col(idCol) === queryId)
-      .select(col("v").as("qv"), col("bucket").as("qbucket"))
-    val na = normFast(col("v")); val nb = normFast(col("qv"))
+      .select(col("v").as("qv"), col("bucket").as("qbucket"), normFast(col("v")).as("qn"))
+    val na = normFast(col("v"))
     e.join(broadcast(q), col("bucket") === col("qbucket"))
       .withColumn("cos_sim", scoreOut(
-        when(na > 0 && nb > 0, dotFast(col("v"), col("qv")) / (na * nb))))
+        when(na > 0 && col("qn") > 0, dotFast(col("v"), col("qv")) / (na * col("qn")))))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
       .select(idCol, "cos_sim")

@@ -41,7 +41,10 @@ object SplineOps {
   /** Evaluate the natural spline at `qs` (clamped to the knot range, like
     * the dashboard's fixed axis). */
   def evalSpline(xs: Array[Double], ys: Array[Double], qs: Array[Double]): Array[Double] = {
-    require(xs.length == ys.length && xs.length >= 2, "need >= 2 knots")
+    require(xs.length == ys.length, "xs/ys length mismatch")
+    if (xs.isEmpty) return qs.map(_ => Double.NaN)
+    if (xs.length == 1) return qs.map(_ => ys.head) // single knot: constant
+
     val m = secondDerivs(xs, ys)
     qs.map { q0 =>
       val q = math.min(math.max(q0, xs.head), xs.last)

@@ -84,7 +84,13 @@ object TimeSeriesOps {
     * the scalable formulation — a single shuffle on the key, no range-join
     * row explosion, works for billions of rows per side.
     * Right rows that tie on ts with a left row sort first, so an exact-ts
-    * match is visible to the left row ("at or before"). */
+    * match is visible to the left row ("at or before").
+    *
+    * CONTRACT: `right` must be unique per (keys, rightTs) — with duplicate
+    * right timestamps the forward-fill picks an arbitrary tied row
+    * (partition-order dependent). Pre-aggregate duplicates deterministically
+    * first (e.g. `groupBy(keys, ts).agg(max_by(value, tiebreak))`, as
+    * q24_asof_join does). */
   def asofJoinLast(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String,
                    valueCols: Seq[String]): DataFrame = {

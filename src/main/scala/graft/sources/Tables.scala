@@ -23,10 +23,21 @@ object Tables {
     * microseconds — the same truncation DuckDB applies, so oracle timestamps
     * agree exactly. */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/events.parquet")
-    import org.apache.spark.sql.functions._
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val df = spark.read.parquet(s"$dir/events.parquet")
+      import org.apache.spark.sql.functions._
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } finally {
+      // schema resolution captured the conf at read(); restore so later
+      // parquet reads in the shared session see timestamps, not raw longs
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")

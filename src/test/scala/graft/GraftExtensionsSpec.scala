@@ -29,6 +29,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "graft_l2norm(array(3.0D, 4.0D)) AS n").collect().head
       assert(row.getDouble(0) == 11.0)
       assert(row.getDouble(1) == 5.0)
+      // regression: float/int arrays must be coerced, not misread as doubles
+      val f = spark.sql(
+        "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS d, " +
+        "graft_dot(array(1, 2), array(3, 4)) AS di").collect().head
+      assert(f.getDouble(0) == 14.0)
+      assert(f.getDouble(1) == 11.0)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

@@ -42,6 +42,11 @@ def main():
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
     all_dirs = {os.path.basename(p) for p in glob.glob(f"{out}/*") if os.path.isdir(p)}
+    # a query that threw inside graft.Verify writes no dir — that is a FAIL,
+    # not a silent skip
+    for missing in sorted(set(oracle) - all_dirs):
+        print(f"FAIL {missing}: no spark output (query failed in Verify)")
+        n_fail += 1
     for name in sorted(all_dirs):
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
