@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys (SURVEY §4 / the 100 TB design rules):
+  * salted two-phase aggregation — partial aggregates over (key, salt)
+  * spread a hot key across `nSalts` reducers, then a cheap second hash agg
+  * over the tiny partial results combines them. Exact for algebraic
+  * aggregates (sum/count/min/max, and avg via sum+count).
+  *
+  * AQE's skew-join handling covers JOIN skew automatically; this covers
+  * AGGREGATION skew, which AQE does not rebalance. */
+object SkewOps {
+
+  /** Salted exact aggregation: `aggs` maps output name -> (partial, combine)
+    * column builders. Convenience constructors below cover the common ones. */
+  def saltedAgg(df: DataFrame, keys: Seq[String], nSalts: Int,
+                aggs: Seq[SaltedAgg]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(nSalts)))
+    val partial = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(aggs.head.partial, aggs.tail.map(_.partial): _*)
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head.combine, aggs.tail.map(_.combine): _*)
+  }
+
+  /** One salted aggregate: a partial stage expression and its combiner. */
+  case class SaltedAgg(partial: Column, combine: Column)
+
+  def sumOf(c: String, out: String): SaltedAgg =
+    SaltedAgg(sum(c).as(s"__p_$out"), sum(s"__p_$out").as(out))
+  def countAll(out: String): SaltedAgg =
+    SaltedAgg(count(lit(1)).as(s"__p_$out"), sum(s"__p_$out").as(out))
+  def minOf(c: String, out: String): SaltedAgg =
+    SaltedAgg(min(c).as(s"__p_$out"), min(s"__p_$out").as(out))
+  def maxOf(c: String, out: String): SaltedAgg =
+    SaltedAgg(max(c).as(s"__p_$out"), max(s"__p_$out").as(out))
+
+  /** Exact avg from salted sum+count (two outputs consumed into one). */
+  def avgOf(c: String, out: String): Seq[SaltedAgg] =
+    Seq(sumOf(c, s"__sum_$out"), countAll(s"__cnt_$out"))
+  def finishAvg(df: DataFrame, out: String): DataFrame =
+    df.withColumn(out, col(s"__sum_$out") / col(s"__cnt_$out"))
+      .drop(s"__sum_$out", s"__cnt_$out")
+}

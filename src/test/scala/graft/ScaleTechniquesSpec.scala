@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SkewOps
+import graft.sources.Tables
+
+/** The two scale techniques the README promises, with plan-level evidence:
+  * salted aggregation equals the direct aggregate, and bucketed tables join
+  * without a shuffle. */
+class ScaleTechniquesSpec extends SparkSpec {
+
+  test("salted two-phase aggregation is exact vs direct groupBy") {
+    val li = Tables.lineitem(spark, sfTiny)
+    val salted = SkewOps.saltedAgg(li, Seq("l_returnflag"), nSalts = 16, Seq(
+      SkewOps.sumOf("l_quantity", "sum_qty"),
+      SkewOps.countAll("n"),
+      SkewOps.minOf("l_extendedprice", "min_price"),
+      SkewOps.maxOf("l_extendedprice", "max_price")))
+    val direct = li.groupBy("l_returnflag").agg(
+      sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+      min("l_extendedprice").as("min_price"), max("l_extendedprice").as("max_price"))
+    val diff = salted.join(direct.withColumnRenamed("sum_qty", "d_sum")
+        .withColumnRenamed("n", "d_n").withColumnRenamed("min_price", "d_min")
+        .withColumnRenamed("max_price", "d_max"), "l_returnflag")
+      .filter(col("sum_qty") =!= col("d_sum") || col("n") =!= col("d_n") ||
+        col("min_price") =!= col("d_min") || col("max_price") =!= col("d_max"))
+    assert(diff.count() == 0)
+    assert(salted.count() == direct.count())
+  }
+
+  test("bucketed tables sort-merge join without a shuffle exchange") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    Tables.lineitem(spark, sfTiny).write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    Tables.orders(spark, sfTiny).write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_bucketed")
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n${plan.take(800)}")
+    assert(joined.count() > 0)
+  }
+}
