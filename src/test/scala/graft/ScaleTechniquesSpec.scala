@@ -29,9 +29,21 @@ class ScaleTechniquesSpec extends SparkSpec {
   }
 
   test("bucketed tables sort-merge join without a shuffle exchange") {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    // DROP TABLE clears only the in-memory catalog; an orphaned location
+    // from a previous JVM blocks saveAsTable — remove it on disk too
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     Tables.lineitem(spark, sfTiny).write
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("li_bucketed")
