@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, SimilarityOps}
+import graft.sources.Tables
+
+/** Cross-validation for the hash-based operators that have no DuckDB
+  * oracle: their outputs must be consistent with the exact operators they
+  * approximate, computed on the same engine and data. */
+class CrossValidationSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("MinHash+LSH pairs are a subset of exact Jaccard pairs at the same threshold") {
+    val docs = Tables.documents(spark, sf)
+    val lsh = DedupOps.minhashLshPairs(docs, "doc_id", "text", threshold = 0.3)
+      .select("id_a", "id_b")
+    val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .select("id_a", "id_b")
+    val falsePositives = lsh.except(exact).count()
+    assert(falsePositives == 0, s"$falsePositives LSH pairs not in the exact set")
+    // recall on this corpus: banding (16x4) should catch the high-J pairs
+    val missed = exact.except(lsh).count()
+    val total = exact.count()
+    assert(total > 0)
+    assert(missed.toDouble / total < 0.2, s"missed $missed of $total exact pairs")
+  }
+
+  test("LSH ANN scores match brute-force scores for the ids it returns") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding", 0L, 500, identity)
+      .withColumnRenamed("cos_sim", "exact_cos")
+    val lsh = SimilarityOps.lshTopK(emb, "vec_id", "embedding", 0L, 10,
+      seed = 7L, nPlanes = 4, dim = 64, identity)
+    val joined = lsh.join(brute, "vec_id")
+    assert(joined.count() == lsh.count(), "every LSH hit exists in the full ranking")
+    val mismatched = joined.filter(abs(col("cos_sim") - col("exact_cos")) > 1e-12).count()
+    assert(mismatched == 0, "scores must be identical (same formula, same data)")
+    // the query vector itself shares its own bucket and must rank first
+    assert(lsh.orderBy(col("cos_sim").desc).first().getLong(0) == 0L)
+  }
+
+  test("SimHash near-pairs are top-tier in UNIGRAM similarity (its actual measure)") {
+    // SimHash hashes token multisets: hamming-close pairs may share no
+    // trigram at all (word-reordered docs), so the invariant is stated in
+    // simhash's own metric — unigram-set Jaccard far above the corpus level
+    // (median across all pairs on this corpus is ~0.63).
+    val docs = Tables.documents(spark, sf)
+    val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+    val uni = docs.select(col("doc_id"),
+      array_distinct(graft.operators.TextOps.tokens(col("text"))).as("u"))
+    val j = pairs
+      .join(uni.select(col("doc_id").as("id_a"), col("u").as("ua")), "id_a")
+      .join(uni.select(col("doc_id").as("id_b"), col("u").as("ub")), "id_b")
+      .withColumn("ju",
+        size(array_intersect(col("ua"), col("ub"))) / size(array_union(col("ua"), col("ub"))))
+    val total = j.count()
+    assert(total > 0)
+    val stats = j.agg(min("ju").as("mn"), avg("ju").as("av")).collect().head
+    assert(stats.getDouble(0) >= 0.5, s"weakest simhash pair ju=${stats.getDouble(0)}")
+    assert(stats.getDouble(1) >= 0.8, s"avg simhash pair ju=${stats.getDouble(1)}")
+  }
+}
