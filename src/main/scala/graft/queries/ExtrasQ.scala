@@ -117,6 +117,26 @@ object ExtrasQ {
               |FROM li JOIN st ON li.l_returnflag = st.l_returnflag
               |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // S7: JSON ser/de of row payloads (reference frame<->json callback bus,
+    // `dashboard.py:798-806`): struct -> compact JSON string -> field
+    // extraction roundtrip; Spark and DuckDB emit the same compact format
+    // for int/string fields.
+    "q48_json_roundtrip" -> Q(
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_id") % 200 === 0)
+        .withColumn("js", to_json(struct(col("event_id"), col("event_type"))))
+        .withColumn("rt_type", get_json_object(col("js"), "$.event_type"))
+        .withColumn("rt_id", get_json_object(col("js"), "$.event_id").cast("long"))
+        .select("event_id", "js", "rt_type", "rt_id")
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |to_json(struct_pack(event_id := event_id, event_type := event_type)) AS js,
+             |json_extract_string(to_json(struct_pack(event_id := event_id,
+             |  event_type := event_type)), '$.event_type') AS rt_type,
+             |CAST(json_extract_string(to_json(struct_pack(event_id := event_id,
+             |  event_type := event_type)), '$.event_id') AS BIGINT) AS rt_id
+             |FROM events WHERE event_id % 200 = 0 ORDER BY event_id""".stripMargin)),
+
     // §2.12 KNN-imputation substitution (documented deviation, SURVEY
     // §7.4-4): sparse grid slots filled by ffill, remaining leading nulls by
     // the per-series median — the reference's own fallback modes
