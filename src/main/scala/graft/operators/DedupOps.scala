@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * within-bucket pair expansion, bounded by bucket size (tunable via
   * bands/rows and shingle width).
   *
-  * Caching note: these ops `persist()` their exploded shingle/signature
-  * intermediates (they feed 3+ plan branches). The blocks live until the
-  * session evicts them (LRU) or the caller runs
-  * `spark.catalog.clearCache()`; long-lived sessions running many corpora
-  * should clear between runs. */
+  * Caching note: these ops deliberately do NOT `persist()` intermediates.
+  * An exploded shingle table at 100 TB would never fit in cache, and cached
+  * blocks leaking across a long-lived session cause eviction storms. Where a
+  * subplan feeds two identical shuffles (both sides of a self-join), Spark's
+  * ReuseExchange dedups the computation for free; the remaining branch (the
+  * per-doc size/signature aggregate) re-scans once — a linear cost that is
+  * the correct trade at scale. */
 object DedupOps {
 
   /** Exact dedup: canonical id = min doc id within an identical-content
@@ -60,11 +62,11 @@ object DedupOps {
     // explode_outer: plain explode triggers InferFiltersFromGenerate, whose
     // size(sh)>0 predicate is pushed below the token projection and re-expands
     // the shingle lambda with an inline split per element (~10x slowdown).
-    // The exploded table feeds 3+ plan branches (self-join sides, sizes), so
-    // persist it: one shingle evaluation total instead of one per branch.
+    // The two self-join sides below hash-partition this same subplan on `s`
+    // identically — ReuseExchange computes it once; only the per-doc size
+    // aggregate re-scans (linear, cache-free).
     val ex = sh.select(col(idCol), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
-      .persist()
     // shingle sets are distinct per doc, so |set| = exploded row count
     val sizes = ex.groupBy(idCol).agg(count(lit(1)).cast("int").as("sz"))
     val common = ex.select(col(idCol).as("id_a"), col("s"))
@@ -94,11 +96,12 @@ object DedupOps {
     val sh = docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
       .select(col(idCol), TextOps.shingleSet(col("__t"), shingleN).as("sh"))
-    // one shingle evaluation total (see ngramJaccardPairs): the exploded
-    // table feeds the signature agg AND both verification streams.
+    // explode_outer + isNotNull (see ngramJaccardPairs). No persist: the
+    // verification joins re-shuffle this subplan on compatible keys and
+    // ReuseExchange/ReuseSubquery recover most of the sharing; the rest is
+    // a linear re-scan, which is the only viable shape at 100 TB.
     val ex = sh.select(col(idCol), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
-      .persist()
     val exploded = ex.select(col(idCol), xxhash64(col("s")).as("h"))
     val mins = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
     val sig = exploded.groupBy(idCol).agg(mins.head, mins.tail: _*)
@@ -125,18 +128,43 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash per document: per-token xxhash64, per-bit ±1 vote sums,
-    * sign-assembled. Pure column expressions (64 conditional sums inside one
-    * hash aggregate). */
+  // SimHash vote packing: 3 bit-counters per long accumulator, 21 bits each.
+  // 64 independent ±1 vote sums would need 64 agg expressions — past
+  // `spark.sql.codegen.hugeMethodLimit` the hash aggregate falls back to
+  // interpreted mode. Packing cuts it to 22 sums + 1 count. Each lane holds
+  // the COUNT of set bits at that position (votes recover as 2·count − n);
+  // lanes cannot carry into each other for documents under 2^20 tokens
+  // (ANSI-safe: worst-case lane-2 sum is 2^42·2^20 = 2^62 < Long.Max).
+  private val SimhashLanes = 3
+  private val SimhashLaneBits = 21
+  private val SimhashMaxTokens = 1L << 20
+
+  /** 64-bit SimHash per document: per-token xxhash64, per-bit majority vote,
+    * sign-assembled. Pure column expressions — one hash aggregate with
+    * lane-packed counters (see above), fully codegen'd.
+    * Documents are capped at 2^20 tokens (lane-overflow bound); longer docs
+    * must be chunked upstream. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("t"))
+    val tok = docs
+      .select(col(idCol), slice(TextOps.tokens(col(textCol)), 1, SimhashMaxTokens.toInt).as("ts"))
+      .select(col(idCol), explode(col("ts")).as("t"))
       .withColumn("h", xxhash64(col("t")))
-    val bitVotes = (0 until 64).map { j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"b$j")
+    val nGroups = (64 + SimhashLanes - 1) / SimhashLanes // 22
+    val packed = (0 until nGroups).map { k =>
+      val lanes = (0 until SimhashLanes).filter(l => k * SimhashLanes + l < 64).map { l =>
+        shiftleft(shiftright(col("h"), k * SimhashLanes + l).bitwiseAND(lit(1L)), l * SimhashLaneBits)
+      }
+      sum(lanes.reduce(_ + _)).as(s"p$k")
     }
-    val votes = tok.groupBy(idCol).agg(bitVotes.head, bitVotes.tail: _*)
+    val votes = tok.groupBy(idCol).agg(count(lit(1)).as("n"), packed: _*)
+    // bit j set iff its set-bit count wins the majority: 2·count > n
+    // (identical to the ±1 vote-sum formulation: 2c − n > 0)
     val assembled = (0 until 64).map { j =>
-      shiftleft((col(s"b$j") > 0).cast("long"), j)
+      val k = j / SimhashLanes
+      val l = j % SimhashLanes
+      val c = shiftright(col(s"p$k"), l * SimhashLaneBits)
+        .bitwiseAND(lit((1L << SimhashLaneBits) - 1))
+      shiftleft((c * 2 > col("n")).cast("long"), j)
     }.reduce(_ + _) // disjoint bits: sum == bitwise OR
     votes.select(col(idCol), assembled.as("simhash"))
   }
@@ -150,20 +178,26 @@ object DedupOps {
     require(maxDist >= 1 && maxDist <= 31, s"maxDist must be in [1,31], got $maxDist")
     val nChunks = maxDist + 1
     val width = 64 / nChunks
-    // tiny (one row per doc) but feeds 3 plan branches (bucketing + both
-    // sides of the verification join) — persist to compute the 64-vote
-    // aggregation once
-    val sh = simhash(docs, idCol, textCol).persist()
+    val sh = simhash(docs, idCol, textCol)
     val chunks = (0 until nChunks).map { c =>
       struct(lit(c).as("ci"),
         shiftright(col("simhash"), c * width).bitwiseAND(lit((1L << width) - 1)).as("cv"))
     }
     val buckets = sh.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("ck"))
       .select(col(idCol), col("simhash"), col("ck.ci").as("ci"), col("ck.cv").as("cv"))
-    val cand = pairsByBucket(buckets.drop("simhash"), idCol, Seq("ci", "cv"))
-    cand
-      .join(sh.select(col(idCol).as("id_a"), col("simhash").as("h_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("simhash").as("h_b")), "id_b")
+    // Carry the simhash value THROUGH the bucket self-join: the verdict is
+    // computed from (h_a, h_b) directly, so no re-join against the signature
+    // table is needed — the expensive vote aggregate has exactly two
+    // consumers, and they are identical exchanges (ReuseExchange → computed
+    // once), which is why no persist() is needed either.
+    val a = buckets.select(col(idCol).as("id_a"), col("simhash").as("h_a"),
+      col("ci"), col("cv"))
+    val b = buckets.select(col(idCol).as("id_b"), col("simhash").as("h_b"),
+      col("ci"), col("cv"))
+    a.join(b, Seq("ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b")
+      .distinct() // h_a/h_b are functions of the ids — distinct pairs survive
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")

@@ -123,7 +123,7 @@ object Relational {
               |floor((avg(l_quantity)) * 1000000.0 + 0.500618034) / 1000000.0 AS avg_qty,
               |floor((var_samp(l_quantity)) * 1000000.0 + 0.500618034) / 1000000.0 AS var_qty,
               |floor((stddev_samp(l_quantity)) * 1000000.0 + 0.500618034) / 1000000.0 AS std_qty,
-              |sum(CAST(l_quantity IS NULL AS INT)) AS null_qty
+              |CAST(sum(CAST(l_quantity IS NULL AS INT)) AS BIGINT) AS null_qty
               |FROM lineitem""".stripMargin)),
 
     // A6: Pearson correlation (reference `X[var].corr(X[target])`,
@@ -232,8 +232,8 @@ object Relational {
           sum(lower(col("text")).like("%table%").cast("int")).as("n_table"),
           count(lit(1)).as("n_docs"))
         .orderBy("lang"),
-      Some("""SELECT lang, sum(CAST(contains(text, 'spark') AS INT)) AS n_spark,
-             |sum(CAST(lower(text) LIKE '%table%' AS INT)) AS n_table,
+      Some("""SELECT lang, CAST(sum(CAST(contains(text, 'spark') AS INT)) AS BIGINT) AS n_spark,
+             |CAST(sum(CAST(lower(text) LIKE '%table%' AS INT)) AS BIGINT) AS n_table,
              |count(*) AS n_docs
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 

@@ -180,9 +180,9 @@ object WindowQ {
               |${r6("CASE WHEN cnt > 12 THEN sd END")} AS std24,
               |anomaly,
               |${r4("CASE WHEN anomaly = -1 AND m > 0 THEN (m - v) / m * 100 ELSE 0.0 END")} AS drop_pct,
-              |sum(CASE WHEN anomaly = -1 THEN 1 ELSE 0 END) OVER (
+              |CAST(sum(CASE WHEN anomaly = -1 THEN 1 ELSE 0 END) OVER (
               |  PARTITION BY event_type ORDER BY ts
-              |  ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS drops_12h
+              |  ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT) AS drops_12h
               |FROM y ORDER BY ts, event_type""".stripMargin)),
 
     // W13: baseline-ratio drift `(ma24/ma72 - 1)*100`, flag > 15 %
@@ -341,7 +341,7 @@ object WindowQ {
               |       WHEN v > m + 2 * sd THEN 1 ELSE 0 END AS anomaly
               |  FROM x),
               |ph AS (SELECT ts,
-              |  sum(CASE WHEN anomaly = -1 THEN 1 ELSE 0 END) AS series_in_drop,
+              |  CAST(sum(CASE WHEN anomaly = -1 THEN 1 ELSE 0 END) AS BIGINT) AS series_in_drop,
               |  max(CASE WHEN anomaly = -1 THEN 1 ELSE 0 END) AS any_warning
               |  FROM y GROUP BY ts),
               |eh AS (SELECT date_trunc('hour', ts) AS ts, count(*) AS n_err

@@ -64,6 +64,21 @@ def main():
             n_fail += 1; continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows spark={len(g)} duck={len(e)}"); n_fail += 1; continue
+        # dtype-strict int-vs-float: the driver hashes raw values, so a Spark
+        # BIGINT 3 vs an oracle float64 3.0 (DuckDB HUGEINT -> pandas float64)
+        # is a hash FAIL even though values compare equal. Mirror that here.
+        kind_fail = False
+        for c in g.columns:
+            gk = "i" if pd.api.types.is_integer_dtype(g[c]) else (
+                 "f" if pd.api.types.is_float_dtype(g[c]) else "o")
+            ek = "i" if pd.api.types.is_integer_dtype(e[c]) else (
+                 "f" if pd.api.types.is_float_dtype(e[c]) else "o")
+            if gk != ek:
+                print(f"FAIL {name}: dtype kind mismatch col {c}: "
+                      f"spark={g[c].dtype} duck={e[c].dtype}")
+                kind_fail = True
+        if kind_fail:
+            n_fail += 1; continue
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
             print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
