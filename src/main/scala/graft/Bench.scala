@@ -17,7 +17,14 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release per-query persisted intermediates (dedup ops materialize
+      // their exploded shingle tables) INSIDE the timed region would be
+      // unfair the other way: clearing is session hygiene, not query work,
+      // but leaked blocks would degrade every later query via eviction —
+      // so clear at the boundary, untimed.
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -10,12 +10,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse(sys.error("usage: Explain <query> [sfDir] [mode]"))
+    val name = args.headOption.getOrElse(sys.error("usage: Explain <query> [sfDir] [mode|time]"))
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val mode = if (args.length > 2) args(2) else "formatted"
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -29,7 +29,17 @@ object Explain {
     println("  xxhash64(         : " + "xxhash64\\(".r.findAllIn(plan).length)
     println("  Exchange          : " + "Exchange".r.findAllIn(plan).length)
     println("  ReusedExchange    : " + "ReusedExchange".r.findAllIn(plan).length)
-    df.explain(mode)
+    if (mode == "time") {
+      // execute twice (warm codegen), report the warm run and the FINAL
+      // adaptive plan — ReuseExchange decisions only exist post-execution
+      df.count()
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"  rows=$n timeSec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      val fin = df.queryExecution.executedPlan.toString
+      println("  final ReusedExchange / stage reuse: " +
+        ("ReusedExchange".r.findAllIn(fin).length + "ReusedQueryStage".r.findAllIn(fin).length))
+    } else df.explain(mode)
     spark.stop()
   }
 }

@@ -13,13 +13,17 @@ import org.apache.spark.sql.functions._
   * within-bucket pair expansion, bounded by bucket size (tunable via
   * bands/rows and shingle width).
   *
-  * Caching note: these ops deliberately do NOT `persist()` intermediates.
-  * An exploded shingle table at 100 TB would never fit in cache, and cached
-  * blocks leaking across a long-lived session cause eviction storms. Where a
-  * subplan feeds two identical shuffles (both sides of a self-join), Spark's
-  * ReuseExchange dedups the computation for free; the remaining branch (the
-  * per-doc size/signature aggregate) re-scans once — a linear cost that is
-  * the correct trade at scale. */
+  * Caching note: the exploded shingle table feeds 4+ plan branches with
+  * DIFFERENT column prunings, so their exchanges canonicalize differently
+  * and ReuseExchange cannot dedup them — without materialization the
+  * tokenize+shingle subtree re-executes per branch (measured 3×).
+  * These ops therefore `persist()` that one intermediate; callers that run
+  * many corpora in one session must release the blocks at query boundaries
+  * (`spark.catalog.clearCache()`, as graft.Bench/Verify do) — leaked blocks
+  * degrade later queries via eviction pressure. At 100 TB, where the
+  * exploded table exceeds cluster memory, the same materialization point
+  * becomes a staging write (`df.write.parquet` + re-read, or
+  * `checkpoint()`), not an in-memory cache. */
 object DedupOps {
 
   /** Exact dedup: canonical id = min doc id within an identical-content
@@ -33,11 +37,26 @@ object DedupOps {
       .withColumn("is_duplicate", (col(idCol) =!= col("canonical_id")).cast("int"))
   }
 
+  /** Drop bucket keys whose membership exceeds `maxBucketSize` before a
+    * within-bucket pair expansion. A pathological bucket of 10⁶ members
+    * would expand to 5·10¹¹ pairs; the cap bounds the worst case at
+    * `maxBucketSize²/2` per bucket. Recall tradeoff: pairs whose ONLY shared
+    * bucket is oversized are lost — for LSH-style multi-bucket schemes they
+    * usually co-occur in a smaller bucket too. The window reuses the same
+    * hash partitioning as the self-join that follows (no extra shuffle). */
+  private def capBuckets(buckets: DataFrame, keyCols: Seq[String], maxBucketSize: Int): DataFrame =
+    buckets
+      .withColumn("__bs", count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
+      .filter(col("__bs") <= maxBucketSize)
+      .drop("__bs")
+
   /** Distinct candidate pairs (a < b) sharing at least one exploded bucket
     * key. `buckets` must be (id, key...) with one row per bucket membership. */
-  private def pairsByBucket(buckets: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    val a = buckets.toDF(buckets.columns.map(c => s"a_$c"): _*)
-    val b = buckets.toDF(buckets.columns.map(c => s"b_$c"): _*)
+  private def pairsByBucket(buckets: DataFrame, idCol: String, keyCols: Seq[String],
+                            maxBucketSize: Int): DataFrame = {
+    val capped = capBuckets(buckets, keyCols, maxBucketSize)
+    val a = capped.toDF(capped.columns.map(c => s"a_$c"): _*)
+    val b = capped.toDF(capped.columns.map(c => s"b_$c"): _*)
     val cond = keyCols.map(k => col(s"a_$k") === col(s"b_$k")).reduce(_ && _) &&
       col(s"a_$idCol") < col(s"b_$idCol")
     a.join(b, cond)
@@ -45,37 +64,54 @@ object DedupOps {
       .distinct()
   }
 
-  /** Exact pairwise Jaccard over shared-shingle candidates: pairs with no
-    * common shingle have J = 0, so the equi-join on shingle loses nothing
-    * for any threshold > 0.
+  /** Exact pairwise Jaccard ≥ `threshold` via PREFIX FILTERING
+    * (AllPairs/PPJoin): order each document's shingles by ascending global
+    * document frequency (rarest first, ties on value — a total order), keep
+    * only the first `|A| − ⌈t·|A|⌉ + 1` as the candidate-generating prefix.
+    * Any pair with J ≥ t MUST share a prefix shingle, so candidate
+    * generation never joins on the corpus's hottest shingles — the classic
+    * hot-bucket blowup (a shingle shared by 10⁶ docs → 10¹² pair rows) is
+    * structurally bounded, with zero recall loss at the given threshold.
     *
-    * Count-based formulation: |A∩B| falls directly out of `groupBy(pair)
-    * .count()` on the shingle equi-join (each shared distinct shingle is one
-    * joined row) and |A∪B| = |A|+|B|-|A∩B| — no array intersection is ever
-    * materialized, which is ~50× cheaper than `array_intersect` per pair on
-    * wide shingle sets and keeps everything in hash joins/aggregates. */
+    * Verification is count-based on the FULL shingle sets: |A∩B| falls out
+    * of `groupBy(pair).count()` on the candidate×shingle equi-join and
+    * |A∪B| = |A|+|B|−|A∩B| — no array intersection is ever materialized. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
     val sh = docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
       .select(col(idCol), TextOps.shingleSet(col("__t"), n).as("sh"))
     // explode_outer: plain explode triggers InferFiltersFromGenerate, whose
     // size(sh)>0 predicate is pushed below the token projection and re-expands
     // the shingle lambda with an inline split per element (~10x slowdown).
-    // The two self-join sides below hash-partition this same subplan on `s`
-    // identically — ReuseExchange computes it once; only the per-doc size
-    // aggregate re-scans (linear, cache-free).
+    // No persist (see object scaladoc): identical exchanges below are deduped
+    // by ReuseExchange; the remaining branches re-scan linearly.
+    // ONE shingle evaluation total (persist; see object scaladoc) feeding
+    // the doc-frequency aggregate, the prefix sides, and both verification
+    // streams; sizes fall out of the same id-partitioned window as rn.
     val ex = sh.select(col(idCol), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
-    // shingle sets are distinct per doc, so |set| = exploded row count
-    val sizes = ex.groupBy(idCol).agg(count(lit(1)).cast("int").as("sz"))
-    val common = ex.select(col(idCol).as("id_a"), col("s"))
-      .join(ex.select(col(idCol).as("id_b"), col("s")), Seq("s"))
+      .persist()
+    val docFreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val wId = Window.partitionBy(idCol)
+    val ranked = ex.join(docFreq, "s")
+      .withColumn("rn", row_number().over(wId.orderBy(col("df"), col("s"))))
+      .withColumn("sz", count(lit(1)).over(wId)) // distinct per doc: count = |set|
+      .persist()
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+    val cand = prefix.select(col(idCol).as("id_a"), col("s"))
+      .join(prefix.select(col(idCol).as("id_b"), col("s")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      .select("id_a", "id_b")
+      .distinct()
+    val common = cand
+      .join(ranked.select(col(idCol).as("id_a"), col("s"), col("sz").as("sz_a")), "id_a")
+      .join(ranked.select(col(idCol).as("id_b"), col("s"), col("sz").as("sz_b")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"), max("sz_a").as("sz_a"), max("sz_b").as("sz_b"))
     common
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard",
         col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
@@ -90,18 +126,18 @@ object DedupOps {
     * pairs ≥ `threshold`. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 64, rows: Int = 4,
-                      threshold: Double = 0.3): DataFrame = {
+                      threshold: Double = 0.3, maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % rows == 0, s"numHashes ($numHashes) must divide evenly into rows of $rows")
     val bands = numHashes / rows
     val sh = docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
       .select(col(idCol), TextOps.shingleSet(col("__t"), shingleN).as("sh"))
-    // explode_outer + isNotNull (see ngramJaccardPairs). No persist: the
-    // verification joins re-shuffle this subplan on compatible keys and
-    // ReuseExchange/ReuseSubquery recover most of the sharing; the rest is
-    // a linear re-scan, which is the only viable shape at 100 TB.
+    // explode_outer + isNotNull + persist (see ngramJaccardPairs): the
+    // signature aggregate and both verification streams prune differently,
+    // so only materialization shares the shingle evaluation.
     val ex = sh.select(col(idCol), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
+      .persist()
     val exploded = ex.select(col(idCol), xxhash64(col("s")).as("h"))
     val mins = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
     val sig = exploded.groupBy(idCol).agg(mins.head, mins.tail: _*)
@@ -111,7 +147,7 @@ object DedupOps {
     }
     val buckets = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val cand = pairsByBucket(buckets, idCol, Seq("band", "bh"))
+    val cand = pairsByBucket(buckets, idCol, Seq("band", "bh"), maxBucketSize)
     // exact-Jaccard verification restricted to LSH candidates, count-based
     // (see ngramJaccardPairs): join candidates to both shingle streams.
     val sizes = ex.groupBy(idCol).agg(count(lit(1)).cast("int").as("sz"))
@@ -174,7 +210,7 @@ object DedupOps {
     * pair within distance shares at least one exact chunk → equi-join on
     * (chunk index, chunk value), then verify with bit_count(xor). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     require(maxDist >= 1 && maxDist <= 31, s"maxDist must be in [1,31], got $maxDist")
     val nChunks = maxDist + 1
     val width = 64 / nChunks
@@ -183,8 +219,10 @@ object DedupOps {
       struct(lit(c).as("ci"),
         shiftright(col("simhash"), c * width).bitwiseAND(lit((1L << width) - 1)).as("cv"))
     }
-    val buckets = sh.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("ck"))
-      .select(col(idCol), col("simhash"), col("ck.ci").as("ci"), col("ck.cv").as("cv"))
+    val buckets = capBuckets(
+      sh.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("ck"))
+        .select(col(idCol), col("simhash"), col("ck.ci").as("ci"), col("ck.cv").as("cv")),
+      Seq("ci", "cv"), maxBucketSize)
     // Carry the simhash value THROUGH the bucket self-join: the verdict is
     // computed from (h_a, h_b) directly, so no re-join against the signature
     // table is needed — the expensive vote aggregate has exactly two

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{KilnFixture, KilnPipeline, KilnSources}
+import Q.{dec6, r6}
+import scala.collection.immutable.ListMap
+
+/** The reference's ACTUAL end-to-end path, oracle-checked: the five-table
+  * aligned hourly matrix (`align_time_series`, `pre_processing.py:180-243`)
+  * and the full preprocess→feature→risk→label pipeline
+  * (`pre_processing.py:1741-2020`), both running on the deterministic
+  * [[KilnFixture]] and recomputed independently by DuckDB from
+  * `generate_series` — no parquet input, pure arithmetic parity.
+  *
+  * The fixture's dyadic-rational discipline (see KilnFixture) makes every
+  * intermediate mean bit-identical across engines; final float outputs are
+  * still dec6/r6-rounded per the repo's oracle-float rules. */
+object KilnQ {
+
+  // ---- shared DuckDB CTE fragments (mirror KilnFixture formulas) ----
+
+  /** zone temperature LONG at 2-min cadence for the given zone list. */
+  private def zlSql(zones: String): String =
+    s"""zl AS (
+       |  SELECT TIMESTAMP '2024-01-01 00:00:00' + i.i * INTERVAL 2 MINUTE AS ts, z.z AS zone,
+       |    750.0 + 12.5 * z.z + ((i.i * (z.z + 3)) % 97) * 0.25 +
+       |    CASE WHEN i.i >= 7200 AND i.i < 10800 AND abs(z.z - 5) <= 1
+       |         THEN -(i.i - 7200) * (0.015625 * (2 - abs(z.z - 5))) ELSE 0.0 END AS temp
+       |  FROM (SELECT unnest(generate_series(0, 21599)) AS i) i
+       |  CROSS JOIN (SELECT unnest([$zones]) AS z) z)""".stripMargin
+
+  private val gridSql =
+    """grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |  TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS ts)""".stripMargin
+
+  val queries: ListMap[String, Q] = ListMap(
+
+    // T5/S-family flagship: KilnSources.alignAll over all five fixture
+    // tables — hourly zone means, 2-hourly/daily sources ffilled onto the
+    // grid, prefixed wide columns (string columns NOT filled, by design).
+    "q72_kiln_align" -> Q(
+      (s, _) => {
+        val aligned = KilnSources.alignAll(
+          KilnFixture.zoneWide(s), KilnFixture.qrt(s), KilnFixture.shell(s),
+          KilnFixture.air(s), KilnFixture.mis(s), KilnFixture.positions)
+        aligned.select(
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          dec6(col("ZONE_0")).as("zone_0"),
+          dec6(col("ZONE_5")).as("zone_5"),
+          dec6(col("ZONE_10")).as("zone_10"),
+          dec6(col("qrt_QRT_ZONE_2")).as("qrt_zone_2"),
+          dec6(col("qrt_QRT_ZONE_10")).as("qrt_zone_10"),
+          dec6(col("shell_SHELL_TEMP_AVG_O_L_CONE")).as("shell_ol_cone"),
+          dec6(col("air_DAMPER_SAF02")).as("damper_saf02"),
+          dec6(col("air_AIR_FLOW_CB")).as("air_flow_cb"),
+          dec6(col("mis_PRODUCTION_ACTUAL")).as("prod_actual"),
+          col("mis_FEED_LOSS_REASON").as("reason"))
+          .orderBy("ts")
+      },
+      Some(s"""WITH $gridSql,
+              |${zlSql("0, 5, 10")},
+              |zh AS (SELECT date_trunc('hour', ts) AS ts, zone, avg(temp) AS temp
+              |  FROM zl GROUP BY 1, 2),
+              |zw AS (SELECT ts,
+              |  max(CASE WHEN zone = 0 THEN temp END) AS zone_0,
+              |  max(CASE WHEN zone = 5 THEN temp END) AS zone_5,
+              |  max(CASE WHEN zone = 10 THEN temp END) AS zone_10
+              |  FROM zh GROUP BY ts),
+              |q AS (SELECT TIMESTAMP '2024-01-01 00:00:00' + j.j * INTERVAL 2 HOUR AS ts, z.z AS zone,
+              |    650.0 + 25.0 * z.z + ((j.j * (z.z + 7)) % 89) * 0.5 AS temperature
+              |  FROM (SELECT unnest(generate_series(0, 359)) AS j) j
+              |  CROSS JOIN (SELECT unnest([2, 10]) AS z) z),
+              |qw AS (SELECT ts,
+              |  max(CASE WHEN zone = 2 THEN temperature END) AS qrt_zone_2,
+              |  max(CASE WHEN zone = 10 THEN temperature END) AS qrt_zone_10
+              |  FROM q GROUP BY ts),
+              |sh AS (SELECT CAST(DATE '2024-01-01' + CAST(d.d AS INTEGER) AS TIMESTAMP) AS ts,
+              |    100.0 + ((d.d * 2) % 31) * 0.5 AS shell_ol_cone
+              |  FROM (SELECT unnest(generate_series(0, 29)) AS d) d),
+              |ar AS (SELECT CAST(DATE '2024-01-01' + CAST(d.d AS INTEGER) AS TIMESTAMP) AS ts,
+              |    30.0 + ((d.d * 2) % 23) * 0.25 AS damper_saf02,
+              |    54000.0 + ((d.d * 13) % 41) * 2.0 AS air_flow_cb
+              |  FROM (SELECT unnest(generate_series(0, 29)) AS d) d),
+              |m AS (SELECT CAST(DATE '2024-01-01' + CAST(d.d AS INTEGER) AS TIMESTAMP) AS ts,
+              |    400.0 + (d.d % 13) * 1.5 AS prod_actual,
+              |    CASE (d.d % 5) WHEN 0 THEN 'Normal operation' WHEN 1 THEN 'Material bridging'
+              |      WHEN 2 THEN 'Feeder malfunction' WHEN 3 THEN 'Raw material shortage'
+              |      ELSE 'Power interruption' END AS reason
+              |  FROM (SELECT unnest(generate_series(0, 29)) AS d) d),
+              |j AS (SELECT g.ts, zw.zone_0, zw.zone_5, zw.zone_10,
+              |    qw.qrt_zone_2, qw.qrt_zone_10, sh.shell_ol_cone,
+              |    ar.damper_saf02, ar.air_flow_cb, m.prod_actual, m.reason
+              |  FROM grid g
+              |  LEFT JOIN zw ON g.ts = zw.ts
+              |  LEFT JOIN qw ON g.ts = qw.ts
+              |  LEFT JOIN sh ON g.ts = sh.ts
+              |  LEFT JOIN ar ON g.ts = ar.ts
+              |  LEFT JOIN m ON g.ts = m.ts),
+              |f AS (SELECT ts, zone_0, zone_5, zone_10,
+              |    last_value(qrt_zone_2 IGNORE NULLS) OVER w AS qrt_zone_2,
+              |    last_value(qrt_zone_10 IGNORE NULLS) OVER w AS qrt_zone_10,
+              |    last_value(shell_ol_cone IGNORE NULLS) OVER w AS shell_ol_cone,
+              |    last_value(damper_saf02 IGNORE NULLS) OVER w AS damper_saf02,
+              |    last_value(air_flow_cb IGNORE NULLS) OVER w AS air_flow_cb,
+              |    last_value(prod_actual IGNORE NULLS) OVER w AS prod_actual,
+              |    reason
+              |  FROM j WINDOW w AS (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              |SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+              |${r6("zone_0")} AS zone_0, ${r6("zone_5")} AS zone_5, ${r6("zone_10")} AS zone_10,
+              |${r6("qrt_zone_2")} AS qrt_zone_2, ${r6("qrt_zone_10")} AS qrt_zone_10,
+              |${r6("shell_ol_cone")} AS shell_ol_cone,
+              |${r6("damper_saf02")} AS damper_saf02, ${r6("air_flow_cb")} AS air_flow_cb,
+              |${r6("prod_actual")} AS prod_actual, reason
+              |FROM f ORDER BY ts""".stripMargin)),
+
+    // The full KilnPipeline.process (align → features → risk → label) on the
+    // fixture readings + one accretion interval, verified column-by-column.
+    "q73_kiln_label" -> Q(
+      (s, _) => {
+        val readings = KilnSources.zoneWideToLong(KilnFixture.zoneWide(s))
+        val out = KilnPipeline.process(readings, KilnFixture.eventsForPipeline(s))
+        out.select(
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("zone"),
+          dec6(col("temp")).as("temp"),
+          col("anomaly"),
+          col("drops_12h"),
+          dec6(col("risk_score")).as("risk_score"),
+          col("risk_level"),
+          col("accretion_active"),
+          dec6(col("days_to_critical")).as("days_to_critical"),
+          col("accretion_next_24h"), col("accretion_next_48h"), col("accretion_next_72h"))
+          .orderBy("ts", "zone")
+      },
+      Some(s"""WITH ${zlSql("0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10")},
+              |zh AS (SELECT date_trunc('hour', ts) AS ts, zone, avg(temp) AS temp
+              |  FROM zl GROUP BY 1, 2),
+              |a AS (SELECT ts, zone, temp,
+              |    count(temp) OVER wp AS cnt,
+              |    avg(temp) OVER wp AS m,
+              |    greatest(stddev_pop(temp) OVER wp, 0.001) AS sd,
+              |    lag(temp) OVER wz AS prev_temp
+              |  FROM zh
+              |  WINDOW wp AS (PARTITION BY zone ORDER BY ts
+              |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+              |  wz AS (PARTITION BY zone ORDER BY ts)),
+              |b AS (SELECT ts, zone, temp,
+              |    CASE WHEN cnt <= 12 THEN 0
+              |         WHEN temp < m - 2.0 * sd THEN -1
+              |         WHEN temp > m + 2.0 * sd THEN 1 ELSE 0 END AS anomaly,
+              |    CASE WHEN cnt > 12 THEN m END AS am,
+              |    CASE WHEN prev_temp IS NOT NULL AND temp < prev_temp THEN 1 ELSE 0 END AS cooling_dec
+              |  FROM a),
+              |c AS (SELECT *,
+              |    CAST(sum(CASE WHEN anomaly = -1 THEN 1 ELSE 0 END) OVER (
+              |      PARTITION BY zone ORDER BY ts
+              |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT) AS drops_12h
+              |  FROM b),
+              |d AS (SELECT *, greatest(least(
+              |    CASE WHEN anomaly = -1 THEN 1.0 ELSE 0.0 END * 0.4
+              |    + coalesce(drops_12h / 12.0, 0.0) * 0.3
+              |    + CASE WHEN cooling_dec = 1 THEN 1.0 ELSE 0.0 END * 0.1
+              |    + coalesce(CASE WHEN am > 0 THEN (am - temp) / am ELSE 0.0 END, 0.0) * 0.2,
+              |    1.0), 0.0) AS risk_score
+              |  FROM c),
+              |e AS (SELECT d.*,
+              |    CASE WHEN ev.zone = d.zone THEN 1 ELSE 0 END AS accretion_active,
+              |    CASE WHEN ev.zone = d.zone
+              |         THEN (epoch(ev.critical_date) - epoch(d.ts)) / 86400.0 END AS dtc
+              |  FROM d LEFT JOIN (SELECT 5 AS zone,
+              |      TIMESTAMP '2024-01-11 00:00:00' AS start_date,
+              |      TIMESTAMP '2024-01-16 00:00:00' AS critical_date) ev
+              |    ON d.ts >= ev.start_date AND d.ts < ev.critical_date)
+              |SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, zone,
+              |${r6("temp")} AS temp, anomaly, drops_12h,
+              |${r6("risk_score")} AS risk_score,
+              |CASE WHEN risk_score < 0.25 THEN 'Low' WHEN risk_score < 0.5 THEN 'Moderate'
+              |     WHEN risk_score < 0.75 THEN 'High' ELSE 'Critical' END AS risk_level,
+              |accretion_active,
+              |${r6("dtc")} AS days_to_critical,
+              |CASE WHEN dtc IS NOT NULL AND dtc >= 0 AND dtc <= 1.0 THEN 1 ELSE 0 END AS accretion_next_24h,
+              |CASE WHEN dtc IS NOT NULL AND dtc >= 0 AND dtc <= 2.0 THEN 1 ELSE 0 END AS accretion_next_48h,
+              |CASE WHEN dtc IS NOT NULL AND dtc >= 0 AND dtc <= 3.0 THEN 1 ELSE 0 END AS accretion_next_72h
+              |FROM e ORDER BY ts, zone""".stripMargin))
+  )
+}

@@ -249,8 +249,10 @@ object Relational {
               |FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
 
     // P12: stride downsample (reference every-k-th row, `dashboard.py:1468`).
-    // Note: at scale, prefer TABLESAMPLE; this exact-stride variant needs a
-    // global row_number (single-partition window) — fine for serving slices.
+    // SERVING-ONLY: the exact-stride variant needs a global row_number
+    // (single-partition window) — acceptable for dashboard slices of an
+    // already-reduced frame, a scale-killer on a raw table. The scale path
+    // is q16b below (keyed stride, fully partition-parallel).
     "q16_stride_sample" -> Q(
       (s, d) => {
         val w = Window.orderBy("event_id")
@@ -262,6 +264,20 @@ object Relational {
       },
       Some("""SELECT event_id, user_id, event_type, value FROM events
              |QUALIFY (row_number() OVER (ORDER BY event_id) - 1) % 100 = 0
+             |ORDER BY event_id""".stripMargin)),
+
+    // P12 at scale: keyed stride on the (dense) surrogate key — a pushable
+    // scan predicate, no window, no single-partition sort; every executor
+    // strides its own split. This is the 100 TB form of "every k-th row";
+    // use it whenever the key is dense or near-dense (deterministic sampling
+    // by key, the same contract TABLESAMPLE cannot give).
+    "q16b_stride_keyed" -> Q(
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_id") % 100 === 0)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |WHERE event_id % 100 = 0
              |ORDER BY event_id""".stripMargin)),
 
     // O5: exact interpolated percentiles (reference `np.percentile`,

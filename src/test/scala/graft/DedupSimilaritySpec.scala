@@ -29,6 +29,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!asMap.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("prefix filtering is exact: pairs match naive all-pairs Jaccard on a mixed corpus") {
+    // richer corpus: dup cluster, near-dups, overlapping-but-below-threshold,
+    // plus one very hot shingle shared by everything ("lorem ipsum dolor")
+    val corpus = Seq(
+      (1L, "lorem ipsum dolor the cat sat on the mat today"),
+      (2L, "lorem ipsum dolor the cat sat on the mat today"),
+      (3L, "lorem ipsum dolor the cat sat on the mat yesterday evening"),
+      (4L, "lorem ipsum dolor a dog ran in the park quickly"),
+      (5L, "lorem ipsum dolor completely different trailing content here"),
+      (6L, "unrelated words with no shared trigrams at all whatsoever")
+    ).toDF("doc_id", "text")
+    val t = 0.25
+    val got = DedupOps.ngramJaccardPairs(corpus, "doc_id", "text", 3, t)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // naive oracle computed in the driver (6 docs)
+    def shingleSet(s: String) =
+      s.trim.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val sets = corpus.collect().map(r => r.getLong(0) -> shingleSet(r.getString(1))).toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) intersect sets(b)).size.toDouble
+      j = inter / (sets(a).size + sets(b).size - inter)
+      if j >= t
+    } yield (a, b) -> j).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-12, s"pair $k") }
+  }
+
+  test("bucket-size cap: generous cap leaves pairs unchanged; cap=1 drops all candidates") {
+    val base = DedupOps.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val generous = DedupOps.simhashPairs(docs, "doc_id", "text", maxBucketSize = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(generous == base)
+    val capped = DedupOps.simhashPairs(docs, "doc_id", "text", maxBucketSize = 1)
+      .collect()
+    assert(capped.isEmpty)
+  }
+
   test("minhashLshPairs catches the exact duplicate (identical signatures)") {
     val pairs = DedupOps.minhashLshPairs(docs, "doc_id", "text", threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
