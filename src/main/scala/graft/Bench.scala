@@ -14,7 +14,10 @@ object Bench {
     // machinery) so the first timed query measures the query, not JVM init
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated query-name filter for local profiling
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

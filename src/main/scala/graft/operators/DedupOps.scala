@@ -5,13 +5,20 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact hash dedup,
-  * MinHash+LSH banding, SimHash, and shared-shingle n-gram Jaccard.
+  * MinHash+LSH banding, SimHash, and prefix-filtered n-gram Jaccard.
   *
   * Scale design: every variant is a shuffle-bounded equi-join — candidate
   * pairs come from `groupBy`/join on a BUCKET key (band hash, simhash chunk,
-  * shared shingle), never a cross join. At 100 TB the only quadratic step is
+  * prefix shingle), never a cross join. At 100 TB the only quadratic step is
   * within-bucket pair expansion, bounded by bucket size (tunable via
   * bands/rows and shingle width).
+  *
+  * Key-width discipline: shingles are replaced by `xxhash64` keys at the
+  * explode, so every shuffle, sort, and join below moves 8-byte longs
+  * instead of multi-word strings (~5× less shuffle volume on 3-gram text).
+  * A 64-bit collision merges two shingles with probability ~n²/2⁶⁵ —
+  * vanishing for any corpus whose exploded table fits a cluster, and only
+  * perturbing one pair's count by 1 if it ever fires.
   *
   * Caching note: the exploded shingle table feeds 4+ plan branches with
   * DIFFERENT column prunings, so their exchanges canonicalize differently
@@ -40,12 +47,16 @@ object DedupOps {
   /** Drop bucket keys whose membership exceeds `maxBucketSize` before a
     * within-bucket pair expansion. A pathological bucket of 10⁶ members
     * would expand to 5·10¹¹ pairs; the cap bounds the worst case at
-    * `maxBucketSize²/2` per bucket. Recall tradeoff: pairs whose ONLY shared
-    * bucket is oversized are lost — for LSH-style multi-bucket schemes they
-    * usually co-occur in a smaller bucket too. The window reuses the same
-    * hash partitioning as the self-join that follows (no extra shuffle). */
+    * `maxBucketSize²/2` per bucket. RECALL CONTRACT: pairs whose EVERY
+    * shared bucket is oversized are silently lost — and near-identical docs
+    * share ALL their buckets, so a duplicate cluster larger than the cap
+    * returns zero pairs. The cap is therefore OPT-IN (callers default to
+    * uncapped); when enabled, route oversized clusters through
+    * [[exactDedup]] or a representative-per-bucket pass first. The window
+    * reuses the same hash partitioning as the self-join that follows. */
   private def capBuckets(buckets: DataFrame, keyCols: Seq[String], maxBucketSize: Int): DataFrame =
-    buckets
+    if (maxBucketSize == Int.MaxValue) buckets
+    else buckets
       .withColumn("__bs", count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
       .filter(col("__bs") <= maxBucketSize)
       .drop("__bs")
@@ -64,58 +75,91 @@ object DedupOps {
       .distinct()
   }
 
-  /** Exact pairwise Jaccard ≥ `threshold` via PREFIX FILTERING
-    * (AllPairs/PPJoin): order each document's shingles by ascending global
-    * document frequency (rarest first, ties on value — a total order), keep
-    * only the first `|A| − ⌈t·|A|⌉ + 1` as the candidate-generating prefix.
-    * Any pair with J ≥ t MUST share a prefix shingle, so candidate
-    * generation never joins on the corpus's hottest shingles — the classic
-    * hot-bucket blowup (a shingle shared by 10⁶ docs → 10¹² pair rows) is
-    * structurally bounded, with zero recall loss at the given threshold.
-    *
-    * Verification is count-based on the FULL shingle sets: |A∩B| falls out
-    * of `groupBy(pair).count()` on the candidate×shingle equi-join and
-    * |A∪B| = |A|+|B|−|A∩B| — no array intersection is ever materialized. */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
-    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
-    val sh = docs
+  /** Hashed exploded shingle table: one (id, h) row per distinct shingle
+    * per document, `h = xxhash64(shingle)`. `explode_outer` + isNotNull
+    * instead of plain explode: explode triggers InferFiltersFromGenerate,
+    * whose size(sh)>0 predicate is pushed below the token projection and
+    * re-expands the shingle lambda with an inline split per element
+    * (~10× slowdown — the repo's documented HOF pitfall). */
+  private def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int): DataFrame =
+    docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
       .select(col(idCol), TextOps.shingleSet(col("__t"), n).as("sh"))
-    // explode_outer: plain explode triggers InferFiltersFromGenerate, whose
-    // size(sh)>0 predicate is pushed below the token projection and re-expands
-    // the shingle lambda with an inline split per element (~10x slowdown).
-    // No persist (see object scaladoc): identical exchanges below are deduped
-    // by ReuseExchange; the remaining branches re-scan linearly.
-    // ONE shingle evaluation total (persist; see object scaladoc) feeding
-    // the doc-frequency aggregate, the prefix sides, and both verification
-    // streams; sizes fall out of the same id-partitioned window as rn.
-    val ex = sh.select(col(idCol), explode_outer(col("sh")).as("s"))
+      .select(col(idCol), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
-      .persist()
-    val docFreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
-    val wId = Window.partitionBy(idCol)
-    val ranked = ex.join(docFreq, "s")
-      .withColumn("rn", row_number().over(wId.orderBy(col("df"), col("s"))))
-      .withColumn("sz", count(lit(1)).over(wId)) // distinct per doc: count = |set|
-      .persist()
-    val prefix = ranked
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-    val cand = prefix.select(col(idCol).as("id_a"), col("s"))
-      .join(prefix.select(col(idCol).as("id_b"), col("s")), Seq("s"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    val common = cand
-      .join(ranked.select(col(idCol).as("id_a"), col("s"), col("sz").as("sz_a")), "id_a")
-      .join(ranked.select(col(idCol).as("id_b"), col("s"), col("sz").as("sz_b")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_common"), max("sz_a").as("sz_a"), max("sz_b").as("sz_b"))
-    common
+      .select(col(idCol), xxhash64(col("s")).as("h"))
+
+  /** Exact-Jaccard verification of candidate pairs: join each (id_a, id_b)
+    * to the two documents' hashed shingle ARRAYS and count the overlap with
+    * one `array_intersect` per pair — no per-shingle fan-out, no
+    * re-aggregation. The array table is one row per doc (AQE broadcasts it
+    * when small; at 100 TB it hash-joins on id — still one row per doc).
+    * |A∪B| = |A|+|B|−|A∩B|, so no union array is ever materialized. */
+  private def verifyJaccard(cand: DataFrame, ex: DataFrame, idCol: String,
+                            threshold: Double): DataFrame = {
+    val sets = ex.groupBy(idCol).agg(collect_list("h").as("hs"), count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
       .withColumn("jaccard",
         col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact pairwise Jaccard ≥ `threshold` via PREFIX FILTERING with the
+    * PPJoin length and positional filters (Xiao et al., WWW'08): order each
+    * document's shingles by ascending global document frequency (rarest
+    * first, ties on hash — a total order), keep only the first
+    * `|A| − ⌈t·|A|⌉ + 1` as the candidate-generating prefix. Any pair with
+    * J ≥ t MUST share a prefix shingle, so candidate generation never joins
+    * on the corpus's hottest shingles — the classic hot-bucket blowup (a
+    * shingle shared by 10⁶ docs → 10¹² pair rows) is structurally bounded,
+    * with zero recall loss at the given threshold.
+    *
+    * Candidate pruning before the distinct, both sound for J ≥ t:
+    *  - LENGTH: t·max(|A|,|B|) ≤ min(|A|,|B|).
+    *  - POSITIONAL: a true pair's FIRST shared shingle (same relative order
+    *    in both docs — both sort by the global (df, h) order) satisfies
+    *    1 + min(|A|−rnA, |B|−rnB) ≥ α where α = ⌈t/(1+t)·(|A|+|B|)⌉ is the
+    *    minimum absolute overlap; under the length filter that first shared
+    *    shingle is provably inside both prefixes, so keeping pairs where ANY
+    *    match passes loses nothing.
+    *
+    * Document frequency comes from a window on the hash partitioning (no
+    * aggregate+join round trip), `rn`/`sz` share one id-partitioned sort,
+    * and every shuffle key is an 8-byte hash. Verification is one
+    * `array_intersect` per surviving pair ([[verifyJaccard]]). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    val ex = hashedShingles(docs, idCol, textCol, n).persist()
+    val wId = Window.partitionBy(idCol)
+    // prefix size |A| − ⌈t·|A|⌉ + 1; the 1e-9 guard keeps float error from
+    // overshooting an exactly-integer product (0.07·100 → 7.000000000000001
+    // → ceil 8 would shorten the prefix and break the recall proof)
+    val prefix = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .withColumn("rn", row_number().over(wId.orderBy(col("df"), col("h"))))
+      .withColumn("sz", count(lit(1)).over(wId)) // distinct per doc: count = |set|
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select(col(idCol), col("h"), col("rn"), col("sz"))
+      .persist()
+    val pa = prefix.select(col(idCol).as("id_a"), col("h"),
+      col("rn").as("rn_a"), col("sz").as("sz_a"))
+    val pb = prefix.select(col(idCol).as("id_b"), col("h"),
+      col("rn").as("rn_b"), col("sz").as("sz_b"))
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("sz_a") + col("sz_b")) - lit(1e-9))
+    val cand = pa.join(pb, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        ceil(lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9)))
+      .filter(lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) >= alpha)
+      .select("id_a", "id_b")
+      .distinct()
+    verifyJaccard(cand, ex, idCol, threshold)
   }
 
   /** MinHash signatures + LSH banding: shingle→xxhash64→k independent
@@ -123,24 +167,20 @@ object DedupOps {
     * classic `a·h+b` permutation) with per-doc mins; band hash per
     * `rows`-sized slice; pairs sharing any band bucket are candidates, then
     * verified with exact Jaccard. Returns (id_a, id_b, jaccard) for verified
-    * pairs ≥ `threshold`. */
+    * pairs ≥ `threshold`. `maxBucketSize` defaults to uncapped — see
+    * [[capBuckets]] for the recall contract before enabling it. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 64, rows: Int = 4,
-                      threshold: Double = 0.3, maxBucketSize: Int = 10000): DataFrame = {
+                      threshold: Double = 0.3,
+                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % rows == 0, s"numHashes ($numHashes) must divide evenly into rows of $rows")
     val bands = numHashes / rows
-    val sh = docs
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
-      .select(col(idCol), TextOps.shingleSet(col("__t"), shingleN).as("sh"))
-    // explode_outer + isNotNull + persist (see ngramJaccardPairs): the
-    // signature aggregate and both verification streams prune differently,
-    // so only materialization shares the shingle evaluation.
-    val ex = sh.select(col(idCol), explode_outer(col("sh")).as("s"))
-      .filter(col("s").isNotNull)
-      .persist()
-    val exploded = ex.select(col(idCol), xxhash64(col("s")).as("h"))
+    // persist: the signature aggregate, the size aggregate, and both
+    // verification streams prune differently, so only materialization
+    // shares the shingle evaluation (see object scaladoc).
+    val ex = hashedShingles(docs, idCol, textCol, shingleN).persist()
     val mins = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    val sig = exploded.groupBy(idCol).agg(mins.head, mins.tail: _*)
+    val sig = ex.groupBy(idCol).agg(mins.head, mins.tail: _*)
     val bandStructs = (0 until bands).map { bi =>
       struct(lit(bi).as("band"),
         xxhash64((lit(bi) +: (0 until rows).map(r => col(s"m${bi * rows + r}"))): _*).as("bh"))
@@ -148,20 +188,9 @@ object DedupOps {
     val buckets = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val cand = pairsByBucket(buckets, idCol, Seq("band", "bh"), maxBucketSize)
-    // exact-Jaccard verification restricted to LSH candidates, count-based
-    // (see ngramJaccardPairs): join candidates to both shingle streams.
-    val sizes = ex.groupBy(idCol).agg(count(lit(1)).cast("int").as("sz"))
-    val common = cand
-      .join(ex.select(col(idCol).as("id_a"), col("s")), "id_a")
-      .join(ex.select(col(idCol).as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // exact-Jaccard verification restricted to LSH candidates: one
+    // array_intersect per candidate pair (see verifyJaccard).
+    verifyJaccard(cand, ex, idCol, threshold)
   }
 
   // SimHash vote packing: 3 bit-counters per long accumulator, 21 bits each.
@@ -208,9 +237,12 @@ object DedupOps {
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, using the
     * pigeonhole trick: split the 64-bit hash into `maxDist+1` chunks; any
     * pair within distance shares at least one exact chunk → equi-join on
-    * (chunk index, chunk value), then verify with bit_count(xor). */
+    * (chunk index, chunk value), then verify with bit_count(xor).
+    * `maxBucketSize` defaults to uncapped — near-identical docs share ALL
+    * chunks, so capping silently drops whole duplicate clusters; see
+    * [[capBuckets]] before enabling it. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+                   maxDist: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(maxDist >= 1 && maxDist <= 31, s"maxDist must be in [1,31], got $maxDist")
     val nChunks = maxDist + 1
     val width = 64 / nChunks

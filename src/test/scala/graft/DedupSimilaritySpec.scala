@@ -58,6 +58,8 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("bucket-size cap: generous cap leaves pairs unchanged; cap=1 drops all candidates") {
+    // default is UNCAPPED (no counting window at all), so `generous` below
+    // exercises the genuinely different capped code path against it
     val base = DedupOps.simhashPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val generous = DedupOps.simhashPairs(docs, "doc_id", "text", maxBucketSize = 10000)
