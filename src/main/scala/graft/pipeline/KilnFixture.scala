@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Deterministic 30-day five-table kiln fixture (FIXTURES.md §A schemas,
   * generator semantics from `data_generator.py:764-1029`) used to drive the
-  * end-to-end pipeline through the DuckDB oracle gate (q72/q73/q74/q75).
+  * end-to-end pipeline through the DuckDB oracle gate (q72/q73/q74).
   *
   * Everything is synthesized from an integer grid with DYADIC-rational
   * arithmetic only (granularity 2^-6): every temperature/flow value is an

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{KilnFixture, KilnPipeline, KilnSources}
+import graft.pipeline.{KilnFixture, KilnPipeline, KilnSources, ZoneRules}
 import Q.{dec6, r6}
 import scala.collection.immutable.ListMap
 
@@ -181,6 +181,51 @@ object KilnQ {
               |CASE WHEN dtc IS NOT NULL AND dtc >= 0 AND dtc <= 1.0 THEN 1 ELSE 0 END AS accretion_next_24h,
               |CASE WHEN dtc IS NOT NULL AND dtc >= 0 AND dtc <= 2.0 THEN 1 ELSE 0 END AS accretion_next_48h,
               |CASE WHEN dtc IS NOT NULL AND dtc >= 0 AND dtc <= 3.0 THEN 1 ELSE 0 END AS accretion_next_72h
-              |FROM e ORDER BY ts, zone""".stripMargin))
+              |FROM e ORDER BY ts, zone""".stripMargin)),
+
+    // The dashboard's rule-based accretion detector (dashboard.py:382-427):
+    // per-zone thresholds, 3+-low-zones trigger, most-affected-zone argmax
+    // (first max, ascending zone — Python max() tie-break), and the A10
+    // max-with-floor normalization count/max(8, max(count))
+    // (pre_processing.py:1376-1390; the floor BINDS on this fixture).
+    "q74_zone_rules" -> Q(
+      (s, _) => {
+        val aggs = KilnSources.zones.map(z => avg(s"ZONE_$z").as(s"ZONE_$z"))
+        val hourly = KilnFixture.zoneWide(s)
+          .groupBy(date_trunc("hour", col("DATETIME")).as("ts"))
+          .agg(aggs.head, aggs.tail: _*)
+        ZoneRules.detect(hourly)
+          .select(
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+            col("zones_low"),
+            col("direct_detection"),
+            col("most_affected_zone"),
+            dec6(col("temp_risk_normalized")).as("temp_risk_norm"))
+          .orderBy("ts")
+      },
+      Some {
+        val zs = ZoneRules.defaultThresholds.keys.toSeq.sorted
+        val thr = ZoneRules.defaultThresholds
+        val zw = zs.map(z => s"max(CASE WHEN zone = $z THEN temp END) AS z$z").mkString(",\n|  ")
+        val nLow = zs.map(z => s"CASE WHEN z$z < ${thr(z)} THEN 1 ELSE 0 END").mkString(" + ")
+        val maxDrop = zs.map(z => s"CASE WHEN z$z < ${thr(z)} THEN ${thr(z)} - z$z END").mkString(", ")
+        val argmax = zs.map(z => s"WHEN z$z < ${thr(z)} AND ${thr(z)} - z$z = max_drop THEN $z")
+          .mkString("CASE ", " ", " END")
+        s"""WITH ${zlSql(zs.mkString(", "))},
+           |zh AS (SELECT date_trunc('hour', ts) AS ts, zone, avg(temp) AS temp
+           |  FROM zl GROUP BY 1, 2),
+           |zw AS (SELECT ts,
+           |  $zw
+           |  FROM zh GROUP BY ts),
+           |f AS (SELECT *,
+           |  ($nLow) AS zones_low,
+           |  greatest($maxDrop) AS max_drop
+           |  FROM zw)
+           |SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, zones_low,
+           |CASE WHEN zones_low >= 3 THEN 1 ELSE 0 END AS direct_detection,
+           |CASE WHEN zones_low >= 3 THEN $argmax END AS most_affected_zone,
+           |${r6("CAST(zones_low AS DOUBLE) / greatest(8, max(zones_low) OVER ())")} AS temp_risk_norm
+           |FROM f ORDER BY ts""".stripMargin
+      })
   )
 }
