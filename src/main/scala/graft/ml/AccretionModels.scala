@@ -99,6 +99,36 @@ object AccretionModels {
     model.write.overwrite().save(path)
   def load(path: String): PipelineModel = PipelineModel.load(path)
 
+  /** Incremental model update (reference `update_incrementally`,
+    * `models.py:1066-1178`, triggered from `dashboard.py:2055-2133`): refit
+    * the head on the TRAILING `days`-day window of the labeled frame and
+    * report the evaluation metric before and after — the reference's
+    * "metrics improvement" contract. GBTs have no warm-start in spark.ml
+    * (neither do the reference's sklearn `.fit` calls — they retrain on the
+    * recent slice too), so "incremental" means incremental DATA, which is
+    * also the only shape that scales: the window filter prunes the scan to
+    * the recent partitions before any shuffle.
+    *
+    * Returns (updatedModel, metricBefore, metricAfter) where the metric is
+    * AUC for a classifier head and RMSE for a regressor head, both
+    * evaluated on the recent window. */
+  def refitRecent(model: PipelineModel, labeled: DataFrame, tsCol: String,
+                  days: Int, features: Array[String], labelCol: String,
+                  isClassifier: Boolean): (PipelineModel, Double, Double) = {
+    val cutoff = labeled.agg(
+      date_sub(max(col(tsCol)), days).cast("timestamp").as("c"))
+      .head.getTimestamp(0)
+    val recent = labeled.filter(col(tsCol) >= lit(cutoff))
+    val (refit, metric) =
+      if (isClassifier)
+        (fitBinaryHead(recent, features, labelCol),
+          (m: PipelineModel) => auc(m, recent, labelCol))
+      else
+        (fitDaysHead(recent, features, labelCol),
+          (m: PipelineModel) => rmse(m, recent, labelCol))
+    (refit, metric(model), metric(refit))
+  }
+
   /** Top-k feature importances of a fitted tree head (reference O3,
     * `train_models_simple.py:448-449`). */
   def featureImportances(model: PipelineModel, features: Array[String],

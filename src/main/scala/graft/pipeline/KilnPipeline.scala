@@ -126,4 +126,19 @@ object KilnPipeline {
   /** The whole pipeline, end to end, as one plan. */
   def process(readings: DataFrame, events: DataFrame): DataFrame =
     label(riskScore(features(align(readings))), events)
+
+  /** The reference's training input (`pre_processing.py:1941`): the labeled
+    * frame pivoted wide (`ZONE_<z>_<feature>` names) with the priority-class
+    * feature cap applied — at full feature width the pivot emits
+    * `zones × features` columns, and [[FeatureSelect.reduceDimension]] is
+    * what keeps the downstream vector assembly bounded. */
+  def trainingMatrix(labeled: DataFrame, zones: Seq[Int], valueCols: Seq[String],
+                     maxFeatures: Int = 500): DataFrame = {
+    val wide = toWide(labeled, zones, valueCols)
+    val renamed = wide.columns.foldLeft(wide) { (df, c) =>
+      val m = "^(\\d+)_(.+)$".r.findFirstMatchIn(c)
+      m.fold(df)(g => df.withColumnRenamed(c, s"ZONE_${g.group(1)}_${g.group(2)}"))
+    }
+    FeatureSelect.reduceDimension(renamed, maxFeatures)
+  }
 }

@@ -71,6 +71,20 @@ class AccretionModelsSpec extends SparkSpec {
     assert(pred.getDouble(0) >= 600.0 && pred.getDouble(1) <= 900.0)
   }
 
+  test("refitRecent retrains on the trailing window and reports both metrics") {
+    val feats = Array("temp", "drop_pct", "drops_12h", "risk_score")
+    // stale model: trained only on the FIRST 60% (never saw event 2's zone-4
+    // pattern); refit on the trailing 4 days must recover it
+    val (early, _) = AccretionModels.timeSplit(labeled, "ts", 0.6)
+    val stale = AccretionModels.fitBinaryHead(early, feats, "label_active")
+    val (updated, before, after) = AccretionModels.refitRecent(
+      stale, labeled, "ts", days = 4, feats, "label_active", isClassifier = true)
+    assert(after > 0.9, s"post-refit AUC $after")
+    assert(after >= before - 1e-9, s"refit must not regress on the window ($before -> $after)")
+    val preds = updated.transform(AccretionModels.prep(labeled, feats))
+    assert(preds.filter(col("prediction") === 1.0).count() > 0)
+  }
+
   test("days head learns the countdown on pre-critical rows") {
     val feats = Array("temp", "drop_pct", "drops_12h", "risk_score")
     val (train, test) = AccretionModels.timeSplit(labeled, "ts", 0.7)
