@@ -108,10 +108,12 @@ object KilnSources {
       .pivot("FAN", fans)
       .agg(avg("DAMPER").as("DAMPER"), avg("VELOCITY").as("VELOCITY"),
         avg("AIR_FLOW").as("AIR_FLOW"))
+    // one select, not 27 chained renames — every withColumnRenamed adds a
+    // Project node the analyzer re-resolves against the whole pivot schema
     val renamed = fans.flatMap { f =>
-      Seq("DAMPER", "VELOCITY", "AIR_FLOW").map(m => s"${f}_$m" -> s"${m}_$f")
+      Seq("DAMPER", "VELOCITY", "AIR_FLOW").map(m => col(s"`${f}_$m`").as(s"${m}_$f"))
     }
-    renamed.foldLeft(pivoted) { case (df, (from, to)) => df.withColumnRenamed(from, to) }
+    pivoted.select(col("ts") +: renamed: _*)
   }
 
   /** Shell long → per-position averages flattened as `SHELL_TEMP_AVG_<pos>`
@@ -120,9 +122,8 @@ object KilnSources {
     val pivoted = shell.groupBy(col("DATE").as("ts"))
       .pivot("POSITION", positions)
       .agg(avg("SHELL_TEMP_AVG"))
-    positions.foldLeft(pivoted) { (df, p) =>
-      df.withColumnRenamed(p, s"SHELL_TEMP_AVG_${p.replaceAll("[^A-Za-z0-9]", "_")}")
-    }
+    pivoted.select(col("ts") +: positions.map(p =>
+      col(s"`$p`").as(s"SHELL_TEMP_AVG_${p.replaceAll("[^A-Za-z0-9]", "_")}")): _*)
   }
 
   /** The reference's central artifact: every table resampled to the hourly
@@ -133,20 +134,20 @@ object KilnSources {
     * ffill. */
   def alignAll(zoneWide: DataFrame, qrt: DataFrame, shell: DataFrame,
                air: DataFrame, mis: DataFrame, positions: Seq[String]): DataFrame = {
-    val zoneLong = zoneWideToLong(zoneWide)
-    val zoneHourly = zoneLong
-      .groupBy(date_trunc("hour", col("ts")).as("ts"), col("zone"))
-      .agg(avg("temp").as("temp"))
-      .groupBy("ts").pivot("zone", zones.map(_.toString)).agg(first("temp"))
-      .select(col("ts") +: zones.map(z => col(s"`$z`").as(s"ZONE_$z")): _*)
-    val grid = TimeSeriesOps.timeline(zoneLong, "ts")
+    // hourly zone means straight off the WIDE frame: one groupBy with an
+    // avg per ZONE_* column replaces the unpivot→group→re-pivot round trip
+    // (3 shuffles of the 11×-exploded long table → 1 shuffle of the wide
+    // one); avg skips nulls identically in both formulations
+    val zoneCols = zoneWide.columns.filter(_.startsWith("ZONE_"))
+    val zoneAggs = zoneCols.map(c => avg(col(s"`$c`")).as(c))
+    val zoneHourly = zoneWide
+      .groupBy(date_trunc("hour", col("DATETIME")).as("ts"))
+      .agg(zoneAggs.head, zoneAggs.tail: _*)
+    val grid = TimeSeriesOps.timeline(zoneWide.select(col("DATETIME").as("ts")), "ts")
 
-    def prefixed(df: DataFrame, prefix: String): DataFrame = {
-      val renames = df.columns.filterNot(_ == "ts")
-      renames.foldLeft(df) { (d, c) =>
-        d.withColumnRenamed(c, prefix + c.replaceAll("[^A-Za-z0-9_]", "_"))
-      }
-    }
+    def prefixed(df: DataFrame, prefix: String): DataFrame =
+      df.select(col("ts") +: df.columns.filterNot(_ == "ts").map(c =>
+        col(s"`$c`").as(prefix + c.replaceAll("[^A-Za-z0-9_]", "_"))): _*)
     val sources = Seq(
       zoneHourly,
       prefixed(qrtWide(qrt), "qrt_"),
@@ -156,11 +157,15 @@ object KilnSources {
     val joined = sources.foldLeft(grid) { (acc, src) =>
       acc.join(src.withColumn("ts", date_trunc("hour", col("ts"))), Seq("ts"), "left")
     }
-    // sparse sources (daily / 2-hourly) forward-fill onto the hourly grid
+    // sparse sources (daily / 2-hourly) forward-fill onto the hourly grid —
+    // all columns in ONE projection over one shared window sort, not a
+    // withColumn per column (each adds an analyzer pass over ~50 columns)
     val w = Window.orderBy("ts") // post-aggregation hourly grid
     val fillCols = joined.columns.filter(c =>
       c.startsWith("qrt_") || c.startsWith("shell_") || c.startsWith("air_") ||
-        (c.startsWith("mis_") && joined.schema(c).dataType != StringType))
-    fillCols.foldLeft(joined) { (df, c) => df.withColumn(c, WindowOps.ffill(col(c), w)) }
+        (c.startsWith("mis_") && joined.schema(c).dataType != StringType)).toSet
+    joined.select(joined.columns.map { c =>
+      if (fillCols(c)) WindowOps.ffill(col(s"`$c`"), w).as(c) else col(s"`$c`")
+    }: _*)
   }
 }
