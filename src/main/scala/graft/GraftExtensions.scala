@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, L2Norm}
+import graft.functions.{DotProduct, L2Norm, SortedIntersectCount}
 
 /** Session-extension entry point: makes the engine's custom expressions
   * available to any session via
@@ -23,5 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[L2Norm].getName, "graft_l2norm"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         L2Norm(graft.functions.VectorFunctions.toDoubleArray(exprs.head))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_isect_sorted"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_isect_sorted"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedIntersectCount(exprs(0), exprs(1))))
   }
 }

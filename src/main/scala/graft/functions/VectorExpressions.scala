@@ -85,9 +85,60 @@ case class L2Norm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** |A∩B| of two ASCENDING-SORTED long arrays by linear merge — the dedup
+  * verification kernel. Spark's `array_intersect` allocates and fills a
+  * hash set per invocation; at one call per candidate pair (millions at
+  * scale) the allocation + hashing dominates. The merge needs the inputs
+  * sorted (callers use `sort_array` at collect time, amortized once per
+  * document) and counts in O(|A|+|B|) with zero allocation, inside
+  * WholeStageCodegen. Duplicate elements within one input are counted at
+  * their multiplicity-min, matching set semantics for distinct inputs. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (n, m) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val u = x.getLong(i); val v = y.getLong(j)
+      if (u == v) { c += 1; i += 1; j += 1 }
+      else if (u < v) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val u = ctx.freshName("u"); val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $u = $a.getLong($i);
+         |  long $v = $b.getLong($j);
+         |  if ($u == $v) { $c++; $i++; $j++; }
+         |  else if ($u < $v) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Session registration: exposes the expressions as SQL functions
-  * (`graft_dot`, `graft_l2norm`) — the stable way to build Columns from
-  * custom expressions across Spark 4's Column API. */
+  * (`graft_dot`, `graft_l2norm`, `graft_isect_sorted`) — the stable way to
+  * build Columns from custom expressions across Spark 4's Column API. */
 object VectorFunctions {
   import org.apache.spark.sql.catalyst.expressions.Cast
   import org.apache.spark.sql.types.ArrayType
@@ -106,5 +157,7 @@ object VectorFunctions {
       { exprs => DotProduct(toDoubleArray(exprs(0)), toDoubleArray(exprs(1))) }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_l2norm",
       { exprs => L2Norm(toDoubleArray(exprs.head)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_isect_sorted",
+      { exprs => SortedIntersectCount(exprs(0), exprs(1)) }, "scala_udf")
   }
 }

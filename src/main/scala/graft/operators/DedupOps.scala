@@ -91,18 +91,22 @@ object DedupOps {
       .select(col(idCol), xxhash64(col("s")).as("h"))
 
   /** Exact-Jaccard verification of candidate pairs: join each (id_a, id_b)
-    * to the two documents' hashed shingle ARRAYS and count the overlap with
-    * one `array_intersect` per pair — no per-shingle fan-out, no
-    * re-aggregation. The array table is one row per doc (AQE broadcasts it
-    * when small; at 100 TB it hash-joins on id — still one row per doc).
+    * to the two documents' SORTED hashed shingle arrays and count the
+    * overlap with one zero-allocation merge per pair
+    * ([[graft.functions.SortedIntersectCount]] — `array_intersect` builds a
+    * hash set per invocation) — no per-shingle fan-out, no re-aggregation.
+    * The array table is one row per doc (AQE broadcasts it when small; at
+    * 100 TB it hash-joins on id — still one row per doc).
     * |A∪B| = |A|+|B|−|A∩B|, so no union array is ever materialized. */
   private def verifyJaccard(cand: DataFrame, ex: DataFrame, idCol: String,
                             threshold: Double): DataFrame = {
-    val sets = ex.groupBy(idCol).agg(collect_list("h").as("hs"), count(lit(1)).as("sz"))
+    graft.functions.VectorFunctions.register(ex.sparkSession)
+    val sets = ex.groupBy(idCol)
+      .agg(sort_array(collect_list("h")).as("hs"), count(lit(1)).as("sz"))
     cand
       .join(sets.select(col(idCol).as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("n_common", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("n_common", call_function("graft_isect_sorted", col("hs_a"), col("hs_b")))
       .withColumn("jaccard",
         col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)

@@ -36,6 +36,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "graft_dot(array(1, 2), array(3, 4)) AS di").collect().head
       assert(f.getDouble(0) == 14.0)
       assert(f.getDouble(1) == 11.0)
+      // sorted-merge intersect count: overlap, disjoint, empty
+      val s = spark.sql(
+        "SELECT graft_isect_sorted(array(1L, 3L, 5L, 9L), array(3L, 4L, 5L, 10L)) AS a, " +
+        "graft_isect_sorted(array(1L, 2L), array(3L, 4L)) AS b, " +
+        "graft_isect_sorted(array(), array(1L)) AS c").collect().head
+      assert(s.getLong(0) == 2L && s.getLong(1) == 0L && s.getLong(2) == 0L)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
