@@ -95,6 +95,82 @@ object SimilarityOps {
       .select(idCol, "cos_sim")
   }
 
+  /** Multi-probe LSH ANN: candidates lie in any bucket within Hamming
+    * distance `probeDist` of the query's signature — the OR-amplification
+    * recall lever over [[lshTopK]]'s single probe (a near neighbor flips
+    * each sign bit with probability θ/π, so probing 1-bit-off buckets
+    * recovers most single-probe misses). The probe set is expressed as
+    * `bit_count(bucket ⊕ qbucket) ≤ d` against the one broadcast query row;
+    * on a bucket-partitioned table at scale this reads `Σ C(planes, i≤d)`
+    * partitions instead of one. */
+  def lshTopKMultiProbe(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+                        k: Int, seed: Long, nPlanes: Int, dim: Int, probeDist: Int,
+                        scoreOut: Column => Column): DataFrame = {
+    require(probeDist >= 0 && probeDist <= nPlanes, s"probeDist must be in [0,$nPlanes]")
+    VectorFunctions.register(emb.sparkSession)
+    val hp = hyperplanes(seed, nPlanes, dim)
+    val e = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), hp))
+    val q = e.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"), normFast(col("v")).as("qn"))
+    val na = normFast(col("v"))
+    e.join(broadcast(q),
+        bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= probeDist)
+      .withColumn("cos_sim", scoreOut(
+        when(na > 0 && col("qn") > 0, dotFast(col("v"), col("qv")) / (na * col("qn")))))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+      .select(idCol, "cos_sim")
+  }
+
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer assigns every
+    * vector to its nearest centroid cell; queries probe the `nProbe`
+    * nearest cells and run exact cosine inside them. The index build
+    * (`fitIvf`) is an offline, amortized step — the serving path is one
+    * broadcast of the query row and a cell-membership filter, which on a
+    * cell-partitioned table reads exactly `nProbe` partitions. Centroids
+    * travel as plan literals (`nCells × dim` doubles). */
+  def fitIvf(emb: DataFrame, idCol: String, vecCol: String,
+             nCells: Int, seed: Long): (DataFrame, Seq[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val km = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(e)
+    (km.transform(e).select(col(idCol), col("v"), col("cell")),
+      km.clusterCenters.map(_.toArray).toIndexedSeq)
+  }
+
+  /** Serving path over a fitted IVF index: probe the `nProbe` cells whose
+    * centroids are closest to the query (ranking happens in-plan on the one
+    * broadcast query row — no driver-side vector math). */
+  def ivfTopK(indexed: DataFrame, centers: Seq[Array[Double]], idCol: String,
+              queryId: Long, k: Int, nProbe: Int,
+              scoreOut: Column => Column): DataFrame = {
+    VectorFunctions.register(indexed.sparkSession)
+    // distance² to each centroid as a (dist, cell) struct; sort + slice
+    // picks the nProbe nearest cells, all inside the single query row
+    val cellDists = array(centers.zipWithIndex.map { case (c, i) =>
+      val lc = array(c.map(lit): _*)
+      struct(
+        aggregate(zip_with(col("v"), lc, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    val q = indexed.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), normFast(col("v")).as("qn"),
+        transform(slice(array_sort(cellDists), 1, nProbe), s => s("cell")).as("probe"))
+    val na = normFast(col("v"))
+    indexed.join(broadcast(q), array_contains(col("probe"), col("cell")))
+      .withColumn("cos_sim", scoreOut(
+        when(na > 0 && col("qn") > 0, dotFast(col("v"), col("qv")) / (na * col("qn")))))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+      .select(idCol, "cos_sim")
+  }
+
   /** Blocked exact near-dup pairs: equi-join on a blocking key (here a
     * label/cluster column) bounds the quadratic term to block sizes — the
     * standard scale pattern when a clustering or coarse quantizer exists. */

@@ -88,29 +88,39 @@ object KilnPipeline {
   }
 
   /** Stage 10: interval-event labeling (reference `create_target_variables`,
-    * `pre_processing.py:1443-1562`): broadcast range join against the event
-    * table; active flag, zone match, days-to-critical, look-back flags. */
+    * `pre_processing.py:1443-1562`): active flag, zone match,
+    * days-to-critical, look-back flags.
+    *
+    * The interval join and multi-event collapse run on a SLIM (ts, zone)
+    * projection — the wide feature row never enters the nested-loop join or
+    * the aggregation, it re-attaches through one equi-join on the key. At
+    * scale this keeps the BNLJ probe rows at two columns and replaces a
+    * 40-column groupBy with a 2-column one; (ts, zone) is unique in the
+    * aligned frame, so the left join preserves cardinality exactly. */
   def label(featured: DataFrame, events: DataFrame,
             lookbackHours: Seq[Int] = Seq(24, 48, 72)): DataFrame = {
     val ev = events.select(
       col("event_id"), col("zone").as("ev_zone"),
       col("start_date"), col("critical_date"))
+    val keys = featured.select("ts", "zone")
     val joined = JoinOps.pointInInterval(
-      featured, ev, col("ts"), col("start_date"), col("critical_date"), "left")
+      keys, ev, col("ts"), col("start_date"), col("critical_date"), "left")
       .withColumn("same_zone", col("ev_zone").isNotNull && col("ev_zone") === col("zone"))
-    val grouped = joined
-      .groupBy(featured.columns.map(col): _*)
+    val labels = joined
+      .groupBy("ts", "zone")
       .agg(
         max(when(col("same_zone"), 1).otherwise(0)).as("accretion_active"),
         min(when(col("same_zone"),
           (unix_timestamp(col("critical_date")) - unix_timestamp(col("ts"))) / 86400.0))
           .as("days_to_critical"))
-    lookbackHours.foldLeft(grouped) { (df, h) =>
-      df.withColumn(s"accretion_next_${h}h",
-        when(col("days_to_critical").isNotNull &&
-          col("days_to_critical") >= 0 &&
-          col("days_to_critical") <= h / 24.0, 1).otherwise(0))
+    val lookbacks = lookbackHours.map { h =>
+      when(col("days_to_critical").isNotNull &&
+        col("days_to_critical") >= 0 &&
+        col("days_to_critical") <= h / 24.0, 1).otherwise(0).as(s"accretion_next_${h}h")
     }
+    featured.join(labels, Seq("ts", "zone"), "left")
+      .select(featured.columns.map(col) ++
+        Seq(col("accretion_active"), col("days_to_critical")) ++ lookbacks: _*)
   }
 
   /** Final reshape: pivot the reduced per-zone hourly frame wide

@@ -175,6 +175,23 @@ object LlmQ {
       (s, d) => SimilarityOps.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10, seed = 7L, nPlanes = 4, dim = 64, scoreOut = dec6)),
 
+    // Multi-probe LSH ANN (Hamming ≤ 1 around the query signature): the
+    // OR-amplification recall lever over q59's single probe.
+    // Plane-specific → rows-only check; recall cross-validated in spec.
+    "q63_ann_multiprobe" -> Q(
+      (s, d) => SimilarityOps.lshTopKMultiProbe(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10, seed = 7L, nPlanes = 4, dim = 64, probeDist = 1, scoreOut = dec6)),
+
+    // IVF ANN: k-means coarse quantizer (16 cells), probe the 4 nearest.
+    // Centroid-specific → rows-only check; recall cross-validated in spec.
+    "q64_ann_ivf" -> Q(
+      (s, d) => {
+        val (indexed, centers) = SimilarityOps.fitIvf(Tables.embeddings(s, d),
+          "vec_id", "embedding", nCells = 16, seed = 7L)
+        SimilarityOps.ivfTopK(indexed, centers, "vec_id",
+          queryId = 0L, k = 10, nProbe = 4, scoreOut = dec6)
+      }),
+
     // Embedding near-dup pairs blocked by the label column (the coarse-
     // quantizer pattern): quadratic work bounded to block sizes.
     "q60_cosine_pairs" -> Q(

@@ -40,6 +40,42 @@ class CrossValidationSpec extends SparkSpec {
     assert(lsh.orderBy(col("cos_sim").desc).first().getLong(0) == 0L)
   }
 
+  test("multi-probe LSH recall >= single-probe recall, scores exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10, identity)
+      .withColumnRenamed("cos_sim", "exact_cos")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.join(brute, "vec_id").count()
+    val single = SimilarityOps.lshTopK(emb, "vec_id", "embedding", 0L, 10,
+      seed = 7L, nPlanes = 4, dim = 64, identity)
+    val multi = SimilarityOps.lshTopKMultiProbe(emb, "vec_id", "embedding", 0L, 10,
+      seed = 7L, nPlanes = 4, dim = 64, probeDist = 1, identity)
+    assert(recallOf(multi) >= recallOf(single),
+      "probing Hamming-1 buckets must not lose single-probe hits")
+    // scores for returned ids are the exact cosine (same formula, same data)
+    val mismatched = multi.join(brute, "vec_id")
+      .filter(abs(col("cos_sim") - col("exact_cos")) > 1e-12).count()
+    assert(mismatched == 0)
+  }
+
+  test("IVF ANN: probing all cells recovers the exact brute-force top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    val (indexed, centers) = SimilarityOps.fitIvf(emb, "vec_id", "embedding",
+      nCells = 16, seed = 7L)
+    val brute = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10, identity)
+      .collect().map(_.getLong(0)).toSet
+    // nProbe = nCells → no cell is skipped → must equal brute force exactly
+    val full = SimilarityOps.ivfTopK(indexed, centers, "vec_id", 0L, 10,
+      nProbe = 16, identity).collect().map(_.getLong(0)).toSet
+    assert(full == brute)
+    // the real operating point: 4 of 16 cells still finds the query itself
+    // first and keeps decent recall on this corpus
+    val probed = SimilarityOps.ivfTopK(indexed, centers, "vec_id", 0L, 10,
+      nProbe = 4, identity).collect()
+    assert(probed.head.getLong(0) == 0L)
+    assert(probed.map(_.getLong(0)).count(brute) >= 5, "recall@10 under 50% with 4/16 cells")
+  }
+
   test("SimHash near-pairs are top-tier in UNIGRAM similarity (its actual measure)") {
     // SimHash hashes token multisets: hamming-close pairs may share no
     // trigram at all (word-reordered docs), so the invariant is stated in
