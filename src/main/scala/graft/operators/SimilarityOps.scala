@@ -131,14 +131,19 @@ object SimilarityOps {
     * cell-partitioned table reads exactly `nProbe` partitions. Centroids
     * travel as plan literals (`nCells × dim` doubles). */
   def fitIvf(emb: DataFrame, idCol: String, vecCol: String,
-             nCells: Int, seed: Long): (DataFrame, Seq[Array[Double]]) = {
+             nCells: Int, seed: Long, trainFraction: Double = 1.0,
+             maxIter: Int = 20): (DataFrame, Seq[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
       .withColumn("features", array_to_vector(col("v")))
-    val km = new KMeans().setK(nCells).setSeed(seed)
+    // quantizers are conventionally trained on a sample (the centroids only
+    // need the DISTRIBUTION, not every point) — at 100 TB fitting on the
+    // full table would dwarf the assignment pass it exists to speed up
+    val train = if (trainFraction < 1.0) e.sample(trainFraction, seed) else e
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(e)
+      .fit(train)
     (km.transform(e).select(col(idCol), col("v"), col("cell")),
       km.clusterCenters.map(_.toArray).toIndexedSeq)
   }

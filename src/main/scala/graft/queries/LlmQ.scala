@@ -187,7 +187,8 @@ object LlmQ {
     "q64_ann_ivf" -> Q(
       (s, d) => {
         val (indexed, centers) = SimilarityOps.fitIvf(Tables.embeddings(s, d),
-          "vec_id", "embedding", nCells = 16, seed = 7L)
+          "vec_id", "embedding", nCells = 16, seed = 7L,
+          trainFraction = 0.25, maxIter = 10)
         SimilarityOps.ivfTopK(indexed, centers, "vec_id",
           queryId = 0L, k = 10, nProbe = 4, scoreOut = dec6)
       }),
