@@ -197,6 +197,48 @@ object DedupOps {
     verifyJaccard(cand, ex, idCol, threshold)
   }
 
+  /** Collapse near-dup PAIRS into duplicate clusters: connected components
+    * by iterative min-label propagation. Every doc starts labeled with its
+    * own id; each round takes the min of its label and its neighbors'
+    * labels, so the min id of each component floods outward — rounds ≤
+    * component diameter (near-dup clusters are dense, typically 2-3
+    * rounds). Each round is one equi-join + groupBy on the edge list; the
+    * convergence probe compares a strictly-decreasing label sum, avoiding
+    * a second join. This is the representative/cluster path that makes a
+    * keep-list out of pairwise output: keep `id == cluster`, drop the rest.
+    *
+    * Returns (id, cluster, is_duplicate) for every doc in `docs` —
+    * unpaired docs are their own singleton cluster. */
+  def nearDupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
+                      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
+      .persist()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster")).persist()
+    var prevSum = labelSum(labels)
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("nbr"), col("cluster").as("nc")), "nbr")
+        .groupBy("id").agg(min("nc").as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .persist()
+      val nextSum = labelSum(next)
+      labels.unpersist()
+      labels = next
+      done = nextSum.compareTo(prevSum) == 0 // labels only decrease: equal sum = fixpoint
+      prevSum = nextSum
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumn("is_duplicate", (col("id") =!= col("cluster")).cast("int"))
+  }
+
   // SimHash vote packing: 3 bit-counters per long accumulator, 21 bits each.
   // 64 independent ±1 vote sums would need 64 agg expressions — past
   // `spark.sql.codegen.hugeMethodLimit` the hash aggregate falls back to

@@ -149,6 +149,18 @@ object LlmQ {
       (s, d) => DedupOps.simhashPairs(Tables.documents(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")),
 
+    // Near-dup clusters: MinHash pairs collapsed to connected components
+    // (min-label propagation), yielding the keep/drop list. Deterministic
+    // but iterative (not SQL-expressible) → rows-only check; the component
+    // invariants are spec-verified against a driver union-find oracle.
+    "q65_neardup_clusters" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = DedupOps.minhashLshPairs(docs, "doc_id", "text", threshold = 0.3)
+        DedupOps.nearDupClusters(docs, pairs, "doc_id")
+          .orderBy("id")
+      }),
+
     // Brute-force cosine top-k against a broadcast query vector — the
     // exactness baseline for ANN.
     "q58_ann_topk" -> Q(

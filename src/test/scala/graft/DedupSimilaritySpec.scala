@@ -70,6 +70,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("nearDupClusters: components, singletons, and a chain that needs propagation rounds") {
+    // components: {1,2,3} (chain), {5,6}, singleton 7; chain 10-11-12-13-14
+    // exercises multi-round flooding (diameter 4)
+    val ids = (Seq(1L, 2L, 3L, 5L, 6L, 7L) ++ (10L to 14L)).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("id_a", "id_b")
+    val got = graft.operators.DedupOps.nearDupClusters(ids, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // driver union-find oracle
+    val parent = scala.collection.mutable.Map((Seq(1L, 2L, 3L, 5L, 6L, 7L) ++ (10L to 14L)).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+      .foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    parent.keys.foreach { id =>
+      assert(got(id)._1 == find(id), s"cluster of $id")
+      assert(got(id)._2 == (if (find(id) == id) 0 else 1))
+    }
+  }
+
   test("minhashLshPairs catches the exact duplicate (identical signatures)") {
     val pairs = DedupOps.minhashLshPairs(docs, "doc_id", "text", threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
