@@ -25,12 +25,12 @@ object ZoneRules {
     0 -> 750.0, 1 -> 775.0, 2 -> 800.0, 3 -> 825.0, 4 -> 850.0,
     5 -> 875.0, 6 -> 875.0, 7 -> 875.0, 8 -> 850.0, 9 -> 825.0, 10 -> 800.0)
 
-  /** Detect over a wide frame with `ZONE_<z>` columns; appends
-    * `zones_low`, `direct_detection`, `most_affected_zone`,
-    * `temp_risk_normalized`. Zones absent from the frame are skipped, as the
-    * reference skips missing columns. */
-  def detect(wide: DataFrame,
-             thresholds: Map[Int, Double] = defaultThresholds): DataFrame = {
+  /** Stateless rule columns — per-row expressions only, so this stage
+    * composes onto batch AND streaming frames alike: appends `zones_low`,
+    * `direct_detection`, `most_affected_zone`. Zones absent from the frame
+    * are skipped, as the reference skips missing columns. */
+  def flags(wide: DataFrame,
+            thresholds: Map[Int, Double] = defaultThresholds): DataFrame = {
     val zones = thresholds.keys.toSeq.sorted.filter(z => wide.columns.contains(s"ZONE_$z"))
     require(zones.nonEmpty, "no ZONE_<z> columns found")
     def temp(z: Int): Column = col(s"ZONE_$z")
@@ -45,12 +45,19 @@ object ZoneRules {
     val mostAffected = zones.foldRight(lit(null).cast("int")) { (z, rest) =>
       when(low(z) && drop(z) === maxDrop, lit(z)).otherwise(rest)
     }
-    val flagged = wide
+    wide
       .withColumn("zones_low", nLow)
       .withColumn("direct_detection", (col("zones_low") >= 3).cast("int"))
       .withColumn("most_affected_zone",
         when(col("direct_detection") === 1, mostAffected).cast("int"))
-    // A10: normalize by max(8, corpus max) — 1-row aggregate, broadcast back
+  }
+
+  /** Batch detection: [[flags]] plus the A10 max-with-floor normalization
+    * (`zones_low / max(8, corpus max)`) — the corpus max is a 1-row
+    * aggregate cross-joined back (broadcast). */
+  def detect(wide: DataFrame,
+             thresholds: Map[Int, Double] = defaultThresholds): DataFrame = {
+    val flagged = flags(wide, thresholds)
     val floorMax = flagged.agg(
       greatest(lit(8), max(col("zones_low"))).as("__max_zones"))
     flagged.crossJoin(floorMax)

@@ -42,6 +42,29 @@ object StreamingOps {
       .trigger(Trigger.ProcessingTime(s"$intervalSec seconds"))
       .foreachBatch { (batch: DataFrame, id: Long) => score(batch, id) }
 
+  /** Streaming exact dedup: drop rows whose fingerprint was already seen,
+    * with the dedup state bounded by the event-time watermark (without it,
+    * the seen-set grows forever — the non-negotiable at 100 TB/day).
+    * Streaming twin of `DedupOps.exactDedup`'s keep-list: the FIRST arrival
+    * of each fingerprint survives. */
+  def dedupStream(docs: DataFrame, fpCol: String, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(fpCol)
+
+  /** Streaming zone-rule alerting: [[graft.pipeline.ZoneRules.flags]] is
+    * stateless per-row column algebra, so it composes onto a stream
+    * unchanged. The A10 corpus-max normalization is replaced by its hard
+    * floor (`zones_low / 8` — a running global max has no bounded-state
+    * streaming form, and on a live kiln the floor binds anyway, see A10).
+    * Emits only triggered rows — the alert feed. */
+  def zoneAlertStream(wide: DataFrame,
+                      thresholds: Map[Int, Double] = graft.pipeline.ZoneRules.defaultThresholds): DataFrame =
+    graft.pipeline.ZoneRules.flags(wide, thresholds)
+      .withColumn("temp_risk_normalized", col("zones_low").cast("double") / 8.0)
+      .filter(col("direct_detection") === 1)
+
   /** Convenience: run a streaming aggregate to an in-memory table until all
     * available data is processed (test/driver harness path). */
   def runToMemory(agg: DataFrame, name: String): StreamingQuery = {

@@ -37,4 +37,44 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 01:00:00.0", "click", 1L, 30.0))
     assert(expected.subsetOf(got))
   }
+
+  test("dedupStream keeps the first arrival per fingerprint, bounded by watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Doc]
+    input.addData(
+      Doc(Timestamp.valueOf("2024-01-01 00:00:10"), "fpA", 1L),
+      Doc(Timestamp.valueOf("2024-01-01 00:00:20"), "fpA", 2L), // dup within watermark
+      Doc(Timestamp.valueOf("2024-01-01 00:00:30"), "fpB", 3L))
+    val q = graft.streaming.StreamingOps.dedupStream(input.toDF(), "fp", "ts", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    q.processAllAvailable()
+    input.addData(Doc(Timestamp.valueOf("2024-01-01 00:01:00"), "fpA", 4L)) // still a dup
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").select("fp", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("fpA", 1L), ("fpB", 3L)))
+  }
+
+  test("zoneAlertStream emits only triggered rows with the batch rule columns") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[ZoneRow]
+    input.addData(
+      ZoneRow(Timestamp.valueOf("2024-01-01 00:00:00"), 760.0, 780.0, 810.0), // quiet
+      ZoneRow(Timestamp.valueOf("2024-01-01 01:00:00"), 700.0, 700.0, 700.0)) // 3 low
+    val q = graft.streaming.StreamingOps.zoneAlertStream(
+        input.toDF().toDF("ts", "ZONE_0", "ZONE_1", "ZONE_2"))
+      .writeStream.outputMode("append").format("memory").queryName("alerts_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("alerts_out").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Int]("zones_low") == 3)
+    assert(r.getAs[Int]("most_affected_zone") == 2) // deepest drop: 800-700
+    assert(r.getAs[Double]("temp_risk_normalized") == 3.0 / 8.0)
+  }
 }
+
+case class Doc(ts: java.sql.Timestamp, fp: String, doc_id: Long)
+case class ZoneRow(ts: java.sql.Timestamp, z0: Double, z1: Double, z2: Double)
