@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel}
-import org.apache.spark.ml.classification.GBTClassifier
+import org.apache.spark.ml.classification.{GBTClassifier, RandomForestClassifier}
 import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, RegressionEvaluator}
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.regression.GBTRegressor
@@ -63,6 +63,48 @@ object AccretionModels {
       new GBTRegressor().setLabelCol(labelCol).setFeaturesCol("features")
         .setMaxIter(20).setMaxDepth(4).setSeed(42)))
       .fit(prep(train.filter(col(labelCol).isNotNull), features))
+
+  /** Head 3: forming-zone multiclass classifier (reference
+    * `zone_classifier`, `models.py:864-904`) with the reference's
+    * sorted-unique class→index mapping (`models.py:876-882`, the P8 dict
+    * encode). RandomForest stands in for the reference's MLP —
+    * `GBTClassifier` is binary-only in spark.ml and RF is the nearest
+    * native multiclass tree model. Collecting the ≤ n_zones distinct
+    * labels is bounded metadata, not data. Returns the fitted model and
+    * the ordered class list for [[predictZone]]'s inverse mapping. */
+  def fitZoneHead(train: DataFrame, features: Array[String],
+                  labelCol: String): (PipelineModel, Seq[Int]) = {
+    val valid = train.filter(col(labelCol).isNotNull)
+    val classes = valid.select(col(labelCol).cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
+    require(classes.nonEmpty, s"no non-null $labelCol labels to fit on")
+    val toIdx = classes.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, (z, i)) => when(col(labelCol) === z, i.toDouble).otherwise(acc)
+    }
+    val model = new Pipeline().setStages(Array(
+      assembler(features),
+      new RandomForestClassifier().setLabelCol("__zone_idx").setFeaturesCol("features")
+        .setNumTrees(30).setMaxDepth(6).setSeed(42)))
+      .fit(prep(valid, features).withColumn("__zone_idx", toIdx))
+    (model, classes)
+  }
+
+  /** Inverse class mapping on top of `transform`: adds `predicted_zone`
+    * (the reference's `zone_classes[pred]` lookup, `models.py:963`). */
+  def predictZone(model: PipelineModel, classes: Seq[Int], df: DataFrame): DataFrame = {
+    val feats = model.stages.head.asInstanceOf[VectorAssembler].getInputCols
+    model.transform(prep(df, feats))
+      .withColumn("predicted_zone",
+        element_at(array(classes.map(lit): _*), col("prediction").cast("int") + 1))
+  }
+
+  /** Accuracy of the zone head on rows with a label. */
+  def zoneAccuracy(model: PipelineModel, classes: Seq[Int], test: DataFrame,
+                   labelCol: String): Double = {
+    val labeled = predictZone(model, classes, test.filter(col(labelCol).isNotNull))
+    labeled.agg(avg((col("predicted_zone") === col(labelCol)).cast("double")))
+      .head.getDouble(0)
+  }
 
   /** Prescriptor (reference `KilnAccretionPrescriptor`): one regressor per
     * controllable parameter, trained on pre-event windows to predict the

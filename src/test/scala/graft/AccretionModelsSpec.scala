@@ -85,6 +85,21 @@ class AccretionModelsSpec extends SparkSpec {
     assert(preds.filter(col("prediction") === 1.0).count() > 0)
   }
 
+  test("zone head recovers the forming zone with the sorted-class inverse mapping") {
+    val feats = Array("temp", "drop_pct", "drops_12h", "risk_score")
+    // the reference's y_zone: the accretion zone, defined on active rows
+    val withZoneLabel = labeled.withColumn("target_zone",
+      when(col("accretion_active") === 1, col("zone")))
+    val (m, classes) = AccretionModels.fitZoneHead(withZoneLabel, feats, "target_zone")
+    assert(classes == Seq(3, 4)) // the two event zones, sorted
+    val acc = AccretionModels.zoneAccuracy(m, classes, withZoneLabel, "target_zone")
+    assert(acc > 0.9, s"zone accuracy $acc")
+    // predictions map back to REAL zone ids, not model indices
+    val preds = AccretionModels.predictZone(m, classes, withZoneLabel)
+      .select("predicted_zone").distinct().collect().map(_.getInt(0)).toSet
+    assert(preds.subsetOf(Set(3, 4)))
+  }
+
   test("days head learns the countdown on pre-critical rows") {
     val feats = Array("temp", "drop_pct", "drops_12h", "risk_score")
     val (train, test) = AccretionModels.timeSplit(labeled, "ts", 0.7)
