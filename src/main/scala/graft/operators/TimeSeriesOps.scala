@@ -88,18 +88,29 @@ object TimeSeriesOps {
     *
     * CONTRACT: `right` must be unique per (keys, rightTs) — with duplicate
     * right timestamps the forward-fill picks an arbitrary tied row
-    * (partition-order dependent). Pre-aggregate duplicates deterministically
-    * first (e.g. `groupBy(keys, ts).agg(max_by(value, tiebreak))`, as
-    * q24_asof_join does). */
+    * (partition-order dependent). Either pre-aggregate duplicates
+    * deterministically (as q24_asof_join does) or pass `rightTiebreak`:
+    * the row with the MAX tiebreak value per (keys, ts) wins, and all its
+    * value columns travel together (one `max_by` on a struct, not one per
+    * column — per-column max_by could stitch values from different tied
+    * rows). The tiebreak must itself be unique within a (keys, ts) group
+    * for full determinism (e.g. an ingest sequence number). */
   def asofJoinLast(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String,
-                   valueCols: Seq[String]): DataFrame = {
+                   valueCols: Seq[String],
+                   rightTiebreak: Option[Column] = None): DataFrame = {
+    val rightDeduped = rightTiebreak.fold(right) { tb =>
+      right.groupBy(keys.map(col) :+ col(rightTs): _*)
+        .agg(max_by(struct(valueCols.map(col): _*), tb).as("__s"))
+        .select(keys.map(col) ++ Seq(col(rightTs)) ++
+          valueCols.map(c => col(s"__s.$c").as(c)): _*)
+    }
     val lCols = left.columns
     val lTagged = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
       .select(Seq(col("__ts"), col("__side")) ++ keys.map(col) ++
         lCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) ++
         valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
-    val rTagged = right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
+    val rTagged = rightDeduped.withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
       .select(Seq(col("__ts"), col("__side")) ++ keys.map(col) ++
         lCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
         valueCols.map(col): _*)

@@ -45,6 +45,18 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out(1).getDouble(2) == 3.0)
   }
 
+  test("asofJoinLast rightTiebreak collapses tied right rows deterministically, values travel together") {
+    val left = Seq((ts("2024-01-01 02:00:00"), "a")).toDF("ts", "k")
+    val right = Seq(
+      (ts("2024-01-01 01:00:00"), "a", 1.0, 100.0, 1L),
+      (ts("2024-01-01 01:00:00"), "a", 2.0, 200.0, 2L), // max seq wins as a unit
+      (ts("2024-01-01 01:00:00"), "a", 3.0, 300.0, 0L)
+    ).toDF("ts", "k", "v", "w", "seq")
+    val out = TimeSeriesOps.asofJoinLast(left, right, Seq("k"), "ts", "ts",
+      Seq("v", "w"), rightTiebreak = Some(col("seq"))).collect().head
+    assert(out.getDouble(2) == 2.0 && out.getDouble(3) == 200.0)
+  }
+
   test("nearest picks closer neighbor, prev on tie") {
     val df = Seq(
       (ts("2024-01-01 00:00:00"), "a", Some(1.0)),
