@@ -149,17 +149,35 @@ object LlmQ {
       (s, d) => DedupOps.simhashPairs(Tables.documents(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")),
 
-    // Near-dup clusters: MinHash pairs collapsed to connected components
-    // (min-label propagation), yielding the keep/drop list. Deterministic
-    // but iterative (not SQL-expressible) → rows-only check; the component
-    // invariants are spec-verified against a driver union-find oracle.
+    // Near-dup clusters: exact Jaccard pairs collapsed to connected
+    // components (min-label propagation), yielding the keep/drop list.
+    // Oracle: DuckDB recomputes the same components through a recursive
+    // transitive-closure CTE over its brute-force pair set — an
+    // independent-engine proof of the iterative flooding.
     "q65_neardup_clusters" -> Q(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val pairs = DedupOps.minhashLshPairs(docs, "doc_id", "text", threshold = 0.3)
+        val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
         DedupOps.nearDupClusters(docs, pairs, "doc_id")
           .orderBy("id")
-      }),
+      },
+      Some(s"""WITH RECURSIVE $sqlShingles,
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              |    / len(list_distinct(a.s || b.s)) >= 0.2),
+              |ed AS (SELECT id_a AS a, id_b AS b FROM p
+              |  UNION SELECT id_b, id_a FROM p),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM ed
+              |  UNION
+              |  SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a)
+              |SELECT d.doc_id AS id,
+              |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster,
+              |  CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) <> d.doc_id AS INT)
+              |    AS is_duplicate
+              |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+              |GROUP BY d.doc_id ORDER BY id""".stripMargin)),
 
     // Brute-force cosine top-k against a broadcast query vector — the
     // exactness baseline for ANN.
