@@ -50,6 +50,34 @@ object TextOps {
   def bagFingerprint(c: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(normalize(c)))), " ").cast("binary"))
 
+  /** Hashes of every k-token gram, in document order — the winnowing
+    * input. `toks` must be a bound attribute (see [[shingleSet]]'s note). */
+  def gramHashes(toks: Column, k: Int): Column =
+    transform(shingles(toks, k), g => xxhash64(g))
+
+  /** Winnowing document sketch (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm): slide a window of `w` consecutive gram hashes, keep
+    * each window's minimum, dedup. The guarantee: two documents sharing a
+    * run of ≥ w+k−1 tokens share at least one selected fingerprint, while
+    * only ~2/(w+1) of gram hashes survive — a size-bounded sketch whose
+    * shared-member equi-join finds overlapping-passage near-dups that
+    * whole-document Jaccard misses. Pure builtins, fully codegen'd.
+    *
+    * `grams` must be a MATERIALIZED [[gramHashes]] column (a bound
+    * attribute): the window lambda references it once per window, so an
+    * inline expression would rebuild the whole gram array ~n times per
+    * document — the repo's documented HOF re-expansion pitfall (measured
+    * here too: ~3× at sf0.1 from binding it). */
+  def winnowMins(grams: Column, w: Int): Column = {
+    val nWin = size(grams) - lit(w - 1)
+    val mins = transform(sequence(lit(1), nWin), i => array_min(slice(grams, i, lit(w))))
+    // short docs (fewer than w grams but ≥1): keep the global min — the
+    // paper's convention that every non-empty document has a sketch
+    when(nWin >= 1, array_distinct(mins))
+      .when(size(grams) >= 1, array(array_min(grams)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** Language markers for the n-gram-free language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and"),

@@ -205,6 +205,34 @@ object LlmQ {
       (s, d) => SimilarityOps.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10, seed = 7L, nPlanes = 4, dim = 64, scoreOut = dec6)),
 
+    // Winnowing (MOSS) sketch near-dups: shared-fingerprint equi-join over
+    // each doc's window-min gram hashes — finds overlapping-PASSAGE
+    // near-dups that whole-document Jaccard misses, with a sketch ~2/(w+1)
+    // the gram count. A document-frequency cutoff drops boilerplate
+    // fingerprints before the join (a passage shared by >25 docs is
+    // template text, not plagiarized content — and it's also the join's
+    // quadratic term: this corpus has winnow hashes shared by 100s of
+    // docs). xxhash64-specific → rows-only check; the winnowing guarantees
+    // are spec-verified.
+    "q66_winnow_pairs" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d).withColumn("t", TextOps.tokens(col("text")))
+        val fp = docs
+          .withColumn("g", TextOps.gramHashes(col("t"), 3)) // bind before winnow
+          .select(col("doc_id"), explode_outer(TextOps.winnowMins(col("g"), 4)).as("f"))
+          .filter(col("f").isNotNull)
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("f")))
+          .filter(col("df") <= 25)
+          .select("doc_id", "f")
+        fp.select(col("doc_id").as("id_a"), col("f"))
+          .join(fp.select(col("doc_id").as("id_b"), col("f")), Seq("f"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy("id_a", "id_b")
+      }),
+
     // Multi-probe LSH ANN (Hamming ≤ 1 around the query signature): the
     // OR-amplification recall lever over q59's single probe.
     // Plane-specific → rows-only check; recall cross-validated in spec.
