@@ -176,6 +176,15 @@ object SimilarityOps {
       .select(idCol, "cos_sim")
   }
 
+  /** Embedding near-dup pairs WITHOUT a given blocking column: the IVF
+    * coarse-quantizer cells from [[fitIvf]] become the blocking key, so the
+    * quadratic term is bounded by cell sizes the index already balanced.
+    * Same-cell recall only (near-identical vectors quantize together;
+    * boundary pairs need multi-cell assignment — the documented tradeoff). */
+  def ivfCosinePairs(indexed: DataFrame, idCol: String, threshold: Double,
+                     scoreOut: Column => Column): DataFrame =
+    blockedCosinePairs(indexed, idCol, "v", "cell", threshold, scoreOut)
+
   /** Blocked exact near-dup pairs: equi-join on a blocking key (here a
     * label/cluster column) bounds the quadratic term to block sizes — the
     * standard scale pattern when a clustering or coarse quantizer exists. */

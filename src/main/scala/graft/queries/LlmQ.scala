@@ -67,6 +67,31 @@ object LlmQ {
               |${r6("least(1.0, n / 200.0) * (1.0 - CAST(n_stop AS DOUBLE) / n)")} AS quality
               |FROM x ORDER BY doc_id""".stripMargin)),
 
+    // BPE-ish subword tokenization (GPT-2-style pretokenizer reduced to
+    // ASCII classes: contraction suffixes, space-prefixed letter/digit
+    // runs, punctuation runs) — the token COUNT a tokenizer-budget filter
+    // would use, where whitespace counts undercount ~15%. Identical regex
+    // runs in DuckDB (RE2 and Java agree on this ASCII pattern).
+    "q67_bpe_tokens" -> Q(
+      (s, d) => {
+        val pat = "'[a-z]{1,2}| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+        val toks = regexp_extract_all(col("text"), lit(pat), lit(0))
+        Tables.documents(s, d)
+          .withColumn("bt", toks)
+          .select(col("doc_id"),
+            size(col("bt")).as("n_bpe"),
+            dec6(aggregate(col("bt"), lit(0.0), (a, x) => a + length(x)) / size(col("bt")))
+              .as("avg_bpe_len"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH b AS (SELECT doc_id,
+              |  regexp_extract_all(text, '''[a-z]{1,2}| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+', 0) AS bt
+              |  FROM documents)
+              |SELECT doc_id, len(bt) AS n_bpe,
+              |${r6("list_sum(list_transform(bt, x -> CAST(length(x) AS DOUBLE))) / len(bt)")}
+              |  AS avg_bpe_len
+              |FROM b ORDER BY doc_id""".stripMargin)),
+
     // Language ID by marker-word scoring (n-gram-free heuristic, cf.
     // fastText-style langid reduced to frequency evidence).
     "q52_langid" -> Q(

@@ -76,6 +76,23 @@ class CrossValidationSpec extends SparkSpec {
     assert(probed.map(_.getLong(0)).count(brute) >= 5, "recall@10 under 50% with 4/16 cells")
   }
 
+  test("IVF-cell-blocked cosine pairs are a subset of all-pairs with identical scores") {
+    val emb = Tables.embeddings(spark, sf)
+    val (indexed, _) = SimilarityOps.fitIvf(emb, "vec_id", "embedding", nCells = 8, seed = 7L)
+    val got = SimilarityOps.ivfCosinePairs(indexed, "vec_id", threshold = 0.3, identity)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.nonEmpty, "quantized cells must contain some near pairs")
+    // brute all-pairs oracle on the same engine
+    val brute = SimilarityOps.blockedCosinePairs(
+      emb.withColumn("one", org.apache.spark.sql.functions.lit(1)),
+      "vec_id", "embedding", "one", threshold = 0.3, identity)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    got.foreach { case (k, v) =>
+      assert(brute.contains(k), s"IVF pair $k not in all-pairs set")
+      assert(math.abs(brute(k) - v) < 1e-12)
+    }
+  }
+
   test("SimHash near-pairs are top-tier in UNIGRAM similarity (its actual measure)") {
     // SimHash hashes token multisets: hamming-close pairs may share no
     // trigram at all (word-reordered docs), so the invariant is stated in
