@@ -28,5 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_isect_sorted"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedIntersectCount(exprs(0), exprs(1))))
+    // optimizer rule: size(array_intersect(a, b)) on non-null long arrays
+    // never materializes the intersection
+    e.injectOptimizerRule(_ => graft.functions.RewriteIntersectSize)
   }
 }

@@ -42,6 +42,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "graft_isect_sorted(array(1L, 2L), array(3L, 4L)) AS b, " +
         "graft_isect_sorted(array(), array(1L)) AS c").collect().head
       assert(s.getLong(0) == 2L && s.getLong(1) == 0L && s.getLong(2) == 0L)
+      // optimizer rule: size(array_intersect) over non-null long arrays is
+      // rewritten to intersectcount (no intersection array materialized).
+      // spark.range input: literal arrays would constant-fold to a
+      // LocalRelation before the plan assertion could see the rewrite
+      val df = spark.range(2)
+        .selectExpr("array(id, id + 1, 3L) AS a", "array(id + 1, 9L) AS b")
+        .selectExpr("size(array_intersect(a, b)) AS n")
+      assert(df.queryExecution.optimizedPlan.toString.toLowerCase.contains("intersectcount"),
+        "rule did not fire:\n" + df.queryExecution.optimizedPlan)
+      assert(df.orderBy("n").collect().map(_.getInt(0)).toSeq == Seq(1, 1))
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
