@@ -32,6 +32,33 @@ object JoinOps {
     facts.join(broadcast(events), cond, "left")
   }
 
+  /** Native as-of join through the custom operator
+    * ([[graft.plans.AsOfJoin]] → [[graft.plans.AsOfJoinExec]]): for each
+    * left row, the latest right row at-or-before its timestamp per key;
+    * `valueCols` from the right are appended (null when none). Registers
+    * the planner strategy on the session (idempotent). Same semantics as
+    * [[graft.operators.TimeSeriesOps.asofJoinLast]] (cross-validated in
+    * spec + oracle), but a single forward merge pass per partition with
+    * O(1) state instead of the union-then-window formulation. */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String, rightTs: String,
+                     valueCols: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name)
+        .getOrElse(sys.error(s"column $name not found in ${plan.output.map(_.name)}"))
+    org.apache.spark.sql.GraftSqlShim.ofRows(spark,
+      graft.plans.AsOfJoin(lp, rp,
+        keys.map(attr(lp, _)), keys.map(attr(rp, _)),
+        attr(lp, leftTs), attr(rp, rightTs),
+        valueCols.map(attr(rp, _))))
+  }
+
   /** Severity curve for active intervals: `((t - t0) / (t1 - t0)) ^ 1.5`
     * (reference `get_active_accretions`, `data_generator.py:131-151`). */
   def severity(t: Column, t0: Column, t1: Column): Column = {

@@ -128,6 +128,29 @@ object TimeSeriesQ {
               |  ON g.event_type = r.event_type AND g.ts >= r.ts
               |ORDER BY g.ts, g.event_type""".stripMargin)),
 
+    // J6 through the CUSTOM OPERATOR path: the same as-of semantics planned
+    // via graft.plans.AsOfJoin -> AsOfJoinExec (logical node + strategy +
+    // physical merge join), oracle-identical to q24's union-then-window.
+    "q24b_asof_native" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val right = ev.groupBy("event_type", "ts").agg(max_by(col("value"), col("event_id")).as("value"))
+        val grid = TimeSeriesOps.timeline(ev, "ts")
+        val left = grid.crossJoin(broadcast(ev.select("event_type").distinct()))
+        graft.operators.JoinOps.asofJoinNative(left, right, Seq("event_type"), "ts", "ts", Seq("value"))
+          .select(col("ts"), col("event_type"), col("value"))
+          .orderBy("ts", "event_type")
+      },
+      Some(s"""WITH $sqlGrid,
+              |g AS (SELECT grid.ts, t.event_type FROM grid
+              |      CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+              |r AS (SELECT event_type, ts, arg_max(value, event_id) AS value
+              |      FROM events GROUP BY 1, 2)
+              |SELECT g.ts, g.event_type, r.value
+              |FROM g ASOF LEFT JOIN r
+              |  ON g.event_type = r.event_type AND g.ts >= r.ts
+              |ORDER BY g.ts, g.event_type""".stripMargin)),
+
     // T6: nearest-neighbor reindex (reference `reindex(method='nearest')`,
     // `data_generator.py:953`); ties resolve to the previous value.
     "q25_nearest_reindex" -> Q(

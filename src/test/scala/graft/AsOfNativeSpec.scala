@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{JoinOps, TimeSeriesOps}
+
+/** The custom-operator as-of join (AsOfJoin logical node + strategy +
+  * AsOfJoinExec) must agree exactly with the union-then-window
+  * formulation on randomized multi-key data, and its physical plan must be
+  * the custom exec, not a fallback. */
+class AsOfNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("native as-of join equals union-window as-of on randomized data") {
+    val rnd = new scala.util.Random(42)
+    val keys = Seq("a", "b", "c", "d")
+    val left = (1 to 400).map { _ =>
+      (new Timestamp(1704067200000L + rnd.nextInt(100000) * 1000L), keys(rnd.nextInt(4)))
+    }.toDF("ts", "k")
+    val right = (1 to 300).map { i =>
+      (new Timestamp(1704067200000L + rnd.nextInt(100000) * 1000L), keys(rnd.nextInt(3)), i.toDouble)
+    }.toDF("ts", "k", "v")
+      // contract of both ops: unique (key, ts) on the right
+      .groupBy("k", "ts").agg(max("v").as("v"))
+
+    val expected = TimeSeriesOps.asofJoinLast(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .select("k", "ts", "v")
+    val got = JoinOps.asofJoinNative(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .select("k", "ts", "v")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "native and union-window as-of disagree")
+  }
+
+  test("plan uses AsOfJoinExec; exact-ts ties match; missing key yields nulls") {
+    val left = Seq(
+      (ts("2024-01-01 02:00:00"), "a"),
+      (ts("2024-01-01 02:00:00"), "zzz") // key with no right rows
+    ).toDF("ts", "k")
+    val right = Seq(
+      (ts("2024-01-01 02:00:00"), "a", 2.0), // exact tie: visible
+      (ts("2024-01-01 01:00:00"), "a", 1.0)
+    ).toDF("ts", "k", "v")
+    val out = JoinOps.asofJoinNative(left, right, Seq("k"), "ts", "ts", Seq("v"))
+    assert(out.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "custom exec not in plan:\n" + out.queryExecution.executedPlan)
+    val rows = out.orderBy("k").collect()
+    assert(rows(0).getDouble(2) == 2.0)
+    assert(rows(1).isNullAt(2))
+  }
+}
