@@ -63,8 +63,12 @@ object RewriteIntersectSize extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Size}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // !nullable guards the COLUMNS too: legacy size(NULL) is -1, while the
+    // rewritten expression would return NULL — only rewrite when no null
+    // array can ever reach it
     case Size(ArrayIntersect(a, b), _)
-        if isNonNullLongArray(a.dataType) && isNonNullLongArray(b.dataType) =>
+        if !a.nullable && !b.nullable &&
+          isNonNullLongArray(a.dataType) && isNonNullLongArray(b.dataType) =>
       IntersectCount(a, b)
   }
 

@@ -157,8 +157,10 @@ object AccretionModels {
   def refitRecent(model: PipelineModel, labeled: DataFrame, tsCol: String,
                   days: Int, features: Array[String], labelCol: String,
                   isClassifier: Boolean): (PipelineModel, Double, Double) = {
+    // timestamp interval arithmetic, not date_sub: date_sub coerces to DATE
+    // and would stretch the window boundary back to midnight
     val cutoff = labeled.agg(
-      date_sub(max(col(tsCol)), days).cast("timestamp").as("c"))
+      (max(col(tsCol)) - expr(s"INTERVAL $days DAYS")).as("c"))
       .head.getTimestamp(0)
     val recent = labeled.filter(col(tsCol) >= lit(cutoff))
     val (refit, metric) =

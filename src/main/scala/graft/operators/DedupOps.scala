@@ -214,8 +214,13 @@ object DedupOps {
     val edges = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
       .union(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
       .persist()
+    // type-agnostic fixpoint probe: ids need not be numeric, so sum the
+    // HASH of each label (a changed label multiset changes the sum, since
+    // labels only ever decrease — equality on change needs a 2^-64 hash
+    // collision); coalesce covers the empty-input sum-of-zero-rows NULL
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(coalesce(sum(xxhash64(col("cluster")).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
     var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster")).persist()
     var prevSum = labelSum(labels)
     var i = 0

@@ -145,10 +145,13 @@ object KilnPipeline {
   def trainingMatrix(labeled: DataFrame, zones: Seq[Int], valueCols: Seq[String],
                      maxFeatures: Int = 500): DataFrame = {
     val wide = toWide(labeled, zones, valueCols)
-    val renamed = wide.columns.foldLeft(wide) { (df, c) =>
-      val m = "^(\\d+)_(.+)$".r.findFirstMatchIn(c)
-      m.fold(df)(g => df.withColumnRenamed(c, s"ZONE_${g.group(1)}_${g.group(2)}"))
-    }
+    // one select, not a rename per column: the pivot emits zones × features
+    // columns and each withColumnRenamed would add a full analyzer pass
+    val pat = "^(\\d+)_(.+)$".r
+    val renamed = wide.select(wide.columns.map { c =>
+      pat.findFirstMatchIn(c).fold(col(s"`$c`"))(g =>
+        col(s"`$c`").as(s"ZONE_${g.group(1)}_${g.group(2)}"))
+    }: _*)
     FeatureSelect.reduceDimension(renamed, maxFeatures)
   }
 }

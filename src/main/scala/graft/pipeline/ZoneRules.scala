@@ -37,7 +37,10 @@ object ZoneRules {
     def low(z: Int): Column = temp(z) < thresholds(z)
     def drop(z: Int): Column = lit(thresholds(z)) - temp(z)
 
-    val nLow = zones.map(z => low(z).cast("int")).reduce(_ + _)
+    // when/otherwise, not a bare cast: a NULL temperature must count as
+    // not-low (pandas NaN < thr is False; the oracle's CASE yields 0) —
+    // a bare cast would nullify the whole sum and silently drop alerts
+    val nLow = zones.map(z => when(low(z), 1).otherwise(0)).reduce(_ + _)
     // drop of the worst low zone; greatest() skips the NULLs of non-low zones
     val lowDrops = zones.map(z => when(low(z), drop(z)))
     val maxDrop = if (lowDrops.size == 1) lowDrops.head else greatest(lowDrops: _*)

@@ -243,6 +243,10 @@ object LlmQ {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d).withColumn("t", TextOps.tokens(col("text")))
+        // persist: the two join branches alias columns differently, so their
+        // exchanges canonicalize differently and ReuseExchange cannot share
+        // the tokenize→winnow→df-window pipeline (the DedupOps pattern);
+        // Bench/Verify release the blocks at the query boundary
         val fp = docs
           .withColumn("g", TextOps.gramHashes(col("t"), 3)) // bind before winnow
           .select(col("doc_id"), explode_outer(TextOps.winnowMins(col("g"), 4)).as("f"))
@@ -250,6 +254,7 @@ object LlmQ {
           .withColumn("df", count(lit(1)).over(Window.partitionBy("f")))
           .filter(col("df") <= 25)
           .select("doc_id", "f")
+          .persist()
         fp.select(col("doc_id").as("id_a"), col("f"))
           .join(fp.select(col("doc_id").as("id_b"), col("f")), Seq("f"))
           .filter(col("id_a") < col("id_b"))

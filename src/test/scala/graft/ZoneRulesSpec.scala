@@ -35,6 +35,16 @@ class ZoneRulesSpec extends SparkSpec {
     assert(out(1).getDouble(0) == 0.0)
   }
 
+  test("a NULL zone temperature counts as not-low and cannot nullify the alert") {
+    // z0/z1 low, z2 missing: pandas NaN < thr is False -> zones_low = 2;
+    // regression: a bare cast made the whole sum NULL and dropped alerts
+    val df = Seq((1, Some(700.0), Some(700.0), Option.empty[Double]))
+      .toDF("row_id", "ZONE_0", "ZONE_1", "ZONE_2")
+    val out = ZoneRules.detect(df).collect().head
+    assert(out.getAs[Int]("zones_low") == 2)
+    assert(out.getAs[Int]("direct_detection") == 0)
+  }
+
   test("zones absent from the frame are skipped, as the reference skips missing columns") {
     val df = Seq((1, 700.0)).toDF("row_id", "ZONE_5") // thr 875 -> low
     val out = ZoneRules.detect(df).collect().head
