@@ -76,19 +76,19 @@ object DedupOps {
   }
 
   /** Hashed exploded shingle table: one (id, h) row per distinct shingle
-    * per document, `h = xxhash64(shingle)`. `explode_outer` + isNotNull
-    * instead of plain explode: explode triggers InferFiltersFromGenerate,
-    * whose size(sh)>0 predicate is pushed below the token projection and
-    * re-expands the shingle lambda with an inline split per element
-    * (~10× slowdown — the repo's documented HOF pitfall). */
+    * per document, hashed STRAIGHT from the token n-tuple
+    * ([[TextOps.hashedShingleSet]] — no shingle string is ever built).
+    * `explode_outer` + isNotNull instead of plain explode: explode triggers
+    * InferFiltersFromGenerate, whose size>0 predicate is pushed below the
+    * token projection and re-expands the lambda with an inline split per
+    * element (~10× slowdown — the repo's documented HOF pitfall). */
   private def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
                              n: Int): DataFrame =
     docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
-      .select(col(idCol), TextOps.shingleSet(col("__t"), n).as("sh"))
-      .select(col(idCol), explode_outer(col("sh")).as("s"))
-      .filter(col("s").isNotNull)
-      .select(col(idCol), xxhash64(col("s")).as("h"))
+      .select(col(idCol), TextOps.hashedShingleSet(col("__t"), n).as("sh"))
+      .select(col(idCol), explode_outer(col("sh")).as("h"))
+      .filter(col("h").isNotNull)
 
   /** Exact-Jaccard verification of candidate pairs: join each (id_a, id_b)
     * to the two documents' SORTED hashed shingle arrays and count the

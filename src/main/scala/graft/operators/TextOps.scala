@@ -30,6 +30,17 @@ object TextOps {
     * (≈3× shingle-count regex splits per document; measured 13× slower). */
   def shingleSet(toks: Column, n: Int): Column = array_distinct(shingles(toks, n))
 
+  /** Distinct HASHED shingle set: `xxhash64` the n consecutive tokens
+    * directly — no shingle string is ever concatenated or allocated, and
+    * multi-argument xxhash64 is length-framed per field, so ("ab","c") and
+    * ("a","bc") hash apart where a joined string could not tell them apart.
+    * Same bound-attribute requirement as [[shingleSet]]. */
+  def hashedShingleSet(toks: Column, n: Int): Column = {
+    val idx = sequence(lit(1), size(toks) - lit(n - 1))
+    val make = transform(idx, i => xxhash64((0 until n).map(j => element_at(toks, i + lit(j))): _*))
+    array_distinct(when(size(toks) >= n, make).otherwise(array().cast("array<bigint>")))
+  }
+
   /** Token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
