@@ -30,6 +30,25 @@ object MultimodalOps {
         (floor(octet_length(col(textCol)) / lit(256.0)) + 1).cast("int").as("n_chunks")
       ).as("media_meta"))
 
+  /** Fixed-size payload chunks, one row per chunk — the shard shape that
+    * parallelizes decode across executors when a single media file is
+    * bigger than a task should hold (video frame groups, audio windows).
+    * Chunk count comes from the metadata struct so the explode width is
+    * known without touching the bytes. */
+  def chunks(media: DataFrame, chunkBytes: Int): DataFrame =
+    media.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), col("media_meta.n_chunks") - 1),
+          i => col("payload").substr(i * chunkBytes + 1, lit(chunkBytes)))))
+      .toDF("doc_id", "chunk_idx", "chunk")
+
+  /** Every k-th chunk — deterministic frame sampling (video keyframe /
+    * audio window subsampling) as a pure filter on the chunk index: no
+    * bytes are read for skipped chunks, and the filter pushes into the
+    * chunk explode. */
+  def frameSample(chunked: DataFrame, everyK: Int): DataFrame =
+    chunked.filter(col("chunk_idx") % everyK === 0)
+
   /** Batched per-partition "decode": one codec init per partition, then a
     * streaming pass over rows. Swap the body for a real decoder (JNI codec,
     * ONNX session, ...) without touching the plan shape. */

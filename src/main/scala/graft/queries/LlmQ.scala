@@ -323,6 +323,30 @@ object LlmQ {
       (s, d) => MultimodalOps.decodeFeatures(s,
           MultimodalOps.withPayload(Tables.documents(s, d), "doc_id", "text"))
         .toDF()
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Payload chunking + every-4th frame sampling, hash-verified: the
+    // corpus is ASCII so DuckDB's text substring mirrors the byte slices
+    // exactly (chunk arithmetic, boundaries, and the final short chunk).
+    "q68_mm_chunks" -> Q(
+      (s, d) => {
+        val chunked = MultimodalOps.chunks(
+          MultimodalOps.withPayload(Tables.documents(s, d), "doc_id", "text"), 256)
+        MultimodalOps.frameSample(chunked, 4)
+          .select(col("doc_id"), col("chunk_idx"),
+            md5(col("chunk")).as("chunk_md5"),
+            octet_length(col("chunk")).as("chunk_len"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH m AS (SELECT doc_id, text,
+             |  CAST(floor(octet_length(encode(text)) / 256.0) + 1 AS INT) AS nc
+             |  FROM documents),
+             |c AS (SELECT doc_id, u.i AS chunk_idx,
+             |  substring(text, u.i * 256 + 1, 256) AS chunk
+             |  FROM m, LATERAL (SELECT unnest(generate_series(0, m.nc - 1)) AS i) u)
+             |SELECT doc_id, chunk_idx, md5(chunk) AS chunk_md5,
+             |  octet_length(encode(chunk)) AS chunk_len
+             |FROM c WHERE chunk_idx % 4 = 0
+             |ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }
