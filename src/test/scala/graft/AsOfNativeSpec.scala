@@ -33,6 +33,22 @@ class AsOfNativeSpec extends SparkSpec {
       "native and union-window as-of disagree")
   }
 
+  test("native as-of join survives many keys across many partitions") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 20000).map { _ =>
+      (new Timestamp(1704067200000L + rnd.nextInt(1000000) * 1000L), s"k${rnd.nextInt(200)}")
+    }.toDF("ts", "k")
+    val right = (1 to 10000).map { i =>
+      (new Timestamp(1704067200000L + rnd.nextInt(1000000) * 1000L), s"k${rnd.nextInt(150)}", i.toDouble)
+    }.toDF("ts", "k", "v").groupBy("k", "ts").agg(max("v").as("v"))
+    val expected = TimeSeriesOps.asofJoinLast(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .select("k", "ts", "v")
+    val got = JoinOps.asofJoinNative(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .select("k", "ts", "v")
+    assert(got.count() == 20000)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("plan uses AsOfJoinExec; exact-ts ties match; missing key yields nulls") {
     val left = Seq(
       (ts("2024-01-01 02:00:00"), "a"),
