@@ -67,6 +67,68 @@ object ServingQ {
           .select(col("event_type"), posexplode(col("mesh")).as(Seq("pos", "v_interp")))
           .select(col("event_type"), col("pos"), dec4(col("v_interp")).as("v_interp"))
           .orderBy("event_type", "pos")
-      })
+      },
+      // DuckDB oracle: the knots are EQUALLY SPACED (xs = 1..12, h = 1), so
+      // the 12-knot Thomas solve UNROLLS into lateral column aliases whose
+      // IEEE operations mirror SplineOps.secondDerivs 1:1 — every
+      // intermediate double is bit-identical, no recursion needed. Assumes
+      // each series has >= 12 hourly knots (720 on this data).
+      Some(splineOracleSql))
   )
+
+  /** Unrolled natural-cubic-spline oracle for q46 (see above). */
+  private lazy val splineOracleSql: String = {
+    val n = 12
+    // pivot: y0..y11 by knot rank
+    val ys = (0 until n).map(i => s"max(CASE WHEN rn = ${i + 1} THEN v END) AS y$i").mkString(",\n|  ")
+    // d(i) = 6*((y[i+1]-y[i])/h1 - (y[i]-y[i-1])/h0), h = 1.0
+    val ds = (1 to n - 2).map(i =>
+      s"6 * ((y${i + 1} - y$i) / 1.0 - (y$i - y${i - 1}) / 1.0) AS d$i").mkString(",\n|  ")
+    // Thomas forward sweep, b(0)=1, d(0)=0, c(0)=0; interior a=c=1, b=4
+    // i=1: w = 1/1; b1 = 4 - w*0; dd1 = d1 - w*0
+    val sweep = new StringBuilder(
+      "(1.0 / 1.0) AS w1, 2 * (1.0 + 1.0) - w1 * 0.0 AS b1, d1 - w1 * 0.0 AS dd1")
+    for (i <- 2 to n - 2)
+      sweep.append(s",\n|  (1.0 / b${i - 1}) AS w$i, 2 * (1.0 + 1.0) - w$i * 1.0 AS b$i, " +
+        s"d$i - w$i * dd${i - 1} AS dd$i")
+    // back substitution: m(11)=0 (d11=0/b11=1); m(i) = (dd(i) - c(i)*m(i+1))/b(i)
+    val back = new StringBuilder(s"0.0 AS m${n - 1}")
+    for (i <- n - 2 to 1 by -1)
+      back.append(s",\n|  (dd$i - 1.0 * m${i + 1}) / b$i AS m$i")
+    back.append(",\n|  0.0 AS m0")
+    // evaluation at q = 1 + pos*0.25: i = min(floor(q)-1, 10), t = q-(i+1)
+    def pick(prefix: String): String =
+      (0 until n).map(j => s"WHEN $j THEN $prefix$j").mkString(s"CASE i ", " ", " END")
+    s"""WITH h AS (SELECT date_trunc('hour', ts) AS ts, event_type, avg(value) AS v
+       |  FROM events GROUP BY 1, 2),
+       |k AS (SELECT event_type, v,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn FROM h),
+       |p AS (SELECT event_type,
+       |  $ys
+       |  FROM k WHERE rn <= $n GROUP BY event_type),
+       |s AS (SELECT *,
+       |  $ds
+       |  FROM p),
+       |w AS (SELECT *,
+       |  ${sweep.result()}
+       |  FROM s),
+       |m AS (SELECT *,
+       |  ${back.result()}
+       |  FROM w),
+       |g AS (SELECT unnest(generate_series(0, 44)) AS pos),
+       |e AS (SELECT event_type, pos, 1.0 + pos * 0.25 AS q,
+       |  least(CAST(floor(1.0 + pos * 0.25) AS INT) - 1, ${n - 2}) AS i
+       |  FROM m CROSS JOIN g),
+       |x AS (SELECT e.event_type, e.pos, e.q, e.i,
+       |  (e.q - CAST(e.i + 1 AS DOUBLE)) / 1.0 AS t,
+       |  ${pick("y")} AS yi,
+       |  ${(0 until n).map(j => s"WHEN ${j - 1} THEN y$j").drop(1).mkString("CASE i ", " ", " END")} AS yi1,
+       |  ${pick("m")} AS mi,
+       |  ${(0 until n).map(j => s"WHEN ${j - 1} THEN m$j").drop(1).mkString("CASE i ", " ", " END")} AS mi1
+       |  FROM e JOIN m ON e.event_type = m.event_type)
+       |SELECT event_type, pos,
+       |${r4("(1.0 - t) * yi + t * yi1 + 1.0 * 1.0 / 6.0 * (((1.0 - t) * (1.0 - t) * (1.0 - t) - (1.0 - t)) * mi + (t * t * t - t) * mi1)")}
+       |  AS v_interp
+       |FROM x ORDER BY event_type, pos""".stripMargin
+  }
 }
