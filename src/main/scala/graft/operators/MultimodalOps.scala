@@ -33,14 +33,17 @@ object MultimodalOps {
   /** Fixed-size payload chunks, one row per chunk — the shard shape that
     * parallelizes decode across executors when a single media file is
     * bigger than a task should hold (video frame groups, audio windows).
-    * Chunk count comes from the metadata struct so the explode width is
-    * known without touching the bytes. */
-  def chunks(media: DataFrame, chunkBytes: Int): DataFrame =
+    * Chunk count derives from the payload length and THIS call's chunk
+    * size (`floor(len/chunkBytes)+1`, the metadata convention — an
+    * exact-multiple payload carries one trailing empty chunk). */
+  def chunks(media: DataFrame, chunkBytes: Int): DataFrame = {
+    val n = (floor(octet_length(col("payload")) / lit(chunkBytes.toDouble)) + 1).cast("int")
     media.select(col("doc_id"),
         posexplode(transform(
-          sequence(lit(0), col("media_meta.n_chunks") - 1),
+          sequence(lit(0), n - 1),
           i => col("payload").substr(i * chunkBytes + 1, lit(chunkBytes)))))
       .toDF("doc_id", "chunk_idx", "chunk")
+  }
 
   /** Every k-th chunk — deterministic frame sampling (video keyframe /
     * audio window subsampling) as a pure filter on the chunk index: no
