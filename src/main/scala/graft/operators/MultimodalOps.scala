@@ -46,11 +46,24 @@ object MultimodalOps {
   }
 
   /** Every k-th chunk — deterministic frame sampling (video keyframe /
-    * audio window subsampling) as a pure filter on the chunk index: no
-    * bytes are read for skipped chunks, and the filter pushes into the
-    * chunk explode. */
+    * audio window subsampling) over an ALREADY-chunked frame. NOTE: a
+    * predicate on a generator-output column cannot push below the explode,
+    * so this form materializes every chunk first; when sampling at chunk
+    * time, use [[sampledChunks]], which never slices the skipped bytes. */
   def frameSample(chunked: DataFrame, everyK: Int): DataFrame =
     chunked.filter(col("chunk_idx") % everyK === 0)
+
+  /** Chunk and sample in one pass: the index sequence is filtered BEFORE
+    * slicing, so skipped chunks are never copied out of the payload. */
+  def sampledChunks(media: DataFrame, chunkBytes: Int, everyK: Int): DataFrame = {
+    val n = (floor(octet_length(col("payload")) / lit(chunkBytes.toDouble)) + 1).cast("int")
+    val sampledIdx = filter(sequence(lit(0), n - 1), i => i % everyK === 0)
+    media.select(col("doc_id"),
+        explode(transform(sampledIdx,
+          i => struct(i.as("chunk_idx"),
+            col("payload").substr(i * chunkBytes + 1, lit(chunkBytes)).as("chunk")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk"))
+  }
 
   /** Batched per-partition "decode": one codec init per partition, then a
     * streaming pass over rows. Swap the body for a real decoder (JNI codec,

@@ -31,9 +31,10 @@ object TextOps {
   def shingleSet(toks: Column, n: Int): Column = array_distinct(shingles(toks, n))
 
   /** Distinct HASHED shingle set: `xxhash64` the n consecutive tokens
-    * directly — no shingle string is ever concatenated or allocated, and
-    * multi-argument xxhash64 is length-framed per field, so ("ab","c") and
-    * ("a","bc") hash apart where a joined string could not tell them apart.
+    * directly — no shingle string is ever concatenated or allocated.
+    * Multi-argument xxhash64 chains each field's hash as the next field's
+    * SEED, so ("ab","c") and ("a","bc") hash apart where plain
+    * concatenated-byte hashing could not tell them apart.
     * Same bound-attribute requirement as [[shingleSet]]. */
   def hashedShingleSet(toks: Column, n: Int): Column = {
     val idx = sequence(lit(1), size(toks) - lit(n - 1))

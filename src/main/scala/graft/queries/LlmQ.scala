@@ -330,9 +330,9 @@ object LlmQ {
     // exactly (chunk arithmetic, boundaries, and the final short chunk).
     "q68_mm_chunks" -> Q(
       (s, d) => {
-        val chunked = MultimodalOps.chunks(
-          MultimodalOps.withPayload(Tables.documents(s, d), "doc_id", "text"), 256)
-        MultimodalOps.frameSample(chunked, 4)
+        MultimodalOps.sampledChunks(
+            MultimodalOps.withPayload(Tables.documents(s, d), "doc_id", "text"),
+            chunkBytes = 256, everyK = 4)
           .select(col("doc_id"), col("chunk_idx"),
             md5(col("chunk")).as("chunk_md5"),
             octet_length(col("chunk")).as("chunk_len"))

@@ -58,6 +58,9 @@ object ServingQ {
         val knots = hourly.withColumn("rn", row_number().over(w)).filter(col("rn") <= 12)
           .groupBy("event_type")
           .agg(sort_array(collect_list(struct(col("rn"), col("v")))).as("pts"))
+          // full 12-knot windows only — the unrolled oracle assumes n = 12,
+          // so the contract is enforced on BOTH sides, not assumed
+          .filter(size(col("pts")) === 12)
           .select(col("event_type"),
             expr("transform(pts, p -> cast(p.rn as double))").as("xs"),
             expr("transform(pts, p -> p.v)").as("ys"))
@@ -105,7 +108,8 @@ object ServingQ {
        |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn FROM h),
        |p AS (SELECT event_type,
        |  $ys
-       |  FROM k WHERE rn <= $n GROUP BY event_type),
+       |  FROM k WHERE rn <= $n GROUP BY event_type
+       |  HAVING count(*) >= $n),
        |s AS (SELECT *,
        |  $ds
        |  FROM p),

@@ -18,16 +18,20 @@ class MultimodalChunkSpec extends SparkSpec {
       .select(col("doc_id"), col("chunk_idx"), octet_length(col("chunk")).as("len"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(out == Set((0L, 0, 4), (0L, 1, 4), (0L, 2, 0), (1L, 0, 3)))
-    // reassembling the chunks yields the original payload
+    // reassembling the chunks yields the original payload (driver-side
+    // sort: collect_list order across a shuffle is not contractual)
     val glued = MultimodalOps.chunks(media("hello world, chunked"), 4)
-      .orderBy("chunk_idx").agg(concat_ws("", collect_list(col("chunk").cast("string"))))
-      .collect().head.getString(0)
+      .collect().map(r => r.getInt(1) -> new String(r.getAs[Array[Byte]](2)))
+      .sortBy(_._1).map(_._2).mkString
     assert(glued == "hello world, chunked")
   }
 
-  test("frameSample keeps every k-th chunk only") {
-    val sampled = MultimodalOps.frameSample(MultimodalOps.chunks(media("x" * 40), 4), 3)
+  test("frameSample and sampledChunks agree and keep every k-th chunk only") {
+    val viaFilter = MultimodalOps.frameSample(MultimodalOps.chunks(media("x" * 40), 4), 3)
       .select("chunk_idx").collect().map(_.getInt(0)).toSeq.sorted
-    assert(sampled == Seq(0, 3, 6, 9))
+    assert(viaFilter == Seq(0, 3, 6, 9))
+    val viaSampled = MultimodalOps.sampledChunks(media("x" * 40), 4, 3)
+      .select("chunk_idx").collect().map(_.getInt(0)).toSeq.sorted
+    assert(viaSampled == viaFilter)
   }
 }
