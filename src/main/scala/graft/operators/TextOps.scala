@@ -90,6 +90,24 @@ object TextOps {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** Fraction of the document occupied by its single most frequent token —
+    * the Gopher-style repetition signal (boilerplate and degenerate docs
+    * score high). O(|distinct| · |tokens|) per document in pure HOFs; fine
+    * for the ≤ thousands-of-tokens documents this targets. `toks` must be
+    * a bound attribute (see [[shingleSet]]). */
+  def topTokenFrac(toks: Column): Column =
+    when(size(toks) > 0,
+      array_max(transform(array_distinct(toks),
+        x => size(filter(toks, y => y === x)))) / size(toks))
+
+  /** Fraction of 2-grams that are repeats of an earlier 2-gram in the same
+    * document (Gopher's duplicate-n-gram fraction, n=2): a high value means
+    * looping/templated text. `toks` must be a bound attribute. */
+  def dupBigramFrac(toks: Column): Column = {
+    val g = shingles(toks, 2)
+    when(size(g) > 0, (size(g) - size(array_distinct(g))) / size(g))
+  }
+
   /** Language markers for the n-gram-free language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and"),

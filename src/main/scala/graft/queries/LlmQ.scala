@@ -67,6 +67,35 @@ object LlmQ {
               |${r6("least(1.0, n / 200.0) * (1.0 - CAST(n_stop AS DOUBLE) / n)")} AS quality
               |FROM x ORDER BY doc_id""".stripMargin)),
 
+    // Gopher-style repetition quality signals: most-frequent-token fraction
+    // and duplicate-2-gram fraction, with the composite keep flag — the
+    // repetition half of a pre-training quality filter (q51 covers the
+    // stopword/length half). Pure HOFs both sides.
+    "q69_repetition" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d).withColumn("t", TextOps.tokens(col("text")))
+        docs.select(col("doc_id"),
+            dec6(TextOps.topTokenFrac(col("t"))).as("top_token_frac"),
+            dec6(TextOps.dupBigramFrac(col("t"))).as("dup_2gram_frac"))
+          .withColumn("keep",
+            (col("top_token_frac") <= 0.2 && col("dup_2gram_frac") <= 0.3).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlToks,
+              |x AS (SELECT doc_id,
+              |  CASE WHEN len(t) > 0 THEN
+              |    CAST(list_max(list_transform(list_distinct(t),
+              |      x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t) END AS tf,
+              |  CASE WHEN len(t) >= 2 THEN (
+              |    CAST(len(t) - 1 - len(list_distinct(list_transform(
+              |      generate_series(1, len(t) - 1),
+              |      i -> concat_ws(' ', t[i], t[i+1])))) AS DOUBLE)) / (len(t) - 1)
+              |  WHEN len(t) > 0 THEN NULL END AS df
+              |  FROM toks)
+              |SELECT doc_id, ${r6("tf")} AS top_token_frac, ${r6("df")} AS dup_2gram_frac,
+              |CAST(round(tf, 6) <= 0.2 AND round(df, 6) <= 0.3 AS INT) AS keep
+              |FROM x ORDER BY doc_id""".stripMargin)),
+
     // BPE-ish subword tokenization (GPT-2-style pretokenizer reduced to
     // ASCII classes: contraction suffixes, space-prefixed letter/digit
     // runs, punctuation runs) — the token COUNT a tokenizer-budget filter
