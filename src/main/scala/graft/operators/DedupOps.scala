@@ -197,51 +197,103 @@ object DedupOps {
     verifyJaccard(cand, ex, idCol, threshold)
   }
 
+  /** Large-star contraction step (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): for each node u, connect every
+    * strictly-LARGER neighbor v to m = min({u} ∪ Γ(u)). Input/output edges
+    * are (u, v) with u > v; the step preserves connectivity and never emits
+    * self-loops (m ≤ u < emitted first endpoint). Output size ≤ |E|: each
+    * undirected edge is emitted only from its smaller endpoint's star.
+    * One window on the symmetrized adjacency — no join. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    sym
+      .withColumn("m", least(col("u"), min("v").over(Window.partitionBy("u"))))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star contraction step: for each node u, connect u and all its
+    * SMALLER neighbors to m = min of those neighbors. Input/output edges
+    * are (u, v) with u > v (so the per-u window sees exactly the smaller
+    * neighbors). Emits (v, m) for each smaller neighbor v plus (u, m);
+    * v == m self-loops are dropped. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val withM = e.withColumn("m", min("v").over(Window.partitionBy("u")))
+    withM.select(col("v").as("u"), col("m").as("v"))
+      .union(withM.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
   /** Collapse near-dup PAIRS into duplicate clusters: connected components
-    * by iterative min-label propagation. Every doc starts labeled with its
-    * own id; each round takes the min of its label and its neighbors'
-    * labels, so the min id of each component floods outward — rounds ≤
-    * component diameter (near-dup clusters are dense, typically 2-3
-    * rounds). Each round is one equi-join + groupBy on the edge list; the
-    * convergence probe compares a strictly-decreasing label sum, avoiding
-    * a second join. This is the representative/cluster path that makes a
-    * keep-list out of pairwise output: keep `id == cluster`, drop the rest.
+    * by ALTERNATING large-star / small-star contraction (Kiveris et al.,
+    * SoCC'14) — converges in O(log² n) rounds on ANY component shape
+    * (chains included), where min-label flooding needs O(diameter) rounds.
+    * At the fixpoint the edge set is a star forest: every non-root node
+    * carries exactly one edge to its component's minimum id.
+    *
+    * Scale hygiene, each round:
+    *  - both steps are windows over the edge list only (docs join happens
+    *    once, at the end) — no per-round join against the full corpus;
+    *  - the round's output is `localCheckpoint`ed, so lineage stays one
+    *    round deep — a lost executor replays one round, not the whole
+    *    chain (at 100 TB on a real cluster prefer reliable
+    *    `checkpoint()`/staging writes over local blocks);
+    *  - the convergence probe (edge count + xxhash64 sum) is folded into
+    *    the single action that materializes the round — no second job.
+    *    Equal (count, hash-sum) across rounds on different edge sets needs
+    *    a 2⁻⁶⁴ collision; a NULL hash-sum (decimal(38,0) overflow needs
+    *    ≥ 10¹⁹ edges — unreachable, but checked per the advisory) is
+    *    treated as "changed", never as a false fixpoint.
+    *
+    * This is the representative/cluster path that makes a keep-list out of
+    * pairwise output: keep `id == cluster`, drop the rest. Throws if the
+    * loop exits without reaching the star-forest fixpoint (labels could
+    * point at a non-root, silently breaking the keep-list recipe).
     *
     * Returns (id, cluster, is_duplicate) for every doc in `docs` —
     * unpaired docs are their own singleton cluster. */
   def nearDupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
-                      maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
-      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
-      .persist()
-    // type-agnostic fixpoint probe: ids need not be numeric, so sum the
-    // HASH of each label (a changed label multiset changes the sum, since
-    // labels only ever decrease — equality on change needs a 2^-64 hash
-    // collision); coalesce covers the empty-input sum-of-zero-rows NULL
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(xxhash64(col("cluster")).cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster")).persist()
-    var prevSum = labelSum(labels)
+                      maxIter: Int = 50): DataFrame = {
+    // probe = (edge count, hash-sum of canonical edges); None = overflow/unknown
+    def probe(df: DataFrame): (Long, Option[java.math.BigDecimal]) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
+      (r.getLong(0), Option(r.getDecimal(1)))
+    }
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(false)
+    var prev = probe(edges)
     var i = 0
-    var done = false
+    var done = prev._1 == 0L // no edges: all singletons, skip the loop
     while (!done && i < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("nbr"), col("cluster").as("nc")), "nbr")
-        .groupBy("id").agg(min("nc").as("nmin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .persist()
-      val nextSum = labelSum(next)
-      labels.unpersist()
-      labels = next
-      done = nextSum.compareTo(prevSum) == 0 // labels only decrease: equal sum = fixpoint
-      prevSum = nextSum
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val p = probe(next) // materializes the checkpoint — the round's one action
+      // the dropped round's checkpoint blocks are RDD-level (not in the SQL
+      // CacheManager); the ContextCleaner reclaims them once unreferenced
+      edges = next
+      done = p._1 == prev._1 && p._2.isDefined && prev._2.isDefined &&
+        p._2.get.compareTo(prev._2.get) == 0
+      prev = p
       i += 1
     }
-    edges.unpersist()
-    labels.withColumn("is_duplicate", (col("id") =!= col("cluster")).cast("int"))
+    if (!done) {
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxIter rounds; raise maxIter")
+    }
+    // star forest: each non-root u has exactly one edge (u → component min);
+    // min() is belt-and-braces against a non-star state that slipped the probe
+    val roots = edges.groupBy("u").agg(min("v").as("cluster"))
+      .select(col("u").as("id"), col("cluster"))
+    docs.select(col(idCol).as("id"))
+      .join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      .withColumn("is_duplicate", (col("id") =!= col("cluster")).cast("int"))
   }
 
   // SimHash vote packing: 3 bit-counters per long accumulator, 21 bits each.
