@@ -90,16 +90,57 @@ object DedupOps {
       .select(col(idCol), explode_outer(col("sh")).as("h"))
       .filter(col("h").isNotNull)
 
-  /** Exact-Jaccard verification of candidate pairs: join each (id_a, id_b)
-    * to the two documents' SORTED hashed shingle arrays and count the
-    * overlap with one zero-allocation merge per pair
+  /** Exact-Jaccard verification of candidate pairs WITHOUT materializing
+    * per-doc shingle arrays: fan each candidate pair out to doc a's
+    * exploded shingles, equi-join against doc b's shingles on (id_b, h),
+    * and count the matches — |A∩B| as a pure count aggregate. Every
+    * shuffled row is (id, id, h) = three 8-byte words, so the payload per
+    * row is CONSTANT regardless of document length; the array-based
+    * alternative ([[verifyJaccardArrays]]) ships each doc's entire
+    * distinct-shingle set as one array cell. Cost model: count-based moves
+    * O(Σ_pairs |A|) small rows AND re-shuffles the whole exploded table by
+    * (id, h); array-based aggregates the exploded table once per doc and
+    * lets AQE broadcast the candidate side. MEASURED at sf0.1 (q55/q56/
+    * q65): array wins 5.9 s vs 9.2 s on q55 — candidates are few after
+    * prefix filtering and the sets table broadcasts — so callers default
+    * to `arrayVerify = true`. The 100 TB implication cuts the other way:
+    * for BOOK-LENGTH docs the array cell (every distinct shingle of the
+    * doc) dominates the shuffle and can exceed a single row's sane size,
+    * while the count join's row width stays 24 bytes regardless — flip to
+    * count-based when avg doc shingle count × candidate fan-in outgrows
+    * executor memory per cell.
+    * Inner joins are sound: every PPJoin/LSH candidate shares ≥ 1 shingle
+    * and threshold > 0, so zero-overlap pairs can't be output anyway.
+    * |A∪B| = |A|+|B|−|A∩B|, so no union is ever materialized. */
+  private def verifyJaccard(cand: DataFrame, ex: DataFrame, idCol: String,
+                            threshold: Double): DataFrame = {
+    val szs = ex.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    cand
+      .join(ex.select(col(idCol).as("id_a"), col("h")), "id_a")
+      .join(ex.select(col(idCol).as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      .join(szs.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(szs.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Array-based exact-Jaccard verification (the measured alternative to
+    * [[verifyJaccard]]): join each (id_a, id_b) to the two documents'
+    * SORTED hashed shingle arrays and count the overlap with one
+    * zero-allocation merge per pair
     * ([[graft.functions.SortedIntersectCount]] — `array_intersect` builds a
     * hash set per invocation) — no per-shingle fan-out, no re-aggregation.
     * The array table is one row per doc (AQE broadcasts it when small; at
-    * 100 TB it hash-joins on id — still one row per doc).
-    * |A∪B| = |A|+|B|−|A∩B|, so no union array is ever materialized. */
-  private def verifyJaccard(cand: DataFrame, ex: DataFrame, idCol: String,
-                            threshold: Double): DataFrame = {
+    * 100 TB it hash-joins on id — still one row per doc), but each cell
+    * carries the doc's whole distinct-shingle set through the shuffle.
+    * Kept for workloads where candidates per doc is high enough that the
+    * count-based fan-out (O(Σ_pairs |A|) rows) exceeds shipping each array
+    * once. |A∪B| = |A|+|B|−|A∩B|, so no union array is materialized. */
+  private def verifyJaccardArrays(cand: DataFrame, ex: DataFrame, idCol: String,
+                                  threshold: Double): DataFrame = {
     graft.functions.VectorFunctions.register(ex.sparkSession)
     val sets = ex.groupBy(idCol)
       .agg(sort_array(collect_list("h")).as("hs"), count(lit(1)).as("sz"))
@@ -134,10 +175,13 @@ object DedupOps {
     *
     * Document frequency comes from a window on the hash partitioning (no
     * aggregate+join round trip), `rn`/`sz` share one id-partitioned sort,
-    * and every shuffle key is an 8-byte hash. Verification is one
-    * `array_intersect` per surviving pair ([[verifyJaccard]]). */
+    * and every shuffle key is an 8-byte hash. Verification defaults to the
+    * constant-row-width count join ([[verifyJaccard]]); `arrayVerify`
+    * switches to one sorted-merge intersect per pair
+    * ([[verifyJaccardArrays]]) for candidate-dense workloads. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
+                        n: Int, threshold: Double,
+                        arrayVerify: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
     val ex = hashedShingles(docs, idCol, textCol, n).persist()
     val wId = Window.partitionBy(idCol)
@@ -149,6 +193,14 @@ object DedupOps {
       .withColumn("rn", row_number().over(wId.orderBy(col("df"), col("h"))))
       .withColumn("sz", count(lit(1)).over(wId)) // distinct per doc: count = |set|
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      // df == 1 shingles appear in exactly one doc, so the self-join on h can
+      // only pair them with themselves (excluded by id_a < id_b) — dropping
+      // the ROWS (after rn/sz are fixed on the full ordered set, so the
+      // positional filter still sees true positions) loses zero candidates.
+      // Rarest-first ordering puts df==1 shingles at the FRONT of every
+      // prefix, so for mostly-unique corpora this removes the bulk of the
+      // join input — the lever that keeps prefix joins cheap at 100 TB.
+      .filter(col("df") >= 2)
       .select(col(idCol), col("h"), col("rn"), col("sz"))
       .persist()
     val pa = prefix.select(col(idCol).as("id_a"), col("h"),
@@ -163,7 +215,8 @@ object DedupOps {
       .filter(lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) >= alpha)
       .select("id_a", "id_b")
       .distinct()
-    verifyJaccard(cand, ex, idCol, threshold)
+    if (arrayVerify) verifyJaccardArrays(cand, ex, idCol, threshold)
+    else verifyJaccard(cand, ex, idCol, threshold)
   }
 
   /** MinHash signatures + LSH banding: shingle→xxhash64→k independent
@@ -176,7 +229,8 @@ object DedupOps {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 64, rows: Int = 4,
                       threshold: Double = 0.3,
-                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                      maxBucketSize: Int = Int.MaxValue,
+                      arrayVerify: Boolean = true): DataFrame = {
     require(numHashes % rows == 0, s"numHashes ($numHashes) must divide evenly into rows of $rows")
     val bands = numHashes / rows
     // persist: the signature aggregate, the size aggregate, and both
@@ -192,9 +246,9 @@ object DedupOps {
     val buckets = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val cand = pairsByBucket(buckets, idCol, Seq("band", "bh"), maxBucketSize)
-    // exact-Jaccard verification restricted to LSH candidates: one
-    // array_intersect per candidate pair (see verifyJaccard).
-    verifyJaccard(cand, ex, idCol, threshold)
+    // exact-Jaccard verification restricted to LSH candidates
+    if (arrayVerify) verifyJaccardArrays(cand, ex, idCol, threshold)
+    else verifyJaccard(cand, ex, idCol, threshold)
   }
 
   /** Large-star contraction step (Kiveris et al., "Connected Components in
