@@ -48,7 +48,19 @@ object JoinOps {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     val lp = left.queryExecution.analyzed
-    val rp = right.queryExecution.analyzed
+    val rpRaw = right.queryExecution.analyzed
+    // Self-join safety: if the right plan shares lineage with the left, a
+    // rightValues attribute whose exprId also occurs in left.output would
+    // make AsOfJoinExec's output projection bind that slot to the LEFT
+    // row's column — silently returning left-side values. Re-alias the
+    // whole right output to fresh exprIds (what DeduplicateRelations does
+    // for built-in joins) whenever the two outputs intersect.
+    val rp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      if (rpRaw.outputSet.intersect(lp.outputSet).nonEmpty)
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          rpRaw.output.map(a =>
+            org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rpRaw)
+      else rpRaw
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
       plan.output.find(_.name == name)
         .getOrElse(sys.error(s"column $name not found in ${plan.output.map(_.name)}"))

@@ -80,12 +80,15 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     val rVals = rightValues
     val outAttrs = output
     val keyTypes = leftKeys.map(_.dataType)
+    val keyArity = leftKeys.length
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // ONE fused (keys..., ts) projection per side: the natural-ascending
+      // ordering below only reads the first `keyArity` fields, so the
+      // appended ts rides along free and is read positionally — halves the
+      // per-row projection count vs separate key/ts projections.
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
-      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
-      val lTsProj = UnsafeProjection.create(Seq(lTsExpr), lOut)
-      val rTsProj = UnsafeProjection.create(Seq(rTsExpr), rOut)
+      val lKtProj = UnsafeProjection.create(lKeyExprs :+ lTsExpr, lOut)
+      val rKtProj = UnsafeProjection.create(rKeyExprs :+ rTsExpr, rOut)
       val rValProj = UnsafeProjection.create(rVals, rOut)
       // bind the right section NULLABLE: unmatched left rows feed nulls
       // even when the source attribute was non-nullable, and a
@@ -94,30 +97,49 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rVals.length)
       val rBuf = rIter.buffered
-      // O(1) merge state: the latest right (key, values) consumed so far
-      var holderKey: UnsafeRow = null
-      var holderVals: UnsafeRow = null
+      // O(1) merge state, allocation-free in steady state: the holders own
+      // their byte[] buffers and are refilled IN PLACE via copyFrom (which
+      // grows the buffer only when a larger row arrives). The previous
+      // copy()-per-consumed-row form allocated two fresh UnsafeRows for
+      // every right row it passed over — the measured 3× small-scale loss
+      // against the union-window formulation. The key holder is refilled
+      // only when the right key actually changes, and an unconsumed peek's
+      // projection is cached across left rows instead of re-evaluated.
+      val holderKey = new UnsafeRow(keyTypes.length + 1)
+      holderKey.pointTo(new Array[Byte](64), 64)
+      val holderVals = new UnsafeRow(rVals.length)
+      holderVals.pointTo(new Array[Byte](64), 64)
+      var holderValid = false
+      // cached projection of the current (unconsumed) right head; the
+      // projection's reused output row stays valid until the next apply,
+      // which happens only after the head is consumed
+      var rkt: UnsafeRow = null
+      var rTs = 0L
+      var peekValid = false
       lIter.map { lrow =>
-        val lKey = lKeyProj(lrow)
-        val lTsRow = lTsProj(lrow)
-        val lTsNull = lTsRow.isNullAt(0)
-        val lTs = if (lTsNull) Long.MinValue else lTsRow.getLong(0)
+        val lkt = lKtProj(lrow)
+        val lTsNull = lkt.isNullAt(keyArity)
+        val lTs = if (lTsNull) Long.MinValue else lkt.getLong(keyArity)
         var scanning = !lTsNull
-        while (scanning && rBuf.hasNext) {
-          val peek = rBuf.head
-          val rKey = rKeyProj(peek)
-          val cmp = keyOrd.compare(rKey, lKey)
-          val rTsRow = rTsProj(peek)
-          val rTs = if (rTsRow.isNullAt(0)) Long.MinValue else rTsRow.getLong(0)
+        while (scanning && (peekValid || rBuf.hasNext)) {
+          if (!peekValid) {
+            rkt = rKtProj(rBuf.head)
+            rTs = if (rkt.isNullAt(keyArity)) Long.MinValue else rkt.getLong(keyArity)
+            peekValid = true
+          }
+          val cmp = keyOrd.compare(rkt, lkt) // key-prefix compare
           if (cmp < 0 || (cmp == 0 && rTs <= lTs)) {
             if (cmp == 0) { // candidate "latest at or before" for this key
-              holderKey = rKey.copy()
-              holderVals = rValProj(peek).copy()
+              if (!holderValid || keyOrd.compare(holderKey, rkt) != 0)
+                holderKey.copyFrom(rkt)
+              holderVals.copyFrom(rValProj(rBuf.head))
+              holderValid = true
             }
             rBuf.next() // consume; earlier-key rows are simply passed over
+            peekValid = false
           } else scanning = false
         }
-        val matched = holderKey != null && keyOrd.compare(holderKey, lKey) == 0
+        val matched = holderValid && keyOrd.compare(holderKey, lkt) == 0
         outProj(joined(lrow, if (matched) holderVals else nullRight))
       }
     }

@@ -65,4 +65,21 @@ class AsOfNativeSpec extends SparkSpec {
     assert(rows(0).getDouble(2) == 2.0)
     assert(rows(1).isNullAt(2))
   }
+
+  test("self as-of join (shared lineage) returns RIGHT-side values, not left") {
+    // left and right share exprIds: without re-aliasing the right plan,
+    // the output projection would bind the appended value slot to the
+    // LEFT row's column and silently echo left values back
+    val df = Seq(
+      (ts("2024-01-01 01:00:00"), "a", 1.0),
+      (ts("2024-01-01 02:00:00"), "a", 2.0),
+      (ts("2024-01-01 03:00:00"), "a", 3.0)
+    ).toDF("ts", "k", "v")
+    val right = df.filter(col("v") <= 1.0) // same lineage, same exprIds
+    val out = JoinOps.asofJoinNative(df, right, Seq("k"), "ts", "ts", Seq("v"))
+    // columns: ts, k, v(left), v(right-appended) — check positionally
+    val got = out.orderBy("ts").collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0)),
+      s"right-appended values wrong: ${got.toSeq}")
+  }
 }
