@@ -152,6 +152,12 @@ object KilnPipeline {
       pat.findFirstMatchIn(c).fold(col(s"`$c`"))(g =>
         col(s"`$c`").as(s"ZONE_${g.group(1)}_${g.group(2)}"))
     }: _*)
-    FeatureSelect.reduceDimension(renamed, maxFeatures)
+    // ts is the frame's INDEX (the reference's DatetimeIndex, which
+    // reduce_dimension never sees in pandas) — it never competes for the
+    // feature cap and always survives the cut
+    val features = renamed.columns.filterNot(_ == "ts").toIndexedSeq
+    val keep = FeatureSelect.selectColumns(features, maxFeatures)
+    if (keep.size == features.size) renamed
+    else renamed.select(col("ts") +: keep.map(c => col(s"`$c`")): _*)
   }
 }

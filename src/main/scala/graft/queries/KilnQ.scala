@@ -33,6 +33,59 @@ object KilnQ {
     """grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
       |  TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS ts)""".stripMargin
 
+  /** The full preprocess→feature→risk→label pipeline as DuckDB CTEs,
+    * ending in `e` = one row per (ts, zone) with temp/anomaly/drops_12h/
+    * risk_score/accretion_active/dtc — shared by q73 (long output) and
+    * q75 (pivoted training matrix). */
+  private val pipeSql: String =
+    s"""${zlSql("0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10")},
+       |zh AS (SELECT date_trunc('hour', ts) AS ts, zone, avg(temp) AS temp
+       |  FROM zl GROUP BY 1, 2),
+       |a AS (SELECT ts, zone, temp,
+       |    count(temp) OVER wp AS cnt,
+       |    avg(temp) OVER wp AS m,
+       |    greatest(stddev_pop(temp) OVER wp, 0.001) AS sd,
+       |    lag(temp) OVER wz AS prev_temp
+       |  FROM zh
+       |  WINDOW wp AS (PARTITION BY zone ORDER BY ts
+       |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+       |  wz AS (PARTITION BY zone ORDER BY ts)),
+       |b AS (SELECT ts, zone, temp,
+       |    CASE WHEN cnt <= 12 THEN 0
+       |         WHEN temp < m - 2.0 * sd THEN -1
+       |         WHEN temp > m + 2.0 * sd THEN 1 ELSE 0 END AS anomaly,
+       |    CASE WHEN cnt > 12 THEN m END AS am,
+       |    CASE WHEN prev_temp IS NOT NULL AND temp < prev_temp THEN 1 ELSE 0 END AS cooling_dec
+       |  FROM a),
+       |c AS (SELECT *,
+       |    CAST(sum(CASE WHEN anomaly = -1 THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY zone ORDER BY ts
+       |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT) AS drops_12h
+       |  FROM b),
+       |d AS (SELECT *, greatest(least(
+       |    CASE WHEN anomaly = -1 THEN 1.0 ELSE 0.0 END * 0.4
+       |    + coalesce(drops_12h / 12.0, 0.0) * 0.3
+       |    + CASE WHEN cooling_dec = 1 THEN 1.0 ELSE 0.0 END * 0.1
+       |    + coalesce(CASE WHEN am > 0 THEN (am - temp) / am ELSE 0.0 END, 0.0) * 0.2,
+       |    1.0), 0.0) AS risk_score
+       |  FROM c),
+       |e AS (SELECT d.*,
+       |    CASE WHEN ev.zone = d.zone THEN 1 ELSE 0 END AS accretion_active,
+       |    CASE WHEN ev.zone = d.zone
+       |         THEN (epoch(ev.critical_date) - epoch(d.ts)) / 86400.0 END AS dtc
+       |  FROM d LEFT JOIN (SELECT 5 AS zone,
+       |      TIMESTAMP '2024-01-11 00:00:00' AS start_date,
+       |      TIMESTAMP '2024-01-16 00:00:00' AS critical_date) ev
+       |    ON d.ts >= ev.start_date AND d.ts < ev.critical_date)""".stripMargin
+
+  /** q75's pivot config: zones × these measures, capped to `tmMax` features
+    * by [[graft.pipeline.FeatureSelect.selectColumns]] — the oracle SQL is
+    * GENERATED from the same keep-list, so the numeric content of exactly
+    * the surviving columns is what DuckDB re-verifies (the selection order
+    * itself is pinned independently by FeatureSelectSpec). */
+  private val tmValueCols = Seq("temp", "anomaly", "risk_score", "accretion_active")
+  private val tmMax = 20
+
   val queries: ListMap[String, Q] = ListMap(
 
     // T5/S-family flagship: KilnSources.alignAll over all five fixture
@@ -132,45 +185,7 @@ object KilnQ {
           col("accretion_next_24h"), col("accretion_next_48h"), col("accretion_next_72h"))
           .orderBy("ts", "zone")
       },
-      Some(s"""WITH ${zlSql("0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10")},
-              |zh AS (SELECT date_trunc('hour', ts) AS ts, zone, avg(temp) AS temp
-              |  FROM zl GROUP BY 1, 2),
-              |a AS (SELECT ts, zone, temp,
-              |    count(temp) OVER wp AS cnt,
-              |    avg(temp) OVER wp AS m,
-              |    greatest(stddev_pop(temp) OVER wp, 0.001) AS sd,
-              |    lag(temp) OVER wz AS prev_temp
-              |  FROM zh
-              |  WINDOW wp AS (PARTITION BY zone ORDER BY ts
-              |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
-              |  wz AS (PARTITION BY zone ORDER BY ts)),
-              |b AS (SELECT ts, zone, temp,
-              |    CASE WHEN cnt <= 12 THEN 0
-              |         WHEN temp < m - 2.0 * sd THEN -1
-              |         WHEN temp > m + 2.0 * sd THEN 1 ELSE 0 END AS anomaly,
-              |    CASE WHEN cnt > 12 THEN m END AS am,
-              |    CASE WHEN prev_temp IS NOT NULL AND temp < prev_temp THEN 1 ELSE 0 END AS cooling_dec
-              |  FROM a),
-              |c AS (SELECT *,
-              |    CAST(sum(CASE WHEN anomaly = -1 THEN 1 ELSE 0 END) OVER (
-              |      PARTITION BY zone ORDER BY ts
-              |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT) AS drops_12h
-              |  FROM b),
-              |d AS (SELECT *, greatest(least(
-              |    CASE WHEN anomaly = -1 THEN 1.0 ELSE 0.0 END * 0.4
-              |    + coalesce(drops_12h / 12.0, 0.0) * 0.3
-              |    + CASE WHEN cooling_dec = 1 THEN 1.0 ELSE 0.0 END * 0.1
-              |    + coalesce(CASE WHEN am > 0 THEN (am - temp) / am ELSE 0.0 END, 0.0) * 0.2,
-              |    1.0), 0.0) AS risk_score
-              |  FROM c),
-              |e AS (SELECT d.*,
-              |    CASE WHEN ev.zone = d.zone THEN 1 ELSE 0 END AS accretion_active,
-              |    CASE WHEN ev.zone = d.zone
-              |         THEN (epoch(ev.critical_date) - epoch(d.ts)) / 86400.0 END AS dtc
-              |  FROM d LEFT JOIN (SELECT 5 AS zone,
-              |      TIMESTAMP '2024-01-11 00:00:00' AS start_date,
-              |      TIMESTAMP '2024-01-16 00:00:00' AS critical_date) ev
-              |    ON d.ts >= ev.start_date AND d.ts < ev.critical_date)
+      Some(s"""WITH $pipeSql
               |SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, zone,
               |${r6("temp")} AS temp, anomaly, drops_12h,
               |${r6("risk_score")} AS risk_score,
@@ -226,6 +241,41 @@ object KilnQ {
            |CASE WHEN zones_low >= 3 THEN $argmax END AS most_affected_zone,
            |${r6("CAST(zones_low AS DOUBLE) / greatest(8, max(zones_low) OVER ())")} AS temp_risk_norm
            |FROM f ORDER BY ts""".stripMargin
+      }),
+
+    // The reference's FINAL training artifact (`pre_processing.py:1941`,
+    // reduce_dimension 1564-1739): the labeled frame pivoted wide with
+    // ZONE_<z>_<feature> names, capped by the priority-class feature
+    // selector. The cap BINDS here (44 pivot columns, tmMax = 20), so the
+    // gate exercises both the pivot arithmetic and the selection; DuckDB
+    // recomputes the surviving columns via conditional aggregation over
+    // the same pipeline CTEs.
+    "q75_training_matrix" -> Q(
+      (s, _) => {
+        val readings = KilnSources.zoneWideToLong(KilnFixture.zoneWide(s))
+        val labeled = KilnPipeline.process(readings, KilnFixture.eventsForPipeline(s))
+        val tm = KilnPipeline.trainingMatrix(labeled, KilnSources.zones, tmValueCols, tmMax)
+        tm.select(tm.columns.map {
+          case "ts" => date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts")
+          case c if c.endsWith("_temp") || c.endsWith("_risk_score") => dec6(col(c)).as(c)
+          case c => col(c)
+        }.toIndexedSeq: _*).orderBy("ts")
+      },
+      Some {
+        val pivotCols = for (z <- KilnSources.zones; f <- tmValueCols)
+          yield s"ZONE_${z}_$f"
+        val kept = graft.pipeline.FeatureSelect.selectColumns(pivotCols, tmMax)
+        val zf = "^ZONE_(\\d+)_(.+)$".r
+        val exprs = kept.map { c =>
+          val m = zf.findFirstMatchIn(c).get
+          val base = s"max(CASE WHEN zone = ${m.group(1)} THEN ${m.group(2)} END)"
+          val e = if (m.group(2) == "temp" || m.group(2) == "risk_score") r6(base) else base
+          s"""$e AS "$c""""
+        }.mkString(",\n|")
+        s"""WITH $pipeSql
+           |SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           |$exprs
+           |FROM e GROUP BY ts ORDER BY ts""".stripMargin
       })
   )
 }
