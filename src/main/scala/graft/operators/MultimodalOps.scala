@@ -30,13 +30,29 @@ object MultimodalOps {
         (floor(octet_length(col(textCol)) / lit(256.0)) + 1).cast("int").as("n_chunks")
       ).as("media_meta"))
 
+  /** BYTE-SEMANTICS CONTRACT: chunk math mixes `octet_length` (bytes) with
+    * `substr`, and `substr` is only byte-addressed on BinaryType — on a
+    * StringType payload it counts CHARACTERS, so any non-ASCII payload
+    * would get misaligned chunk boundaries and a wrong chunk count. The
+    * chunking ops therefore REQUIRE a BinaryType `payload` (what
+    * [[withPayload]] produces); string payloads must be cast to binary
+    * (UTF-8 bytes) first, and the requirement fails fast otherwise. */
+  private def requireBinaryPayload(media: DataFrame, op: String): Unit = {
+    val dt = media.schema("payload").dataType
+    require(dt == org.apache.spark.sql.types.BinaryType,
+      s"$op requires a BinaryType 'payload' column (byte-addressed substr); got $dt — " +
+        "cast string payloads to binary (UTF-8) first, e.g. col.cast(\"binary\")")
+  }
+
   /** Fixed-size payload chunks, one row per chunk — the shard shape that
     * parallelizes decode across executors when a single media file is
     * bigger than a task should hold (video frame groups, audio windows).
     * Chunk count derives from the payload length and THIS call's chunk
     * size (`floor(len/chunkBytes)+1`, the metadata convention — an
-    * exact-multiple payload carries one trailing empty chunk). */
+    * exact-multiple payload carries one trailing empty chunk).
+    * Payload must be BinaryType — see [[requireBinaryPayload]]. */
   def chunks(media: DataFrame, chunkBytes: Int): DataFrame = {
+    requireBinaryPayload(media, "chunks")
     val n = (floor(octet_length(col("payload")) / lit(chunkBytes.toDouble)) + 1).cast("int")
     media.select(col("doc_id"),
         posexplode(transform(
@@ -54,8 +70,10 @@ object MultimodalOps {
     chunked.filter(col("chunk_idx") % everyK === 0)
 
   /** Chunk and sample in one pass: the index sequence is filtered BEFORE
-    * slicing, so skipped chunks are never copied out of the payload. */
+    * slicing, so skipped chunks are never copied out of the payload.
+    * Payload must be BinaryType — see [[requireBinaryPayload]]. */
   def sampledChunks(media: DataFrame, chunkBytes: Int, everyK: Int): DataFrame = {
+    requireBinaryPayload(media, "sampledChunks")
     val n = (floor(octet_length(col("payload")) / lit(chunkBytes.toDouble)) + 1).cast("int")
     val sampledIdx = filter(sequence(lit(0), n - 1), i => i % everyK === 0)
     media.select(col("doc_id"),

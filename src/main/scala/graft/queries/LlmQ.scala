@@ -348,11 +348,22 @@ object LlmQ {
     // Batched per-partition decode stub over the real bytes: demonstrates
     // the schema/partitioning/batch contract of a real media decoder.
     // Engine-side-only computation → rows-only check.
+    // The decode stub computes pure byte arithmetic over the ASCII corpus,
+    // so DuckDB can recompute it exactly: octet_length for byte_len,
+    // ascii(first char) for head_byte, codepoint sum for byte_sum.
     "q62_mm_decode" -> Q(
       (s, d) => MultimodalOps.decodeFeatures(s,
           MultimodalOps.withPayload(Tables.documents(s, d), "doc_id", "text"))
         .toDF()
-        .orderBy("doc_id")),
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+             |SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+             |  CASE WHEN octet_length(encode(text)) = 0 THEN -1
+             |       ELSE ascii(substring(text, 1, 1)) END AS head_byte,
+             |  CAST(coalesce(list_sum(list_transform(str_split(text, ''), x -> ascii(x))), 0) AS BIGINT) AS byte_sum,
+             |  CAST(floor(octet_length(encode(text)) / 256.0) AS INT) + 1 AS frames
+             |FROM t ORDER BY doc_id""".stripMargin)),
 
     // Payload chunking + every-4th frame sampling, hash-verified: the
     // corpus is ASCII so DuckDB's text substring mirrors the byte slices
