@@ -99,11 +99,23 @@ object KilnFixture {
         lit(450.0).as("PRODUCTION PLAN"),
         (lit(600.0) + (col("id") % 7).cast("double") * 2.25).as("IRON ORE CONSUMPTION"),
         (lit(300.0) + (col("id") % 11).cast("double") * 1.25).as("GROSS COAL CONSUMPTION"),
+        (lit(0.8125) + (col("id") * 3 % 9).cast("double") * 0.0078125).as("IRON ORE QUALITY"),
+        (lit(0.75) + (col("id") * 5 % 11).cast("double") * 0.0078125).as("COAL QUALITY"),
         lit(0.75).as("COAL_PER_TDRI"),
         (lit(12000.0) + col("id").cast("double") * 8.0).as("POWER"),
         lit(95.5).as("KILN_AVAILABILITY"),
         element_at(array(reasons.map(lit): _*), (col("id") % 5).cast("int") + 1)
           .as("FEED_LOSS_REASON"))
+
+  /** Post-processed wide shell frame with per-zone accretion indicator
+    * columns — the shape `dashboard.py:1877` pattern-matches
+    * (`ZONE_*_ACCRETION`); indicator windows bracket the embedded event. */
+  def shellAccretionWide(s: SparkSession): DataFrame =
+    s.range(days.toLong).select(
+      date_add(date0, col("id").cast("int")).as("DATE"),
+      when(col("id") >= 11 && col("id") < 15, 1).otherwise(0).as("ZONE_4_ACCRETION"),
+      when(col("id") >= 10 && col("id") < 16, 1).otherwise(0).as("ZONE_5_ACCRETION"),
+      when(col("id") >= 12 && col("id") < 15, 1).otherwise(0).as("ZONE_6_ACCRETION"))
 
   /** `accretion_events` — one interval: zone 5, day 10 → critical day 15 (A6). */
   def events(s: SparkSession): DataFrame =

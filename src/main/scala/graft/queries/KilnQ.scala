@@ -276,6 +276,58 @@ object KilnQ {
            |SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
            |$exprs
            |FROM e GROUP BY ts ORDER BY ts""".stripMargin
-      })
+      }),
+
+    // Fused dashboard chart: material quality vs accretion severity
+    // (dashboard.py:1841-1935) — mis ⨝ wide-shell inner join on DATE,
+    // pattern-selected *QUALITY* columns, ZONE_*_ACCRETION row-sum.
+    "q76_quality_accretion" -> Q(
+      (s, _) => graft.pipeline.DashboardCharts.qualityAccretion(
+          KilnFixture.mis(s), KilnFixture.shellAccretionWide(s))
+        .select(
+          date_format(col("DATE"), "yyyy-MM-dd").as("date"),
+          dec6(col("`IRON ORE QUALITY`")).as("iron_ore_quality"),
+          dec6(col("`COAL QUALITY`")).as("coal_quality"),
+          dec6(col("TOTAL_ACCRETION")).as("total_accretion"))
+        .orderBy("date"),
+      Some(s"""WITH m AS (SELECT CAST(d.d AS INTEGER) AS d,
+              |    DATE '2024-01-01' + CAST(d.d AS INTEGER) AS dt,
+              |    0.8125 + ((d.d * 3) % 9) * 0.0078125 AS iron_q,
+              |    0.75 + ((d.d * 5) % 11) * 0.0078125 AS coal_q
+              |  FROM (SELECT unnest(generate_series(0, 29)) AS d) d),
+              |sa AS (SELECT DATE '2024-01-01' + CAST(d.d AS INTEGER) AS dt,
+              |    CASE WHEN d.d >= 11 AND d.d < 15 THEN 1 ELSE 0 END AS z4,
+              |    CASE WHEN d.d >= 10 AND d.d < 16 THEN 1 ELSE 0 END AS z5,
+              |    CASE WHEN d.d >= 12 AND d.d < 15 THEN 1 ELSE 0 END AS z6
+              |  FROM (SELECT unnest(generate_series(0, 29)) AS d) d)
+              |SELECT strftime(m.dt, '%Y-%m-%d') AS date,
+              |${r6("iron_q")} AS iron_ore_quality,
+              |${r6("coal_q")} AS coal_quality,
+              |${r6("CAST(z4 + z5 + z6 AS DOUBLE)")} AS total_accretion
+              |FROM m JOIN sa ON m.dt = sa.dt ORDER BY date""".stripMargin)),
+
+    // Fused dashboard chart: material consumption + ore/coal ratio and
+    // coal-per-tDRI with zero-guards (dashboard.py:1655-1736).
+    "q77_material_ratio" -> Q(
+      (s, _) => graft.pipeline.DashboardCharts.materialRatio(KilnFixture.mis(s))
+        .select(
+          date_format(col("DATE"), "yyyy-MM-dd").as("date"),
+          dec6(col("iron_ore_t")).as("iron_ore_t"),
+          dec6(col("coal_t")).as("coal_t"),
+          dec6(col("ore_coal_ratio")).as("ore_coal_ratio"),
+          dec6(col("coal_per_tdri")).as("coal_per_tdri"))
+        .orderBy("date"),
+      Some(s"""WITH m AS (SELECT
+              |    DATE '2024-01-01' + CAST(d.d AS INTEGER) AS dt,
+              |    400.0 + (d.d % 13) * 1.5 AS prod_actual,
+              |    600.0 + (d.d % 7) * 2.25 AS iron_ore,
+              |    300.0 + (d.d % 11) * 1.25 AS coal
+              |  FROM (SELECT unnest(generate_series(0, 29)) AS d) d)
+              |SELECT strftime(dt, '%Y-%m-%d') AS date,
+              |${r6("iron_ore")} AS iron_ore_t,
+              |${r6("coal")} AS coal_t,
+              |CASE WHEN coal <> 0 THEN ${r6("iron_ore / coal")} END AS ore_coal_ratio,
+              |CASE WHEN prod_actual <> 0 THEN ${r6("coal / prod_actual")} END AS coal_per_tdri
+              |FROM m ORDER BY date""".stripMargin))
   )
 }
