@@ -122,6 +122,63 @@ object AccretionModels {
         .fit(prep(train.filter(col(c).isNotNull), feats))
     }.toMap
 
+  /** Correlation-sign adjustment targets for the prescriptor (reference
+    * `train_models_simple.py:745-794`): for each control variable,
+    * Pearson-correlate it with the risk label (sample stds must both be
+    * positive, NaN correlations count 0), derive the fixed adjustment
+    * direction `-0.05 · sign(corr)` — positively-correlated controls get
+    * prescribed DOWN, negatively-correlated UP — and emit a per-row target
+    * `adj_<var>`: `adjustment · var` for non-zero values, `adjustment` for
+    * zeros, 0 for nulls.
+    *
+    * One distributed aggregation computes every correlation and std in a
+    * single pass; only the K scalar coefficients come to the driver
+    * (bounded metadata, not data), and the targets are literal-coefficient
+    * column arithmetic — no second scan, no UDF. */
+  def prescriptorTargets(df: DataFrame, controlCols: Seq[String],
+                         targetCol: String): DataFrame = {
+    require(controlCols.nonEmpty, "need at least one control column")
+    // covariance + stds, with the correlation formed AFTER the std guard
+    // (corr() itself would divide by zero on a no-variation column under
+    // ANSI mode — the reference checks stds before correlating too)
+    val aggs = controlCols.flatMap { c =>
+      Seq(covar_samp(col(c).cast("double"), col(targetCol).cast("double")).as(s"__cov_$c"),
+        stddev_samp(col(c)).as(s"__sd_$c"))
+    } :+ stddev_samp(col(targetCol).cast("double")).as("__sd_t")
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    def num(name: String): Double =
+      Option(row.getAs[Any](name)).fold(Double.NaN)(_.asInstanceOf[Double])
+    val sdT = num("__sd_t")
+    val adjCols = controlCols.map { c =>
+      val sd = num(s"__sd_$c")
+      val r = num(s"__cov_$c") / (sd * sdT)
+      val corrV = if (sd > 0 && sdT > 0 && !r.isNaN) r else 0.0
+      val adjustment = -0.05 * math.signum(corrV)
+      when(col(c).isNull, lit(0.0))
+        .when(col(c) === 0, lit(adjustment))
+        .otherwise(lit(adjustment) * col(c))
+        .as(s"adj_$c")
+    }
+    df.select(df.columns.map(col).toIndexedSeq ++ adjCols: _*)
+  }
+
+  /** Prescriptor heads trained on the correlation-sign targets (the
+    * reference's actual fit: X → Y_adjustments, not X → parameter value):
+    * one regressor per control predicting its `adj_<var>` target. */
+  def fitPrescriptorAdjustments(train: DataFrame, features: Array[String],
+                                controlCols: Seq[String],
+                                targetCol: String): Map[String, PipelineModel] = {
+    val withTargets = prescriptorTargets(train, controlCols, targetCol)
+    controlCols.map { c =>
+      val feats = features.filterNot(_ == c)
+      c -> new Pipeline().setStages(Array(
+        assembler(feats),
+        new GBTRegressor().setLabelCol(s"adj_$c").setFeaturesCol("features")
+          .setMaxIter(10).setMaxDepth(3).setSeed(42)))
+        .fit(prep(withTargets, feats))
+    }.toMap
+  }
+
   /** AUC for the binary head (reference `evaluate`, `models.py:976-1034`). */
   def auc(model: PipelineModel, test: DataFrame, labelCol: String): Double =
     new BinaryClassificationEvaluator().setLabelCol(labelCol)

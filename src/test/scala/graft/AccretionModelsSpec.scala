@@ -107,4 +107,42 @@ class AccretionModelsSpec extends SparkSpec {
     val r = AccretionModels.rmse(m, test, "days_to_critical")
     assert(!r.isNaN && r < 2.0, s"RMSE $r days") // countdown spans 0..2 days
   }
+
+  test("prescriptor targets follow the correlation sign; models prescribe that direction") {
+    import spark.implicits._
+    // coal UP with risk (positive corr -> prescribe DOWN); air DOWN with
+    // risk (negative corr -> prescribe UP); flat has no variation -> 0;
+    // one zero and one null coal row exercise the mask semantics
+    val rows = (0 until 64).map { i =>
+      val risky = i % 2
+      val coal: java.lang.Double =
+        if (i == 0) 0.0 else if (i == 1) null
+        else 100.0 + risky * 50.0 + (i % 7)
+      val air = 900.0 - risky * 80.0 + (i % 5)
+      (i.toDouble, coal, air, 10.0, risky)
+    }.toDF("x", "coal", "air", "flat", "accretion_next_24h")
+    val out = AccretionModels.prescriptorTargets(rows, Seq("coal", "air", "flat"),
+      "accretion_next_24h").collect()
+    out.foreach { r =>
+      val (coal, air) = (Option(r.getAs[java.lang.Double]("coal")), r.getDouble(2))
+      val (aCoal, aAir, aFlat) =
+        (r.getAs[Double]("adj_coal"), r.getAs[Double]("adj_air"), r.getAs[Double]("adj_flat"))
+      coal match {
+        case None => assert(aCoal == 0.0) // null -> no adjustment
+        case Some(c) if c == 0.0 => assert(aCoal == -0.05) // zero -> fixed step
+        case Some(c) => assert(aCoal == -0.05 * c) // positive corr -> down
+      }
+      assert(aAir == 0.05 * air, "negative corr must prescribe UP") // sign(corr) = -1
+      assert(aFlat == 0.0, "no variation -> zero adjustment")
+    }
+    // the trained heads reproduce the prescribed DIRECTION out of sample
+    val models = AccretionModels.fitPrescriptorAdjustments(
+      rows, Array("x", "coal", "air", "flat"), Seq("coal", "air"), "accretion_next_24h")
+    val coalPred = models("coal").transform(AccretionModels.prep(rows, Array("x", "air", "flat")))
+      .agg(org.apache.spark.sql.functions.avg("prediction")).head.getDouble(0)
+    val airPred = models("air").transform(AccretionModels.prep(rows, Array("x", "coal", "flat")))
+      .agg(org.apache.spark.sql.functions.avg("prediction")).head.getDouble(0)
+    assert(coalPred < 0, s"coal adjustment should be negative, got $coalPred")
+    assert(airPred > 0, s"air adjustment should be positive, got $airPred")
+  }
 }
