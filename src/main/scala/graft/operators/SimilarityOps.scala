@@ -180,10 +180,58 @@ object SimilarityOps {
     * coarse-quantizer cells from [[fitIvf]] become the blocking key, so the
     * quadratic term is bounded by cell sizes the index already balanced.
     * Same-cell recall only (near-identical vectors quantize together;
-    * boundary pairs need multi-cell assignment — the documented tradeoff). */
+    * boundary pairs split across adjacent cells are the documented miss —
+    * [[ivfCosinePairsSoft]] is the recall fix). */
   def ivfCosinePairs(indexed: DataFrame, idCol: String, threshold: Double,
                      scoreOut: Column => Column): DataFrame =
     blockedCosinePairs(indexed, idCol, "v", "cell", threshold, scoreOut)
+
+  /** Re-assign each vector to its `nAssign` nearest centroid cells, one row
+    * per (vector, cell) — SOFT assignment. Distance ranking happens in-plan
+    * per row (centroids are literals); the cell list is bound to a column
+    * BEFORE the generator so no filter inferred from the explode can push
+    * below the projection and re-expand the distance arithmetic per element
+    * (the repo's documented HOF pitfall). */
+  def softAssign(indexed: DataFrame, centers: Seq[Array[Double]],
+                 nAssign: Int): DataFrame = {
+    require(nAssign >= 1 && nAssign <= centers.size,
+      s"nAssign must be in [1, ${centers.size}], got $nAssign")
+    val cellDists = array(centers.zipWithIndex.map { case (c, i) =>
+      val lc = array(c.map(lit): _*)
+      struct(
+        aggregate(zip_with(col("v"), lc, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    val others = indexed.columns.filterNot(_ == "cell").map(col).toIndexedSeq
+    indexed
+      .withColumn("__cells", transform(slice(array_sort(cellDists), 1, nAssign), s => s("cell")))
+      .select(others :+ explode_outer(col("__cells")).as("cell"): _*)
+      .filter(col("cell").isNotNull)
+  }
+
+  /** IVF pair search with SOFT assignment: each vector blocks on its
+    * `nAssign` nearest cells, so a boundary pair whose members quantize
+    * into ADJACENT cells still shares a block (both list each other's cell
+    * among their nearest). Candidates are deduped on (id_a, id_b) BEFORE
+    * the dot product — a pair sharing several cells is scored once. Work
+    * scales by nAssign× rows in the join input; recall of boundary pairs
+    * is what it buys (measured in the spec). */
+  def ivfCosinePairsSoft(indexed: DataFrame, centers: Seq[Array[Double]],
+                         idCol: String, threshold: Double, nAssign: Int,
+                         scoreOut: Column => Column): DataFrame = {
+    VectorFunctions.register(indexed.sparkSession)
+    val e = softAssign(indexed.withColumn("nv", normFast(toDouble(col("v")))), centers, nAssign)
+    val a = e.select(col(idCol).as("id_a"), col("cell"), col("v").as("va"), col("nv").as("na"))
+    val b = e.select(col(idCol).as("id_b"), col("cell"), col("v").as("vb"), col("nv").as("nb"))
+    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos_sim",
+        when(col("na") > 0 && col("nb") > 0,
+          dotFast(toDouble(col("va")), toDouble(col("vb"))) / (col("na") * col("nb"))))
+      .filter(col("cos_sim") > threshold)
+      .select(col("id_a"), col("id_b"), scoreOut(col("cos_sim")).as("cos_sim"))
+  }
 
   /** Blocked exact near-dup pairs: equi-join on a blocking key (here a
     * label/cluster column) bounds the quadratic term to block sizes — the

@@ -125,4 +125,33 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(math.abs(out(0L) - 1.0) < 1e-12)
   }
+
+  test("soft IVF assignment recovers boundary pairs hard assignment drops") {
+    // three tight clusters at (1,0), (0,1), (-1,0) plus a cosine-similar
+    // boundary pair straddling the A/B cell boundary: hard assignment puts
+    // its members in different cells (no shared block), nAssign=2 gives
+    // both members {A,B} as their two nearest cells
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.98f, 0.2f)),     // cluster A
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.2f, 0.98f)),     // cluster B
+      (4L, Array(-1.0f, 0.0f)), (5L, Array(-0.98f, 0.2f)),   // cluster C
+      (6L, Array(0.8f, 0.6f)), (7L, Array(0.6f, 0.8f))       // boundary pair
+    ).toDF("vec_id", "embedding")
+    val (indexed, centers) = SimilarityOps.fitIvf(emb, "vec_id", "embedding",
+      nCells = 3, seed = 11L)
+    // sanity: the boundary members really quantize into DIFFERENT cells
+    val cells = indexed.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(cells(6L) != cells(7L), s"fixture should straddle cells: $cells")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hard = pairSet(SimilarityOps.ivfCosinePairs(indexed, "vec_id", 0.9, identity))
+    val soft = pairSet(SimilarityOps.ivfCosinePairsSoft(indexed, centers, "vec_id",
+      0.9, nAssign = 2, identity))
+    assert(!hard.contains((6L, 7L)), "hard assignment should miss the boundary pair")
+    assert(soft.contains((6L, 7L)), s"soft assignment must recover it: $soft")
+    assert(hard.subsetOf(soft), "soft must never lose a hard pair")
+    // soft widens blocks, not the threshold: far clusters still never pair
+    assert(!soft.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).size == 1 },
+      "C-cluster vectors must not pair across clusters")
+  }
 }
