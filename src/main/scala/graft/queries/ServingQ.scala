@@ -46,9 +46,10 @@ object ServingQ {
               |ORDER BY l.event_type""".stripMargin)),
 
     // T8: cubic-spline mesh upsampling (`dashboard.py:1342-1353`): the first
-    // 12 hourly means per series, splined onto a 4x finer axis. Scala-UDF
-    // math over collected small arrays -> rows-only check (deterministic:
-    // same Thomas solve every run).
+    // 12 hourly means per series, splined onto a 4x finer axis. HASH-green
+    // against a DuckDB oracle that UNROLLS the Thomas solve via lateral
+    // column aliases, mirroring the IEEE op order 1:1 (equally-spaced knots
+    // make h=1, so the coefficients reduce to pure rational arithmetic).
     "q46_spline_mesh" -> Q(
       (s, d) => {
         val hourly = Tables.events(s, d)
