@@ -144,4 +144,27 @@ object TimeSeriesOps {
         .when(nextV.isNotNull, nextV)
     aligned.withColumn(out, nearest)
   }
+
+  /** Cadence diagnostic (reference `pd.infer_freq(df.index)`,
+    * `pre_processing.py:396`): per series, the MODAL gap between
+    * consecutive timestamps (microsecond precision; count ties resolve to
+    * the smallest gap) plus `inferred_freq_us`, which is non-null only
+    * when the series is perfectly regular — `infer_freq`'s contract of
+    * returning None on irregular indexes, where the reference falls back
+    * to hourly. Two hash aggregations after one series-partitioned sort;
+    * no driver-side gap scan. */
+  def inferCadence(df: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val counts = df
+      .withColumn("__gap", unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)))
+      .filter(col("__gap").isNotNull)
+      .groupBy(keys.map(col) :+ col("__gap"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    counts
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max_by(col("__gap"), struct(col("__cnt"), (-col("__gap")).as("g"))).as("modal_gap_us"),
+        count(lit(1)).as("n_gap_values"))
+      .withColumn("inferred_freq_us", when(col("n_gap_values") === 1, col("modal_gap_us")))
+  }
 }

@@ -280,6 +280,39 @@ object TimeSeriesQ {
               |  floor((last_value(w.view IGNORE NULLS) OVER win) * 10000.0 + 0.500618034) / 10000.0 AS v_view
               |FROM grid g LEFT JOIN wide w ON g.ts = w.ts
               |WINDOW win AS (ORDER BY g.ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              |ORDER BY g.ts""".stripMargin))
+              |ORDER BY g.ts""".stripMargin)),
+
+    // Cadence diagnostic (reference pd.infer_freq, pre_processing.py:396):
+    // modal inter-arrival gap per raw series (irregular -> inferred freq
+    // null, the reference's fall-back-to-hourly branch) plus the hourly
+    // grid as a perfectly-regular series (inferred freq = 3.6e9 us).
+    "q78_cadence" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val grid = TimeSeriesOps.timeline(ev, "ts")
+          .withColumn("event_type", lit("__hourly_grid__"))
+        TimeSeriesOps.inferCadence(ev, Seq("event_type"), "ts")
+          .union(TimeSeriesOps.inferCadence(grid, Seq("event_type"), "ts"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH $sqlGrid,
+              |gp AS (
+              |  SELECT event_type,
+              |    epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+              |      OVER (PARTITION BY event_type ORDER BY ts) AS gap
+              |  FROM events
+              |  UNION ALL
+              |  SELECT '__hourly_grid__' AS event_type,
+              |    epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY ts) AS gap
+              |  FROM grid),
+              |c AS (SELECT event_type, gap, count(*) AS cnt
+              |  FROM gp WHERE gap IS NOT NULL GROUP BY 1, 2),
+              |m AS (SELECT event_type, gap,
+              |    row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, gap ASC) AS rn,
+              |    count(*) OVER (PARTITION BY event_type) AS n
+              |  FROM c)
+              |SELECT event_type, gap AS modal_gap_us, CAST(n AS BIGINT) AS n_gap_values,
+              |  CASE WHEN n = 1 THEN gap END AS inferred_freq_us
+              |FROM m WHERE rn = 1 ORDER BY event_type""".stripMargin))
   )
 }
