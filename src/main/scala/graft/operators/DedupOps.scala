@@ -232,6 +232,9 @@ object DedupOps {
                       maxBucketSize: Int = Int.MaxValue,
                       arrayVerify: Boolean = true): DataFrame = {
     require(numHashes % rows == 0, s"numHashes ($numHashes) must divide evenly into rows of $rows")
+    // the count-based verify path is only sound for threshold > 0 (a
+    // zero-overlap candidate has no join row to carry jaccard = 0)
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
     val bands = numHashes / rows
     // persist: the signature aggregate, the size aggregate, and both
     // verification streams prune differently, so only materialization

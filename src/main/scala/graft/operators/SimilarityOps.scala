@@ -148,6 +148,18 @@ object SimilarityOps {
       km.clusterCenters.map(_.toArray).toIndexedSeq)
   }
 
+  /** Distance² of the `v` column to each literal centroid, as a sortable
+    * (dist, cell) struct array — shared by the query-side probe ranking
+    * ([[ivfTopK]]) and the soft re-assignment ([[softAssign]]). */
+  private def cellDists(centers: Seq[Array[Double]]): Column =
+    array(centers.zipWithIndex.map { case (c, i) =>
+      val lc = array(c.map(lit): _*)
+      struct(
+        aggregate(zip_with(col("v"), lc, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+
   /** Serving path over a fitted IVF index: probe the `nProbe` cells whose
     * centroids are closest to the query (ranking happens in-plan on the one
     * broadcast query row — no driver-side vector math). */
@@ -155,18 +167,11 @@ object SimilarityOps {
               queryId: Long, k: Int, nProbe: Int,
               scoreOut: Column => Column): DataFrame = {
     VectorFunctions.register(indexed.sparkSession)
-    // distance² to each centroid as a (dist, cell) struct; sort + slice
-    // picks the nProbe nearest cells, all inside the single query row
-    val cellDists = array(centers.zipWithIndex.map { case (c, i) =>
-      val lc = array(c.map(lit): _*)
-      struct(
-        aggregate(zip_with(col("v"), lc, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x).as("d"),
-        lit(i).as("cell"))
-    }: _*)
+    // sort + slice over the (dist², cell) structs picks the nProbe nearest
+    // cells, all inside the single query row
     val q = indexed.filter(col(idCol) === queryId)
       .select(col("v").as("qv"), normFast(col("v")).as("qn"),
-        transform(slice(array_sort(cellDists), 1, nProbe), s => s("cell")).as("probe"))
+        transform(slice(array_sort(cellDists(centers)), 1, nProbe), s => s("cell")).as("probe"))
     val na = normFast(col("v"))
     indexed.join(broadcast(q), array_contains(col("probe"), col("cell")))
       .withColumn("cos_sim", scoreOut(
@@ -196,16 +201,10 @@ object SimilarityOps {
                  nAssign: Int): DataFrame = {
     require(nAssign >= 1 && nAssign <= centers.size,
       s"nAssign must be in [1, ${centers.size}], got $nAssign")
-    val cellDists = array(centers.zipWithIndex.map { case (c, i) =>
-      val lc = array(c.map(lit): _*)
-      struct(
-        aggregate(zip_with(col("v"), lc, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x).as("d"),
-        lit(i).as("cell"))
-    }: _*)
     val others = indexed.columns.filterNot(_ == "cell").map(col).toIndexedSeq
     indexed
-      .withColumn("__cells", transform(slice(array_sort(cellDists), 1, nAssign), s => s("cell")))
+      .withColumn("__cells",
+        transform(slice(array_sort(cellDists(centers)), 1, nAssign), s => s("cell")))
       .select(others :+ explode_outer(col("__cells")).as("cell"): _*)
       .filter(col("cell").isNotNull)
   }
@@ -221,14 +220,19 @@ object SimilarityOps {
                          idCol: String, threshold: Double, nAssign: Int,
                          scoreOut: Column => Column): DataFrame = {
     VectorFunctions.register(indexed.sparkSession)
-    val e = softAssign(indexed.withColumn("nv", normFast(toDouble(col("v")))), centers, nAssign)
+    // cast + norm ONCE per row before the pair join (blockedCosinePairs
+    // discipline) — a per-pair transform would rebuild both arrays in the
+    // scoring loop
+    val e = softAssign(
+      indexed.withColumn("v", toDouble(col("v"))).withColumn("nv", normFast(col("v"))),
+      centers, nAssign)
     val a = e.select(col(idCol).as("id_a"), col("cell"), col("v").as("va"), col("nv").as("na"))
     val b = e.select(col(idCol).as("id_b"), col("cell"), col("v").as("vb"), col("nv").as("nb"))
     a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cos_sim",
         when(col("na") > 0 && col("nb") > 0,
-          dotFast(toDouble(col("va")), toDouble(col("vb"))) / (col("na") * col("nb"))))
+          dotFast(col("va"), col("vb")) / (col("na") * col("nb"))))
       .filter(col("cos_sim") > threshold)
       .select(col("id_a"), col("id_b"), scoreOut(col("cos_sim")).as("cos_sim"))
   }

@@ -165,6 +165,10 @@ object TimeSeriesOps {
       .agg(
         max_by(col("__gap"), struct(col("__cnt"), (-col("__gap")).as("g"))).as("modal_gap_us"),
         count(lit(1)).as("n_gap_values"))
-      .withColumn("inferred_freq_us", when(col("n_gap_values") === 1, col("modal_gap_us")))
+      // modal_gap_us > 0 guards the degenerate all-duplicate-timestamp
+      // series: a "frequency" of 0 would skip the caller's fall-back
+      // branch and divide-by-zero any grid arithmetic built on it
+      .withColumn("inferred_freq_us",
+        when(col("n_gap_values") === 1 && col("modal_gap_us") > 0, col("modal_gap_us")))
   }
 }

@@ -87,10 +87,14 @@ object FeatureSelect {
     }
   }
 
-  /** Apply the cap: one narrow `select`, column pruning reaches the scan. */
-  def reduceDimension(df: DataFrame, maxFeatures: Int = 500): DataFrame = {
-    val keep = selectColumns(df.columns.toIndexedSeq, maxFeatures)
-    if (keep.size == df.columns.length) df
-    else df.select(keep.map(c => col(s"`$c`")): _*)
+  /** Apply the cap: one narrow `select`, column pruning reaches the scan.
+    * `exclude` columns (index/key columns, e.g. a DatetimeIndex analogue)
+    * never compete for the cap and always survive, leading the output. */
+  def reduceDimension(df: DataFrame, maxFeatures: Int = 500,
+                      exclude: Seq[String] = Nil): DataFrame = {
+    val features = df.columns.filterNot(exclude.contains).toIndexedSeq
+    val keep = selectColumns(features, maxFeatures)
+    if (keep.size == features.size) df
+    else df.select((exclude.filter(df.columns.contains) ++ keep).map(c => col(s"`$c`")): _*)
   }
 }

@@ -153,11 +153,7 @@ object KilnPipeline {
         col(s"`$c`").as(s"ZONE_${g.group(1)}_${g.group(2)}"))
     }: _*)
     // ts is the frame's INDEX (the reference's DatetimeIndex, which
-    // reduce_dimension never sees in pandas) — it never competes for the
-    // feature cap and always survives the cut
-    val features = renamed.columns.filterNot(_ == "ts").toIndexedSeq
-    val keep = FeatureSelect.selectColumns(features, maxFeatures)
-    if (keep.size == features.size) renamed
-    else renamed.select(col("ts") +: keep.map(c => col(s"`$c`")): _*)
+    // reduce_dimension never sees in pandas) — excluded from the cap
+    FeatureSelect.reduceDimension(renamed, maxFeatures, exclude = Seq("ts"))
   }
 }

@@ -312,7 +312,7 @@ object TimeSeriesQ {
               |    count(*) OVER (PARTITION BY event_type) AS n
               |  FROM c)
               |SELECT event_type, gap AS modal_gap_us, CAST(n AS BIGINT) AS n_gap_values,
-              |  CASE WHEN n = 1 THEN gap END AS inferred_freq_us
+              |  CASE WHEN n = 1 AND gap > 0 THEN gap END AS inferred_freq_us
               |FROM m WHERE rn = 1 ORDER BY event_type""".stripMargin))
   )
 }
