@@ -39,10 +39,17 @@ object JoinOps {
     * the planner strategy on the session (idempotent). Same semantics as
     * [[graft.operators.TimeSeriesOps.asofJoinLast]] (cross-validated in
     * spec + oracle), but a single forward merge pass per partition with
-    * O(1) state instead of the union-then-window formulation. */
+    * O(1) state instead of the union-then-window formulation.
+    *
+    * `rightTiebreak`: with duplicate right timestamps per key, the row
+    * with the MAX tiebreak wins — resolved by the operator's required
+    * sort ordering, so the right side needs no dedup pre-aggregation
+    * (which would cost a second shuffle: hash(keys, ts) partitioning
+    * from a groupBy cannot serve the merge's hash(keys) distribution). */
   def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
                      leftTs: String, rightTs: String,
-                     valueCols: Seq[String]): DataFrame = {
+                     valueCols: Seq[String],
+                     rightTiebreak: Seq[String] = Nil): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -68,7 +75,8 @@ object JoinOps {
       graft.plans.AsOfJoin(lp, rp,
         keys.map(attr(lp, _)), keys.map(attr(rp, _)),
         attr(lp, leftTs), attr(rp, rightTs),
-        valueCols.map(attr(rp, _))))
+        valueCols.map(attr(rp, _)),
+        rightTiebreak.map(attr(rp, _))))
   }
 
   /** Severity curve for active intervals: `((t - t0) / (t1 - t0)) ^ 1.5`

@@ -28,7 +28,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                     leftTs: Expression, rightTs: Expression,
-                    rightValues: Seq[Attribute]) extends BinaryNode {
+                    rightValues: Seq[Attribute],
+                    rightTiebreak: Seq[Expression] = Nil) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ rightValues.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoin =
     copy(left = l, right = r)
@@ -39,8 +40,8 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
   * `injectPlannerStrategy` (cluster-wide extensions). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts, rv) =>
-      AsOfJoinExec(lk, rk, lts, rts, rv, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, rv, tb) =>
+      AsOfJoinExec(lk, rk, lts, rts, rv, tb, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -48,11 +49,18 @@ object AsOfJoinStrategy extends SparkStrategy {
 /** Streaming merge as-of join. CONTRACT: key and ts columns are non-null
   * (a null left ts yields a null match rather than failing); ts must be a
   * long-backed type (timestamp / long). Duplicate right timestamps within
-  * a key resolve to the LAST in sort order — pre-aggregate for a
-  * deterministic tiebreak, as with `asofJoinLast`. */
+  * a key resolve to the LAST in sort order: with `rightTiebreak` columns
+  * the row with the MAX tiebreak wins (they extend the right child's
+  * required ordering, so the dedup costs a sort key instead of a whole
+  * pre-aggregation pass + extra shuffle of the right side — at 100 TB the
+  * right side is shuffled ONCE either way, but the aggregate form pays a
+  * second exchange because hash(key, ts) partitioning cannot serve the
+  * merge's hash(key) distribution). Without tiebreaks, pre-aggregate as
+  * with `asofJoinLast`, or the tie pick is partition-order dependent. */
 case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftTs: Expression, rightTs: Expression,
                         rightValues: Seq[Attribute],
+                        rightTiebreak: Seq[Expression],
                         left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ rightValues.map(_.withNullability(true))
@@ -64,7 +72,8 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
-    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, Ascending))
+    (rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, Ascending)) ++
+      rightTiebreak.map(SortOrder(_, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =

@@ -131,13 +131,18 @@ object TimeSeriesQ {
     // J6 through the CUSTOM OPERATOR path: the same as-of semantics planned
     // via graft.plans.AsOfJoin -> AsOfJoinExec (logical node + strategy +
     // physical merge join), oracle-identical to q24's union-then-window.
+    // The raw events feed the right side directly: the operator's
+    // rightTiebreak ordering resolves duplicate (type, ts) to max event_id
+    // in the merge itself — no dedup pre-aggregation, one shuffle of the
+    // right side instead of two (the groupBy's hash(type, ts) partitioning
+    // can't serve the merge's hash(type) distribution).
     "q24b_asof_native" -> Q(
       (s, d) => {
         val ev = Tables.events(s, d)
-        val right = ev.groupBy("event_type", "ts").agg(max_by(col("value"), col("event_id")).as("value"))
         val grid = TimeSeriesOps.timeline(ev, "ts")
         val left = grid.crossJoin(broadcast(ev.select("event_type").distinct()))
-        graft.operators.JoinOps.asofJoinNative(left, right, Seq("event_type"), "ts", "ts", Seq("value"))
+        graft.operators.JoinOps.asofJoinNative(left, ev.select("event_type", "ts", "value", "event_id"),
+            Seq("event_type"), "ts", "ts", Seq("value"), rightTiebreak = Seq("event_id"))
           .select(col("ts"), col("event_type"), col("value"))
           .orderBy("ts", "event_type")
       },

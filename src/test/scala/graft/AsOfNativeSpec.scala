@@ -66,6 +66,25 @@ class AsOfNativeSpec extends SparkSpec {
     assert(rows(1).isNullAt(2))
   }
 
+  test("rightTiebreak resolves duplicate right timestamps to max tiebreak, no pre-agg") {
+    val rnd = new scala.util.Random(13)
+    val keys = Seq("a", "b", "c")
+    val left = (1 to 300).map { _ =>
+      (new Timestamp(1704067200000L + rnd.nextInt(5000) * 1000L), keys(rnd.nextInt(3)))
+    }.toDF("ts", "k")
+    // ~50% duplicate (k, ts) pairs; seq is unique => deterministic winner
+    val right = (1 to 400).map { i =>
+      (new Timestamp(1704067200000L + rnd.nextInt(2500) * 1000L), keys(rnd.nextInt(3)), i.toDouble, i.toLong)
+    }.toDF("ts", "k", "v", "seq")
+    val expected = TimeSeriesOps.asofJoinLast(
+      left, right.groupBy("k", "ts").agg(max_by(col("v"), col("seq")).as("v")),
+      Seq("k"), "ts", "ts", Seq("v")).select("k", "ts", "v")
+    val got = JoinOps.asofJoinNative(left, right, Seq("k"), "ts", "ts", Seq("v"),
+      rightTiebreak = Seq("seq")).select("k", "ts", "v")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "tiebreak path disagrees with max_by pre-aggregation")
+  }
+
   test("self as-of join (shared lineage) returns RIGHT-side values, not left") {
     // left and right share exprIds: without re-aliasing the right plan,
     // the output projection would bind the appended value slot to the
