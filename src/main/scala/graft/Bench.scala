@@ -17,10 +17,17 @@ object Bench {
     // optional comma-separated query-name filter for local profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    // local profiling: rerun the selected set N times, keep the LAST pass
+    // (steady-state codegen/readers) — the driver's per-round run uses 1
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      var dt = 0.0
+      for (_ <- 1 to repeat) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        dt = (System.nanoTime() - t0) / 1e9
+        if (repeat > 1) spark.catalog.clearCache()
+      }
       // release per-query persisted intermediates (dedup ops materialize
       // their exploded shingle tables) INSIDE the timed region would be
       // unfair the other way: clearing is session hygiene, not query work,
