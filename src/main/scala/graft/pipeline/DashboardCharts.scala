@@ -40,6 +40,30 @@ object DashboardCharts {
         col("TOTAL_ACCRETION"): _*)
   }
 
+  /** Production-quality grade chart input (`dashboard.py:1500-1653`):
+    * grade A/B series discovered by name substring, grade proportions with
+    * pandas semantics (`total.replace(0, nan)` then `fillna(0)` — a
+    * zero-production day reads as 0 %, not a division error), and the
+    * accretion-day context flag from the FIRST column containing
+    * `ACCRETION` in column order (the chart's `next(...)` scan), 0 when no
+    * such column exists. */
+  def productionQuality(mis: DataFrame): DataFrame = {
+    def find(sub: String): String = mis.columns.find(_.contains(sub)).getOrElse(
+      throw new IllegalArgumentException(s"no column containing '$sub'"))
+    val a = col(s"`${find("GRADE A")}`")
+    val b = col(s"`${find("GRADE B")}`")
+    val total = a + b
+    val accretion = mis.columns.find(_.contains("ACCRETION"))
+      .map(c => (col(s"`$c`") > 0).cast("int")).getOrElse(lit(0))
+    mis.select(
+      col("DATE"),
+      a.as("grade_a"), b.as("grade_b"),
+      col("`PRODUCTION ACTUAL`").as("production_actual"),
+      coalesce(when(total =!= 0.0, a / total * 100.0), lit(0.0)).as("grade_a_pct"),
+      coalesce(when(total =!= 0.0, b / total * 100.0), lit(0.0)).as("grade_b_pct"),
+      accretion.as("accretion_day"))
+  }
+
   /** Material consumption + ratios (`dashboard.py:1655-1736`): the
     * consumption series plus ore/coal ratio, and coal-per-tonne-DRI —
     * both divisions zero-guarded to null (pandas would emit inf). */

@@ -101,6 +101,14 @@ object KilnFixture {
         (lit(300.0) + (col("id") % 11).cast("double") * 1.25).as("GROSS COAL CONSUMPTION"),
         (lit(0.8125) + (col("id") * 3 % 9).cast("double") * 0.0078125).as("IRON ORE QUALITY"),
         (lit(0.75) + (col("id") * 5 % 11).cast("double") * 0.0078125).as("COAL QUALITY"),
+        // grade split: dyadic steps; day 7 produces NEITHER grade, so the
+        // production-quality chart's zero-total division guard BINDS
+        when(col("id") === 7, 0.0)
+          .otherwise(lit(250.0) + (col("id") % 9).cast("double") * 1.25)
+          .as("PRODUCTION GRADE A"),
+        when(col("id") === 7, 0.0)
+          .otherwise(lit(120.0) + (col("id") % 6).cast("double") * 0.75)
+          .as("PRODUCTION GRADE B"),
         lit(0.75).as("COAL_PER_TDRI"),
         (lit(12000.0) + col("id").cast("double") * 8.0).as("POWER"),
         lit(95.5).as("KILN_AVAILABILITY"),

@@ -328,6 +328,38 @@ object KilnQ {
               |${r6("coal")} AS coal_t,
               |CASE WHEN coal <> 0 THEN ${r6("iron_ore / coal")} END AS ore_coal_ratio,
               |CASE WHEN prod_actual <> 0 THEN ${r6("coal / prod_actual")} END AS coal_per_tdri
+              |FROM m ORDER BY date""".stripMargin)),
+
+    // Fused dashboard chart: production-quality grade proportions
+    // (dashboard.py:1500-1653) — grade A/B series + pandas-semantics
+    // percentages (zero-total day 7 reads 0 %, not an error) + the
+    // accretion-day context flag from the first ACCRETION column in
+    // column order (here ZONE_4_ACCRETION after the join).
+    "q79_production_quality" -> Q(
+      (s, _) => graft.pipeline.DashboardCharts.productionQuality(
+          KilnFixture.mis(s).join(KilnFixture.shellAccretionWide(s), Seq("DATE"), "inner"))
+        .select(
+          date_format(col("DATE"), "yyyy-MM-dd").as("date"),
+          dec6(col("grade_a")).as("grade_a"),
+          dec6(col("grade_b")).as("grade_b"),
+          dec6(col("production_actual")).as("production_actual"),
+          dec6(col("grade_a_pct")).as("grade_a_pct"),
+          dec6(col("grade_b_pct")).as("grade_b_pct"),
+          col("accretion_day"))
+        .orderBy("date"),
+      Some(s"""WITH m AS (SELECT CAST(d.d AS INTEGER) AS d,
+              |    DATE '2024-01-01' + CAST(d.d AS INTEGER) AS dt,
+              |    CASE WHEN d.d = 7 THEN 0.0 ELSE 250.0 + (d.d % 9) * 1.25 END AS ga,
+              |    CASE WHEN d.d = 7 THEN 0.0 ELSE 120.0 + (d.d % 6) * 0.75 END AS gb,
+              |    400.0 + (d.d % 13) * 1.5 AS prod,
+              |    CASE WHEN d.d >= 11 AND d.d < 15 THEN 1 ELSE 0 END AS acc4
+              |  FROM (SELECT unnest(generate_series(0, 29)) AS d) d)
+              |SELECT strftime(dt, '%Y-%m-%d') AS date,
+              |${r6("ga")} AS grade_a, ${r6("gb")} AS grade_b,
+              |${r6("prod")} AS production_actual,
+              |${r6("coalesce(ga / nullif(ga + gb, 0) * 100.0, 0.0)")} AS grade_a_pct,
+              |${r6("coalesce(gb / nullif(ga + gb, 0) * 100.0, 0.0)")} AS grade_b_pct,
+              |acc4 AS accretion_day
               |FROM m ORDER BY date""".stripMargin))
   )
 }
