@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data-curation operators beyond per-document
+  * signals: benchmark decontamination, deterministic stratified sampling,
+  * corpus-relative relevance/salience scoring (BM25, TF-IDF).
+  *
+  * Scale design: every operator is a linear scan plus either a broadcast
+  * join against a benchmark-sized side (decontamination) or a map-side-
+  * combinable aggregation (vocabulary, document frequency). Nothing here
+  * shuffles document text — shuffle keys are 8-byte gram hashes or short
+  * token strings, and per-doc outputs re-join on the id column only. */
+object CorpusOps {
+
+  /** One (id, h) row per distinct hashed word n-gram per document — the
+    * shared explode for decontamination. Same bind-then-explode-outer
+    * discipline as DedupOps.hashedShingles (InferFiltersFromGenerate would
+    * otherwise push a size() predicate that re-expands the token lambda). */
+  private def hashedGrams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), TextOps.hashedShingleSet(col("__t"), n).as("sh"))
+      .select(col(idCol), explode_outer(col("sh")).as("h"))
+      .filter(col("h").isNotNull)
+
+  /** Benchmark decontamination (the n-gram-overlap check run before every
+    * training data release, cf. GPT-3 appx. C / PaLM §C): for each training
+    * document, count its distinct word `n`-grams that also occur anywhere in
+    * the evaluation corpus, and flag any overlap. Wide grams (n ≈ 5–13) make
+    * a shared gram evidence of true contamination rather than a common
+    * phrase.
+    *
+    * Scale shape: the eval side is benchmark-sized (thousands of documents,
+    * not billions), so its distinct gram set is collected into a BROADCAST
+    * hash join — the 100 TB training scan never shuffles. Grams travel as
+    * 8-byte xxhash64 keys, never as strings. If the eval side ever outgrows
+    * broadcast range, keep the same plan minus the hint (shuffled equi-join
+    * on the hash), or pre-filter with a bloom filter of eval grams.
+    *
+    * Returns one row per TRAINING document: (id, n_shared, contaminated). */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int = 5): DataFrame = {
+    val evalGrams = hashedGrams(eval, idCol, textCol, n).select("h").distinct()
+    val hits = hashedGrams(train, idCol, textCol, n)
+      .join(broadcast(evalGrams), Seq("h"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", (col("n_shared") > 0).cast("int"))
+  }
+
+  /** Deterministic stratified sampling by content-stable hash bucket: each
+    * row lands in one of 16 buckets via the first hex digit of
+    * `md5(idCol)`, and a stratum keeps rows whose bucket index is below its
+    * configured keep-count (keep `k` of 16 ≈ k/16 sampling rate).
+    *
+    * Why hash buckets and not `sample()`/`rand()`: the draw is a pure
+    * function of the id — reproducible across runs, engines, partitionings
+    * and retries (speculative re-execution of a task yields the same rows),
+    * and the filter evaluates inside the scan with no count pass, no sort,
+    * and no shuffle. This is how a 100 TB mixture is cut: per-stratum rates
+    * tune the training mix (up-sample low-resource strata, down-sample the
+    * head) while staying a one-pass filter. */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+                       keepOf16: Map[String, Int], defaultKeep: Int): DataFrame = {
+    require((defaultKeep +: keepOf16.values.toSeq).forall(k => k >= 0 && k <= 16),
+      "keep counts must be in [0,16]")
+    val bucket = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 1),
+      16, 10).cast("int")
+    // fixed-order fold → deterministic when-chain regardless of map ordering
+    val rate = keepOf16.toSeq.sortBy(_._1).foldLeft(lit(defaultKeep)) {
+      case (acc, (stratum, k)) => when(col(stratumCol) === stratum, lit(k)).otherwise(acc)
+    }
+    docs.withColumn("bucket", bucket)
+      .withColumn("keep_of_16", rate)
+      .filter(col("bucket") < col("keep_of_16"))
+  }
+
+  /** Okapi BM25 score of every document against a fixed bag of query terms
+    * (Robertson/Spärck Jones; the lexical-retrieval baseline a curation
+    * pipeline uses for topic-targeted selection). Per-term statistics
+    * (document frequency, mean document length) reduce to ONE aggregate row
+    * that is broadcast back over the corpus — two linear scans, no shuffle
+    * of the documents themselves.
+    *
+    * Float discipline (oracle-exact): tf/df/dl/N are integer-valued doubles
+    * (exact in IEEE 754 at any realistic corpus size), `avg(dl)` divides an
+    * exactly-summed integer total, and the per-term score sum folds in
+    * fixed term order — so the only cross-engine noise is `ln` at 1 ulp,
+    * absorbed by the caller's biased rounding.
+    *
+    * Output: (id, dl, tf_0.., bm25) one row per document. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val tfCols = terms.indices.map(i =>
+      size(filter(col("__t"), x => x === terms(i))).cast("double").as(s"tf_$i"))
+    val base = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .select(col(idCol) +: size(col("__t")).cast("double").as("dl") +: tfCols: _*)
+    val dfCols = terms.indices.map(i =>
+      sum((col(s"tf_$i") > 0).cast("int")).cast("double").as(s"df_$i"))
+    val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl") +: dfCols: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i")
+      val idf = log((col("n_docs") - col(s"df_$i") + lit(0.5)) /
+        (col(s"df_$i") + lit(0.5)) + lit(1.0))
+      // constants written as the same source-level arithmetic the oracle
+      // uses ((k1 + 1.0), (1.0 - b)) so both engines fold identical doubles
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col(idCol) +: col("dl").cast("long").as("dl") +:
+        terms.indices.map(i => col(s"tf_$i").cast("long").as(s"tf_$i")) :+
+        score.as("bm25"): _*)
+  }
+
+  /** Corpus-relative salience: every document's single most distinctive
+    * term by TF-IDF (raw term count × ln(N/df)), ties on the term string.
+    * The (doc, term) counts and the global document frequencies are both
+    * map-side-combinable aggregates over the exploded token stream; N joins
+    * back as a broadcast 1-row aggregate.
+    *
+    * Returns (id, top_term, tf, df, tfidf) — one row per document with at
+    * least one token. */
+  def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode_outer(col("__t")).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
+    val tf = ex.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    // one row per (doc, term) above → counting rows per term IS df
+    val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("tok"))
+    tf.join(dfTab, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("tok").as("top_term"), col("tf"), col("df"), col("tfidf"))
+  }
+}

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{CorpusOps, DedupOps, SimilarityOps}
+import Q.{dec6, r6}
+import scala.collection.immutable.ListMap
+
+/** Corpus-curation suite: the corpus-LEVEL stages of a training-data
+  * pipeline that sit between per-document signals (LlmQ) and a training
+  * run — benchmark decontamination, mixture sampling, vocabulary/relevance
+  * statistics, and semantic (embedding-space) deduplication. */
+object CorpusQ {
+
+  private val sqlToks =
+    """toks AS (SELECT doc_id, lang, source, n_chars,
+      |  string_split_regex(trim(text), '\s+') AS t FROM documents)""".stripMargin
+
+  val queries: ListMap[String, Q] = ListMap(
+
+    // Benchmark decontamination: docs where doc_id % 37 = 0 stand in for the
+    // eval corpus; every remaining training doc is scored by how many of its
+    // distinct word 5-grams appear anywhere in the eval set. The Spark side
+    // joins 8-byte gram hashes against a broadcast eval-gram set; the oracle
+    // rebuilds the same overlap from string shingles.
+    "q80_contamination" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val eval = docs.filter(col("doc_id") % 37 === 0)
+        val train = docs.filter(col("doc_id") % 37 =!= 0)
+        CorpusOps.contamination(train, eval, "doc_id", "text", n = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(
+             |  generate_series(1, greatest(len(t) - 4, 0)),
+             |  i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS s FROM toks),
+             |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0),
+             |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 37 <> 0),
+             |hits AS (SELECT tr.doc_id, count(*) AS n_shared
+             |  FROM tr JOIN ev USING (g) GROUP BY tr.doc_id)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+             |  CAST(coalesce(h.n_shared, 0) > 0 AS INT) AS contaminated
+             |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+             |WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id""".stripMargin)),
+
+    // Mixture sampling: deterministic hash-bucket stratified sample with
+    // per-language keep rates (en 8/16, de/fr 4/16, rest 2/16). Both
+    // engines derive the bucket from the same md5 hex digit, so the sampled
+    // row set is bit-identical — the reproducibility property the operator
+    // exists for.
+    "q81_stratified_sample" -> Q(
+      (s, d) => CorpusOps.stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
+          keepOf16 = Map("en" -> 8, "de" -> 4, "fr" -> 4), defaultKeep = 2)
+        .select("doc_id", "lang", "bucket", "keep_of_16")
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id, lang,
+             |  CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+             |    AS INT) AS bucket,
+             |  CAST(CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 4 WHEN 'fr' THEN 4 ELSE 2 END
+             |    AS INT) AS keep_of_16
+             |  FROM documents)
+             |SELECT doc_id, lang, bucket, keep_of_16 FROM b
+             |WHERE bucket < keep_of_16 ORDER BY doc_id""".stripMargin)),
+
+    // Corpus vocabulary: term + document frequency for the 20 most frequent
+    // tokens (tokenizer-budget / stopword-list construction). Both counts
+    // are map-side-combinable; df counts rows of the (doc, term) aggregate
+    // rather than count(DISTINCT), keeping every stage partial-aggregatable.
+    "q82_vocab_topk" -> Q(
+      (s, d) => {
+        val ex = Tables.documents(s, d)
+          .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")).as("__t"))
+          .select(col("doc_id"), explode_outer(col("__t")).as("token"))
+          .filter(col("token").isNotNull && col("token") =!= "")
+        val perDoc = ex.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        perDoc.groupBy("token")
+          .agg(sum("tf").as("tf"), count(lit(1)).as("df"))
+          .orderBy(col("tf").desc, col("token"))
+          .limit(20)
+      },
+      Some("""WITH ex AS (SELECT doc_id,
+             |  unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+             |pd AS (SELECT doc_id, token, count(*) AS tf FROM ex
+             |  WHERE token IS NOT NULL AND token <> '' GROUP BY doc_id, token)
+             |SELECT token, CAST(sum(tf) AS BIGINT) AS tf, count(*) AS df
+             |FROM pd GROUP BY token ORDER BY tf DESC, token LIMIT 20""".stripMargin)),
+
+    // Okapi BM25 against a fixed query bag — lexical relevance scoring for
+    // topic-targeted corpus selection. Oracle mirrors the exact arithmetic
+    // shape (same constant expressions, same fixed term-order sum); ln's
+    // 1-ulp cross-engine noise is absorbed by the biased rounding.
+    "q83_bm25" -> Q(
+      (s, d) => {
+        val scored = CorpusOps.bm25(Tables.documents(s, d), "doc_id", "text",
+          terms = Seq("merge", "stream", "filter"), k1 = 1.2, b = 0.75)
+        scored.select(col("doc_id"), col("dl"), col("tf_0"), col("tf_1"), col("tf_2"),
+            dec6(col("bm25")).as("bm25"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |  FROM documents),
+              |base AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+              |  CAST(len(list_filter(t, x -> x = 'merge')) AS DOUBLE) AS tf_0,
+              |  CAST(len(list_filter(t, x -> x = 'stream')) AS DOUBLE) AS tf_1,
+              |  CAST(len(list_filter(t, x -> x = 'filter')) AS DOUBLE) AS tf_2
+              |  FROM toks),
+              |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+              |  CAST(sum(CAST(tf_0 > 0 AS INT)) AS DOUBLE) AS df_0,
+              |  CAST(sum(CAST(tf_1 > 0 AS INT)) AS DOUBLE) AS df_1,
+              |  CAST(sum(CAST(tf_2 > 0 AS INT)) AS DOUBLE) AS df_2
+              |  FROM base)
+              |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+              |  CAST(tf_0 AS BIGINT) AS tf_0, CAST(tf_1 AS BIGINT) AS tf_1,
+              |  CAST(tf_2 AS BIGINT) AS tf_2,
+              |${r6("""ln((n_docs - df_0 + 0.5) / (df_0 + 0.5) + 1.0)
+              |    * (tf_0 * (1.2 + 1.0)) / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+              |  + ln((n_docs - df_1 + 0.5) / (df_1 + 0.5) + 1.0)
+              |    * (tf_1 * (1.2 + 1.0)) / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+              |  + ln((n_docs - df_2 + 0.5) / (df_2 + 0.5) + 1.0)
+              |    * (tf_2 * (1.2 + 1.0)) / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))""")}
+              |  AS bm25
+              |FROM base, stats ORDER BY doc_id""".stripMargin)),
+
+    // SemDeDup-style semantic dedup (Abbas et al. '23): embedding cosine
+    // pairs within coarse blocks collapsed to connected components → the
+    // keep/drop list. Reuses the label-blocked pair generator (q60) and the
+    // star-contraction components (q65); the oracle independently rebuilds
+    // both stages (brute-force blocked pairs + recursive transitive closure).
+    "q84_semdedup" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pairs = SimilarityOps.blockedCosinePairs(emb, "vec_id", "embedding",
+          "label", threshold = 0.3, scoreOut = identity)
+        DedupOps.nearDupClusters(emb, pairs, "vec_id")
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, label,
+             |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.v)),
+             |    i -> a.v[i] * b.v[i])), (acc, y) -> acc + y) AS dot,
+             |  sqrt(list_reduce(list_prepend(0.0, list_transform(a.v, y -> y * y)),
+             |    (acc, y) -> acc + y)) AS na,
+             |  sqrt(list_reduce(list_prepend(0.0, list_transform(b.v, y -> y * y)),
+             |    (acc, y) -> acc + y)) AS nb
+             |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+             |p AS (SELECT id_a, id_b FROM p0
+             |  WHERE na > 0 AND nb > 0 AND dot / (na * nb) > 0.3),
+             |ed AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM ed
+             |  UNION
+             |  SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a)
+             |SELECT d.vec_id AS id,
+             |  least(d.vec_id, coalesce(min(r.b), d.vec_id)) AS cluster,
+             |  CAST(least(d.vec_id, coalesce(min(r.b), d.vec_id)) <> d.vec_id AS INT)
+             |    AS is_duplicate
+             |FROM embeddings d LEFT JOIN reach r ON r.a = d.vec_id
+             |GROUP BY d.vec_id ORDER BY id""".stripMargin)),
+
+    // Per-document salience: the most distinctive term by TF-IDF. The float
+    // ranking is computed from integer-exact (tf, df, N), so the windowed
+    // arg-max agrees across engines up to exact ties, which break on the
+    // term string in both.
+    "q85_tfidf_top" -> Q(
+      (s, d) => CorpusOps.tfidfTopTerm(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("top_term"), col("tf"), col("df"),
+          dec6(col("tfidf")).as("tfidf"))
+        .orderBy("doc_id"),
+      Some(s"""WITH ex AS (SELECT doc_id,
+              |  unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+              |tf AS (SELECT doc_id, tok, count(*) AS tf FROM ex
+              |  WHERE tok IS NOT NULL AND tok <> '' GROUP BY doc_id, tok),
+              |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+              |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+              |scored AS (SELECT doc_id, tok, tf.tf, dft.df,
+              |  tf.tf * ln(n_docs / dft.df) AS tfidf,
+              |  row_number() OVER (PARTITION BY doc_id ORDER BY tf.tf * ln(n_docs / dft.df) DESC, tok)
+              |    AS rn
+              |  FROM tf JOIN dft USING (tok), n)
+              |SELECT doc_id, tok AS top_term, CAST(tf AS BIGINT) AS tf,
+              |  CAST(df AS BIGINT) AS df, ${r6("tfidf")} AS tfidf
+              |FROM scored WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Training-mixture report: the per-(lang, source) composition summary a
+    // mixture-weight decision is made from — doc counts, token totals, mean
+    // document length.
+    "q86_data_mix" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"), col("source"), col("n_chars"),
+          graft.operators.TextOps.tokens(col("text")).as("__t"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("__t"))).as("n_tokens"),
+          dec6(avg(col("n_chars"))).as("avg_chars"))
+        .orderBy("lang", "source"),
+      Some(s"""WITH $sqlToks
+              |SELECT lang, source, count(*) AS n_docs,
+              |  CAST(sum(len(t)) AS BIGINT) AS n_tokens,
+              |  ${r6("avg(CAST(n_chars AS DOUBLE))")} AS avg_chars
+              |FROM toks GROUP BY lang, source ORDER BY lang, source""".stripMargin))
+  )
+}

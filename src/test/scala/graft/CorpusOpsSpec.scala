@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusOps
+
+/** Semantics of the corpus-curation operators (q80–q85 oracle-check the
+  * corpus paths; these pin the contracts on constructed fixtures). */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contamination counts distinct shared n-grams and zero-fills clean docs") {
+    // eval doc holds "a b c d e f"; train doc 1 shares exactly the two
+    // 5-grams of that run, train doc 2 shares none, train doc 3 is too
+    // short to have any 5-gram at all
+    val eval = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x a b c d e f y"), // grams "a b c d e" and "b c d e f" shared
+      (2L, "p q r s t u v w"),
+      (3L, "a b c")).toDF("doc_id", "text")
+    val out = CorpusOps.contamination(train, eval, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1), (2L, 0L, 0), (3L, 0L, 0)))
+  }
+
+  test("contamination dedups repeated grams within one training doc") {
+    val eval = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    // the shared 5-gram occurs twice in the train doc; distinct-set
+    // semantics must count it once
+    val train = Seq((1L, "a b c d e z a b c d e")).toDF("doc_id", "text")
+    val out = CorpusOps.contamination(train, eval, "doc_id", "text", n = 5).collect()
+    assert(out.head.getLong(1) == 1L)
+  }
+
+  test("stratified sample is a pure function of the id and respects rate edges") {
+    val docs = (0L until 256L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val sampled = CorpusOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 16, "zh" -> 0), defaultKeep = 8)
+    val langs = sampled.select("lang").distinct().as[String].collect()
+    // rate 16/16 keeps every row, rate 0/16 keeps none
+    assert(langs.toSeq == Seq("en"))
+    assert(sampled.count() == 128)
+    // determinism: the same call yields the same id set
+    val ids1 = sampled.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = CorpusOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 16, "zh" -> 0), defaultKeep = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
+  test("stratified sample rate is monotone in the keep count") {
+    val docs = (0L until 512L).map(i => (i, "en")).toDF("doc_id", "lang")
+    def kept(k: Int): Set[Long] =
+      CorpusOps.stratifiedSample(docs, "doc_id", "lang", Map("en" -> k), defaultKeep = 0)
+        .select("doc_id").as[Long].collect().toSet
+    val k4 = kept(4); val k8 = kept(8)
+    // buckets nest: raising the keep count only ADDS rows (stable mixture
+    // growth — the property that makes hash sampling re-runnable)
+    assert(k4.subsetOf(k8))
+    // 4/16 of a uniform hash ≈ a quarter; allow generous slack on 512 rows
+    assert(k4.size > 512 / 4 - 60 && k4.size < 512 / 4 + 60)
+  }
+
+  test("bm25 ranks the term-bearing doc above term-free docs and scales with tf") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha alpha alpha beta"),
+      (3L, "beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = CorpusOps.bm25(docs, "doc_id", "text", Seq("alpha"))
+      .select("doc_id", "bm25").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 3 has no query term -> exactly 0; tf=3 beats tf=1 at equal dl
+    assert(out(3L) == 0.0)
+    assert(out(2L) > out(1L) && out(1L) > 0.0)
+  }
+
+  test("tfidf top term prefers the rare term and breaks exact ties on the string") {
+    val docs = Seq(
+      (1L, "common rare common"),   // rare: tf=1 df=1; common: tf=2 df=3
+      (2L, "common common zed"),
+      (3L, "common zed zed")).toDF("doc_id", "text")
+    val out = CorpusOps.tfidfTopTerm(docs, "doc_id", "text")
+      .select("doc_id", "top_term").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1: rare (df=1) has idf ln(3) > anything df>=2 can reach at tf<=2
+    assert(out(1L) == "rare")
+    // doc 3: zed tf=2 df=2 -> 2*ln(1.5) ≈ 0.81 beats common 1*ln(1) = 0
+    assert(out(3L) == "zed")
+  }
+
+  test("tfidf ubiquitous-term corpus still yields one row per doc") {
+    // every term in every doc -> all idf = ln(1) = 0; the tie must break
+    // deterministically on the term string, not drop rows
+    val docs = Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
+    val out = CorpusOps.tfidfTopTerm(docs, "doc_id", "text")
+      .orderBy("doc_id").select("top_term").as[String].collect()
+    assert(out.toSeq == Seq("a", "a"))
+  }
+}
