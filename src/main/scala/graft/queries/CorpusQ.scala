@@ -201,6 +201,42 @@ object CorpusQ {
               |SELECT lang, source, count(*) AS n_docs,
               |  CAST(sum(len(t)) AS BIGINT) AS n_tokens,
               |  ${r6("avg(CAST(n_chars AS DOUBLE))")} AS avg_chars
-              |FROM toks GROUP BY lang, source ORDER BY lang, source""".stripMargin))
+              |FROM toks GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
+    // Corpus-level quality cut (the FineWeb/C4-style "keep the top X%"
+    // step): score every document with the q51 quality heuristic, take the
+    // exact 70th percentile of the ROUNDED scores as the cutoff, keep docs
+    // at or above it. Rounding before the percentile makes the comparison
+    // set identical across engines; a non-integer rank interpolates
+    // strictly between two distinct doc scores, so the >= comparison never
+    // sits on cross-engine ulp noise. At 100 TB the exact percentile
+    // becomes approx_percentile (a sketch) and the cutoff broadcast is
+    // unchanged — one aggregate row against the full scan.
+    "q87_quality_cut" -> Q(
+      (s, d) => {
+        val stop = Seq("a", "the", "and", "of", "in", "to")
+        val docs = Tables.documents(s, d)
+          .withColumn("t", graft.operators.TextOps.tokens(col("text")))
+        val ratio = graft.operators.TextOps.markerCount(col("t"), stop) / size(col("t"))
+        val scored = docs.select(col("doc_id"),
+          dec6(least(lit(1.0), size(col("t")) / lit(200.0)) * (lit(1.0) - ratio))
+            .as("quality"))
+        val cut = scored.agg(expr("percentile(quality, 0.7)").as("cutoff"))
+        scored.crossJoin(broadcast(cut))
+          .filter(col("quality") >= col("cutoff"))
+          .select(col("doc_id"), col("quality"), dec6(col("cutoff")).as("cutoff"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |  FROM documents),
+              |x AS (SELECT doc_id, len(t) AS n,
+              |  len(list_filter(t, x -> x IN ('a', 'the', 'and', 'of', 'in', 'to'))) AS n_stop
+              |  FROM toks),
+              |scored AS (SELECT doc_id,
+              |  ${r6("least(1.0, n / 200.0) * (1.0 - CAST(n_stop AS DOUBLE) / n)")} AS quality
+              |  FROM x),
+              |cut AS (SELECT quantile_cont(quality, 0.7) AS cutoff FROM scored)
+              |SELECT doc_id, quality, ${r6("cutoff")} AS cutoff
+              |FROM scored, cut WHERE quality >= cutoff ORDER BY doc_id""".stripMargin))
   )
 }

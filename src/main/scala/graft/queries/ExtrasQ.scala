@@ -159,6 +159,51 @@ object ExtrasQ {
               |  quantile_cont(v, 0.5) OVER (PARTITION BY event_type) AS med
               |  FROM aligned)
               |SELECT ts, event_type, ${r4("coalesce(v_ff, med)")} AS v_imputed
-              |FROM x ORDER BY ts, event_type""".stripMargin))
+              |FROM x ORDER BY ts, event_type""".stripMargin)),
+
+    // §2.11's session semantics in batch form (gaps-and-islands): the
+    // oracle-gated twin of the streaming `Sessionize.sessionize` — same
+    // 12 h idle gap, same boundaries; SessionizeSpec cross-validates the
+    // two paths row-for-row on a closed input.
+    "q88_sessionize" -> Q(
+      (s, d) => graft.streaming.Sessionize.sessionizeBatch(
+          Tables.events(s, d), "user_id", "ts", "value", "event_id",
+          gapSeconds = 12L * 3600)
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("session_start"), col("session_end"),
+          dec6(col("sum_value")).as("sum_value"))
+        .orderBy("user_id", "session_idx"),
+      Some(s"""WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us
+              |  FROM events),
+              |marked AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+              |    OR us - lag(us) OVER w > 43200000000 THEN 1 ELSE 0 END AS new_sess
+              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+              |numbered AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+              |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+              |  FROM marked)
+              |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+              |  count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end,
+              |  ${r6("sum(value)")} AS sum_value
+              |FROM numbered GROUP BY user_id, session_idx
+              |ORDER BY user_id, session_idx""".stripMargin)),
+
+    // SkewOps in the gate: salted two-phase aggregation over the skewed
+    // event_type key must be EXACTLY the plain group-by (algebraic
+    // aggregates recombine losslessly) — the oracle is that plain group-by.
+    "q89_salted_agg" -> Q(
+      (s, d) => {
+        import graft.operators.SkewOps
+        SkewOps.saltedAgg(Tables.events(s, d), Seq("event_type"), nSalts = 8,
+            Seq(SkewOps.countAll("n"), SkewOps.sumOf("value", "sum_value"),
+              SkewOps.minOf("value", "min_value"), SkewOps.maxOf("value", "max_value")))
+          .select(col("event_type"), col("n"),
+            dec6(col("sum_value")).as("sum_value"),
+            col("min_value"), col("max_value"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, count(*) AS n,
+              |${r6("sum(value)")} AS sum_value,
+              |min(value) AS min_value, max(value) AS max_value
+              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

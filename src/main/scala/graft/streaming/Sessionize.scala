@@ -1,7 +1,9 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom streaming state: gap-based sessionization of an event stream via
@@ -20,6 +22,35 @@ object Sessionize {
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp,
                      n_events: Long, sum_value: Double, closed_by: String)
+
+  /** Batch twin of [[sessionize]]: the classic gaps-and-islands form — a
+    * new session starts where the in-key gap exceeds `gapSeconds`, the
+    * session index is the running count of starts, and sessions reduce with
+    * one grouped aggregate. Produces the SAME session boundaries as the
+    * streaming path over the same (closed) input, which the spec
+    * cross-validates — the batch/stream parity a lambda-architecture
+    * pipeline depends on.
+    *
+    * Scale shape: one window + one aggregate, both partitioned by the key —
+    * a single hash shuffle of (key, ts, value), no self-join. Gap
+    * arithmetic is integer microseconds (exact). Ties on ts break on
+    * `orderCol` (a unique id) so the running count is total-ordered. */
+  def sessionizeBatch(events: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, orderCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("__us"), col(orderCol))
+    events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("__new",
+        (col("__prev").isNull || col("__us") - col("__prev") > gapSeconds * 1000000L).cast("int"))
+      .withColumn("session_idx",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        sum(col(valueCol)).as("sum_value"))
+  }
 
   /** `events` must be a streaming Dataset; `watermarkDelay` bounds lateness
     * (and therefore state retention past each session's gap deadline). */
