@@ -121,6 +121,31 @@ object CorpusOps {
         score.as("bm25"): _*)
   }
 
+  /** Unigram language-model scoring (the CCNet/KenLM-style perplexity
+    * filter reduced to its order-0 form): fit p(tok) = count/total over the
+    * corpus itself, then score each document by its mean token log-prob.
+    * Degenerate, boilerplate-heavy documents score HIGH (their tokens are
+    * the corpus head); rare-garbage documents score LOW — both tails get
+    * cut. Two aggregates (vocab, then per-doc mean via a broadcast
+    * vocab join); the corpus text itself is never shuffled.
+    *
+    * At 100 TB the vocabulary (≤ millions of types after BPE) still
+    * broadcasts; the per-doc mean is a map-side-combinable sum/count. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode_outer(col("__t")).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
+    val vocab = ex.groupBy("tok").agg(count(lit(1)).cast("double").as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val lp = vocab.crossJoin(broadcast(total))
+      .select(col("tok"), log(col("cnt") / col("total")).as("logp"))
+    ex.join(broadcast(lp), "tok")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_toks"),
+        (sum(col("logp")) / count(lit(1))).as("mean_logprob"))
+  }
+
   /** Corpus-relative salience: every document's single most distinctive
     * term by TF-IDF (raw term count × ln(N/df)), ties on the term string.
     * The (doc, term) counts and the global document frequencies are both

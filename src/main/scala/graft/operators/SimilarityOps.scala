@@ -237,6 +237,37 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), scoreOut(col("cos_sim")).as("cos_sim"))
   }
 
+  /** Embedding-space outlier scoring: L2 distance of every vector to its
+    * block's centroid, ranked within the block (the mislabeled/garbage
+    * detector that complements near-dup REMOVAL — far-from-every-centroid
+    * vectors are the suspects). The centroid is a distributed vector mean
+    * via `Summarizer.mean` — one grouped aggregate, NO per-dimension
+    * explode, so the shuffle carries one partial mean per (partition,
+    * block) instead of rows × dim element rows. Centroids (one row per
+    * block) broadcast back for the distance pass.
+    *
+    * Ranks are computed on the ROUNDED distance (`scoreOut`), ties on the
+    * id — deterministic across engines and re-runs even though the mean's
+    * summation order is not. */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                       blockCol: String, topK: Int,
+                       scoreOut: Column => Column): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col(idCol), col(blockCol).as("blk"), toDouble(col(vecCol)).as("v"))
+    val cent = e.groupBy("blk")
+      .agg(vector_to_array(Summarizer.mean(array_to_vector(col("v")))).as("m"))
+    val w = Window.partitionBy("blk").orderBy(col("dist").desc, col(idCol))
+    e.join(broadcast(cent), "blk")
+      .withColumn("dist", scoreOut(sqrt(aggregate(
+        zip_with(col("v"), col("m"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("is_outlier", (col("rk") <= topK).cast("int"))
+      .select(col(idCol), col("blk").as(blockCol), col("dist"), col("rk"), col("is_outlier"))
+  }
+
   /** Blocked exact near-dup pairs: equi-join on a blocking key (here a
     * label/cluster column) bounds the quadratic term to block sizes — the
     * standard scale pattern when a clustering or coarse quantizer exists. */

@@ -237,6 +237,144 @@ object CorpusQ {
               |  FROM x),
               |cut AS (SELECT quantile_cont(quality, 0.7) AS cutoff FROM scored)
               |SELECT doc_id, quality, ${r6("cutoff")} AS cutoff
-              |FROM scored, cut WHERE quality >= cutoff ORDER BY doc_id""".stripMargin))
+              |FROM scored, cut WHERE quality >= cutoff ORDER BY doc_id""".stripMargin)),
+
+    // Unigram-LM scoring (the order-0 CCNet/KenLM perplexity filter): mean
+    // token log-prob under the corpus's own unigram distribution; the keep
+    // flag compares ROUNDED scores so both engines cut identically.
+    "q90_unigram_logprob" -> Q(
+      (s, d) => CorpusOps.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_toks"),
+          dec6(col("mean_logprob")).as("mean_logprob"))
+        .withColumn("keep", (col("mean_logprob") >= -3.5).cast("int"))
+        .orderBy("doc_id"),
+      Some(s"""WITH ex AS (SELECT doc_id,
+              |  unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+              |ex2 AS (SELECT doc_id, tok FROM ex WHERE tok IS NOT NULL AND tok <> ''),
+              |vocab AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cnt FROM ex2 GROUP BY tok),
+              |tot AS (SELECT sum(cnt) AS total FROM vocab),
+              |lp AS (SELECT tok, ln(cnt / total) AS logp FROM vocab, tot),
+              |sc AS (SELECT doc_id, count(*) AS n_toks,
+              |  ${r6("sum(logp) / count(*)")} AS mean_logprob
+              |  FROM ex2 JOIN lp USING (tok) GROUP BY doc_id)
+              |SELECT doc_id, n_toks, mean_logprob,
+              |  CAST(mean_logprob >= -3.5 AS INT) AS keep
+              |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // Embedding-space outlier scan: distance to the block centroid, ranked
+    // within the block on the rounded distance — the garbage/mislabel
+    // detector beside the near-dup removers. Spark computes the centroid
+    // with a Summarizer vector mean (no per-dimension explode); the oracle
+    // rebuilds it element-wise.
+    "q91_centroid_outlier" -> Q(
+      (s, d) => SimilarityOps.centroidOutliers(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label", topK = 5, scoreOut = dec6)
+        .orderBy("vec_id"),
+      Some(s"""WITH e AS (SELECT vec_id, label,
+              |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |ex AS (SELECT vec_id, label, u.i AS idx, v[u.i] AS x
+              |  FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) u(i)),
+              |cent AS (SELECT label, idx, avg(x) AS m FROM ex GROUP BY label, idx),
+              |d AS (SELECT ex.vec_id, ex.label,
+              |  ${r6("sqrt(sum((x - m) * (x - m)))")} AS dist
+              |  FROM ex JOIN cent ON ex.label = cent.label AND ex.idx = cent.idx
+              |  GROUP BY ex.vec_id, ex.label),
+              |r AS (SELECT vec_id, label, dist,
+              |  row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rk
+              |  FROM d)
+              |SELECT vec_id, label, dist, rk, CAST(rk <= 5 AS INT) AS is_outlier
+              |FROM r ORDER BY vec_id""".stripMargin)),
+
+    // The curation funnel: one row summarizing survivors through the full
+    // cleaning cascade — exact dedup → near-dup clusters (Jaccard ≥ 0.5,
+    // star-contraction components) → benchmark decontamination → quality
+    // cut at the 70th percentile. Each stage's flag joins on doc_id and the
+    // funnel counts cumulative conjunctions; the oracle re-derives all four
+    // stages independently (window dedup, recursive-CTE components,
+    // string-shingle overlap, quantile_cont).
+    "q92_curation_funnel" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val eval = docs.filter(col("doc_id") % 37 === 0)
+        val train = docs.filter(col("doc_id") % 37 =!= 0)
+        val exact = DedupOps.exactDedup(train, "doc_id", "text")
+          .select(col("doc_id"), col("is_duplicate").as("d_exact"))
+        val near = DedupOps.nearDupClusters(train,
+            DedupOps.ngramJaccardPairs(train, "doc_id", "text", 3, 0.5), "doc_id")
+          .select(col("id").as("doc_id"), col("is_duplicate").as("d_near"))
+        val contam = CorpusOps.contamination(train, eval, "doc_id", "text", n = 5)
+          .select(col("doc_id"), col("contaminated"))
+        val stop = Seq("a", "the", "and", "of", "in", "to")
+        val t = graft.operators.TextOps.tokens(col("text"))
+        val scored = train
+          .withColumn("t", t)
+          .select(col("doc_id"),
+            dec6(least(lit(1.0), size(col("t")) / lit(200.0)) *
+              (lit(1.0) - graft.operators.TextOps.markerCount(col("t"), stop) / size(col("t"))))
+              .as("quality"))
+        val cut = scored.agg(expr("percentile(quality, 0.7)").as("cutoff"))
+        val flags = exact.join(near, "doc_id").join(contam, "doc_id")
+          .join(scored, "doc_id").crossJoin(broadcast(cut))
+          .withColumn("q_keep", (col("quality") >= col("cutoff")).cast("int"))
+        flags.agg(
+          count(lit(1)).as("n_total"),
+          sum((col("d_exact") === 0).cast("int")).as("n_exact"),
+          sum((col("d_exact") === 0 && col("d_near") === 0).cast("int")).as("n_neardup"),
+          sum((col("d_exact") === 0 && col("d_near") === 0 &&
+            col("contaminated") === 0).cast("int")).as("n_clean"),
+          sum((col("d_exact") === 0 && col("d_near") === 0 &&
+            col("contaminated") === 0 && col("q_keep") === 1).cast("int")).as("n_final"))
+      },
+      Some("""WITH RECURSIVE train AS (SELECT * FROM documents WHERE doc_id % 37 <> 0),
+             |ex AS (SELECT doc_id,
+             |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM train),
+             |exact AS (SELECT doc_id,
+             |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY fp) AS INT) AS d_exact FROM ex),
+             |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM train),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(
+             |  generate_series(1, greatest(len(t) - 2, 0)),
+             |  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s FROM toks),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |    / len(list_distinct(a.s || b.s)) >= 0.5),
+             |ed AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM ed
+             |  UNION
+             |  SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a),
+             |near AS (SELECT t.doc_id,
+             |  CAST(least(t.doc_id, coalesce(min(r.b), t.doc_id)) <> t.doc_id AS INT) AS d_near
+             |  FROM train t LEFT JOIN reach r ON r.a = t.doc_id GROUP BY t.doc_id),
+             |sh5 AS (SELECT doc_id, list_distinct(list_transform(
+             |  generate_series(1, greatest(len(t) - 4, 0)),
+             |  i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS s
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+             |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh5 WHERE doc_id % 37 = 0),
+             |tr AS (SELECT doc_id, unnest(s) AS g FROM sh5 WHERE doc_id % 37 <> 0),
+             |contam AS (SELECT t.doc_id,
+             |  CAST(count(ev.g) > 0 AS INT) AS contaminated
+             |  FROM (SELECT doc_id FROM train) t
+             |  LEFT JOIN tr ON tr.doc_id = t.doc_id
+             |  LEFT JOIN ev ON tr.g = ev.g GROUP BY t.doc_id),
+             |x AS (SELECT doc_id, len(t) AS n,
+             |  len(list_filter(t, x -> x IN ('a', 'the', 'and', 'of', 'in', 'to'))) AS n_stop
+             |  FROM toks),
+             |scored AS (SELECT doc_id,
+             |  floor((least(1.0, n / 200.0) * (1.0 - CAST(n_stop AS DOUBLE) / n)) * 1000000.0 + 0.500618034) / 1000000.0 AS quality
+             |  FROM x),
+             |cut AS (SELECT quantile_cont(quality, 0.7) AS cutoff FROM scored),
+             |flags AS (SELECT e.doc_id, d_exact, d_near, contaminated,
+             |  CAST(quality >= cutoff AS INT) AS q_keep
+             |  FROM exact e JOIN near USING (doc_id) JOIN contam USING (doc_id)
+             |  JOIN scored USING (doc_id), cut)
+             |SELECT count(*) AS n_total,
+             |  CAST(sum(CAST(d_exact = 0 AS INT)) AS BIGINT) AS n_exact,
+             |  CAST(sum(CAST(d_exact = 0 AND d_near = 0 AS INT)) AS BIGINT) AS n_neardup,
+             |  CAST(sum(CAST(d_exact = 0 AND d_near = 0 AND contaminated = 0 AS INT)) AS BIGINT)
+             |    AS n_clean,
+             |  CAST(sum(CAST(d_exact = 0 AND d_near = 0 AND contaminated = 0 AND q_keep = 1
+             |    AS INT)) AS BIGINT) AS n_final
+             |FROM flags""".stripMargin))
   )
 }

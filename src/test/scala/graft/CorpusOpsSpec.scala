@@ -90,6 +90,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3L) == "zed")
   }
 
+  test("unigram logprob: uniform corpus scores ln(1/V); rare tokens drag the mean down") {
+    // 4 tokens total, each type once -> every doc token has p = 1/4
+    val uniform = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val u = CorpusOps.unigramLogProb(uniform, "doc_id", "text")
+      .select("mean_logprob").as[Double].collect()
+    assert(u.forall(v => math.abs(v - math.log(0.25)) < 1e-12))
+    // doc of common tokens outscores the doc holding the one rare token
+    val skewed = Seq((1L, "x x x x"), (2L, "x x x rare")).toDF("doc_id", "text")
+    val s = CorpusOps.unigramLogProb(skewed, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(1L) > s(2L))
+  }
+
+  test("centroid outlier: the planted far vector ranks first in its block") {
+    import graft.operators.SimilarityOps
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.1f, 0.0f), 0),
+      (3L, Array(0.9f, 0.0f), 0),
+      (4L, Array(9.0f, 9.0f), 0), // planted outlier
+      (5L, Array(0.0f, 1.0f), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.centroidOutliers(emb, "vec_id", "embedding", "label",
+        topK = 1, scoreOut = identity)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getInt(4)))
+    val byId = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(4L) == ((1, 1))) // rank 1, flagged
+    assert(byId(5L) == ((1, 1))) // singleton block: trivially its own top
+    assert(out.filter(t => Set(1L, 2L, 3L).contains(t._1)).forall(_._3 == 0))
+  }
+
   test("tfidf ubiquitous-term corpus still yields one row per doc") {
     // every term in every doc -> all idf = ln(1) = 0; the tie must break
     // deterministically on the term string, not drop rows
