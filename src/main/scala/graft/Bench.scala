@@ -20,6 +20,7 @@ object Bench {
     // local profiling: rerun the selected set N times, keep the LAST pass
     // (steady-state codegen/readers) — the driver's per-round run uses 1
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    require(repeat >= 1, s"SPARK_GRAFT_REPEAT must be >= 1, got $repeat")
     val results = selected.map { case (name, fn) =>
       var dt = 0.0
       for (_ <- 1 to repeat) {

@@ -15,16 +15,11 @@ import org.apache.spark.sql.functions._
   * token strings, and per-doc outputs re-join on the id column only. */
 object CorpusOps {
 
-  /** One (id, h) row per distinct hashed word n-gram per document — the
-    * shared explode for decontamination. Same bind-then-explode-outer
-    * discipline as DedupOps.hashedShingles (InferFiltersFromGenerate would
-    * otherwise push a size() predicate that re-expands the token lambda). */
+  /** One (id, h) row per distinct hashed word n-gram per document — shared
+    * with the dedup operators so the bind-then-explode-outer discipline
+    * (the InferFiltersFromGenerate pitfall) lives in exactly one place. */
   private def hashedGrams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
-      .select(col(idCol), TextOps.hashedShingleSet(col("__t"), n).as("sh"))
-      .select(col(idCol), explode_outer(col("sh")).as("h"))
-      .filter(col("h").isNotNull)
+    DedupOps.hashedShingles(docs, idCol, textCol, n)
 
   /** Benchmark decontamination (the n-gram-overlap check run before every
     * training data release, cf. GPT-3 appx. C / PaLM §C): for each training

@@ -82,8 +82,8 @@ object DedupOps {
     * InferFiltersFromGenerate, whose size>0 predicate is pushed below the
     * token projection and re-expands the lambda with an inline split per
     * element (~10× slowdown — the repo's documented HOF pitfall). */
-  private def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
-                             n: Int): DataFrame =
+  private[operators] def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
+                                        n: Int): DataFrame =
     docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
       .select(col(idCol), TextOps.hashedShingleSet(col("__t"), n).as("sh"))
@@ -176,9 +176,11 @@ object DedupOps {
     * Document frequency comes from a window on the hash partitioning (no
     * aggregate+join round trip), `rn`/`sz` share one id-partitioned sort,
     * and every shuffle key is an 8-byte hash. Verification defaults to the
-    * constant-row-width count join ([[verifyJaccard]]); `arrayVerify`
-    * switches to one sorted-merge intersect per pair
-    * ([[verifyJaccardArrays]]) for candidate-dense workloads. */
+    * sorted-merge intersect per pair ([[verifyJaccardArrays]] — measured
+    * fastest here, where candidates are few after prefix filtering);
+    * `arrayVerify = false` switches to the constant-row-width count join
+    * ([[verifyJaccard]]) for book-length docs whose shingle arrays would
+    * dominate the shuffle. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         arrayVerify: Boolean = true): DataFrame = {

@@ -94,7 +94,8 @@ object FeatureSelect {
                       exclude: Seq[String] = Nil): DataFrame = {
     val features = df.columns.filterNot(exclude.contains).toIndexedSeq
     val keep = selectColumns(features, maxFeatures)
-    if (keep.size == features.size) df
-    else df.select((exclude.filter(df.columns.contains) ++ keep).map(c => col(s"`$c`")): _*)
+    // always project exclude-first, even when the cap does not bind — the
+    // documented column order is part of the contract, not a cap side effect
+    df.select((exclude.filter(df.columns.contains) ++ keep).map(c => col(s"`$c`")): _*)
   }
 }
