@@ -48,6 +48,31 @@ object CorpusOps {
       .withColumn("contaminated", (col("n_shared") > 0).cast("int"))
   }
 
+  /** 16-way content-stable hash bucket: first hex digit of `md5(id)` —
+    * reproducible across engines, runs, partitionings and retries. The
+    * shared primitive under [[stratifiedSample]] and [[assignSplit]]. */
+  private def hexBucket(idCol: String): Column =
+    conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 1), 16, 10)
+      .cast("int")
+
+  /** Deterministic leakage-free train/validation/test split: buckets
+    * `[0, 16-val-test)` train, the next `valOf16` validation, the last
+    * `testOf16` test. A document's split is a pure function of its id, so
+    * re-running the pipeline (or adding data) never migrates an old row
+    * between splits — train/test leakage cannot creep in through
+    * re-partitioning, and the assignment evaluates inside the scan with no
+    * shuffle. */
+  def assignSplit(docs: DataFrame, idCol: String,
+                  valOf16: Int = 2, testOf16: Int = 2): DataFrame = {
+    require(valOf16 >= 0 && testOf16 >= 0 && valOf16 + testOf16 < 16,
+      s"val+test buckets must leave room for train, got $valOf16 + $testOf16")
+    docs.withColumn("bucket", hexBucket(idCol))
+      .withColumn("split",
+        when(col("bucket") < 16 - valOf16 - testOf16, "train")
+          .when(col("bucket") < 16 - testOf16, "val")
+          .otherwise("test"))
+  }
+
   /** Deterministic stratified sampling by content-stable hash bucket: each
     * row lands in one of 16 buckets via the first hex digit of
     * `md5(idCol)`, and a stratum keeps rows whose bucket index is below its
@@ -64,13 +89,11 @@ object CorpusOps {
                        keepOf16: Map[String, Int], defaultKeep: Int): DataFrame = {
     require((defaultKeep +: keepOf16.values.toSeq).forall(k => k >= 0 && k <= 16),
       "keep counts must be in [0,16]")
-    val bucket = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 1),
-      16, 10).cast("int")
     // fixed-order fold → deterministic when-chain regardless of map ordering
     val rate = keepOf16.toSeq.sortBy(_._1).foldLeft(lit(defaultKeep)) {
       case (acc, (stratum, k)) => when(col(stratumCol) === stratum, lit(k)).otherwise(acc)
     }
-    docs.withColumn("bucket", bucket)
+    docs.withColumn("bucket", hexBucket(idCol))
       .withColumn("keep_of_16", rate)
       .filter(col("bucket") < col("keep_of_16"))
   }

@@ -285,6 +285,60 @@ object CorpusQ {
               |SELECT vec_id, label, dist, rk, CAST(rk <= 5 AS INT) AS is_outlier
               |FROM r ORDER BY vec_id""".stripMargin)),
 
+    // Zipf diagnostic: rank-frequency regression over the top-100 vocabulary
+    // (slope ≈ −1 on natural text; a flat slope flags templated/synthetic
+    // corpora). Ranks come from integer counts with a string tie-break, so
+    // both engines regress over the identical point set.
+    "q93_zipf_slope" -> Q(
+      (s, d) => {
+        val ex = Tables.documents(s, d)
+          .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")).as("__t"))
+          .select(explode_outer(col("__t")).as("token"))
+          .filter(col("token").isNotNull && col("token") =!= "")
+        val vocab = ex.groupBy("token").agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("token"))
+          .limit(100)
+          .withColumn("rank",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("tf").desc, col("token"))))
+        vocab.agg(
+          count(lit(1)).as("n_terms"),
+          dec6(regr_slope(log(col("tf").cast("double")), log(col("rank").cast("double"))))
+            .as("zipf_slope"),
+          dec6(regr_r2(log(col("tf").cast("double")), log(col("rank").cast("double"))))
+            .as("r2"))
+      },
+      Some(s"""WITH ex AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+              |  FROM documents),
+              |vocab AS (SELECT token, count(*) AS tf FROM ex
+              |  WHERE token IS NOT NULL AND token <> ''
+              |  GROUP BY token ORDER BY tf DESC, token LIMIT 100),
+              |ranked AS (SELECT tf,
+              |  row_number() OVER (ORDER BY tf DESC, token) AS rank FROM vocab)
+              |SELECT count(*) AS n_terms,
+              |${r6("regr_slope(ln(CAST(tf AS DOUBLE)), ln(CAST(rank AS DOUBLE)))")}
+              |  AS zipf_slope,
+              |${r6("regr_r2(ln(CAST(tf AS DOUBLE)), ln(CAST(rank AS DOUBLE)))")} AS r2
+              |FROM ranked""".stripMargin)),
+
+    // Leakage-free train/val/test split: assignment is a pure function of
+    // the doc id (12/2/2 of 16 hash buckets), summarized per (split, lang).
+    // Adding data or re-partitioning can never migrate an old row between
+    // splits — the property the oracle proves by recomputing the same
+    // buckets from the same md5 digits.
+    "q94_train_split" -> Q(
+      (s, d) => CorpusOps.assignSplit(Tables.documents(s, d), "doc_id",
+          valOf16 = 2, testOf16 = 2)
+        .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "lang"),
+      Some("""WITH b AS (SELECT doc_id, lang,
+             |  strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+             |    AS bucket FROM documents),
+             |s AS (SELECT lang, CASE WHEN bucket < 12 THEN 'train'
+             |  WHEN bucket < 14 THEN 'val' ELSE 'test' END AS split FROM b)
+             |SELECT split, lang, count(*) AS n_docs FROM s
+             |GROUP BY split, lang ORDER BY split, lang""".stripMargin)),
+
     // The curation funnel: one row summarizing survivors through the full
     // cleaning cascade — exact dedup → near-dup clusters (Jaccard ≥ 0.5,
     // star-contraction components) → benchmark decontamination → quality
