@@ -339,6 +339,76 @@ object CorpusQ {
              |SELECT split, lang, count(*) AS n_docs FROM s
              |GROUP BY split, lang ORDER BY split, lang""".stripMargin)),
 
+    // Context-window chunking: split each document into 32-token windows
+    // with an 8-token overlap (stride 24) — the tokenizer-budget chunker
+    // that turns long documents into training sequences. The chunk index
+    // sequence is bounded/filtered BEFORE slicing (no oversized slices are
+    // built then discarded), and the lambda slices a BOUND token array
+    // (the HOF re-expansion pitfall). Verified by chunk fingerprints.
+    "q95_token_chunks" -> Q(
+      (s, d) => {
+        val win = 32; val stride = 24
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")).as("__t"))
+          .withColumn("n", size(col("__t")))
+        // chunk starts 0, stride, 2·stride, … while start < n (last window
+        // may be short; empty docs produce no chunks via explode of [])
+        val nChunks = ceil(col("n") / lit(stride.toDouble)).cast("int")
+        // guard BEFORE sequence: sequence(0, -1) would count DOWN (the
+        // repo's documented pitfall) for null-text docs where n is null
+        val idxs = when(col("n") > 0, sequence(lit(0), nChunks - 1))
+          .otherwise(array().cast("array<int>"))
+        docs
+          .withColumn("idx", explode(idxs))
+          .filter(col("idx") * stride < col("n"))
+          .select(col("doc_id"), col("idx").as("chunk_idx"),
+            slice(col("__t"), col("idx") * stride + 1, lit(win)).as("__c"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("__c")).as("n_tokens"),
+            md5(array_join(col("__c"), " ").cast("binary")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |  FROM documents),
+              |m AS (SELECT doc_id, t, len(t) AS n,
+              |  CAST(ceil(len(t) / 24.0) AS INT) AS nc FROM toks WHERE len(t) > 0),
+              |c AS (SELECT doc_id, u.i AS chunk_idx,
+              |  t[u.i * 24 + 1 : u.i * 24 + 32] AS ck
+              |  FROM m, LATERAL (SELECT unnest(generate_series(0, m.nc - 1)) AS i) u(i)
+              |  WHERE u.i * 24 < n)
+              |SELECT doc_id, chunk_idx, len(ck) AS n_tokens,
+              |  md5(array_to_string(ck, ' ')) AS chunk_md5
+              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Sequence packing: documents in id order packed greedily into
+    // fixed-budget token bins via a running cumulative sum — bin id =
+    // floor((cumsum − n)/budget) assigns each doc to the bin its FIRST
+    // token lands in (contiguous packing, the deterministic approximation
+    // of training-batch packing). Pure integer window arithmetic — exact in
+    // both engines; at scale the window is a single global running sum over
+    // (id-sorted) doc lengths, a metadata-sized frame, not the corpus text.
+    "q96_seq_packing" -> Q(
+      (s, d) => {
+        val budget = 512
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("doc_id").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(graft.operators.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("cum_tokens", sum("n_tokens").over(w))
+          .withColumn("bin", floor((col("cum_tokens") - col("n_tokens")) / budget.toDouble).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             |  FROM t)
+             |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+             |  CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS bin
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // The curation funnel: one row summarizing survivors through the full
     // cleaning cascade — exact dedup → near-dup clusters (Jaccard ≥ 0.5,
     // star-contraction components) → benchmark decontamination → quality
