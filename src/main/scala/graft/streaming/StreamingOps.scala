@@ -65,6 +65,30 @@ object StreamingOps {
       .withColumn("temp_risk_normalized", col("zones_low").cast("double") / 8.0)
       .filter(col("direct_detection") === 1)
 
+  /** Streaming corpus clean: the q71 cleaning cascade on a document
+    * stream — per-row quality signals (stateless column algebra, composes
+    * onto the stream unchanged), then watermark-bounded exact dedup on the
+    * content fingerprint. The FIRST arrival of each fingerprint survives,
+    * mirroring the batch keep-list (`canonical = min id` under
+    * arrival-order ids). Downstream corpus statistics run in
+    * `foreachBatch` over the cleaned stream via [[rescoreEachBatch]]. */
+  def corpusCleanStream(docs: DataFrame, tsCol: String,
+                        minTokens: Int = 20, maxStopRatio: Double = 0.5,
+                        watermark: String = "1 hour"): DataFrame = {
+    val stop = Seq("a", "the", "and", "of", "in", "to")
+    val scored = docs
+      .withColumn("__t", graft.operators.TextOps.tokens(col("text")))
+      .withColumn("n_tokens", size(col("__t")))
+      .withColumn("stop_ratio",
+        graft.operators.TextOps.markerCount(col("__t"), stop) / size(col("__t")))
+      .filter(col("n_tokens") >= minTokens && col("stop_ratio") < maxStopRatio)
+      .withColumn("fp", graft.operators.TextOps.fingerprint(col("text")))
+      .drop("__t")
+    scored
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
   /** Convenience: run a streaming aggregate to an in-memory table until all
     * available data is processed (test/driver harness path). */
   def runToMemory(agg: DataFrame, name: String): StreamingQuery = {

@@ -28,6 +28,27 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(salted.count() == direct.count())
   }
 
+  test("observe() metrics ride the cleaning pass with no second job") {
+    // data-quality telemetry at 100 TB must free-ride on the pass itself —
+    // a separate count() pass re-reads the corpus. Dataset.observe attaches
+    // accumulator-backed metrics to the existing scan.
+    val docs = Tables.documents(spark, sfTiny)
+    val scored = docs
+      .withColumn("t", graft.operators.TextOps.tokens(col("text")))
+      .withColumn("n_tokens", size(col("t")))
+    val observed = scored.observe("clean_metrics",
+      count(lit(1)).as("n_scanned"),
+      sum((col("n_tokens") >= 20).cast("long")).as("n_kept"))
+    val kept = observed.filter(col("n_tokens") >= 20).select("doc_id")
+    // the ONE action; metrics piggyback on it. (collect, not count —
+    // Dataset.count builds its own QueryExecution, so the metrics of THIS
+    // plan would never populate)
+    val nKept = kept.collect().length.toLong
+    val m = kept.queryExecution.observedMetrics("clean_metrics")
+    assert(m.getAs[Long]("n_scanned") == docs.count())
+    assert(m.getAs[Long]("n_kept") == nKept)
+  }
+
   test("bucketed tables sort-merge join without a shuffle exchange") {
     // DROP TABLE clears only the in-memory catalog; an orphaned location
     // from a previous JVM blocks saveAsTable — remove it on disk too

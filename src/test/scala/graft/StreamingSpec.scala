@@ -56,6 +56,45 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("fpA", 1L), ("fpB", 3L)))
   }
 
+  test("corpusCleanStream applies the batch quality filter and dedups by fingerprint") {
+    import java.sql.Timestamp
+    implicit val sq = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val longText = ("tok " * 25).trim            // 25 tokens, no stopwords
+    val stopsText = ("the " * 30).trim           // all stopwords: filtered
+    val shortText = "too short"                  // < 20 tokens: filtered
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Timestamp)]
+    input.addData(
+      (1L, longText, t0), (2L, shortText, t0), (3L, stopsText, t0),
+      (4L, longText, t0), // exact dup of 1 -> exactly one of {1,4} survives
+      (5L, longText + " unique", t0))
+    val stream = graft.streaming.StreamingOps.corpusCleanStream(
+      input.toDS().toDF("doc_id", "text", "ts"), "ts")
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("clean_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("clean_stream").select("doc_id", "fp").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // quality filter: 2 and 3 are gone; dedup: one survivor per fingerprint
+    assert(got.map(_._1).toSet.subsetOf(Set(1L, 4L, 5L)))
+    assert(got.map(_._2).distinct.length == got.length)
+    assert(got.length == 2) // {1|4} and 5
+    // batch parity: the same rows survive the batch cascade (modulo which
+    // member of an exact-dup group represents it)
+    val batchFps = {
+      import spark.implicits._
+      val df = Seq((1L, longText), (2L, shortText), (3L, stopsText),
+        (4L, longText), (5L, longText + " unique")).toDF("doc_id", "text")
+      val stop = Seq("a", "the", "and", "of", "in", "to")
+      df.withColumn("t", graft.operators.TextOps.tokens(col("text")))
+        .filter(size(col("t")) >= 20 &&
+          graft.operators.TextOps.markerCount(col("t"), stop) / size(col("t")) < 0.5)
+        .select(graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+        .distinct().as[String].collect().toSet
+    }
+    assert(got.map(_._2).toSet == batchFps)
+  }
+
   test("zoneAlertStream emits only triggered rows with the batch rule columns") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[ZoneRow]
