@@ -49,6 +49,17 @@ object WindowOps {
     val f = trailing(w, n); withMinPeriods(stddev_samp(c).over(f), c, f, minPeriods)
   }
 
+  /** Rolling median — the robust-statistics window the mean/std family
+    * lacks (pandas `rolling().median()`): an exact interpolated percentile
+    * over the trailing frame. O(n log n) per frame via the aggregate's
+    * internal sort; at 100 TB widths stay small (24-168 rows) and the
+    * window is series-partitioned, so the cost is per-row-bounded. */
+  def rollMedian(c: Column, n: Int, minPeriods: Int, w: WindowSpec): Column = {
+    val f = trailing(w, n)
+    // percentile, not median(): median is frame-restricted in Spark 4
+    withMinPeriods(percentile(c, lit(0.5)).over(f), c, f, minPeriods)
+  }
+
   /** Rolling min/max (`rolling_min_jit`/`rolling_max_jit`, `pre_processing.py:587-637`). */
   def rollMin(c: Column, n: Int, minPeriods: Int, w: WindowSpec): Column = {
     val f = trailing(w, n); withMinPeriods(min(c).over(f), c, f, minPeriods)

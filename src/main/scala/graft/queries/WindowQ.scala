@@ -41,6 +41,24 @@ object WindowQ {
 
   val queries: ListMap[String, Q] = ListMap(
 
+    // Rolling median (robust-statistics completion of the W2-W4 family,
+    // pandas `rolling(24, min_periods=12).median()`): exact interpolated
+    // median over the trailing day, min_periods-guarded. Both engines
+    // interpolate the even-count midpoint identically up to ulp, absorbed
+    // by the rounding bias.
+    "q97_rolling_median" -> Q(
+      (s, d) => series(s, d)
+        .select(col("ts"), col("event_type"),
+          dec4(WindowOps.rollMedian(col("v"), 24, 12, w)).as("med_24h"))
+        .orderBy("ts", "event_type"),
+      Some(s"""WITH $sqlSeries
+              |SELECT ts, event_type,
+              |${r4("CASE WHEN count(v) OVER wr >= 12 THEN quantile_cont(v, 0.5) OVER wr END")}
+              |  AS med_24h
+              |FROM series WINDOW wr AS (PARTITION BY event_type ORDER BY ts
+              |  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+              |ORDER BY ts, event_type""".stripMargin)),
+
     // W1: lag features at 1/6/24 h (reference `create_lag`,
     // `pre_processing.py:333-347`; simple lags `simple_pre_processing.py:305`).
     "q30_lag_features" -> Q(
