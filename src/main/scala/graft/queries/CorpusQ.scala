@@ -359,7 +359,10 @@ object CorpusQ {
         val idxs = when(col("n") > 0, sequence(lit(0), nChunks - 1))
           .otherwise(array().cast("array<int>"))
         docs
-          .withColumn("idx", explode(idxs))
+          // explode_outer, not explode: InferFiltersFromGenerate's size>0
+          // predicate would re-expand the aliased index expression (the
+          // documented pitfall); the stride filter already drops null rows
+          .withColumn("idx", explode_outer(idxs))
           .filter(col("idx") * stride < col("n"))
           .select(col("doc_id"), col("idx").as("chunk_idx"),
             slice(col("__t"), col("idx") * stride + 1, lit(win)).as("__c"))

@@ -65,12 +65,22 @@ object StreamingOps {
       .withColumn("temp_risk_normalized", col("zones_low").cast("double") / 8.0)
       .filter(col("direct_detection") === 1)
 
+  /** No-op nondeterministic expression used as a pushdown barrier: a
+    * project containing it cannot have filters pushed through (alias
+    * substitution would otherwise re-expand the tokenize expressions into
+    * the predicate — q71's measured 6-splits-per-row pitfall,
+    * `FlagshipQ.scala`). q71's `monotonically_increasing_id` barrier is
+    * rejected by streaming's UnsupportedOperationChecker; a
+    * nondeterministic-flagged identity UDF is the streaming-safe form, and
+    * costs one no-op call per row against the ~6 regex splits it saves. */
+  private val ridBarrier = udf(() => 0).asNondeterministic()
+
   /** Streaming corpus clean: the q71 cleaning cascade on a document
     * stream — per-row quality signals (stateless column algebra, composes
     * onto the stream unchanged), then watermark-bounded exact dedup on the
-    * content fingerprint. The FIRST arrival of each fingerprint survives,
-    * mirroring the batch keep-list (`canonical = min id` under
-    * arrival-order ids). Downstream corpus statistics run in
+    * content fingerprint via [[dedupStream]]. The FIRST arrival of each
+    * fingerprint survives, mirroring the batch keep-list (`canonical =
+    * min id` under arrival-order ids). Downstream corpus statistics run in
     * `foreachBatch` over the cleaned stream via [[rescoreEachBatch]]. */
   def corpusCleanStream(docs: DataFrame, tsCol: String,
                         minTokens: Int = 20, maxStopRatio: Double = 0.5,
@@ -81,12 +91,13 @@ object StreamingOps {
       .withColumn("n_tokens", size(col("__t")))
       .withColumn("stop_ratio",
         graft.operators.TextOps.markerCount(col("__t"), stop) / size(col("__t")))
-      .filter(col("n_tokens") >= minTokens && col("stop_ratio") < maxStopRatio)
+      .withColumn("__rid", ridBarrier())
+      // referencing __rid keeps ColumnPruning from deleting the barrier
+      .filter(col("n_tokens") >= minTokens && col("stop_ratio") < maxStopRatio &&
+        col("__rid") >= 0)
       .withColumn("fp", graft.operators.TextOps.fingerprint(col("text")))
-      .drop("__t")
-    scored
-      .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("fp")
+      .drop("__t", "__rid")
+    dedupStream(scored, "fp", tsCol, watermark)
   }
 
   /** Convenience: run a streaming aggregate to an in-memory table until all

@@ -35,5 +35,9 @@ class JsonlIOSpec extends SparkSpec {
     assert(got.count(!_._3) == 2)           // two clean rows parsed
     assert(got.count(_._3) == 1)            // one quarantined line
     assert(got.filter(_._3).forall(_._1.isEmpty)) // quarantined row has no fields
+    // the feed-health helper (a bare corrupt-only count would throw —
+    // Spark's raw-JSON corrupt-column restriction, see JsonlIO.read doc)
+    val df = JsonlIO.read(spark, dir.toString, schema, corruptCol = Some("_bad"))
+    assert(JsonlIO.corruptCount(df, "_bad", "doc_id") == 1L)
   }
 }
