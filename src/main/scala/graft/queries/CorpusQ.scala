@@ -412,6 +412,43 @@ object CorpusQ {
              |  CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS bin
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // Quality deciles: ntile(10) over the rounded quality score (rounding
+    // first makes the order deterministic cross-engine; ties break on
+    // doc_id) — the distribution report a threshold decision is read from.
+    // At scale this one global sort runs over (doc_id, quality) pairs, not
+    // documents; for 100 TB swap to approx_percentile bucket edges.
+    "q98_quality_deciles" -> Q(
+      (s, d) => {
+        val stop = Seq("a", "the", "and", "of", "in", "to")
+        val docs = Tables.documents(s, d)
+          .withColumn("t", graft.operators.TextOps.tokens(col("text")))
+        val ratio = graft.operators.TextOps.markerCount(col("t"), stop) / size(col("t"))
+        val scored = docs.select(col("doc_id"),
+          dec6(least(lit(1.0), size(col("t")) / lit(200.0)) * (lit(1.0) - ratio))
+            .as("quality"))
+        scored
+          .withColumn("decile", ntile(10).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("quality"), col("doc_id"))))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"),
+            dec6(min("quality")).as("min_q"),
+            dec6(max("quality")).as("max_q"))
+          .orderBy("decile")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |  FROM documents),
+              |x AS (SELECT doc_id, len(t) AS n,
+              |  len(list_filter(t, x -> x IN ('a', 'the', 'and', 'of', 'in', 'to'))) AS n_stop
+              |  FROM toks),
+              |scored AS (SELECT doc_id,
+              |  ${r6("least(1.0, n / 200.0) * (1.0 - CAST(n_stop AS DOUBLE) / n)")} AS quality
+              |  FROM x),
+              |dec AS (SELECT quality,
+              |  ntile(10) OVER (ORDER BY quality, doc_id) AS decile FROM scored)
+              |SELECT decile, count(*) AS n_docs,
+              |  ${r6("min(quality)")} AS min_q, ${r6("max(quality)")} AS max_q
+              |FROM dec GROUP BY decile ORDER BY decile""".stripMargin)),
+
     // The curation funnel: one row summarizing survivors through the full
     // cleaning cascade — exact dedup → near-dup clusters (Jaccard ≥ 0.5,
     // star-contraction components) → benchmark decontamination → quality
