@@ -289,4 +289,31 @@ object SimilarityOps {
       .filter(col("cos_sim") > threshold)
       .select(col("id_a"), col("id_b"), scoreOut(col("cos_sim")).as("cos_sim"))
   }
+
+  /** Symmetric per-vector int8 quantization (the storage/serving format
+    * ANN indexes ship at scale — 4× smaller than float32, SIMD-friendly):
+    * scale = 127 / max|x|, q_i = floor(x_i·scale + 0.5). A pure per-row
+    * linear scan — no shuffle — emitting audit scalars (saturation count,
+    * quantized sum/extrema) rather than the int8 payload, so the math is
+    * verifiable cross-engine. The explicit floor(+0.5) formula (not the
+    * engine's `round`) is bit-deterministic in both Spark and DuckDB; a
+    * zero vector keeps scale 0 and quantizes to all zeros. */
+  def int8Quantize(emb: DataFrame, idCol: String, vecCol: String,
+                   scoreOut: Column => Column): DataFrame = {
+    val q = emb
+      .select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale", when(col("max_abs") > 0, lit(127.0) / col("max_abs"))
+        .otherwise(lit(0.0)))
+      .withColumn("q", transform(col("v"),
+        x => floor(x * col("scale") + lit(0.5)).cast("int")))
+    q.select(
+      col(idCol),
+      size(col("v")).as("dim"),
+      scoreOut(col("max_abs")).as("max_abs"),
+      aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+      array_min(col("q")).as("q_min"),
+      array_max(col("q")).as("q_max"),
+      size(filter(col("q"), x => abs(x) === 127)).as("n_sat"))
+  }
 }
