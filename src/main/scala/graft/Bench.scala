@@ -10,10 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session once (codegen compiler, parquet reader, shuffle
-    // machinery) so the first timed query measures the query, not JVM init
-    try spark.read.parquet(s"$sfDir/region.parquet").count()
-    catch { case _: Throwable => () }
+    // warm the session once (codegen compiler, parquet readers, shuffle +
+    // broadcast machinery, sort) so the first timed query measures the
+    // query, not JVM init — without this q01 absorbs ~1s of one-time setup
+    try {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val rg = spark.read.parquet(s"$sfDir/region.parquet")
+      li.filter(col("l_quantity") > 0).groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("s")).orderBy("l_returnflag").count()
+      li.limit(1024).join(broadcast(rg), li("l_orderkey") % 5 === rg("r_regionkey")).count()
+    } catch { case _: Throwable => () }
     // optional comma-separated query-name filter for local profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))

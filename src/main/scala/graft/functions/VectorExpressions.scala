@@ -140,8 +140,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * (`graft_dot`, `graft_l2norm`, `graft_isect_sorted`) — the stable way to
   * build Columns from custom expressions across Spark 4's Column API. */
 object VectorFunctions {
-  import org.apache.spark.sql.catalyst.expressions.Cast
-  import org.apache.spark.sql.types.ArrayType
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
 
   /** The expressions read 8-byte double slots from ArrayData; a float/int
     * array input would be silently misread (or crash), so the SQL surface
@@ -159,5 +159,14 @@ object VectorFunctions {
       { exprs => L2Norm(toDoubleArray(exprs.head)) }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_isect_sorted",
       { exprs => SortedIntersectCount(exprs(0), exprs(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      { exprs =>
+        val k = exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash numHashes must be an int literal, got $other")
+        }
+        MinHashAgg(exprs(0), k)
+      }, "scala_udf")
   }
 }

@@ -242,11 +242,16 @@ object DedupOps {
     // verification streams prune differently, so only materialization
     // shares the shingle evaluation (see object scaladoc).
     val ex = hashedShingles(docs, idCol, textCol, shingleN).persist()
-    val mins = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    val sig = ex.groupBy(idCol).agg(mins.head, mins.tail: _*)
+    // one typed-imperative aggregate computes ALL lane minima per row in a
+    // tight JVM loop (graft.functions.MinHashAgg) — numHashes separate
+    // min(xxhash64(h, i)) agg expressions measured ~2x slower here
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val sig = ex.groupBy(idCol)
+      .agg(call_function("graft_minhash", col("h"), lit(numHashes)).as("sig"))
     val bandStructs = (0 until bands).map { bi =>
       struct(lit(bi).as("band"),
-        xxhash64((lit(bi) +: (0 until rows).map(r => col(s"m${bi * rows + r}"))): _*).as("bh"))
+        xxhash64((lit(bi) +: (0 until rows).map(r =>
+          element_at(col("sig"), bi * rows + r + 1))): _*).as("bh"))
     }
     val buckets = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
