@@ -100,6 +100,28 @@ object StreamingOps {
     dedupStream(scored, "fp", tsCol, watermark)
   }
 
+  /** Stream-stream inner join bounded by an event-time range (§2.11): for
+    * each left row, the right rows with the same key whose timestamp falls
+    * in [left.ts, left.ts + within]. BOTH sides carry watermarks and the
+    * range condition is part of the JOIN predicate (not a post-filter) —
+    * that pair is what lets Spark bound and evict join state (left rows
+    * older than watermark − within, right rows older than watermark).
+    * Without it, stream-stream join state grows without bound — the
+    * difference between a join that survives 100 TB/day and one that OOMs
+    * by lunchtime. Output schema: all left columns + right columns except
+    * the (duplicate) key. */
+  def followWithinStream(left: DataFrame, right: DataFrame, keyCol: String,
+                         tsLeft: String, tsRight: String,
+                         watermark: String, within: String): DataFrame = {
+    val l = left.withWatermark(tsLeft, watermark)
+    val r = right.withWatermark(tsRight, watermark)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(tsRight) >= l(tsLeft) &&
+        r(tsRight) <= l(tsLeft) + expr(s"INTERVAL $within"),
+      "inner").drop(r(keyCol))
+  }
+
   /** Convenience: run a streaming aggregate to an in-memory table until all
     * available data is processed (test/driver harness path). */
   def runToMemory(agg: DataFrame, name: String): StreamingQuery = {

@@ -113,7 +113,46 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Int]("most_affected_zone") == 2) // deepest drop: 800-700
     assert(r.getAs[Double]("temp_risk_normalized") == 3.0 / 8.0)
   }
+  test("followWithinStream equals the batch range join and evicts by watermark") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[ClickE]
+    val buys = MemoryStream[BuyE]
+    val clickRows = Seq(
+      ClickE(1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      ClickE(2L, Timestamp.valueOf("2024-01-01 00:00:30")))
+    val buyRows = Seq(
+      BuyE(1L, Timestamp.valueOf("2024-01-01 00:03:00"), 10.0), // within 5 min
+      BuyE(1L, Timestamp.valueOf("2024-01-01 00:09:00"), 20.0), // outside 5 min
+      BuyE(2L, Timestamp.valueOf("2024-01-01 00:01:00"), 30.0), // within
+      BuyE(3L, Timestamp.valueOf("2024-01-01 00:02:00"), 40.0)) // no click
+    clicks.addData(clickRows: _*)
+    buys.addData(buyRows: _*)
+    val joined = StreamingOps.followWithinStream(
+      clicks.toDF(), buys.toDF(), "user_id", "c_ts", "b_ts", "10 minutes", "5 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("follow_out").start()
+    q.processAllAvailable()
+    // push both watermarks past every row so inner-join results flush
+    // (distinct users so the pushers cannot join with each other)
+    clicks.addData(ClickE(98L, Timestamp.valueOf("2024-01-01 02:00:00")))
+    buys.addData(BuyE(99L, Timestamp.valueOf("2024-01-01 02:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("follow_out").select("user_id", "amount")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // batch twin over the same rows
+    import spark.implicits._
+    val expected = clickRows.toDF().join(buyRows.toDF(),
+        Seq("user_id")).filter($"b_ts" >= $"c_ts" &&
+        $"b_ts" <= $"c_ts" + org.apache.spark.sql.functions.expr("INTERVAL 5 minutes"))
+      .select("user_id", "amount")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == expected)
+    assert(got == Set((1L, 10.0), (2L, 30.0)))
+  }
 }
 
 case class Doc(ts: java.sql.Timestamp, fp: String, doc_id: Long)
 case class ZoneRow(ts: java.sql.Timestamp, z0: Double, z1: Double, z2: Double)
+case class ClickE(user_id: Long, c_ts: java.sql.Timestamp)
+case class BuyE(user_id: Long, b_ts: java.sql.Timestamp, amount: Double)
