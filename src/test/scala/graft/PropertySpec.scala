@@ -102,4 +102,64 @@ class PropertySpec extends SparkSpec {
         assert(series.zip(series.tail).forall { case (a, b) => a <= b + 1e-9 })
     }
   }
+
+  private val lineGen: Gen[String] =
+    Gen.choose(1, 6).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("alpha", "beta", "gamma", "delta")).map(_.mkString(" ")))
+  private val docGen: Gen[String] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, lineGen).map(_.mkString("\n")))
+
+  test("property: dupLineStats fractions are in [0,1] and zero iff all lines distinct") {
+    forAll(Gen.listOfN(5, docGen)) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      graft.operators.CleanOps.dupLineStats(df, "doc_id", "text").collect().foreach { r =>
+        val nLines = r.getAs[Long]("n_lines")
+        val nDistinct = r.getAs[Long]("n_distinct")
+        val dlf = r.getAs[Double]("dup_line_frac")
+        val dcf = r.getAs[Double]("dup_char_frac")
+        val cdf = r.getAs[Double]("corpus_dup_frac")
+        assert(nDistinct <= nLines)
+        Seq(dlf, dcf, cdf).foreach(f => assert(f >= 0.0 && f <= 1.0, s"frac $f out of range"))
+        assert((dlf == 0.0) == (nDistinct == nLines))
+        // the doc's lines split as the operator splits them
+        val lines = docs(r.getAs[Long]("doc_id").toInt).split("\n", -1)
+        assert(nLines == lines.length)
+        assert(nDistinct == lines.distinct.length)
+      }
+    }
+  }
+
+  test("property: redactPii is idempotent and c4Filter counters are consistent") {
+    forAll(Gen.listOfN(4, docGen)) { docs =>
+      val enriched = docs.zipWithIndex.map { case (t, i) =>
+        val extra = if (i % 2 == 0) s"\nmail u$i@ex.org or 555-000$i at 10.0.0.$i" else ""
+        (i.toLong, t + extra)
+      }
+      val df = enriched.toDF("doc_id", "text")
+      val once = df.select(graft.operators.CleanOps.redactPii($"text").as("r"))
+      val twice = once.select(graft.operators.CleanOps.redactPii($"r").as("r"))
+      assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+      graft.operators.CleanOps.c4Filter(df, "doc_id", "text").collect().foreach { r =>
+        assert(r.getAs[Int]("n_kept") <= r.getAs[Int]("n_lines"))
+        if (r.getAs[Int]("doc_keep") == 1) {
+          assert(r.getAs[Int]("n_kept") >= 3 && r.getAs[Int]("has_lorem") == 0)
+        }
+      }
+    }
+  }
+
+  test("property: minhash signature of a union is the elementwise min of signatures") {
+    forAll(Gen.zip(Gen.listOfN(12, Gen.choose(Long.MinValue, Long.MaxValue)),
+                   Gen.listOfN(12, Gen.choose(Long.MinValue, Long.MaxValue)))) {
+      case (as, bs) =>
+        graft.functions.VectorFunctions.register(spark)
+        def sig(hs: Seq[Long], label: String): Seq[Long] =
+          hs.map((label, _)).toDF("g", "h").groupBy("g")
+            .agg(call_function("graft_minhash", $"h", lit(16)).as("s"))
+            .select("s").as[Seq[Long]].head()
+        val su = sig(as ++ bs, "u")
+        val merged = sig(as, "a").zip(sig(bs, "b")).map { case (x, y) => math.min(x, y) }
+        assert(su == merged)
+    }
+  }
 }
