@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, L2Norm, SortedIntersectCount}
+import graft.functions.{DotProduct, L2Norm, MinHashAgg, SortedIntersectCount}
 
 /** Session-extension entry point: makes the engine's custom expressions
   * available to any session via
@@ -28,6 +28,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_isect_sorted"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash numHashes must be an int literal, got $other")
+        }
+        MinHashAgg(exprs(0), k)
+      }))
     // optimizer rule: size(array_intersect(a, b)) on non-null long arrays
     // never materializes the intersection
     e.injectOptimizerRule(_ => graft.functions.RewriteIntersectSize)

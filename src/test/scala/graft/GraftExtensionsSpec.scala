@@ -52,6 +52,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(df.queryExecution.optimizedPlan.toString.toLowerCase.contains("intersectcount"),
         "rule did not fire:\n" + df.queryExecution.optimizedPlan)
       assert(df.orderBy("n").collect().map(_.getInt(0)).toSeq == Seq(1, 1))
+      // the minhash aggregate resolves from SQL and matches the library path:
+      // min per lane over both groups == lanes of the merged group
+      val mh = spark.sql(
+        "SELECT graft_minhash(h, 4) AS s FROM VALUES (1L), (2L), (3L) AS t(h)")
+        .collect().head.getSeq[Long](0)
+      val parts = spark.sql(
+        "SELECT graft_minhash(h, 4) AS s FROM VALUES (1L), (2L) AS t(h) " +
+        "UNION ALL SELECT graft_minhash(h, 4) FROM VALUES (3L) AS t(h)")
+        .collect().map(_.getSeq[Long](0))
+      val merged = parts(0).zip(parts(1)).map { case (a, b) => math.min(a, b) }
+      assert(mh == merged)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
