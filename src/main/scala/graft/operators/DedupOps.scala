@@ -44,6 +44,31 @@ object DedupOps {
       .withColumn("is_duplicate", (col(idCol) =!= col("canonical_id")).cast("int"))
   }
 
+  /** Incremental exact dedup — the production ingestion shape: a NEW batch
+    * is deduplicated against the already-curated corpus without rescanning
+    * it pair-wise. `seen` is the historical fingerprint index (one `fp`
+    * column; at 100 TB a bucketed parquet table keyed by fp, so the join
+    * below is co-located and the new batch — typically 1000× smaller than
+    * history — is the small side). A row is dropped if its fingerprint
+    * exists in history (`dup_of_corpus`) or earlier in its own batch
+    * (`dup_in_batch`, same window as [[exactDedup]]); the surviving rows'
+    * fingerprints are what gets appended to the index afterwards. */
+  def incrementalDedup(batch: DataFrame, seen: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val wf = Window.partitionBy("fp")
+    val idx = seen.select(col("fp")).distinct()
+      .withColumn("__seen", lit(1))
+    batch
+      .withColumn("fp", TextOps.fingerprint(col(textCol)))
+      .join(idx, Seq("fp"), "left")
+      .withColumn("dup_of_corpus", (col("__seen").isNotNull).cast("int"))
+      .withColumn("dup_in_batch",
+        (col(idCol) =!= min(col(idCol)).over(wf)).cast("int"))
+      .withColumn("keep",
+        (col("dup_of_corpus") === 0 && col("dup_in_batch") === 0).cast("int"))
+      .drop("__seen")
+  }
+
   /** Drop bucket keys whose membership exceeds `maxBucketSize` before a
     * within-bucket pair expansion. A pathological bucket of 10⁶ members
     * would expand to 5·10¹¹ pairs; the cap bounds the worst case at

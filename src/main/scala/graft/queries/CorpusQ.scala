@@ -539,6 +539,33 @@ object CorpusQ {
              |    AS n_clean,
              |  CAST(sum(CAST(d_exact = 0 AND d_near = 0 AND contaminated = 0 AND q_keep = 1
              |    AS INT)) AS BIGINT) AS n_final
-             |FROM flags""".stripMargin))
+             |FROM flags""".stripMargin)),
+
+    // Incremental ingestion dedup: docs with doc_id % 5 == 0 stand in for
+    // the newly-crawled batch, the rest for the already-curated corpus.
+    // The batch is flagged against the historical fingerprint index (left
+    // join) and within itself (window) — the daily-increment shape where
+    // history is 1000x the batch and must never be rescanned pair-wise.
+    "q103_incremental_dedup" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+        val hist = docs.filter(col("doc_id") % 5 =!= 0)
+        val seen = hist.select(
+          graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+        DedupOps.incrementalDedup(batch, seen, "doc_id", "text")
+          .select("doc_id", "dup_of_corpus", "dup_in_batch", "keep")
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents),
+             |hist AS (SELECT fp FROM f WHERE doc_id % 5 <> 0),
+             |m AS (SELECT doc_id, fp,
+             |  CAST(fp IN (SELECT fp FROM hist) AS INT) AS dup_of_corpus,
+             |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY fp) AS INT) AS dup_in_batch
+             |  FROM f WHERE doc_id % 5 = 0)
+             |SELECT doc_id, dup_of_corpus, dup_in_batch,
+             |  CAST(dup_of_corpus = 0 AND dup_in_batch = 0 AS INT) AS keep
+             |FROM m ORDER BY doc_id""".stripMargin))
   )
 }
