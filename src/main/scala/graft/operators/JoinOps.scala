@@ -23,6 +23,47 @@ object JoinOps {
                       joinType: String = "left"): DataFrame =
     facts.join(broadcast(intervals), factTs >= lo && factTs < hi, joinType)
 
+  /** Point-in-interval join via RANGE BINNING — the large-large scale path
+    * [[pointInInterval]]'s scaladoc promises: when the interval side is too
+    * big to broadcast, a BroadcastNestedLoopJoin is impossible and a plain
+    * non-equi join degenerates to a cartesian product. Instead, quantize
+    * time into `binSeconds`-wide bins: each interval is exploded to every
+    * bin it overlaps, each fact maps to exactly ONE bin, and the join
+    * becomes a hash equi-join on the bin id with the exact
+    * `lo <= ts < hi` predicate as a post-filter. Because a fact has a
+    * single bin, a matching (fact, interval) pair meets in exactly one bin
+    * — no duplicate elimination pass is needed.
+    *
+    * Scale contract: both sides shuffle ONCE on an 8-byte bin key; the
+    * interval side is amplified by its bins-per-interval factor
+    * (`len/binSeconds + 1` rows per interval), so pick `binSeconds` near
+    * the MEDIAN interval length — smaller bins cost interval duplication,
+    * larger bins cost post-filter selectivity (more non-matching pairs per
+    * bucket). A pathologically long interval (span ≫ bin) amplifies
+    * linearly; cap it by clamping spans upstream or raising `binSeconds`.
+    * Empty intervals (`hi <= lo`) contain no points and are dropped.
+    *
+    * Inner join only, by design: the reference's labeling composition
+    * (q26) recovers unmatched keys with a cheap equi join-back against the
+    * interval list, which is the right shape at 100 TB too (the join-back
+    * key set is tiny after aggregation). */
+  def binnedRangeJoin(facts: DataFrame, intervals: DataFrame,
+                      factTs: Column, lo: Column, hi: Column,
+                      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    val binUs = binSeconds * 1000000L
+    def bin(c: Column) = floor(unix_micros(c.cast("timestamp")) / binUs)
+    // hi is exclusive: the last occupied bin is the one holding hi - 1µs
+    val iv = intervals
+      .filter(hi > lo)
+      .withColumn("__bin",
+        explode(sequence(bin(lo), floor((unix_micros(hi.cast("timestamp")) - 1) / binUs))))
+    facts.withColumn("__bin", bin(factTs))
+      .join(iv, Seq("__bin"))
+      .filter(factTs >= lo && factTs < hi)
+      .drop("__bin")
+  }
+
   /** Look-back window join: flag fact rows within `hours` *before* an event
     * timestamp (reference `accretion_next_{24,48,72}h`,
     * `simple_pre_processing.py:520-535`). */

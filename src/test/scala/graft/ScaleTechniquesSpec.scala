@@ -79,4 +79,47 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"bucketed join must not shuffle:\n${plan.take(800)}")
     assert(joined.count() > 0)
   }
+
+  test("binned range join equals the broadcast BNLJ interval join") {
+    import graft.operators.JoinOps
+    val iv = Tables.orders(spark, sfTiny).filter(col("o_orderkey") % 100 === 0)
+      .select("o_orderkey", "o_orderdate")
+    val li = Tables.lineitem(spark, sfTiny)
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+    val lo = col("o_orderdate")
+    val hi = col("o_orderdate") + expr("INTERVAL 30 DAYS")
+    val bnlj = JoinOps.pointInInterval(li, iv, col("l_shipdate"), lo, hi, "inner")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("l_orderkey", "l_linenumber", "o_orderkey")
+    // bins shorter than, near, and longer than the 30-day interval length
+    for (binSec <- Seq(7L * 86400, 30L * 86400, 90L * 86400)) {
+      val binned = JoinOps.binnedRangeJoin(li, iv, col("l_shipdate"), lo, hi, binSec)
+      assert(key(binned).exceptAll(key(bnlj)).isEmpty &&
+        key(bnlj).exceptAll(key(binned)).isEmpty,
+        s"binned($binSec) != BNLJ")
+    }
+    assert(bnlj.count() > 0)
+  }
+
+  test("binned range join: sub-bin intervals, exclusive hi, empty intervals") {
+    import graft.operators.JoinOps
+    import spark.implicits._
+    val facts = Seq(
+      (1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:30"),
+      (3, "2024-01-01 00:01:00"), (4, "2024-01-01 00:02:00"))
+      .toDF("fid", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val ivs = Seq(
+      // sub-bin interval inside one minute-bin: [00:00:10, 00:00:40)
+      (10, "2024-01-01 00:00:10", "2024-01-01 00:00:40"),
+      // hi exactly on a fact ts: exclusive, must NOT match fid=3
+      (20, "2024-01-01 00:00:00", "2024-01-01 00:01:00"),
+      // empty interval (hi == lo): no matches, no explode blowup
+      (30, "2024-01-01 00:02:00", "2024-01-01 00:02:00"))
+      .toDF("iid", "lo", "hi")
+      .withColumn("lo", col("lo").cast("timestamp"))
+      .withColumn("hi", col("hi").cast("timestamp"))
+    val out = JoinOps.binnedRangeJoin(facts, ivs, col("ts"), col("lo"), col("hi"), 60)
+      .select("fid", "iid").as[(Int, Int)].collect().toSet
+    assert(out == Set((2, 10), (1, 20), (2, 20)))
+  }
 }
