@@ -4,9 +4,11 @@ import org.apache.spark.sql.functions._
 import graft.operators.SkewOps
 import graft.sources.Tables
 
-/** The two scale techniques the README promises, with plan-level evidence:
-  * salted aggregation equals the direct aggregate, and bucketed tables join
-  * without a shuffle. */
+/** The scale techniques the README promises, with plan-level evidence:
+  * salted aggregation equals the direct aggregate, bucketed tables join
+  * without a shuffle, observe() telemetry free-rides the pass, a date-
+  * partitioned layout prunes at the scan, and the binned range join
+  * matches the broadcast BNLJ it replaces at large-large scale. */
 class ScaleTechniquesSpec extends SparkSpec {
 
   test("salted two-phase aggregation is exact vs direct groupBy") {
@@ -78,6 +80,37 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join must not shuffle:\n${plan.take(800)}")
     assert(joined.count() > 0)
+  }
+
+  test("date-partitioned parquet layout prunes partitions at the scan") {
+    // the standard 100 TB time-series layout: directory-partition by day so
+    // a time-range query plans PartitionFilters and never opens the other
+    // days' files — evidence below is both plan text AND the file count
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, sfTiny)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    val all = spark.read.parquet(dir)
+    val days = all.select("day").distinct().count()
+    assert(days > 1, "fixture must span multiple days")
+    // the partition directory values read back as DATEs (partition-column
+    // type inference) — stringify for a type-agnostic literal
+    val d0 = all.agg(min("day")).head.get(0).toString
+    val oneDay = all.filter(col("day") === d0)
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("day"),
+      s"day filter must reach the scan as a partition filter:\n${plan.take(600)}")
+    // the scan's partition list after pruning — 1 directory, not all of
+    // them (Dataset.inputFiles would lie here: it lists the relation's
+    // whole file index, pre-pruning)
+    def prunedDirs(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.get
+    assert(prunedDirs(oneDay) == 1, "one-day filter must read exactly one partition dir")
+    assert(prunedDirs(all) == days.toInt, "unfiltered scan reads every partition dir")
+    assert(oneDay.count() > 0)
   }
 
   test("binned range join equals the broadcast BNLJ interval join") {
