@@ -73,6 +73,27 @@ object FlagshipQ {
         approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"),
         dec6(expr("percentile_approx(l_extendedprice, 0.5, 1000)")).as("p50_approx"),
         dec6(expr("percentile_approx(l_extendedprice, 0.99, 1000)")).as("p99_approx"),
-        count(lit(1)).as("n_rows")))
+        count(lit(1)).as("n_rows"))),
+
+    // MERGEABLE-sketch rollup (DataSketches HLL): per-day user sketches,
+    // then the corpus-wide distinct via hll_union_agg over the 30 daily
+    // sketches — NO rescan of the raw events. This is the incremental
+    // pattern a 100 TB log pipeline lives on: materialize kilobyte
+    // sketches per partition/day, answer any day-range distinct query by
+    // unioning sketches. Register-wise max means the union is EXACTLY the
+    // single-pass sketch (pinned in SketchRollupSpec, with accuracy vs the
+    // exact count); rows-only here since no other engine reproduces the
+    // estimate bit-for-bit.
+    "q106_hll_rollup" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        val perDay = daily.select(col("day").cast("string").as("day"),
+          hll_sketch_estimate(col("sk")).as("users_est"))
+        val total = daily.agg(hll_union_agg(col("sk"), lit(false)).as("u"))
+          .select(lit("ALL").as("day"), hll_sketch_estimate(col("u")).as("users_est"))
+        perDay.unionByName(total).orderBy("day")
+      })
   )
 }
