@@ -7,7 +7,8 @@ import graft.sources.Tables
 /** The scale techniques the README promises, with plan-level evidence:
   * salted aggregation equals the direct aggregate, bucketed tables join
   * without a shuffle, observe() telemetry free-rides the pass, a date-
-  * partitioned layout prunes at the scan, and the binned range join
+  * partitioned layout prunes at the scan (statically AND dynamically via
+  * DPP), AQE splits skewed join partitions, and the binned range join
   * matches the broadcast BNLJ it replaces at large-large scale. */
 class ScaleTechniquesSpec extends SparkSpec {
 
@@ -111,6 +112,73 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(prunedDirs(oneDay) == 1, "one-day filter must read exactly one partition dir")
     assert(prunedDirs(all) == days.toInt, "unfiltered scan reads every partition dir")
     assert(oneDay.count() > 0)
+  }
+
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    // the runtime half of the skew story (SkewOps salting is the manual
+    // half): one hot key owns ~99% of the fact side; with thresholds
+    // scaled to fixture size, AQE's OptimizeSkewedJoin must split the hot
+    // partition instead of letting one task drag the stage
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      val fact = spark.range(0, 200000).select(
+        when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(0, 2000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = fact.join(dim, "k")
+      // execute THIS dataset's plan (count() builds its own QueryExecution,
+      // whose finalized AQE plan we could never see — observe() test note)
+      assert(j.collect().length > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the skewed join side:\n${plan.take(900)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("dynamic partition pruning: a dim filter prunes the fact scan at runtime") {
+    // DPP is what keeps a star join from scanning every partition when the
+    // filter sits on the DIMENSION: the fact side's partition filter is a
+    // runtime subquery over the filtered dim keys
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.events(spark, sfTiny)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim's filter column must be INDEPENDENT data, not a function of
+    // the join key — otherwise constraint propagation folds it into a
+    // static partition filter and no runtime pruning is even needed
+    // (Catalyst did exactly that to this test's first fixture)
+    import spark.implicits._
+    val days = fact.select(col("day").cast("string")).distinct()
+      .as[String].collect().sorted
+    // the dim must be a real source, not a LocalRelation — Catalyst
+    // evaluates filters over local tables at plan time, leaving no filter
+    // node for the pruning rule to reuse
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    days.zipWithIndex
+      .map { case (d, i) => (d, if (i == 0) "audit" else "normal") }.toSeq
+      .toDF("day", "kind").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // broadcast join + DPP: the classic star shape
+      val j = fact.join(broadcast(dim.filter(col("kind") === "audit")), "day")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"fact scan must carry a runtime pruning subquery:\n${plan.take(900)}")
+      assert(j.collect().length > 0)
+    } finally saved.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
   }
 
   test("binned range join equals the broadcast BNLJ interval join") {
