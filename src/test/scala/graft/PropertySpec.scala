@@ -148,6 +148,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: binned range join equals BNLJ for random intervals and bin widths") {
+    import graft.operators.JoinOps
+    val caseGen = Gen.zip(
+      Gen.listOfN(40, Gen.choose(0L, 7200L)),                    // fact ts offsets (s)
+      Gen.listOfN(12, Gen.zip(Gen.choose(0L, 7200L), Gen.choose(0L, 900L))), // (lo, len)
+      Gen.oneOf(30L, 60L, 300L, 3600L))                           // bin width (s)
+    forAll(caseGen, n = 8) { case (fs, ivs, binSec) =>
+      val base = 1700000000000L
+      val facts = fs.zipWithIndex.map { case (o, i) =>
+        (i.toLong, new Timestamp(base + o * 1000)) }.toDF("fid", "ts")
+      val intervals = ivs.zipWithIndex.map { case ((lo, len), i) =>
+        (i.toLong, new Timestamp(base + lo * 1000), new Timestamp(base + (lo + len) * 1000))
+      }.toDF("iid", "lo", "hi") // len 0 => empty interval, exercised on purpose
+      def key(df: org.apache.spark.sql.DataFrame) = df.select("fid", "iid")
+      val binned = JoinOps.binnedRangeJoin(facts, intervals, $"ts", $"lo", $"hi", binSec)
+      val bnlj = JoinOps.pointInInterval(facts, intervals, $"ts", $"lo", $"hi", "inner")
+      assert(key(binned).exceptAll(key(bnlj)).isEmpty &&
+        key(bnlj).exceptAll(key(binned)).isEmpty,
+        s"mismatch at bin=$binSec")
+    }
+  }
+
   test("property: minhash signature of a union is the elementwise min of signatures") {
     forAll(Gen.zip(Gen.listOfN(12, Gen.choose(Long.MinValue, Long.MaxValue)),
                    Gen.listOfN(12, Gen.choose(Long.MinValue, Long.MaxValue)))) {
