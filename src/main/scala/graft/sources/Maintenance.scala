@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Table maintenance for parquet datasets — the day-2 operations a lake
+  * actually runs. The one implemented here is small-file COMPACTION: a
+  * streaming ingest (or an over-parallel batch write) leaves thousands of
+  * KB-sized files per directory, and every later scan pays a task + footer
+  * read per file — at 100 TB the listing alone dominates planning. Compact
+  * rewrites a directory to ⌈bytes / targetFileBytes⌉ files.
+  *
+  * Scale notes:
+  *  - The input size comes from the file LISTING (driver-side metadata,
+  *    one RPC per directory — not a data read).
+  *  - `sortCols` re-sorts within output files so parquet min/max stats
+  *    stay tight after the rewrite (a compaction that shuffles time ranges
+  *    together quietly destroys row-group pruning for every later query).
+  *    With sortCols, sizing uses repartitionByRange on the same columns —
+  *    output files then hold DISJOINT sorted ranges; without, a
+  *    round-robin repartition balances bytes evenly.
+  *  - Output goes to a NEW directory: compaction must be atomic at the
+  *    table-pointer level (swap the directory / partition location after
+  *    validation), never an in-place overwrite of files a reader may hold.
+  */
+object Maintenance {
+
+  case class CompactReport(filesBefore: Int, filesAfter: Int,
+                           bytesBefore: Long, rows: Long)
+
+  /** List data files (skips `_SUCCESS`/metadata) under `dir`. */
+  private def dataFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toIndexedSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => (s.getPath.toString, s.getLen))
+  }
+
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetFileBytes: Long = 128L << 20,
+              sortCols: Seq[String] = Nil): CompactReport = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val files = dataFiles(spark, inDir)
+    val bytes = files.map(_._2).sum
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val in = spark.read.parquet(inDir)
+    val shaped =
+      if (sortCols.nonEmpty)
+        in.repartitionByRange(nOut, sortCols.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      else in.repartition(nOut)
+    shaped.write.mode("error").parquet(outDir)
+    val rows = spark.read.parquet(outDir).count()
+    CompactReport(files.size, dataFiles(spark, outDir).size, bytes, rows)
+  }
+}
