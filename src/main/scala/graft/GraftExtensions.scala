@@ -43,5 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: size(array_intersect(a, b)) on non-null long arrays
     // never materializes the intersection
     e.injectOptimizerRule(_ => graft.functions.RewriteIntersectSize)
+    // the native as-of join's planner strategy: sessions configured with
+    // these extensions plan graft.plans.AsOfJoin without the programmatic
+    // experimental.extraStrategies registration JoinOps.asofJoinNative does
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -63,6 +63,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect().map(_.getSeq[Long](0))
       val merged = parts(0).zip(parts(1)).map { case (a, b) => math.min(a, b) }
       assert(mh == merged)
+      // the planner strategy injects too: a raw AsOfJoin logical node plans
+      // and executes WITHOUT JoinOps' programmatic extraStrategies
+      // registration (this fresh session never called asofJoinNative)
+      import spark.implicits._
+      val l = Seq((1L, 10L), (1L, 20L)).toDF("k", "ts")
+      val r = Seq((1L, 5L, 100.0), (1L, 15L, 200.0)).toDF("k", "ts", "v")
+      val lp = l.queryExecution.analyzed
+      val rp = r.queryExecution.analyzed
+      def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+        p.output.find(_.name == n).get
+      val asof = org.apache.spark.sql.GraftSqlShim.ofRows(spark,
+        graft.plans.AsOfJoin(lp, rp, Seq(attr(lp, "k")), Seq(attr(rp, "k")),
+          attr(lp, "ts"), attr(rp, "ts"), Seq(attr(rp, "v")), Nil))
+      assert(asof.orderBy("ts").collect().map(row => row.getDouble(2)).toSeq ==
+        Seq(100.0, 200.0))
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
