@@ -33,6 +33,12 @@ object WindowQ {
 
   private def w = Window.partitionBy("event_type").orderBy("ts")
 
+  /** Query pattern for q107: a 12-step ramp spike, shared verbatim between
+    * the Spark expression and the generated oracle SQL (defined before the
+    * queries map — its oracle string evaluates at object init). */
+  private val SubseqPattern: Seq[Double] =
+    Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0)
+
   /** Savitzky-Golay width-11 order-3 weights, shared between the Spark
     * expression and the generated oracle SQL so term order matches exactly. */
   private val savgolW: Seq[(Int, Double)] =
@@ -370,6 +376,65 @@ object WindowQ {
               |SELECT ts, series_in_drop, any_warning,
               |max(incident) OVER (ORDER BY ts ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING)
               |  AS incident_next_24h
-              |FROM z ORDER BY ts""".stripMargin))
+              |FROM z ORDER BY ts""".stripMargin)),
+
+    // Subsequence similarity search (the retrieved data-series-search
+    // literature's core query: top-k z-normalized matches of a pattern):
+    // z-normalized Euclidean distance² = 2w(1 − corr(q, window)), so the
+    // whole search is w leads + rolling sums per row — NO window arrays,
+    // no per-window normalization pass. Linear scan partitioned by series;
+    // the same algebra a MASS/Matrix-Profile batch uses, distributed. The
+    // flat-window guard (σ² ≤ 1e-12) drops constant subsequences, where
+    // correlation is undefined.
+    "q107_subseq_search" -> Q(
+      (s, d) => {
+        val pat = SubseqPattern
+        val wlen = pat.length
+        val muQ = pat.sum / wlen
+        val sigQ = math.sqrt(pat.map(x => x * x).sum / wlen - muQ * muQ)
+        val xs = (0 until wlen).map(i => lead(col("v"), i).over(w))
+        val sumX = xs.reduce(_ + _)
+        val sumX2 = xs.map(x => x * x).reduce(_ + _)
+        val dot = xs.zip(pat).map { case (x, qi) => x * lit(qi) }.reduce(_ + _)
+        val withSums = series(s, d).select(col("ts"), col("event_type"), col("v"),
+          xs.last.as("xlast"), sumX.as("sx"), sumX2.as("sx2"), dot.as("dq"))
+        val mux = col("sx") / wlen
+        val varx = col("sx2") / wlen - mux * mux
+        val corr = (col("dq") / wlen - lit(muQ) * mux) / (lit(sigQ) * sqrt(varx))
+        withSums
+          .filter(col("v").isNotNull && col("xlast").isNotNull)
+          .withColumn("varx", varx)
+          .filter(col("varx") > 1e-12)
+          .select(col("ts"), col("event_type"),
+            dec6(lit(2.0 * wlen) * (lit(1.0) - corr)).as("dist2"))
+          .orderBy(col("dist2"), col("event_type"), col("ts"))
+          .limit(10)
+      },
+      Some {
+        val pat = SubseqPattern
+        val wlen = pat.length
+        val muQ = pat.sum / wlen
+        val sigQ = math.sqrt(pat.map(x => x * x).sum / wlen - muQ * muQ)
+        val leads = (1 until wlen).map(i =>
+          s"lead(v, $i) OVER (PARTITION BY event_type ORDER BY ts) AS x$i").mkString(",\n|  ")
+        val xs = "v" +: (1 until wlen).map(i => s"x$i")
+        val sumX = xs.mkString(" + ")
+        val sumX2 = xs.map(x => s"$x * $x").mkString(" + ")
+        val dot = xs.zip(pat).map { case (x, qi) => s"$x * $qi" }.mkString(" + ")
+        s"""WITH $sqlSeries,
+           |wnd AS (SELECT ts, event_type, v,
+           |  $leads
+           |  FROM series),
+           |sums AS (SELECT ts, event_type, v, x${wlen - 1} AS xlast,
+           |  ($sumX) AS sx, ($sumX2) AS sx2, ($dot) AS dq
+           |  FROM wnd),
+           |scored AS (SELECT ts, event_type,
+           |  (sx2 / $wlen - (sx / $wlen) * (sx / $wlen)) AS varx,
+           |  ((dq / $wlen - $muQ * (sx / $wlen)) / ($sigQ * sqrt(sx2 / $wlen - (sx / $wlen) * (sx / $wlen)))) AS corr
+           |  FROM sums WHERE v IS NOT NULL AND xlast IS NOT NULL)
+           |SELECT ts, event_type, ${r6(s"${2.0 * wlen} * (1.0 - corr)")} AS dist2
+           |FROM scored WHERE varx > 1e-12
+           |ORDER BY dist2, event_type, ts LIMIT 10""".stripMargin
+      })
   )
 }
