@@ -22,10 +22,10 @@ object WindowQ {
 
   /** Forward-filled dense hourly series per event_type (the regular grid the
     * reference's feature stages operate on, `pre_processing.py:180-243`). */
-  private def series(s: SparkSession, d: String): DataFrame =
+  private[queries] def series(s: SparkSession, d: String): DataFrame =
     TimeSeriesOps.ffillCols(TimeSeriesQ.aligned(s, d), Seq("event_type"), "ts", Seq("v"))
 
-  private val sqlSeries =
+  private[queries] val sqlSeries =
     s"""${TimeSeriesQ.sqlAligned},
        |series AS (SELECT ts, event_type, last_value(v IGNORE NULLS) OVER (
        |  PARTITION BY event_type ORDER BY ts
