@@ -396,10 +396,18 @@ object SimilarityOps {
       size(filter(col("q"), x => abs(x) === 127)).as("n_sat"))
   }
 
-  /** Squared L2 between a subvector slice of `v` and a literal codeword. */
-  private def subDist2(v: Column, start: Int, sub: Int, cw: Array[Double]): Column =
-    aggregate(zip_with(slice(v, start, sub), array(cw.map(lit).toIndexedSeq: _*),
-      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+  /** Codebook `j` (k codewords × sub dims) as one literal 2-D array. */
+  private def bookLit(cb: Seq[Array[Double]]): Column =
+    array(cb.map(cw => array(cw.map(lit).toIndexedSeq: _*)): _*)
+
+  /** Squared L2 of subspace-`j`'s slice of `v` against EVERY codeword of
+    * the literal book, as a k-length array — one runtime loop, not k
+    * unrolled expressions (m × k unrolled HOFs measured multi-second
+    * codegen compile time on the q105 gate). */
+  private def subDists(v: Column, start: Int, sub: Int, book: Column): Column =
+    transform(book, cw =>
+      aggregate(zip_with(slice(v, start, sub), cw, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
 
   /** Product quantization (Jégou et al., "Product Quantization for Nearest
     * Neighbor Search", TPAMI'11) — the compression end of the ANN family
@@ -432,9 +440,11 @@ object SimilarityOps {
         .toIndexedSeq
     }
     val codeCols = (0 until m).map { j =>
-      val dists = array(codebooks(j).zipWithIndex.map { case (cw, c) =>
-        struct(subDist2(col("v"), j * sub + 1, sub, cw).as("d"), lit(c).as("c"))
-      }: _*)
+      // argmin via the struct-sort trick, with the distance array built by
+      // one runtime loop over the literal book
+      val dists = zip_with(subDists(col("v"), j * sub + 1, sub, bookLit(codebooks(j))),
+        sequence(lit(0), lit(k - 1)),
+        (d, c) => struct(d.as("d"), c.as("c")))
       element_at(array_sort(dists), 1)("c")
     }
     (e.withColumn("code", array(codeCols: _*)), codebooks)
@@ -454,7 +464,7 @@ object SimilarityOps {
     val m = codebooks.size
     val sub = codebooks.head.head.length
     val tbl = array((0 until m).map { j =>
-      array(codebooks(j).map(cw => subDist2(col("v"), j * sub + 1, sub, cw)): _*)
+      subDists(col("v"), j * sub + 1, sub, bookLit(codebooks(j)))
     }: _*)
     val q = encoded.filter(col(idCol) === queryId).select(tbl.as("tbl"))
     encoded.select(col(idCol), col("code")).crossJoin(broadcast(q))
