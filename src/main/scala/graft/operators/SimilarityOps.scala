@@ -231,13 +231,15 @@ object SimilarityOps {
     * (dist, cell) struct array — shared by the query-side probe ranking
     * ([[ivfTopK]]) and the soft re-assignment ([[softAssign]]). */
   private def cellDists(centers: Seq[Array[Double]]): Column =
-    array(centers.zipWithIndex.map { case (c, i) =>
-      val lc = array(c.map(lit): _*)
-      struct(
-        aggregate(zip_with(col("v"), lc, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x).as("d"),
-        lit(i).as("cell"))
-    }: _*)
+    // one runtime loop over the literal centroid table — nCells unrolled
+    // 64-dim fold expressions bloat the generated class (same fix as the
+    // PQ paths: codegen size must not scale with the codebook)
+    zip_with(
+      transform(bookLit(centers), c =>
+        aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)),
+      sequence(lit(0), lit(centers.size - 1)),
+      (d, i) => struct(d.as("d"), i.as("cell")))
 
   /** Serving path over a fitted IVF index: probe the `nProbe` cells whose
     * centroids are closest to the query (ranking happens in-plan on the one
