@@ -52,12 +52,21 @@ object JoinOps {
                       binSeconds: Long): DataFrame = {
     require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
     val binUs = binSeconds * 1000000L
-    def bin(c: Column) = floor(unix_micros(c.cast("timestamp")) / binUs)
+    // floor division in PURE LONG arithmetic: the double form
+    // floor(us / binUs) loses exactness once |us| outgrows 2^53 µs, and a
+    // boundary fact rounded into the wrong bin is a silently MISSED match
+    // (the post-filter only removes false positives). Truncating integral
+    // division is corrected to floor for negative (pre-1970) timestamps.
+    def floorDiv(u: Column): Column = {
+      val q = call_function("div", u, lit(binUs))
+      when(u < 0 && u % binUs =!= 0, q - 1).otherwise(q)
+    }
+    def bin(c: Column) = floorDiv(unix_micros(c.cast("timestamp")))
     // hi is exclusive: the last occupied bin is the one holding hi - 1µs
     val iv = intervals
       .filter(hi > lo)
       .withColumn("__bin",
-        explode(sequence(bin(lo), floor((unix_micros(hi.cast("timestamp")) - 1) / binUs))))
+        explode(sequence(bin(lo), floorDiv(unix_micros(hi.cast("timestamp")) - 1))))
     facts.withColumn("__bin", bin(factTs))
       .join(iv, Seq("__bin"))
       .filter(factTs >= lo && factTs < hi)

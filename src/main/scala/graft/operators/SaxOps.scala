@@ -41,9 +41,12 @@ object SaxOps {
   /** Per-(key, window) SAX words over a regular series. `winCol` assigns
     * each row to a window (e.g. `to_date(ts)` for daily words over hourly
     * data); `posCol` orders rows inside the window; `segments` PAA buckets
-    * must divide the window length (rows with incomplete windows drop).
-    * Returns one row per (key..., window) with the word and the window's
-    * row count. Two grouped aggregates, one narrow shuffle each. */
+    * must divide the window length (rows with incomplete or null-holding
+    * windows drop — `__segn` counts non-null values, not rows).
+    * Returns one row per (key..., window) with the word. ONE grouped
+    * aggregate over the input (segment sums, squares, counts from a
+    * single shuffle), window-summed into day stats — no second scan, no
+    * join. */
   def saxWords(df: DataFrame, keyCols: Seq[String], winCol: Column,
                posCol: Column, vCol: Column, windowLen: Int, segments: Int,
                alphabet: Int = 4): DataFrame = {
@@ -51,27 +54,25 @@ object SaxOps {
       s"windowLen $windowLen must divide into $segments segments")
     val segLen = windowLen / segments
     val keys = keyCols.map(col)
-    // one pass: per-window stats AND per-segment sums from the same shuffle
+    // one pass: segment sums, sums of squares, and VALUE counts (count of
+    // __v, not rows — a null value must invalidate the window, not bias
+    // its mean) from the same shuffle
     val seg = df
       .select(keys :+ winCol.as("__win") :+ posCol.as("__pos") :+ vCol.as("__v"): _*)
       .withColumn("__seg", floor(col("__pos") / segLen))
       .groupBy(keys :+ col("__win") :+ col("__seg"): _*)
-      .agg(sum("__v").as("__segsum"), count(lit(1)).as("__segn"))
+      .agg(sum("__v").as("__segsum"),
+        sum(col("__v") * col("__v")).as("__segsumsq"),
+        count(col("__v")).as("__segn"))
     val wnd = Window.partitionBy(keys :+ col("__win"): _*)
-    // day stats from the segment partials (exact: sums of sums); the
+    // day stats from the segment partials (sums of sums); the
     // z-normalized PAA mean is ((segsum/segLen) - mu) / sigma
-    val withStats = seg
+    val joined = seg
       .withColumn("__n", sum("__segn").over(wnd))
       .withColumn("__sum", sum("__segsum").over(wnd))
+      .withColumn("__sumsq", sum("__segsumsq").over(wnd))
       .filter(col("__n") === windowLen) // complete windows only
       .withColumn("__mu", col("__sum") / windowLen)
-    // population sigma needs sum of squares — second narrow aggregate over
-    // the same grouping, joined back on the window key
-    val sq = df
-      .select(keys :+ winCol.as("__win") :+ vCol.as("__v"): _*)
-      .groupBy(keys :+ col("__win"): _*)
-      .agg(sum(col("__v") * col("__v")).as("__sumsq"))
-    val joined = withStats.join(sq, keyCols :+ "__win")
       .withColumn("__var", col("__sumsq") / windowLen - col("__mu") * col("__mu"))
       .withColumn("__sigma", sqrt(greatest(col("__var"), lit(0.0))))
       .withColumn("__z",

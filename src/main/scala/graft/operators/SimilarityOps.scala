@@ -165,7 +165,11 @@ object SimilarityOps {
           pts(j).clone()
         }
     }
-    val assign = new Array[Int](n)
+    // -1 sentinel: the first pass must always register as a change, or a
+    // first assignment that matches the default zeros (always true for
+    // k = 1) would skip the averaging step entirely and return raw seed
+    // points instead of centroids
+    val assign = Array.fill(n)(-1)
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
@@ -195,13 +199,31 @@ object SimilarityOps {
     centers
   }
 
-  /** Bounded, order-independent training sample for the quantizer fits:
-    * sample → cap → collect → sort by id (so the fit is deterministic for
-    * a given dataset + seed regardless of scan split order) → drop ids. */
+  /** Bounded, order-independent training sample for the quantizer fits.
+    * Determinism is a pure function of (row content, seed), NEVER of the
+    * scan layout: `Dataset.sample` is per-partition seeded and `limit`
+    * keeps whichever rows arrive first, so either would change the
+    * codebooks when a file is split differently. Instead every row gets a
+    * content hash xxhash64(seed, id); the fraction keeps rows below a
+    * hash threshold, and the cap keeps the `maxTrainRows` SMALLEST hashes
+    * (a deterministic pseudo-random subset via TakeOrdered — one pass, no
+    * full sort). Finally sorted by id on the driver so the Lloyd loop
+    * sees a canonical order. */
   private def trainSample(e: DataFrame, idCol: String, trainFraction: Double,
                           seed: Long, maxTrainRows: Int): Array[Array[Double]] = {
-    val s = if (trainFraction < 1.0) e.sample(trainFraction, seed) else e
-    s.select(col(idCol), col("v")).limit(maxTrainRows).collect()
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0,1], got $trainFraction")
+    val h = xxhash64(lit(seed), col(idCol))
+    val base = e.select(col(idCol), col("v"), h.as("__h"))
+    val sampled =
+      if (trainFraction < 1.0)
+        // unsigned comparison via the sign-split: hash < bound over the
+        // full 2^64 range, expressed on signed longs
+        base.filter(h < lit((Long.MinValue.toDouble +
+          trainFraction * 2.0 * Long.MaxValue.toDouble).toLong))
+      else base
+    sampled.orderBy(col("__h"), col(idCol)).limit(maxTrainRows)
+      .collect()
       .sortBy(_.get(0).toString)
       .map(_.getSeq[Double](1).toArray)
   }

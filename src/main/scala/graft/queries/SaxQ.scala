@@ -26,11 +26,11 @@ object SaxQ {
        |dense AS (SELECT ts, event_type, v FROM series WHERE v IS NOT NULL),
        |seg AS (SELECT event_type, date_trunc('day', ts) AS win,
        |    CAST(floor(hour(ts) / 3) AS BIGINT) AS s,
-       |    sum(v) AS segsum, count(*) AS segn
+       |    sum(v) AS segsum, sum(v * v) AS segsumsq, count(v) AS segn
        |  FROM dense GROUP BY 1, 2, 3),
-       |day_stats AS (SELECT event_type, date_trunc('day', ts) AS win,
-       |    count(*) AS n, sum(v) AS vsum, sum(v * v) AS vsumsq
-       |  FROM dense GROUP BY 1, 2),
+       |day_stats AS (SELECT event_type, win,
+       |    sum(segn) AS n, sum(segsum) AS vsum, sum(segsumsq) AS vsumsq
+       |  FROM seg GROUP BY 1, 2),
        |z AS (SELECT seg.event_type, seg.win, seg.s,
        |    CASE WHEN sqrt(greatest(vsumsq / 24 - (vsum / 24) * (vsum / 24), 0.0)) > 1e-12
        |         THEN (segsum / 3 - vsum / 24) /

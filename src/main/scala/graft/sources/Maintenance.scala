@@ -28,14 +28,36 @@ object Maintenance {
   case class CompactReport(filesBefore: Int, filesAfter: Int,
                            bytesBefore: Long, rows: Long)
 
-  /** List data files (skips `_SUCCESS`/metadata) under `dir`. */
+  /** List data files (skips `_SUCCESS`/metadata) under `dir`. LEAF
+    * directories only: a partition layout (day=.../ subdirectories) must be
+    * compacted per partition — flattening it through one read would fold
+    * the partition columns into the data files and silently mis-size the
+    * rewrite (the non-recursive listing would see zero bytes). */
   private def dataFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).toIndexedSeq
+    val entries = fs.listStatus(p).toIndexedSeq
+    val subdirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+    require(subdirs.isEmpty,
+      s"$dir contains subdirectories (${subdirs.take(3).mkString(", ")}…) — " +
+        "compact each leaf partition directory instead")
+    val files = entries
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .map(s => (s.getPath.toString, s.getLen))
+    require(files.nonEmpty, s"no data files under $dir")
+    files
+  }
+
+  /** Row count from the parquet FOOTERS (driver-side metadata, no data
+    * scan — same cost class as the input listing). */
+  private def footerRows(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    dataFiles(spark, dir).map { case (f, _) =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
   def compact(spark: SparkSession, inDir: String, outDir: String,
@@ -52,7 +74,9 @@ object Maintenance {
           .sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
       else in.repartition(nOut)
     shaped.write.mode("error").parquet(outDir)
-    val rows = spark.read.parquet(outDir).count()
+    val rows = footerRows(spark, outDir)
+    require(rows == footerRows(spark, inDir),
+      s"row count changed during compaction of $inDir — output kept at $outDir for inspection")
     CompactReport(files.size, dataFiles(spark, outDir).size, bytes, rows)
   }
 }

@@ -52,8 +52,21 @@ object StreamAsOf {
   }
 
   /** The stateful join itself. Emits one [[AsOfMatch]] per probe, in
-    * watermark order per key. */
-  def asofStream(spark: SparkSession, rows: Dataset[TaggedRow]): Dataset[AsOfMatch] = {
+    * watermark order per key.
+    *
+    * `refTtlMs` bounds reference retention: as-of semantics are a KV
+    * lookup, so STRICT correctness requires keeping each key's newest
+    * reference row forever — a probe may arrive years later and still
+    * as-of to it — which means state grows with total key cardinality.
+    * That is the semantic floor, not a leak, but key-churning workloads
+    * need a bound: a survivor reference older than `watermark − refTtlMs`
+    * is dropped (later probes for that key get null, exactly as if the
+    * key had never been seen), the key's state is REMOVED when both
+    * buffers empty, and an event-time timeout is registered for the
+    * survivor's expiry so quiescent keys purge without new input. */
+  def asofStream(spark: SparkSession, rows: Dataset[TaggedRow],
+                 refTtlMs: Long = Long.MaxValue): Dataset[AsOfMatch] = {
+    require(refTtlMs > 0, s"refTtlMs must be positive, got $refTtlMs")
     import spark.implicits._
     rows
       .groupByKey(_.key)
@@ -82,16 +95,24 @@ object StreamAsOf {
             AsOfMatch(key, new Timestamp(pts), hit.map(_._2))
           }
           // prune refs: everything at/after the watermark stays; of the
-          // older rows only the newest can still answer a future probe
+          // older rows only the newest can still answer a future probe —
+          // kept until the TTL expires it
+          val expiry = if (refTtlMs == Long.MaxValue) Long.MinValue else wm - refTtlMs
           val (old, live) = refs.partition(_._1 < wm)
-          val kept = old.lastOption.toList ++ live
-          if (kept.isEmpty && young.isEmpty) state.remove()
-          else {
+          val kept = old.lastOption.filter(_._1 >= expiry).toList ++ live
+          if (kept.isEmpty && young.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
             state.update(AsOfState(kept, young))
-            // wake up when the watermark passes the oldest pending probe,
-            // so buffered probes drain even if the key goes quiet (the
-            // timeout must sit strictly above the current watermark)
-            if (young.nonEmpty) state.setTimeoutTimestamp(math.max(young.min, wm + 1))
+            // wake up when the watermark passes the oldest pending probe
+            // (so buffered probes drain even if the key goes quiet), or at
+            // the survivor ref's TTL expiry (so idle keys purge); the
+            // timeout must sit strictly above the current watermark
+            val probeWake = if (young.nonEmpty) Some(young.min) else None
+            val ttlWake = if (refTtlMs != Long.MaxValue && kept.nonEmpty)
+              Some(kept.map(_._1).max + refTtlMs) else None
+            (probeWake ++ ttlWake).minOption.foreach(t =>
+              state.setTimeoutTimestamp(math.max(t, wm + 1)))
           }
           out.iterator
       }

@@ -33,4 +33,19 @@ class MaintenanceSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("compact refuses a partition-layout directory instead of flattening it") {
+    // a day=.../ layout seen through one read would fold the partition
+    // column into the data files and size the rewrite from zero bytes —
+    // the required behavior is a loud error directing per-partition runs
+    val src = java.nio.file.Files.createTempDirectory("graft_partlayout").toString
+    Tables.events(spark, sfTiny)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.partitionBy("day").mode("overwrite").parquet(src)
+    val out = java.nio.file.Files.createTempDirectory("graft_partout").toString + "/c"
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.compact(spark, src, out)
+    }
+    assert(e.getMessage.contains("subdirectories"))
+  }
 }

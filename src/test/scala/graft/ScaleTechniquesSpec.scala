@@ -222,5 +222,17 @@ class ScaleTechniquesSpec extends SparkSpec {
     val out = JoinOps.binnedRangeJoin(facts, ivs, col("ts"), col("lo"), col("hi"), 60)
       .select("fid", "iid").as[(Int, Int)].collect().toSet
     assert(out == Set((2, 10), (1, 20), (2, 20)))
+    // pre-1970 timestamps: negative unix micros need FLOOR, not truncation
+    // — a truncated bin id would shift the whole grid by one for the
+    // negative half and miss boundary matches
+    val oldFacts = Seq((1, "1969-12-31 23:59:30"), (2, "1969-12-31 23:58:00"))
+      .toDF("fid", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val oldIvs = Seq((10, "1969-12-31 23:59:00", "1970-01-01 00:00:00"))
+      .toDF("iid", "lo", "hi")
+      .withColumn("lo", col("lo").cast("timestamp"))
+      .withColumn("hi", col("hi").cast("timestamp"))
+    val oldOut = JoinOps.binnedRangeJoin(oldFacts, oldIvs, col("ts"), col("lo"), col("hi"), 60)
+      .select("fid", "iid").as[(Int, Int)].collect().toSet
+    assert(oldOut == Set((1, 10)))
   }
 }

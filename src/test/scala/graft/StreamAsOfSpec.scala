@@ -18,11 +18,12 @@ class StreamAsOfSpec extends SparkSpec {
     TaggedRow(k, Timestamp.valueOf(t), v, ref)
 
   private def runBatches(name: String, batches: Seq[Seq[TaggedRow]],
-                         lateness: String = "0 seconds"): Map[(Long, String), Option[Double]] = {
+                         lateness: String = "0 seconds",
+                         refTtlMs: Long = Long.MaxValue): Map[(Long, String), Option[Double]] = {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[TaggedRow]
     val out = StreamAsOf.asofStream(spark,
-      input.toDS().withWatermark("ts", lateness))
+      input.toDS().withWatermark("ts", lateness), refTtlMs)
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName(name).start()
     batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
@@ -72,6 +73,21 @@ class StreamAsOfSpec extends SparkSpec {
     val got = runBatches("asof_stream_2", Seq(b1, b2), lateness = "2 minutes")
     assert(got((1L, "2024-01-01 10:05:00.0")).contains(44.0),
       s"late ref must answer the buffered probe: $got")
+  }
+
+  test("ref TTL: an expired survivor no longer answers, a live one does") {
+    // ref at 09:00; watermark driven to 11:00 by a noise key; with a 1 h
+    // TTL the survivor expired at 10:00, so the 11:30 probe gets null —
+    // and the same scenario WITHOUT a TTL (separate run) still answers
+    val b1 = Seq(row(1L, "2024-01-01 09:00:00", 7.0, ref = true))
+    val b2 = Seq(row(50L, "2024-01-01 11:00:00", 0.0, ref = true))
+    val b3 = Seq(row(1L, "2024-01-01 11:30:00", 0.0, ref = false))
+    val ttl = runBatches("asof_stream_ttl", Seq(b1, b2, b3), refTtlMs = 3600 * 1000L)
+    assert(ttl((1L, "2024-01-01 11:30:00.0")).isEmpty,
+      s"expired ref must not answer: $ttl")
+    val noTtl = runBatches("asof_stream_nottl", Seq(b1, b2, b3))
+    assert(noTtl((1L, "2024-01-01 11:30:00.0")).contains(7.0),
+      s"unbounded retention must answer: $noTtl")
   }
 
   test("state prunes below the watermark but keeps the newest older ref") {
