@@ -1,6 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark: runs every `SparkEntry.queries` entry against
+  * `SPARK_GRAFT_SF_DIR` and prints ONE machine-readable JSON line.
+  *
+  * Protocol: each query runs `SPARK_GRAFT_PASSES` times (default 3) in
+  * session, clearing the SQL cache between passes; the reported number is
+  * the MEDIAN pass, with min/median/max and status kept per query under
+  * `queries_detail`. Medians bound the influence of one noisy pass (GC,
+  * page cache, compile stalls) on the round artifact — the driver's
+  * environment measured 2-4× inflation on single passes in round 4.
+  *
+  * Failures are first-class: a query that throws is recorded as
+  * `ok=false` with the error, its headline time is -1 (never a fast
+  * fake success), and the process exits nonzero so a bench-only
+  * regression (OOM, codegen failure) cannot hide in a green-looking
+  * artifact. */
 object Bench {
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,30 +51,49 @@ object Bench {
     // optional comma-separated query-name filter for local profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
-    // local profiling: rerun the selected set N times, keep the LAST pass
-    // (steady-state codegen/readers) — the driver's per-round run uses 1
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
-    require(repeat >= 1, s"SPARK_GRAFT_REPEAT must be >= 1, got $repeat")
-    val results = selected.map { case (name, fn) =>
-      var dt = 0.0
-      for (_ <- 1 to repeat) {
+    // SPARK_GRAFT_REPEAT is honored as a deprecated alias for PASSES
+    val passes = sys.env.get("SPARK_GRAFT_PASSES")
+      .orElse(sys.env.get("SPARK_GRAFT_REPEAT"))
+      .map(_.toInt).getOrElse(3)
+    require(passes >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $passes")
+
+    final case class R(median: Double, min: Double, max: Double,
+                       ok: Boolean, err: Option[String])
+    val results: Map[String, R] = selected.map { case (name, fn) =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var err: Option[String] = None
+      var p = 0
+      while (p < passes && err.isEmpty) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        dt = (System.nanoTime() - t0) / 1e9
-        if (repeat > 1) spark.catalog.clearCache()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          err = Some(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+        }
+        if (err.isEmpty) times += (System.nanoTime() - t0) / 1e9
+        // release per-query persisted intermediates (dedup ops materialize
+        // their exploded shingle tables): leaked blocks would degrade every
+        // later pass/query via eviction pressure — clear at the boundary,
+        // untimed.
+        spark.catalog.clearCache()
+        p += 1
       }
-      // release per-query persisted intermediates (dedup ops materialize
-      // their exploded shingle tables) INSIDE the timed region would be
-      // unfair the other way: clearing is session hygiene, not query work,
-      // but leaked blocks would degrade every later query via eviction —
-      // so clear at the boundary, untimed.
-      spark.catalog.clearCache()
-      name -> dt
+      val sorted = times.sorted
+      val r =
+        if (err.isDefined) R(-1.0, -1.0, -1.0, ok = false, err)
+        else R(sorted(sorted.size / 2), sorted.head, sorted.last, ok = true, None)
+      name -> r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.median }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val detail = results.map { case (k, v) =>
+      val e = v.err.map(m => "\"" + jsonEscape(m) + "\"").getOrElse("null")
+      s"""\"$k\":{"median":${v.median},"min":${v.min},"max":${v.max},"ok":${v.ok},"err":$e}"""
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if !v.ok => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.collect { case r if r.ok => r.median }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_detail":$detail,"failed":$failed,"passes":$passes,"sf":"$sfDir"}"""
     println(line)
     // machine-readable artifact: the driver's stdout tail truncates long
     // runs, so persist the full per-query map next to the repo as well
@@ -55,6 +101,11 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
+    val anyFailed = results.values.exists(!_.ok)
     spark.stop()
+    if (anyFailed) {
+      System.err.println(s"bench: FAILED queries: $failed")
+      sys.exit(1)
+    }
   }
 }

@@ -290,29 +290,36 @@ object DedupOps {
     * MapReduce and Beyond", SoCC'14): for each node u, connect every
     * strictly-LARGER neighbor v to m = min({u} ∪ Γ(u)). Input/output edges
     * are (u, v) with u > v; the step preserves connectivity and never emits
-    * self-loops (m ≤ u < emitted first endpoint). Output size ≤ |E|: each
-    * undirected edge is emitted only from its smaller endpoint's star.
-    * One window on the symmetrized adjacency — no join. */
+    * self-loops (m ≤ u < emitted first endpoint). Output size ≤ |E| rows:
+    * each undirected edge is emitted only from its smaller endpoint's star.
+    * One window on the symmetrized adjacency — no join, and deliberately NO
+    * `distinct`: the consumer is always [[smallStar]], whose min-window is
+    * duplicate-insensitive and re-shuffles on `u` anyway, so a dedup here
+    * would buy nothing and cost a full extra shuffle per round. */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
     sym
       .withColumn("m", least(col("u"), min("v").over(Window.partitionBy("u"))))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** Small-star contraction step: for each node u, connect u and all its
     * SMALLER neighbors to m = min of those neighbors. Input/output edges
     * are (u, v) with u > v (so the per-u window sees exactly the smaller
     * neighbors). Emits (v, m) for each smaller neighbor v plus (u, m);
-    * v == m self-loops are dropped. */
-  private def smallStar(e: DataFrame): DataFrame = {
+    * v == m self-loops are dropped. `dedup = false` skips the canonicalizing
+    * `distinct` for intermediate fused rounds — safe because the next
+    * [[largeStar]]'s min-window is duplicate-insensitive and row count stays
+    * O(|E| + |V|) per step; the LAST step of each materialized chain must
+    * dedup so the convergence probe sees a canonical set and |E| cannot
+    * accrete duplicates across iterations. */
+  private def smallStar(e: DataFrame, dedup: Boolean = true): DataFrame = {
     val withM = e.withColumn("m", min("v").over(Window.partitionBy("u")))
-    withM.select(col("v").as("u"), col("m").as("v"))
+    val out = withM.select(col("v").as("u"), col("m").as("v"))
       .union(withM.select(col("u"), col("m").as("v")))
       .filter(col("u") =!= col("v"))
-      .distinct()
+    if (dedup) out.distinct() else out
   }
 
   /** Collapse near-dup PAIRS into duplicate clusters: connected components
@@ -322,15 +329,20 @@ object DedupOps {
     * At the fixpoint the edge set is a star forest: every non-root node
     * carries exactly one edge to its component's minimum id.
     *
-    * Scale hygiene, each round:
+    * Scale hygiene:
     *  - both steps are windows over the edge list only (docs join happens
     *    once, at the end) — no per-round join against the full corpus;
-    *  - the round's output is `localCheckpoint`ed, so lineage stays one
-    *    round deep — a lost executor replays one round, not the whole
+    *  - TWO alternating rounds are fused into each materialized action:
+    *    large→small→large→small with a single canonicalizing `distinct` at
+    *    the end ([[smallStar]] dedup flag), then one `localCheckpoint` and
+    *    one probe. Per fused iteration that is 4 window shuffles + 1
+    *    distinct + 1 probe agg — versus 4 windows + 4 distincts + 2 probes
+    *    for the same two rounds materialized singly. Lineage stays two
+    *    rounds deep — a lost executor replays two rounds, not the whole
     *    chain (at 100 TB on a real cluster prefer reliable
     *    `checkpoint()`/staging writes over local blocks);
     *  - the convergence probe (edge count + xxhash64 sum) is folded into
-    *    the single action that materializes the round — no second job.
+    *    the single action that materializes the iteration — no second job.
     *    Equal (count, hash-sum) across rounds on different edge sets needs
     *    a 2⁻⁶⁴ collision; a NULL hash-sum (decimal(38,0) overflow needs
     *    ≥ 10¹⁹ edges — unreachable, but checked per the advisory) is
@@ -351,25 +363,34 @@ object DedupOps {
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
       (r.getLong(0), Option(r.getDecimal(1)))
     }
+    // the init checkpoint materializes the (possibly expensive) pairs plan
+    // exactly once — largeStar references its input twice (symmetrize union)
+    // — but is LAZY: its blocks are computed inside the first iteration's
+    // probe action, so initialization costs no job of its own
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(false)
-    var prev = probe(edges)
+    // sentinel: the equality test only fires once a real probe has run
+    var prev: (Long, Option[java.math.BigDecimal]) = (-1L, None)
     var i = 0
-    var done = prev._1 == 0L // no edges: all singletons, skip the loop
+    var done = false
     while (!done && i < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(false)
-      val p = probe(next) // materializes the checkpoint — the round's one action
-      // the dropped round's checkpoint blocks are RDD-level (not in the SQL
-      // CacheManager); the ContextCleaner reclaims them once unreferenced
+      // two fused rounds per action; only the final smallStar dedups (the
+      // intermediate rounds' min-windows are duplicate-insensitive)
+      val next = smallStar(largeStar(smallStar(largeStar(edges), dedup = false)))
+        .localCheckpoint(false)
+      val p = probe(next) // materializes the checkpoint — the iteration's one action
+      // the dropped iteration's checkpoint blocks are RDD-level (not in the
+      // SQL CacheManager); the ContextCleaner reclaims them once unreferenced
       edges = next
-      done = p._1 == prev._1 && p._2.isDefined && prev._2.isDefined &&
-        p._2.get.compareTo(prev._2.get) == 0
+      // empty edge set is trivially a star forest — no confirming pass needed
+      done = p._1 == 0L || (p._1 == prev._1 && p._2.isDefined && prev._2.isDefined &&
+        p._2.get.compareTo(prev._2.get) == 0)
       prev = p
-      i += 1
+      i += 2
     }
     if (!done) {
       throw new IllegalStateException(
