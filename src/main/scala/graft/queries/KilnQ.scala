@@ -360,6 +360,57 @@ object KilnQ {
               |${r6("coalesce(ga / nullif(ga + gb, 0) * 100.0, 0.0)")} AS grade_a_pct,
               |${r6("coalesce(gb / nullif(ga + gb, 0) * 100.0, 0.0)")} AS grade_b_pct,
               |acc4 AS accretion_day
-              |FROM m ORDER BY date""".stripMargin))
+              |FROM m ORDER BY date""".stripMargin)),
+
+    // Serving-path fusion, RULE branch (`dashboard.py:476-479` — the
+    // fallback dict `predict_accretion` serves when no model is loaded):
+    // ZoneRules flags plus the fused probability/days/zone constants.
+    // The model branch of the same fusion (ScoreFusion.fuse) is spec-gated
+    // on the fixture instead — GBT probabilities aren't oracle-stable.
+    "q111_rule_fusion" -> Q(
+      (s, _) => {
+        val aggs = KilnSources.zones.map(z => avg(s"ZONE_$z").as(s"ZONE_$z"))
+        val hourly = KilnFixture.zoneWide(s)
+          .groupBy(date_trunc("hour", col("DATETIME")).as("ts"))
+          .agg(aggs.head, aggs.tail: _*)
+        graft.pipeline.ScoreFusion.fuseRules(hourly)
+          .select(
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+            col("zones_low"),
+            col("is_forming"),
+            dec6(col("probability")).as("probability"),
+            dec6(col("days_to_critical")).as("days_to_critical"),
+            col("zone"))
+          .orderBy("ts")
+      },
+      Some {
+        val zs = ZoneRules.defaultThresholds.keys.toSeq.sorted
+        val thr = ZoneRules.defaultThresholds
+        val zw = zs.map(z => s"max(CASE WHEN zone = $z THEN temp END) AS z$z").mkString(",\n|  ")
+        val nLow = zs.map(z => s"CASE WHEN z$z < ${thr(z)} THEN 1 ELSE 0 END").mkString(" + ")
+        val maxDrop = zs.map(z => s"CASE WHEN z$z < ${thr(z)} THEN ${thr(z)} - z$z END").mkString(", ")
+        val argmax = zs.map(z => s"WHEN z$z < ${thr(z)} AND ${thr(z)} - z$z = max_drop THEN $z")
+          .mkString("CASE ", " ", " END")
+        s"""WITH ${zlSql(zs.mkString(", "))},
+           |zh AS (SELECT date_trunc('hour', ts) AS ts, zone, avg(temp) AS temp
+           |  FROM zl GROUP BY 1, 2),
+           |zw AS (SELECT ts,
+           |  $zw
+           |  FROM zh GROUP BY ts),
+           |f AS (SELECT *,
+           |  ($nLow) AS zones_low,
+           |  greatest($maxDrop) AS max_drop
+           |  FROM zw),
+           |g AS (SELECT ts, zones_low,
+           |  CASE WHEN zones_low >= 3 THEN 1 ELSE 0 END AS dd,
+           |  CASE WHEN zones_low >= 3 THEN $argmax END AS maz
+           |  FROM f)
+           |SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, zones_low,
+           |dd AS is_forming,
+           |${r6("CASE WHEN dd = 1 THEN 0.7 ELSE 0.1 END")} AS probability,
+           |${r6("CASE WHEN dd = 1 THEN 15.0 ELSE 30.0 END")} AS days_to_critical,
+           |coalesce(maz, 5) AS zone
+           |FROM g ORDER BY ts""".stripMargin
+      })
   )
 }
