@@ -463,15 +463,92 @@ object SimilarityOps {
       kmeansLite(sample.map(_.slice(j * sub, (j + 1) * sub)), k, seed + j, maxIter)
         .toIndexedSeq
     }
-    val codeCols = (0 until m).map { j =>
-      // argmin via the struct-sort trick, with the distance array built by
-      // one runtime loop over the literal book
-      val dists = zip_with(subDists(col("v"), j * sub + 1, sub, bookLit(codebooks(j))),
-        sequence(lit(0), lit(k - 1)),
+    (e.withColumn("code", pqCodes(col("v"), codebooks)), codebooks)
+  }
+
+  /** PQ encoding of `v` against the literal codebooks: per subspace, the
+    * argmin codeword index via the struct-sort trick, with each distance
+    * array built by one runtime loop over the literal book. Shared by the
+    * flat-PQ and residual-PQ (IVFPQ) encode passes. */
+  private def pqCodes(v: Column, codebooks: Seq[Seq[Array[Double]]]): Column = {
+    val sub = codebooks.head.head.length
+    array(codebooks.indices.map { j =>
+      val dists = zip_with(subDists(v, j * sub + 1, sub, bookLit(codebooks(j))),
+        sequence(lit(0), lit(codebooks(j).size - 1)),
         (d, c) => struct(d.as("d"), c.as("c")))
       element_at(array_sort(dists), 1)("c")
+    }: _*)
+  }
+
+  /** Residual of `v` against its assigned cell's centroid (the literal
+    * centroid table indexed by the `cell` column) — the quantity IVFPQ's
+    * codebooks model. */
+  private def residual(v: Column, cell: Column, centers: Seq[Array[Double]]): Column =
+    zip_with(v, element_at(bookLit(centers), cell + 1), (x, c) => x - c)
+
+  /** IVFPQ (Jégou et al. '11 §IV — IVFADC): the production ANN index shape.
+    * The IVF coarse quantizer assigns each vector a cell; PQ then encodes
+    * the RESIDUAL v − centroid(cell), whose spread is far smaller than the
+    * raw vectors', so the same m × k codebook budget spends its precision
+    * where it matters. Index = (id, cell, 8-byte code); serving probes a
+    * handful of cells and never touches raw vectors.
+    *
+    * Both quantizer fits are bounded driver-side samples ([[trainSample]]);
+    * cell assignment AND residual encoding are pure plan arithmetic over
+    * literal centroid/codebook tables — two linear scans, no shuffle, no
+    * UDF. Returns (encoded index keeping `v` for gate cross-validation,
+    * coarse centroids, residual codebooks). */
+  def fitIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+               nCells: Int, m: Int, k: Int, seed: Long,
+               trainFraction: Double = 1.0, maxIter: Int = 20,
+               maxTrainRows: Int = 100000): (DataFrame, Seq[Array[Double]], Seq[Seq[Array[Double]]]) = {
+    val (indexed, centers) = fitIvf(emb, idCol, vecCol, nCells, seed,
+      trainFraction, maxIter, maxTrainRows)
+    val r = residual(col("v"), col("cell"), centers)
+    // the codebooks are fit on a bounded sample of RESIDUALS — one extra
+    // linear pass; the residual itself is recomputed in-plan at encode
+    // time rather than materialized per row
+    val sample = trainSample(indexed.select(col(idCol), r.as("v")), idCol,
+      trainFraction, seed + 1, maxTrainRows)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val codebooks = (0 until m).map { j =>
+      kmeansLite(sample.map(_.slice(j * sub, (j + 1) * sub)), k, seed + j, maxIter)
+        .toIndexedSeq
     }
-    (e.withColumn("code", array(codeCols: _*)), codebooks)
+    (indexed.withColumn("code", pqCodes(r, codebooks)), centers, codebooks)
+  }
+
+  /** IVFPQ serving: probe the `nProbe` cells nearest the query, rank
+    * candidates by ADC against a PER-CELL distance table built from the
+    * query's residual in THAT cell (the residual differs per probed cell,
+    * so each probed cell carries its own m × k table — Jégou '11's IVFADC
+    * lookup structure). All tables live in the single broadcast query row;
+    * each candidate costs m array lookups on its 8-byte code — the scan
+    * touches (cell, code) only, never raw vectors. */
+  def ivfPqTopK(encoded: DataFrame, centers: Seq[Array[Double]],
+                codebooks: Seq[Seq[Array[Double]]], idCol: String,
+                queryId: Long, k: Int, nProbe: Int,
+                scoreOut: Column => Column): DataFrame = {
+    val m = codebooks.size
+    val sub = codebooks.head.head.length
+    def tbl(r: Column): Column =
+      array((0 until m).map(j => subDists(r, j * sub + 1, sub, bookLit(codebooks(j)))): _*)
+    val q = encoded.filter(col(idCol) === queryId)
+      .select(transform(slice(array_sort(cellDists(centers)), 1, nProbe), s =>
+        struct(s("cell").as("cell"),
+          tbl(residual(col("v"), s("cell"), centers)).as("tbl"))).as("ptabs"))
+    encoded.select(col(idCol), col("cell"), col("code"))
+      .join(broadcast(q), exists(col("ptabs"), p => p("cell") === col("cell")))
+      .withColumn("__tbl",
+        element_at(filter(col("ptabs"), p => p("cell") === col("cell")), 1)("tbl"))
+      .withColumn("adc_dist2", scoreOut(aggregate(
+        zip_with(col("code"), col("__tbl"), (c, t) => element_at(t, c + 1)),
+        lit(0.0), (acc, x) => acc + x)))
+      .orderBy(col("adc_dist2").asc, col(idCol))
+      .limit(k)
+      .select(idCol, "adc_dist2")
   }
 
   /** PQ top-k by ASYMMETRIC DISTANCE COMPUTATION: the one query row builds

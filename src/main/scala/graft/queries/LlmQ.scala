@@ -325,6 +325,21 @@ object LlmQ {
           queryId = 0L, k = 10, scoreOut = dec6)
       }),
 
+    // IVFPQ (Jégou '11 IVFADC): coarse cells + PQ on the residual — the
+    // composition both parts exist for, and the index shape production ANN
+    // serves at 100 TB (probe nProbe cells, ADC within, scan touches only
+    // (cell, 8-byte code)). Centroid-specific → rows-only check; recall
+    // cross-validated against flat PQ in PqAnnSpec.
+    "q110_ann_ivfpq" -> Q(
+      (s, d) => {
+        val (encoded, centers, codebooks) = SimilarityOps.fitIvfPq(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          nCells = 16, m = 8, k = 16, seed = 7L,
+          trainFraction = 0.25, maxIter = 5)
+        SimilarityOps.ivfPqTopK(encoded, centers, codebooks, "vec_id",
+          queryId = 0L, k = 10, nProbe = 8, scoreOut = dec6)
+      }),
+
     // Embedding near-dup pairs blocked by the label column (the coarse-
     // quantizer pattern): quadratic work bounded to block sizes.
     "q60_cosine_pairs" -> Q(

@@ -25,11 +25,12 @@ class PqAnnSpec extends SparkSpec {
     * distance of the slice to the SELECTED codeword via a case-chain on the
     * code value. */
   private def reconstructionError(m: Int,
-                                  fit: (org.apache.spark.sql.DataFrame, Seq[Seq[Array[Double]]])): Double = {
+                                  fit: (org.apache.spark.sql.DataFrame, Seq[Seq[Array[Double]]]),
+                                  vExpr: org.apache.spark.sql.Column = col("v")): Double = {
     val (enc, cb) = fit
     val sub = cb.head.head.length
     val errCols = (0 until m).map { j =>
-      val sl = slice(col("v"), j * sub + 1, sub)
+      val sl = slice(vExpr, j * sub + 1, sub)
       // codebook j as a literal 2-D array; the selected codeword is one
       // element_at lookup by the stored code
       val book = array(cb(j).map(cw => array(cw.map(lit).toIndexedSeq: _*)): _*)
@@ -80,5 +81,47 @@ class PqAnnSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0))
     assert(self.contains(42L), "query row missing from its own neighborhood")
     encP.unpersist()
+  }
+
+  test("IVFPQ residual coding beats flat PQ reconstruction; probe keeps recall") {
+    // The deterministic cross-validation is RECONSTRUCTION error: at the
+    // same m x k code budget, coding residuals (v - centroid) must beat
+    // coding raw vectors — that is the entire point of Jegou '11 SIV
+    // (measured here: ~241 vs ~271). Recall@10 against flat PQ is NOT the
+    // gate: 5 queries x 10 neighbors on near-random synthetic embeddings
+    // is 50 noise-dominated samples, and either variant can win a given
+    // draw even though the residual codes are strictly more precise.
+    val (encFlat, cbFlat) = SimilarityOps.fitPq(normed, "vec_id", "emb",
+      m = 8, k = 16, seed = 42L, maxIter = 10)
+    val flatErr = reconstructionError(8, (encFlat, cbFlat))
+    val (encIvf, centers, cbIvf) = SimilarityOps.fitIvfPq(normed, "vec_id", "emb",
+      nCells = 16, m = 8, k = 16, seed = 42L, maxIter = 10)
+    val ivfP = encIvf.persist()
+    val cLit = array(centers.map(cw => array(cw.map(lit).toIndexedSeq: _*)): _*)
+    val resid = zip_with(col("v"), element_at(cLit, col("cell") + 1), (x, c) => x - c)
+    val ivfErr = reconstructionError(8, (ivfP, cbIvf), resid)
+    assert(ivfErr < flatErr,
+      s"residual coding must reconstruct better at equal budget ($ivfErr >= $flatErr)")
+
+    val queries = Seq(0L, 7L, 42L, 99L, 123L)
+    def recallOf(topK: Long => Set[Long]): Double = queries.map { qid =>
+      val exact = SimilarityOps.bruteForceTopK(normed, "vec_id", "emb", qid, 10, identity)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (exact & topK(qid)).size / 10.0
+    }.sum / queries.size
+    // full probe: same candidate set as flat PQ, so this floors the
+    // end-to-end ranking quality of the residual ADC path
+    val full = recallOf(qid => SimilarityOps.ivfPqTopK(ivfP, centers, cbIvf, "vec_id",
+      qid, 10, nProbe = 16, identity).select("vec_id").collect().map(_.getLong(0)).toSet)
+    assert(full >= 0.3, s"full-probe IVFPQ recall too low: $full")
+    // partial probe (the actual serving shape) keeps most of that recall
+    val probed = recallOf(qid => SimilarityOps.ivfPqTopK(ivfP, centers, cbIvf, "vec_id",
+      qid, 10, nProbe = 8, identity).select("vec_id").collect().map(_.getLong(0)).toSet)
+    assert(probed >= full - 0.25, s"8/16-cell probe lost too much recall ($probed vs $full)")
+    // every vector quantizes into a valid cell with m codes in [0, k)
+    assert(ivfP.filter(size(col("code")) =!= 8 ||
+      exists(col("code"), c => c < 0 || c >= 16) ||
+      col("cell") < 0 || col("cell") >= 16).count() == 0)
+    ivfP.unpersist()
   }
 }
