@@ -230,6 +230,39 @@ object AccretionModels {
     (refit, metric(model), metric(refit))
   }
 
+  /** Incremental-learning metrics TIME SERIES (reference
+    * `get_training_history`, consumed by the dashboard's
+    * `update_incremental_learning_metrics` chart, `dashboard.py:1937-2053`):
+    * walk the labeled frame forward through `updateTimes`, refit the head on
+    * the trailing `days`-day window at each update ([[refitRecent]] — the
+    * reference appends one history entry per `update_incrementally` call),
+    * and emit one row per update: (update_ts, metric_before, metric_after,
+    * improved). `metric_before` is the incoming model's score on the new
+    * window — the dashboard's regression-spotting signal — and the chained
+    * refits mean update k's "before" model is update k−1's "after", exactly
+    * the reference's history semantics.
+    *
+    * The per-update loop is driver-side by nature (each refit is a
+    * distributed fit over the window's rows; K updates = K bounded jobs,
+    * not a per-row loop), and K is the number of UPDATE EVENTS — dashboard
+    * metadata, never data-scale. */
+  def incrementalHistory(initial: PipelineModel, labeled: DataFrame,
+                         tsCol: String, updateTimes: Seq[java.sql.Timestamp],
+                         days: Int, features: Array[String], labelCol: String,
+                         isClassifier: Boolean): DataFrame = {
+    require(updateTimes.nonEmpty, "need at least one update time")
+    var cur = initial
+    val rows = updateTimes.sorted.map { t =>
+      val upTo = labeled.filter(col(tsCol) <= lit(t))
+      val (refit, before, after) =
+        refitRecent(cur, upTo, tsCol, days, features, labelCol, isClassifier)
+      cur = refit
+      (t, before, after, after >= before)
+    }
+    labeled.sparkSession.createDataFrame(rows)
+      .toDF("update_ts", "metric_before", "metric_after", "improved")
+  }
+
   /** Top-k feature importances of a fitted tree head (reference O3,
     * `train_models_simple.py:448-449`). */
   def featureImportances(model: PipelineModel, features: Array[String],

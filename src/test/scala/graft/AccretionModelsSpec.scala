@@ -85,6 +85,30 @@ class AccretionModelsSpec extends SparkSpec {
     assert(preds.filter(col("prediction") === 1.0).count() > 0)
   }
 
+  test("incremental history emits one chained metric row per update") {
+    val feats = Array("temp", "drop_pct", "drops_12h", "risk_score")
+    val (early, _) = AccretionModels.timeSplit(labeled, "ts", 0.6)
+    val stale = AccretionModels.fitBinaryHead(early, feats, "label_active")
+    val updates = Seq(
+      Timestamp.valueOf("2024-06-09 00:00:00"),
+      Timestamp.valueOf("2024-06-10 00:00:00"),
+      Timestamp.valueOf("2024-06-11 00:00:00"))
+    val hist = AccretionModels.incrementalHistory(stale, labeled, "ts",
+      updates, days = 4, feats, "label_active", isClassifier = true)
+      .orderBy("update_ts").collect()
+    assert(hist.length == 3)
+    assert(hist.map(_.getTimestamp(0)).toSeq == updates)
+    // every refit is evaluated on its own window: finite AUCs in [0, 1]
+    hist.foreach { r =>
+      val (b, a) = (r.getDouble(1), r.getDouble(2))
+      assert(!b.isNaN && !a.isNaN && b >= 0 && b <= 1 && a >= 0 && a <= 1)
+      assert(a >= b - 1e-9, s"refit must not regress on its own window ($b -> $a)")
+    }
+    // the last two updates see event 2's zone-4 pattern: the chained model
+    // must track it (the dashboard chart's whole point is spotting this)
+    assert(hist.last.getDouble(2) > 0.9, s"post-refit AUC ${hist.last.getDouble(2)}")
+  }
+
   test("zone head recovers the forming zone with the sorted-class inverse mapping") {
     val feats = Array("temp", "drop_pct", "drops_12h", "risk_score")
     // the reference's y_zone: the accretion zone, defined on active rows
