@@ -341,12 +341,15 @@ object DedupOps {
     *    rounds deep — a lost executor replays two rounds, not the whole
     *    chain (at 100 TB on a real cluster prefer reliable
     *    `checkpoint()`/staging writes over local blocks);
-    *  - the convergence probe (edge count + xxhash64 sum) is folded into
-    *    the single action that materializes the iteration — no second job.
-    *    Equal (count, hash-sum) across rounds on different edge sets needs
-    *    a 2⁻⁶⁴ collision; a NULL hash-sum (decimal(38,0) overflow needs
-    *    ≥ 10¹⁹ edges — unreachable, but checked per the advisory) is
-    *    treated as "changed", never as a false fixpoint.
+    *  - convergence is a STRUCTURAL star-forest test folded into the single
+    *    action that materializes the iteration (no second job): the edge
+    *    set is a star forest iff no node sources two edges and no node is
+    *    both a source and a target (edges are canonically (u, v), u > v, so
+    *    sources are non-roots and targets are roots). Unlike comparing
+    *    consecutive (count, hash) probes this is EXACT — no collision
+    *    caveat — and detects the fixpoint the moment it is reached instead
+    *    of one confirming iteration later, which halves the loop's jobs on
+    *    the common small-cluster graphs that converge in one iteration.
     *
     * This is the representative/cluster path that makes a keep-list out of
     * pairwise output: keep `id == cluster`, drop the rest. Throws if the
@@ -357,39 +360,65 @@ object DedupOps {
     * unpaired docs are their own singleton cluster. */
   def nearDupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
                       maxIter: Int = 50): DataFrame = {
-    // probe = (edge count, hash-sum of canonical edges); None = overflow/unknown
-    def probe(df: DataFrame): (Long, Option[java.math.BigDecimal]) = {
-      val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
-      (r.getLong(0), Option(r.getDecimal(1)))
-    }
+    // star-forest violations: a node sourcing >1 edge (cu > 1) or acting as
+    // both source and target (cu >= 1 and more appearances than sourcings).
+    // Zero violations <=> the edge set IS a star forest rooted at each
+    // component's minimum: both contraction steps preserve the original
+    // components and never drop a node (a node keeps a source edge through
+    // any smaller neighbor and is its own star's target when locally
+    // minimal), so a violation-free state has one star per component whose
+    // root — the unique pure target under u > v canonical edges — is the
+    // component min. Empty edge set: zero violations, trivially done.
+    def violations(df: DataFrame): Long =
+      df.select(col("u").as("n"), lit(1L).as("iu"))
+        .union(df.select(col("v").as("n"), lit(0L).as("iu")))
+        .groupBy("n").agg(sum("iu").as("cu"), count(lit(1)).as("ct"))
+        .agg(count(when(col("cu") > 1 || (col("cu") >= 1 && col("ct") > col("cu")),
+          1))).head.getLong(0)
+    // checkpoint-block bookkeeping: localCheckpoint blocks are RDD-level —
+    // invisible to `spark.catalog.clearCache()` and reclaimed by the
+    // ContextCleaner only after a GC notices the dropped reference. In an
+    // iterative loop that laziness is an eviction-pressure leak (every
+    // superseded iteration's blocks linger in the storage pool, measured as
+    // multi-× pass variance at bench scale), so each iteration unpersists
+    // its predecessor DETERMINISTICALLY the moment its own blocks are
+    // materialized — the same superseded-generation unpersist discipline
+    // GraphX's Pregel loop applies. Safe because the probe action has
+    // already truncated `next`'s lineage; only the FINAL edge set must stay
+    // persisted (the returned plan reads it), and that one reference is the
+    // caller's to drop.
+    val sc = docs.sparkSession.sparkContext
+    def snapIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def free(ids: Set[Int]): Unit =
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (ids.contains(id)) rdd.unpersist(blocking = false)
+      }
     // the init checkpoint materializes the (possibly expensive) pairs plan
     // exactly once — largeStar references its input twice (symmetrize union)
     // — but is LAZY: its blocks are computed inside the first iteration's
     // probe action, so initialization costs no job of its own
+    val preInit = snapIds
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(false)
-    // sentinel: the equality test only fires once a real probe has run
-    var prev: (Long, Option[java.math.BigDecimal]) = (-1L, None)
+    var liveIds = snapIds -- preInit
     var i = 0
     var done = false
     while (!done && i < maxIter) {
       // two fused rounds per action; only the final smallStar dedups (the
       // intermediate rounds' min-windows are duplicate-insensitive)
+      val pre = snapIds
       val next = smallStar(largeStar(smallStar(largeStar(edges), dedup = false)))
         .localCheckpoint(false)
-      val p = probe(next) // materializes the checkpoint — the iteration's one action
-      // the dropped iteration's checkpoint blocks are RDD-level (not in the
-      // SQL CacheManager); the ContextCleaner reclaims them once unreferenced
+      // materializes the checkpoint — the iteration's one action
+      done = violations(next) == 0L
+      val nextIds = snapIds -- pre
+      free(liveIds) // predecessor blocks: superseded, release now
+      liveIds = nextIds
       edges = next
-      // empty edge set is trivially a star forest — no confirming pass needed
-      done = p._1 == 0L || (p._1 == prev._1 && p._2.isDefined && prev._2.isDefined &&
-        p._2.get.compareTo(prev._2.get) == 0)
-      prev = p
       i += 2
     }
     if (!done) {

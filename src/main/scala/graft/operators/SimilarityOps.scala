@@ -217,8 +217,10 @@ object SimilarityOps {
     val base = e.select(col(idCol), col("v"), h.as("__h"))
     val sampled =
       if (trainFraction < 1.0)
-        // unsigned comparison via the sign-split: hash < bound over the
-        // full 2^64 range, expressed on signed longs
+        // plain SIGNED threshold: xxhash64 is uniform over the whole
+        // signed Long range, so keeping hashes below
+        // Long.MinValue + fraction·2^64 keeps `fraction` of the rows —
+        // no unsigned-compare trick is involved (or needed)
         base.filter(h < lit((Long.MinValue.toDouble +
           trainFraction * 2.0 * Long.MaxValue.toDouble).toLong))
       else base

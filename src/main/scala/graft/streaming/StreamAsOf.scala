@@ -73,7 +73,15 @@ object StreamAsOf {
       .flatMapGroupsWithState[AsOfState, AsOfMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: Long, it: Iterator[TaggedRow], state: GroupState[AsOfState]) =>
-          val wm = state.getCurrentWatermarkMs()
+          // getCurrentWatermarkMs() is 0 until the first watermark commits;
+          // treating that 0 as a real watermark would classify pre-1970
+          // probes (ts < 0) as ripe in their very first batch, before any
+          // late reference row had a chance to arrive. Until a watermark is
+          // established NOTHING is final: floor the ripeness/pruning bound
+          // at Long.MinValue. (Spark exposes no has-watermark flag; a
+          // genuine 0 watermark just delays finality by one batch.)
+          val wmRaw = state.getCurrentWatermarkMs()
+          val wm = if (wmRaw == 0L) Long.MinValue else wmRaw
           val prev = state.getOption.getOrElse(AsOfState(Nil, Nil))
           // merge the batch into the buffers (refs ascending by ts; probe
           // ts list unsorted until emission)
@@ -109,10 +117,17 @@ object StreamAsOf {
             // the survivor ref's TTL expiry (so idle keys purge); the
             // timeout must sit strictly above the current watermark
             val probeWake = if (young.nonEmpty) Some(young.min) else None
-            val ttlWake = if (refTtlMs != Long.MaxValue && kept.nonEmpty)
-              Some(kept.map(_._1).max + refTtlMs) else None
+            // saturating add: a large finite TTL on a recent ref would
+            // overflow Long and register an immediate (pre-watermark) wake
+            val ttlWake = if (refTtlMs != Long.MaxValue && kept.nonEmpty) {
+              val base = kept.map(_._1).max
+              val sum = base + refTtlMs
+              Some(if (sum < base) Long.MaxValue else sum) // refTtlMs > 0
+            } else None
+            // the clamp floor uses the RAW watermark — Spark validates the
+            // timeout against it, and wm may be the MinValue sentinel here
             (probeWake ++ ttlWake).minOption.foreach(t =>
-              state.setTimeoutTimestamp(math.max(t, wm + 1)))
+              state.setTimeoutTimestamp(math.max(t, wmRaw + 1)))
           }
           out.iterator
       }
