@@ -40,6 +40,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashAgg(exprs(0), k)
       }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[graft.functions.BloomAgg].getName, "graft_bloom_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+        val items = exprs(1) match {
+          case Literal(v: Int, IntegerType) => v.toLong
+          case Literal(v: Long, LongType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom_agg expectedItems must be an integer literal, got $other")
+        }
+        val fpp = exprs(2) match {
+          case Literal(v: Double, DoubleType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom_agg fpp must be a double literal, got $other")
+        }
+        graft.functions.BloomAgg(exprs(0), items, fpp)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[graft.functions.BloomMightContainLong].getName,
+        "graft_bloom_contains"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.BloomMightContainLong(exprs(0), exprs(1))))
     // optimizer rule: size(array_intersect(a, b)) on non-null long arrays
     // never materializes the intersection
     e.injectOptimizerRule(_ => graft.functions.RewriteIntersectSize)

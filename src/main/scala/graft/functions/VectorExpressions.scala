@@ -168,5 +168,23 @@ object VectorFunctions {
         }
         MinHashAgg(exprs(0), k)
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      { exprs => BloomAgg(exprs(0), longLit(exprs(1), "expectedItems"),
+          doubleLit(exprs(2), "fpp")) }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bloom_contains",
+      { exprs => BloomMightContainLong(exprs(0), exprs(1)) }, "scala_udf")
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"graft_bloom_agg $what must be an integer literal, got $other")
+  }
+
+  private def doubleLit(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
+    case other => throw new IllegalArgumentException(
+      s"graft_bloom_agg $what must be a double literal, got $other")
   }
 }

@@ -48,6 +48,76 @@ object CorpusOps {
       .withColumn("contaminated", (col("n_shared") > 0).cast("int"))
   }
 
+  /** Bloom-filtered decontamination — the scale path [[contamination]]'s
+    * scaladoc promises for an eval side too large to broadcast as an exact
+    * gram set. The eval corpus's hashed grams aggregate into ONE mergeable
+    * bloom filter ([[graft.functions.BloomAgg]] — partial aggregation
+    * collapses each partition to a filter before the shuffle); the single
+    * filter row is collected (bounded: a benchmark corpus of millions of
+    * grams is a ~1 MB filter — the same bounded-metadata discipline as the
+    * IVF centroid literals) and re-planted as a plan literal, so the
+    * training-side probe ([[graft.functions.BloomMightContainLong]])
+    * inlines into whole-stage codegen INSIDE the scan: the 100 TB side is
+    * never joined, never shuffled.
+    *
+    * Contract: `n_bloom_hits` counts distinct training grams the filter
+    * ACCEPTS — a superset of the exact overlap (no false negatives, by the
+    * bloom inclusion property; false positives bounded by `fpp` and
+    * deterministic for fixed parameters, since insertion hashing is
+    * seed-fixed and the OR-merge is order-independent). Use as a cheap
+    * first pass: docs with 0 hits are provably clean; flagged docs go to
+    * the exact [[contamination]] check restricted to the survivors. */
+  def bloomContamination(train: DataFrame, eval: DataFrame, idCol: String,
+                         textCol: String, n: Int = 5,
+                         expectedItems: Long = 1000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    graft.functions.VectorFunctions.register(train.sparkSession)
+    val bloomBytes = hashedGrams(eval, idCol, textCol, n)
+      .agg(call_function("graft_bloom_agg", col("h"), lit(expectedItems), lit(fpp)))
+      .head.getAs[Array[Byte]](0)
+    val hits = hashedGrams(train, idCol, textCol, n)
+      .filter(call_function("graft_bloom_contains", lit(bloomBytes), col("h")))
+      .groupBy(idCol).agg(count(lit(1)).as("n_bloom_hits"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bloom_hits"), lit(0L)).as("n_bloom_hits"))
+      .withColumn("flagged", (col("n_bloom_hits") > 0).cast("int"))
+  }
+
+  /** Cross-document repeated n-gram measurement (the signal behind Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22 §4 — exact-substring duplication): for every document, how many
+    * of its n-gram POSITIONS carry a gram that also occurs in at least one
+    * OTHER document. Positions, not distinct grams: a boilerplate sentence
+    * pasted three times is three positions of duplicated text.
+    *
+    * Scale shape: the positional gram table is (8-byte id, 8-byte hash)
+    * rows; both aggregations are map-side combinable, and the per-doc-gram
+    * → gram-document-frequency join happens on `h` with BOTH sides already
+    * hash-partitioned by the preceding groupBys — Catalyst reuses the
+    * partitioning, so the join adds no exchange. Text itself never
+    * shuffles. Returns (id, n_grams, n_dup_grams) with zero rows for
+    * short docs preserved. */
+  def dupNgramSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8): DataFrame = {
+    val pos = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), TextOps.hashedShingleSeq(col("__t"), n).as("g"))
+      .select(col(idCol), explode_outer(col("g")).as("h"))
+      .filter(col("h").isNotNull)
+    val perDocGram = pos.groupBy(col(idCol), col("h")).agg(count(lit(1)).as("occ"))
+    val gramDf = perDocGram.groupBy("h").agg(count(lit(1)).as("df"))
+    val per = perDocGram.join(gramDf, Seq("h"))
+      .groupBy(idCol).agg(
+        sum("occ").as("n_grams"),
+        sum(when(col("df") >= 2, col("occ")).otherwise(0L)).as("n_dup_grams"))
+    docs.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+  }
+
   /** 16-way content-stable hash bucket: first hex digit of `md5(id)` —
     * reproducible across engines, runs, partitionings and retries. The
     * shared primitive under [[stratifiedSample]] and [[assignSplit]]. */

@@ -42,6 +42,16 @@ object TextOps {
     array_distinct(when(size(toks) >= n, make).otherwise(array().cast("array<bigint>")))
   }
 
+  /** POSITIONAL hashed shingles: one element per n-gram position, duplicates
+    * kept (unlike [[hashedShingleSet]]) — the granularity of repeated-
+    * substring measurement, where a gram occurring at three positions is
+    * three positions of duplicated text, not one set member. */
+  def hashedShingleSeq(toks: Column, n: Int): Column = {
+    val idx = sequence(lit(1), size(toks) - lit(n - 1))
+    val make = transform(idx, i => xxhash64((0 until n).map(j => element_at(toks, i + lit(j))): _*))
+    when(size(toks) >= n, make).otherwise(array().cast("array<bigint>"))
+  }
+
   /** Token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
 

@@ -566,6 +566,63 @@ object CorpusQ {
              |  FROM f WHERE doc_id % 5 = 0)
              |SELECT doc_id, dup_of_corpus, dup_in_batch,
              |  CAST(dup_of_corpus = 0 AND dup_in_batch = 0 AS INT) AS keep
-             |FROM m ORDER BY doc_id""".stripMargin))
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Cross-document repeated n-gram spans (Lee et al. ACL'22 §4 exact-
+    // substring duplication, at POSITION granularity): per doc, how many
+    // 8-gram positions carry a gram occurring in >= 2 documents. The gram-df
+    // join runs on the groupBy-established hash partitioning (no extra
+    // exchange); the oracle rebuilds the identical counts from gram strings.
+    "q112_dup_ngram_spans" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        CorpusOps.dupNgramSpans(docs, "doc_id", "text", n = 8)
+          .withColumn("dup_ratio",
+            when(col("n_grams") > 0,
+              dec6(col("n_dup_grams").cast("double") / col("n_grams")))
+              .otherwise(lit(0.0)))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents),
+             |pos AS (SELECT doc_id, unnest(list_transform(
+             |  generate_series(1, greatest(len(t) - 7, 0)),
+             |  i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+             |                      t[i+4], t[i+5], t[i+6], t[i+7]))) AS g FROM toks),
+             |pd AS (SELECT doc_id, g, count(*) AS occ FROM pos GROUP BY doc_id, g),
+             |gdf AS (SELECT g, count(*) AS df FROM pd GROUP BY g),
+             |per AS (SELECT doc_id, sum(occ) AS n_grams,
+             |  sum(CASE WHEN df >= 2 THEN occ ELSE 0 END) AS n_dup
+             |  FROM pd JOIN gdf USING (g) GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+             |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_grams,
+             |  CASE WHEN coalesce(n_grams, 0) > 0
+             |    THEN floor((CAST(n_dup AS DOUBLE) / n_grams) * 1000000.0
+             |      + 0.500618034) / 1000000.0
+             |    ELSE 0.0 END AS dup_ratio
+             |FROM documents d LEFT JOIN per USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Bloom-filtered decontamination — q80's scale path when the eval side
+    // outgrows broadcast: eval grams collapse to ONE mergeable bloom filter
+    // (order-independent OR-merge => deterministic bits), and the training
+    // scan probes it inline, no join. Rows-only: the filter's bit pattern
+    // has no SQL twin; CorpusBloomSpec proves the inclusion property
+    // (bloom hits ⊇ exact hits per doc) and bounds false positives.
+    "q113_bloom_contamination" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val eval = docs.filter(col("doc_id") % 37 === 0)
+        val train = docs.filter(col("doc_id") % 37 =!= 0)
+        // fpp 1e-4, not the customary 0.01: the flag is ANY-hit semantics,
+        // so a doc's false-flag probability compounds to ~n_grams·fpp —
+        // ~190 grams/doc needs fpp << 1/190 for the prefilter to actually
+        // prune (at 0.01 nearly every clean doc would flag)
+        CorpusOps.bloomContamination(train, eval, "doc_id", "text", n = 5,
+            expectedItems = 100000L, fpp = 1e-4)
+          .orderBy("doc_id")
+      },
+      None)
   )
 }
