@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Deduplication operators for training-data pipelines: exact hash dedup,
   * MinHash+LSH banding, SimHash, and prefix-filtered n-gram Jaccard.
@@ -107,7 +108,7 @@ object DedupOps {
     * InferFiltersFromGenerate, whose size>0 predicate is pushed below the
     * token projection and re-expands the lambda with an inline split per
     * element (~10× slowdown — the repo's documented HOF pitfall). */
-  private[operators] def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
                                         n: Int): DataFrame =
     docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
@@ -351,6 +352,25 @@ object DedupOps {
     *    of one confirming iteration later, which halves the loop's jobs on
     *    the common small-cluster graphs that converge in one iteration.
     *
+    * Bounded-edge-set shortcut: once the (always-shrinking) edge list fits
+    * under `maxDriverEdges`, the remaining contraction happens as ONE
+    * driver-side union-find over the collected edges — the same
+    * bounded-metadata discipline as the IVF centroid literals and the
+    * bloom-filter collect. This is not a small-scale hack but the shape a
+    * production CC takes: near-dup PAIR sets are sparse relative to the
+    * corpus (each doc pairs with a handful of near-twins, and candidate
+    * generation is bucket-bounded), so the edge list is typically orders of
+    * magnitude under the corpus size from the start; when it is not, the
+    * distributed rounds run first and every round shrinks it toward the
+    * star forest. The default gate (2²² edges ≈ 64 MB at two longs/edge) is
+    * far inside a driver heap; `maxDriverEdges = 0` forces the pure
+    * distributed loop (the cross-validation spec runs both and asserts
+    * equality). Union-by-min keeps the representative EXACTLY the component
+    * minimum — identical output to the distributed fixpoint, and the
+    * per-iteration job cascade (4 windows + distinct + probe, each a
+    * scheduler round-trip) collapses to one collect of an already-counted
+    * edge list.
+    *
     * This is the representative/cluster path that makes a keep-list out of
     * pairwise output: keep `id == cluster`, drop the rest. Throws if the
     * loop exits without reaching the star-forest fixpoint (labels could
@@ -359,7 +379,8 @@ object DedupOps {
     * Returns (id, cluster, is_duplicate) for every doc in `docs` —
     * unpaired docs are their own singleton cluster. */
   def nearDupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
-                      maxIter: Int = 50): DataFrame = {
+                      maxIter: Int = 50,
+                      maxDriverEdges: Long = 1L << 22): DataFrame = {
     // star-forest violations: a node sourcing >1 edge (cu > 1) or acting as
     // both source and target (cu >= 1 and more appearances than sourcings).
     // Zero violations <=> the edge set IS a star forest rooted at each
@@ -369,12 +390,16 @@ object DedupOps {
     // minimal), so a violation-free state has one star per component whose
     // root — the unique pure target under u > v canonical edges — is the
     // component min. Empty edge set: zero violations, trivially done.
-    def violations(df: DataFrame): Long =
-      df.select(col("u").as("n"), lit(1L).as("iu"))
+    // The probe also returns |E| (Σ sources — each canonical edge has one)
+    // from the SAME action, feeding the driver-finish gate for free.
+    def probe(df: DataFrame): (Long, Long) = {
+      val r = df.select(col("u").as("n"), lit(1L).as("iu"))
         .union(df.select(col("v").as("n"), lit(0L).as("iu")))
         .groupBy("n").agg(sum("iu").as("cu"), count(lit(1)).as("ct"))
         .agg(count(when(col("cu") > 1 || (col("cu") >= 1 && col("ct") > col("cu")),
-          1))).head.getLong(0)
+          1)).as("viol"), sum("cu").as("ne")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     // checkpoint-block bookkeeping: localCheckpoint blocks are RDD-level —
     // invisible to `spark.catalog.clearCache()` and reclaimed by the
     // ContextCleaner only after a GC notices the dropped reference. In an
@@ -394,41 +419,96 @@ object DedupOps {
         if (ids.contains(id)) rdd.unpersist(blocking = false)
       }
     // the init checkpoint materializes the (possibly expensive) pairs plan
-    // exactly once — largeStar references its input twice (symmetrize union)
-    // — but is LAZY: its blocks are computed inside the first iteration's
-    // probe action, so initialization costs no job of its own
+    // exactly once, EAGERLY: every consumer below reads the edge list at
+    // least twice in one action (the probe's union branches, largeStar's
+    // symmetrize union), and a lazy checkpoint's blocks don't exist until
+    // AFTER the first action — concurrent branch tasks would each recompute
+    // the full pairs plan (measured ~2× the whole q55 plan on q65)
     val preInit = snapIds
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     var liveIds = snapIds -- preInit
+    // the driver finish round-trips ids through Long — sound only for
+    // integral id types; anything else keeps the pure distributed loop
+    val idType = docs.schema(idCol).dataType
+    val gate = idType match {
+      case ByteType | ShortType | IntegerType | LongType => maxDriverEdges
+      case _ => 0L
+    }
+    var (viol, ne) = probe(edges)
     var i = 0
-    var done = false
-    while (!done && i < maxIter) {
+    while (viol > 0 && ne > gate && i < maxIter) {
       // two fused rounds per action; only the final smallStar dedups (the
       // intermediate rounds' min-windows are duplicate-insensitive)
       val pre = snapIds
       val next = smallStar(largeStar(smallStar(largeStar(edges), dedup = false)))
-        .localCheckpoint(false)
-      // materializes the checkpoint — the iteration's one action
-      done = violations(next) == 0L
+        .localCheckpoint(true) // eager: the probe's union reads it twice
+      val pr = probe(next)
+      viol = pr._1; ne = pr._2
       val nextIds = snapIds -- pre
       free(liveIds) // predecessor blocks: superseded, release now
       liveIds = nextIds
       edges = next
       i += 2
     }
-    if (!done) {
-      throw new IllegalStateException(
-        s"nearDupClusters did not converge in $maxIter rounds; raise maxIter")
-    }
-    // star forest: each non-root u has exactly one edge (u → component min);
-    // min() is belt-and-braces against a non-star state that slipped the probe
-    val roots = edges.groupBy("u").agg(min("v").as("cluster"))
-      .select(col("u").as("id"), col("cluster"))
+    val spark = docs.sparkSession
+    val roots: DataFrame =
+      if (viol == 0L) {
+        // star forest: each non-root u has exactly one edge (u → component
+        // min); min() is belt-and-braces against a non-star state that
+        // slipped the probe
+        edges.groupBy("u").agg(min("v").as("cluster"))
+          .select(col("u").as("id"), col("cluster"))
+      } else if (ne <= gate) {
+        // bounded driver finish: union-find with union-by-min (attach the
+        // LARGER root under the smaller), so every component's final root
+        // is exactly its minimum id — the distributed fixpoint's labels
+        val es = edges.select(col("u").cast("long"), col("v").cast("long")).collect()
+        edges.unpersist(blocking = false) // nothing downstream reads the blocks
+        val parent = new java.util.HashMap[Long, Long](es.length * 2)
+        def find(a: Long): Long = {
+          var x = a
+          var p = parent.getOrDefault(x, x)
+          while (p != x) { // path-halving
+            val gp = parent.getOrDefault(p, p)
+            parent.put(x, gp)
+            x = gp
+            p = parent.getOrDefault(x, x)
+          }
+          x
+        }
+        es.foreach { row =>
+          val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        val labels = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        es.foreach { row =>
+          val u = row.getLong(0); val v = row.getLong(1)
+          val ru = find(u); val rv = find(v)
+          if (ru != u) labels += ((u, ru))
+          if (rv != v) labels += ((v, rv))
+        }
+        import spark.implicits._
+        val dedupLabels = labels.distinct.toSeq
+        // small label sets ride the plan as a LocalRelation (accurate stats
+        // => broadcast join against docs); big-but-bounded ones go through
+        // parallelize to keep the logical plan itself lean
+        val df =
+          if (dedupLabels.size <= (1 << 20)) dedupLabels.toDF("id", "cluster")
+          else spark.sparkContext.parallelize(dedupLabels,
+            math.max(1, dedupLabels.size >> 20)).toDF("id", "cluster")
+        df.select(col("id").cast(idType).as("id"),
+          col("cluster").cast(idType).as("cluster"))
+      } else {
+        throw new IllegalStateException(
+          s"nearDupClusters did not converge in $maxIter rounds; raise maxIter")
+      }
     docs.select(col(idCol).as("id"))
       .join(roots, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))

@@ -89,6 +89,20 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nearDupClusters: driver union-find finish ≡ pure distributed contraction") {
+    // same fixture as above: two chains + a pair + a singleton. The default
+    // gate takes the bounded driver path; maxDriverEdges = 0 forces the
+    // full star-contraction loop. Labels must agree row for row.
+    val ids = (Seq(1L, 2L, 3L, 5L, 6L, 7L) ++ (10L to 14L)).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("id_a", "id_b")
+    val driver = DedupOps.nearDupClusters(ids, pairs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val dist = DedupOps.nearDupClusters(ids, pairs, "doc_id", maxDriverEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(driver == dist)
+  }
+
   test("minhashLshPairs catches the exact duplicate (identical signatures)") {
     val pairs = DedupOps.minhashLshPairs(docs, "doc_id", "text", threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
