@@ -108,4 +108,32 @@ object CleanOps {
         (sum(when(col("n_docs") >= 2, col("cnt")).otherwise(0L)) / sum("cnt"))
           .as("corpus_dup_frac"))
   }
+
+  /** Duplicate-line REMOVAL (the rewrite behind [[dupLineStats]]'s
+    * signal): keep each document's first occurrence of every line, drop
+    * later repeats, reassemble in original order. This is the C4/
+    * RefinedWeb within-document line dedup applied as a transform rather
+    * than a filter.
+    *
+    * Deliberately ZERO-shuffle: a document's lines live in one row, so
+    * first-occurrence dedup is pure column algebra — keep position `i`
+    * iff `array_position(lines, lines[i]) == i` — fully codegen'd and
+    * embarrassingly parallel, where the window formulation
+    * (`row_number() over (id, line)`) would shuffle the entire corpus
+    * text twice for a per-row computation. The O(L²) per-document scan is
+    * bounded by line count, not corpus size; a pathological million-line
+    * document should be length-capped upstream anyway. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepIdx = filter(
+      sequence(lit(1), size(col("__l"))),
+      i => array_position(col("__l"), element_at(col("__l"), i)) === i.cast("long"))
+    docs
+      .select(col(idCol), split(col(textCol), "\n").as("__l"))
+      .select(col(idCol), col("__l"), keepIdx.as("__k"))
+      .select(col(idCol),
+        size(col("__l")).as("n_lines"),
+        size(col("__k")).as("n_kept"),
+        array_join(transform(col("__k"), i => element_at(col("__l"), i)), "\n")
+          .as("text_deduped"))
+  }
 }

@@ -259,4 +259,111 @@ object CorpusOps {
       .filter(col("__rn") === 1)
       .select(col(idCol), col("tok").as("top_term"), col("tf"), col("df"), col("tfidf"))
   }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS'23): hashed
+    * n-gram bucket features, a bag-of-buckets unigram model fit on the
+    * TARGET slice vs the RAW pool (Laplace-smoothed), and a per-document
+    * log importance weight Σ_positions ln(p_target(b)/p_raw(b)).
+    * Downstream selection keeps the top-weighted raw documents (or
+    * Gumbel-resamples on the weights) to shift the raw pool toward the
+    * target distribution without training a classifier.
+    *
+    * Scale shape: the bucket-count fit is two map-side-combinable sums on
+    * a ≤`buckets`-sized key, the log-ratio table is `buckets` rows
+    * broadcast to the scoring pass, and the score itself is a per-doc
+    * sum/count — the document text never shuffles. The bucket hash is
+    * md5-derived (3 hex digits → 4096 cells) so an external SQL engine
+    * reproduces it bit-for-bit; a production run would swap in
+    * `xxhash64 % buckets` (same shape, cheaper) at the cost of the
+    * cross-engine oracle.
+    *
+    * Returns one row per RAW (non-target) document:
+    * (id, n_feats, dsir_logratio); documents too short for a single
+    * n-gram get (0, 0.0). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int = 4096, n: Int = 2): DataFrame = {
+    require(buckets > 0 && buckets <= 4096, s"buckets must be in (0, 4096], got $buckets")
+    // guard: sequence(1, 0) yields a DESCENDING [1, 0], not an empty array
+    val mk = transform(
+      sequence(lit(1), size(col("__t")) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(col("__t"), i + lit(j))): _*))
+    val grams = when(size(col("__t")) >= n, mk)
+      .otherwise(array().cast("array<string>"))
+    val pos = docs
+      .select(col(idCol), isTarget.cast("int").as("__tgt"),
+        TextOps.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__tgt"), explode_outer(grams).as("g"))
+      .filter(col("g").isNotNull)
+      .withColumn("b", conv(substring(md5(col("g")), 1, 3), 16, 10)
+        .cast("int") % buckets)
+    val cnt = pos.groupBy("b").agg(
+      sum(col("__tgt")).cast("double").as("ct"),
+      sum(lit(1) - col("__tgt")).cast("double").as("cr"))
+    val tot = cnt.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val bD = lit(buckets.toDouble)
+    val ratio = cnt.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("ct") + lit(1.0)) / (col("nt") + bD)) -
+          log((col("cr") + lit(1.0)) / (col("nr") + bD))).as("lr"))
+    val scored = pos.filter(col("__tgt") === 0)
+      .join(broadcast(ratio), "b")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_feats"), sum("lr").as("dsir_logratio"))
+    docs.filter(!isTarget).select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("dsir_logratio"), lit(0.0)).as("dsir_logratio"))
+  }
+
+  /** Add-k smoothed bigram-LM surprisal (the order-1 step up from
+    * [[unigramLogProb]] toward the CCNet/KenLM perplexity filter): fit
+    * bigram and unigram counts on the corpus itself, then score each
+    * document by its mean −ln p(w_i | w_{i−1}) with
+    * p = (c(w_{i−1} w_i) + k) / (c(w_{i−1}) + k·V). Repetitive documents
+    * score LOW (their transitions dominate the fit), rare-garbage ones
+    * HIGH — the perplexity cut reads both tails.
+    *
+    * Scale shape: both count tables are map-side-combinable aggregates;
+    * the unigram/vocab-size sides broadcast; the bigram join keys on the
+    * (w1, w2) pair — at 100 TB swap the string pair for one `xxhash64`
+    * key and min-df-prune the tail into the smoothing mass. Text never
+    * shuffles; only (id, w1, w2) rows move.
+    *
+    * Returns (id, n_bigrams, mean_surprisal) for every document;
+    * documents with < 2 tokens get (0, 0.0). */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                      k: Double = 0.5): DataFrame = {
+    val toks = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+    // same sequence(1, 0) == [1, 0] guard as dsirWeights
+    val mkBig = transform(
+      sequence(lit(1), size(col("__t")) - lit(1)),
+      i => struct(element_at(col("__t"), i).as("w1"),
+        element_at(col("__t"), i + lit(1)).as("w2")))
+    val big = toks
+      .select(col(idCol), explode_outer(when(size(col("__t")) >= 2, mkBig)
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .filter(col("bg").isNotNull)
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = toks
+      .select(explode_outer(col("__t")).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).cast("double").as("c1"))
+    val v = uni.agg(count(lit(1)).cast("double").as("vsz"))
+    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("c2"))
+    big
+      .join(c2, Seq("w1", "w2"))
+      .join(broadcast(uni.withColumnRenamed("tok", "w1")), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("s", -(log(col("c2") + lit(k)) -
+        log(col("c1") + lit(k) * col("vsz"))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("s")) / count(lit(1))).as("mean_surprisal"))
+      .join(docs.select(col(idCol)), Seq(idCol), "right")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("mean_surprisal"), lit(0.0)).as("mean_surprisal"))
+  }
 }

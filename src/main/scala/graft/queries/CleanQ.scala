@@ -102,6 +102,32 @@ object CleanQ {
               |  list_min(q) AS q_min,
               |  list_max(q) AS q_max,
               |  len(list_filter(q, x -> abs(x) = 127)) AS n_sat
-              |FROM q ORDER BY vec_id""".stripMargin))
+              |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // Duplicate-line REMOVAL over the enriched corpus — q101 measures the
+    // signal, this applies the rewrite. Every doc gets its own first line
+    // re-appended so each has at least one guaranteed within-doc repeat;
+    // dedup keeps first occurrences in original order, zero shuffle (the
+    // whole computation is per-row column algebra on both engines).
+    "q115_dedup_lines" -> Q(
+      (s, d) => {
+        val withDup = CorpusFixture.enriched(s, d)
+          .withColumn("text",
+            concat_ws("\n", col("text"), element_at(split(col("text"), "\n"), 1)))
+        CleanOps.dedupLines(withDup, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${CorpusFixture.sql},
+              |wd AS (SELECT doc_id,
+              |  text || chr(10) || string_split(text, chr(10))[1] AS text FROM enr),
+              |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM wd),
+              |k AS (SELECT doc_id, ls, list_filter(
+              |  generate_series(1, len(ls)),
+              |  i -> list_position(ls, ls[i]) = i) AS ki FROM l)
+              |SELECT doc_id,
+              |  len(ls) AS n_lines,
+              |  len(ki) AS n_kept,
+              |  array_to_string(list_transform(ki, i -> ls[i]), chr(10)) AS text_deduped
+              |FROM k ORDER BY doc_id""".stripMargin))
   )
 }

@@ -604,6 +604,70 @@ object CorpusQ {
              |FROM documents d LEFT JOIN per USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // DSIR importance weights (Xie et al. NeurIPS'23): English docs stand in
+    // for the target distribution; every non-English doc is scored by the
+    // log-likelihood ratio of its hashed-bigram buckets under target vs raw
+    // bucket models. The bucket hash is md5-derived so DuckDB reproduces it
+    // bit-for-bit (production would use xxhash64 % B — same shape).
+    "q114_dsir_weights" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        CorpusOps.dsirWeights(docs, "doc_id", "text",
+            isTarget = col("lang") === "en", buckets = 4096, n = 2)
+          .select(col("doc_id"), col("n_feats"),
+            dec6(col("dsir_logratio")).as("dsir_logratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang,
+              |  string_split_regex(trim(text), '\\s+') AS t FROM documents),
+              |pos AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS tgt,
+              |  CAST(('0x' || substring(md5(g), 1, 3)) AS INT) % 4096 AS b
+              |  FROM (SELECT doc_id, lang, unnest(list_transform(
+              |    generate_series(1, greatest(len(t) - 1, 0)),
+              |    i -> concat_ws(' ', t[i], t[i+1]))) AS g FROM toks)),
+              |cnt AS (SELECT b, CAST(sum(tgt) AS DOUBLE) AS ct,
+              |  CAST(sum(1 - tgt) AS DOUBLE) AS cr FROM pos GROUP BY b),
+              |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM cnt),
+              |ratio AS (SELECT b, ln((ct + 1.0) / (nt + 4096.0))
+              |  - ln((cr + 1.0) / (nr + 4096.0)) AS lr FROM cnt, tot),
+              |sc AS (SELECT doc_id, count(*) AS n_feats, sum(lr) AS s
+              |  FROM pos JOIN ratio USING (b) WHERE tgt = 0 GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+              |  ${r6("coalesce(sc.s, 0.0)")} AS dsir_logratio
+              |FROM documents d LEFT JOIN sc USING (doc_id)
+              |WHERE d.lang <> 'en' ORDER BY d.doc_id""".stripMargin)),
+
+    // Add-k bigram-LM surprisal — the order-1 step from q90's unigram
+    // scorer toward a CCNet-style perplexity filter; fit and scored on the
+    // same corpus, p(w2|w1) = (c2 + 0.5) / (c1 + 0.5 * V).
+    "q116_bigram_surprisal" -> Q(
+      (s, d) => CorpusOps.bigramSurprisal(Tables.documents(s, d), "doc_id", "text", k = 0.5)
+        .select(col("doc_id"), col("n_bigrams"),
+          dec6(col("mean_surprisal")).as("mean_surprisal"))
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id,
+              |  string_split_regex(trim(text), '\\s+') AS t FROM documents),
+              |big AS (SELECT doc_id, unnest(list_transform(
+              |  generate_series(1, greatest(len(t) - 1, 0)),
+              |  i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS bg FROM toks),
+              |bg2 AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM big),
+              |uni AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c1 FROM
+              |  (SELECT unnest(t) AS tok FROM toks) WHERE tok IS NOT NULL
+              |  AND tok <> '' GROUP BY tok),
+              |v AS (SELECT CAST(count(*) AS DOUBLE) AS vsz FROM uni),
+              |c2t AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2
+              |  FROM bg2 GROUP BY w1, w2),
+              |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+              |  sum(-(ln(c2 + 0.5) - ln(c1 + 0.5 * vsz))) / count(*) AS ms
+              |  FROM bg2 JOIN c2t USING (w1, w2)
+              |  JOIN uni ON bg2.w1 = uni.tok, v GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              |  ${r6("coalesce(sc.ms, 0.0)")} AS mean_surprisal
+              |FROM documents d LEFT JOIN sc USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin)),
+
     // Bloom-filtered decontamination — q80's scale path when the eval side
     // outgrows broadcast: eval grams collapse to ONE mergeable bloom filter
     // (order-independent OR-merge => deterministic bits), and the training

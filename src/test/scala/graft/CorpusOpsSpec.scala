@@ -129,4 +129,51 @@ class CorpusOpsSpec extends SparkSpec {
       .orderBy("doc_id").select("top_term").as[String].collect()
     assert(out.toSeq == Seq("a", "a"))
   }
+
+  test("dsirWeights: target-looking raw docs outweigh off-target ones; target excluded") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 1), // target
+      (2L, "the quick brown fox naps under the tall tree", 1), // target
+      (3L, "the quick brown fox jumps over the sleepy cat", 0), // raw, target-like
+      (4L, "zzz qqq www eee rrr ttt yyy uuu iii ooo", 0),       // raw, disjoint
+      (5L, "x", 0)                                              // raw, too short
+    ).toDF("doc_id", "text", "tgt")
+    val out = CorpusOps.dsirWeights(docs, "doc_id", "text",
+        isTarget = col("tgt") === 1, buckets = 4096, n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(3L, 4L, 5L), "only raw docs are scored")
+    assert(out(3L)._2 > out(4L)._2,
+      s"target-like doc must outweigh disjoint doc: ${out(3L)._2} vs ${out(4L)._2}")
+    assert(out(5L) == ((0L, 0.0)), "sub-n-gram doc scores (0, 0.0)")
+  }
+
+  test("bigramSurprisal: repeated transitions score lower than rare ones; short docs zero") {
+    val docs = Seq(
+      (1L, "a b a b a b a b a b"), // one dominant transition
+      (2L, "c d e f g h i j k l"), // all transitions unique
+      (3L, "solo")                 // no bigram
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._2 < out(2L)._2,
+      s"repetitive doc must have lower surprisal: ${out(1L)._2} vs ${out(2L)._2}")
+    assert(out(3L) == ((0L, 0.0)))
+    assert(out(1L)._1 == 9L && out(2L)._1 == 9L)
+  }
+
+  test("dedupLines keeps first occurrences in order, zero shuffle") {
+    import graft.operators.CleanOps
+    val docs = Seq(
+      (1L, "a\nb\na\nc\nb"),
+      (2L, "only one line")
+    ).toDF("doc_id", "text")
+    val out = CleanOps.dedupLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((5, 3, "a\nb\nc")))
+    assert(out(2L) == ((1, 1, "only one line")))
+    // shuffle-free contract: the physical plan must contain no Exchange
+    val plan = CleanOps.dedupLines(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"dedupLines must not shuffle:\n$plan")
+  }
 }
