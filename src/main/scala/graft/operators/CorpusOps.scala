@@ -317,6 +317,58 @@ object CorpusOps {
         coalesce(col("dsir_logratio"), lit(0.0)).as("dsir_logratio"))
   }
 
+  /** Corpus snapshot diff — dataset versioning's core primitive: classify
+    * every document id across two corpus versions as `added` (v2 only),
+    * `removed` (v1 only), `changed` (both, content fingerprint differs) or
+    * `unchanged`. Powers incremental reprocessing: downstream stages
+    * (dedup indexes, embedding caches, quality scores) re-run on
+    * added+changed only instead of the full corpus.
+    *
+    * Scale shape: each side collapses to (id, xxhash64(text)) BEFORE the
+    * join, so the full-outer join moves two 8-byte words per document —
+    * text never shuffles. A 64-bit fingerprint false-"unchanged" needs an
+    * exact collision (~n²/2⁶⁵); widen to two seeded lanes where that
+    * matters. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val a = v1.select(col(idCol), xxhash64(col(textCol)).as("__fp1"))
+    val b = v2.select(col(idCol), xxhash64(col(textCol)).as("__fp2"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__fp1").isNull, lit("added"))
+          .when(col("__fp2").isNull, lit("removed"))
+          .when(col("__fp1") =!= col("__fp2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** One round of corpus-scale BPE pair counting (Sennrich et al., ACL'16
+    * §3.2): the most frequent adjacent character pairs, weighted by word
+    * frequency. A tokenizer fit iterates this — count pairs, merge the
+    * winner into the vocab, repeat — and the expensive part at 100 TB is
+    * exactly this aggregation.
+    *
+    * Scale shape: the corpus stream collapses to the DISTINCT-WORD vocab
+    * first (one map-side-combinable count — the classic BPE-on-vocab
+    * optimization: pair counting is then proportional to vocabulary size,
+    * not corpus size), pairs explode from the bounded vocab, and the
+    * top-k is a single ordered limit. Ties break on the pair string so
+    * the result is deterministic. */
+  def bpePairCounts(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 20): DataFrame = {
+    val vocab = docs
+      .select(explode_outer(TextOps.tokens(col(textCol))).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val mkPairs = transform(sequence(lit(1), length(col("w")) - lit(1)),
+      i => col("w").substr(i, lit(2)))
+    vocab
+      .select(explode(when(length(col("w")) >= 2, mkPairs)
+        .otherwise(array().cast("array<string>"))).as("pair"), col("freq"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** Add-k smoothed bigram-LM surprisal (the order-1 step up from
     * [[unigramLogProb]] toward the CCNet/KenLM perplexity filter): fit
     * bigram and unigram counts on the corpus itself, then score each

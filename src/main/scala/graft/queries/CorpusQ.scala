@@ -604,6 +604,50 @@ object CorpusQ {
              |FROM documents d LEFT JOIN per USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // Corpus snapshot diff: v1 drops doc_id % 23 == 1 (those become "added"),
+    // v2 drops % 29 == 2 ("removed") and revises text for % 31 == 0
+    // ("changed"). Spark compares 8-byte xxhash64 fingerprints (text never
+    // joins); the oracle compares the strings themselves — equal on this
+    // corpus, which is precisely the collision-free contract.
+    "q117_snapshot_diff" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val v1 = docs.filter(col("doc_id") % 23 =!= 1)
+        val v2 = docs.filter(col("doc_id") % 29 =!= 2)
+          .withColumn("text", when(col("doc_id") % 31 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        CorpusOps.snapshotDiff(v1, v2, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 23 <> 1),
+             |v2 AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 31 = 0 THEN text || ' rev2' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 29 <> 2)
+             |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+             |       WHEN v2.doc_id IS NULL THEN 'removed'
+             |       WHEN v1.text <> v2.text THEN 'changed'
+             |       ELSE 'unchanged' END AS status
+             |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // One BPE pair-counting round (Sennrich ACL'16) — the aggregation a
+    // corpus-scale tokenizer fit iterates. Corpus collapses to the distinct-
+    // word vocab first, so pair counting is O(vocab), not O(corpus).
+    "q118_bpe_pairs" -> Q(
+      (s, d) => CorpusOps.bpePairCounts(Tables.documents(s, d), "doc_id", "text",
+        topK = 20),
+      Some("""WITH w AS (SELECT tok AS w, count(*) AS freq FROM
+             |  (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |   FROM documents) WHERE tok IS NOT NULL AND tok <> '' GROUP BY tok),
+             |p AS (SELECT unnest(list_transform(
+             |    generate_series(1, len(w) - 1),
+             |    i -> substring(w, i, 2))) AS pair, freq
+             |  FROM w WHERE len(w) >= 2)
+             |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+             |FROM p GROUP BY pair
+             |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin)),
+
     // DSIR importance weights (Xie et al. NeurIPS'23): English docs stand in
     // for the target distribution; every non-English doc is scored by the
     // log-likelihood ratio of its hashed-bigram buckets under target vs raw

@@ -283,12 +283,22 @@ object Relational {
     // O5: exact interpolated percentiles (reference `np.percentile`,
     // `models.py:836-838`). At 100 TB use percentile_approx / t-digest.
     "q17_percentiles" -> Q(
+      // ONE array-form percentile aggregate: three scalar percentile()
+      // calls each buffer the whole group's values independently (3×
+      // memory, 3× sort) — the array form shares one buffer, measured
+      // 5.2 s → 1.4 s at sf0.1. Values cast to double first: Spark's
+      // decimal path keys a boxed value→count map per group, and the
+      // oracle's quantile_cont computes in double anyway (dec4 absorbs
+      // the shared ulp).
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(
-          dec4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-          dec4(expr("percentile(l_extendedprice, 0.95)")).as("p95"),
-          dec4(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
+        .agg(expr(
+          "percentile(CAST(l_extendedprice AS DOUBLE), array(0.5, 0.95, 0.99))")
+          .as("ps"))
+        .select(col("l_returnflag"),
+          dec4(element_at(col("ps"), 1)).as("p50"),
+          dec4(element_at(col("ps"), 2)).as("p95"),
+          dec4(element_at(col("ps"), 3)).as("p99"))
         .orderBy("l_returnflag"),
       Some(s"""SELECT l_returnflag,
               |floor((quantile_cont(l_extendedprice, 0.5)) * 10000.0 + 0.500618034) / 10000.0 AS p50,

@@ -161,6 +161,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1L)._1 == 9L && out(2L)._1 == 9L)
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val out = CorpusOps.snapshotDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("bpePairCounts weights pairs by word frequency and breaks ties on the pair") {
+    // "ab" x3 (as 2 tokens of 'ab' + 1 in 'abc'), 'bc' x1; single chars ignored
+    val docs = Seq((1L, "ab ab abc x")).toDF("doc_id", "text")
+    val out = CorpusOps.bpePairCounts(docs, "doc_id", "text", topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.head == (("ab", 3L)))
+    assert(out.toMap.get("bc").contains(1L))
+    assert(!out.map(_._1).contains("x"))
+  }
+
   test("dedupLines keeps first occurrences in order, zero shuffle") {
     import graft.operators.CleanOps
     val docs = Seq(

@@ -235,4 +235,28 @@ class ScaleTechniquesSpec extends SparkSpec {
       .select("fid", "iid").as[(Int, Int)].collect().toSet
     assert(oldOut == Set((1, 10)))
   }
+
+  test("corpus-op plan contracts: text never joins, small sides broadcast") {
+    import graft.operators.CorpusOps
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfTiny)
+    // snapshotDiff: the full-outer join's inputs must be (id, fingerprint)
+    // projections — the text column is consumed by xxhash64 BELOW the join,
+    // never carried through it
+    val diffPlan = CorpusOps.snapshotDiff(docs, docs, "doc_id", "text")
+      .queryExecution.optimizedPlan
+    val joinNode = diffPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.head
+    val joinCols = (joinNode.left.output ++ joinNode.right.output).map(_.name)
+    assert(!joinCols.contains("text"),
+      s"snapshotDiff must join fingerprints, not text; join inputs: $joinCols")
+    // dsirWeights: the per-position score join must broadcast the bounded
+    // bucket-ratio table, not shuffle the position stream against it
+    val dsirPlan = CorpusOps.dsirWeights(docs, "doc_id", "text",
+        isTarget = col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(dsirPlan.contains("BroadcastHashJoin"),
+      s"dsir ratio join must broadcast:\n${dsirPlan.take(2000)}")
+  }
 }
