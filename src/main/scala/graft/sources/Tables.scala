@@ -17,17 +17,49 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright. Read nanos as raw longs
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to
-    * microseconds — the same truncation DuckDB applies, so oracle timestamps
-    * agree exactly. */
+  /** Schema-adaptive `events` loader. The upstream generator has shipped
+    * `ts` in three physical layouts so far — parquet TIMESTAMP(NANOS)
+    * (rejected by Spark's reader without a legacy conf), raw int64 nanos,
+    * and native timestamp[us] (read as TIMESTAMP_NTZ) — and an engine aimed
+    * at 100 TB must survive such upstream type migrations without a code
+    * change. Branch on the footer schema and normalize every layout to the
+    * same `TimestampType` column. Callers MUST run with
+    * `spark.sql.session.timeZone=UTC` (all graft session builders pin it):
+    * the NTZ→timestamp cast is then a bit-identical reinterpretation of the
+    * stored microseconds, matching DuckDB's naive-timestamp oracle reads.
+    */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val path = s"$dir/events.parquet"
+    val plain =
+      try Some(spark.read.parquet(path))
+      catch { case _: Throwable => None } // TIMESTAMP(NANOS) footer → rejected at schema inference
+    plain match {
+      case Some(df) =>
+        df.schema("ts").dataType match {
+          case TimestampNTZType =>
+            // timestamp[us], isAdjustedToUTC=false: reinterpret as UTC instant
+            df.withColumn("ts", col("ts").cast(TimestampType))
+          case LongType =>
+            // raw int64 nanoseconds in a plain INT64 column: floor to micros,
+            // the same truncation DuckDB applies
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ =>
+            df // already TimestampType (e.g. inferTimestampNTZ=false reads)
+        }
+      case None => legacyNanosEvents(spark, path)
+    }
+  }
+
+  /** Legacy layout: parquet logical TIMESTAMP(NANOS), which Spark only reads
+    * via `spark.sql.legacy.parquet.nanosAsLong`. Floor-convert to micros. */
+  private def legacyNanosEvents(spark: SparkSession, path: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
     try {
-      val df = spark.read.parquet(s"$dir/events.parquet")
+      val df = spark.read.parquet(path)
       import org.apache.spark.sql.functions._
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } finally {
