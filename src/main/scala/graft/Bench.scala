@@ -34,6 +34,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the events loader's NTZ→timestamp normalization is only
+      // bit-identical under UTC (sources/Tables.scala); pin it like every
+      // other graft session so bench plans match Verify's exactly
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Harness-only tuning, measured on this suite (see README bench
       // protocol). AQE's stage-by-stage materialization adds a
@@ -69,14 +73,56 @@ object Bench {
       .orElse(sys.env.get("SPARK_GRAFT_REPEAT"))
       .map(_.toInt).getOrElse(3)
     require(passes >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $passes")
+    // wall-clock budget (seconds): once elapsed exceeds it, remaining
+    // queries drop to 1 pass so a slow box still completes the sweep
+    val timeBudget = sys.env.get("SPARK_GRAFT_TIME_BUDGET").map(_.toDouble)
+    val benchT0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
 
     final case class R(median: Double, min: Double, max: Double,
                        ok: Boolean, err: Option[String])
-    val results: Map[String, R] = selected.map { case (name, fn) =>
+    // Crash-proofing (round 5 lost the entire driver bench to a late
+    // crash): results accumulate here, the artifact is rewritten in place
+    // after EVERY query, and a shutdown hook emits whatever completed if
+    // the JVM dies mid-run — a partial round still yields data.
+    val done = new java.util.concurrent.ConcurrentHashMap[String, R]()
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
+    def render(partial: Boolean): String = {
+      import scala.jdk.CollectionConverters._
+      val results = done.asScala.toMap
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.median }
+        .mkString("{", ",", "}")
+      val detail = results.map { case (k, v) =>
+        val e = v.err.map(m => "\"" + jsonEscape(m) + "\"").getOrElse("null")
+        s"""\"$k\":{"median":${v.median},"min":${v.min},"max":${v.max},"ok":${v.ok},"err":$e}"""
+      }.mkString("{", ",", "}")
+      val failed = results.collect { case (k, v) if !v.ok => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val total = results.values.collect { case r if r.ok => r.median }.sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""queries_detail":$detail,"failed":$failed,"passes":$passes,""" +
+        s""""partial":$partial,"completed":${results.size},""" +
+        s""""selected":${selected.size},"sf":"$sfDir"}"""
+    }
+    def flush(partial: Boolean): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (render(partial) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
+    @volatile var finishedNormally = false
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      if (!finishedNormally) {
+        // stdout may already be truncated by the driver; both channels
+        System.err.println(render(partial = true))
+        flush(partial = true)
+      }))
+
+    selected.foreach { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
       var p = 0
-      while (p < passes && err.isEmpty) {
+      // budget exceeded → single-pass mode for everything still queued
+      val passesHere = if (timeBudget.exists(elapsed > _)) 1 else passes
+      while (p < passesHere && err.isEmpty) {
         val t0 = System.nanoTime()
         // Full-consume action, NOT count(): under `df.count()` Catalyst
         // prunes every output column the aggregate doesn't reference —
@@ -111,30 +157,20 @@ object Bench {
       val r =
         if (err.isDefined) R(-1.0, -1.0, -1.0, ok = false, err)
         else R(sorted(sorted.size / 2), sorted.head, sorted.last, ok = true, None)
-      name -> r
+      done.put(name, r)
+      flush(partial = true) // rewrite-in-place; a crash after this keeps `name`
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.median }
-      .mkString("{", ",", "}")
-    val detail = results.map { case (k, v) =>
-      val e = v.err.map(m => "\"" + jsonEscape(m) + "\"").getOrElse("null")
-      s"""\"$k\":{"median":${v.median},"min":${v.min},"max":${v.max},"ok":${v.ok},"err":$e}"""
-    }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if !v.ok => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.values.collect { case r if r.ok => r.median }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_detail":$detail,"failed":$failed,"passes":$passes,"sf":"$sfDir"}"""
+    finishedNormally = true
+    val line = render(partial = false)
     println(line)
     // machine-readable artifact: the driver's stdout tail truncates long
     // runs, so persist the full per-query map next to the repo as well
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
-    val anyFailed = results.values.exists(!_.ok)
+    flush(partial = false)
+    import scala.jdk.CollectionConverters._
+    val failedNames = done.asScala.collect { case (k, v) if !v.ok => k }
     spark.stop()
-    if (anyFailed) {
-      System.err.println(s"bench: FAILED queries: $failed")
+    if (failedNames.nonEmpty) {
+      System.err.println(s"bench: FAILED queries: ${failedNames.mkString(",")}")
       sys.exit(1)
     }
   }

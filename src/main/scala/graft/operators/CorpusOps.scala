@@ -297,19 +297,26 @@ object CorpusOps {
       .filter(col("g").isNotNull)
       .withColumn("b", conv(substring(md5(col("g")), 1, 3), 16, 10)
         .cast("int") % buckets)
-    val cnt = pos.groupBy("b").agg(
-      sum(col("__tgt")).cast("double").as("ct"),
-      sum(lit(1) - col("__tgt")).cast("double").as("cr"))
+    // collapse positions to (doc, bucket, multiplicity) FIRST: both the fit
+    // and the score pass then move one row per (doc, bucket) — for a
+    // B-bucket model that bounds the post-explode stream at docs×B instead
+    // of one row per n-gram position (round-5 plan audit)
+    val pre = pos.groupBy(col(idCol), col("__tgt"), col("b"))
+      .agg(count(lit(1)).as("nb"))
+    val cnt = pre.groupBy("b").agg(
+      sum(col("__tgt") * col("nb")).cast("double").as("ct"),
+      sum((lit(1) - col("__tgt")) * col("nb")).cast("double").as("cr"))
     val tot = cnt.agg(sum("ct").as("nt"), sum("cr").as("nr"))
     val bD = lit(buckets.toDouble)
     val ratio = cnt.crossJoin(broadcast(tot))
       .select(col("b"),
         (log((col("ct") + lit(1.0)) / (col("nt") + bD)) -
           log((col("cr") + lit(1.0)) / (col("nr") + bD))).as("lr"))
-    val scored = pos.filter(col("__tgt") === 0)
+    val scored = pre.filter(col("__tgt") === 0)
       .join(broadcast(ratio), "b")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_feats"), sum("lr").as("dsir_logratio"))
+      .agg(sum(col("nb")).as("n_feats"),
+        sum(col("lr") * col("nb")).as("dsir_logratio"))
     docs.filter(!isTarget).select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
@@ -377,16 +384,23 @@ object CorpusOps {
     * score LOW (their transitions dominate the fit), rare-garbage ones
     * HIGH — the perplexity cut reads both tails.
     *
-    * Scale shape: both count tables are map-side-combinable aggregates;
-    * the unigram/vocab-size sides broadcast; the bigram join keys on the
-    * (w1, w2) pair — at 100 TB swap the string pair for one `xxhash64`
-    * key and min-df-prune the tail into the smoothing mass. Text never
-    * shuffles; only (id, w1, w2) rows move.
+    * Scale shape (asserted in ScaleTechniquesSpec): positions collapse to
+    * per-doc bigram multiplicities (id, h1, h2, n) BEFORE any join, so a
+    * repetitive document moves one row per DISTINCT transition, not per
+    * token; both join keys are single `xxhash64` words, so no string ever
+    * rides a shuffle (a false merge needs an exact 64-bit collision,
+    * ~pairs²/2⁶⁵); and the unigram/bigram count tables join by PLAIN
+    * SHUFFLE joins — at web scale the vocab is GBs and must never
+    * broadcast (Catalyst still auto-broadcasts when runtime stats say a
+    * side is genuinely small; no hint forces it). The only hinted
+    * broadcast is the 1-row vocab size. `minDf` prunes tail bigrams into
+    * the add-k smoothing mass (their c2 reads as 0), shrinking the count
+    * table by the Zipf tail; the default 1 keeps exact counting.
     *
     * Returns (id, n_bigrams, mean_surprisal) for every document;
     * documents with < 2 tokens get (0, 0.0). */
   def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
-                      k: Double = 0.5): DataFrame = {
+                      k: Double = 0.5, minDf: Long = 1L): DataFrame = {
     val toks = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
     // same sequence(1, 0) == [1, 0] guard as dsirWeights
     val mkBig = transform(
@@ -397,22 +411,27 @@ object CorpusOps {
       .select(col(idCol), explode_outer(when(size(col("__t")) >= 2, mkBig)
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
       .filter(col("bg").isNotNull)
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .select(col(idCol), xxhash64(col("bg.w1")).as("h1"),
+        xxhash64(col("bg.w1"), col("bg.w2")).as("h2"))
+    val dbc = big.groupBy(col(idCol), col("h1"), col("h2"))
+      .agg(count(lit(1)).as("n"))
+    val c2 = dbc.groupBy("h2").agg(sum("n").cast("double").as("c2"))
+      .filter(col("c2") >= lit(minDf.toDouble))
     val uni = toks
       .select(explode_outer(col("__t")).as("tok"))
       .filter(col("tok").isNotNull && col("tok") =!= "")
-      .groupBy("tok").agg(count(lit(1)).cast("double").as("c1"))
+      .select(xxhash64(col("tok")).as("h1"))
+      .groupBy("h1").agg(count(lit(1)).cast("double").as("c1"))
     val v = uni.agg(count(lit(1)).cast("double").as("vsz"))
-    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("c2"))
-    big
-      .join(c2, Seq("w1", "w2"))
-      .join(broadcast(uni.withColumnRenamed("tok", "w1")), Seq("w1"))
+    dbc
+      .join(c2, Seq("h2"), "left")
+      .join(uni, Seq("h1"))
       .crossJoin(broadcast(v))
-      .withColumn("s", -(log(col("c2") + lit(k)) -
+      .withColumn("s", -(log(coalesce(col("c2"), lit(0.0)) + lit(k)) -
         log(col("c1") + lit(k) * col("vsz"))))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"),
-        (sum(col("s")) / count(lit(1))).as("mean_surprisal"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        (sum(col("s") * col("n")) / sum(col("n"))).as("mean_surprisal"))
       .join(docs.select(col(idCol)), Seq(idCol), "right")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

@@ -63,7 +63,7 @@ object ZoneRules {
     val flagged = flags(wide, thresholds)
     val floorMax = flagged.agg(
       greatest(lit(8), max(col("zones_low"))).as("__max_zones"))
-    flagged.crossJoin(floorMax)
+    flagged.crossJoin(broadcast(floorMax))
       .withColumn("temp_risk_normalized",
         col("zones_low").cast("double") / col("__max_zones"))
       .drop("__max_zones")

@@ -259,4 +259,28 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(dsirPlan.contains("BroadcastHashJoin"),
       s"dsir ratio join must broadcast:\n${dsirPlan.take(2000)}")
   }
+
+  test("bigramSurprisal never hints a vocab-scale broadcast; joins key on hashes") {
+    import graft.operators.CorpusOps
+    import graft.sources.Tables
+    // At test scale Catalyst's size stats would legitimately auto-broadcast
+    // the tiny count tables, masking a forced hint. Disabling the threshold
+    // leaves ONLY hint-driven broadcasts in the plan — the contract is that
+    // the unigram/bigram sides carry no such hint (at web scale the vocab
+    // is GBs), while the 1-row vocab-size scalar still broadcasts.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val plan = CorpusOps.bigramSurprisal(
+          Tables.documents(spark, sfTiny), "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"count-table joins must be shuffle joins, not hinted broadcasts:\n${plan.take(2000)}")
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        "the 1-row vocab-size scalar should still ride a hinted broadcast")
+      assert(plan.contains("xxhash64"),
+        "join keys must be 8-byte xxhash64 words, not string pairs")
+    } finally spark.conf.set(key, prev)
+  }
 }
