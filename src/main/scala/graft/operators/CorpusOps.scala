@@ -297,22 +297,23 @@ object CorpusOps {
       .filter(col("g").isNotNull)
       .withColumn("b", conv(substring(md5(col("g")), 1, 3), 16, 10)
         .cast("int") % buckets)
-    // collapse positions to (doc, bucket, multiplicity) FIRST: both the fit
-    // and the score pass then move one row per (doc, bucket) — for a
-    // B-bucket model that bounds the post-explode stream at docs×B instead
-    // of one row per n-gram position (round-5 plan audit)
-    val pre = pos.groupBy(col(idCol), col("__tgt"), col("b"))
-      .agg(count(lit(1)).as("nb"))
-    val cnt = pre.groupBy("b").agg(
-      sum(col("__tgt") * col("nb")).cast("double").as("ct"),
-      sum((lit(1) - col("__tgt")) * col("nb")).cast("double").as("cr"))
+    // The fit aggregates positions straight to the ≤B-key bucket table —
+    // map-side partial aggregation collapses each task's positions to at
+    // most B rows before the (tiny) shuffle; a per-doc detour here would
+    // only add an exchange. The SCORE pass, by contrast, pre-aggregates to
+    // (doc, bucket, multiplicity) below, so the ratio join moves one row
+    // per (doc, bucket) instead of per n-gram position (round-5 plan audit).
+    val cnt = pos.groupBy("b").agg(
+      sum(col("__tgt")).cast("double").as("ct"),
+      sum(lit(1) - col("__tgt")).cast("double").as("cr"))
     val tot = cnt.agg(sum("ct").as("nt"), sum("cr").as("nr"))
     val bD = lit(buckets.toDouble)
     val ratio = cnt.crossJoin(broadcast(tot))
       .select(col("b"),
         (log((col("ct") + lit(1.0)) / (col("nt") + bD)) -
           log((col("cr") + lit(1.0)) / (col("nr") + bD))).as("lr"))
-    val scored = pre.filter(col("__tgt") === 0)
+    val scored = pos.filter(col("__tgt") === 0)
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("nb"))
       .join(broadcast(ratio), "b")
       .groupBy(idCol)
       .agg(sum(col("nb")).as("n_feats"),
@@ -387,15 +388,17 @@ object CorpusOps {
     * Scale shape (asserted in ScaleTechniquesSpec): positions collapse to
     * per-doc bigram multiplicities (id, h1, h2, n) BEFORE any join, so a
     * repetitive document moves one row per DISTINCT transition, not per
-    * token; both join keys are single `xxhash64` words, so no string ever
+    * token; all join keys are single `xxhash64` words, so no string ever
     * rides a shuffle (a false merge needs an exact 64-bit collision,
-    * ~pairs²/2⁶⁵); and the unigram/bigram count tables join by PLAIN
-    * SHUFFLE joins — at web scale the vocab is GBs and must never
-    * broadcast (Catalyst still auto-broadcasts when runtime stats say a
-    * side is genuinely small; no hint forces it). The only hinted
-    * broadcast is the 1-row vocab size. `minDf` prunes tail bigrams into
-    * the add-k smoothing mass (their c2 reads as 0), shrinking the count
-    * table by the Zipf tail; the default 1 keeps exact counting.
+    * ~pairs²/2⁶⁵); the unigram counts join the BIGRAM-VOCAB table (c2t),
+    * never the doc stream, fusing into one per-bigram surprisal table; and
+    * the doc stream then shuffles exactly once, through a PLAIN SHUFFLE
+    * join — at web scale the vocab tables are GBs and must never broadcast
+    * (Catalyst/AQE still auto-broadcast when runtime stats say a side is
+    * genuinely small; no hint forces it). The only hinted broadcast is the
+    * 1-row vocab size. `minDf` prunes tail bigrams into the add-k
+    * smoothing mass (their c2 scores as 0 — "unseen"); the default 1
+    * keeps exact counting.
     *
     * Returns (id, n_bigrams, mean_surprisal) for every document;
     * documents with < 2 tokens get (0, 0.0). */
@@ -415,20 +418,30 @@ object CorpusOps {
         xxhash64(col("bg.w1"), col("bg.w2")).as("h2"))
     val dbc = big.groupBy(col(idCol), col("h1"), col("h2"))
       .agg(count(lit(1)).as("n"))
-    val c2 = dbc.groupBy("h2").agg(sum("n").cast("double").as("c2"))
-      .filter(col("c2") >= lit(minDf.toDouble))
+    // h1 is functionally determined by h2 (the bigram fixes its first
+    // word), so the bigram count table can carry it along — max() is just
+    // the aggregate form of "the one value"
+    val c2t = dbc.groupBy("h2")
+      .agg(sum("n").cast("double").as("c2"), max("h1").as("h1"))
     val uni = toks
       .select(explode_outer(col("__t")).as("tok"))
       .filter(col("tok").isNotNull && col("tok") =!= "")
       .select(xxhash64(col("tok")).as("h1"))
       .groupBy("h1").agg(count(lit(1)).cast("double").as("c1"))
     val v = uni.agg(count(lit(1)).cast("double").as("vsz"))
-    dbc
-      .join(c2, Seq("h2"), "left")
+    // fuse the per-bigram surprisal into ONE vocab-scale table so the
+    // (doc, bigram) stream shuffles exactly once — the unigram join runs
+    // against the bigram vocab (c2t), never against the doc stream.
+    // minDf treats tail bigrams as unseen (c2 := 0, full smoothing mass).
+    val stab = c2t
       .join(uni, Seq("h1"))
       .crossJoin(broadcast(v))
-      .withColumn("s", -(log(coalesce(col("c2"), lit(0.0)) + lit(k)) -
-        log(col("c1") + lit(k) * col("vsz"))))
+      .select(col("h2"),
+        (-(log(when(col("c2") >= lit(minDf.toDouble), col("c2"))
+            .otherwise(lit(0.0)) + lit(k)) -
+          log(col("c1") + lit(k) * col("vsz")))).as("s"))
+    dbc
+      .join(stab, Seq("h2"))
       .groupBy(idCol)
       .agg(sum(col("n")).as("n_bigrams"),
         (sum(col("s") * col("n")) / sum(col("n"))).as("mean_surprisal"))
