@@ -87,6 +87,14 @@ object Bench {
     // the JVM dies mid-run — a partial round still yields data.
     val done = new java.util.concurrent.ConcurrentHashMap[String, R]()
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
+    // provenance: this box shares CPU with bursty external load (observed
+    // 1-min loadavg 0.4 → 10 inside one sweep; a single pass stalled 168 s
+    // on a 4.6 s query). Recording loadavg start/now + cores in the
+    // artifact lets a reader separate contention from regression; the
+    // queries_detail min is the load-robust statistic.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
+    val nCores = Runtime.getRuntime.availableProcessors()
     def render(partial: Boolean): String = {
       import scala.jdk.CollectionConverters._
       val results = done.asScala.toMap
@@ -102,7 +110,9 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_detail":$detail,"failed":$failed,"passes":$passes,""" +
         s""""partial":$partial,"completed":${results.size},""" +
-        s""""selected":${selected.size},"sf":"$sfDir"}"""
+        s""""selected":${selected.size},""" +
+        s""""loadavg_start":$loadStart,"loadavg_now":${osBean.getSystemLoadAverage},""" +
+        s""""cores":$nCores,"sf":"$sfDir"}"""
     }
     def flush(partial: Boolean): Unit =
       try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
