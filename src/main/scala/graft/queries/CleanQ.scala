@@ -52,7 +52,7 @@ object CleanQ {
               |  FROM l)
               |SELECT doc_id, n_lines, len(kept) AS n_kept, has_lorem,
               |  CAST(has_lorem = 0 AND len(kept) >= 3 AS INT) AS doc_keep,
-              |  md5(array_to_string(kept, chr(10))) AS clean_fp
+              |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_fp
               |FROM k ORDER BY doc_id""".stripMargin)),
 
     // Duplicate-line statistics: within-doc repeat fractions (line- and
