@@ -204,6 +204,26 @@ object ExtrasQ {
       Some(s"""SELECT event_type, count(*) AS n,
               |${r6("sum(value)")} AS sum_value,
               |min(value) AS min_value, max(value) AS max_value
-              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Z-order clustering key (Maintenance.clusterBy's curve): Morton
+    // interleave of (user_id, minute-of-epoch) — the write-time layout
+    // that keeps parquet min/max tight on BOTH dimensions. Pure integer
+    // shift/mask algebra, so DuckDB reproduces the key bit-for-bit; the
+    // layout benefit itself is measured on real footers in ZOrderSpec.
+    "q119_zorder_key" -> Q(
+      (s, d) => {
+        import graft.functions.ZOrder
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts) div 60000000").as("minute"),
+            ZOrder.zorderKey(col("user_id"),
+              expr("unix_micros(ts) div 60000000"), bits = 16).as("zkey"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id,
+              |epoch_us(ts) // 60000000 AS minute,
+              |${graft.functions.ZOrder.zorderSql("user_id", "epoch_us(ts) // 60000000")} AS zkey
+              |FROM events ORDER BY event_id""".stripMargin))
   )
 }

@@ -79,4 +79,38 @@ object Maintenance {
       s"row count changed during compaction of $inDir — output kept at $outDir for inspection")
     CompactReport(files.size, dataFiles(spark, outDir).size, bytes, rows)
   }
+
+  /** Z-order clustering rewrite: lay `inDir` out along the Morton curve of
+    * two dimensions so parquet row-group min/max stats stay tight on BOTH —
+    * filters on either column then prune row groups at the scan
+    * (`functions.ZOrder` has the curve details; ZOrderSpec measures the
+    * stat tightening on real footers). Same atomicity contract as
+    * [[compact]]: output to a NEW directory, swap the table pointer after
+    * validation.
+    *
+    * `quantA`/`quantB` quantize each dimension into the `bits` budget
+    * (e.g. `unix_micros(ts) div 60000000` for minute granularity); rows
+    * land range-partitioned + sorted by the interleaved key, which the
+    * write drops — the layout, not the key, is the product. */
+  def clusterBy(spark: SparkSession, inDir: String, outDir: String,
+                quantA: org.apache.spark.sql.Column,
+                quantB: org.apache.spark.sql.Column,
+                bits: Int = 16,
+                targetFileBytes: Long = 128L << 20): CompactReport = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val files = dataFiles(spark, inDir)
+    val bytes = files.map(_._2).sum
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val zkey = graft.functions.ZOrder.zorderKey(quantA, quantB, bits)
+    spark.read.parquet(inDir)
+      .withColumn("__zorder", zkey)
+      .repartitionByRange(nOut, org.apache.spark.sql.functions.col("__zorder"))
+      .sortWithinPartitions("__zorder")
+      .drop("__zorder")
+      .write.mode("error").parquet(outDir)
+    val rows = footerRows(spark, outDir)
+    require(rows == footerRows(spark, inDir),
+      s"row count changed during clustering of $inDir — output kept at $outDir for inspection")
+    CompactReport(files.size, dataFiles(spark, outDir).size, bytes, rows)
+  }
 }
