@@ -65,6 +65,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bloom_contains"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.BloomMightContainLong(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[graft.functions.HeavyHittersAgg].getName,
+        "graft_heavy_hitters"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_heavy_hitters capacity must be an int literal, got $other")
+        }
+        graft.functions.HeavyHittersAgg(exprs(0), k)
+      }))
     // optimizer rule: size(array_intersect(a, b)) on non-null long arrays
     // never materializes the intersection
     e.injectOptimizerRule(_ => graft.functions.RewriteIntersectSize)

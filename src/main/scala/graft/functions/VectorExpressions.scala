@@ -173,6 +173,15 @@ object VectorFunctions {
           doubleLit(exprs(2), "fpp")) }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_bloom_contains",
       { exprs => BloomMightContainLong(exprs(0), exprs(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_heavy_hitters",
+      { exprs =>
+        val k = exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_heavy_hitters capacity must be an int literal, got $other")
+        }
+        HeavyHittersAgg(exprs(0), k)
+      }, "scala_udf")
   }
 
   private def longLit(e: Expression, what: String): Long = e match {

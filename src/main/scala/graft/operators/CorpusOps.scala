@@ -450,4 +450,28 @@ object CorpusOps {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("mean_surprisal"), lit(0.0)).as("mean_surprisal"))
   }
+
+  /** Bounded-memory vocabulary head via the Misra–Gries summary
+    * ([[graft.functions.HeavyHittersAgg]]): the top of the token
+    * distribution in ONE linear scan with ≤ `capacity` counters per task
+    * and a single ≤capacity-entry row crossing the shuffle per partition —
+    * no token-keyed exchange at all, where the exact vocab count (q82) is
+    * a full shuffle. The price is approximation: counts are lower bounds
+    * undershooting by at most N/(capacity+1), and items below that
+    * threshold may or may not appear (merge-order dependent) — the head
+    * itself is guaranteed present. Use it as the in-pass statistic
+    * (stop-word lists, head-domination diagnostics) and the exact batch
+    * job when counts must be exact.
+    *
+    * Returns (item, count_lower) rows, count desc, item asc. */
+  def heavyHitterVocab(docs: DataFrame, textCol: String,
+                       capacity: Int = 64): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    docs
+      .select(explode_outer(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
+      .agg(call_function("graft_heavy_hitters", col("tok"), lit(capacity)).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.count_lower").as("count_lower"))
+  }
 }

@@ -731,6 +731,18 @@ object CorpusQ {
             expectedItems = 100000L, fpp = 1e-4)
           .orderBy("doc_id")
       },
+      None),
+
+    // Misra-Gries heavy-hitter vocabulary head — q82's exact top-k without
+    // the token-keyed shuffle: one linear scan, <=capacity counters per
+    // task, one summary row per partition. Rows-only: which sub-threshold
+    // items linger is merge-order dependent; HeavyHittersSpec pins the
+    // guarantees (head presence, lower-bound counts, N/(k+1) undershoot)
+    // against exact counts under different partitionings.
+    "q120_heavy_hitters" -> Q(
+      (s, d) => CorpusOps.heavyHitterVocab(Tables.documents(s, d), "text",
+          capacity = 50)
+        .orderBy(col("count_lower").desc, col("item")),
       None)
   )
 }
