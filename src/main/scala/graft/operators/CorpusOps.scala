@@ -474,4 +474,167 @@ object CorpusOps {
       .select(explode(col("hh")).as("e"))
       .select(col("e.item").as("item"), col("e.count_lower").as("count_lower"))
   }
+
+  /** Character-level Shannon entropy per document — the cheap gibberish /
+    * binary-spill / encoding-damage filter (low entropy: repeated filler;
+    * high entropy: compressed or base64 payloads masquerading as text; cf.
+    * the character-distribution heuristics in Gopher rule filtering).
+    *
+    * Scale shape: entirely ROW-LOCAL higher-order functions — char array →
+    * distinct chars → per-char counts → `aggregate` fold into
+    * H = log2(n) − (Σ cᵢ·log2 cᵢ)/n. Zero shuffles, zero explodes; the
+    * whole computation inlines into the scan. Per-row cost is
+    * O(distinct·len); on natural text distinct saturates near the alphabet
+    * size, keeping it effectively linear.
+    *
+    * Returns (id, n_chars_h, entropy) — n_chars_h counts the non-empty
+    * split characters; empty documents get (0, 0.0). */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = filter(split(col(textCol), ""), c => c =!= "")
+    val counts = transform(array_distinct(chars),
+      c => size(filter(chars, x => x === c)).cast("double"))
+    val n = size(chars).cast("double")
+    val h = when(n > 0,
+      log2(n) - aggregate(counts, lit(0.0),
+        (acc, c) => acc + c * log2(c)) / n)
+      .otherwise(lit(0.0))
+    docs.select(col(idCol), n.cast("long").as("n_chars_h"), h.as("entropy"))
+  }
+
+  /** Quality-ranked near-duplicate cluster representative selection — the
+    * curation policy a plain keep-min-id dedup gets wrong: inside each
+    * near-dup cluster keep the HIGHEST-quality member (SemDeDup keeps by
+    * cosine-to-centroid; FineWeb keeps by heuristic score), not an
+    * arbitrary one. Composes [[DedupOps.nearDupClusters]]' (id, cluster)
+    * labels with any per-doc quality column.
+    *
+    * Scale shape: one window over the cluster labels — hash-partitioned by
+    * cluster id, and cluster sizes are near-dup group sizes (bounded small
+    * in a real corpus), so no skew concern. The quality frame joins the
+    * label frame on the 8-byte id only; text never moves.
+    *
+    * Returns every doc: (id, cluster, quality, keep) where keep=1 marks the
+    * per-cluster argmax (ties broken toward the smaller id for
+    * reproducibility). */
+  def bestOfCluster(labels: DataFrame, quality: DataFrame, idCol: String,
+                    qualityCol: String): DataFrame = {
+    val w = Window.partitionBy("cluster")
+      .orderBy(col(qualityCol).desc, col(idCol))
+    labels.select(col("id").as(idCol), col("cluster"))
+      .join(quality.select(col(idCol), col(qualityCol)), Seq(idCol))
+      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+  }
+
+  /** Distributed prefix sum over a total order — the scalable form of
+    * `sum(x) OVER (ORDER BY …)`, which in naive Spark collapses the whole
+    * dataset into ONE partition (the WindowExec "No Partition Defined"
+    * trap). Classic two-phase scan: range-repartition on the order key, run
+    * the running sum WITHIN each range partition, then offset every
+    * partition by the sum of all earlier partitions — the offset table is
+    * one row per PARTITION (bounded metadata, like the IVF centroids), so
+    * its own global window is trivially safe, and it joins back with a
+    * broadcast hint.
+    *
+    * Order keys must form a total order (caller appends a tiebreaker id) —
+    * range partitioning needs no such guarantee, but result determinism
+    * does.
+    *
+    * Returns the input plus `cumCol` = running sum of `valueCol` inclusive
+    * of the current row, in `orderCols` order. */
+  def orderedPrefixSum(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+                       cumCol: String, partitions: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(partitions, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__pid").orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__local", sum(valueCol).over(wLocal))
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("__pid")
+      .agg(max(col("__local")).as("__psum"))
+      .withColumn("__offset", coalesce(sum(col("__psum")).over(wOff), lit(0L)))
+      .select("__pid", "__offset")
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(cumCol, col("__local") + col("__offset"))
+      .drop("__pid", "__local", "__offset")
+  }
+
+  /** Token-budget corpus selection + training-shard assignment: order the
+    * corpus by a quality key (best first), take documents while the running
+    * token total stays within `budget`, and pack the selected stream into
+    * fixed-token-budget shards by cumulative position — the final "write
+    * the training set" step, producing a deterministic shard manifest
+    * instead of whatever file layout the cluster happened to emit.
+    *
+    * Built on [[orderedPrefixSum]], so the global running sum never
+    * single-partitions the corpus. Shard id = ⌊(cum − tokens)/shardTokens⌋
+    * (a document belongs to the shard its FIRST token lands in) — a pure
+    * function of the prefix sum, so re-running at any parallelism yields
+    * the identical manifest.
+    *
+    * Returns (id, tokens, quality, cum_tokens, selected, shard). */
+  def tokenShards(docs: DataFrame, idCol: String, tokensCol: Column,
+                  qualityCol: Column, budget: Long, shardTokens: Long): DataFrame = {
+    val base = docs.select(col(idCol), tokensCol.cast("long").as("tokens"),
+      qualityCol.as("quality"))
+    orderedPrefixSum(base, Seq(col("quality").desc, col(idCol)), col("tokens"),
+        "cum_tokens")
+      .withColumn("selected", (col("cum_tokens") <= budget).cast("int"))
+      .withColumn("shard",
+        when(col("selected") === 1,
+          floor((col("cum_tokens") - col("tokens")) / lit(shardTokens.toDouble))
+            .cast("long"))
+          .otherwise(lit(-1L)))
+  }
+
+  /** Temperature-scaled mixture weights per stratum (the multilingual /
+    * multi-domain rebalancing rule, sampled at α≈0.3–0.7 in multilingual
+    * LM training): a stratum with natural share p gets temperature share
+    * p^α / Σ p^α — flattening the head, boosting the tail — and each of
+    * its documents the sampling multiplier (temperature share / natural
+    * share). Two tiny aggregates: per-stratum counts (map-side
+    * combinable), then a 1-row normalizer broadcast back; the corpus
+    * itself is never touched beyond the count scan.
+    *
+    * Returns one row per stratum: (strata…, n_docs, p_nat, p_temp,
+    * multiplier). */
+  def temperatureMix(docs: DataFrame, strataCols: Seq[String],
+                     alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"temperature alpha must be in (0,1], got $alpha")
+    val counts = docs.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("n"))
+    val norm = counts.agg(sum(col("n")).as("total"),
+      sum(pow(col("n"), lit(alpha))).as("ztemp"))
+    counts.crossJoin(broadcast(norm))
+      .select(strataCols.map(col) ++ Seq(
+        col("n").cast("long").as("n_docs"),
+        (col("n") / col("total")).as("p_nat"),
+        (pow(col("n"), lit(alpha)) / col("ztemp")).as("p_temp"),
+        (pow(col("n"), lit(alpha)) / col("ztemp") /
+          (col("n") / col("total"))).as("multiplier")): _*)
+  }
+
+  /** Deterministic k-per-group sample ("reservoir" semantics without the
+    * order-dependence of an actual reservoir): rank group members by the
+    * md5 of their id — a content-stable stand-in for a random permutation,
+    * the same engine-portable trick as [[hexBucket]] — and keep the first
+    * `k`. Reproducible across runs, engines, partitionings and retries,
+    * unlike `rand()`-based sampling; and unlike [[stratifiedSample]]'s
+    * fixed RATE, this fixes the per-group COUNT (the "k eval docs per
+    * language" shape).
+    *
+    * One window, hash-partitioned by the group columns. Skewed group sizes
+    * cost what any per-group top-k costs — at 100 TB pre-prune with a
+    * per-partition top-k (takeOrdered shape) before the window if a single
+    * group dominates.
+    *
+    * Returns input rows with `rank_in_group` attached, filtered to ≤ k. */
+  def groupSample(docs: DataFrame, idCol: String, groupCols: Seq[String],
+                  k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    docs.withColumn("rank_in_group", row_number().over(w))
+      .filter(col("rank_in_group") <= k)
+  }
 }

@@ -743,6 +743,148 @@ object CorpusQ {
       (s, d) => CorpusOps.heavyHitterVocab(Tables.documents(s, d), "text",
           capacity = 50)
         .orderBy(col("count_lower").desc, col("item")),
-      None)
+      None),
+
+    // Character-level Shannon entropy (gibberish / encoding-damage filter).
+    // Fully row-local HOFs on the Spark side — zero shuffles; the oracle
+    // recomputes H = log2(n) − Σ c·log2(c)/n from unnested char counts.
+    "q121_char_entropy" -> Q(
+      (s, d) => {
+        val e = CorpusOps.charEntropy(Tables.documents(s, d), "doc_id", "text")
+        e.select(col("doc_id"), col("n_chars_h"), dec6(col("entropy")).as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ch AS (SELECT doc_id,
+              |  unnest(list_filter(string_split(text, ''), c -> c <> '')) AS c
+              |  FROM documents),
+              |cc AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS cnt
+              |  FROM ch GROUP BY doc_id, c),
+              |e AS (SELECT doc_id, sum(cnt) AS n, sum(cnt * log2(cnt)) AS s
+              |  FROM cc GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(e.n, 0) AS BIGINT) AS n_chars_h,
+              |  ${r6("CASE WHEN e.n > 0 THEN log2(e.n) - e.s / e.n ELSE 0.0 END")}
+              |    AS entropy
+              |FROM documents d LEFT JOIN e USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Near-dup clusters with QUALITY-ranked representative selection: keep
+    // the best-scoring member of each cluster, not the min-id one. Quality
+    // is rounded to 6 decimals BEFORE ranking so both engines rank
+    // identical values (doc_id breaks the remaining ties). The oracle
+    // rebuilds components via recursive reachability.
+    "q122_best_of_cluster" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val labels = DedupOps.nearDupClusters(docs,
+          DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5), "doc_id")
+        val stop = Seq("a", "the", "and", "of", "in", "to")
+        val t = graft.operators.TextOps.tokens(col("text"))
+        val quality = docs
+          .withColumn("t", t)
+          .select(col("doc_id"),
+            dec6(least(lit(1.0), size(col("t")) / lit(200.0)) *
+              (lit(1.0) - graft.operators.TextOps.markerCount(col("t"), stop) /
+                size(col("t")))).as("quality"))
+        CorpusOps.bestOfCluster(labels, quality, "doc_id", "quality")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE toks AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\\s+') AS t FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(
+             |  generate_series(1, greatest(len(t) - 2, 0)),
+             |  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s FROM toks),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |    / len(list_distinct(a.s || b.s)) >= 0.5),
+             |ed AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM ed
+             |  UNION
+             |  SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a),
+             |lab AS (SELECT t.doc_id,
+             |  least(t.doc_id, coalesce(min(r.b), t.doc_id)) AS cluster
+             |  FROM toks t LEFT JOIN reach r ON r.a = t.doc_id GROUP BY t.doc_id),
+             |q AS (SELECT doc_id,
+             |  ${r6("least(1.0, len(t) / 200.0) * (1.0 - CAST(len(list_filter(t, x -> x IN ('a', 'the', 'and', 'of', 'in', 'to'))) AS DOUBLE) / len(t))")}
+             |  AS quality FROM toks),
+             |rk AS (SELECT l.doc_id, l.cluster, q.quality,
+             |  CAST(row_number() OVER (PARTITION BY l.cluster
+             |    ORDER BY q.quality DESC, l.doc_id) = 1 AS INT) AS keep
+             |  FROM lab l JOIN q USING (doc_id))
+             |SELECT doc_id, cluster, quality, keep FROM rk
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Token-budget selection + shard manifest via the DISTRIBUTED prefix
+    // sum (range partitions + per-partition running sums + broadcast
+    // offsets — never a single-partition global window). The oracle is the
+    // naive global window, which DuckDB can afford at oracle scale.
+    "q123_token_shards" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val stop = Seq("a", "the", "and", "of", "in", "to")
+        val t = graft.operators.TextOps.tokens(col("text"))
+        val base = docs
+          .withColumn("t", t)
+          .select(col("doc_id"), size(col("t")).as("n_toks"),
+            dec6(least(lit(1.0), size(col("t")) / lit(200.0)) *
+              (lit(1.0) - graft.operators.TextOps.markerCount(col("t"), stop) /
+                size(col("t")))).as("quality"))
+        CorpusOps.tokenShards(base, "doc_id", col("n_toks"), col("quality"),
+            budget = 50000L, shardTokens = 10000L)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\\s+') AS t FROM documents),
+             |b AS (SELECT doc_id, len(t) AS tokens,
+             |  ${r6("least(1.0, len(t) / 200.0) * (1.0 - CAST(len(list_filter(t, x -> x IN ('a', 'the', 'and', 'of', 'in', 'to'))) AS DOUBLE) / len(t))")}
+             |  AS quality FROM toks),
+             |c AS (SELECT doc_id, CAST(tokens AS BIGINT) AS tokens, quality,
+             |  CAST(sum(tokens) OVER (ORDER BY quality DESC, doc_id
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM b)
+             |SELECT doc_id, tokens, quality, cum_tokens,
+             |  CAST(cum_tokens <= 50000 AS INT) AS selected,
+             |  CASE WHEN cum_tokens <= 50000
+             |    THEN CAST(floor((cum_tokens - tokens) / 10000.0) AS BIGINT)
+             |    ELSE -1 END AS shard
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Temperature-scaled mixture weights over (lang, source) strata at
+    // α = 0.3: flatten the head, boost the tail. Two tiny aggregates; the
+    // oracle recomputes the same shares with window totals.
+    "q124_temperature_mix" -> Q(
+      (s, d) => CorpusOps.temperatureMix(Tables.documents(s, d),
+          Seq("lang", "source"), alpha = 0.3)
+        .select(col("lang"), col("source"), col("n_docs"),
+          dec6(col("p_nat")).as("p_nat"), dec6(col("p_temp")).as("p_temp"),
+          dec6(col("multiplier")).as("multiplier"))
+        .orderBy("lang", "source"),
+      Some(s"""WITH c AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS n
+              |  FROM documents GROUP BY lang, source),
+              |t AS (SELECT lang, source, n, sum(n) OVER () AS total,
+              |  sum(pow(n, 0.3)) OVER () AS ztemp FROM c)
+              |SELECT lang, source, CAST(n AS BIGINT) AS n_docs,
+              |  ${r6("n / total")} AS p_nat,
+              |  ${r6("pow(n, 0.3) / ztemp")} AS p_temp,
+              |  ${r6("pow(n, 0.3) / ztemp / (n / total)")} AS multiplier
+              |FROM t ORDER BY lang, source""".stripMargin)),
+
+    // Deterministic k-per-group sample: rank by md5(doc_id) inside each
+    // (lang, source) stratum, keep the first 5 — a content-stable stand-in
+    // for a random permutation, identical in both engines.
+    "q125_group_sample" -> Q(
+      (s, d) => CorpusOps.groupSample(Tables.documents(s, d), "doc_id",
+          Seq("lang", "source"), k = 5)
+        .select(col("doc_id"), col("lang"), col("source"), col("rank_in_group"))
+        .orderBy("lang", "source", "rank_in_group"),
+      Some("""WITH r AS (SELECT doc_id, lang, source,
+             |  CAST(row_number() OVER (PARTITION BY lang, source
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+             |    AS rank_in_group
+             |  FROM documents)
+             |SELECT doc_id, lang, source, rank_in_group FROM r
+             |WHERE rank_in_group <= 5
+             |ORDER BY lang, source, rank_in_group""".stripMargin))
   )
 }

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusOps
+
+/** Round-6 curation operators: char entropy, quality-ranked cluster
+  * representatives, the distributed prefix sum under token-budget sharding,
+  * temperature mixture weights, and the deterministic k-per-group sample.
+  * The prefix-sum test pins the SCALE contract: the corpus-sized frame is
+  * never pushed through a partition-less global window. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def finalPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  /** Every node of an executed AQE plan, descending into materialized
+    * query stages (plain `collect` stops at QueryStageExec boundaries). */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: allNodes(q.plan)
+    case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+    case _ => p +: p.children.flatMap(allNodes)
+  }
+
+  test("charEntropy: exact values on known distributions") {
+    val docs = Seq(
+      (1L, "aabb"),    // two symbols, uniform -> 1 bit
+      (2L, "abcd"),    // four symbols, uniform -> 2 bits
+      (3L, "aaaa"),    // one symbol -> 0 bits
+      (4L, ""),        // empty -> (0, 0.0)
+      (5L, "aaab")     // 3/4, 1/4 -> 2 - 0.75*log2(3) ~ 0.8112781
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.charEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got(0) == ((1L, 4L, 1.0)))
+    assert(got(1) == ((2L, 4L, 2.0)))
+    assert(got(2) == ((3L, 4L, 0.0)))
+    assert(got(3) == ((4L, 0L, 0.0)))
+    assert(math.abs(got(4)._3 - (2.0 - 0.75 * math.log(3.0) / math.log(2.0))) < 1e-12)
+  }
+
+  test("charEntropy is shuffle-free (no Exchange in the plan)") {
+    val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val e = CorpusOps.charEntropy(docs, "doc_id", "text")
+    assert(e.collect().length == 1)
+    val plan = finalPlan(e).toString
+    assert(!plan.contains("Exchange"),
+      s"row-local entropy must not shuffle:\n${plan.take(600)}")
+  }
+
+  test("orderedPrefixSum equals the naive global window, ties and all") {
+    // duplicate order-key VALUES with a unique tiebreaker, spread over
+    // many input partitions — the shape that breaks naive implementations
+    val df = spark.range(0, 10000).repartition(13)
+      .select(col("id"), (col("id") % 7).as("grp"), (col("id") % 100 + 1).as("v"))
+    val got = CorpusOps.orderedPrefixSum(df,
+        Seq(col("grp"), col("id")), col("v"), "cum", partitions = 8)
+      .select("id", "cum")
+    val naive = df.withColumn("cum",
+      sum(col("v")).over(Window.orderBy(col("grp"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum")
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty,
+      "distributed prefix sum must match the single-partition window exactly")
+  }
+
+  test("orderedPrefixSum plan contract: no partition-less window over the data") {
+    val df = spark.range(0, 10000).repartition(13)
+      .select(col("id"), (col("id") + 1).as("v"))
+    val cum = CorpusOps.orderedPrefixSum(df, Seq(col("id")), col("v"), "cum",
+      partitions = 8)
+    assert(cum.collect().length == 10000)
+    val windows = allNodes(finalPlan(cum)).collect { case w: WindowExec => w }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "the data-side running sum must be partitioned (by __pid)")
+    // any global (partition-less) window may only run over the bounded
+    // per-partition offsets aggregate — never over the raw data
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val overAggregate = allNodes(w.child)
+        .exists(_.nodeName.contains("Aggregate"))
+      assert(overAggregate,
+        s"partition-less window must sit above the offsets aggregate:\n$w")
+    }
+  }
+
+  test("tokenShards: budget boundary is inclusive; shards split on first-token position") {
+    // quality desc, id asc order: d1(q .9, 4000), d2(q .8, 5000),
+    // d3(q .7, 1000), d4(q .6, 2000) with budget 10000, shard 5000:
+    // cums 4000, 9000, 10000, 12000 -> d3 exactly hits the budget (kept),
+    // d4 overflows (dropped); shards floor((cum-tok)/5000) = 0, 0, 1
+    val docs = Seq(
+      (1L, 4000L, 0.9), (2L, 5000L, 0.8), (3L, 1000L, 0.7), (4L, 2000L, 0.6)
+    ).toDF("doc_id", "n_toks", "q")
+    val got = CorpusOps.tokenShards(docs, "doc_id", col("n_toks"), col("q"),
+        budget = 10000L, shardTokens = 5000L)
+      .select("doc_id", "cum_tokens", "selected", "shard")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 4000L, 1, 0L), (2L, 9000L, 1, 0L), (3L, 10000L, 1, 1L),
+      (4L, 12000L, 0, -1L)))
+  }
+
+  test("bestOfCluster keeps the quality argmax, ties toward the smaller id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "cluster")
+    val quality = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.1))
+      .toDF("doc_id", "quality")
+    val keep = CorpusOps.bestOfCluster(labels, quality, "doc_id", "quality")
+      .filter(col("keep") === 1)
+      .select("doc_id").as[Long].collect().sorted
+    // cluster 1: 2 and 3 tie at 0.9 -> keep 2; cluster 4: tie at 0.1 -> keep 4
+    assert(keep.toSeq == Seq(2L, 4L))
+  }
+
+  test("temperatureMix: alpha=1 is the natural mix; alpha<1 compresses shares") {
+    val docs = (Seq.fill(90)("web") ++ Seq.fill(10)("books"))
+      .zipWithIndex.map { case (src, i) => (i.toLong, src) }
+      .toDF("doc_id", "source")
+    val nat = CorpusOps.temperatureMix(docs, Seq("source"), alpha = 1.0)
+      .select("source", "multiplier").as[(String, Double)].collect().toMap
+    assert(nat.values.forall(m => math.abs(m - 1.0) < 1e-12),
+      "alpha=1 must leave every stratum at its natural rate")
+    val t = CorpusOps.temperatureMix(docs, Seq("source"), alpha = 0.5)
+      .select("source", "p_temp").as[(String, Double)].collect().toMap
+    val z = math.sqrt(90.0) + math.sqrt(10.0)
+    assert(math.abs(t("web") - math.sqrt(90.0) / z) < 1e-12)
+    assert(math.abs(t("books") - math.sqrt(10.0) / z) < 1e-12)
+    assert(t("web") < 0.9 && t("books") > 0.1,
+      "temperature must flatten the head and boost the tail")
+  }
+
+  test("groupSample: exact per-group counts, invariant under repartitioning") {
+    val docs = spark.range(0, 1000)
+      .select(col("id").as("doc_id"), (col("id") % 3).cast("string").as("grp"))
+    val a = CorpusOps.groupSample(docs, "doc_id", Seq("grp"), k = 7)
+    val counts = a.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 7L))
+    val b = CorpusOps.groupSample(docs.repartition(17), "doc_id", Seq("grp"), k = 7)
+    assert(a.select("doc_id").except(b.select("doc_id")).isEmpty,
+      "the sample must be a pure function of ids, not of partitioning")
+  }
+}
