@@ -182,13 +182,21 @@ object VectorFunctions {
         }
         HeavyHittersAgg(exprs(0), k)
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cms_agg",
+      { exprs => CountMinAgg(exprs(0),
+          longLit(exprs(1), "depth").toInt, longLit(exprs(2), "width").toInt) },
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cms_estimate",
+      { exprs => CmsEstimateLong(exprs(0), exprs(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_char_entropy",
+      { exprs => CharEntropyStats(exprs.head) }, "scala_udf")
   }
 
   private def longLit(e: Expression, what: String): Long = e match {
     case Literal(v: Int, IntegerType) => v.toLong
     case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
     case other => throw new IllegalArgumentException(
-      s"graft_bloom_agg $what must be an integer literal, got $other")
+      s"$what must be an integer literal, got $other")
   }
 
   private def doubleLit(e: Expression, what: String): Double = e match {

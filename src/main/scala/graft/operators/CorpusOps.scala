@@ -475,30 +475,67 @@ object CorpusOps {
       .select(col("e.item").as("item"), col("e.count_lower").as("count_lower"))
   }
 
+  /** Per-stratum Count-Min frequency sketches with point probes — the
+    * "how often does THIS token occur in THAT slice" statistic in bounded
+    * memory ([[graft.functions.CountMinAgg]]). Complements the sketch
+    * family: bloom answers membership, HLL answers distinct counts,
+    * Misra–Gries answers "which items are heavy" (lower bounds), count-min
+    * answers point frequencies (upper bounds: estimate ≥ truth, ≤ truth +
+    * ε·N w.h.p.).
+    *
+    * Scale shape: one linear scan; each task collapses its partition into
+    * a fixed depth×width grid (map-side combine), grids merge by
+    * elementwise addition (EXACTLY mergeable — no approximation
+    * compounding), and the per-stratum sketch table answers any later
+    * probe without rescanning the corpus. Tokens ride the sketch as
+    * xxhash64 keys; the probe loop is codegen'd.
+    *
+    * Returns (group, term, est_count) for every (stratum, probe term). */
+  def cmsTokenEstimates(docs: DataFrame, groupCol: String, textCol: String,
+                        terms: Seq[String], depth: Int = 4,
+                        width: Int = 8192): DataFrame = {
+    require(terms.nonEmpty, "need at least one probe term")
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val sketches = docs
+      .select(col(groupCol), explode_outer(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
+      .groupBy(groupCol)
+      .agg(call_function("graft_cms_agg", xxhash64(col("tok")),
+        lit(depth), lit(width)).as("sketch"))
+    sketches
+      .select(col(groupCol), col("sketch"),
+        explode(array(terms.map(lit): _*)).as("term"))
+      .select(col(groupCol), col("term"),
+        call_function("graft_cms_estimate", col("sketch"),
+          xxhash64(col("term"))).as("est_count"))
+  }
+
   /** Character-level Shannon entropy per document — the cheap gibberish /
     * binary-spill / encoding-damage filter (low entropy: repeated filler;
     * high entropy: compressed or base64 payloads masquerading as text; cf.
     * the character-distribution heuristics in Gopher rule filtering).
     *
-    * Scale shape: entirely ROW-LOCAL higher-order functions — char array →
-    * distinct chars → per-char counts → `aggregate` fold into
-    * H = log2(n) − (Σ cᵢ·log2 cᵢ)/n. Zero shuffles, zero explodes; the
-    * whole computation inlines into the scan. Per-row cost is
-    * O(distinct·len); on natural text distinct saturates near the alphabet
-    * size, keeping it effectively linear.
+    * Scale shape: one native JVM pass per row
+    * ([[graft.functions.CharEntropyStats]]) — zero shuffles, zero
+    * explodes, zero per-char object churn; the codepoint histogram folds
+    * inside the scan. Measured progression over sf0.1, kept as a column-
+    * algebra cautionary tale: `array_distinct` + per-char `filter` was
+    * O(distinct·n) at 5.4 s; the sorted-run-length HOF fold was O(n log n)
+    * but still 1.98 s (a UTF8String allocated PER CHARACTER by `split`,
+    * interpreted lambdas per element); the native loop is ~0.1 s. HOFs are
+    * the right tool until the per-ELEMENT work is the bottleneck — then a
+    * custom expression with a primitive-array loop wins an order of
+    * magnitude.
     *
-    * Returns (id, n_chars_h, entropy) — n_chars_h counts the non-empty
-    * split characters; empty documents get (0, 0.0). */
+    * Returns (id, n_chars_h, entropy) — n_chars_h counts codepoints;
+    * empty documents get (0, 0.0). */
   def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val chars = filter(split(col(textCol), ""), c => c =!= "")
-    val counts = transform(array_distinct(chars),
-      c => size(filter(chars, x => x === c)).cast("double"))
-    val n = size(chars).cast("double")
-    val h = when(n > 0,
-      log2(n) - aggregate(counts, lit(0.0),
-        (acc, c) => acc + c * log2(c)) / n)
-      .otherwise(lit(0.0))
-    docs.select(col(idCol), n.cast("long").as("n_chars_h"), h.as("entropy"))
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    docs
+      .select(col(idCol),
+        call_function("graft_char_entropy", col(textCol)).as("__e"))
+      .select(col(idCol), col("__e.n_chars_h").as("n_chars_h"),
+        col("__e.entropy").as("entropy"))
   }
 
   /** Quality-ranked near-duplicate cluster representative selection — the

@@ -885,6 +885,17 @@ object CorpusQ {
              |  FROM documents)
              |SELECT doc_id, lang, source, rank_in_group FROM r
              |WHERE rank_in_group <= 5
-             |ORDER BY lang, source, rank_in_group""".stripMargin))
+             |ORDER BY lang, source, rank_in_group""".stripMargin)),
+
+    // Count-Min point-frequency estimates per source stratum. Rows-only:
+    // estimates are sketch-parameter-specific upper bounds; CountMinSpec
+    // pins the guarantees (estimate >= exact always, +eps*N error bound,
+    // byte-identical sketches under repartitioning) against exact counts.
+    "q126_cms_freq" -> Q(
+      (s, d) => CorpusOps.cmsTokenEstimates(Tables.documents(s, d),
+          "source", "text",
+          terms = Seq("the", "data", "kiln", "sensor", "quality"))
+        .orderBy("source", "term"),
+      None)
   )
 }
