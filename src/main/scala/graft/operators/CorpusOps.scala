@@ -651,6 +651,87 @@ object CorpusOps {
           (col("n") / col("total"))).as("multiplier")): _*)
   }
 
+  /** Jensen–Shannon divergence between two corpora's token distributions —
+    * the drift/selection metric behind mixture rebalancing and DSIR-style
+    * target matching: "how far is my candidate pool from the reference
+    * domain?" in one number (0 = identical, ln 2 = disjoint support).
+    *
+    * JS(P,Q) = ½·KL(P‖M) + ½·KL(Q‖M) with M = (P+Q)/2, in nats. Tokens
+    * absent from one side contribute only through the other sum (their KL
+    * term has p = 0 → 0 by the usual convention), so no smoothing constant
+    * is needed — M > 0 wherever either distribution is.
+    *
+    * Scale shape: each corpus collapses to (token, tf) by ONE map-side-
+    * combinable aggregate (text never rides the shuffle — only short token
+    * strings); the two distributions full-outer join on the token key, and
+    * the per-token contributions fold into a single summary row. The 1-row
+    * totals attach via broadcast cross joins, the same scalar pattern as
+    * [[temperatureMix]]. At 100 TB the joined stream is vocabulary-sized,
+    * not corpus-sized.
+    *
+    * Returns one row: (n_a, n_b, vocab_a, vocab_b, vocab_union, kl_a_m,
+    * kl_b_m, js) — the KL halves unrounded for callers, `scoreOut` applied
+    * to every float output. */
+  def jsDivergence(corpusA: DataFrame, corpusB: DataFrame, textCol: String,
+                   scoreOut: Column => Column): DataFrame = {
+    def dist(docs: DataFrame): DataFrame = {
+      val ex = docs
+        .select(TextOps.tokens(col(textCol)).as("__t"))
+        .select(explode_outer(col("__t")).as("token"))
+        .filter(col("token").isNotNull && col("token") =!= "")
+      val tf = ex.groupBy("token").agg(count(lit(1)).cast("double").as("tf"))
+      val tot = tf.agg(sum("tf").as("n"))
+      tf.crossJoin(broadcast(tot)).select(col("token"), col("tf"), col("n"),
+        (col("tf") / col("n")).as("p"))
+    }
+    val a = dist(corpusA).select(col("token"), col("n").as("n_a"), col("p").as("pa"))
+    val b = dist(corpusB).select(col("token"), col("n").as("n_b"), col("p").as("pb"))
+    val joined = a.join(b, Seq("token"), "full_outer")
+      .select(col("token"), col("n_a"), col("n_b"),
+        coalesce(col("pa"), lit(0.0)).as("p"),
+        coalesce(col("pb"), lit(0.0)).as("q"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+    joined.agg(
+        max("n_a").cast("long").as("n_a"),
+        max("n_b").cast("long").as("n_b"),
+        sum(when(col("p") > 0, 1L).otherwise(0L)).as("vocab_a"),
+        sum(when(col("q") > 0, 1L).otherwise(0L)).as("vocab_b"),
+        count(lit(1)).as("vocab_union"),
+        sum(when(col("p") > 0, col("p") * log(col("p") / col("m")))
+          .otherwise(lit(0.0))).as("kl_a_m"),
+        sum(when(col("q") > 0, col("q") * log(col("q") / col("m")))
+          .otherwise(lit(0.0))).as("kl_b_m"))
+      .select(col("n_a"), col("n_b"), col("vocab_a"), col("vocab_b"),
+        col("vocab_union"),
+        scoreOut(col("kl_a_m")).as("kl_a_m"),
+        scoreOut(col("kl_b_m")).as("kl_b_m"),
+        scoreOut((col("kl_a_m") + col("kl_b_m")) / lit(2.0)).as("js"))
+  }
+
+  /** Source-relative quality normalization: a raw quality score is not
+    * comparable ACROSS sources (a mid-tier web page and a mid-tier academic
+    * paper score very differently), so per-source percentile rank is the
+    * score a cross-source quality cut actually thresholds on — the
+    * "keep the top 30% of every source" rule common in web-corpus curation.
+    *
+    * `percent_rank` = (rank − 1)/(n − 1) over the ROUNDED score with the id
+    * as tiebreak — deterministic cross-engine (same discipline as
+    * [[bestOfCluster]]). The window partitions by source: each source sorts
+    * independently, so the operator scales with the largest single source,
+    * not the corpus; the sorted payload is (id, score) pairs only.
+    *
+    * Returns input ids with (source, quality, pct_rank, keep). */
+  def sourceRelativeQuality(docs: DataFrame, idCol: String, sourceCol: String,
+                            quality: Column, keepFrom: Double,
+                            scoreOut: Column => Column): DataFrame = {
+    val scored = docs.select(col(idCol), col(sourceCol),
+      scoreOut(quality).as("quality"))
+    val w = Window.partitionBy(sourceCol).orderBy(col("quality"), col(idCol))
+    scored
+      .withColumn("pct_rank", scoreOut(percent_rank().over(w)))
+      .withColumn("keep", (col("pct_rank") >= keepFrom).cast("int"))
+  }
+
   /** Deterministic k-per-group sample ("reservoir" semantics without the
     * order-dependence of an actual reservoir): rank group members by the
     * md5 of their id — a content-stable stand-in for a random permutation,

@@ -578,4 +578,213 @@ object SimilarityOps {
       .limit(k)
       .select(idCol, "adc_dist2")
   }
+
+  /** Deterministic cyclic Jacobi eigensolver for a symmetric matrix — the
+    * driver-side finish of [[fitPca]] (dim × dim, e.g. 64×64: microseconds;
+    * the eigenproblem size is the EMBEDDING dimension, never the corpus).
+    * Plain cyclic sweeps with the standard stable rotation (Golub & Van
+    * Loan §8.5); iteration order is fixed, so the result is a pure
+    * function of the input matrix. Returns (eigenvalues, eigenvectors as
+    * rows), unsorted. */
+  private[graft] def jacobiEigen(m: Array[Array[Double]],
+                                 maxSweeps: Int = 64,
+                                 tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > tol) {
+      off = 0.0
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > tol * 1e-3) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case s   => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < n) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val eig = Array.tabulate(n)(i => a(i)(i))
+    val vecs = Array.tabulate(n)(j => Array.tabulate(n)(i => v(i)(j)))
+    (eig, vecs)
+  }
+
+  /** PCA fit in ONE distributed pass: the first and second moments — mean
+    * vector and mean outer product — come from a single grouped aggregate
+    * (`Summarizer.mean` over the dim- and dim²-length arrays, partial-
+    * merged map-side like any Spark aggregate), the population covariance
+    * C = E[vvᵀ] − µµᵀ assembles on the driver, and the dim × dim
+    * eigenproblem finishes with [[jacobiEigen]]. The collect is ONE row of
+    * dim + dim² doubles (64-dim → 33 KB) — fixed-size fit metadata, the
+    * same contract as the k-means codebooks, independent of corpus size.
+    *
+    * Eigenpairs are sorted by descending eigenvalue (ties: first
+    * occurrence) and each component's sign is canonicalized (entry of
+    * largest magnitude — lowest index on ties — made positive), so the
+    * basis is a pure function of the data: re-runs, re-partitions and
+    * re-layouts produce the identical transform up to float summation
+    * noise in the moments.
+    *
+    * Returns (mean, eigenvalues desc, components as rows, n). */
+  def fitPca(emb: DataFrame, idCol: String, vecCol: String, k: Int)
+      : (Array[Double], Array[Double], Seq[Array[Double]], Long) = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    val e = emb.select(toDouble(col(vecCol)).as("v"))
+    val outer = flatten(transform(col("v"), x => transform(col("v"), y => x * y)))
+    val row = e.agg(
+      vector_to_array(Summarizer.mean(array_to_vector(col("v")))).as("m"),
+      vector_to_array(Summarizer.mean(array_to_vector(outer))).as("m2"),
+      count(lit(1)).as("n")).head()
+    val mean = row.getSeq[Double](0).toArray
+    val m2 = row.getSeq[Double](1).toArray
+    val n = row.getLong(2)
+    val dim = mean.length
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim], got $k")
+    val cov = Array.tabulate(dim, dim)((i, j) => m2(i * dim + j) - mean(i) * mean(j))
+    val (eig, vecs) = jacobiEigen(cov)
+    val order = eig.zipWithIndex.sortBy { case (ev, i) => (-ev, i) }.map(_._2)
+    val comps = order.take(k).map { idx =>
+      val w = vecs(idx)
+      val pivot = w.zipWithIndex.maxBy { case (x, i) => (math.abs(x), -i) }._2
+      if (w(pivot) < 0) w.map(-_) else w.clone()
+    }
+    (mean, order.take(k).map(eig), comps.toIndexedSeq, n)
+  }
+
+  /** Project every vector onto a fitted PCA basis: center against the
+    * literal mean, then one runtime loop over the literal component matrix
+    * (k × dim doubles in the plan — same no-codegen-blowup discipline as
+    * the PQ codebooks). A pure linear scan, no shuffle, no UDF; at 100 TB
+    * this is the dimensionality-reduction pass that turns 1 KB float rows
+    * into k-float rows before ANN indexing or clustering.
+    *
+    * Returns (id, proj: array<double>[k]). */
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
+                 mean: Array[Double], components: Seq[Array[Double]]): DataFrame = {
+    val meanLit = array(mean.map(lit).toIndexedSeq: _*)
+    val wLit = array(components.map(w => array(w.map(lit).toIndexedSeq: _*)): _*)
+    emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .withColumn("__c", zip_with(col("v"), meanLit, (x, mu) => x - mu))
+      .select(col(idCol), transform(wLit, w =>
+        aggregate(zip_with(col("__c"), w, (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)).as("proj"))
+  }
+
+  /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein, SIGIR'98):
+    * from the query's top-`candN` cosine candidates, greedily pick `k`
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked — the
+    * diversity pass a retrieval-augmented pipeline runs AFTER ANN, so its
+    * context window isn't k copies of the same document.
+    *
+    * The greedy argmax is inherently sequential in k, so the candidate set
+    * (and only it) comes to the driver: `candN` rows of (id, sim, vec) —
+    * BOUNDED serving-path metadata (capped at 4096), the same contract as
+    * the quantizer fits, never corpus-scale. Candidate generation itself
+    * is the distributed [[bruteForceTopK]] scan (swap in any ANN variant
+    * at scale). Fully deterministic: candidates sort by (−relevance, id),
+    * ties in the greedy argmax break on the lower id, and all driver
+    * arithmetic is fixed-order.
+    *
+    * Returns (mmr_rank, id, relevance, max_sim_sel, mmr_score) — for
+    * rank 1 `max_sim_sel` is 0 by convention. */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, candN: Int, k: Int, lambda: Double,
+                scoreOut: Column => Column): DataFrame = {
+    require(candN <= 4096, s"MMR candidate set is driver-bounded: candN $candN > 4096")
+    require(k >= 1 && k <= candN, s"k must be in [1, $candN], got $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    val spark = emb.sparkSession
+    VectorFunctions.register(spark)
+    val e = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    val q = e.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), normFast(col("v")).as("qn"))
+    val na = normFast(col("v"))
+    val cands = e.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("rel",
+        when(na > 0 && col("qn") > 0, dotFast(col("v"), col("qv")) / (na * col("qn")))
+          .otherwise(lit(0.0)))
+      .orderBy(col("rel").desc, col(idCol))
+      .limit(candN)
+      .select(col(idCol).cast("long"), col("rel"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+      .sortBy { case (id, rel, _) => (-rel, id) }
+    val norms = cands.map { case (_, _, v) => math.sqrt(v.map(x => x * x).sum) }
+    def pairSim(i: Int, j: Int): Double = {
+      val (vi, vj) = (cands(i)._3, cands(j)._3)
+      if (norms(i) == 0 || norms(j) == 0) 0.0
+      else {
+        var s = 0.0; var d = 0
+        while (d < vi.length) { s += vi(d) * vj(d); d += 1 }
+        s / (norms(i) * norms(j))
+      }
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val maxSimSel = Array.fill(cands.length)(0.0)
+    val picked = Array.fill(cands.length)(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double, Double)]
+    var rank = 1
+    while (rank <= k) {
+      var bestIdx = -1; var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < cands.length) {
+        if (!picked(i)) {
+          val score = lambda * cands(i)._2 - (1 - lambda) * maxSimSel(i)
+          // strict > plus canonical candidate order = lowest id wins ties
+          if (score > bestScore) { bestScore = score; bestIdx = i }
+        }
+        i += 1
+      }
+      picked(bestIdx) = true
+      selected += bestIdx
+      out += ((rank, cands(bestIdx)._1, cands(bestIdx)._2, maxSimSel(bestIdx), bestScore))
+      i = 0
+      while (i < cands.length) {
+        if (!picked(i)) {
+          val s = pairSim(i, bestIdx)
+          if (s > maxSimSel(i)) maxSimSel(i) = s
+        }
+        i += 1
+      }
+      rank += 1
+    }
+    import spark.implicits._
+    out.toSeq.toDF("mmr_rank", "id", "relevance", "max_sim_sel", "mmr_score")
+      .select(col("mmr_rank"), col("id").as(idCol),
+        scoreOut(col("relevance")).as("relevance"),
+        scoreOut(col("max_sim_sel")).as("max_sim_sel"),
+        scoreOut(col("mmr_score")).as("mmr_score"))
+  }
 }

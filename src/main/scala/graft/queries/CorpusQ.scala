@@ -896,6 +896,130 @@ object CorpusQ {
           "source", "text",
           terms = Seq("the", "data", "kiln", "sensor", "quality"))
         .orderBy("source", "term"),
+      None),
+
+    // Source-relative quality normalization: per-source percent_rank of the
+    // q98 quality score — "keep the top 30% of EVERY source" semantics.
+    // Both engines rank the ROUNDED score with doc_id tiebreak, so the
+    // rank (and keep set) is bit-identical.
+    "q127_source_quality_norm" -> Q(
+      (s, d) => {
+        val stop = Seq("a", "the", "and", "of", "in", "to")
+        val docs = Tables.documents(s, d)
+          .withColumn("t", graft.operators.TextOps.tokens(col("text")))
+        val ratio = graft.operators.TextOps.markerCount(col("t"), stop) / size(col("t"))
+        val quality = least(lit(1.0), size(col("t")) / lit(200.0)) * (lit(1.0) - ratio)
+        CorpusOps.sourceRelativeQuality(docs, "doc_id", "source", quality,
+            keepFrom = 0.7, scoreOut = dec6)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source,
+              |  string_split_regex(trim(text), '\\s+') AS t FROM documents),
+              |x AS (SELECT doc_id, source, len(t) AS n,
+              |  len(list_filter(t, x -> x IN ('a', 'the', 'and', 'of', 'in', 'to'))) AS n_stop
+              |  FROM toks),
+              |scored AS (SELECT doc_id, source,
+              |  ${r6("least(1.0, n / 200.0) * (1.0 - CAST(n_stop AS DOUBLE) / n)")} AS quality
+              |  FROM x),
+              |ranked AS (SELECT doc_id, source, quality,
+              |  ${r6("percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id)")}
+              |    AS pct_rank FROM scored)
+              |SELECT doc_id, source, quality, pct_rank,
+              |  CAST(pct_rank >= 0.7 AS INT) AS keep
+              |FROM ranked ORDER BY doc_id""".stripMargin)),
+
+    // Jensen–Shannon divergence between the English and non-English token
+    // distributions — the domain-drift / mixture-distance statistic. Both
+    // engines fold the identical per-token formula over the full-outer
+    // vocabulary join; ln's ulp noise is absorbed by the biased rounding.
+    "q128_js_divergence" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        CorpusOps.jsDivergence(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"),
+          "text", scoreOut = dec6)
+      },
+      Some(s"""WITH fa AS (SELECT token, CAST(count(*) AS DOUBLE) AS tf FROM (
+              |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+              |    FROM documents WHERE lang = 'en')
+              |  WHERE token IS NOT NULL AND token <> '' GROUP BY token),
+              |fb AS (SELECT token, CAST(count(*) AS DOUBLE) AS tf FROM (
+              |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+              |    FROM documents WHERE lang <> 'en')
+              |  WHERE token IS NOT NULL AND token <> '' GROUP BY token),
+              |na AS (SELECT sum(tf) AS n FROM fa),
+              |nb AS (SELECT sum(tf) AS n FROM fb),
+              |j AS (SELECT coalesce(fa.token, fb.token) AS token,
+              |  coalesce(fa.tf / (SELECT n FROM na), 0.0) AS p,
+              |  coalesce(fb.tf / (SELECT n FROM nb), 0.0) AS q
+              |  FROM fa FULL OUTER JOIN fb ON fa.token = fb.token),
+              |terms AS (SELECT token, p, q, (p + q) / 2.0 AS m FROM j),
+              |raw AS (SELECT
+              |  sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS vocab_a,
+              |  sum(CASE WHEN q > 0 THEN 1 ELSE 0 END) AS vocab_b,
+              |  count(*) AS vocab_union,
+              |  sum(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0.0 END) AS kl_a_m,
+              |  sum(CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0.0 END) AS kl_b_m
+              |  FROM terms)
+              |SELECT CAST((SELECT n FROM na) AS BIGINT) AS n_a,
+              |  CAST((SELECT n FROM nb) AS BIGINT) AS n_b,
+              |  CAST(vocab_a AS BIGINT) AS vocab_a,
+              |  CAST(vocab_b AS BIGINT) AS vocab_b,
+              |  CAST(vocab_union AS BIGINT) AS vocab_union,
+              |  ${r6("kl_a_m")} AS kl_a_m, ${r6("kl_b_m")} AS kl_b_m,
+              |  ${r6("(kl_a_m + kl_b_m) / 2.0")} AS js
+              |FROM raw""".stripMargin)),
+
+    // Embedding covariance entries (dims 0-2, upper triangle): the moment
+    // computation under PCA, verified cross-engine with the EXPLICIT
+    // E[xy] − E[x]E[y] formula (not each engine's covar_pop, whose
+    // accumulation schemes differ). PcaSpec ties fitPca's driver-side
+    // covariance assembly to these same moments.
+    "q129_embed_cov" -> Q(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select((0 until 3).map(i => col("embedding")(i).cast("double").as(s"x$i")): _*)
+        def cv(i: Int, j: Int) =
+          dec6(avg(col(s"x$i") * col(s"x$j")) - avg(col(s"x$i")) * avg(col(s"x$j")))
+            .as(s"cov_$i$j")
+        e.agg(cv(0, 0), cv(0, 1), cv(0, 2), cv(1, 1), cv(1, 2), cv(2, 2))
+      },
+      Some(s"""WITH e AS (SELECT CAST(embedding[1] AS DOUBLE) AS x0,
+              |  CAST(embedding[2] AS DOUBLE) AS x1,
+              |  CAST(embedding[3] AS DOUBLE) AS x2 FROM embeddings)
+              |SELECT ${r6("avg(x0 * x0) - avg(x0) * avg(x0)")} AS cov_00,
+              |  ${r6("avg(x0 * x1) - avg(x0) * avg(x1)")} AS cov_01,
+              |  ${r6("avg(x0 * x2) - avg(x0) * avg(x2)")} AS cov_02,
+              |  ${r6("avg(x1 * x1) - avg(x1) * avg(x1)")} AS cov_11,
+              |  ${r6("avg(x1 * x2) - avg(x1) * avg(x2)")} AS cov_12,
+              |  ${r6("avg(x2 * x2) - avg(x2) * avg(x2)")} AS cov_22
+              |FROM e""".stripMargin)),
+
+    // PCA projection to 8 principal components — the dimensionality
+    // reduction in front of ANN indexing/clustering at scale. The basis is
+    // a driver-side eigensolve (engine-specific float path) → rows-only;
+    // PcaSpec pins orthonormality, eigenvalue ordering, variance capture
+    // and a hand-computed case.
+    "q130_pca_project" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val (mean, _, comps, _) = SimilarityOps.fitPca(emb, "vec_id", "embedding", k = 8)
+        SimilarityOps.pcaProject(emb, "vec_id", "embedding", mean, comps)
+          .select(col("vec_id") +:
+            (0 until 8).map(i => dec6(col("proj")(i)).as(s"pc$i")): _*)
+          .orderBy("vec_id")
+      },
+      None),
+
+    // MMR diversity re-rank of the query's top-50 cosine candidates
+    // (λ = 0.7) — the post-ANN pass that keeps a retrieval context from
+    // being k near-copies. Greedy argmax is driver-side over the BOUNDED
+    // candidate set; rows-only (sequential greedy isn't SQL), MmrSpec pins
+    // the semantics.
+    "q131_mmr_rerank" -> Q(
+      (s, d) => SimilarityOps.mmrRerank(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, candN = 50, k = 10, lambda = 0.7, scoreOut = dec6),
       None)
   )
 }
