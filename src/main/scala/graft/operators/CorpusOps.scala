@@ -651,6 +651,37 @@ object CorpusOps {
           (col("n") / col("total"))).as("multiplier")): _*)
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis,
+    * IPL'06 "A-Res"): each row gets key = u^(1/w) for a uniform u ∈ (0,1]
+    * and weight w > 0; the k LARGEST keys are a weighted sample — the
+    * "sample documents proportional to token count" primitive behind
+    * mixture construction. u comes from a Knuth multiplicative hash of the
+    * id ((id·2654435761) mod 2³¹), pure integer-then-double arithmetic
+    * that is bit-identical in any engine — so the sample is reproducible
+    * across runs, engines and retries, the same determinism discipline as
+    * [[stratifiedSample]] (swap in xxhash64 for production-grade mixing;
+    * the structure is unchanged). Zero/negative weights are excluded (a
+    * w = 0 row can never be sampled).
+    *
+    * The top-k is an `orderBy(key).limit(k)` — TakeOrdered at scale: one
+    * per-partition heap + a k-row driver merge, NEVER a global sort.
+    *
+    * Returns the k sampled rows: (id, w, u, key, rank). */
+  def weightedSample(docs: DataFrame, idCol: String, weight: Column, k: Int,
+                     scoreOut: Column => Column): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val h = pmod(col(idCol).cast("long") * lit(2654435761L), lit(2147483647L))
+    val u = (h + lit(1.0)) / lit(2147483648.0)
+    val keyed = docs
+      .select(col(idCol), weight.cast("double").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("u", scoreOut(u))
+      .withColumn("key", scoreOut(pow(u, lit(1.0) / col("w"))))
+    val top = keyed.orderBy(col("key").desc, col(idCol)).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("key").desc, col(idCol))))
+  }
+
   /** Jensen–Shannon divergence between two corpora's token distributions —
     * the drift/selection metric behind mixture rebalancing and DSIR-style
     * target matching: "how far is my candidate pool from the reference

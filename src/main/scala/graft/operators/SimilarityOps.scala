@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 
@@ -699,6 +700,59 @@ object SimilarityOps {
       .select(col(idCol), transform(wLit, w =>
         aggregate(zip_with(col("__c"), w, (x, y) => x * y),
           lit(0.0), (acc, x) => acc + x)).as("proj"))
+  }
+
+  /** Contrastive hard-negative mining: for each query vector, the top-k
+    * most-cosine-similar vectors with a DIFFERENT label — the triplet-loss
+    * training pairs an embedding model needs ("looks like the anchor,
+    * isn't") that random negatives can't provide. The query set is a
+    * bounded, explicitly-listed id set (an epoch mines for a batch of
+    * anchors, not all-pairs): its rows broadcast, the corpus streams past
+    * in ONE scan scoring all queries at once, and the per-query top-k is
+    * a window over candidates. At 100 TB, swap the scan for an ANN probe
+    * per query and pre-prune per-partition top-k before the window; the
+    * interface is unchanged.
+    *
+    * Returns (query_id, id, label, cos_sim, rank) with rank ≤ k per
+    * query, ranked on the ROUNDED similarity with id tiebreak. */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queryIds: Seq[Long], k: Int,
+                    scoreOut: Column => Column): DataFrame = {
+    require(queryIds.nonEmpty && queryIds.size <= 1024,
+      s"query set must be bounded: got ${queryIds.size}")
+    VectorFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol), col(labelCol).as("lbl"),
+      toDouble(col(vecCol)).as("v"))
+    val q = e.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col("lbl").as("qlbl"),
+        col("v").as("qv"), normFast(col("v")).as("qn"))
+    val na = normFast(col("v"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col(idCol))
+    e.crossJoin(broadcast(q))
+      .filter(col("lbl") =!= col("qlbl"))
+      .withColumn("cos_sim", scoreOut(
+        when(na > 0 && col("qn") > 0, dotFast(col("v"), col("qv")) / (na * col("qn")))
+          .otherwise(lit(0.0))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("lbl").as(labelCol),
+        col("cos_sim"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N retrieval
+    * rankings — the standard hybrid-search combiner (BM25 ⊕ dense ANN):
+    * score(d) = Σ_lists 1/(c + rank_list(d)), requiring no score
+    * calibration between lists. Inputs are (id, rank) frames; a document
+    * absent from a list simply contributes nothing (the usual convention).
+    * One union + one grouped aggregate over candidate-list-sized inputs —
+    * the corpus itself is never touched. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val tagged = rankings.map(_.select(col(idCol), col("rank")))
+    tagged.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_lists"),
+        sum(lit(1.0) / (lit(c.toDouble) + col("rank"))).as("rrf_score"))
   }
 
   /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein, SIGIR'98):

@@ -1020,6 +1020,126 @@ object CorpusQ {
     "q131_mmr_rerank" -> Q(
       (s, d) => SimilarityOps.mmrRerank(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, candN = 50, k = 10, lambda = 0.7, scoreOut = dec6),
-      None)
+      None),
+
+    // Weighted sampling without replacement (A-Res): 25 docs ∝ token
+    // count, keys from a portable multiplicative hash — both engines
+    // compute the identical key arithmetic, so the sampled SET (not just
+    // its size) is bit-identical.
+    "q132_weighted_sample" -> Q(
+      (s, d) => CorpusOps.weightedSample(Tables.documents(s, d), "doc_id",
+          weight = size(graft.operators.TextOps.tokens(col("text"))), k = 25,
+          scoreOut = dec6)
+        .orderBy("rank"),
+      Some(s"""WITH t AS (SELECT doc_id,
+              |  CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS w
+              |  FROM documents),
+              |keyed AS (SELECT doc_id, w,
+              |  (CAST((doc_id * 2654435761) % 2147483647 AS DOUBLE) + 1.0)
+              |    / 2147483648.0 AS u0
+              |  FROM t WHERE w > 0),
+              |scored AS (SELECT doc_id, w, ${r6("u0")} AS u,
+              |  ${r6("pow(u0, 1.0 / w)")} AS key FROM keyed),
+              |r AS (SELECT doc_id, w, u, key,
+              |  CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT) AS "rank"
+              |  FROM scored)
+              |SELECT doc_id, w, u, key, "rank" FROM r
+              |WHERE "rank" <= 25 ORDER BY "rank"""".stripMargin)),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    // ranking (q83's scorer) and the dense cosine ranking against query
+    // vector 0 (q58's scorer), c = 60 — the standard two-tower search
+    // combiner. Ranks are over ROUNDED scores with id tiebreaks, so both
+    // engines fuse identical rank lists.
+    "q133_hybrid_rrf" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val lex = CorpusOps.bm25(Tables.documents(s, d), "doc_id", "text",
+            terms = Seq("merge", "stream", "filter"), k1 = 1.2, b = 0.75)
+          .select(col("doc_id"), dec6(col("bm25")).as("s"))
+          .withColumn("rank", row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
+          .filter(col("rank") <= 100).select("doc_id", "rank")
+        val emb = Tables.embeddings(s, d)
+        val dense = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding",
+            queryId = 0L, k = 100, scoreOut = dec6)
+          .withColumn("rank", row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id"))))
+          .select(col("vec_id").as("doc_id"), col("rank"))
+        SimilarityOps.rrfFuse(Seq(lex, dense), "doc_id", c = 60)
+          .select(col("doc_id"), col("n_lists"), dec6(col("rrf_score")).as("rrf_score"))
+          .orderBy(col("rrf_score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |  FROM documents),
+              |base AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+              |  CAST(len(list_filter(t, x -> x = 'merge')) AS DOUBLE) AS tf_0,
+              |  CAST(len(list_filter(t, x -> x = 'stream')) AS DOUBLE) AS tf_1,
+              |  CAST(len(list_filter(t, x -> x = 'filter')) AS DOUBLE) AS tf_2
+              |  FROM toks),
+              |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+              |  CAST(sum(CAST(tf_0 > 0 AS INT)) AS DOUBLE) AS df_0,
+              |  CAST(sum(CAST(tf_1 > 0 AS INT)) AS DOUBLE) AS df_1,
+              |  CAST(sum(CAST(tf_2 > 0 AS INT)) AS DOUBLE) AS df_2
+              |  FROM base),
+              |lexs AS (SELECT doc_id,
+              |${r6("""ln((n_docs - df_0 + 0.5) / (df_0 + 0.5) + 1.0)
+              |    * (tf_0 * (1.2 + 1.0)) / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+              |  + ln((n_docs - df_1 + 0.5) / (df_1 + 0.5) + 1.0)
+              |    * (tf_1 * (1.2 + 1.0)) / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+              |  + ln((n_docs - df_2 + 0.5) / (df_2 + 0.5) + 1.0)
+              |    * (tf_2 * (1.2 + 1.0)) / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))""")}
+              |    AS s
+              |  FROM base, stats),
+              |lex AS (SELECT doc_id,
+              |  row_number() OVER (ORDER BY s DESC, doc_id) AS "rank" FROM lexs),
+              |e AS (SELECT vec_id,
+              |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              |denss AS (SELECT vec_id,
+              |  ${r6("""CASE WHEN
+              |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, y -> y * y)), (acc, y) -> acc + y)) > 0
+              |    AND sqrt(list_reduce(list_prepend(0.0, list_transform(qv, y -> y * y)), (acc, y) -> acc + y)) > 0
+              |  THEN list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(v)),
+              |      i -> v[i] * qv[i])), (acc, y) -> acc + y)
+              |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(v, y -> y * y)), (acc, y) -> acc + y))
+              |     * sqrt(list_reduce(list_prepend(0.0, list_transform(qv, y -> y * y)), (acc, y) -> acc + y)))
+              |  END""")} AS s
+              |  FROM e, qv),
+              |dense AS (SELECT vec_id AS doc_id,
+              |  row_number() OVER (ORDER BY s DESC, doc_id) AS "rank" FROM denss),
+              |unioned AS (SELECT doc_id, "rank" FROM lex WHERE "rank" <= 100
+              |  UNION ALL SELECT doc_id, "rank" FROM dense WHERE "rank" <= 100),
+              |fused AS (SELECT doc_id, count(*) AS n_lists,
+              |  ${r6("sum(1.0 / (60.0 + \"rank\"))")} AS rrf_score
+              |  FROM unioned GROUP BY doc_id)
+              |SELECT doc_id, n_lists, rrf_score FROM fused
+              |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Contrastive hard negatives for anchors 0 and 7: top-5 cosine
+    // neighbors carrying a DIFFERENT label — both engines rank the rounded
+    // similarity within each anchor.
+    "q134_hard_negatives" -> Q(
+      (s, d) => SimilarityOps.hardNegatives(Tables.embeddings(s, d), "vec_id",
+          "embedding", "label", queryIds = Seq(0L, 7L), k = 5, scoreOut = dec6)
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH e AS (SELECT vec_id, label,
+              |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, label AS qlbl, v AS qv FROM e
+              |  WHERE vec_id IN (0, 7)),
+              |x AS (SELECT q.query_id, e.vec_id, e.label,
+              |  ${r6("""CASE WHEN
+              |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, y -> y * y)), (acc, y) -> acc + y)) > 0
+              |    AND sqrt(list_reduce(list_prepend(0.0, list_transform(qv, y -> y * y)), (acc, y) -> acc + y)) > 0
+              |  THEN list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(v)),
+              |      i -> v[i] * qv[i])), (acc, y) -> acc + y)
+              |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(v, y -> y * y)), (acc, y) -> acc + y))
+              |     * sqrt(list_reduce(list_prepend(0.0, list_transform(qv, y -> y * y)), (acc, y) -> acc + y)))
+              |  ELSE 0.0 END""")} AS cos_sim
+              |  FROM e, q WHERE e.label <> q.qlbl),
+              |r AS (SELECT query_id, vec_id, label, cos_sim,
+              |  CAST(row_number() OVER (PARTITION BY query_id
+              |    ORDER BY cos_sim DESC, vec_id) AS INT) AS "rank" FROM x)
+              |SELECT query_id, vec_id, label, cos_sim, "rank" FROM r
+              |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin))
   )
 }

@@ -260,6 +260,51 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"dsir ratio join must broadcast:\n${dsirPlan.take(2000)}")
   }
 
+  test("pcaProject is a pure linear scan: no Exchange, no join in the plan") {
+    import graft.operators.SimilarityOps
+    val emb = Tables.embeddings(spark, sfTiny)
+    val (mean, _, comps, _) = SimilarityOps.fitPca(emb, "vec_id", "embedding", 4)
+    val plan = SimilarityOps.pcaProject(emb, "vec_id", "embedding", mean, comps)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.isEmpty,
+      s"projection must not shuffle — basis travels as literals:\n${plan.toString.take(1500)}")
+  }
+
+  test("jsDivergence joins token distributions, never document text") {
+    import graft.operators.CorpusOps
+    val docs = Tables.documents(spark, sfTiny)
+    val plan = CorpusOps.jsDivergence(
+        docs.filter(col("lang") === "en"), docs.filter(col("lang") =!= "en"),
+        "text", graft.queries.Q.dec6)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      val cols = (j.left.output ++ j.right.output).map(_.name)
+      assert(!cols.contains("text"),
+        s"distribution join must carry (token, p), not text: $cols")
+    }
+  }
+
+  test("hardNegatives broadcasts the bounded anchor set; corpus streams once") {
+    import graft.operators.SimilarityOps
+    val plan = SimilarityOps.hardNegatives(Tables.embeddings(spark, sfTiny),
+        "vec_id", "embedding", "label", queryIds = Seq(0L, 7L), k = 3,
+        scoreOut = graft.queries.Q.dec6)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"anchor set must broadcast:\n${plan.take(1500)}")
+    // exactly one scan of the embeddings table per side pair — the corpus
+    // is not re-read per anchor
+    assert("Scan parquet".r.findAllIn(plan).size <= 2,
+      s"corpus must stream past the broadcast once:\n${plan.take(1500)}")
+  }
+
   test("bigramSurprisal never hints a vocab-scale broadcast; joins key on hashes") {
     import graft.operators.CorpusOps
     import graft.sources.Tables
