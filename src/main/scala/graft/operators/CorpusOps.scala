@@ -651,6 +651,51 @@ object CorpusOps {
           (col("n") / col("total"))).as("multiplier")): _*)
   }
 
+  /** Leakage-safe train/val/test split: hash-bucket assignment keyed on the
+    * NEAR-DUP CLUSTER representative, not the document id — two near-copies
+    * must never straddle the train/test boundary, or the eval set silently
+    * measures memorization (the split-contamination failure mode
+    * benchmark decontamination alone doesn't catch). `clusters` is
+    * [[DedupOps.nearDupClusters]] output (id, cluster); singletons are
+    * their own cluster, so this degrades to [[assignSplit]] exactly when
+    * no near-dups exist. One equi-join on the id — the cluster table is
+    * (id, id) pairs, document text is never touched.
+    *
+    * Returns (id, cluster, bucket, split). */
+  def leakageSafeSplit(clusters: DataFrame, idCol: String,
+                       valOf16: Int = 2, testOf16: Int = 2): DataFrame = {
+    require(valOf16 >= 0 && testOf16 >= 0 && valOf16 + testOf16 < 16,
+      s"val+test buckets must leave room for train, got $valOf16 + $testOf16")
+    clusters.select(col("id").as(idCol), col("cluster"))
+      .withColumn("bucket", hexBucket("cluster"))
+      .withColumn("split",
+        when(col("bucket") < 16 - valOf16 - testOf16, "train")
+          .when(col("bucket") < 16 - testOf16, "val")
+          .otherwise("test"))
+  }
+
+  /** Per-group lexical-diversity statistics: type-token ratio (distinct
+    * tokens / total tokens) and hapax fraction (share of types occurring
+    * once) — the vocabulary-richness signals that flag template-generated
+    * or keyword-stuffed sources a perplexity filter scores as fluent. Two
+    * stacked map-side-combinable aggregates over (group, token); text
+    * never rides the shuffle. */
+  def lexicalDiversity(docs: DataFrame, groupCol: String, textCol: String,
+                       scoreOut: Column => Column): DataFrame = {
+    val ex = docs
+      .select(col(groupCol), TextOps.tokens(col(textCol)).as("__t"))
+      .select(col(groupCol), explode_outer(col("__t")).as("token"))
+      .filter(col("token").isNotNull && col("token") =!= "")
+    ex.groupBy(groupCol, "token").agg(count(lit(1)).as("c"))
+      .groupBy(groupCol)
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col(groupCol), col("n_tokens"), col("n_types"), col("n_hapax"),
+        scoreOut(col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        scoreOut(col("n_hapax").cast("double") / col("n_types")).as("hapax_frac"))
+  }
+
   /** Weighted sampling without replacement (Efraimidis & Spirakis,
     * IPL'06 "A-Res"): each row gets key = u^(1/w) for a uniform u ∈ (0,1]
     * and weight w > 0; the k LARGEST keys are a weighted sample — the

@@ -1140,6 +1140,66 @@ object CorpusQ {
               |  CAST(row_number() OVER (PARTITION BY query_id
               |    ORDER BY cos_sim DESC, vec_id) AS INT) AS "rank" FROM x)
               |SELECT query_id, vec_id, label, cos_sim, "rank" FROM r
-              |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin))
+              |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
+
+    // Leakage-safe split: near-dup clusters (3-gram Jaccard ≥ 0.2, the q65
+    // components) are split-assigned by the md5 bucket of their CLUSTER
+    // representative — near-copies can never straddle train/test. The
+    // oracle re-derives components with a recursive CTE and applies the
+    // identical bucket rule.
+    "q135_leakage_safe_split" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clusters = DedupOps.nearDupClusters(docs,
+          DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2), "doc_id")
+        CorpusOps.leakageSafeSplit(clusters, "doc_id", valOf16 = 2, testOf16 = 2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE toks2 AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\s+') AS t FROM documents),
+             |sh2 AS (SELECT doc_id, list_distinct(list_transform(
+             |  generate_series(1, greatest(len(t) - 2, 0)),
+             |  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s FROM toks2),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |    / len(list_distinct(a.s || b.s)) >= 0.2),
+             |ed AS (SELECT id_a AS a, id_b AS b FROM p
+             |  UNION SELECT id_b, id_a FROM p),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM ed
+             |  UNION
+             |  SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a),
+             |cl AS (SELECT d.doc_id,
+             |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
+             |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+             |  GROUP BY d.doc_id),
+             |b AS (SELECT doc_id, cluster,
+             |  CAST(strpos('0123456789abcdef',
+             |    substring(md5(CAST(cluster AS VARCHAR)), 1, 1)) - 1 AS INT) AS bucket
+             |  FROM cl)
+             |SELECT doc_id, cluster, bucket,
+             |  CASE WHEN bucket < 12 THEN 'train'
+             |    WHEN bucket < 14 THEN 'val' ELSE 'test' END AS split
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // Per-source lexical diversity: type-token ratio + hapax fraction —
+    // the vocabulary-richness profile that separates organic text from
+    // template spam.
+    "q136_lexical_diversity" -> Q(
+      (s, d) => CorpusOps.lexicalDiversity(Tables.documents(s, d), "source", "text",
+          scoreOut = dec6)
+        .orderBy("source"),
+      Some(s"""WITH ex AS (SELECT source,
+              |  unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
+              |tf AS (SELECT source, token, count(*) AS c FROM ex
+              |  WHERE token IS NOT NULL AND token <> '' GROUP BY source, token)
+              |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+              |  count(*) AS n_types,
+              |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+              |  ${r6("CAST(count(*) AS DOUBLE) / sum(c)")} AS ttr,
+              |  ${r6("CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")}
+              |    AS hapax_frac
+              |FROM tf GROUP BY source ORDER BY source""".stripMargin))
   )
 }

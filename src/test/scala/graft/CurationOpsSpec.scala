@@ -152,4 +152,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(a.select("doc_id").except(b.select("doc_id")).isEmpty,
       "the sample must be a pure function of ids, not of partitioning")
   }
+
+  test("leakageSafeSplit: same cluster => same split; singletons match assignSplit") {
+    import spark.implicits._
+    // clusters: {1,2,9} share cluster 1; {3} and {4} are singletons
+    val clusters = Seq((1L, 1L), (2L, 1L), (9L, 1L), (3L, 3L), (4L, 4L))
+      .toDF("id", "cluster")
+    val split = CorpusOps.leakageSafeSplit(clusters, "doc_id", 2, 2)
+    val byCluster = split.groupBy("cluster")
+      .agg(countDistinct("split").as("n_splits")).as[(Long, Long)].collect()
+    assert(byCluster.forall(_._2 == 1L),
+      s"near-dup cluster straddles splits: ${byCluster.mkString(",")}")
+    // a singleton's split must equal the plain per-id assignment
+    val docs = Seq(3L, 4L).toDF("doc_id")
+    val plain = CorpusOps.assignSplit(docs, "doc_id", 2, 2)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val safe = split.filter(col("doc_id").isin(3L, 4L))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(safe == plain, s"singleton split drifted: $safe vs $plain")
+  }
+
+  test("weightedSample: zero-weight rows excluded; heavier rows dominate inclusion") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i => (i, if (i < 200) 1.0 else 100.0))
+      .toDF("doc_id", "w0")
+    val s = CorpusOps.weightedSample(docs, "doc_id", col("w0"), k = 50,
+      scoreOut = graft.queries.Q.dec6)
+    val picked = s.select("doc_id").as[Long].collect()
+    assert(picked.length == 50)
+    val heavy = picked.count(_ >= 200)
+    // weight ratio 100:1 — the heavy half must dominate the sample
+    assert(heavy > 40, s"expected heavy-weight dominance, got $heavy/50")
+    // zero/negative weights can never be sampled
+    val z = CorpusOps.weightedSample(
+      Seq((1L, 0.0), (2L, -1.0), (3L, 5.0)).toDF("doc_id", "w0"),
+      "doc_id", col("w0"), k = 3, scoreOut = graft.queries.Q.dec6)
+    assert(z.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+  }
 }
