@@ -270,9 +270,10 @@ object CorpusOps {
     * target distribution without training a classifier.
     *
     * Scale shape: the bucket-count fit is two map-side-combinable sums on
-    * a ≤`buckets`-sized key, the log-ratio table is `buckets` rows
-    * broadcast to the scoring pass, and the score itself is a per-doc
-    * sum/count — the document text never shuffles. The bucket hash is
+    * a ≤`buckets`-sized key, the log-ratio model is `buckets` doubles of
+    * collected fit metadata baked into the score pass as one literal
+    * array (no join, no broadcast barrier), and the score itself is a
+    * per-doc sum/count — the document text never shuffles. The bucket hash is
     * md5-derived (3 hex digits → 4096 cells) so an external SQL engine
     * reproduces it bit-for-bit; a production run would swap in
     * `xxhash64 % buckets` (same shape, cheaper) at the cost of the
@@ -297,24 +298,41 @@ object CorpusOps {
       .filter(col("g").isNotNull)
       .withColumn("b", conv(substring(md5(col("g")), 1, 3), 16, 10)
         .cast("int") % buckets)
-    // The fit aggregates positions straight to the ≤B-key bucket table —
-    // map-side partial aggregation collapses each task's positions to at
-    // most B rows before the (tiny) shuffle; a per-doc detour here would
-    // only add an exchange. The SCORE pass, by contrast, pre-aggregates to
-    // (doc, bucket, multiplicity) below, so the ratio join moves one row
-    // per (doc, bucket) instead of per n-gram position (round-5 plan audit).
-    val cnt = pos.groupBy("b").agg(
-      sum(col("__tgt")).cast("double").as("ct"),
-      sum(lit(1) - col("__tgt")).cast("double").as("cr"))
-    val tot = cnt.agg(sum("ct").as("nt"), sum("cr").as("nr"))
-    val bD = lit(buckets.toDouble)
-    val ratio = cnt.crossJoin(broadcast(tot))
-      .select(col("b"),
-        (log((col("ct") + lit(1.0)) / (col("nt") + bD)) -
-          log((col("cr") + lit(1.0)) / (col("nr") + bD))).as("lr"))
-    val scored = pos.filter(col("__tgt") === 0)
-      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("nb"))
-      .join(broadcast(ratio), "b")
+    // ONE traversal of the exploded position stream: tokenize + md5 is the
+    // dominant cost, and both the model fit and the score pass only need
+    // the (doc, target-flag, bucket, multiplicity) aggregate — so compute
+    // it once, materialize it (MEMORY_AND_DISK: strictly smaller than the
+    // position stream it replaces — ≤ min(positions, B) rows per doc —
+    // and spill-safe; at cluster scale this is the intermediate you'd
+    // shuffle-materialize anyway), and derive the ≤B-key bucket table
+    // from it with a second, tiny aggregate. Lazy re-derivation without
+    // the persist would re-tokenize the corpus for each consumer.
+    val perDoc = pos.groupBy(col(idCol), col("__tgt"), col("b"))
+      .agg(count(lit(1)).as("nb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The bucket model is ≤B rows of fit METADATA (the same bounded-collect
+    // contract as the IVF centroids): collect it, finish the smoothed
+    // log-ratio on the driver, and bake the per-bucket ratios into the
+    // score pass as ONE literal array indexed by bucket id. This replaces
+    // two broadcast-barrier jobs (totals, ratio table) and a join with a
+    // plain element_at — the score pass is then a single aggregate over
+    // the cached (doc, bucket, n) rows with no join at all.
+    val cntRows = perDoc.groupBy("b").agg(
+        sum(when(col("__tgt") === 1, col("nb")).otherwise(0L)).cast("double").as("ct"),
+        sum(when(col("__tgt") === 0, col("nb")).otherwise(0L)).cast("double").as("cr"))
+      .collect()
+    val ct = new Array[Double](buckets)
+    val cr = new Array[Double](buckets)
+    cntRows.foreach { r => val b = r.getInt(0); ct(b) = r.getDouble(1); cr(b) = r.getDouble(2) }
+    val nt = ct.sum; val nr = cr.sum
+    // one array-typed Literal, NOT a 4096-child CreateArray — the latter
+    // costs visible analysis/codegen time at this width
+    val lrLit = lit((0 until buckets).map { b =>
+      math.log((ct(b) + 1.0) / (nt + buckets)) -
+        math.log((cr(b) + 1.0) / (nr + buckets))
+    }.toArray)
+    val scored = perDoc.filter(col("__tgt") === 0)
+      .withColumn("lr", element_at(lrLit, col("b") + 1))
       .groupBy(idCol)
       .agg(sum(col("nb")).as("n_feats"),
         sum(col("lr") * col("nb")).as("dsir_logratio"))

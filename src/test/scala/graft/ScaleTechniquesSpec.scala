@@ -251,13 +251,20 @@ class ScaleTechniquesSpec extends SparkSpec {
     val joinCols = (joinNode.left.output ++ joinNode.right.output).map(_.name)
     assert(!joinCols.contains("text"),
       s"snapshotDiff must join fingerprints, not text; join inputs: $joinCols")
-    // dsirWeights: the per-position score join must broadcast the bounded
-    // bucket-ratio table, not shuffle the position stream against it
+    // dsirWeights: the score pass must attach bucket ratios as a LITERAL
+    // array lookup (bounded fit metadata, like the IVF centroids) — the
+    // only join in the whole plan is the final left join of scores back
+    // onto ids; the position/bucket stream never joins the model
     val dsirPlan = CorpusOps.dsirWeights(docs, "doc_id", "text",
         isTarget = col("lang") === "en")
-      .queryExecution.executedPlan.toString
-    assert(dsirPlan.contains("BroadcastHashJoin"),
-      s"dsir ratio join must broadcast:\n${dsirPlan.take(2000)}")
+      .queryExecution.optimizedPlan
+    val dsirJoins = dsirPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(dsirJoins.size == 1,
+      s"dsir must have exactly the id-reattach join, got ${dsirJoins.size}")
+    assert(dsirPlan.toString.contains("element_at"),
+      "bucket ratios must ride as a literal array lookup")
   }
 
   test("pcaProject is a pure linear scan: no Exchange, no join in the plan") {
