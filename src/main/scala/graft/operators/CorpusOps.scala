@@ -826,6 +826,63 @@ object CorpusOps {
       .withColumn("keep", (col("pct_rank") >= keepFrom).cast("int"))
   }
 
+  /** CCNet-style LM-quality buckets (Wenzek et al., LREC'20): rank every
+    * document by corpus-LM mean log-probability WITHIN its language and
+    * cut the distribution into head/middle/tail thirds — the per-language
+    * normalization that keeps a multilingual quality cut from simply
+    * dropping low-resource languages (their absolute perplexities run
+    * higher). Built on [[unigramLogProb]]; the tertile is `ntile(3)` over
+    * the ROUNDED score with id tiebreak (deterministic cross-engine), and
+    * the window partitions by language, so the sort is per-language over
+    * (id, score) pairs — never a global corpus sort. */
+  def ccnetBuckets(docs: DataFrame, idCol: String, langCol: String,
+                   textCol: String, scoreOut: Column => Column): DataFrame = {
+    val scored = unigramLogProb(docs, idCol, textCol)
+      .select(col(idCol), col("n_toks"), scoreOut(col("mean_logprob")).as("mean_logprob"))
+    val w = Window.partitionBy(langCol)
+      .orderBy(col("mean_logprob").desc, col(idCol))
+    docs.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol))
+      .withColumn("tertile", ntile(3).over(w))
+      .withColumn("ccnet_bucket",
+        when(col("tertile") === 1, "head")
+          .when(col("tertile") === 2, "middle")
+          .otherwise("tail"))
+  }
+
+  /** Deterministic temperature-mixture training schedule: an explicit
+    * per-document stream position such that, at every prefix of the
+    * stream, stratum proportions match the temperature mix — the "data
+    * ordering" step that writes an epoch schedule instead of trusting a
+    * runtime sampler. Each document ranks within its stratum by the md5
+    * hash of its id (the [[groupSample]] permutation trick), and its key
+    * is (rank − ½) / p_temp(stratum): a prefix of keys ≤ K then holds
+    * ≈ K·p_temp(s) documents of stratum s — proportions are p_temp by
+    * construction until a stratum exhausts (an up-weighted stratum that
+    * runs out simply stops contributing; the schedule records, not hides,
+    * that). Reproducible across runs/engines/partitionings.
+    *
+    * One broadcast of the per-stratum mix (bounded: one row per stratum)
+    * plus one per-stratum window; consumers sort by `sched_key` — at
+    * cluster scale that is the write-time `repartitionByRange` ordering,
+    * never a single global sort here.
+    *
+    * Returns (id, stratum, r_in_stratum, p_temp, sched_key). */
+  def mixtureSchedule(docs: DataFrame, idCol: String, stratumCol: String,
+                      alpha: Double, scoreOut: Column => Column): DataFrame = {
+    val mix = temperatureMix(docs, Seq(stratumCol), alpha)
+      .select(col(stratumCol), col("p_temp"))
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    docs.select(col(idCol), col(stratumCol))
+      .join(broadcast(mix), Seq(stratumCol))
+      .withColumn("r_in_stratum", row_number().over(w))
+      .select(col(idCol), col(stratumCol),
+        col("r_in_stratum"),
+        scoreOut(col("p_temp")).as("p_temp"),
+        scoreOut((col("r_in_stratum") - lit(0.5)) / col("p_temp")).as("sched_key"))
+  }
+
   /** Deterministic k-per-group sample ("reservoir" semantics without the
     * order-dependence of an actual reservoir): rank group members by the
     * md5 of their id — a content-stable stand-in for a random permutation,

@@ -1200,6 +1200,53 @@ object CorpusQ {
               |  ${r6("CAST(count(*) AS DOUBLE) / sum(c)")} AS ttr,
               |  ${r6("CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")}
               |    AS hapax_frac
-              |FROM tf GROUP BY source ORDER BY source""".stripMargin))
+              |FROM tf GROUP BY source ORDER BY source""".stripMargin)),
+
+    // CCNet LM-quality buckets: head/middle/tail tertiles of corpus-LM
+    // mean log-probability WITHIN each language — the per-language
+    // normalization that keeps a multilingual quality cut from dropping
+    // low-resource languages wholesale.
+    "q137_ccnet_buckets" -> Q(
+      (s, d) => CorpusOps.ccnetBuckets(Tables.documents(s, d), "doc_id", "lang",
+          "text", scoreOut = dec6)
+        .orderBy("doc_id"),
+      Some(s"""WITH ex AS (SELECT doc_id,
+              |  unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+              |ex2 AS (SELECT doc_id, tok FROM ex WHERE tok IS NOT NULL AND tok <> ''),
+              |vocab AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cnt FROM ex2 GROUP BY tok),
+              |tot AS (SELECT sum(cnt) AS total FROM vocab),
+              |lp AS (SELECT tok, ln(cnt / total) AS logp FROM vocab, tot),
+              |sc AS (SELECT doc_id, count(*) AS n_toks,
+              |  ${r6("sum(logp) / count(*)")} AS mean_logprob
+              |  FROM ex2 JOIN lp USING (tok) GROUP BY doc_id),
+              |t AS (SELECT d.doc_id, d.lang, sc.n_toks, sc.mean_logprob,
+              |  CAST(ntile(3) OVER (PARTITION BY d.lang
+              |    ORDER BY sc.mean_logprob DESC, d.doc_id) AS INT) AS tertile
+              |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id)
+              |SELECT doc_id, lang, n_toks, mean_logprob, tertile,
+              |  CASE tertile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              |    ELSE 'tail' END AS ccnet_bucket
+              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic temperature-mixture schedule (α = 0.5): an explicit
+    // stream position whose every prefix holds strata in temperature
+    // proportion — both engines derive the identical md5 permutation and
+    // key arithmetic, so the entire epoch ordering is bit-identical.
+    "q138_mixture_schedule" -> Q(
+      (s, d) => CorpusOps.mixtureSchedule(Tables.documents(s, d), "doc_id", "lang",
+          alpha = 0.5, scoreOut = dec6)
+        .orderBy("doc_id"),
+      Some(s"""WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+              |  FROM documents GROUP BY lang),
+              |z AS (SELECT sum(pow(n, 0.5)) AS ztemp FROM c),
+              |m AS (SELECT lang, pow(n, 0.5) / ztemp AS p_temp FROM c, z),
+              |r AS (SELECT doc_id, lang,
+              |  CAST(row_number() OVER (PARTITION BY lang
+              |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS r_in_stratum
+              |  FROM documents)
+              |SELECT r.doc_id, r.lang, r.r_in_stratum,
+              |  ${r6("p_temp")} AS p_temp,
+              |  ${r6("(r.r_in_stratum - 0.5) / p_temp")} AS sched_key
+              |FROM r JOIN m USING (lang) ORDER BY r.doc_id""".stripMargin))
   )
 }

@@ -189,4 +189,45 @@ class CurationOpsSpec extends SparkSpec {
       "doc_id", col("w0"), k = 3, scoreOut = graft.queries.Q.dec6)
     assert(z.select("doc_id").as[Long].collect().toSeq == Seq(3L))
   }
+
+  test("mixtureSchedule: every prefix tracks the temperature proportions") {
+    import spark.implicits._
+    // two strata, 900 vs 100 docs; α=0.5 → p_temp = 3/4 vs 1/4
+    val docs = (0L until 1000L).map(i => (i, if (i < 900) "big" else "small"))
+      .toDF("doc_id", "lang")
+    val sched = CorpusOps.mixtureSchedule(docs, "doc_id", "lang", alpha = 0.5,
+        scoreOut = graft.queries.Q.dec6)
+      .orderBy("sched_key", "doc_id")
+      .select("lang").as[String].collect()
+    // until the small stratum exhausts (first ~400 positions), every
+    // prefix must hold ≈25% small-stratum docs
+    for (k <- Seq(40, 100, 200, 396)) {
+      val frac = sched.take(k).count(_ == "small").toDouble / k
+      assert(math.abs(frac - 0.25) < 0.03,
+        s"prefix $k: small fraction $frac, want ~0.25")
+    }
+    // exhaustion is recorded, not hidden: all 100 small docs appear
+    assert(sched.count(_ == "small") == 100)
+  }
+
+  test("ccnetBuckets: tertiles are per-language and ordered by LM score") {
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+    val b = CorpusOps.ccnetBuckets(docs, "doc_id", "lang", "text",
+      graft.queries.Q.dec6)
+    // within every language, min(head score) >= max(tail score)
+    val agg = b.groupBy("lang", "ccnet_bucket")
+      .agg(min("mean_logprob").as("lo"), max("mean_logprob").as("hi"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    agg.keys.map(_._1).toSeq.distinct.foreach { lang =>
+      for (h <- agg.get((lang, "head")); t <- agg.get((lang, "tail")))
+        assert(h._1 >= t._2, s"$lang: head min ${h._1} < tail max ${t._2}")
+    }
+    // tertile sizes within a language differ by at most 1 (ntile contract)
+    val sizes = b.groupBy("lang", "tertile").count().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)))
+    sizes.foreach { case (lang, ns) =>
+      assert(ns.max - ns.min <= 1, s"$lang tertile sizes $ns")
+    }
+  }
 }
