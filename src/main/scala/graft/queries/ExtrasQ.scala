@@ -224,6 +224,53 @@ object ExtrasQ {
       Some(s"""SELECT event_id, user_id,
               |epoch_us(ts) // 60000000 AS minute,
               |${graft.functions.ZOrder.zorderSql("user_id", "epoch_us(ts) // 60000000")} AS zkey
-              |FROM events ORDER BY event_id""".stripMargin))
+              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Cohort retention: users cohort by first-event day; n active users at
+    // each day offset 0..7. The raw log collapses to distinct (user, day)
+    // map-side; count(*) of those rows IS distinct users.
+    "q139_retention_cohorts" -> Q(
+      (s, d) => graft.operators.EventOps.retentionCohorts(
+          Tables.events(s, d), "user_id", "ts", maxOffset = 7)
+        // date → string for the cross-engine compare (q19 precedent: the
+        // gate's column normalizer treats DATE differently per engine)
+        .select(date_format(col("cohort_date"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset"),
+      Some("""WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+             |  FROM events),
+             |coh AS (SELECT u, d, min(d) OVER (PARTITION BY u) AS cohort_date
+             |  FROM ud),
+             |o AS (SELECT cohort_date,
+             |  CAST(d - cohort_date AS INT) AS day_offset FROM coh
+             |  WHERE d - cohort_date <= 7)
+             |SELECT strftime(cohort_date, '%Y-%m-%d') AS cohort_day,
+             |  day_offset, count(*) AS n_users
+             |FROM o GROUP BY cohort_date, day_offset
+             |ORDER BY cohort_day, day_offset""".stripMargin)),
+
+    // Ordered funnel view → click → purchase (each step strictly after the
+    // previous): Spark computes per-user completion with running window
+    // minima in ONE scan; the oracle states the same semantics as stepwise
+    // self-joins (min click after first view, min purchase after that).
+    "q140_event_funnel" -> Q(
+      (s, d) => graft.operators.EventOps.orderedFunnel(
+        Tables.events(s, d), "user_id", "ts", "event_type",
+        steps = ("view", "click", "purchase"), scoreOut = dec6),
+      Some(s"""WITH v AS (SELECT user_id, min(ts) AS v FROM events
+              |  WHERE event_type = 'view' GROUP BY user_id),
+              |c AS (SELECT e.user_id, min(e.ts) AS c FROM events e
+              |  JOIN v ON e.user_id = v.user_id
+              |  WHERE e.event_type = 'click' AND e.ts > v.v GROUP BY e.user_id),
+              |p AS (SELECT e.user_id, min(e.ts) AS p FROM events e
+              |  JOIN c ON e.user_id = c.user_id
+              |  WHERE e.event_type = 'purchase' AND e.ts > c.c GROUP BY e.user_id),
+              |n AS (SELECT (SELECT count(*) FROM v) AS n_step1,
+              |  (SELECT count(*) FROM c) AS n_step2,
+              |  (SELECT count(*) FROM p) AS n_step3)
+              |SELECT n_step1, n_step2, n_step3,
+              |  ${r6("CAST(n_step2 AS DOUBLE) / n_step1")} AS rate_12,
+              |  ${r6("CAST(n_step3 AS DOUBLE) / n_step1")} AS rate_13
+              |FROM n""".stripMargin))
   )
 }
