@@ -78,6 +78,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.HeavyHittersAgg(exprs(0), k)
       }))
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+      def intLit(x: org.apache.spark.sql.catalyst.expressions.Expression,
+                 what: String): Int = x match {
+        case Literal(v: Int, IntegerType) => v
+        case Literal(v: Long, LongType) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"$what must be an integer literal, got $other")
+      }
+      def dblLit(x: org.apache.spark.sql.catalyst.expressions.Expression,
+                 what: String): Double = x match {
+        case Literal(v: Double, DoubleType) => v
+        case other => throw new IllegalArgumentException(
+          s"$what must be a double literal, got $other")
+      }
+      e.injectFunction((
+        new FunctionIdentifier("graft_cms_agg"),
+        new ExpressionInfo(classOf[graft.functions.CountMinAgg].getName, "graft_cms_agg"),
+        exprs => graft.functions.CountMinAgg(exprs(0),
+          intLit(exprs(1), "depth"), intLit(exprs(2), "width"))))
+      e.injectFunction((
+        new FunctionIdentifier("graft_cms_estimate"),
+        new ExpressionInfo(classOf[graft.functions.CmsEstimateLong].getName,
+          "graft_cms_estimate"),
+        exprs => graft.functions.CmsEstimateLong(exprs(0), exprs(1))))
+      e.injectFunction((
+        new FunctionIdentifier("graft_char_entropy"),
+        new ExpressionInfo(classOf[graft.functions.CharEntropyStats].getName,
+          "graft_char_entropy"),
+        exprs => graft.functions.CharEntropyStats(exprs.head)))
+      e.injectFunction((
+        new FunctionIdentifier("graft_hist_agg"),
+        new ExpressionInfo(classOf[graft.functions.HistogramAgg].getName, "graft_hist_agg"),
+        exprs => graft.functions.HistogramAgg(exprs(0),
+          intLit(exprs(1), "bins"), dblLit(exprs(2), "lo"), dblLit(exprs(3), "hi"))))
+      e.injectFunction((
+        new FunctionIdentifier("graft_hist_quantile"),
+        new ExpressionInfo(classOf[graft.functions.HistQuantile].getName,
+          "graft_hist_quantile"),
+        exprs => graft.functions.HistQuantile(exprs(0), exprs(1))))
+    }
     // optimizer rule: size(array_intersect(a, b)) on non-null long arrays
     // never materializes the intersection
     e.injectOptimizerRule(_ => graft.functions.RewriteIntersectSize)

@@ -190,6 +190,11 @@ object VectorFunctions {
       { exprs => CmsEstimateLong(exprs(0), exprs(1)) }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_char_entropy",
       { exprs => CharEntropyStats(exprs.head) }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hist_agg",
+      { exprs => HistogramAgg(exprs(0), longLit(exprs(1), "bins").toInt,
+          doubleLit(exprs(2), "lo"), doubleLit(exprs(3), "hi")) }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hist_quantile",
+      { exprs => HistQuantile(exprs(0), exprs(1)) }, "scala_udf")
   }
 
   private def longLit(e: Expression, what: String): Long = e match {

@@ -34,6 +34,65 @@ object EventOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-day histogram sketches of a measure, rolled up into whole-corpus
+    * quantiles WITHOUT rescanning — the quantile twin of the HLL distinct
+    * rollup (q106): daily (bins + 2)-long counter rows merge by vector
+    * addition (exactly mergeable), so month/corpus percentiles come from
+    * kilobytes of sketch rows instead of a second pass over the raw log.
+    * Estimates are exact to one bin width over the declared [lo, hi)
+    * range (HistogramSketchSpec pins the bound).
+    *
+    * Returns one row per day (day, n, p50) plus a "__all__" row with the
+    * merged-sketch p50/p90/p99. */
+  def histQuantileRollup(events: DataFrame, tsCol: String, valueCol: String,
+                         bins: Int, lo: Double, hi: Double,
+                         scoreOut: Column => Column): DataFrame = {
+    graft.functions.VectorFunctions.register(events.sparkSession)
+    val daily = events
+      .select(date_format(col(tsCol), "yyyy-MM-dd").as("day"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        call_function("graft_hist_agg", col("v"),
+          lit(bins), lit(lo), lit(hi)).as("sk"))
+    val perDay = daily.select(col("day"), col("n"),
+      scoreOut(call_function("graft_hist_quantile", col("sk"), lit(0.5))).as("p50"),
+      lit(null).cast("double").as("p90"),
+      lit(null).cast("double").as("p99"))
+    // corpus row: within one job the global sketch comes from the same
+    // scan's partial buffers; the no-rescan claim is about the STORED
+    // sketch-table workflow, exercised via [[mergeSketches]] in the spec
+    val all = events
+      .select(col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("n"),
+        call_function("graft_hist_agg", col("v"), lit(bins), lit(lo), lit(hi)).as("sk"))
+      .select(lit("__all__").as("day"), col("n"),
+        scoreOut(call_function("graft_hist_quantile", col("sk"), lit(0.5))).as("p50"),
+        scoreOut(call_function("graft_hist_quantile", col("sk"), lit(0.9))).as("p90"),
+        scoreOut(call_function("graft_hist_quantile", col("sk"), lit(0.99))).as("p99"))
+    perDay.unionByName(all)
+  }
+
+  /** Sketch-level merge of serialized histograms — the stored-sketch-table
+    * rollup path (no raw rescan): vector-add the counters of same-shape
+    * sketches. Driver-side utility for bounded sketch sets; the
+    * distributed form is the aggregate itself. */
+  def mergeSketches(sketches: Seq[Array[Byte]]): Array[Byte] = {
+    require(sketches.nonEmpty, "nothing to merge")
+    val bb0 = java.nio.ByteBuffer.wrap(sketches.head)
+    val bins = bb0.getInt; val lo = bb0.getDouble; val hi = bb0.getDouble
+    val acc = new Array[Long](bins + 2)
+    sketches.foreach { s =>
+      val bb = java.nio.ByteBuffer.wrap(s)
+      val b = bb.getInt
+      require(b == bins, s"shape mismatch: $b vs $bins bins")
+      bb.getDouble; bb.getDouble
+      var i = 0
+      while (i < acc.length) { acc(i) += bb.getLong; i += 1 }
+    }
+    graft.functions.HistogramSketch.serialize(bins, lo, hi, acc)
+  }
+
   /** Ordered three-step funnel (step1 → step2 → step3, each strictly
     * after the previous): per-user completion via RUNNING window minima in
     * ONE pass over the log — first_1 = min ts of step1 so far; a step2 row

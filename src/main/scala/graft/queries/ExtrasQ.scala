@@ -271,6 +271,18 @@ object ExtrasQ {
               |SELECT n_step1, n_step2, n_step3,
               |  ${r6("CAST(n_step2 AS DOUBLE) / n_step1")} AS rate_12,
               |  ${r6("CAST(n_step3 AS DOUBLE) / n_step1")} AS rate_13
-              |FROM n""".stripMargin))
+              |FROM n""".stripMargin)),
+
+    // Mergeable histogram quantile rollup: per-day value sketches + the
+    // merged-corpus p50/p90/p99 — the quantile twin of the q106 HLL
+    // rollup. Rows-only: estimates are sketch-resolution-specific;
+    // HistogramSketchSpec pins the one-bin-width error bound, exact
+    // sketch-level merge, and repartition invariance.
+    "q141_hist_quantiles" -> Q(
+      (s, d) => graft.operators.EventOps.histQuantileRollup(
+          Tables.events(s, d), "ts", "value",
+          bins = 1000, lo = 0.0, hi = 500.0, scoreOut = dec6)
+        .orderBy("day"),
+      None)
   )
 }
