@@ -73,6 +73,80 @@ object EventOps {
     perDay.unionByName(all)
   }
 
+  /** Population Stability Index between a reference and a current snapshot
+    * of a measure — the standard production drift monitor for a model
+    * input or scored feature: PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref)
+    * over fixed equal-width bins (industry rule of thumb: < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 shifted). Proportions are Laplace-smoothed
+    * ((n + 0.5)/(N + bins/2)) so an empty bin on one side contributes a
+    * finite, engine-identical term instead of ±∞.
+    *
+    * Each snapshot collapses to `bins + 2` counter rows map-side (under/
+    * overflow are bins of their own — drift OUT of the declared range must
+    * register, not vanish); the join is bin-keyed over those few rows. The
+    * complement of [[graft.operators.CorpusOps.jsDivergence]]: numeric
+    * feature space, not token space.
+    *
+    * Returns one row per bin: (bin, n_ref, n_cur, p_ref, p_cur,
+    * psi_contrib); Σ psi_contrib is the PSI. */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+          bins: Int, lo: Double, hi: Double,
+          scoreOut: Column => Column): DataFrame = {
+    require(bins >= 1, s"bins must be positive, got $bins")
+    def binned(df: DataFrame, n: String): DataFrame = {
+      val v = col(valueCol).cast("double")
+      val b = when(v < lo, lit(-1))
+        .when(v >= hi, lit(bins))
+        .otherwise(least(floor((v - lo) / ((hi - lo) / bins)).cast("int"),
+          lit(bins - 1)))
+      df.select(b.as("bin")).groupBy("bin").agg(count(lit(1)).as(n))
+    }
+    val a = binned(ref, "n_ref")
+    val b = binned(cur, "n_cur")
+    val j = a.join(b, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = j.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+    val half = lit(bins / 2.0)
+    j.crossJoin(broadcast(tot))
+      .withColumn("pr", (col("n_ref") + lit(0.5)) / (col("tr") + half))
+      .withColumn("pc", (col("n_cur") + lit(0.5)) / (col("tc") + half))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        scoreOut(col("pr")).as("p_ref"), scoreOut(col("pc")).as("p_cur"),
+        scoreOut((col("pc") - col("pr")) * log(col("pc") / col("pr")))
+          .as("psi_contrib"))
+  }
+
+  /** Hour-of-day seasonal profile + residual anomalies: per (series,
+    * hour-of-day) mean/σ as the periodic baseline, and the count of
+    * events straying more than `zCut`·σ from their seasonal slot — the
+    * seasonality-aware cousin of the trailing z-score detector (W10),
+    * catching "normal for 3 am, anomalous for noon" cases a global
+    * threshold misses. ONE window pass computes baseline and flags
+    * together (the partition key (series, hour) is the groupBy key, so
+    * Catalyst reuses the exchange for the final aggregate).
+    *
+    * Returns (series, hour, n, mu, sigma, n_anom). */
+  def seasonalProfile(events: DataFrame, seriesCol: String, tsCol: String,
+                      valueCol: String, zCut: Double,
+                      scoreOut: Column => Column): DataFrame = {
+    val w = Window.partitionBy(seriesCol, "hour")
+    events
+      .select(col(seriesCol), hour(col(tsCol)).as("hour"),
+        col(valueCol).cast("double").as("v"))
+      .withColumn("mu", avg("v").over(w))
+      .withColumn("sigma", stddev_pop("v").over(w))
+      .withColumn("anom",
+        (col("sigma") > 0 && abs(col("v") - col("mu")) > lit(zCut) * col("sigma"))
+          .cast("long"))
+      .groupBy(seriesCol, "hour")
+      .agg(count(lit(1)).as("n"),
+        scoreOut(max("mu")).as("mu"),
+        scoreOut(max("sigma")).as("sigma"),
+        sum("anom").as("n_anom"))
+  }
+
   /** Sketch-level merge of serialized histograms — the stored-sketch-table
     * rollup path (no raw rescan): vector-add the counters of same-shape
     * sketches. Driver-side utility for bounded sketch sets; the

@@ -283,6 +283,64 @@ object ExtrasQ {
           Tables.events(s, d), "ts", "value",
           bins = 1000, lo = 0.0, hi = 500.0, scoreOut = dec6)
         .orderBy("day"),
-      None)
+      None),
+
+    // PSI feature-drift monitor: value distribution of the first half of
+    // the month vs the second, 10 fixed bins + under/overflow, Laplace-
+    // smoothed proportions — Σ psi_contrib is the drift score a serving
+    // pipeline alerts on.
+    "q142_psi_drift" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cut = lit("2024-01-16").cast("timestamp")
+        graft.operators.EventOps.psi(
+            ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+            "value", bins = 10, lo = 0.0, hi = 500.0, scoreOut = dec6)
+          .orderBy("bin")
+      },
+      Some(s"""WITH rb AS (SELECT CASE WHEN CAST(value AS DOUBLE) < 0.0 THEN -1
+              |    WHEN CAST(value AS DOUBLE) >= 500.0 THEN 10
+              |    ELSE least(CAST(floor(CAST(value AS DOUBLE) / 50.0) AS INT), 9) END AS bin
+              |  FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+              |cb AS (SELECT CASE WHEN CAST(value AS DOUBLE) < 0.0 THEN -1
+              |    WHEN CAST(value AS DOUBLE) >= 500.0 THEN 10
+              |    ELSE least(CAST(floor(CAST(value AS DOUBLE) / 50.0) AS INT), 9) END AS bin
+              |  FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+              |ra AS (SELECT bin, count(*) AS n_ref FROM rb GROUP BY bin),
+              |ca AS (SELECT bin, count(*) AS n_cur FROM cb GROUP BY bin),
+              |j AS (SELECT coalesce(ra.bin, ca.bin) AS bin,
+              |  coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+              |  FROM ra FULL OUTER JOIN ca ON ra.bin = ca.bin),
+              |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j),
+              |p AS (SELECT bin, n_ref, n_cur,
+              |  (n_ref + 0.5) / (tr + 5.0) AS pr,
+              |  (n_cur + 0.5) / (tc + 5.0) AS pc FROM j, t)
+              |SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+              |  CAST(n_cur AS BIGINT) AS n_cur,
+              |  ${r6("pr")} AS p_ref, ${r6("pc")} AS p_cur,
+              |  ${r6("(pc - pr) * ln(pc / pr)")} AS psi_contrib
+              |FROM p ORDER BY bin""".stripMargin)),
+
+    // Hour-of-day seasonal profile + residual anomaly counts per event
+    // type: "normal for 3 am, anomalous for noon" — the seasonality-aware
+    // complement of the trailing z-score detector.
+    "q143_seasonal_profile" -> Q(
+      (s, d) => graft.operators.EventOps.seasonalProfile(
+          Tables.events(s, d), "event_type", "ts", "value",
+          zCut = 3.0, scoreOut = dec6)
+        .orderBy("event_type", "hour"),
+      Some(s"""WITH x AS (SELECT event_type,
+              |  CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+              |  CAST(value AS DOUBLE) AS v FROM events),
+              |wv AS (SELECT event_type, hour, v,
+              |  avg(v) OVER (PARTITION BY event_type, hour) AS mu,
+              |  stddev_pop(v) OVER (PARTITION BY event_type, hour) AS sigma
+              |  FROM x)
+              |SELECT event_type, hour, count(*) AS n,
+              |  ${r6("max(mu)")} AS mu, ${r6("max(sigma)")} AS sigma,
+              |  CAST(sum(CASE WHEN sigma > 0 AND abs(v - mu) > 3.0 * sigma
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+              |FROM wv GROUP BY event_type, hour
+              |ORDER BY event_type, hour""".stripMargin))
   )
 }
