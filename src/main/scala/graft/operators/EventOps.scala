@@ -147,6 +147,79 @@ object EventOps {
         sum("anom").as("n_anom"))
   }
 
+  /** One-sided CUSUM changepoint detection per series (Page 1954): the
+    * classic upward-shift alarm C_t = max(0, C_{t−1} + x_t − k), alarmed
+    * when C_t > h. The recursion LOOKS sequential, but the standard
+    * identity C_t = S_t − min(0, min_{j≤t} S_j) over the drift-adjusted
+    * prefix sum S_t = Σ(x_i − k) turns it into two plain running windows
+    * (sum + min) — fully distributed, no recursive state, no arrays, no
+    * UDAF. Window order is (ts, tiebreak) so the fold order — and hence
+    * the float sum — is engine-identical.
+    *
+    * Returns per series: (series, n, max_cusum, n_alarms). */
+  def cusum(events: DataFrame, seriesCol: String, tsCol: String,
+            tiebreakCol: String, valueCol: String, k: Double, h: Double,
+            scoreOut: Column => Column): DataFrame = {
+    val w = Window.partitionBy(seriesCol).orderBy(col(tsCol), col(tiebreakCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(seriesCol), col(tsCol), col(tiebreakCol),
+        col(valueCol).cast("double").as("v"))
+      .withColumn("s", sum(col("v") - lit(k)).over(w))
+      .withColumn("c", col("s") - least(min("s").over(w), lit(0.0)))
+      .groupBy(seriesCol)
+      .agg(count(lit(1)).as("n"),
+        scoreOut(max("c")).as("max_cusum"),
+        sum((col("c") > h).cast("long")).as("n_alarms"))
+  }
+
+  /** SCD2 (type-2 slowly-changing-dimension) interval build from an event
+    * log: collapse consecutive duplicate states per key, then stamp each
+    * surviving state with [valid_from, valid_to) from the next change —
+    * the warehouse primitive that turns an append-only log into an
+    * as-of-queryable dimension. Two window passes over the SAME (key,
+    * ts-order) sort — one exchange, reused. Timestamps are emitted as
+    * epoch micros (engine-portable integers).
+    *
+    * Returns (key, state, valid_from_us, valid_to_us, is_current). */
+  def scd2Build(events: DataFrame, keyCol: String, tsCol: String,
+                tiebreakCol: String, stateCol: String): DataFrame = {
+    val ord = Window.partitionBy(keyCol).orderBy(col("ts_us"), col("__tb"))
+    val changes = events
+      .select(col(keyCol), col(stateCol).as("state"),
+        unix_micros(col(tsCol)).as("ts_us"), col(tiebreakCol).as("__tb"))
+      .withColumn("prev_state", lag("state", 1).over(ord))
+      .filter(col("prev_state").isNull || col("state") =!= col("prev_state"))
+    val ord2 = Window.partitionBy(keyCol).orderBy(col("ts_us"), col("__tb"))
+    changes
+      .withColumn("valid_to_us", lead("ts_us", 1).over(ord2))
+      .select(col(keyCol), col("state"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.cast("int").as("is_current"))
+  }
+
+  /** First-order Markov transition matrix of the event-type sequence per
+    * key: P(next | current) from lead pairs — the sequence-model summary
+    * (bot detection, UX-flow analysis) that is to event streams what the
+    * bigram LM is to text. One window pass + one pair-keyed aggregate;
+    * the per-current normalizer is a window over the tiny pair table.
+    *
+    * Returns (cur_state, next_state, n, p). */
+  def markovTransitions(events: DataFrame, keyCol: String, tsCol: String,
+                        tiebreakCol: String, stateCol: String,
+                        scoreOut: Column => Column): DataFrame = {
+    val ord = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tiebreakCol))
+    val pairs = events
+      .select(col(keyCol), col(stateCol).as("cur_state"),
+        col(tsCol), col(tiebreakCol))
+      .withColumn("next_state", lead("cur_state", 1).over(ord))
+      .filter(col("next_state").isNotNull)
+      .groupBy("cur_state", "next_state")
+      .agg(count(lit(1)).as("n"))
+    val norm = Window.partitionBy("cur_state")
+    pairs.withColumn("p", scoreOut(col("n").cast("double") / sum("n").over(norm)))
+  }
+
   /** Sketch-level merge of serialized histograms — the stored-sketch-table
     * rollup path (no raw rescan): vector-add the counters of same-shape
     * sketches. Driver-side utility for bounded sketch sets; the

@@ -341,6 +341,66 @@ object ExtrasQ {
               |  CAST(sum(CASE WHEN sigma > 0 AND abs(v - mu) > 3.0 * sigma
               |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
               |FROM wv GROUP BY event_type, hour
-              |ORDER BY event_type, hour""".stripMargin))
+              |ORDER BY event_type, hour""".stripMargin)),
+
+    // One-sided CUSUM changepoint alarms per event type (k=50 drift
+    // allowance, h=500 alarm threshold) — the recursion is rewritten as
+    // prefix-sum minus running-min, so both engines fold the identical
+    // window arithmetic in the identical (ts, event_id) order.
+    "q144_cusum" -> Q(
+      (s, d) => graft.operators.EventOps.cusum(
+          Tables.events(s, d), "event_type", "ts", "event_id", "value",
+          k = 50.0, h = 500.0, scoreOut = dec6)
+        .orderBy("event_type"),
+      Some(s"""WITH x AS (SELECT event_type, ts, event_id,
+              |  CAST(value AS DOUBLE) AS v FROM events),
+              |wv AS (SELECT event_type, ts, event_id,
+              |  sum(v - 50.0) OVER (PARTITION BY event_type
+              |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS s FROM x),
+              |c AS (SELECT event_type,
+              |  s - least(min(s) OVER (PARTITION BY event_type
+              |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 0.0) AS c
+              |  FROM wv)
+              |SELECT event_type, count(*) AS n,
+              |  ${r6("max(c)")} AS max_cusum,
+              |  CAST(sum(CASE WHEN c > 500.0 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_alarms
+              |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // SCD2 dimension build: consecutive duplicate states collapse, each
+    // survivor gets [valid_from, valid_to) from the next change — epoch-
+    // micros integers keep the interval end engine-portable.
+    "q145_scd2_intervals" -> Q(
+      (s, d) => graft.operators.EventOps.scd2Build(
+          Tables.events(s, d), "user_id", "ts", "event_id", "event_type")
+        .orderBy("user_id", "valid_from_us"),
+      Some("""WITH x AS (SELECT user_id, event_type AS state,
+             |  epoch_us(ts) AS ts_us, event_id,
+             |  lag(event_type) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) AS prev_state FROM events),
+             |ch AS (SELECT user_id, state, ts_us, event_id FROM x
+             |  WHERE prev_state IS NULL OR state <> prev_state),
+             |f AS (SELECT user_id, state, ts_us AS valid_from_us,
+             |  lead(ts_us) OVER (PARTITION BY user_id
+             |    ORDER BY ts_us, event_id) AS valid_to_us FROM ch)
+             |SELECT user_id, state, valid_from_us, valid_to_us,
+             |  CAST(valid_to_us IS NULL AS INT) AS is_current
+             |FROM f ORDER BY user_id, valid_from_us""".stripMargin)),
+
+    // First-order Markov transition matrix of per-user event sequences —
+    // the bigram LM of event streams.
+    "q146_markov_transitions" -> Q(
+      (s, d) => graft.operators.EventOps.markovTransitions(
+          Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+          scoreOut = dec6)
+        .orderBy("cur_state", "next_state"),
+      Some(s"""WITH x AS (SELECT event_type AS cur_state,
+              |  lead(event_type) OVER (PARTITION BY user_id
+              |    ORDER BY ts, event_id) AS next_state FROM events),
+              |p AS (SELECT cur_state, next_state, count(*) AS n FROM x
+              |  WHERE next_state IS NOT NULL GROUP BY cur_state, next_state)
+              |SELECT cur_state, next_state, n,
+              |  ${r6("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur_state)")} AS p
+              |FROM p ORDER BY cur_state, next_state""".stripMargin))
   )
 }
