@@ -826,6 +826,21 @@ object CorpusOps {
       .withColumn("keep", (col("pct_rank") >= keepFrom).cast("int"))
   }
 
+  /** k-anonymity audit over a quasi-identifier combination: any group of
+    * rows sharing the full quasi-identifier tuple with fewer than k
+    * members is re-identifiable and must be suppressed or generalized —
+    * the release-side governance check that complements content-level PII
+    * redaction (q99). One map-side-combinable aggregate on the quasi
+    * columns; the corpus rows never move.
+    *
+    * Returns one row per group: (quasi…, n, violates). */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, s"need quasi columns and k >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("violates", (col("n") < k).cast("int"))
+  }
+
   /** CCNet-style LM-quality buckets (Wenzek et al., LREC'20): rank every
     * document by corpus-LM mean log-probability WITHIN its language and
     * cut the distribution into head/middle/tail thirds — the per-language

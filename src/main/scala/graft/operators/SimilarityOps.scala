@@ -739,6 +739,50 @@ object SimilarityOps {
         col("cos_sim"), col("rank"))
   }
 
+  /** Triplet dataset construction for contrastive training: per anchor,
+    * the hardest POSITIVE (same label, most similar, excluding self) and
+    * the hardest NEGATIVE (different label, most similar) — the (anchor,
+    * pos, neg) rows a triplet/InfoNCE loss consumes, with the margin
+    * recorded so curriculum filtering (keep only margin < m "hard"
+    * triplets) is a plain filter downstream. Same bounded-anchor /
+    * one-scan contract as [[hardNegatives]]: both candidate scans ride the
+    * SAME broadcast of the anchor rows.
+    *
+    * Returns (query_id, pos_id, pos_sim, neg_id, neg_sim, margin). */
+  def tripletMine(emb: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, queryIds: Seq[Long],
+                  scoreOut: Column => Column): DataFrame = {
+    require(queryIds.nonEmpty && queryIds.size <= 1024,
+      s"anchor set must be bounded: got ${queryIds.size}")
+    VectorFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol), col(labelCol).as("lbl"),
+      toDouble(col(vecCol)).as("v"))
+    val q = e.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col("lbl").as("qlbl"),
+        col("v").as("qv"), normFast(col("v")).as("qn"))
+    val na = normFast(col("v"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos_sim", scoreOut(
+        when(na > 0 && col("qn") > 0, dotFast(col("v"), col("qv")) / (na * col("qn")))
+          .otherwise(lit(0.0))))
+    val w = Window.partitionBy("query_id", "side")
+      .orderBy(col("cos_sim").desc, col(idCol))
+    scored
+      .withColumn("side", when(col("lbl") === col("qlbl"), "pos").otherwise("neg"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy("query_id")
+      .agg(
+        max(when(col("side") === "pos", col(idCol))).as("pos_id"),
+        max(when(col("side") === "pos", col("cos_sim"))).as("pos_sim"),
+        max(when(col("side") === "neg", col(idCol))).as("neg_id"),
+        max(when(col("side") === "neg", col("cos_sim"))).as("neg_sim"))
+      .select(col("query_id"), col("pos_id"), col("pos_sim"),
+        col("neg_id"), col("neg_sim"),
+        scoreOut(col("pos_sim") - col("neg_sim")).as("margin"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N retrieval
     * rankings — the standard hybrid-search combiner (BM25 ⊕ dense ANN):
     * score(d) = Σ_lists 1/(c + rank_list(d)), requiring no score

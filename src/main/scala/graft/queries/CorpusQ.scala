@@ -1247,6 +1247,54 @@ object CorpusQ {
               |SELECT r.doc_id, r.lang, r.r_in_stratum,
               |  ${r6("p_temp")} AS p_temp,
               |  ${r6("(r.r_in_stratum - 0.5) / p_temp")} AS sched_key
-              |FROM r JOIN m USING (lang) ORDER BY r.doc_id""".stripMargin))
+              |FROM r JOIN m USING (lang) ORDER BY r.doc_id""".stripMargin)),
+
+    // Triplet mining for contrastive training: per anchor the hardest
+    // same-label positive and hardest different-label negative, with the
+    // margin for curriculum filtering — ranks on the rounded similarity,
+    // id tiebreaks, so both engines pick identical triplets.
+    "q147_triplet_mine" -> Q(
+      (s, d) => SimilarityOps.tripletMine(Tables.embeddings(s, d), "vec_id",
+          "embedding", "label", queryIds = Seq(0L, 7L, 21L), scoreOut = dec6)
+        .orderBy("query_id"),
+      Some(s"""WITH e AS (SELECT vec_id, label,
+              |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, label AS qlbl, v AS qv FROM e
+              |  WHERE vec_id IN (0, 7, 21)),
+              |x AS (SELECT q.query_id, e.vec_id,
+              |  CASE WHEN e.label = q.qlbl THEN 'pos' ELSE 'neg' END AS side,
+              |  ${r6("""CASE WHEN
+              |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, y -> y * y)), (acc, y) -> acc + y)) > 0
+              |    AND sqrt(list_reduce(list_prepend(0.0, list_transform(qv, y -> y * y)), (acc, y) -> acc + y)) > 0
+              |  THEN list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(v)),
+              |      i -> v[i] * qv[i])), (acc, y) -> acc + y)
+              |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(v, y -> y * y)), (acc, y) -> acc + y))
+              |     * sqrt(list_reduce(list_prepend(0.0, list_transform(qv, y -> y * y)), (acc, y) -> acc + y)))
+              |  ELSE 0.0 END""")} AS cos_sim
+              |  FROM e, q WHERE e.vec_id <> q.query_id),
+              |r AS (SELECT query_id, vec_id, side, cos_sim,
+              |  row_number() OVER (PARTITION BY query_id, side
+              |    ORDER BY cos_sim DESC, vec_id) AS rk FROM x),
+              |top AS (SELECT query_id,
+              |  max(CASE WHEN side = 'pos' THEN vec_id END) AS pos_id,
+              |  max(CASE WHEN side = 'pos' THEN cos_sim END) AS pos_sim,
+              |  max(CASE WHEN side = 'neg' THEN vec_id END) AS neg_id,
+              |  max(CASE WHEN side = 'neg' THEN cos_sim END) AS neg_sim
+              |  FROM r WHERE rk = 1 GROUP BY query_id)
+              |SELECT query_id, pos_id, pos_sim, neg_id, neg_sim,
+              |  ${r6("pos_sim - neg_sim")} AS margin
+              |FROM top ORDER BY query_id""".stripMargin)),
+
+    // k-anonymity audit on the (lang, source) quasi-identifier pair:
+    // groups under k=5 members are re-identifiable — the release-side
+    // governance check beside content-level PII redaction.
+    "q148_k_anonymity" -> Q(
+      (s, d) => CorpusOps.kAnonymity(Tables.documents(s, d),
+          Seq("lang", "source"), k = 5)
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, count(*) AS n,
+             |  CAST(count(*) < 5 AS INT) AS violates
+             |FROM documents GROUP BY lang, source
+             |ORDER BY lang, source""".stripMargin))
   )
 }
