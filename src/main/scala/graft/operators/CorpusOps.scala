@@ -826,6 +826,106 @@ object CorpusOps {
       .withColumn("keep", (col("pct_rank") >= keepFrom).cast("int"))
   }
 
+  /** Maximal duplicated-span runs per document — the span-level form of
+    * the cross-doc duplicated n-gram statistic (q112), matching the
+    * exact-substring-dedup semantics of Lee et al. '22: consecutive
+    * duplicated n-gram POSITIONS merge into runs (gaps-and-islands on
+    * position − rank), and a run of `r` grams covers r + n − 1 tokens —
+    * the excisable span. Shuffle keys are 8-byte gram hashes and (doc,
+    * position) pairs; text never rides a join.
+    *
+    * Returns (id, n_dup_pos, n_runs, max_run_grams, max_span_tokens). */
+  def dupSpanRuns(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 8): DataFrame = {
+    val pos = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), posexplode_outer(TextOps.hashedShingleSeq(col("__t"), n)))
+      .toDF(idCol, "pos", "h")
+      .filter(col("h").isNotNull)
+    val df = pos.select(col(idCol), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val dup = pos.join(df.filter(col("df") >= 2).select("h"), Seq("h"))
+      .select(col(idCol), col("pos"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val runs = dup
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(idCol)
+      .agg(sum("run").as("n_dup_pos"),
+        count(lit(1)).as("n_runs"),
+        max("run").as("max_run_grams"))
+    docs.select(col(idCol))
+      .join(runs, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("max_run_grams"), lit(0L)).as("max_run_grams"),
+        when(col("max_run_grams").isNull, 0L)
+          .otherwise(col("max_run_grams") + lit(n - 1)).as("max_span_tokens"))
+  }
+
+  /** SCD1 changeset application (MERGE/upsert): one full-outer join of the
+    * base snapshot against a changeset on the id — change rows win,
+    * tombstones delete, untouched base rows carry forward — with the op
+    * audit (`insert`/`update`/`delete`/`keep`) attached so the write is
+    * its own reconciliation report. The snapshot twin of [[snapshotDiff]]:
+    * diff derives a changeset, this applies one. Join carries (id,
+    * payload) only; at scale the base side is the bucketed table and the
+    * changeset is the small side.
+    *
+    * Returns surviving rows (id, value, op) — delete ops are REPORTED as
+    * rows with a null value (callers filter `op != 'delete'` for the pure
+    * snapshot; keeping them makes the audit complete). */
+  def applyChangeset(base: DataFrame, changes: DataFrame, idCol: String,
+                     valueCol: String, deleteCol: String): DataFrame = {
+    val b = base.select(col(idCol), col(valueCol).as("__bv"))
+    val c = changes.select(col(idCol), col(valueCol).as("__cv"),
+      col(deleteCol).cast("boolean").as("__del"))
+    b.join(c, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__del"), lit(null).cast("string"))
+          .when(col("__cv").isNotNull, col("__cv"))
+          .otherwise(col("__bv")).as(valueCol),
+        when(col("__del") && col("__bv").isNotNull, "delete")
+          .when(col("__del"), "delete_missing")
+          .when(col("__cv").isNotNull && col("__bv").isNull, "insert")
+          .when(col("__cv").isNotNull && col("__cv") =!= col("__bv"), "update")
+          .when(col("__cv").isNotNull, "noop_update")
+          .otherwise("keep").as("op"))
+  }
+
+  /** T5-style span corruption (Raffel et al., JMLR'20 §3.1.4 simplified to
+    * per-position masking): each token position is masked by a
+    * DETERMINISTIC hash draw (first md5 hex digit of "id_pos" below
+    * `maskOf16`), masked tokens are replaced by a sentinel in the input
+    * and collected as the target — denoising pairs that are reproducible
+    * across runs, engines and retries, the same content-stable-draw
+    * discipline as [[stratifiedSample]]. Pure row-local array algebra:
+    * zero shuffles.
+    *
+    * Returns (id, n_tokens, n_masked, corrupted_md5, target_md5) — string
+    * payloads travel as fingerprints, not text. */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+                  maskOf16: Int = 2, sentinel: String = "<X>"): DataFrame = {
+    require(maskOf16 >= 0 && maskOf16 <= 16, s"maskOf16 in [0,16], got $maskOf16")
+    val toks = TextOps.tokens(col(textCol))
+    val digit = (i: Column) => conv(substring(
+      md5(concat_ws("_", col(idCol).cast("string"), i.cast("string")).cast("binary")),
+      1, 1), 16, 10).cast("int")
+    val masked = transform(toks, (_, i) => digit(i) < maskOf16)
+    docs.select(col(idCol), toks.as("__t"), masked.as("__m"))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        size(filter(col("__m"), m => m)).cast("long").as("n_masked"),
+        md5(concat_ws(" ", zip_with(col("__t"), col("__m"),
+          (t, m) => when(m, lit(sentinel)).otherwise(t))).cast("binary"))
+          .as("corrupted_md5"),
+        md5(concat_ws(" ", filter(zip_with(col("__t"), col("__m"),
+            (t, m) => when(m, t)), x => x.isNotNull)).cast("binary"))
+          .as("target_md5"))
+  }
+
   /** k-anonymity audit over a quasi-identifier combination: any group of
     * rows sharing the full quasi-identifier tuple with fewer than k
     * members is re-identifiable and must be suppressed or generalized —

@@ -1295,6 +1295,113 @@ object CorpusQ {
       Some("""SELECT lang, source, count(*) AS n,
              |  CAST(count(*) < 5 AS INT) AS violates
              |FROM documents GROUP BY lang, source
-             |ORDER BY lang, source""".stripMargin))
+             |ORDER BY lang, source""".stripMargin)),
+
+    // Maximal duplicated-span runs (Lee '22 exact-substring semantics):
+    // consecutive duplicated 8-gram positions merge into runs; a run of r
+    // grams covers r+7 tokens — the excisable span length.
+    "q149_dup_span_runs" -> Q(
+      (s, d) => CorpusOps.dupSpanRuns(Tables.documents(s, d), "doc_id", "text",
+          n = 8)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents),
+             |pos AS (SELECT doc_id, u.i AS pos,
+             |  concat_ws(' ', t[u.i], t[u.i+1], t[u.i+2], t[u.i+3],
+             |                 t[u.i+4], t[u.i+5], t[u.i+6], t[u.i+7]) AS g
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+             |    greatest(len(t) - 7, 0))) AS i) u),
+             |gdf AS (SELECT g, count(DISTINCT doc_id) AS df FROM pos GROUP BY g),
+             |dup AS (SELECT doc_id, pos FROM pos JOIN gdf USING (g) WHERE df >= 2),
+             |isl AS (SELECT doc_id, pos,
+             |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             |  FROM dup),
+             |runs AS (SELECT doc_id, grp, count(*) AS run FROM isl
+             |  GROUP BY doc_id, grp),
+             |per AS (SELECT doc_id, sum(run) AS n_dup_pos, count(*) AS n_runs,
+             |  max(run) AS max_run FROM runs GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+             |  CAST(coalesce(n_runs, 0) AS BIGINT) AS n_runs,
+             |  CAST(coalesce(max_run, 0) AS BIGINT) AS max_run_grams,
+             |  CAST(CASE WHEN max_run IS NULL THEN 0 ELSE max_run + 7 END AS BIGINT)
+             |    AS max_span_tokens
+             |FROM documents d LEFT JOIN per USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // SCD1 MERGE: apply a deterministic changeset (updates on id%10,
+    // tombstones on id%37, inserts at id+100000 for id%97) to the document
+    // snapshot in ONE full-outer join, with the op audit attached.
+    "q150_upsert_apply" -> Q(
+      (s, d) => {
+        val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val upd = Tables.documents(s, d)
+          .filter(col("doc_id") % 10 === 0 && col("doc_id") % 37 =!= 0)
+          .select(col("doc_id"), concat(lit("U_"), col("doc_id")).as("text"),
+            lit(false).as("del"))
+        val ins = Tables.documents(s, d)
+          .filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit("N_"), col("doc_id")).as("text"), lit(false).as("del"))
+        val del = Tables.documents(s, d)
+          .filter(col("doc_id") % 37 === 0)
+          .select(col("doc_id"), lit(null).cast("string").as("text"),
+            lit(true).as("del"))
+        val changes = upd.unionByName(ins).unionByName(del)
+        CorpusOps.applyChangeset(base, changes, "doc_id", "text", "del")
+          .select(col("doc_id"), md5(coalesce(col("text"), lit("")).cast("binary"))
+            .as("text_md5"), col("op"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             |upd AS (SELECT doc_id, 'U_' || CAST(doc_id AS VARCHAR) AS text,
+             |  false AS del FROM documents WHERE doc_id % 10 = 0 AND doc_id % 37 <> 0),
+             |ins AS (SELECT doc_id + 100000 AS doc_id,
+             |  'N_' || CAST(doc_id AS VARCHAR) AS text, false AS del
+             |  FROM documents WHERE doc_id % 97 = 0),
+             |del AS (SELECT doc_id, CAST(NULL AS VARCHAR) AS text, true AS del
+             |  FROM documents WHERE doc_id % 37 = 0),
+             |ch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins
+             |  UNION ALL SELECT * FROM del),
+             |j AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             |  b.text AS bv, c.text AS cv, c.del AS del,
+             |  b.doc_id IS NOT NULL AS in_base, c.doc_id IS NOT NULL AS in_ch
+             |  FROM base b FULL OUTER JOIN ch c ON b.doc_id = c.doc_id)
+             |SELECT doc_id,
+             |  md5(coalesce(CASE WHEN del THEN NULL
+             |    WHEN cv IS NOT NULL THEN cv ELSE bv END, '')) AS text_md5,
+             |  CASE WHEN del AND bv IS NOT NULL THEN 'delete'
+             |    WHEN del THEN 'delete_missing'
+             |    WHEN cv IS NOT NULL AND bv IS NULL THEN 'insert'
+             |    WHEN cv IS NOT NULL AND cv <> bv THEN 'update'
+             |    WHEN cv IS NOT NULL THEN 'noop_update'
+             |    ELSE 'keep' END AS op
+             |FROM j ORDER BY doc_id""".stripMargin)),
+
+    // T5-style span corruption: deterministic hash-drawn token masking
+    // (first md5 hex digit of "id_pos" < 2 → 12.5% rate), sentinel input +
+    // collected target, emitted as fingerprints. Pure row-local algebra —
+    // both engines derive the identical mask set.
+    "q151_span_corruption" -> Q(
+      (s, d) => CorpusOps.spanCorrupt(Tables.documents(s, d), "doc_id", "text",
+          maskOf16 = 2)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents),
+             |m AS (SELECT doc_id, t,
+             |  list_transform(generate_series(1, len(t)), i ->
+             |    strpos('0123456789abcdef', substring(md5(
+             |      CAST(doc_id AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 1))
+             |      - 1 < 2) AS mk
+             |  FROM toks)
+             |SELECT doc_id,
+             |  CAST(len(t) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_filter(mk, x -> x)) AS BIGINT) AS n_masked,
+             |  md5(array_to_string(list_transform(generate_series(1, len(t)),
+             |    i -> CASE WHEN mk[i] THEN '<X>' ELSE t[i] END), ' ')) AS corrupted_md5,
+             |  md5(coalesce(array_to_string(list_filter(list_transform(
+             |    generate_series(1, len(t)), i -> CASE WHEN mk[i] THEN t[i] END),
+             |    x -> x IS NOT NULL), ' '), '')) AS target_md5
+             |FROM m ORDER BY doc_id""".stripMargin))
   )
 }
