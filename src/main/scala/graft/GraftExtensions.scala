@@ -115,6 +115,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs => graft.functions.HistogramAgg(exprs(0),
           intLit(exprs(1), "bins"), dblLit(exprs(2), "lo"), dblLit(exprs(3), "hi"))))
       e.injectFunction((
+        new FunctionIdentifier("graft_token_count"),
+        new ExpressionInfo(classOf[graft.functions.TokenCountExpr].getName,
+          "graft_token_count"),
+        exprs => graft.functions.TokenCountExpr(exprs.head)))
+      e.injectFunction((
         new FunctionIdentifier("graft_hist_quantile"),
         new ExpressionInfo(classOf[graft.functions.HistQuantile].getName,
           "graft_hist_quantile"),

@@ -195,6 +195,8 @@ object VectorFunctions {
           doubleLit(exprs(2), "lo"), doubleLit(exprs(3), "hi")) }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_hist_quantile",
       { exprs => HistQuantile(exprs(0), exprs(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_token_count",
+      { exprs => TokenCountExpr(exprs.head) }, "scala_udf")
   }
 
   private def longLit(e: Expression, what: String): Long = e match {

@@ -733,6 +733,7 @@ object CorpusOps {
   def weightedSample(docs: DataFrame, idCol: String, weight: Column, k: Int,
                      scoreOut: Column => Column): DataFrame = {
     require(k > 0, s"sample size must be positive, got $k")
+    graft.functions.VectorFunctions.register(docs.sparkSession)
     val h = pmod(col(idCol).cast("long") * lit(2654435761L), lit(2147483647L))
     val u = (h + lit(1.0)) / lit(2147483648.0)
     val keyed = docs

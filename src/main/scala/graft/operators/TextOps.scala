@@ -55,6 +55,14 @@ object TextOps {
   /** Token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Allocation-free native token count ([[graft.functions.TokenCount]]),
+    * bit-compatible with [[tokenCount]] (PropertySpec fuzzes the
+    * identity). Callers must have run `VectorFunctions.register`. For
+    * consumers that need ONLY the count (weights, packing budgets), this
+    * skips materializing one UTF8String per token. */
+  def tokenCountFast(c: Column): Column =
+    call_function("graft_token_count", c)
+
   /** Count of tokens contained in a fixed marker set (stopwords / language
     * markers). */
   def markerCount(toks: Column, markers: Seq[String]): Column =

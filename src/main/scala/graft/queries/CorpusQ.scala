@@ -392,12 +392,13 @@ object CorpusQ {
     // (id-sorted) doc lengths, a metadata-sized frame, not the corpus text.
     "q96_seq_packing" -> Q(
       (s, d) => {
+        graft.functions.VectorFunctions.register(s)
         val budget = 512
         val w = org.apache.spark.sql.expressions.Window
           .orderBy("doc_id").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
         Tables.documents(s, d)
           .select(col("doc_id"),
-            size(graft.operators.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+            graft.operators.TextOps.tokenCountFast(col("text")).cast("long").as("n_tokens"))
           .withColumn("cum_tokens", sum("n_tokens").over(w))
           .withColumn("bin", floor((col("cum_tokens") - col("n_tokens")) / budget.toDouble).cast("long"))
           .orderBy("doc_id")
@@ -1028,7 +1029,7 @@ object CorpusQ {
     // its size) is bit-identical.
     "q132_weighted_sample" -> Q(
       (s, d) => CorpusOps.weightedSample(Tables.documents(s, d), "doc_id",
-          weight = size(graft.operators.TextOps.tokens(col("text"))), k = 25,
+          weight = graft.operators.TextOps.tokenCountFast(col("text")), k = 25,
           scoreOut = dec6)
         .orderBy("rank"),
       Some(s"""WITH t AS (SELECT doc_id,

@@ -184,4 +184,24 @@ class PropertySpec extends SparkSpec {
         assert(su == merged)
     }
   }
+
+  test("property: native token count == size(split(trim(s), \\s+)) on adversarial strings") {
+    graft.functions.VectorFunctions.register(spark)
+    // strings over a whitespace-heavy alphabet, plus the documented edges
+    val wsAlphabet = Gen.listOf(Gen.oneOf(' ', ' ', 'a', 'b', '\t', '\n',
+      '', '\f', '\r', 'x')).map(_.mkString)
+    val edges = Seq("", " ", "  ", "\t", "a", " a ", "\ta b\n", "a  b",
+      "\n\n", " \t ", "a\tb\nc")
+    forAll(wsAlphabet, n = 20) { s0 =>
+      val strs = (edges :+ s0).zipWithIndex.map { case (t, i) => (i, t) }
+      val df = strs.toDF("id", "s")
+      val bad = df.select(
+          size(split(trim($"s"), "\\s+")).as("hof"),
+          call_function("graft_token_count", $"s").as("nat"),
+          $"s")
+        .filter($"hof" =!= $"nat").collect()
+      assert(bad.isEmpty,
+        s"mismatch on ${bad.map(r => (r.getString(2), r.getInt(0), r.getInt(1))).mkString(",")}")
+    }
+  }
 }
