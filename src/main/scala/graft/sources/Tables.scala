@@ -72,6 +72,26 @@ object Tables {
     }
   }
 
+  /** Normalize integral id-like columns to LongType regardless of the
+    * physical width the generator happened to write (int32 vs int64) —
+    * the same survive-the-upstream-migration contract as the events `ts`
+    * loader, generalized after round 5's layout break. Typed driver-side
+    * consumers (`getLong`, `Seq[Long]` filters) must not depend on the
+    * parquet footer's integer width; the driver's DuckDB compare already
+    * canonicalizes integer widths, so the cast is gate-neutral. Non-
+    * integral or missing columns pass through untouched. */
+  private def widenIds(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    cols.foldLeft(df) { (d, c) =>
+      d.schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(ByteType | ShortType | IntegerType) =>
+          d.withColumn(c, col(c).cast(LongType))
+        case _ => d
+      }
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
@@ -79,7 +99,10 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = eventsRaw(s, d)
-  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+  def events(s: SparkSession, d: String): DataFrame     =
+    widenIds(eventsRaw(s, d), Seq("event_id", "user_id"))
+  def documents(s: SparkSession, d: String): DataFrame  =
+    widenIds(apply(s, d, "documents"), Seq("doc_id", "n_chars"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    widenIds(apply(s, d, "embeddings"), Seq("vec_id"))
 }
