@@ -220,6 +220,37 @@ object EventOps {
     pairs.withColumn("p", scoreOut(col("n").cast("double") / sum("n").over(norm)))
   }
 
+  /** Incremental rollup maintenance: merge a new batch's partial aggregate
+    * into a stored rollup WITHOUT rescanning history — the materialized-
+    * view update rule for the decomposable aggregates (sum, count, min,
+    * max; avg derives as sum/count at read time). One full-outer join on
+    * the rollup keys over two ROLLUP-sized tables; the raw history is
+    * never touched, which at 100 TB is the whole point (the batch is a
+    * day, the rollup is a year). Exactness pinned in the q152 gate:
+    * merged(old, delta) ≡ recompute(all).
+    *
+    * Inputs carry (keys…, n, sum_v, min_v, max_v); same schema out. */
+  def mergeRollup(old: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val o = old.select((keys.map(col) :+ col("n").as("n_o") :+ col("sum_v").as("s_o")
+      :+ col("min_v").as("mn_o") :+ col("max_v").as("mx_o")): _*)
+    val d = delta.select((keys.map(col) :+ col("n").as("n_d") :+ col("sum_v").as("s_d")
+      :+ col("min_v").as("mn_d") :+ col("max_v").as("mx_d")): _*)
+    o.join(d, keys, "full_outer")
+      .select((keys.map(col)
+        :+ (coalesce(col("n_o"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n")
+        :+ (coalesce(col("s_o"), lit(0.0)) + coalesce(col("s_d"), lit(0.0))).as("sum_v")
+        :+ least(coalesce(col("mn_o"), col("mn_d")), coalesce(col("mn_d"), col("mn_o"))).as("min_v")
+        :+ greatest(coalesce(col("mx_o"), col("mx_d")), coalesce(col("mx_d"), col("mx_o"))).as("max_v")): _*)
+  }
+
+  /** The rollup-row shape [[mergeRollup]] maintains, from raw events. */
+  def rollupOf(events: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    events.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("double")).as("sum_v"),
+        min(col(valueCol).cast("double")).as("min_v"),
+        max(col(valueCol).cast("double")).as("max_v"))
+
   /** Sketch-level merge of serialized histograms — the stored-sketch-table
     * rollup path (no raw rescan): vector-add the counters of same-shape
     * sketches. Driver-side utility for bounded sketch sets; the

@@ -783,6 +783,39 @@ object SimilarityOps {
         scoreOut(col("pos_sim") - col("neg_sim")).as("margin"))
   }
 
+  /** ANN recall harness: measured recall@k of an approximate index against
+    * the exact brute-force ranking, per anchor — "measure, don't guess"
+    * made first-class, because an ANN variant without a recall number is
+    * a speed claim with no quality denominator. The anchor set is bounded
+    * (serving-path eval, same contract as [[mmrRerank]]); each anchor
+    * costs one ANN probe + one exact scan at gate scale, and in
+    * production the exact side runs once offline per eval refresh.
+    *
+    * Returns (query_id, k, n_overlap, recall) plus a ("__mean__", …)
+    * summary row. */
+  def annRecall(emb: DataFrame, idCol: String, vecCol: String,
+                queryIds: Seq[Long], k: Int,
+                annTopK: Long => DataFrame,
+                scoreOut: Column => Column): DataFrame = {
+    require(queryIds.nonEmpty && queryIds.size <= 256,
+      s"eval anchor set must be bounded: got ${queryIds.size}")
+    val spark = emb.sparkSession
+    val rows = queryIds.map { qid =>
+      val exact = bruteForceTopK(emb, idCol, vecCol, qid, k, scoreOut)
+        .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
+      val approx = annTopK(qid)
+        .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
+      val overlap = (exact intersect approx).size
+      (qid.toString, k, overlap, overlap.toDouble / k)
+    }
+    val mean = rows.map(_._4).sum / rows.size
+    import spark.implicits._
+    (rows :+ (("__mean__", k, rows.map(_._3).sum, mean)))
+      .toDF("query_id", "k", "n_overlap", "recall")
+      .select(col("query_id"), col("k"), col("n_overlap"),
+        scoreOut(col("recall")).as("recall"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N retrieval
     * rankings — the standard hybrid-search combiner (BM25 ⊕ dense ANN):
     * score(d) = Σ_lists 1/(c + rank_list(d)), requiring no score

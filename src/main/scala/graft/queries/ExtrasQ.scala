@@ -278,6 +278,52 @@ object ExtrasQ {
     // rollup. Rows-only: estimates are sketch-resolution-specific;
     // HistogramSketchSpec pins the one-bin-width error bound, exact
     // sketch-level merge, and repartition invariance.
+    // Incremental rollup maintenance: merge the last-6-days batch rollup
+    // into the first-24-days stored rollup and emit the maintained view —
+    // proven exact against a full recompute by the oracle (sums compared
+    // under biased rounding, counts/extrema exactly).
+    "q152_rollup_merge" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        // cut mid-month so every event_type group genuinely MERGES two
+        // partials (a day-keyed rollup would make the merge vacuously
+        // disjoint)
+        val cut = lit("2024-01-25").cast("timestamp")
+        val old = graft.operators.EventOps.rollupOf(
+          ev.filter(col("ts") < cut), Seq("event_type"), "value")
+        val delta = graft.operators.EventOps.rollupOf(
+          ev.filter(col("ts") >= cut), Seq("event_type"), "value")
+        graft.operators.EventOps.mergeRollup(old, delta, Seq("event_type"))
+          .select(col("event_type"), col("n"),
+            dec6(col("sum_v")).as("sum_v"), col("min_v"), col("max_v"),
+            dec6(col("sum_v") / col("n")).as("avg_v"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH x AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events)
+              |SELECT event_type, count(*) AS n,
+              |  ${r6("sum(v)")} AS sum_v, min(v) AS min_v, max(v) AS max_v,
+              |  ${r6("sum(v) / count(*)")} AS avg_v
+              |FROM x GROUP BY event_type
+              |ORDER BY event_type""".stripMargin)),
+
+    // ANN recall@10 of the IVF index (4 cells, 2 probes) against exact
+    // brute force for five anchors — the measured quality denominator
+    // every approximate index must carry. Index-parameter-specific →
+    // rows-only.
+    "q153_ann_recall" -> Q(
+      (s, d) => {
+        import graft.operators.SimilarityOps
+        val emb = Tables.embeddings(s, d)
+        val (indexed, centers) = SimilarityOps.fitIvf(emb, "vec_id", "embedding",
+          nCells = 4, seed = 11L)
+        SimilarityOps.annRecall(emb, "vec_id", "embedding",
+          queryIds = Seq(0L, 7L, 21L, 33L, 42L), k = 10,
+          annTopK = qid => SimilarityOps.ivfTopK(indexed, centers, "vec_id",
+            qid, k = 10, nProbe = 2, scoreOut = dec6),
+          scoreOut = dec6)
+      },
+      None),
+
     "q141_hist_quantiles" -> Q(
       (s, d) => graft.operators.EventOps.histQuantileRollup(
           Tables.events(s, d), "ts", "value",
