@@ -927,6 +927,46 @@ object CorpusOps {
           .as("target_md5"))
   }
 
+  /** Collocation extraction by pointwise mutual information: adjacent
+    * token pairs scored PMI = ln(p(ab) / (p(a)·p(b))) with a minimum pair
+    * count — high-PMI bigrams are the multiword units ("new york",
+    * "machine learning") a tokenizer-budget or phrase-mining pass wants.
+    * Pair and unigram tables are both map-side-combinable aggregates; the
+    * pair → unigram probability joins key on short token strings over
+    * VOCABULARY-sized tables (never the corpus), the same discipline as
+    * [[bigramSurprisal]] — no broadcast of the vocab.
+    *
+    * Returns top-`topK` by PMI among pairs with count ≥ `minCount`:
+    * (w1, w2, n_pair, n_w1, n_w2, pmi). */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Int,
+                      topK: Int, scoreOut: Column => Column): DataFrame = {
+    val toks = docs
+      .select(TextOps.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val pairs = toks
+      .select(explode(transform(sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val uni = docs
+      .select(explode_outer(TextOps.tokens(col(textCol))).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val totU = uni.agg(sum("n_w").as("nu"))
+    val totP = pairs.agg(sum("n_pair").as("np"))
+    pairs.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), Seq("w2"))
+      .crossJoin(broadcast(totU)).crossJoin(broadcast(totP))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        scoreOut(log((col("n_pair") / col("np")) /
+          ((col("n_w1") / col("nu")) * (col("n_w2") / col("nu"))))).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** k-anonymity audit over a quasi-identifier combination: any group of
     * rows sharing the full quasi-identifier tuple with fewer than k
     * members is re-identifiable and must be suppressed or generalized —

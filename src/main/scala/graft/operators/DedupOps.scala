@@ -531,6 +531,32 @@ object DedupOps {
     * lane-packed counters (see above), fully codegen'd.
     * Documents are capped at 2^20 tokens (lane-overflow bound); longer docs
     * must be chunked upstream. */
+  /** Blocking-quality harness: measured pair recall and reduction ratio of
+    * an approximate candidate generator (LSH bands, SimHash chunks) against
+    * the exact pair set — the dedup twin of the ANN recall harness
+    * (q153): an approximate blocker without a recall number is a speed
+    * claim with no quality denominator. Reduction ratio = 1 − candidates /
+    * all-pairs, the fraction of the quadratic cost the blocking avoided.
+    * Three tiny aggregates over pair tables; nothing corpus-sized moves.
+    *
+    * Returns one row: (n_truth, n_cand, n_hit, pair_recall,
+    * reduction_ratio). */
+  def blockingQuality(truth: DataFrame, candidates: DataFrame, nDocs: Long,
+                      scoreOut: Column => Column): DataFrame = {
+    val t = truth.select(col("id_a"), col("id_b")).distinct()
+    val c = candidates.select(col("id_a"), col("id_b")).distinct()
+    val nt = t.agg(count(lit(1)).as("n_truth"))
+    val nc = c.agg(count(lit(1)).as("n_cand"))
+    val nh = t.join(c, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_hit"))
+    val allPairs = nDocs.toDouble * (nDocs - 1) / 2.0
+    nt.crossJoin(broadcast(nc)).crossJoin(broadcast(nh))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        scoreOut(when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth")).otherwise(lit(1.0)))
+          .as("pair_recall"),
+        scoreOut(lit(1.0) - col("n_cand") / lit(allPairs)).as("reduction_ratio"))
+  }
+
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs
       .select(col(idCol), slice(TextOps.tokens(col(textCol)), 1, SimhashMaxTokens.toInt).as("ts"))

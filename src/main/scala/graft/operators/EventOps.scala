@@ -16,19 +16,22 @@ object EventOps {
 
   /** Cohort retention: users cohort by the DAY of their first event;
     * retention at offset k = how many of them were active k days later.
-    * The raw log collapses to distinct (user, day) map-side (one row per
-    * active user-day, the analytics-warehouse "daily active" compaction);
-    * the cohort day attaches with a per-user window min (same shuffle
-    * key), and the final count is exact — each (user, day) row is already
-    * unique, so `count(*)` IS `count(distinct user)`.
+    * ONE user-keyed aggregate collapses the raw log to a per-user
+    * distinct-day set (bounded by the calendar horizon — 365 entries/user/
+    * year, not by event volume, so the set is safe at any scale); cohort
+    * = its min, offsets explode from the SAME set, and the final count is
+    * exact because the set held each active day once. Two shuffles total
+    * (user collapse + cohort/offset count) — no distinct-then-window
+    * re-shuffle chain.
     *
     * Returns (cohort_date, day_offset, n_users) for offsets 0..maxOffset. */
   def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
                        maxOffset: Int): DataFrame = {
-    val ud = events.select(col(userCol).as("u"), to_date(col(tsCol)).as("d")).distinct()
-    val w = Window.partitionBy("u")
-    ud.withColumn("cohort_date", min("d").over(w))
-      .withColumn("day_offset", datediff(col("d"), col("cohort_date")))
+    events.select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .groupBy("u").agg(collect_set("d").as("days"))
+      .select(array_min(col("days")).as("cohort_date"),
+        explode(col("days")).as("d"))
+      .select(col("cohort_date"), datediff(col("d"), col("cohort_date")).as("day_offset"))
       .filter(col("day_offset") <= maxOffset)
       .groupBy("cohort_date", "day_offset")
       .agg(count(lit(1)).as("n_users"))

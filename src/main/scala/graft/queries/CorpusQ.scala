@@ -1143,6 +1143,47 @@ object CorpusQ {
               |SELECT query_id, vec_id, label, cos_sim, "rank" FROM r
               |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)),
 
+    // PMI collocations: top adjacent-pair pointwise mutual information
+    // with a min-count floor — the phrase-mining pass. Joins run over
+    // vocabulary-sized tables; ranks on the rounded score.
+    "q154_pmi_collocations" -> Q(
+      (s, d) => CorpusOps.pmiCollocations(Tables.documents(s, d), "text",
+        minCount = 5, topK = 20, scoreOut = dec6),
+      Some(s"""WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') AS t
+              |  FROM documents),
+              |pr AS (SELECT t[u.i] AS w1, t[u.i+1] AS w2 FROM toks,
+              |  LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) u
+              |  WHERE len(t) >= 2),
+              |pc AS (SELECT w1, w2, count(*) AS n_pair FROM pr
+              |  WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2),
+              |uni AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+              |  FROM documents),
+              |uc AS (SELECT w, count(*) AS n_w FROM uni
+              |  WHERE w IS NOT NULL AND w <> '' GROUP BY w),
+              |nu AS (SELECT sum(n_w) AS nu FROM uc),
+              |np AS (SELECT sum(n_pair) AS np FROM pc)
+              |SELECT w1, w2, n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+              |  ${r6("""ln((CAST(n_pair AS DOUBLE) / np)
+              |    / ((CAST(u1.n_w AS DOUBLE) / nu) * (CAST(u2.n_w AS DOUBLE) / nu)))""")}
+              |    AS pmi
+              |FROM pc JOIN uc u1 ON pc.w1 = u1.w JOIN uc u2 ON pc.w2 = u2.w, nu, np
+              |WHERE n_pair >= 5
+              |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin)),
+
+    // Blocking-quality harness: pair recall + reduction ratio of the
+    // MinHash-LSH blocker against the exact PPJoin pair set at the same
+    // Jaccard threshold — the dedup twin of q153's ANN recall. Band-hash-
+    // specific → rows-only.
+    "q155_blocking_quality" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val truth = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+        val cand = DedupOps.minhashLshPairs(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 64, rows = 4, threshold = 0.3)
+        DedupOps.blockingQuality(truth, cand, nDocs = docs.count(), scoreOut = dec6)
+      },
+      None),
+
     // Leakage-safe split: near-dup clusters (3-gram Jaccard ≥ 0.2, the q65
     // components) are split-assigned by the md5 bucket of their CLUSTER
     // representative — near-copies can never straddle train/test. The
