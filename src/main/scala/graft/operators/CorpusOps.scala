@@ -927,6 +927,39 @@ object CorpusOps {
           .as("target_md5"))
   }
 
+  /** Sketch-based set-overlap estimation between two corpora's distinct
+    * token sets: HLL sketches of each side union-merge (registers take the
+    * max — exactly mergeable), and |A∩B| falls out by inclusion-exclusion
+    * |A| + |B| − |A∪B|, giving a Jaccard estimate — "how much vocabulary
+    * do these two sources share?" from kilobytes of sketch instead of a
+    * distinct-token join. The stored-sketch workflow this enables: keep
+    * one HLL row per (source, day), answer any pairwise overlap later with
+    * no rescan. Estimates carry HLL error (±~1.6% at lgK=12) AMPLIFIED by
+    * the subtraction when the overlap is small relative to the sets —
+    * CorpusOverlapSpec pins the bound against exact counts.
+    *
+    * Returns one row: (card_a, card_b, card_union, inter_est,
+    * jaccard_est) — first three are HLL estimates (longs), inter/jaccard
+    * derived. */
+  def hllOverlap(corpusA: DataFrame, corpusB: DataFrame, textCol: String,
+                 lgK: Int = 12, scoreOut: Column => Column): DataFrame = {
+    def sketch(df: DataFrame): DataFrame = df
+      .select(explode_outer(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
+      .agg(hll_sketch_agg(col("tok"), lit(lgK)).as("sk"))
+    val a = sketch(corpusA).select(col("sk").as("sk_a"))
+    val b = sketch(corpusB).select(col("sk").as("sk_b"))
+    a.crossJoin(broadcast(b))
+      .select(
+        hll_sketch_estimate(col("sk_a")).as("card_a"),
+        hll_sketch_estimate(col("sk_b")).as("card_b"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("card_union"))
+      .select(col("card_a"), col("card_b"), col("card_union"),
+        (col("card_a") + col("card_b") - col("card_union")).as("inter_est"),
+        scoreOut((col("card_a") + col("card_b") - col("card_union")).cast("double")
+          / col("card_union")).as("jaccard_est"))
+  }
+
   /** Collocation extraction by pointwise mutual information: adjacent
     * token pairs scored PMI = ln(p(ab) / (p(a)·p(b))) with a minimum pair
     * count — high-PMI bigrams are the multiword units ("new york",

@@ -1170,6 +1170,18 @@ object CorpusQ {
               |WHERE n_pair >= 5
               |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin)),
 
+    // HLL vocabulary overlap between the English and non-English corpora:
+    // inclusion-exclusion over mergeable sketches — pairwise overlap from
+    // kilobytes, no distinct-token join. Sketch estimates → rows-only;
+    // CorpusOverlapSpec pins the error bound against exact counts.
+    "q156_hll_overlap" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        CorpusOps.hllOverlap(docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"), "text", lgK = 12, scoreOut = dec6)
+      },
+      None),
+
     // Blocking-quality harness: pair recall + reduction ratio of the
     // MinHash-LSH blocker against the exact PPJoin pair set at the same
     // Jaccard threshold — the dedup twin of q153's ANN recall. Band-hash-
