@@ -223,6 +223,82 @@ object EventOps {
     pairs.withColumn("p", scoreOut(col("n").cast("double") / sum("n").over(norm)))
   }
 
+  /** Robust outlier scoring by median absolute deviation: modified
+    * z-score 0.6745·(x − median)/MAD — the robust twin of the σ-based
+    * detectors (W10, seasonalProfile), immune to the outliers it hunts
+    * (one wild value shifts a mean/σ threshold but not a median/MAD one).
+    * Exact per-group medians via `percentile` — at gate scale a sort of
+    * each group's values; at 100 TB swap in `approx_percentile` (same
+    * call shape, sketch-backed) and document the error. Two aggregates on
+    * the SAME group key (medians, then MAD of residuals) and a final
+    * flag-count pass — three scans, all group-keyed, no global sort.
+    *
+    * Returns (series, n, med, mad, n_outliers) with |modified z| > zCut
+    * flagged. */
+  def madOutliers(events: DataFrame, seriesCol: String, valueCol: String,
+                  zCut: Double, scoreOut: Column => Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = events.groupBy(seriesCol)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withMed = events.select(col(seriesCol), v.as("v"))
+      .join(med, Seq(seriesCol))
+    val mad = withMed
+      .withColumn("absdev", abs(col("v") - col("med")))
+      .groupBy(seriesCol)
+      .agg(max("med").as("med"), expr("percentile(absdev, 0.5)").as("mad"))
+    withMed.drop("med").join(mad, Seq(seriesCol))
+      .withColumn("flag",
+        (col("mad") > 0 &&
+          abs(lit(0.6745) * (col("v") - col("med")) / col("mad")) > zCut)
+          .cast("long"))
+      .groupBy(seriesCol)
+      .agg(count(lit(1)).as("n"),
+        scoreOut(max("med")).as("med"),
+        scoreOut(max("mad")).as("mad"),
+        sum("flag").as("n_outliers"))
+  }
+
+  /** Kaplan–Meier survival estimate for time-to-first-`targetType` per
+    * user, right-censored at the observation end: S(t) = Π_{tᵢ≤t}
+    * (1 − dᵢ/nᵢ) over distinct event days — "how long until a signup
+    * converts", the duration analytics the reference's accretion-event
+    * DURATION_DAYS column gestures at, done properly with censoring. The
+    * product folds as exp(Σ ln(1 − dᵢ/nᵢ)) over an ORDERED running window
+    * (both engines sum the same terms in the same day order, ln noise
+    * absorbed by rounding). Per-user durations are one user-keyed
+    * aggregate; the curve itself lives on a days-sized table.
+    *
+    * Returns per event-day: (t_days, n_at_risk, n_events, survival). */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, startType: String, targetType: String,
+                  scoreOut: Column => Column): DataFrame = {
+    val perUser = events.groupBy(col(userCol))
+      .agg(
+        min(when(col(typeCol) === startType, to_date(col(tsCol)))).as("d0"),
+        min(when(col(typeCol) === targetType, to_date(col(tsCol)))).as("d1"),
+        max(to_date(col(tsCol))).as("dmax"))
+      .filter(col("d0").isNotNull)
+    val horizon = perUser.agg(max("dmax").as("dend"))
+    val durations = perUser.crossJoin(broadcast(horizon))
+      .select(
+        when(col("d1").isNotNull && col("d1") >= col("d0"),
+          datediff(col("d1"), col("d0")))
+          .otherwise(datediff(col("dend"), col("d0"))).as("t"),
+        (col("d1").isNotNull && col("d1") >= col("d0")).cast("int").as("observed"))
+    val total = durations.agg(count(lit(1)).as("n_total"))
+    val byDay = durations.groupBy("t")
+      .agg(sum("observed").as("d"), count(lit(1)).as("c"))
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val wInc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    byDay.crossJoin(broadcast(total))
+      .withColumn("n_at_risk", col("n_total") - coalesce(sum("c").over(w), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("survival", scoreOut(exp(sum(
+        log(lit(1.0) - col("d").cast("double") / col("n_at_risk"))).over(wInc))))
+      .select(col("t").as("t_days"), col("n_at_risk"), col("d").as("n_events"),
+        col("survival"))
+  }
+
   /** Incremental rollup maintenance: merge a new batch's partial aggregate
     * into a stored rollup WITHOUT rescanning history — the materialized-
     * view update rule for the decomposable aggregates (sum, count, min,

@@ -278,6 +278,62 @@ object ExtrasQ {
     // rollup. Rows-only: estimates are sketch-resolution-specific;
     // HistogramSketchSpec pins the one-bin-width error bound, exact
     // sketch-level merge, and repartition invariance.
+    // Robust outliers via MAD modified z-score (|0.6745·(x−med)/MAD| > 3.5)
+    // — immune to the outliers it hunts, unlike the σ-based detectors.
+    // Exact interpolated medians on both engines.
+    "q157_mad_outliers" -> Q(
+      (s, d) => graft.operators.EventOps.madOutliers(
+          Tables.events(s, d), "event_type", "value", zCut = 3.5, scoreOut = dec6)
+        .orderBy("event_type"),
+      Some(s"""WITH x AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+              |m AS (SELECT event_type, quantile_cont(v, 0.5) AS med FROM x
+              |  GROUP BY event_type),
+              |wm AS (SELECT x.event_type, v, med FROM x JOIN m USING (event_type)),
+              |md AS (SELECT event_type, max(med) AS med,
+              |  quantile_cont(abs(v - med), 0.5) AS mad FROM wm GROUP BY event_type),
+              |f AS (SELECT wm.event_type, v, md.med, md.mad,
+              |  CASE WHEN md.mad > 0
+              |    AND abs(0.6745 * (v - md.med) / md.mad) > 3.5
+              |    THEN 1 ELSE 0 END AS flag
+              |  FROM wm JOIN md USING (event_type))
+              |SELECT event_type, count(*) AS n, ${r6("max(med)")} AS med,
+              |  ${r6("max(mad)")} AS mad,
+              |  CAST(sum(flag) AS BIGINT) AS n_outliers
+              |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Kaplan-Meier survival of time-to-first-purchase after signup,
+    // right-censored at the observation horizon — S(t) folds as
+    // exp(Σ ln(1 − d/n)) over the identical day order in both engines.
+    "q158_kaplan_meier" -> Q(
+      (s, d) => graft.operators.EventOps.kaplanMeier(
+          Tables.events(s, d), "user_id", "ts", "event_type",
+          startType = "signup", targetType = "purchase", scoreOut = dec6)
+        .orderBy("t_days"),
+      Some(s"""WITH pu AS (SELECT user_id,
+              |  min(CASE WHEN event_type = 'signup' THEN CAST(ts AS DATE) END) AS d0,
+              |  min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS d1,
+              |  max(CAST(ts AS DATE)) AS dmax
+              |  FROM events GROUP BY user_id),
+              |pu2 AS (SELECT * FROM pu WHERE d0 IS NOT NULL),
+              |hz AS (SELECT max(dmax) AS dend FROM pu2),
+              |dur AS (SELECT CASE WHEN d1 IS NOT NULL AND d1 >= d0
+              |    THEN CAST(d1 - d0 AS INT) ELSE CAST(dend - d0 AS INT) END AS t,
+              |  CAST(d1 IS NOT NULL AND d1 >= d0 AS INT) AS observed
+              |  FROM pu2, hz),
+              |tot AS (SELECT count(*) AS n_total FROM dur),
+              |bd AS (SELECT t, sum(observed) AS d, count(*) AS c FROM dur GROUP BY t),
+              |ar AS (SELECT t, d,
+              |  n_total - coalesce(sum(c) OVER (ORDER BY t
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+              |  FROM bd, tot),
+              |ev AS (SELECT t, d, n_at_risk FROM ar WHERE d > 0),
+              |sv AS (SELECT t, n_at_risk, d,
+              |  exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk))
+              |    OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS srv FROM ev)
+              |SELECT t AS t_days, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+              |  CAST(d AS BIGINT) AS n_events, ${r6("srv")} AS survival
+              |FROM sv ORDER BY t_days""".stripMargin)),
+
     // Incremental rollup maintenance: merge the last-6-days batch rollup
     // into the first-24-days stored rollup and emit the maintained view —
     // proven exact against a full recompute by the oracle (sums compared
