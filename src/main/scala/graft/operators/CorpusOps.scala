@@ -1000,6 +1000,38 @@ object CorpusOps {
       .limit(topK)
   }
 
+  /** Per-class classification report (precision / recall / F1) from
+    * labeled predictions — the eval harness that turns any heuristic
+    * classifier in the pipeline (language ID, quality cut, zone rules)
+    * into a measured component, same measure-don't-guess discipline as
+    * the ANN and blocking recall harnesses. Three class-keyed aggregates
+    * over (label, prediction) pairs; the corpus never moves.
+    *
+    * Returns one row per class appearing as label OR prediction:
+    * (cls, n_true, n_pred, n_correct, precision, recall, f1); zero
+    * denominators yield 0.0 (the sklearn zero_division=0 convention). */
+  def classificationReport(scored: DataFrame, labelCol: String, predCol: String,
+                           scoreOut: Column => Column): DataFrame = {
+    val t = scored.groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("n_true"))
+    val p = scored.groupBy(col(predCol).as("cls")).agg(count(lit(1)).as("n_pred"))
+    val c = scored.filter(col(labelCol) === col(predCol))
+      .groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("n_correct"))
+    val prec = when(col("n_pred") > 0,
+      col("n_correct").cast("double") / col("n_pred")).otherwise(lit(0.0))
+    val rec = when(col("n_true") > 0,
+      col("n_correct").cast("double") / col("n_true")).otherwise(lit(0.0))
+    t.join(p, Seq("cls"), "full_outer")
+      .join(c, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      .select(col("cls"), col("n_true"), col("n_pred"), col("n_correct"),
+        scoreOut(prec).as("precision"), scoreOut(rec).as("recall"),
+        scoreOut(when(prec + rec > 0, lit(2.0) * prec * rec / (prec + rec))
+          .otherwise(lit(0.0))).as("f1"))
+  }
+
   /** k-anonymity audit over a quasi-identifier combination: any group of
     * rows sharing the full quasi-identifier tuple with fewer than k
     * members is re-identifiable and must be suppressed or generalized —

@@ -1170,6 +1170,56 @@ object CorpusQ {
               |WHERE n_pair >= 5
               |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin)),
 
+    // Language-ID quality report: per-class precision/recall/F1 of the
+    // q52 marker-count predictor against the labeled lang column — the
+    // heuristic classifier becomes a measured component.
+    "q159_langid_report" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("t", graft.operators.TextOps.tokens(col("text")))
+        val scores = graft.operators.TextOps.langMarkers.map { case (l, ms) =>
+          graft.operators.TextOps.markerCount(col("t"), ms).as(s"s_$l")
+        }
+        val scored = docs.select((col("doc_id") +: col("lang") +: scores): _*)
+          .withColumn("pred_lang", graft.operators.TextOps.predictLang(
+            col("s_en"), col("s_de"), col("s_fr"), col("s_es")))
+        CorpusOps.classificationReport(scored, "lang", "pred_lang", dec6)
+          .orderBy("cls")
+      },
+      Some(s"""WITH toks2 AS (SELECT doc_id, lang,
+              |  string_split_regex(trim(text), '\\s+') AS t FROM documents),
+              |x AS (SELECT doc_id, lang,
+              |  len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and'))) AS s_en,
+              |  len(list_filter(t, x -> x IN ('der', 'die', 'das', 'und'))) AS s_de,
+              |  len(list_filter(t, x -> x IN ('le', 'la', 'les', 'et'))) AS s_fr,
+              |  len(list_filter(t, x -> x IN ('el', 'los', 'las', 'y'))) AS s_es
+              |  FROM toks2),
+              |pr AS (SELECT lang,
+              |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+              |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+              |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang
+              |  FROM x),
+              |tt AS (SELECT lang AS cls, count(*) AS n_true FROM pr GROUP BY lang),
+              |pp AS (SELECT pred_lang AS cls, count(*) AS n_pred FROM pr
+              |  GROUP BY pred_lang),
+              |cc AS (SELECT lang AS cls, count(*) AS n_correct FROM pr
+              |  WHERE lang = pred_lang GROUP BY lang),
+              |j AS (SELECT coalesce(tt.cls, pp.cls) AS cls,
+              |  coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred
+              |  FROM tt FULL OUTER JOIN pp ON tt.cls = pp.cls),
+              |k AS (SELECT j.cls, n_true, n_pred, coalesce(n_correct, 0) AS n_correct,
+              |  CASE WHEN n_pred > 0 THEN CAST(coalesce(n_correct, 0) AS DOUBLE) / n_pred
+              |    ELSE 0.0 END AS p,
+              |  CASE WHEN n_true > 0 THEN CAST(coalesce(n_correct, 0) AS DOUBLE) / n_true
+              |    ELSE 0.0 END AS r
+              |  FROM j LEFT JOIN cc ON j.cls = cc.cls)
+              |SELECT cls, CAST(n_true AS BIGINT) AS n_true,
+              |  CAST(n_pred AS BIGINT) AS n_pred,
+              |  CAST(n_correct AS BIGINT) AS n_correct,
+              |  ${r6("p")} AS precision, ${r6("r")} AS recall,
+              |  ${r6("CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END")} AS f1
+              |FROM k ORDER BY cls""".stripMargin)),
+
     // HLL vocabulary overlap between the English and non-English corpora:
     // inclusion-exclusion over mergeable sketches — pairwise overlap from
     // kilobytes, no distinct-token join. Sketch estimates → rows-only;
