@@ -86,6 +86,53 @@ object CleanOps {
     * 64 bits a billion-line corpus sees ~0.03 expected collisions per
     * 10^9 lines — production at 100 TB should widen to a 128-bit key
     * (e.g. two seeded xxhash64 lanes) if exactness matters. */
+  /** Unicode-script composition per document: fractions of Latin,
+    * Cyrillic, CJK, Arabic codepoints and of ASCII overall — the script-
+    * mix signal behind wrong-language routing and spam detection (a
+    * "Latin-labeled" page that is 40% Cyrillic is mislabeled or
+    * adversarial). Pure column algebra over regexp class counts: one
+    * linear scan, zero shuffle, and the class definitions are identical
+    * RE2/Java ranges so the oracle agrees bit-for-bit.
+    *
+    * Returns (id, n_chars, latin_frac, cyrillic_frac, cjk_frac,
+    * arabic_frac, ascii_frac) — fractions of the NON-whitespace count,
+    * 0.0 for whitespace-only text. */
+  def scriptMix(docs: DataFrame, idCol: String, textCol: String,
+                scoreOut: Column => Column): DataFrame = {
+    def classCount(ranges: String): Column =
+      length(regexp_replace(col(textCol), s"[^$ranges]", ""))
+    val nonWs = length(regexp_replace(col(textCol), "\\s", ""))
+    def frac(c: Column): Column =
+      scoreOut(when(nonWs > 0, c.cast("double") / nonWs).otherwise(lit(0.0)))
+    docs.select(col(idCol),
+      nonWs.cast("long").as("n_chars"),
+      frac(classCount("a-zA-Z\\u00C0-\\u024F")).as("latin_frac"),
+      frac(classCount("\\u0400-\\u04FF")).as("cyrillic_frac"),
+      frac(classCount("\\u4E00-\\u9FFF\\u3040-\\u30FF")).as("cjk_frac"),
+      frac(classCount("\\u0600-\\u06FF")).as("arabic_frac"),
+      frac(classCount("\\x21-\\x7E")).as("ascii_frac"))
+  }
+
+  /** Mojibake / encoding-damage detection: counts of the Unicode
+    * replacement character (U+FFFD — a decoder already gave up), C1
+    * control codepoints (U+0080-U+009F — the signature of cp1252 bytes
+    * read as latin-1), and the classic UTF-8-as-latin-1 double-decode
+    * digraphs (Ã + a continuation-range char, Â + punctuation range).
+    * Row-local regexp counts, zero shuffle; flagged = any signal > 0.
+    *
+    * Returns (id, n_replacement, n_c1, n_mojibake_pairs, flagged). */
+  def mojibakeScan(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def cnt(pattern: String): Column =
+      (length(col(textCol)) - length(regexp_replace(col(textCol), pattern, "")))
+    val nRepl = cnt("\\uFFFD").cast("long")
+    // each pair is 2 chars; count pairs, not chars
+    val nPairs = (cnt("[\\u00C2\\u00C3][\\u0080-\\u00BF]") / 2).cast("long")
+    val nC1 = cnt("[\\u0080-\\u009F]").cast("long")
+    docs.select(col(idCol),
+      nRepl.as("n_replacement"), nC1.as("n_c1"), nPairs.as("n_mojibake_pairs"),
+      ((nRepl + nC1 + nPairs) > 0).cast("int").as("flagged"))
+  }
+
   def dupLineStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ln = docs.select(col(idCol), explode(split(col(textCol), "\n")).as("line"))
       .select(col(idCol), xxhash64(col("line")).as("lh"), length(col("line")).as("len"))

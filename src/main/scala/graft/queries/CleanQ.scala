@@ -128,6 +128,67 @@ object CleanQ {
               |  len(ls) AS n_lines,
               |  len(ki) AS n_kept,
               |  array_to_string(list_transform(ki, i -> ls[i]), chr(10)) AS text_deduped
-              |FROM k ORDER BY doc_id""".stripMargin))
+              |FROM k ORDER BY doc_id""".stripMargin)),
+
+    // Unicode script composition: Latin/Cyrillic/CJK/Arabic/ASCII
+    // fractions of non-whitespace codepoints — the script-mix signal for
+    // wrong-language routing. Identical RE2/Java character classes on
+    // both engines.
+    "q160_script_mix" -> Q(
+      (s, d) => CleanOps.scriptMix(Tables.documents(s, d), "doc_id", "text",
+          scoreOut = Q.dec6)
+        .orderBy("doc_id"),
+      Some(s"""WITH x AS (SELECT doc_id, text,
+              |  length(regexp_replace(text, '\\s', '', 'g')) AS nw FROM documents)
+              |SELECT doc_id, CAST(nw AS BIGINT) AS n_chars,
+              |  ${Q.r6("""CASE WHEN nw > 0 THEN CAST(length(regexp_replace(text,
+              |    '[^a-zA-Z\x{00C0}-\x{024F}]', '', 'g')) AS DOUBLE) / nw
+              |    ELSE 0.0 END""")} AS latin_frac,
+              |  ${Q.r6("""CASE WHEN nw > 0 THEN CAST(length(regexp_replace(text,
+              |    '[^\x{0400}-\x{04FF}]', '', 'g')) AS DOUBLE) / nw
+              |    ELSE 0.0 END""")} AS cyrillic_frac,
+              |  ${Q.r6("""CASE WHEN nw > 0 THEN CAST(length(regexp_replace(text,
+              |    '[^\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS DOUBLE) / nw
+              |    ELSE 0.0 END""")} AS cjk_frac,
+              |  ${Q.r6("""CASE WHEN nw > 0 THEN CAST(length(regexp_replace(text,
+              |    '[^\x{0600}-\x{06FF}]', '', 'g')) AS DOUBLE) / nw
+              |    ELSE 0.0 END""")} AS arabic_frac,
+              |  ${Q.r6("""CASE WHEN nw > 0 THEN CAST(length(regexp_replace(text,
+              |    '[^\x{21}-\x{7E}]', '', 'g')) AS DOUBLE) / nw
+              |    ELSE 0.0 END""")} AS ascii_frac
+              |FROM x ORDER BY doc_id""".stripMargin)),
+
+    // Mojibake detection over deterministically damaged text (docs with
+    // id % 9 = 0 get replacement chars, C1 controls and double-decode
+    // digraphs appended — both engines inject the identical bytes):
+    // decoder-damage triage before any text op trusts the content.
+    "q161_mojibake_scan" -> Q(
+      (s, d) => {
+        val damage = lit("\u00C3\u00A9 \u00C2\u00B7 caf\uFFFD \u0085")
+        val damaged = Tables.documents(s, d)
+          .withColumn("text",
+            when(col("doc_id") % 9 === 0, concat(col("text"), lit(" "), damage))
+              .otherwise(col("text")))
+        CleanOps.mojibakeScan(damaged, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH dmg AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 9 = 0 THEN text || ' ' ||
+             |    chr(195) || chr(169) || ' ' || chr(194) || chr(183) ||
+             |    ' caf' || chr(65533) || ' ' || chr(133)
+             |  ELSE text END AS text FROM documents)
+             |SELECT doc_id,
+             |  CAST(length(text) - length(regexp_replace(text, '\x{FFFD}', '', 'g'))
+             |    AS BIGINT) AS n_replacement,
+             |  CAST(length(text) - length(regexp_replace(text, '[\x{80}-\x{9F}]', '', 'g'))
+             |    AS BIGINT) AS n_c1,
+             |  CAST((length(text) - length(regexp_replace(text,
+             |    '[\x{C2}\x{C3}][\x{80}-\x{BF}]', '', 'g'))) // 2 AS BIGINT)
+             |    AS n_mojibake_pairs,
+             |  CAST((length(text) - length(regexp_replace(text, '\x{FFFD}', '', 'g')))
+             |    + (length(text) - length(regexp_replace(text, '[\x{80}-\x{9F}]', '', 'g')))
+             |    + (length(text) - length(regexp_replace(text,
+             |      '[\x{C2}\x{C3}][\x{80}-\x{BF}]', '', 'g'))) // 2 > 0 AS INT) AS flagged
+             |FROM dmg ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1170,6 +1170,43 @@ object CorpusQ {
               |WHERE n_pair >= 5
               |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin)),
 
+    // Cross-source duplication matrix: for every source pair, how many
+    // fingerprints (and doc pairs) they share — the mirror-site detector
+    // that tells a crawl which sources to collapse. A deterministic
+    // "mirror" source (copies of id % 23 docs) is injected identically in
+    // both engines so the matrix provably lights up.
+    "q162_source_dup_matrix" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+        val mirrored = docs.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            lit("mirror").as("source"), col("text"))
+        val all = docs.unionByName(mirrored)
+          .withColumn("fp", graft.operators.TextOps.fingerprint(col("text")))
+        val perSrc = all.groupBy("fp", "source").agg(count(lit(1)).as("c"))
+        val a = perSrc.select(col("fp"), col("source").as("source_a"), col("c").as("ca"))
+        a.join(perSrc.select(col("fp"), col("source").as("source_b"), col("c").as("cb")), Seq("fp"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_shared_fps"),
+            sum(col("ca") * col("cb")).as("n_doc_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH base AS (SELECT doc_id, source, text FROM documents),
+             |mir AS (SELECT doc_id + 200000 AS doc_id, 'mirror' AS source, text
+             |  FROM documents WHERE doc_id % 23 = 0),
+             |allx AS (SELECT *,
+             |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+             |  FROM (SELECT * FROM base UNION ALL SELECT * FROM mir)),
+             |ps AS (SELECT fp, source, count(*) AS c FROM allx GROUP BY fp, source),
+             |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+             |  a.c AS ca, b.c AS cb
+             |  FROM ps a JOIN ps b ON a.fp = b.fp AND a.source < b.source)
+             |SELECT source_a, source_b, count(*) AS n_shared_fps,
+             |  CAST(sum(ca * cb) AS BIGINT) AS n_doc_pairs
+             |FROM pr GROUP BY source_a, source_b
+             |ORDER BY source_a, source_b""".stripMargin)),
+
     // Language-ID quality report: per-class precision/recall/F1 of the
     // q52 marker-count predictor against the labeled lang column — the
     // heuristic classifier becomes a measured component.

@@ -92,4 +92,34 @@ class CleanOpsSpec extends SparkSpec {
     assert(loremDocs == e.filter($"doc_id" % 17 === 0).count())
     e.unpersist()
   }
+
+  test("scriptMix: pure-script strings score ~1.0 in their class, 0 elsewhere") {
+    val rows = Seq(
+      (1L, "hello plain words"),                       // latin + ascii
+      (2L, "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"), // cyrillic
+      (3L, "\u4f60\u597d\u4e16\u754c"),                    // cjk
+      (4L, "   ")                                      // whitespace only
+    ).toDF("doc_id", "text")
+    val m = CleanOps.scriptMix(rows, "doc_id", "text", Q.dec6)
+      .orderBy("doc_id").collect()
+    assert(m(0).getDouble(2) == 1.0 && m(0).getDouble(6) == 1.0) // latin, ascii
+    assert(m(1).getDouble(3) == 1.0 && m(1).getDouble(2) == 0.0) // cyrillic
+    assert(m(2).getDouble(4) == 1.0)                             // cjk
+    assert(m(3).getLong(1) == 0L && m(3).getDouble(2) == 0.0)    // empty: all zero
+  }
+
+  test("mojibakeScan: damaged text flagged with exact counts; clean text is not") {
+    val rows = Seq(
+      (1L, "caf\u00C3\u00A9 ok"),              // one double-decode pair
+      (2L, "bad \uFFFD twice \uFFFD"),          // two replacement chars
+      (3L, "c1 \u0085 control"),               // one C1 control
+      (4L, "perfectly clean text")
+    ).toDF("doc_id", "text")
+    val m = CleanOps.mojibakeScan(rows, "doc_id", "text").orderBy("doc_id").collect()
+    assert(m(0).getLong(3) == 1L && m(0).getInt(4) == 1)
+    assert(m(1).getLong(1) == 2L && m(1).getInt(4) == 1)
+    assert(m(2).getLong(2) == 1L && m(2).getInt(4) == 1)
+    assert(m(3).getLong(1) == 0L && m(3).getLong(2) == 0L &&
+      m(3).getLong(3) == 0L && m(3).getInt(4) == 0)
+  }
 }
