@@ -124,6 +124,31 @@ object TimeSeriesOps {
         valueCols.map(col): _*)
   }
 
+  /** As-of join with a staleness tolerance (pandas `merge_asof(...,
+    * tolerance=...)`): a match older than `toleranceSeconds` before the
+    * left timestamp is DISCARDED — nulls, not stale data, which is what a
+    * serving join over sensor feeds must do when a series goes quiet.
+    * Rides the exact [[asofJoinLast]] union-window machinery with the
+    * matched right timestamp carried as one extra filled column; the
+    * staleness mask is row-local arithmetic after the fill, so the cost
+    * over the tolerance-free join is one integer comparison per row. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        leftTs: String, rightTs: String,
+                        valueCols: Seq[String], toleranceSeconds: Long,
+                        rightTiebreak: Option[Column] = None): DataFrame = {
+    require(toleranceSeconds > 0, s"tolerance must be positive, got $toleranceSeconds")
+    val r2 = right.withColumn("__mts", col(rightTs))
+    val joined = asofJoinLast(left, r2, keys, leftTs, rightTs,
+      valueCols :+ "__mts", rightTiebreak)
+    val stale = col("__mts").isNull ||
+      (unix_micros(col(leftTs)) - unix_micros(col("__mts")) >
+        toleranceSeconds * 1000000L)
+    valueCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(stale, lit(null).cast(right.schema(c).dataType))
+        .otherwise(col(c)))
+    }.drop("__mts")
+  }
+
   /** Nearest-neighbor reindex (reference `reindex(method='nearest')`,
     * `data_generator.py:953`): both-direction as-of, pick the closer value
     * (ties → the earlier/previous one, matching pandas). Expects `aligned`

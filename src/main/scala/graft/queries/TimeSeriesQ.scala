@@ -107,6 +107,34 @@ object TimeSeriesQ {
     // J6: as-of join — latest raw event value at or before each grid slot,
     // per series. Union-then-window formulation: one shuffle on the key, no
     // range-join explosion (scales to billions of rows per side).
+    // As-of join with a 10-minute staleness tolerance: matches older than
+    // the tolerance null out (pandas merge_asof tolerance semantics) —
+    // the serving-join behavior when a series goes quiet.
+    "q163_asof_tolerance" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val right = ev.groupBy("event_type", "ts")
+          .agg(max_by(col("value"), col("event_id")).as("value"))
+        val grid = TimeSeriesOps.timeline(ev, "ts")
+        val left = grid.crossJoin(broadcast(ev.select("event_type").distinct()))
+        TimeSeriesOps.asofJoinTolerance(left, right, Seq("event_type"), "ts", "ts",
+            Seq("value"), toleranceSeconds = 600)
+          .select(col("ts"), col("event_type"), col("value"))
+          .orderBy("ts", "event_type")
+      },
+      Some(s"""WITH $sqlGrid,
+              |g AS (SELECT grid.ts, t.event_type FROM grid
+              |      CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+              |r AS (SELECT event_type, ts, arg_max(value, event_id) AS value
+              |      FROM events GROUP BY 1, 2)
+              |SELECT g.ts, g.event_type,
+              |  CASE WHEN r.ts IS NOT NULL
+              |    AND epoch_us(g.ts) - epoch_us(r.ts) <= 600 * 1000000
+              |  THEN r.value END AS value
+              |FROM g ASOF LEFT JOIN r
+              |  ON g.event_type = r.event_type AND g.ts >= r.ts
+              |ORDER BY g.ts, g.event_type""".stripMargin)),
+
     "q24_asof_join" -> Q(
       (s, d) => {
         val ev = Tables.events(s, d)
