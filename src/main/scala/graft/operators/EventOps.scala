@@ -223,6 +223,43 @@ object EventOps {
     pairs.withColumn("p", scoreOut(col("n").cast("double") / sum("n").over(norm)))
   }
 
+  /** Seasonal-naive forecast baseline + MASE evaluation: forecast each
+    * test-window hour as the value one season (24 h) earlier, and score
+    * MASE = test MAE / in-sample seasonal-naive MAE (Hyndman & Koehler
+    * '06) — scale-free, defined without zero-division issues unlike MAPE,
+    * and the baseline every fancier forecaster must beat. The hourly
+    * series comes from one (series, hour) aggregate; the season lag is an
+    * equi-join on (series, hour − 24 h) — robust to GAPS in the series,
+    * where a row-offset `lag(24)` silently misaligns. Everything is
+    * series-keyed; no global sorts.
+    *
+    * Returns per series: (series, n_test, mae_test, mae_insample, mase). */
+  def seasonalNaiveMase(events: DataFrame, seriesCol: String, tsCol: String,
+                        valueCol: String, testFrom: String,
+                        scoreOut: Column => Column): DataFrame = {
+    val hourly = events
+      .select(col(seriesCol), date_trunc("hour", col(tsCol)).as("h"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy(seriesCol, "h").agg(avg("v").as("y"))
+    val lagged = hourly.select(col(seriesCol),
+      (col("h") + expr("INTERVAL 24 HOURS")).as("h"), col("y").as("y_prev"))
+    val joined = hourly.join(lagged, Seq(seriesCol, "h"))
+      .withColumn("abs_err", abs(col("y") - col("y_prev")))
+    val cut = lit(testFrom).cast("timestamp")
+    val test = joined.filter(col("h") >= cut)
+      .groupBy(seriesCol)
+      .agg(count(lit(1)).as("n_test"), avg("abs_err").as("mae_test"))
+    val insample = joined.filter(col("h") < cut)
+      .groupBy(seriesCol)
+      .agg(avg("abs_err").as("mae_insample"))
+    test.join(insample, Seq(seriesCol))
+      .select(col(seriesCol), col("n_test"),
+        scoreOut(col("mae_test")).as("mae_test"),
+        scoreOut(col("mae_insample")).as("mae_insample"),
+        scoreOut(when(col("mae_insample") > 0, col("mae_test") / col("mae_insample")))
+          .as("mase"))
+  }
+
   /** Robust outlier scoring by median absolute deviation: modified
     * z-score 0.6745·(x − median)/MAD — the robust twin of the σ-based
     * detectors (W10, seasonalProfile), immune to the outliers it hunts

@@ -278,6 +278,31 @@ object ExtrasQ {
     // rollup. Rows-only: estimates are sketch-resolution-specific;
     // HistogramSketchSpec pins the one-bin-width error bound, exact
     // sketch-level merge, and repartition invariance.
+    // Seasonal-naive forecast baseline + MASE over the last day of the
+    // month per event type — the scale-free benchmark every forecaster
+    // must beat; the 24 h season attaches by equi-join (gap-robust).
+    "q164_seasonal_naive_mase" -> Q(
+      (s, d) => graft.operators.EventOps.seasonalNaiveMase(
+          Tables.events(s, d), "event_type", "ts", "value",
+          testFrom = "2024-01-30 00:00:00", scoreOut = dec6)
+        .orderBy("event_type"),
+      Some(s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+              |  avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY event_type, h),
+              |j AS (SELECT a.event_type, a.h, a.y, b.y AS y_prev,
+              |  abs(a.y - b.y) AS abs_err
+              |  FROM hourly a JOIN hourly b
+              |    ON a.event_type = b.event_type
+              |    AND a.h = b.h + INTERVAL 24 HOURS),
+              |t AS (SELECT event_type, count(*) AS n_test, avg(abs_err) AS mae_test
+              |  FROM j WHERE h >= TIMESTAMP '2024-01-30 00:00:00' GROUP BY event_type),
+              |i AS (SELECT event_type, avg(abs_err) AS mae_insample
+              |  FROM j WHERE h < TIMESTAMP '2024-01-30 00:00:00' GROUP BY event_type)
+              |SELECT t.event_type, n_test, ${r6("mae_test")} AS mae_test,
+              |  ${r6("mae_insample")} AS mae_insample,
+              |  ${r6("CASE WHEN mae_insample > 0 THEN mae_test / mae_insample END")} AS mase
+              |FROM t JOIN i ON t.event_type = i.event_type
+              |ORDER BY t.event_type""".stripMargin)),
+
     // Robust outliers via MAD modified z-score (|0.6745·(x−med)/MAD| > 3.5)
     // — immune to the outliers it hunts, unlike the σ-based detectors.
     // Exact interpolated medians on both engines.
