@@ -223,6 +223,74 @@ object EventOps {
     pairs.withColumn("p", scoreOut(col("n").cast("double") / sum("n").over(norm)))
   }
 
+  /** Entropy rate of the event-type process under its first-order Markov
+    * model: H = −Σ_i π(i) Σ_j p(j|i)·ln p(j|i), with π the empirical
+    * current-state distribution — how predictable the next action is
+    * (low: bots/templates; high: organic). Two tiny aggregates over the
+    * [[markovTransitions]] pair table; the log stream never leaves the
+    * transition matrix's size.
+    *
+    * Returns one row: (n_transitions, n_states, entropy_rate,
+    * max_entropy, predictability = 1 − H/H_max). */
+  def sequenceEntropyRate(events: DataFrame, keyCol: String, tsCol: String,
+                          tiebreakCol: String, stateCol: String,
+                          scoreOut: Column => Column): DataFrame = {
+    val t = markovTransitions(events, keyCol, tsCol, tiebreakCol, stateCol,
+      scoreOut = c => c) // raw p for the entropy fold; rounding at output
+    val tot = t.agg(sum("n").as("nt"))
+    val perCur = t.crossJoin(broadcast(tot))
+      .withColumn("pi_term",
+        (col("n") / col("nt")) * -log(col("p")))
+    perCur.agg(
+        max(col("nt")).cast("long").as("n_transitions"),
+        countDistinct("cur_state").as("n_states"),
+        sum("pi_term").as("h"))
+      .select(col("n_transitions"), col("n_states"),
+        scoreOut(col("h")).as("entropy_rate"),
+        scoreOut(log(col("n_states").cast("double"))).as("max_entropy"),
+        scoreOut(lit(1.0) - col("h") / log(col("n_states").cast("double")))
+          .as("predictability"))
+  }
+
+  /** Cross-correlation lag scan between two hourly series: Pearson
+    * correlation of (x_t, y_{t−lag}) for every lag in [0, maxLag] — "does
+    * series A lead series B, and by how much", the alignment question
+    * behind the reference's zone-temperature → accretion causality story.
+    * ONE join does all lags: the y side explodes each point into its
+    * (bounded) maxLag+1 shifted copies tagged by lag, the join keys on
+    * the shifted hour, and per-lag correlations fold with the explicit
+    * moment formula (identical arithmetic cross-engine; no corr()
+    * built-in whose accumulation scheme could differ). Explode factor is
+    * the lag budget — a constant — not data-dependent.
+    *
+    * Returns per lag: (lag, n, xcorr), lag 0 first. */
+  def xcorrLagScan(events: DataFrame, seriesCol: String, tsCol: String,
+                   valueCol: String, seriesX: String, seriesY: String,
+                   maxLag: Int, scoreOut: Column => Column): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 168, s"lag budget must be bounded, got $maxLag")
+    val hourly = events
+      .select(col(seriesCol), date_trunc("hour", col(tsCol)).as("h"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy(seriesCol, "h").agg(avg("v").as("y"))
+    val x = hourly.filter(col(seriesCol) === seriesX).select(col("h"), col("y").as("xv"))
+    val y = hourly.filter(col(seriesCol) === seriesY)
+      .select(explode(sequence(lit(0), lit(maxLag))).as("lag"), col("h"), col("y"))
+      .select(col("lag"),
+        expr("h + make_interval(0, 0, 0, 0, lag, 0, 0)").as("h"),
+        col("y").as("yv"))
+    x.join(y, Seq("h"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        avg("xv").as("mx"), avg("yv").as("my"),
+        avg(col("xv") * col("yv")).as("mxy"),
+        avg(col("xv") * col("xv")).as("mxx"),
+        avg(col("yv") * col("yv")).as("myy"))
+      .select(col("lag"), col("n"),
+        scoreOut((col("mxy") - col("mx") * col("my")) /
+          (sqrt(col("mxx") - col("mx") * col("mx")) *
+           sqrt(col("myy") - col("my") * col("my")))).as("xcorr"))
+  }
+
   /** Seasonal-naive forecast baseline + MASE evaluation: forecast each
     * test-window hour as the value one season (24 h) earlier, and score
     * MASE = test MAE / in-sample seasonal-naive MAE (Hyndman & Koehler

@@ -278,6 +278,52 @@ object ExtrasQ {
     // rollup. Rows-only: estimates are sketch-resolution-specific;
     // HistogramSketchSpec pins the one-bin-width error bound, exact
     // sketch-level merge, and repartition invariance.
+    // Entropy rate of the event-type process under its Markov model —
+    // how predictable the next action is (bot/template detection).
+    "q166_sequence_entropy" -> Q(
+      (s, d) => graft.operators.EventOps.sequenceEntropyRate(
+        Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+        scoreOut = dec6),
+      Some(s"""WITH x AS (SELECT event_type AS cur,
+              |  lead(event_type) OVER (PARTITION BY user_id
+              |    ORDER BY ts, event_id) AS nxt FROM events),
+              |pc AS (SELECT cur, nxt, count(*) AS n FROM x
+              |  WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+              |tot AS (SELECT sum(n) AS nt FROM pc),
+              |rowp AS (SELECT cur, n,
+              |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur) AS p FROM pc),
+              |agg AS (SELECT sum((CAST(n AS DOUBLE) / nt) * -ln(p)) AS h,
+              |  count(DISTINCT cur) AS ns, max(nt) AS ntr FROM rowp, tot)
+              |SELECT CAST(ntr AS BIGINT) AS n_transitions,
+              |  CAST(ns AS BIGINT) AS n_states,
+              |  ${r6("h")} AS entropy_rate,
+              |  ${r6("ln(CAST(ns AS DOUBLE))")} AS max_entropy,
+              |  ${r6("1.0 - h / ln(CAST(ns AS DOUBLE))")} AS predictability
+              |FROM agg""".stripMargin)),
+
+    // Cross-correlation lag scan: does 'click' lead 'purchase', and by
+    // how many hours — one bounded-explode join scans all 12 lags; the
+    // explicit moment formula keeps both engines bit-aligned.
+    "q165_xcorr_lags" -> Q(
+      (s, d) => graft.operators.EventOps.xcorrLagScan(
+          Tables.events(s, d), "event_type", "ts", "value",
+          seriesX = "purchase", seriesY = "click", maxLag = 12, scoreOut = dec6)
+        .orderBy("lag"),
+      Some(s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+              |  avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY event_type, h),
+              |x AS (SELECT h, y AS xv FROM hourly WHERE event_type = 'purchase'),
+              |ylag AS (SELECT u.lag, h + to_hours(u.lag) AS h, y AS yv
+              |  FROM hourly, LATERAL (SELECT unnest(generate_series(0, 12)) AS lag) u
+              |  WHERE event_type = 'click'),
+              |j AS (SELECT lag, xv, yv FROM x JOIN ylag USING (h)),
+              |m AS (SELECT lag, count(*) AS n, avg(xv) AS mx, avg(yv) AS my,
+              |  avg(xv * yv) AS mxy, avg(xv * xv) AS mxx, avg(yv * yv) AS myy
+              |  FROM j GROUP BY lag)
+              |SELECT lag, n,
+              |  ${r6("""(mxy - mx * my)
+              |    / (sqrt(mxx - mx * mx) * sqrt(myy - my * my))""")} AS xcorr
+              |FROM m ORDER BY lag""".stripMargin)),
+
     // Seasonal-naive forecast baseline + MASE over the last day of the
     // month per event type — the scale-free benchmark every forecaster
     // must beat; the 24 h season attaches by equi-join (gap-robust).

@@ -312,6 +312,39 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"corpus must stream past the broadcast once:\n${plan.take(1500)}")
   }
 
+  test("seasonalProfile: the window's exchange is reused by the final aggregate") {
+    import graft.operators.EventOps
+    // plan STRING, not collect: AQE wraps the tree in AdaptiveSparkPlanExec,
+    // which TreeNode.collect does not descend into
+    val plan = EventOps.seasonalProfile(Tables.events(spark, sfTiny),
+        "event_type", "ts", "value", zCut = 3.0, scoreOut = graft.queries.Q.dec6)
+      .queryExecution.executedPlan.toString
+    val nEx = "Exchange ".r.findAllIn(plan).size
+    assert(nEx == 1,
+      s"window partition key == groupBy key must share ONE shuffle, got $nEx:\n${plan.take(1500)}")
+  }
+
+  test("mergeRollup joins rollup-sized tables only — raw events feed two aggregates, no self-join") {
+    import graft.operators.EventOps
+    val ev = Tables.events(spark, sfTiny)
+    val cut = org.apache.spark.sql.functions.lit("2024-01-02").cast("timestamp")
+    val merged = EventOps.mergeRollup(
+      EventOps.rollupOf(ev.filter(col("ts") < cut), Seq("event_type"), "value"),
+      EventOps.rollupOf(ev.filter(col("ts") >= cut), Seq("event_type"), "value"),
+      Seq("event_type"))
+    val joins = merged.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 1, s"exactly the rollup merge join, got ${joins.size}")
+    // both join inputs are AGGREGATES (rollup-sized), never raw scans
+    joins.head.children.foreach { side =>
+      val aggs = side.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggs.nonEmpty, s"join side must be a rollup aggregate:\n$side")
+    }
+  }
+
   test("bigramSurprisal never hints a vocab-scale broadcast; joins key on hashes") {
     import graft.operators.CorpusOps
     import graft.sources.Tables
