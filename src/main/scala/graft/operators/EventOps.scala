@@ -404,6 +404,36 @@ object EventOps {
         col("survival"))
   }
 
+  /** Benford first-digit analysis: observed vs expected (log10(1 + 1/d))
+    * leading-significant-digit distribution of a measure, with the χ²
+    * statistic — the classic forensic test for fabricated or synthetic
+    * numeric columns (organic multi-scale measures follow Benford;
+    * uniform generators and hand-entered numbers don't). The first digit
+    * falls out of pure column algebra (normalize into [1, 10) via
+    * log10-floor — no string formatting), and the whole result is one
+    * 9-key map-side aggregate plus a broadcast total.
+    *
+    * Returns per digit 1-9: (digit, n, p_obs, p_benford, chi2_term);
+    * Σ chi2_term vs χ²₈ critical values answers "is this column
+    * organic". Zero/negative/null values are excluded (no first digit). */
+  def benfordDigits(events: DataFrame, valueCol: String,
+                    scoreOut: Column => Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val digit = floor(v / pow(lit(10.0), floor(log10(v)))).cast("int")
+    val counts = events.filter(v > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("nt"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p_obs", col("n") / col("nt"))
+      .withColumn("p_benford", log10(lit(1.0) + lit(1.0) / col("digit")))
+      .select(col("digit"), col("n"),
+        scoreOut(col("p_obs")).as("p_obs"),
+        scoreOut(col("p_benford")).as("p_benford"),
+        scoreOut(col("nt") * (col("p_obs") - col("p_benford")) *
+          (col("p_obs") - col("p_benford")) / col("p_benford")).as("chi2_term"))
+  }
+
   /** Incremental rollup maintenance: merge a new batch's partial aggregate
     * into a stored rollup WITHOUT rescanning history — the materialized-
     * view update rule for the decomposable aggregates (sum, count, min,

@@ -278,6 +278,28 @@ object ExtrasQ {
     // rollup. Rows-only: estimates are sketch-resolution-specific;
     // HistogramSketchSpec pins the one-bin-width error bound, exact
     // sketch-level merge, and repartition invariance.
+    // Benford first-digit forensics on the value column: observed vs
+    // log10(1+1/d) expectation with chi-square terms — the fabricated-
+    // data test; the first digit derives from log10-floor normalization,
+    // no string formatting.
+    "q167_benford_digits" -> Q(
+      (s, d) => graft.operators.EventOps.benfordDigits(
+          Tables.events(s, d), "value", scoreOut = dec6)
+        .orderBy("digit"),
+      Some(s"""WITH x AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+              |  WHERE CAST(value AS DOUBLE) > 0),
+              |dg AS (SELECT CAST(floor(v / pow(10.0, floor(log10(v)))) AS INT)
+              |  AS digit FROM x),
+              |c AS (SELECT digit, count(*) AS n FROM dg GROUP BY digit),
+              |t AS (SELECT sum(n) AS nt FROM c),
+              |p AS (SELECT digit, n, CAST(n AS DOUBLE) / nt AS p_obs,
+              |  log10(1.0 + 1.0 / digit) AS p_benford, nt FROM c, t)
+              |SELECT digit, n, ${r6("p_obs")} AS p_obs,
+              |  ${r6("p_benford")} AS p_benford,
+              |  ${r6("nt * (p_obs - p_benford) * (p_obs - p_benford) / p_benford")}
+              |    AS chi2_term
+              |FROM p ORDER BY digit""".stripMargin)),
+
     // Entropy rate of the event-type process under its Markov model —
     // how predictable the next action is (bot/template detection).
     "q166_sequence_entropy" -> Q(
