@@ -398,8 +398,13 @@ object EventOps {
     byDay.crossJoin(broadcast(total))
       .withColumn("n_at_risk", col("n_total") - coalesce(sum("c").over(w), lit(0L)))
       .filter(col("d") > 0)
-      .withColumn("survival", scoreOut(exp(sum(
-        log(lit(1.0) - col("d").cast("double") / col("n_at_risk"))).over(wInc))))
+      .withColumn("factor", lit(1.0) - col("d").cast("double") / col("n_at_risk"))
+      // exact-zero factor (everyone at risk converts): S hits 0 and STAYS 0
+      // — Spark's log(0) is null, so the exp-sum-log fold needs the guard
+      .withColumn("zeroed",
+        max((col("factor") <= 0).cast("int")).over(wInc))
+      .withColumn("survival", scoreOut(when(col("zeroed") === 1, lit(0.0))
+        .otherwise(exp(sum(log(col("factor"))).over(wInc)))))
       .select(col("t").as("t_days"), col("n_at_risk"), col("d").as("n_events"),
         col("survival"))
   }

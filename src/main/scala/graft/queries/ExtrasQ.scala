@@ -419,10 +419,14 @@ object ExtrasQ {
               |  n_total - coalesce(sum(c) OVER (ORDER BY t
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
               |  FROM bd, tot),
-              |ev AS (SELECT t, d, n_at_risk FROM ar WHERE d > 0),
+              |ev AS (SELECT t, d, n_at_risk,
+              |  1.0 - CAST(d AS DOUBLE) / n_at_risk AS factor
+              |  FROM ar WHERE d > 0),
               |sv AS (SELECT t, n_at_risk, d,
-              |  exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk))
-              |    OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS srv FROM ev)
+              |  CASE WHEN max(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
+              |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0
+              |    ELSE exp(sum(ln(factor))
+              |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END AS srv FROM ev)
               |SELECT t AS t_days, CAST(n_at_risk AS BIGINT) AS n_at_risk,
               |  CAST(d AS BIGINT) AS n_events, ${r6("srv")} AS survival
               |FROM sv ORDER BY t_days""".stripMargin)),
