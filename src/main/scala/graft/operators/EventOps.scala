@@ -409,6 +409,118 @@ object EventOps {
         col("survival"))
   }
 
+  /** Two-proportion z-test between hash-split experiment arms: conversion
+    * = fraction of users with any event satisfying `successCond`, arms
+    * assigned by the
+    * deterministic md5 bucket of the user id (the [[graft.operators.
+    * CorpusOps.assignSplit]] trick — reproducible assignment IS the
+    * experiment's validity), z = (p̂_a − p̂_b)/√(p̂(1−p̂)(1/n_a + 1/n_b)).
+    * The statistic is pure arithmetic over two aggregate rows; |z| > 1.96
+    * flags 95% significance without needing an erf implementation.
+    *
+    * Returns one row: (n_a, n_b, conv_a, conv_b, p_a, p_b, z,
+    * significant_95). */
+  def abTest(events: DataFrame, userCol: String, successCond: Column,
+             scoreOut: Column => Column): DataFrame = {
+    val perUser = events.groupBy(col(userCol))
+      .agg(max(successCond.cast("int")).as("conv"))
+      .withColumn("arm",
+        when(conv(substring(md5(col(userCol).cast("string").cast("binary")), 1, 1),
+          16, 10).cast("int") < 8, "a").otherwise("b"))
+    val agg = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    val a = agg.filter(col("arm") === "a")
+      .select(col("n").as("n_a"), col("c").as("conv_a"))
+    val b = agg.filter(col("arm") === "b")
+      .select(col("n").as("n_b"), col("c").as("conv_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("p_a", col("conv_a") / col("n_a"))
+      .withColumn("p_b", col("conv_b") / col("n_b"))
+      .withColumn("p_pool", (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")))
+      .withColumn("z", (col("p_a") - col("p_b")) /
+        sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        scoreOut(col("p_a")).as("p_a"), scoreOut(col("p_b")).as("p_b"),
+        scoreOut(col("z")).as("z"),
+        (abs(col("z")) > 1.96).cast("int").as("significant_95"))
+  }
+
+  /** Deterministic bootstrap confidence interval for a group mean: B
+    * resamples, each the subset of rows whose per-(row, replicate) hash
+    * draw keeps ~63.2% of rows (the asymptotic distinct-row mass of a
+    * with-replacement resample — "Poisson bootstrap" with p = 1 − 1/e,
+    * the standard scalable approximation since true resampling needs
+    * global row multiplicity). One pass: each row explodes into its
+    * (bounded) B replicate memberships, replicate means aggregate
+    * per-key, and the CI reads percentile bounds over the B means. Fully
+    * deterministic — hash draws, no rand() — so the CI is reproducible
+    * across runs, engines and retries.
+    *
+    * Returns one row: (n, mean, boot_lo, boot_hi) at the given level. */
+  def bootstrapMeanCi(events: DataFrame, valueCol: String, b: Int,
+                      level: Double, idCol: String,
+                      scoreOut: Column => Column): DataFrame = {
+    require(b >= 8 && b <= 256, s"replicate budget must be bounded, got $b")
+    require(level > 0 && level < 1, s"level in (0,1), got $level")
+    val v = col(valueCol).cast("double")
+    // keep row in replicate r iff md5(id_r) first two hex digits < 162
+    // (162/256 ≈ 0.632 = 1 − 1/e)
+    val reps = events.select(col(idCol), v.as("v"))
+      .select(col(idCol), col("v"), explode(sequence(lit(1), lit(b))).as("r"))
+      .filter(conv(substring(md5(concat_ws("_", col(idCol).cast("string"),
+        col("r").cast("string")).cast("binary")), 1, 2), 16, 10).cast("int") < 162)
+    val means = reps.groupBy("r").agg(avg("v").as("m"))
+    val alpha = (1.0 - level) / 2.0
+    val base = events.agg(count(lit(1)).as("n"), avg(v).as("mean"))
+    base.crossJoin(broadcast(means.agg(
+        expr(s"percentile(m, $alpha)").as("lo"),
+        expr(s"percentile(m, ${1.0 - alpha})").as("hi"))))
+      .select(col("n"), scoreOut(col("mean")).as("mean"),
+        scoreOut(col("lo")).as("boot_lo"), scoreOut(col("hi")).as("boot_hi"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between a reference and a
+    * current snapshot: D = max |F_ref(x) − F_cur(x)| over the pooled
+    * support — the nonparametric drift test beside [[psi]] (PSI needs a
+    * binning; KS sees any distributional change). Exact ECDFs from one
+    * full-outer join of per-value cumulative counts; at gate scale the
+    * support is the distinct-value set, and at 100 TB the same algebra
+    * runs over quantile-sketch bins (documented approximation). The
+    * significance line D_crit = c(α)·√((n+m)/(n·m)) with c(0.05) = 1.358
+    * is pure arithmetic.
+    *
+    * Returns one row: (n_ref, n_cur, ks_d, d_crit_95, drifted). */
+  def ksTest(ref: DataFrame, cur: DataFrame, valueCol: String,
+             scoreOut: Column => Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    def ecdf(df: DataFrame, n: String, f: String): DataFrame = {
+      val byV = df.select(v.as("x")).groupBy("x").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+      byV.withColumn("cum", sum("c").over(w))
+        .crossJoin(broadcast(byV.agg(sum("c").as(n))))
+        .select(col("x"), (col("cum") / col(n)).as(f), col(n))
+    }
+    val a = ecdf(ref, "n_ref", "f_ref")
+    val b = ecdf(cur, "n_cur", "f_cur")
+    val joined = a.join(b, Seq("x"), "full_outer")
+    // at support points absent from one side, that side's ECDF is the
+    // LAST defined value at or below x — forward-fill over the pooled,
+    // ordered support (0 before the first point)
+    val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    joined
+      .withColumn("fr", coalesce(last("f_ref", ignoreNulls = true).over(w), lit(0.0)))
+      .withColumn("fc", coalesce(last("f_cur", ignoreNulls = true).over(w), lit(0.0)))
+      .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+        max(abs(col("fr") - col("fc"))).as("d"))
+      .select(col("n_ref"), col("n_cur"),
+        scoreOut(col("d")).as("ks_d"),
+        scoreOut(lit(1.358) * sqrt((col("n_ref") + col("n_cur")).cast("double") /
+          (col("n_ref") * col("n_cur")))).as("d_crit_95"),
+        (col("d") > lit(1.358) * sqrt((col("n_ref") + col("n_cur")).cast("double") /
+          (col("n_ref") * col("n_cur")))).cast("int").as("drifted"))
+  }
+
   /** Benford first-digit analysis: observed vs expected (log10(1 + 1/d))
     * leading-significant-digit distribution of a measure, with the χ²
     * statistic — the classic forensic test for fabricated or synthetic

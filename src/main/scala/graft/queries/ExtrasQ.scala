@@ -278,6 +278,104 @@ object ExtrasQ {
     // rollup. Rows-only: estimates are sketch-resolution-specific;
     // HistogramSketchSpec pins the one-bin-width error bound, exact
     // sketch-level merge, and repartition invariance.
+    // Two-proportion z-test between md5-split experiment arms: conversion
+    // = any purchase with value > 100; the z statistic is pure arithmetic
+    // over two aggregate rows, |z| > 1.96 flags 95% significance.
+    "q168_ab_test" -> Q(
+      (s, d) => graft.operators.EventOps.abTest(
+        Tables.events(s, d), "user_id",
+        successCond = col("event_type") === "purchase" && col("value") > 100,
+        scoreOut = dec6),
+      Some(s"""WITH pu AS (SELECT user_id,
+              |  max(CASE WHEN event_type = 'purchase' AND value > 100
+              |    THEN 1 ELSE 0 END) AS conv
+              |  FROM events GROUP BY user_id),
+              |arm AS (SELECT conv,
+              |  CASE WHEN strpos('0123456789abcdef',
+              |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 < 8
+              |  THEN 'a' ELSE 'b' END AS arm FROM pu),
+              |ag AS (SELECT arm, count(*) AS n, sum(conv) AS c FROM arm GROUP BY arm),
+              |x AS (SELECT
+              |  (SELECT n FROM ag WHERE arm = 'a') AS n_a,
+              |  (SELECT c FROM ag WHERE arm = 'a') AS conv_a,
+              |  (SELECT n FROM ag WHERE arm = 'b') AS n_b,
+              |  (SELECT c FROM ag WHERE arm = 'b') AS conv_b),
+              |y AS (SELECT n_a, n_b, conv_a, conv_b,
+              |  CAST(conv_a AS DOUBLE) / n_a AS p_a,
+              |  CAST(conv_b AS DOUBLE) / n_b AS p_b,
+              |  CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pp FROM x),
+              |z AS (SELECT *, (p_a - p_b)
+              |  / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)) AS zz FROM y)
+              |SELECT n_a, n_b, CAST(conv_a AS BIGINT) AS conv_a,
+              |  CAST(conv_b AS BIGINT) AS conv_b,
+              |  ${r6("p_a")} AS p_a, ${r6("p_b")} AS p_b, ${r6("zz")} AS z,
+              |  CAST(abs(zz) > 1.96 AS INT) AS significant_95
+              |FROM z""".stripMargin)),
+
+    // Deterministic Poisson-bootstrap 95% CI for the mean event value:
+    // 32 hash-drawn replicates (p = 1 - 1/e), percentile bounds over the
+    // replicate means — reproducible across runs and engines.
+    "q169_bootstrap_ci" -> Q(
+      (s, d) => graft.operators.EventOps.bootstrapMeanCi(
+        Tables.events(s, d), "value", b = 32, level = 0.95,
+        idCol = "event_id", scoreOut = dec6),
+      Some(s"""WITH reps AS (SELECT u.r, CAST(value AS DOUBLE) AS v
+              |  FROM events, LATERAL (SELECT unnest(generate_series(1, 32)) AS r) u
+              |  WHERE (strpos('0123456789abcdef', substring(md5(
+              |      CAST(event_id AS VARCHAR) || '_' || CAST(u.r AS VARCHAR)), 1, 1)) - 1)
+              |      * 16
+              |    + strpos('0123456789abcdef', substring(md5(
+              |      CAST(event_id AS VARCHAR) || '_' || CAST(u.r AS VARCHAR)), 2, 1)) - 1
+              |    < 162),
+              |means AS (SELECT r, avg(v) AS m FROM reps GROUP BY r),
+              |ci AS (SELECT quantile_cont(m, 0.025) AS lo,
+              |  quantile_cont(m, 0.975) AS hi FROM means),
+              |base AS (SELECT count(*) AS n, avg(CAST(value AS DOUBLE)) AS mean
+              |  FROM events)
+              |SELECT n, ${r6("mean")} AS mean, ${r6("lo")} AS boot_lo,
+              |  ${r6("hi")} AS boot_hi FROM base, ci""".stripMargin)),
+
+    // Two-sample KS drift test: exact ECDF max-gap between the first and
+    // second half of the month, with the 95% critical line — the
+    // nonparametric complement of the binned PSI (q142).
+    "q170_ks_test" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cut = lit("2024-01-16").cast("timestamp")
+        graft.operators.EventOps.ksTest(
+          ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+          "value", scoreOut = dec6)
+      },
+      Some(s"""WITH ra AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+              |  WHERE ts < TIMESTAMP '2024-01-16'),
+              |rb AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+              |  WHERE ts >= TIMESTAMP '2024-01-16'),
+              |ca AS (SELECT x, count(*) AS c FROM ra GROUP BY x),
+              |cb AS (SELECT x, count(*) AS c FROM rb GROUP BY x),
+              |ea AS (SELECT x, CAST(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              |    AS DOUBLE) / (SELECT sum(c) FROM ca) AS f,
+              |  (SELECT sum(c) FROM ca) AS n_ref FROM ca),
+              |eb AS (SELECT x, CAST(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              |    AS DOUBLE) / (SELECT sum(c) FROM cb) AS f,
+              |  (SELECT sum(c) FROM cb) AS n_cur FROM cb),
+              |j AS (SELECT coalesce(ea.x, eb.x) AS x, ea.f AS f_ref, eb.f AS f_cur,
+              |  ea.n_ref, eb.n_cur FROM ea FULL OUTER JOIN eb ON ea.x = eb.x),
+              |ff AS (SELECT
+              |  coalesce(last_value(f_ref IGNORE NULLS)
+              |    OVER (ORDER BY x ROWS UNBOUNDED PRECEDING), 0.0) AS fr,
+              |  coalesce(last_value(f_cur IGNORE NULLS)
+              |    OVER (ORDER BY x ROWS UNBOUNDED PRECEDING), 0.0) AS fc,
+              |  n_ref, n_cur FROM j),
+              |agg AS (SELECT CAST(max(n_ref) AS BIGINT) AS n_ref,
+              |  CAST(max(n_cur) AS BIGINT) AS n_cur,
+              |  max(abs(fr - fc)) AS d FROM ff)
+              |SELECT n_ref, n_cur, ${r6("d")} AS ks_d,
+              |  ${r6("1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE) / (n_ref * n_cur))")}
+              |    AS d_crit_95,
+              |  CAST(d > 1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE) / (n_ref * n_cur))
+              |    AS INT) AS drifted
+              |FROM agg""".stripMargin)),
+
     // Benford first-digit forensics on the value column: observed vs
     // log10(1+1/d) expectation with chi-square terms — the fabricated-
     // data test; the first digit derives from log10-floor normalization,
