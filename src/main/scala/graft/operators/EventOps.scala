@@ -480,6 +480,74 @@ object EventOps {
         scoreOut(col("lo")).as("boot_lo"), scoreOut(col("hi")).as("boot_hi"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) test between two samples: U from
+    * the rank sum over the POOLED ordering with midranks for ties, and
+    * the normal-approximation z with the tie-correction term — the
+    * rank-based "did the distribution shift" test that, unlike the
+    * t-test, needs no normality and, unlike KS, targets location shifts.
+    * Ranks come from one window over the pooled (value, count) table —
+    * distinct-value-sized, not row-sized, because midranks are a pure
+    * function of the cumulative counts.
+    *
+    * Returns one row: (n_a, n_b, u, mu, sigma, z, significant_95). */
+  def mannWhitneyU(a: DataFrame, b: DataFrame, valueCol: String,
+                   scoreOut: Column => Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val pooled = a.select(v.as("x")).withColumn("s", lit("a"))
+      .unionByName(b.select(v.as("x")).withColumn("s", lit("b")))
+    val byV = pooled.groupBy("x")
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("s") === "a", 1L).otherwise(0L)).as("ta"))
+    val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = byV
+      .withColumn("cum", sum("t").over(w))
+      // midrank of a tie group spanning ranks (cum−t, cum]:
+      // (cum − t + 1 + cum)/2
+      .withColumn("midrank", (col("cum") * 2 - col("t") + 1) / lit(2.0))
+    val agg = ranked.agg(
+      sum("ta").cast("double").as("na"),
+      sum(col("t") - col("ta")).cast("double").as("nb"),
+      sum(col("ta") * col("midrank")).as("ra"),
+      // tie correction Σ (t³ − t)
+      sum(col("t") * col("t") * col("t") - col("t")).cast("double").as("tie"))
+    agg.select(
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        (col("ra") - col("na") * (col("na") + 1) / 2).as("u"),
+        (col("na") * col("nb") / 2.0).as("mu"),
+        sqrt(col("na") * col("nb") / 12.0 *
+          ((col("na") + col("nb") + 1) -
+            col("tie") / ((col("na") + col("nb")) * (col("na") + col("nb") - 1))))
+          .as("sigma"))
+      .select(col("n_a"), col("n_b"),
+        scoreOut(col("u")).as("u"), scoreOut(col("mu")).as("mu"),
+        scoreOut(col("sigma")).as("sigma"),
+        scoreOut((col("u") - col("mu")) / col("sigma")).as("z"),
+        (abs((col("u") - col("mu")) / col("sigma")) > 1.96).cast("int")
+          .as("significant_95"))
+  }
+
+  /** Gini coefficient of a nonnegative measure's concentration across
+    * units (how unequally activity/tokens/spend distribute): the sorted-
+    * cumulative formula G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n over values
+    * ranked ascending with an id tiebreak. The rank window orders (unit,
+    * value) pairs — unit-level data, already one aggregate away from the
+    * raw log. 0 = perfectly equal, → 1 = one unit holds everything.
+    *
+    * Returns one row: (n_units, total, gini). */
+  def giniConcentration(perUnit: DataFrame, idCol: String, valueCol: String,
+                        scoreOut: Column => Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val w = Window.orderBy(col("x").asc, col(idCol))
+    perUnit.select(col(idCol), v.as("x"))
+      .withColumn("i", row_number().over(w))
+      .agg(count(lit(1)).cast("double").as("n"), sum("x").as("tot"),
+        sum(col("i") * col("x")).as("ix"))
+      .select(col("n").cast("long").as("n_units"),
+        scoreOut(col("tot")).as("total"),
+        scoreOut(lit(2.0) * col("ix") / (col("n") * col("tot")) -
+          (col("n") + 1) / col("n")).as("gini"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between a reference and a
     * current snapshot: D = max |F_ref(x) − F_cur(x)| over the pooled
     * support — the nonparametric drift test beside [[psi]] (PSI needs a

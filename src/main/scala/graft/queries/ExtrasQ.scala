@@ -376,6 +376,61 @@ object ExtrasQ {
               |    AS INT) AS drifted
               |FROM agg""".stripMargin)),
 
+    // Mann-Whitney U between the two month halves: rank-based location-
+    // shift test with midrank ties + tie-corrected sigma — ranks live on
+    // the distinct-value table, not the row stream.
+    "q171_mann_whitney" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cut = lit("2024-01-16").cast("timestamp")
+        graft.operators.EventOps.mannWhitneyU(
+          ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+          "value", scoreOut = dec6)
+      },
+      Some(s"""WITH pooled AS (
+              |  SELECT CAST(value AS DOUBLE) AS x, 'a' AS s FROM events
+              |    WHERE ts < TIMESTAMP '2024-01-16'
+              |  UNION ALL
+              |  SELECT CAST(value AS DOUBLE) AS x, 'b' AS s FROM events
+              |    WHERE ts >= TIMESTAMP '2024-01-16'),
+              |bv AS (SELECT x, count(*) AS t,
+              |  sum(CASE WHEN s = 'a' THEN 1 ELSE 0 END) AS ta
+              |  FROM pooled GROUP BY x),
+              |rk AS (SELECT t, ta,
+              |  (sum(t) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) * 2 - t + 1) / 2.0
+              |    AS midrank FROM bv),
+              |ag AS (SELECT CAST(sum(ta) AS DOUBLE) AS na,
+              |  CAST(sum(t - ta) AS DOUBLE) AS nb,
+              |  sum(ta * midrank) AS ra,
+              |  CAST(sum(t * t * t - t) AS DOUBLE) AS tie FROM rk),
+              |st AS (SELECT na, nb, ra - na * (na + 1) / 2 AS u,
+              |  na * nb / 2.0 AS mu,
+              |  sqrt(na * nb / 12.0 * ((na + nb + 1)
+              |    - tie / ((na + nb) * (na + nb - 1)))) AS sigma FROM ag)
+              |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              |  ${r6("u")} AS u, ${r6("mu")} AS mu, ${r6("sigma")} AS sigma,
+              |  ${r6("(u - mu) / sigma")} AS z,
+              |  CAST(abs((u - mu) / sigma) > 1.96 AS INT) AS significant_95
+              |FROM st""".stripMargin)),
+
+    // Gini coefficient of per-user event-count concentration — how
+    // unequally activity distributes across users.
+    "q172_gini_activity" -> Q(
+      (s, d) => {
+        val perUser = Tables.events(s, d)
+          .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        graft.operators.EventOps.giniConcentration(perUser, "user_id",
+          "n_events", scoreOut = dec6)
+      },
+      Some(s"""WITH pu AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS x
+              |  FROM events GROUP BY user_id),
+              |rk AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM pu),
+              |ag AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS tot,
+              |  sum(i * x) AS ix FROM rk)
+              |SELECT CAST(n AS BIGINT) AS n_units, ${r6("tot")} AS total,
+              |  ${r6("2.0 * ix / (n * tot) - (n + 1) / n")} AS gini
+              |FROM ag""".stripMargin)),
+
     // Benford first-digit forensics on the value column: observed vs
     // log10(1+1/d) expectation with chi-square terms — the fabricated-
     // data test; the first digit derives from log10-floor normalization,
