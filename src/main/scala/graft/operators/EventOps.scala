@@ -252,6 +252,90 @@ object EventOps {
           .as("predictability"))
   }
 
+  /** Cohort LTV curve: cumulative value per cohort at each day offset —
+    * the revenue companion of [[retentionCohorts]] ("how much has the
+    * Jan-3 cohort produced by day k"). Same one-collapse shape: the log
+    * folds to (user, day, value) sums map-side, the cohort attaches from
+    * the per-user day set, and the cumulative runs over the tiny
+    * (cohort, offset) table.
+    *
+    * Returns (cohort_day, day_offset, n_users, day_value, cum_value). */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+                valueCol: String, maxOffset: Int,
+                scoreOut: Column => Column): DataFrame = {
+    val ud = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy("u", "d").agg(count(lit(1)).as("n"), sum("v").as("dv"))
+    val wU = Window.partitionBy("u")
+    val off = ud
+      .withColumn("cohort", min("d").over(wU))
+      .withColumn("day_offset", datediff(col("d"), col("cohort")))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy("cohort", "day_offset")
+      .agg(count(lit(1)).as("n_users"), sum("dv").as("day_value"))
+    val wC = Window.partitionBy("cohort").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    off
+      .withColumn("cum_value", sum("day_value").over(wC))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"),
+        scoreOut(col("day_value")).as("day_value"),
+        scoreOut(col("cum_value")).as("cum_value"))
+  }
+
+  /** LTTB-style visual downsampling ("largest triangle three buckets",
+    * Steinarsson '13, simplified to fixed anchors): split the series into
+    * `buckets` equal-count bins and keep, per bin, the point subtending
+    * the largest triangle against the NEIGHBOR BINS' mean points. The
+    * original algorithm anchors on the previously SELECTED point — an
+    * inherently sequential choice; fixing the anchors to bucket means
+    * keeps ~the same visual fidelity and makes the whole selection one
+    * window pass (the standard trade for a distributed downsampler). Ties
+    * break on the tiebreak column, so the kept set is deterministic.
+    *
+    * Returns the ≤`buckets` kept rows: (bucket, ts, value). */
+  def lttbDownsample(events: DataFrame, tsCol: String, tiebreakCol: String,
+                     valueCol: String, buckets: Int,
+                     scoreOut: Column => Column): DataFrame = {
+    require(buckets >= 3, s"need at least 3 buckets, got $buckets")
+    val v = col(valueCol).cast("double")
+    val n = Window.orderBy(col(tsCol), col(tiebreakCol))
+    val based = events
+      .select(col(tsCol), col(tiebreakCol), v.as("v"),
+        unix_micros(col(tsCol)).cast("double").as("t"))
+      .withColumn("rn", row_number().over(n))
+    val total = based.agg(max("rn").as("nt"))
+    val bucketed = based.crossJoin(broadcast(total))
+      .withColumn("bucket",
+        least(floor((col("rn") - 1) * buckets / col("nt")).cast("int"),
+          lit(buckets - 1)))
+    val means = bucketed.groupBy("bucket")
+      .agg(avg("t").as("mt"), avg("v").as("mv"))
+    val prev = means.select((col("bucket") + 1).as("bucket"),
+      col("mt").as("pt"), col("mv").as("pv"))
+    val next = means.select((col("bucket") - 1).as("bucket"),
+      col("mt").as("qt"), col("mv").as("qv"))
+    val own = means.select(col("bucket"), col("mv").as("ov"))
+    val wB = Window.partitionBy("bucket")
+      .orderBy(col("area").desc, col(tiebreakCol))
+    bucketed
+      .join(broadcast(prev), Seq("bucket"), "left")
+      .join(broadcast(next), Seq("bucket"), "left")
+      .join(broadcast(own), Seq("bucket"))
+      // interior buckets: triangle area against both neighbor anchors;
+      // edge buckets (one anchor missing) keep the point furthest from
+      // their own mean — the degenerate-but-deterministic fallback
+      .withColumn("area",
+        when(col("pt").isNotNull && col("qt").isNotNull,
+          abs((col("pt") - col("t")) * (col("qv") - col("v")) -
+            (col("qt") - col("t")) * (col("pv") - col("v"))))
+          .otherwise(abs(col("v") - col("ov"))))
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") === 1)
+      .select(col("bucket"), col(tsCol), scoreOut(col("v")).as("value"))
+  }
+
   /** Cross-correlation lag scan between two hourly series: Pearson
     * correlation of (x_t, y_{t−lag}) for every lag in [0, maxLag] — "does
     * series A lead series B, and by how much", the alignment question

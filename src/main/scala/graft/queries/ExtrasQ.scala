@@ -376,6 +376,83 @@ object ExtrasQ {
               |    AS INT) AS drifted
               |FROM agg""".stripMargin)),
 
+    // Cohort LTV curve: cumulative per-cohort value by day offset — the
+    // revenue companion of q139's retention.
+    "q173_cohort_ltv" -> Q(
+      (s, d) => graft.operators.EventOps.cohortLtv(
+          Tables.events(s, d), "user_id", "ts", "value", maxOffset = 7,
+          scoreOut = dec6)
+        .orderBy("cohort_day", "day_offset"),
+      Some(s"""WITH ud AS (SELECT user_id AS u, CAST(ts AS DATE) AS d,
+              |  count(*) AS n, sum(CAST(value AS DOUBLE)) AS dv
+              |  FROM events GROUP BY u, d),
+              |coh AS (SELECT u, d, dv, min(d) OVER (PARTITION BY u) AS cohort
+              |  FROM ud),
+              |o AS (SELECT cohort, CAST(d - cohort AS INT) AS day_offset,
+              |  count(*) AS n_users, sum(dv) AS day_value FROM coh
+              |  WHERE d - cohort <= 7 GROUP BY cohort, day_offset),
+              |c AS (SELECT cohort, day_offset, n_users, day_value,
+              |  sum(day_value) OVER (PARTITION BY cohort ORDER BY day_offset
+              |    ROWS UNBOUNDED PRECEDING) AS cum_value FROM o)
+              |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, day_offset,
+              |  n_users, ${r6("day_value")} AS day_value,
+              |  ${r6("cum_value")} AS cum_value
+              |FROM c ORDER BY cohort_day, day_offset""".stripMargin)),
+
+    // Autocorrelation function: the lag scan with X = Y — lag 0 must be
+    // exactly 1, the rest profile the series' memory.
+    "q174_acf" -> Q(
+      (s, d) => graft.operators.EventOps.xcorrLagScan(
+          Tables.events(s, d), "event_type", "ts", "value",
+          seriesX = "click", seriesY = "click", maxLag = 12, scoreOut = dec6)
+        .orderBy("lag"),
+      Some(s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+              |  avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY event_type, h),
+              |x AS (SELECT h, y AS xv FROM hourly WHERE event_type = 'click'),
+              |ylag AS (SELECT u.lag, h + to_hours(u.lag) AS h, y AS yv
+              |  FROM hourly, LATERAL (SELECT unnest(generate_series(0, 12)) AS lag) u
+              |  WHERE event_type = 'click'),
+              |j AS (SELECT lag, xv, yv FROM x JOIN ylag USING (h)),
+              |m AS (SELECT lag, count(*) AS n, avg(xv) AS mx, avg(yv) AS my,
+              |  avg(xv * yv) AS mxy, avg(xv * xv) AS mxx, avg(yv * yv) AS myy
+              |  FROM j GROUP BY lag)
+              |SELECT lag, n,
+              |  ${r6("""(mxy - mx * my)
+              |    / (sqrt(mxx - mx * mx) * sqrt(myy - my * my))""")} AS xcorr
+              |FROM m ORDER BY lag""".stripMargin)),
+
+    // LTTB-lite visual downsampling of the click series to 24 points:
+    // per equal-count bucket, keep the largest-triangle point against the
+    // neighbor buckets' mean anchors (fixed anchors make the sequential
+    // original one distributed window pass).
+    "q175_lttb_downsample" -> Q(
+      (s, d) => graft.operators.EventOps.lttbDownsample(
+          Tables.events(s, d).filter(col("event_type") === "click"),
+          "ts", "event_id", "value", buckets = 24, scoreOut = dec6)
+        .orderBy("bucket"),
+      Some(s"""WITH based AS (SELECT ts, event_id, CAST(value AS DOUBLE) AS v,
+              |  CAST(epoch_us(ts) AS DOUBLE) AS t,
+              |  row_number() OVER (ORDER BY ts, event_id) AS rn
+              |  FROM events WHERE event_type = 'click'),
+              |tot AS (SELECT max(rn) AS nt FROM based),
+              |bk AS (SELECT based.*, least(CAST(floor((rn - 1) * 24 / nt) AS INT), 23)
+              |  AS bucket FROM based, tot),
+              |m AS (SELECT bucket, avg(t) AS mt, avg(v) AS mv FROM bk GROUP BY bucket),
+              |j AS (SELECT bk.bucket, bk.ts, bk.event_id, bk.v, bk.t,
+              |  p.mt AS pt, p.mv AS pv, q.mt AS qt, q.mv AS qv, o.mv AS ov
+              |  FROM bk LEFT JOIN m p ON p.bucket = bk.bucket - 1
+              |          LEFT JOIN m q ON q.bucket = bk.bucket + 1
+              |          JOIN m o ON o.bucket = bk.bucket),
+              |a AS (SELECT bucket, ts, event_id, v,
+              |  CASE WHEN pt IS NOT NULL AND qt IS NOT NULL
+              |    THEN abs((pt - t) * (qv - v) - (qt - t) * (pv - v))
+              |    ELSE abs(v - ov) END AS area FROM j),
+              |r AS (SELECT bucket, ts, v,
+              |  row_number() OVER (PARTITION BY bucket
+              |    ORDER BY area DESC, event_id) AS rk FROM a)
+              |SELECT bucket, ts, ${r6("v")} AS value FROM r
+              |WHERE rk = 1 ORDER BY bucket""".stripMargin)),
+
     // Mann-Whitney U between the two month halves: rank-based location-
     // shift test with midrank ties + tie-corrected sigma — ranks live on
     // the distinct-value table, not the row stream.
