@@ -252,6 +252,61 @@ object EventOps {
           .as("predictability"))
   }
 
+  /** Burstiness of inter-arrival times per key (Goh & Barabási '08):
+    * B = (σ − μ)/(σ + μ) over the gaps between consecutive events —
+    * −1 for a metronome, 0 for a Poisson process, → 1 for extreme bursts.
+    * Regular machine traffic and bots sit far from organic humans on this
+    * axis. One lag window per key + one aggregate; gaps are integer
+    * micros (exact).
+    *
+    * Returns per key: (key, n_gaps, mean_gap_s, std_gap_s, burstiness). */
+  def burstiness(events: DataFrame, keyCol: String, tsCol: String,
+                 tiebreakCol: String, scoreOut: Column => Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("us"), col(tiebreakCol))
+    events
+      .select(col(keyCol), unix_micros(col(tsCol)).as("us"), col(tiebreakCol))
+      .withColumn("gap", (col("us") - lag("us", 1).over(w)) / lit(1000000.0))
+      .filter(col("gap").isNotNull)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_gaps"),
+        avg("gap").as("m"), stddev_pop("gap").as("sd"))
+      .filter(col("n_gaps") >= 2)
+      .select(col(keyCol), col("n_gaps"),
+        scoreOut(col("m")).as("mean_gap_s"),
+        scoreOut(col("sd")).as("std_gap_s"),
+        scoreOut((col("sd") - col("m")) / (col("sd") + col("m"))).as("burstiness"))
+  }
+
+  /** Local-peak detection on an hourly series: points strictly above both
+    * neighbors AND above the series mean + `kSigma`·σ — the
+    * spike-inventory a monitoring dashboard lists, as two window lags and
+    * one broadcast of per-series global stats. Endpoints (no neighbor on
+    * one side) are never peaks, matching the usual convention.
+    *
+    * Returns peak rows: (series, h, v, prev_v, next_v). */
+  def localPeaks(events: DataFrame, seriesCol: String, tsCol: String,
+                 valueCol: String, kSigma: Double,
+                 scoreOut: Column => Column): DataFrame = {
+    val hourly = events
+      .select(col(seriesCol), date_trunc("hour", col(tsCol)).as("h"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy(seriesCol, "h").agg(avg("v").as("v"))
+    val w = Window.partitionBy(seriesCol).orderBy("h")
+    val stats = hourly.groupBy(seriesCol)
+      .agg(avg("v").as("gm"), stddev_pop("v").as("gs"))
+    hourly
+      .withColumn("prev_v", lag("v", 1).over(w))
+      .withColumn("next_v", lead("v", 1).over(w))
+      .join(broadcast(stats), Seq(seriesCol))
+      .filter(col("prev_v").isNotNull && col("next_v").isNotNull &&
+        col("v") > col("prev_v") && col("v") > col("next_v") &&
+        col("v") > col("gm") + lit(kSigma) * col("gs"))
+      .select(col(seriesCol), col("h"),
+        scoreOut(col("v")).as("v"),
+        scoreOut(col("prev_v")).as("prev_v"),
+        scoreOut(col("next_v")).as("next_v"))
+  }
+
   /** Cohort LTV curve: cumulative value per cohort at each day offset —
     * the revenue companion of [[retentionCohorts]] ("how much has the
     * Jan-3 cohort produced by day k"). Same one-collapse shape: the log

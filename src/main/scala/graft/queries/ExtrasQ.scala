@@ -376,6 +376,48 @@ object ExtrasQ {
               |    AS INT) AS drifted
               |FROM agg""".stripMargin)),
 
+    // Inter-arrival burstiness per user (Goh-Barabási B): metronomes at
+    // −1, Poisson at 0, bursts toward 1 — bot-vs-organic separation.
+    // Limited to 40 users for a bounded gate result.
+    "q176_burstiness" -> Q(
+      (s, d) => graft.operators.EventOps.burstiness(
+          Tables.events(s, d).filter(col("user_id") < 40),
+          "user_id", "ts", "event_id", scoreOut = dec6)
+        .orderBy("user_id"),
+      Some(s"""WITH g AS (SELECT user_id,
+              |  (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+              |    ORDER BY ts, event_id)) / 1000000.0 AS gap
+              |  FROM events WHERE user_id < 40),
+              |a AS (SELECT user_id, count(*) AS n_gaps, avg(gap) AS m,
+              |  stddev_pop(gap) AS sd FROM g WHERE gap IS NOT NULL
+              |  GROUP BY user_id)
+              |SELECT user_id, n_gaps, ${r6("m")} AS mean_gap_s,
+              |  ${r6("sd")} AS std_gap_s,
+              |  ${r6("(sd - m) / (sd + m)")} AS burstiness
+              |FROM a WHERE n_gaps >= 2 ORDER BY user_id""".stripMargin)),
+
+    // Local peaks on the hourly error series: strictly above both
+    // neighbors and above mean + 1.5 sigma — the spike inventory.
+    "q177_local_peaks" -> Q(
+      (s, d) => graft.operators.EventOps.localPeaks(
+          Tables.events(s, d).filter(col("event_type") === "error"),
+          "event_type", "ts", "value", kSigma = 1.5, scoreOut = dec6)
+        .orderBy("h"),
+      Some(s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+              |  avg(CAST(value AS DOUBLE)) AS v FROM events
+              |  WHERE event_type = 'error' GROUP BY event_type, h),
+              |st AS (SELECT event_type, avg(v) AS gm, stddev_pop(v) AS gs
+              |  FROM hourly GROUP BY event_type),
+              |x AS (SELECT hourly.event_type, h, v,
+              |  lag(v) OVER (PARTITION BY hourly.event_type ORDER BY h) AS prev_v,
+              |  lead(v) OVER (PARTITION BY hourly.event_type ORDER BY h) AS next_v,
+              |  gm, gs FROM hourly JOIN st USING (event_type))
+              |SELECT event_type, h, ${r6("v")} AS v, ${r6("prev_v")} AS prev_v,
+              |  ${r6("next_v")} AS next_v
+              |FROM x WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+              |  AND v > prev_v AND v > next_v AND v > gm + 1.5 * gs
+              |ORDER BY h""".stripMargin)),
+
     // Cohort LTV curve: cumulative per-cohort value by day offset — the
     // revenue companion of q139's retention.
     "q173_cohort_ltv" -> Q(
