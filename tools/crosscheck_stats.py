@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Independent (numpy, not DuckDB) cross-check of the statistical operators.
+
+The driver's oracle gate and the Spark side share the same closed-form
+formulas, so a formula-level bug would pass both. This script recomputes
+KS (q170), Mann-Whitney U (q171), Gini (q172) and Kaplan-Meier (q158)
+from raw parquet with INDEPENDENT numpy algorithms (searchsorted ECDFs,
+mergesort midranks, explicit survival product) and compares against the
+graft.Verify dumps.
+
+Usage: python3 tools/crosscheck_stats.py [sf_dir] [verify_out_dir]
+Last verified 2026-08-14: all four match to 6 decimals at sf0.01.
+"""
+import sys, glob
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+
+    def dump(name):
+        f = glob.glob(f"{out}/{name}/*.parquet")
+        return pd.read_parquet(f[0]) if f else None
+
+    ok = True
+
+    # --- KS (q170) ---
+    a = np.array(con.execute("SELECT CAST(value AS DOUBLE) v FROM events "
+                             "WHERE ts < TIMESTAMP '2024-01-16'").df()['v'])
+    b = np.array(con.execute("SELECT CAST(value AS DOUBLE) v FROM events "
+                             "WHERE ts >= TIMESTAMP '2024-01-16'").df()['v'])
+    allv = np.sort(np.unique(np.concatenate([a, b])))
+    D = np.max(np.abs(np.searchsorted(np.sort(a), allv, 'right') / len(a)
+                      - np.searchsorted(np.sort(b), allv, 'right') / len(b)))
+    ks = dump("q170_ks_test")
+    if ks is not None:
+        good = abs(ks.ks_d.iloc[0] - D) < 2e-6
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q170 KS: numpy {D:.6f} vs {ks.ks_d.iloc[0]}")
+
+    # --- Mann-Whitney U (q171) ---
+    pooled = np.concatenate([a, b])
+    order = np.argsort(pooled, kind='mergesort')
+    ranks = np.empty(len(pooled))
+    sv = pooled[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j + 2) / 2.0
+        i = j + 1
+    n1, n2 = len(a), len(b)
+    U = ranks[:n1].sum() - n1 * (n1 + 1) / 2
+    tc = np.unique(sv, return_counts=True)[1].astype(float)
+    sigma = np.sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
+                    - np.sum(tc ** 3 - tc) / ((n1 + n2) * (n1 + n2 - 1))))
+    z = (U - n1 * n2 / 2.0) / sigma
+    mw = dump("q171_mann_whitney")
+    if mw is not None:
+        good = abs(mw.u.iloc[0] - U) < 1e-3 and abs(mw.z.iloc[0] - z) < 2e-6
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q171 MWU: numpy U={U} z={z:.6f} "
+              f"vs U={mw.u.iloc[0]} z={mw.z.iloc[0]}")
+
+    # --- Gini (q172) ---
+    x = np.sort(np.array(con.execute(
+        "SELECT count(*) c FROM events GROUP BY user_id").df()['c'], dtype=float))
+    n = len(x)
+    gini = 2 * np.sum(np.arange(1, n + 1) * x) / (n * np.sum(x)) - (n + 1) / n
+    g = dump("q172_gini_activity")
+    if g is not None:
+        good = abs(g.gini.iloc[0] - gini) < 2e-6
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q172 Gini: numpy {gini:.6f} vs {g.gini.iloc[0]}")
+
+    # --- Kaplan-Meier (q158) ---
+    pu = con.execute("""SELECT user_id,
+        min(CASE WHEN event_type='signup' THEN CAST(ts AS DATE) END) AS d0,
+        min(CASE WHEN event_type='purchase' THEN CAST(ts AS DATE) END) AS d1,
+        max(CAST(ts AS DATE)) AS dmax FROM events GROUP BY user_id""").df()
+    pu = pu[pu.d0.notna()]
+    dend = pu.dmax.max()
+    obs = (pu.d1.notna()) & (pu.d1 >= pu.d0)
+    t = np.where(obs, (pu.d1 - pu.d0).dt.days, (dend - pu.d0).dt.days)
+    S, rows = 1.0, []
+    for tt in sorted(set(t)):
+        d = int(np.sum((t == tt) & obs))
+        if d > 0:
+            S *= 1 - d / int(np.sum(t >= tt))
+            rows.append((int(tt), int(np.sum(t >= tt)), d, S))
+    km = dump("q158_kaplan_meier")
+    if km is not None:
+        mine = [tuple(r) for r in km.sort_values('t_days')[
+            ['t_days', 'n_at_risk', 'n_events', 'survival']].itertuples(index=False)]
+        good = len(rows) == len(mine) and all(
+            a[0] == b[0] and a[1] == b[1] and a[2] == b[2] and abs(a[3] - b[3]) < 2e-6
+            for a, b in zip(rows, mine))
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q158 KM: {len(rows)} curve points compared")
+
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
