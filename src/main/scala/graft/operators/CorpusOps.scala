@@ -306,10 +306,15 @@ object CorpusOps {
     // and spill-safe; at cluster scale this is the intermediate you'd
     // shuffle-materialize anyway), and derive the ≤B-key bucket table
     // from it with a second, tiny aggregate. Lazy re-derivation without
-    // the persist would re-tokenize the corpus for each consumer.
+    // materialization would re-tokenize the corpus for each consumer.
+    // localCheckpoint (not persist): a session-lifetime persist here leaks
+    // cached blocks on every invocation; checkpoint blocks are released by
+    // the ContextCleaner as soon as the returned frame is unreferenced.
+    // (Not executor-loss-tolerant — acceptable for a scoring pass; a
+    // cluster job would checkpoint to reliable storage instead.)
     val perDoc = pos.groupBy(col(idCol), col("__tgt"), col("b"))
       .agg(count(lit(1)).as("nb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // The bucket model is ≤B rows of fit METADATA (the same bounded-collect
     // contract as the IVF centroids): collect it, finish the smoothed
     // log-ratio on the driver, and bake the per-bucket ratios into the
@@ -594,24 +599,90 @@ object CorpusOps {
     * range partitioning needs no such guarantee, but result determinism
     * does.
     *
+    * With `groupCols` the running sum restarts per group (the distributed
+    * `sum(x) OVER (PARTITION BY g ORDER BY …)` for groups too large for
+    * one partition): ranges span (group, order) so each group is
+    * contiguous across partitions, and the offset window is PARTITIONED
+    * by group — ~#groups + #partitions offset rows total, no global
+    * window at all on that path.
+    *
+    * Why `.rdd` + `mapPartitionsWithIndex` instead of `spark_partition_id`
+    * windows (the sanctioned-last-resort clause, invoked deliberately):
+    * the local-sum and offset branches both need the row's range-partition
+    * id, and `spark_partition_id()` is NONDETERMINISTIC — column pruning
+    * gives the two branches non-identical range exchanges, ReuseExchange
+    * doesn't fire, each branch samples its own `RangePartitioner`
+    * boundaries (seeded by rdd id), and the two `__pid`s stop referring to
+    * the same boundaries: ranks silently shift near partition edges
+    * depending on which consumer plan runs. Freezing ONE physical RDD via
+    * `.rdd` plans the exchange exactly once (both branches reuse its
+    * shuffle map stage), and the per-partition scan bakes a `__pid` that
+    * is stable by construction. The scan itself is streaming O(rows),
+    * holding one running sum per group resident in the partition.
+    *
+    * Null `valueCol` rows contribute 0 to the running sum (SQL window sum
+    * would instead emit NULL until the first non-null — callers here all
+    * feed non-null values).
+    *
     * Returns the input plus `cumCol` = running sum of `valueCol` inclusive
-    * of the current row, in `orderCols` order. */
+    * of the current row, in `orderCols` order (per group if given). */
   def orderedPrefixSum(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
-                       cumCol: String, partitions: Int = 32): DataFrame = {
-    val ranged = df.repartitionByRange(partitions, orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy("__pid").orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("__local", sum(valueCol).over(wLocal))
-    val wOff = Window.orderBy("__pid")
+                       cumCol: String, partitions: Int = 32,
+                       groupCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val gCols = groupCols.map(col)
+    val keyed = df.withColumn("__v", valueCol)
+    val isIntegral = keyed.schema("__v").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val prepared = keyed.withColumn("__v",
+      col("__v").cast(if (isIntegral) LongType else DoubleType))
+    val sortCols = gCols ++ orderCols
+    val ranged = prepared.repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = ranged.schema
+    val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val vIdx = schema.fieldIndex("__v")
+    val localRdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val runL = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
+      val runD = scala.collection.mutable.HashMap.empty[Seq[Any], Double]
+      val seq = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
+      it.map { row =>
+        val gk: Seq[Any] = gIdx.map(row.get).toIndexedSeq
+        val local: Any =
+          if (isIntegral) {
+            val v = if (row.isNullAt(vIdx)) 0L else row.getLong(vIdx)
+            val s = runL.getOrElse(gk, 0L) + v; runL(gk) = s; s
+          } else {
+            val v = if (row.isNullAt(vIdx)) 0.0 else row.getDouble(vIdx)
+            val s = runD.getOrElse(gk, 0.0) + v; runD(gk) = s; s
+          }
+        val sq = seq.getOrElse(gk, 0L) + 1L; seq(gk) = sq
+        Row.fromSeq(row.toSeq :+ pid :+ local :+ sq)
+      }
+    }
+    val base = spark.createDataFrame(localRdd, schema
+      .add("__pid", IntegerType, nullable = false)
+      .add("__local", if (isIntegral) LongType else DoubleType, nullable = false)
+      .add("__seq", LongType, nullable = false))
+    val wOff = (if (gCols.isEmpty) Window.orderBy("__pid")
+                else Window.partitionBy(gCols: _*).orderBy("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy("__pid")
-      .agg(max(col("__local")).as("__psum"))
-      .withColumn("__offset", coalesce(sum(col("__psum")).over(wOff), lit(0L)))
-      .select("__pid", "__offset")
-    local.join(broadcast(offsets), Seq("__pid"))
-      .withColumn(cumCol, col("__local") + col("__offset"))
-      .drop("__pid", "__local", "__offset")
+    val zero = if (isIntegral) lit(0L) else lit(0.0)
+    // the (pid, group) total is the LAST running value (max_by on the scan
+    // counter) — plain max(__local) would be wrong for negative values
+    val offsets = base.groupBy(col("__pid") +: gCols: _*)
+      .agg(max_by(col("__local"), col("__seq")).as("__psum"))
+      .withColumn("__offset", coalesce(sum(col("__psum")).over(wOff), zero))
+      .select((col("__pid") +: gCols) :+ col("__offset"): _*)
+    val joined =
+      if (gCols.isEmpty) base.join(broadcast(offsets), Seq("__pid"))
+      else base.join(offsets, "__pid" +: groupCols) // agg-sized side; AQE broadcasts
+    joined.withColumn(cumCol, col("__local") + col("__offset"))
+      .drop("__pid", "__local", "__offset", "__seq", "__v")
   }
 
   /** Token-budget corpus selection + training-shard assignment: order the
@@ -734,7 +805,12 @@ object CorpusOps {
                      scoreOut: Column => Column): DataFrame = {
     require(k > 0, s"sample size must be positive, got $k")
     graft.functions.VectorFunctions.register(docs.sparkSession)
-    val h = pmod(col(idCol).cast("long") * lit(2654435761L), lit(2147483647L))
+    // reduce the id mod 2³¹ BEFORE the Knuth multiply: 2³¹·2654435761 ≈
+    // 5.7e18 < Long.Max, so the product can never overflow — a plain
+    // id·2654435761 silently wraps in Spark (non-ANSI) for ids ≳3.4e9
+    // while DuckDB raises, breaking the bit-identical cross-engine draw
+    val h = pmod(pmod(col(idCol).cast("long"), lit(2147483648L)) *
+      lit(2654435761L), lit(2147483647L))
     val u = (h + lit(1.0)) / lit(2147483648.0)
     val keyed = docs
       .select(col(idCol), weight.cast("double").as("w"))

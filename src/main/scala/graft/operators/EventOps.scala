@@ -340,7 +340,7 @@ object EventOps {
   }
 
   /** LTTB-style visual downsampling ("largest triangle three buckets",
-    * Steinarsson '13, simplified to fixed anchors): split the series into
+    * Steinarsson '13, simplified to fixed anchors): split EACH series into
     * `buckets` equal-count bins and keep, per bin, the point subtending
     * the largest triangle against the NEIGHBOR BINS' mean points. The
     * original algorithm anchors on the previously SELECTED point — an
@@ -349,35 +349,42 @@ object EventOps {
     * window pass (the standard trade for a distributed downsampler). Ties
     * break on the tiebreak column, so the kept set is deterministic.
     *
-    * Returns the ≤`buckets` kept rows: (bucket, ts, value). */
-  def lttbDownsample(events: DataFrame, tsCol: String, tiebreakCol: String,
-                     valueCol: String, buckets: Int,
+    * Scale shape: a downsampler's input is precisely the billion-point
+    * raw series, so NOTHING here may ride a global window. The in-series
+    * position comes from the grouped two-phase prefix sum
+    * ([[CorpusOps.orderedPrefixSum]] with `groupCols` — range-partitioned
+    * even WITHIN one huge series); per-series sizes attach by an
+    * agg-sized equi-join; neighbor-anchor lookup is lag/lead over the
+    * (series × buckets)-row means table; the final per-bucket argmax
+    * window is partitioned by (series, bucket).
+    *
+    * Returns the ≤`buckets` kept rows per series:
+    * (seriesCol, bucket, ts, value). */
+  def lttbDownsample(events: DataFrame, seriesCol: String, tsCol: String,
+                     tiebreakCol: String, valueCol: String, buckets: Int,
                      scoreOut: Column => Column): DataFrame = {
     require(buckets >= 3, s"need at least 3 buckets, got $buckets")
     val v = col(valueCol).cast("double")
-    val n = Window.orderBy(col(tsCol), col(tiebreakCol))
-    val based = events
-      .select(col(tsCol), col(tiebreakCol), v.as("v"),
-        unix_micros(col(tsCol)).cast("double").as("t"))
-      .withColumn("rn", row_number().over(n))
-    val total = based.agg(max("rn").as("nt"))
-    val bucketed = based.crossJoin(broadcast(total))
+    val based = CorpusOps.orderedPrefixSum(
+      events.select(col(seriesCol), col(tsCol), col(tiebreakCol), v.as("v"),
+        unix_micros(col(tsCol)).cast("double").as("t")),
+      Seq(col(tsCol).asc, col(tiebreakCol).asc), lit(1L), "rn",
+      groupCols = Seq(seriesCol))
+    val totals = based.groupBy(seriesCol).agg(count(lit(1)).as("nt"))
+    val bucketed = based.join(totals, Seq(seriesCol))
       .withColumn("bucket",
         least(floor((col("rn") - 1) * buckets / col("nt")).cast("int"),
           lit(buckets - 1)))
-    val means = bucketed.groupBy("bucket")
+    val wM = Window.partitionBy(seriesCol).orderBy("bucket")
+    val means = bucketed.groupBy(seriesCol, "bucket")
       .agg(avg("t").as("mt"), avg("v").as("mv"))
-    val prev = means.select((col("bucket") + 1).as("bucket"),
-      col("mt").as("pt"), col("mv").as("pv"))
-    val next = means.select((col("bucket") - 1).as("bucket"),
-      col("mt").as("qt"), col("mv").as("qv"))
-    val own = means.select(col("bucket"), col("mv").as("ov"))
-    val wB = Window.partitionBy("bucket")
+      .select(col(seriesCol), col("bucket"), col("mv").as("ov"),
+        lag("mt", 1).over(wM).as("pt"), lag("mv", 1).over(wM).as("pv"),
+        lead("mt", 1).over(wM).as("qt"), lead("mv", 1).over(wM).as("qv"))
+    val wB = Window.partitionBy(seriesCol, "bucket")
       .orderBy(col("area").desc, col(tiebreakCol))
     bucketed
-      .join(broadcast(prev), Seq("bucket"), "left")
-      .join(broadcast(next), Seq("bucket"), "left")
-      .join(broadcast(own), Seq("bucket"))
+      .join(means, Seq(seriesCol, "bucket")) // agg-sized side; AQE broadcasts
       // interior buckets: triangle area against both neighbor anchors;
       // edge buckets (one anchor missing) keep the point furthest from
       // their own mean — the degenerate-but-deterministic fallback
@@ -388,7 +395,8 @@ object EventOps {
           .otherwise(abs(col("v") - col("ov"))))
       .withColumn("rk", row_number().over(wB))
       .filter(col("rk") === 1)
-      .select(col("bucket"), col(tsCol), scoreOut(col("v")).as("value"))
+      .select(col(seriesCol), col("bucket"), col(tsCol),
+        scoreOut(col("v")).as("value"))
   }
 
   /** Cross-correlation lag scan between two hourly series: Pearson
@@ -668,17 +676,23 @@ object EventOps {
   /** Gini coefficient of a nonnegative measure's concentration across
     * units (how unequally activity/tokens/spend distribute): the sorted-
     * cumulative formula G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n over values
-    * ranked ascending with an id tiebreak. The rank window orders (unit,
-    * value) pairs — unit-level data, already one aggregate away from the
-    * raw log. 0 = perfectly equal, → 1 = one unit holds everything.
+    * ranked ascending with an id tiebreak. Units are users/documents —
+    * hundreds of millions of rows at 100 TB — so the rank is NOT a global
+    * `row_number` window (one partition's sort): it is the range-
+    * partitioned two-phase prefix sum of 1 ([[CorpusOps.orderedPrefixSum]],
+    * the same machinery as token-budget selection), whose only global
+    * window runs over the ≤-#partitions offset table. The (x, id) order is
+    * total, so ranks are dense, deterministic, and tie-free — exactly
+    * `row_number` — and Σ i·xᵢ folds in one aggregate.
+    * 0 = perfectly equal, → 1 = one unit holds everything.
     *
     * Returns one row: (n_units, total, gini). */
   def giniConcentration(perUnit: DataFrame, idCol: String, valueCol: String,
                         scoreOut: Column => Column): DataFrame = {
     val v = col(valueCol).cast("double")
-    val w = Window.orderBy(col("x").asc, col(idCol))
-    perUnit.select(col(idCol), v.as("x"))
-      .withColumn("i", row_number().over(w))
+    CorpusOps.orderedPrefixSum(
+        perUnit.select(col(idCol), v.as("x")),
+        Seq(col("x").asc, col(idCol).asc), lit(1L), "i")
       .agg(count(lit(1)).cast("double").as("n"), sum("x").as("tot"),
         sum(col("i") * col("x")).as("ix"))
       .select(col("n").cast("long").as("n_units"),

@@ -806,7 +806,12 @@ object SimilarityOps {
       val approx = annTopK(qid)
         .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
       val overlap = (exact intersect approx).size
-      (qid.toString, k, overlap, overlap.toDouble / k)
+      // recall@k convention: when the exact list is short (corpus < k+1),
+      // the denominator is what was retrievable, not the requested k —
+      // dividing by k would silently understate recall
+      val denom = math.min(k, exact.size)
+      (qid.toString, k, overlap,
+        if (denom == 0) 0.0 else overlap.toDouble / denom)
     }
     val mean = rows.map(_._4).sum / rows.size
     import spark.implicits._
@@ -887,7 +892,10 @@ object SimilarityOps {
     val picked = Array.fill(cands.length)(false)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double, Double)]
     var rank = 1
-    while (rank <= k) {
+    // the corpus may hold fewer than k non-query rows — return what exists
+    // rather than indexing past the exhausted candidate set
+    val kEff = math.min(k, cands.length)
+    while (rank <= kEff) {
       var bestIdx = -1; var bestScore = Double.NegativeInfinity
       var i = 0
       while (i < cands.length) {

@@ -1036,7 +1036,7 @@ object CorpusQ {
               |  CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS w
               |  FROM documents),
               |keyed AS (SELECT doc_id, w,
-              |  (CAST((doc_id * 2654435761) % 2147483647 AS DOUBLE) + 1.0)
+              |  (CAST(((doc_id % 2147483648) * 2654435761) % 2147483647 AS DOUBLE) + 1.0)
               |    / 2147483648.0 AS u0
               |  FROM t WHERE w > 0),
               |scored AS (SELECT doc_id, w, ${r6("u0")} AS u,
@@ -1055,11 +1055,16 @@ object CorpusQ {
     "q133_hybrid_rrf" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // orderBy+limit FIRST (TakeOrderedAndProject: per-partition heaps +
+        // a 100-row driver merge), THEN rank within the bounded 100 — a
+        // row_number window over the whole scored corpus would funnel it
+        // through one partition; mirrors the dense arm's bruteForceTopK
         val lex = CorpusOps.bm25(Tables.documents(s, d), "doc_id", "text",
             terms = Seq("merge", "stream", "filter"), k1 = 1.2, b = 0.75)
           .select(col("doc_id"), dec6(col("bm25")).as("s"))
+          .orderBy(col("s").desc, col("doc_id")).limit(100)
           .withColumn("rank", row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
-          .filter(col("rank") <= 100).select("doc_id", "rank")
+          .select("doc_id", "rank")
         val emb = Tables.embeddings(s, d)
         val dense = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding",
             queryId = 0L, k = 100, scoreOut = dec6)

@@ -463,37 +463,45 @@ object ExtrasQ {
               |    / (sqrt(mxx - mx * mx) * sqrt(myy - my * my))""")} AS xcorr
               |FROM m ORDER BY lag""".stripMargin)),
 
-    // LTTB-lite visual downsampling of the click series to 24 points:
+    // LTTB-lite visual downsampling, 24 points PER event-type series:
     // per equal-count bucket, keep the largest-triangle point against the
     // neighbor buckets' mean anchors (fixed anchors make the sequential
-    // original one distributed window pass).
+    // original one distributed window pass). Multi-series gate: the rank
+    // comes from the grouped range-partitioned prefix sum, never a global
+    // row_number over the raw stream.
     "q175_lttb_downsample" -> Q(
       (s, d) => graft.operators.EventOps.lttbDownsample(
-          Tables.events(s, d).filter(col("event_type") === "click"),
+          Tables.events(s, d), "event_type",
           "ts", "event_id", "value", buckets = 24, scoreOut = dec6)
-        .orderBy("bucket"),
-      Some(s"""WITH based AS (SELECT ts, event_id, CAST(value AS DOUBLE) AS v,
+        .orderBy("event_type", "bucket"),
+      Some(s"""WITH based AS (SELECT event_type, ts, event_id,
+              |  CAST(value AS DOUBLE) AS v,
               |  CAST(epoch_us(ts) AS DOUBLE) AS t,
-              |  row_number() OVER (ORDER BY ts, event_id) AS rn
-              |  FROM events WHERE event_type = 'click'),
-              |tot AS (SELECT max(rn) AS nt FROM based),
+              |  row_number() OVER (PARTITION BY event_type
+              |    ORDER BY ts, event_id) AS rn
+              |  FROM events),
+              |tot AS (SELECT event_type, count(*) AS nt FROM based
+              |  GROUP BY event_type),
               |bk AS (SELECT based.*, least(CAST(floor((rn - 1) * 24 / nt) AS INT), 23)
-              |  AS bucket FROM based, tot),
-              |m AS (SELECT bucket, avg(t) AS mt, avg(v) AS mv FROM bk GROUP BY bucket),
-              |j AS (SELECT bk.bucket, bk.ts, bk.event_id, bk.v, bk.t,
-              |  p.mt AS pt, p.mv AS pv, q.mt AS qt, q.mv AS qv, o.mv AS ov
-              |  FROM bk LEFT JOIN m p ON p.bucket = bk.bucket - 1
-              |          LEFT JOIN m q ON q.bucket = bk.bucket + 1
-              |          JOIN m o ON o.bucket = bk.bucket),
-              |a AS (SELECT bucket, ts, event_id, v,
+              |  AS bucket FROM based JOIN tot USING (event_type)),
+              |m0 AS (SELECT event_type, bucket, avg(t) AS mt, avg(v) AS mv
+              |  FROM bk GROUP BY event_type, bucket),
+              |m AS (SELECT event_type, bucket, mv AS ov,
+              |  lag(mt) OVER (PARTITION BY event_type ORDER BY bucket) AS pt,
+              |  lag(mv) OVER (PARTITION BY event_type ORDER BY bucket) AS pv,
+              |  lead(mt) OVER (PARTITION BY event_type ORDER BY bucket) AS qt,
+              |  lead(mv) OVER (PARTITION BY event_type ORDER BY bucket) AS qv
+              |  FROM m0),
+              |a AS (SELECT bk.event_type, bk.bucket, bk.ts, bk.event_id, bk.v,
               |  CASE WHEN pt IS NOT NULL AND qt IS NOT NULL
               |    THEN abs((pt - t) * (qv - v) - (qt - t) * (pv - v))
-              |    ELSE abs(v - ov) END AS area FROM j),
-              |r AS (SELECT bucket, ts, v,
-              |  row_number() OVER (PARTITION BY bucket
+              |    ELSE abs(v - ov) END AS area
+              |  FROM bk JOIN m USING (event_type, bucket)),
+              |r AS (SELECT event_type, bucket, ts, v,
+              |  row_number() OVER (PARTITION BY event_type, bucket
               |    ORDER BY area DESC, event_id) AS rk FROM a)
-              |SELECT bucket, ts, ${r6("v")} AS value FROM r
-              |WHERE rk = 1 ORDER BY bucket""".stripMargin)),
+              |SELECT event_type, bucket, ts, ${r6("v")} AS value FROM r
+              |WHERE rk = 1 ORDER BY event_type, bucket""".stripMargin)),
 
     // Mann-Whitney U between the two month halves: rank-based location-
     // shift test with midrank ties + tie-corrected sigma — ranks live on

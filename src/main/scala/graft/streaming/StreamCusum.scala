@@ -51,7 +51,12 @@ object StreamCusum {
               lastTs = e.ts.getTime
             }
             state.update(st)
-            if (lastTs > 0L) state.setTimeoutTimestamp(lastTs + idleTimeoutMs)
+            // clamp to just past the watermark: a group fed only late rows
+            // can see lastTs + idle already behind the global watermark, and
+            // an earlier-than-watermark timeout is an IllegalArgumentException
+            // that kills the whole streaming query
+            if (lastTs > 0L) state.setTimeoutTimestamp(
+              math.max(lastTs + idleTimeoutMs, state.getCurrentWatermarkMs() + 1))
             alarms.result().iterator
           }
       }

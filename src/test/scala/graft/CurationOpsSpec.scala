@@ -81,16 +81,46 @@ class CurationOpsSpec extends SparkSpec {
     val cum = CorpusOps.orderedPrefixSum(df, Seq(col("id")), col("v"), "cum",
       partitions = 8)
     assert(cum.collect().length == 10000)
+    // the data-side running sum is computed in the per-partition scan
+    // (mapPartitionsWithIndex over the frozen range-shuffled RDD) — the
+    // only window anywhere may be the one over the bounded per-partition
+    // offsets aggregate, never over the raw data
     val windows = allNodes(finalPlan(cum)).collect { case w: WindowExec => w }
-    assert(windows.exists(_.partitionSpec.nonEmpty),
-      "the data-side running sum must be partitioned (by __pid)")
-    // any global (partition-less) window may only run over the bounded
-    // per-partition offsets aggregate — never over the raw data
-    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+    windows.foreach { w =>
       val overAggregate = allNodes(w.child)
         .exists(_.nodeName.contains("Aggregate"))
       assert(overAggregate,
-        s"partition-less window must sit above the offsets aggregate:\n$w")
+        s"any window must sit above the offsets aggregate:\n$w")
+    }
+  }
+
+  test("orderedPrefixSum: ranks agree across differently-pruned consumer plans") {
+    // regression: with spark_partition_id-based pids, the local-sum and
+    // offset branches could plan NON-identical range exchanges (column
+    // pruning defeats ReuseExchange), sample different partitioner
+    // boundaries, and silently shift ranks near partition edges depending
+    // on which consumer plan ran. The frozen-RDD implementation must give
+    // the same rank to every row no matter how the result is consumed.
+    val df = spark.range(0, 5000).repartition(17)
+      .select(col("id"), (col("id") % 7).cast("string").as("g"),
+        (col("id") * 37 % 101).as("k"), lit(1L).as("one"))
+    def ranked = CorpusOps.orderedPrefixSum(df, Seq(col("k").asc, col("id").asc),
+      lit(1L), "rn", partitions = 8, groupCols = Seq("g"))
+    // consumer 1: full row dump; consumer 2: heavily pruned aggregate
+    val full = ranked.select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = ranked.groupBy("g").agg(sum(col("rn")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // per-group rank sums must equal n(n+1)/2 — ranks dense 1..n per group
+    agg.foreach { case (g, (s, n)) =>
+      assert(s == n * (n + 1) / 2, s"group $g ranks not dense 1..$n (sum $s)")
+    }
+    val expected = full.values.toSeq
+    assert(expected.size == 5000)
+    // and the dump itself is dense per group: ranks 1..n within each g
+    val byG = ranked.select("g", "rn").collect().groupBy(_.getString(0))
+    byG.foreach { case (g, rows) =>
+      val rns = rows.map(_.getLong(1)).sorted
+      assert(rns.sameElements(1L to rns.length), s"group $g ranks not 1..${rns.length}")
     }
   }
 
