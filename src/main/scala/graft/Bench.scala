@@ -95,20 +95,28 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
     val nCores = Runtime.getRuntime.availableProcessors()
-    def render(partial: Boolean): String = {
+    // two renderings of the same results: the STDOUT line is COMPACT
+    // (per-query medians only) because the driver's tail capture truncates
+    // long lines — round 6's full-detail line outgrew the window and the
+    // round artifact parsed as null; the file artifact keeps min/max/err
+    // detail per query.
+    def render(partial: Boolean, withDetail: Boolean): String = {
       import scala.jdk.CollectionConverters._
       val results = done.asScala.toMap
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.median }
         .mkString("{", ",", "}")
-      val detail = results.map { case (k, v) =>
-        val e = v.err.map(m => "\"" + jsonEscape(m) + "\"").getOrElse("null")
-        s"""\"$k\":{"median":${v.median},"min":${v.min},"max":${v.max},"ok":${v.ok},"err":$e}"""
-      }.mkString("{", ",", "}")
+      val detail =
+        if (!withDetail) ""
+        else results.map { case (k, v) =>
+          val e = v.err.map(m => "\"" + jsonEscape(m) + "\"").getOrElse("null")
+          s"""\"$k\":{"median":${v.median},"min":${v.min},"max":${v.max},"ok":${v.ok},"err":$e}"""
+        }.mkString(""""queries_detail":{""", ",", "},")
       val failed = results.collect { case (k, v) if !v.ok => "\"" + k + "\"" }
         .mkString("[", ",", "]")
       val total = results.values.collect { case r if r.ok => r.median }.sum
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""queries_detail":$detail,"failed":$failed,"passes":$passes,""" +
+        detail +
+        s""""failed":$failed,"passes":$passes,""" +
         s""""partial":$partial,"completed":${results.size},""" +
         s""""selected":${selected.size},""" +
         s""""loadavg_start":$loadStart,"loadavg_now":${osBean.getSystemLoadAverage},""" +
@@ -116,13 +124,14 @@ object Bench {
     }
     def flush(partial: Boolean): Unit =
       try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (render(partial) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (render(partial, withDetail = true) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
     @volatile var finishedNormally = false
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       if (!finishedNormally) {
         // stdout may already be truncated by the driver; both channels
-        System.err.println(render(partial = true))
+        System.err.println(render(partial = true, withDetail = false))
         flush(partial = true)
       }))
 
@@ -171,7 +180,7 @@ object Bench {
       flush(partial = true) // rewrite-in-place; a crash after this keeps `name`
     }
     finishedNormally = true
-    val line = render(partial = false)
+    val line = render(partial = false, withDetail = false)
     println(line)
     // machine-readable artifact: the driver's stdout tail truncates long
     // runs, so persist the full per-query map next to the repo as well

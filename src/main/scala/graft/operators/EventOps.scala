@@ -742,6 +742,63 @@ object EventOps {
           (col("n_ref") * col("n_cur")))).cast("int").as("drifted"))
   }
 
+  /** Bin both samples by POOLED approximate-quantile boundaries — the
+    * scale substitution [[ksTest]]/[[mannWhitneyU]] document for
+    * continuous measures, where "distinct values" ≈ N and the exact
+    * per-value table would feed an effectively row-sized global window.
+    * The boundary fit is `approxQuantile` (Greenwald–Khanna, one
+    * distributed pass, mergeable partials); the ≤`bins`−1 boundaries come
+    * back as bounded driver metadata and are baked into the bin
+    * assignment as ONE literal array (the IVF-centroid contract), so the
+    * bin map is a pure broadcast-free column expression:
+    * bin = #{boundaries < x}. Returns the two frames reduced to a
+    * `__bin` int column. */
+  private def binByPooledQuantiles(a: DataFrame, b: DataFrame,
+                                   valueCol: String, bins: Int,
+                                   relErr: Double): (DataFrame, DataFrame) = {
+    require(bins >= 8 && bins <= 4096, s"bin budget must be bounded, got $bins")
+    val v = col(valueCol).cast("double")
+    val pooled = a.select(v.as("x")).unionByName(b.select(v.as("x")))
+      .filter(col("x").isNotNull)
+    val probs = (1 until bins).map(_.toDouble / bins).toArray
+    val bounds = pooled.stat.approxQuantile("x", probs, relErr).distinct.sorted
+    val bLit = lit(bounds)
+    def binned(df: DataFrame): DataFrame = df
+      .filter(v.isNotNull)
+      .select(size(filter(bLit, bd => bd < v)).as("__bin"))
+    (binned(a), binned(b))
+  }
+
+  /** Sketch-binned two-sample KS: [[ksTest]]'s exact algebra applied to
+    * the pooled-quantile bin index instead of the raw value, evaluating
+    * both ECDFs on the ≤`bins` shared boundaries. The support table — and
+    * therefore the one ordered window — is now bins-sized BY CONSTRUCTION
+    * whatever the measure's cardinality. One-sided error: the binned D is
+    * a max over a subset of the support, so ksBinned ≤ ksExact, and the
+    * gap is bounded by the largest per-bin probability mass (≈1/bins for
+    * quantile bins, plus sketch error) — SketchBinnedSpec pins the bound
+    * empirically. Output schema matches [[ksTest]]. */
+  def ksTestBinned(ref: DataFrame, cur: DataFrame, valueCol: String,
+                   bins: Int, scoreOut: Column => Column,
+                   relErr: Double = 0.001): DataFrame = {
+    val (r, c) = binByPooledQuantiles(ref, cur, valueCol, bins, relErr)
+    ksTest(r, c, "__bin", scoreOut)
+  }
+
+  /** Sketch-binned Mann–Whitney U: [[mannWhitneyU]]'s midrank algebra on
+    * the pooled-quantile bin index — every row in a bin becomes one tie
+    * group at the bin's midrank, capping the rank table at `bins` rows.
+    * Rank distortion is within-bin only (≤ the bin's count), which the
+    * tie-corrected normal approximation absorbs; z converges to the exact
+    * statistic as bins grow (SketchBinnedSpec pins the tolerance).
+    * Output schema matches [[mannWhitneyU]]. */
+  def mannWhitneyUBinned(a: DataFrame, b: DataFrame, valueCol: String,
+                         bins: Int, scoreOut: Column => Column,
+                         relErr: Double = 0.001): DataFrame = {
+    val (ba, bb) = binByPooledQuantiles(a, b, valueCol, bins, relErr)
+    mannWhitneyU(ba, bb, "__bin", scoreOut)
+  }
+
   /** Benford first-digit analysis: observed vs expected (log10(1 + 1/d))
     * leading-significant-digit distribution of a measure, with the χ²
     * statistic — the classic forensic test for fabricated or synthetic

@@ -503,6 +503,32 @@ object ExtrasQ {
               |SELECT event_type, bucket, ts, ${r6("v")} AS value FROM r
               |WHERE rk = 1 ORDER BY event_type, bucket""".stripMargin)),
 
+    // Sketch-binned KS (rows-only: approx_percentile boundaries are not
+    // reproducible in DuckDB) — the 100 TB form of q170 for continuous
+    // measures: ECDFs over 64 pooled-quantile bins, support table
+    // bins-sized by construction. SketchBinnedSpec pins the error bound
+    // against the exact q170 statistic.
+    "q178_ks_binned" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cut = lit("2024-01-16").cast("timestamp")
+        graft.operators.EventOps.ksTestBinned(
+          ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+          "value", bins = 64, scoreOut = dec6)
+      }),
+
+    // Sketch-binned Mann-Whitney (rows-only, same reason) — q171's
+    // midrank algebra on the 64-bin pooled-quantile index; rank table
+    // bins-sized by construction. SketchBinnedSpec pins the z tolerance.
+    "q179_mw_binned" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cut = lit("2024-01-16").cast("timestamp")
+        graft.operators.EventOps.mannWhitneyUBinned(
+          ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+          "value", bins = 64, scoreOut = dec6)
+      }),
+
     // Mann-Whitney U between the two month halves: rank-based location-
     // shift test with midrank ties + tie-corrected sigma — ranks live on
     // the distinct-value table, not the row stream.
