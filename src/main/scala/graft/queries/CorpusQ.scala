@@ -387,19 +387,19 @@ object CorpusQ {
     // fixed-budget token bins via a running cumulative sum — bin id =
     // floor((cumsum − n)/budget) assigns each doc to the bin its FIRST
     // token lands in (contiguous packing, the deterministic approximation
-    // of training-batch packing). Pure integer window arithmetic — exact in
-    // both engines; at scale the window is a single global running sum over
-    // (id-sorted) doc lengths, a metadata-sized frame, not the corpus text.
+    // of training-batch packing). Pure integer arithmetic — exact in both
+    // engines; the running sum is the range-partitioned two-phase
+    // orderedPrefixSum (doc-length metadata never rides a global window,
+    // however many documents there are).
     "q96_seq_packing" -> Q(
       (s, d) => {
         graft.functions.VectorFunctions.register(s)
         val budget = 512
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy("doc_id").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        Tables.documents(s, d)
+        val lengths = Tables.documents(s, d)
           .select(col("doc_id"),
             graft.operators.TextOps.tokenCountFast(col("text")).cast("long").as("n_tokens"))
-          .withColumn("cum_tokens", sum("n_tokens").over(w))
+        CorpusOps.orderedPrefixSum(lengths, Seq(col("doc_id").asc),
+            col("n_tokens"), "cum_tokens")
           .withColumn("bin", floor((col("cum_tokens") - col("n_tokens")) / budget.toDouble).cast("long"))
           .orderBy("doc_id")
       },
@@ -413,11 +413,13 @@ object CorpusQ {
              |  CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS bin
              |FROM c ORDER BY doc_id""".stripMargin)),
 
-    // Quality deciles: ntile(10) over the rounded quality score (rounding
-    // first makes the order deterministic cross-engine; ties break on
-    // doc_id) — the distribution report a threshold decision is read from.
-    // At scale this one global sort runs over (doc_id, quality) pairs, not
-    // documents; for 100 TB swap to approx_percentile bucket edges.
+    // Quality deciles over the rounded quality score (rounding first makes
+    // the order deterministic cross-engine; ties break on doc_id) — the
+    // distribution report a threshold decision is read from. The decile is
+    // the explicit floor((rank−1)·10/n)+1 of the range-partitioned
+    // prefix-sum rank (identical formula in the oracle), NOT a global
+    // ntile window — (doc_id, quality) pairs are corpus-cardinality and
+    // never funnel through one partition.
     "q98_quality_deciles" -> Q(
       (s, d) => {
         val stop = Seq("a", "the", "and", "of", "in", "to")
@@ -427,9 +429,12 @@ object CorpusQ {
         val scored = docs.select(col("doc_id"),
           dec6(least(lit(1.0), size(col("t")) / lit(200.0)) * (lit(1.0) - ratio))
             .as("quality"))
-        scored
-          .withColumn("decile", ntile(10).over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("quality"), col("doc_id"))))
+        val n = scored.agg(count(lit(1)).as("n"))
+        CorpusOps.orderedPrefixSum(scored,
+            Seq(col("quality").asc, col("doc_id").asc), lit(1L), "rn")
+          .crossJoin(broadcast(n))
+          .withColumn("decile",
+            (floor((col("rn") - 1) * 10 / col("n")) + 1).cast("int"))
           .groupBy("decile")
           .agg(count(lit(1)).as("n_docs"),
             dec6(min("quality")).as("min_q"),
@@ -445,7 +450,8 @@ object CorpusQ {
               |  ${r6("least(1.0, n / 200.0) * (1.0 - CAST(n_stop AS DOUBLE) / n)")} AS quality
               |  FROM x),
               |dec AS (SELECT quality,
-              |  ntile(10) OVER (ORDER BY quality, doc_id) AS decile FROM scored)
+              |  CAST(floor((row_number() OVER (ORDER BY quality, doc_id) - 1) * 10
+              |    / (SELECT count(*) FROM scored)) AS INT) + 1 AS decile FROM scored)
               |SELECT decile, count(*) AS n_docs,
               |  ${r6("min(quality)")} AS min_q, ${r6("max(quality)")} AS max_q
               |FROM dec GROUP BY decile ORDER BY decile""".stripMargin)),

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExec
+import graft.queries.Registry
+
+/** Suite-wide plan lint: NO registry query may push unbounded data through
+  * a partition-less window (`WindowExec` with an empty partitionSpec = the
+  * "Moving all data to a single partition" trap — the shape that turned
+  * q172/q175/q133 into 100 TB hazards in round 6).
+  *
+  * A partition-less window is tolerated only when its input is provably
+  * bounded, via one of:
+  *  - STRUCTURAL: the window orders by the prefix-sum scan's `__pid`
+  *    (offsets table, ≤ #partitions rows by construction), or its subtree
+  *    contains a GlobalLimit / TakeOrderedAndProject (input ≤ the literal
+  *    limit). Reverting a de-globalized query does NOT match either shape,
+  *    so regressions go red here.
+  *  - NAMED: an allowlist entry below, each carrying the cardinality bound
+  *    that justifies it. Adding a query to this list is a review event —
+  *    the bound must be an input-size-independent constant or a
+  *    distinct-key set a scaladoc documents (with its own scale
+  *    substitution where the key set can grow, e.g. q170/q171 → the
+  *    sketch-binned q178/q179).
+  */
+class GlobalWindowLintSpec extends SparkSpec {
+
+  /** query name → the named bound that makes its global window safe. */
+  private val allow: Map[String, String] = Map(
+    "q16_stride_sample" ->
+      "serving-only exact stride, documented as such in Relational.scala; the 100 TB path is q16b (keyed stride, window-free)",
+    "q29_align_wide" ->
+      "ffill over the post-aggregation hourly grid: ≤ #hours rows (one row per grid hour), not events",
+    "q42_adjacent_pattern" ->
+      "24-hour rolling means over the pivoted hourly table: ≤ #hours rows",
+    "q70_early_warning" ->
+      "look-ahead incident window over the per-hour rollup: ≤ #hours rows",
+    "q72_kiln_align" ->
+      "ffill over the post-aggregation hourly grid: ≤ #hours rows (KilnSources.scala:163)",
+    "q78_cadence" ->
+      "lag over the synthetic hourly grid branch: ≤ #hours rows; the raw-event branch partitions by series",
+    "q158_kaplan_meier" ->
+      "ECDF over the DISTINCT event-duration table (durations quantize to a day/hour grid); scaladoc documents sketch-binning for continuous durations",
+    "q170_ks_test" ->
+      "ECDF over the distinct-value support; the continuous-measure scale path is q178_ks_binned (bins-sized by construction)",
+    "q171_mann_whitney" ->
+      "midranks over the distinct-value table; the continuous-measure scale path is q179_mw_binned (bins-sized by construction)",
+    "q178_ks_binned" ->
+      "support table capped at bins=64 rows by pooled-quantile construction",
+    "q179_mw_binned" ->
+      "rank table capped at bins=64 rows by pooled-quantile construction"
+  )
+
+  private def finalPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: allNodes(q.plan)
+    case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+    case _ => p +: p.children.flatMap(allNodes)
+  }
+
+  private def boundedByConstruction(w: WindowExec): Boolean = {
+    val ordersByPid = w.orderSpec.exists(_.references.exists(_.name == "__pid"))
+    val aboveLimit = allNodes(w.child).exists {
+      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+      case _ => false
+    }
+    ordersByPid || aboveLimit
+  }
+
+  test("no registry query windows unbounded data without a partition key") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val unusedAllow = scala.collection.mutable.Set(allow.keySet.toSeq: _*)
+    Registry.all.foreach { case (name, q) =>
+      val df =
+        try q.fn(spark, sfTiny)
+        catch { case e: Throwable => fail(s"$name failed to build: $e") }
+      val global = allNodes(finalPlan(df))
+        .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        .filterNot(boundedByConstruction)
+      if (global.nonEmpty) {
+        if (allow.contains(name)) unusedAllow -= name
+        else offenders += s"$name (${global.size} partition-less window(s))"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"queries with unjustified partition-less windows:\n  ${offenders.mkString("\n  ")}")
+    assert(unusedAllow.isEmpty,
+      s"stale allowlist entries (no longer have global windows — remove): $unusedAllow")
+  }
+}
