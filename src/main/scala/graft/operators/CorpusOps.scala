@@ -418,8 +418,10 @@ object CorpusOps {
     * the doc stream then shuffles exactly once, through a PLAIN SHUFFLE
     * join — at web scale the vocab tables are GBs and must never broadcast
     * (Catalyst/AQE still auto-broadcast when runtime stats say a side is
-    * genuinely small; no hint forces it). The only hinted broadcast is the
-    * 1-row vocab size. `minDf` prunes tail bigrams into the add-k
+    * genuinely small; no hint forces it — CONFIRMED at sf0.1: the final
+    * adaptive plan runtime-converts these vocab joins to
+    * BroadcastHashJoin while the declared plan stays a plain shuffle).
+    * The only hinted broadcast is the 1-row vocab size. `minDf` prunes tail bigrams into the add-k
     * smoothing mass (their c2 scores as 0 — "unseen"); the default 1
     * keeps exact counting.
     *

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Seasonal / trend decomposition and robust-trend operators over regular
+  * (hourly) series — the classical-decomposition layer of the reference's
+  * time-series story (its pipeline detrends zone temperatures before
+  * anomaly scoring; cf. `pre_processing.py` rolling statistics and
+  * `data_generator.py` daily cycles).
+  *
+  * Scale shape shared by all three: the raw event stream collapses to the
+  * per-(series, hour) grid in ONE map-side-combinable aggregate, and every
+  * window afterwards is PARTITIONED BY SERIES over that grid — grid-sized
+  * state (#hours per series), never event-sized, never partition-less. */
+object SeasonalOps {
+
+  /** Hourly collapse shared by the operators: (series, h, y). */
+  private def hourly(events: DataFrame, seriesCol: String, tsCol: String,
+                     valueCol: String): DataFrame =
+    events
+      .select(col(seriesCol), date_trunc("hour", col(tsCol)).as("h"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy(seriesCol, "h").agg(avg("v").as("y"))
+
+  /** STL-lite classical decomposition y = trend + seasonal + residual per
+    * series: trend is the centered ±`halfWin`-hour rolling mean (edges get
+    * the partial frame — deterministic, identical frame semantics in any
+    * SQL engine); the seasonal component is the hour-of-day mean of the
+    * detrended series, re-centered to sum to zero so trend keeps the
+    * level; residual is what remains — the anomaly-scoring input that no
+    * longer confuses "3 am" with "broken".
+    *
+    * All three passes are windows/aggregates partitioned by (series) or
+    * (series, hour-of-day) over the hourly grid.
+    *
+    * Returns per (series, hour): (seriesCol, h, y, trend, seasonal,
+    * residual), `scoreOut` applied to the float outputs. */
+  def stlDecompose(events: DataFrame, seriesCol: String, tsCol: String,
+                   valueCol: String, halfWin: Int,
+                   scoreOut: Column => Column): DataFrame = {
+    require(halfWin >= 1 && halfWin <= 168, s"window must be bounded, got $halfWin")
+    val base = hourly(events, seriesCol, tsCol, valueCol)
+    val wT = Window.partitionBy(seriesCol).orderBy("h")
+      .rowsBetween(-halfWin, halfWin)
+    val wHod = Window.partitionBy(col(seriesCol), hour(col("h")))
+    val wS = Window.partitionBy(seriesCol)
+    base
+      .withColumn("trend", avg("y").over(wT))
+      .withColumn("det", col("y") - col("trend"))
+      .withColumn("s_raw", avg("det").over(wHod))
+      .withColumn("seasonal", col("s_raw") - avg("s_raw").over(wS))
+      .select(col(seriesCol), col("h"),
+        scoreOut(col("y")).as("y"),
+        scoreOut(col("trend")).as("trend"),
+        scoreOut(col("seasonal")).as("seasonal"),
+        scoreOut(col("y") - col("trend") - col("seasonal")).as("residual"))
+  }
+
+  /** Single most-likely mean-shift changepoint per series (binary-
+    * segmentation step 1): for every split point k of the n-hour series,
+    * the scaled mean shift |μ_left − μ_right|·√(k·(n−k)/n) — the
+    * two-sample statistic that, maximized over k, is the standard offline
+    * changepoint locator (the z-denominator is constant in k up to the
+    * pooled σ, so the argmax is σ-free). Split stats come from one
+    * per-series cumulative sum over the grid; the per-series argmax is a
+    * partitioned rank.
+    *
+    * Returns one row per series: (seriesCol, split_h, n_left, n_right,
+    * mean_left, mean_right, shift_stat). */
+  def meanShiftChangepoint(events: DataFrame, seriesCol: String, tsCol: String,
+                           valueCol: String,
+                           scoreOut: Column => Column): DataFrame = {
+    val base = hourly(events, seriesCol, tsCol, valueCol)
+    val wCum = Window.partitionBy(seriesCol).orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(seriesCol)
+    val scored = base
+      .withColumn("k", count(lit(1)).over(wCum))
+      .withColumn("cum", sum("y").over(wCum))
+      .withColumn("n", count(lit(1)).over(wTot))
+      .withColumn("tot", sum("y").over(wTot))
+      .filter(col("k") < col("n")) // a split needs both sides non-empty
+      .withColumn("mean_l", col("cum") / col("k"))
+      .withColumn("mean_r", (col("tot") - col("cum")) / (col("n") - col("k")))
+      .withColumn("stat",
+        abs(col("mean_l") - col("mean_r")) *
+          sqrt(col("k") * (col("n") - col("k")) / col("n")))
+    val wBest = Window.partitionBy(seriesCol)
+      .orderBy(scoreOut(col("stat")).desc, col("h"))
+    scored
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col(seriesCol), col("h").as("split_h"),
+        col("k").as("n_left"), (col("n") - col("k")).as("n_right"),
+        scoreOut(col("mean_l")).as("mean_left"),
+        scoreOut(col("mean_r")).as("mean_right"),
+        scoreOut(col("stat")).as("shift_stat"))
+  }
+
+  /** Theil–Sen robust trend per series: the median of all pairwise slopes
+    * (y_j − y_i)/(t_j − t_i), i < j, over the hourly grid, with the
+    * median-residual intercept — the slope estimator with a 29% breakdown
+    * point (one broken sensor week cannot drag it, unlike OLS). The pair
+    * table is an equi-join on the series key over the GRID, so its size is
+    * #hours²/2 per series — grid metadata, not events; for multi-year
+    * grids subsample pairs by hashing before the median (documented; the
+    * estimator tolerates it).
+    *
+    * Returns one row per series: (seriesCol, n_points, n_pairs,
+    * slope_per_hour, intercept). */
+  def theilSenTrend(events: DataFrame, seriesCol: String, tsCol: String,
+                    valueCol: String,
+                    scoreOut: Column => Column): DataFrame = {
+    val base = hourly(events, seriesCol, tsCol, valueCol)
+      .withColumn("t", (unix_micros(col("h")) / lit(3600000000L)).cast("double"))
+    val a = base.select(col(seriesCol), col("t").as("t1"), col("y").as("y1"))
+    val b = base.select(col(seriesCol), col("t").as("t2"), col("y").as("y2"))
+    val slopes = a.join(b, Seq(seriesCol))
+      .filter(col("t2") > col("t1"))
+      .select(col(seriesCol),
+        ((col("y2") - col("y1")) / (col("t2") - col("t1"))).as("slope"))
+    val slope = slopes.groupBy(seriesCol)
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(slope, 0.5)").as("m_slope"))
+    base.join(slope, Seq(seriesCol))
+      .groupBy(col(seriesCol), col("n_pairs"), col("m_slope"))
+      .agg(count(lit(1)).as("n_points"),
+        expr("percentile(y - m_slope * t, 0.5)").as("m_icept"))
+      .select(col(seriesCol), col("n_points"), col("n_pairs"),
+        scoreOut(col("m_slope")).as("slope_per_hour"),
+        scoreOut(col("m_icept")).as("intercept"))
+  }
+}

@@ -906,6 +906,87 @@ object ExtrasQ {
               |  WHERE next_state IS NOT NULL GROUP BY cur_state, next_state)
               |SELECT cur_state, next_state, n,
               |  ${r6("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur_state)")} AS p
-              |FROM p ORDER BY cur_state, next_state""".stripMargin))
+              |FROM p ORDER BY cur_state, next_state""".stripMargin)),
+
+    // STL-lite classical decomposition per event-type series: centered
+    // 25h rolling-mean trend, zero-centered hour-of-day seasonal,
+    // residual — the detrended/deseasonalized anomaly input. Every window
+    // is partitioned by series (or series × hour-of-day) over the hourly
+    // grid.
+    "q180_stl_decompose" -> Q(
+      (s, d) => graft.operators.SeasonalOps.stlDecompose(
+          Tables.events(s, d), "event_type", "ts", "value", halfWin = 12,
+          scoreOut = dec6)
+        .orderBy("event_type", "h"),
+      Some(s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+              |  avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY 1, 2),
+              |tr AS (SELECT event_type, h, y,
+              |  avg(y) OVER (PARTITION BY event_type ORDER BY h
+              |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+              |  FROM hourly),
+              |se AS (SELECT event_type, h, y, trend,
+              |  avg(y - trend) OVER (PARTITION BY event_type, hour(h)) AS s_raw
+              |  FROM tr),
+              |ce AS (SELECT event_type, h, y, trend,
+              |  s_raw - avg(s_raw) OVER (PARTITION BY event_type) AS seasonal
+              |  FROM se)
+              |SELECT event_type, h, ${r6("y")} AS y, ${r6("trend")} AS trend,
+              |  ${r6("seasonal")} AS seasonal,
+              |  ${r6("y - trend - seasonal")} AS residual
+              |FROM ce ORDER BY event_type, h""".stripMargin)),
+
+    // Single most-likely mean-shift changepoint per series: argmax over
+    // split points of |mean_left - mean_right| * sqrt(k(n-k)/n) from one
+    // per-series cumulative sum over the hourly grid.
+    "q181_changepoint" -> Q(
+      (s, d) => graft.operators.SeasonalOps.meanShiftChangepoint(
+          Tables.events(s, d), "event_type", "ts", "value", scoreOut = dec6)
+        .orderBy("event_type"),
+      Some(s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+              |  avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY 1, 2),
+              |c AS (SELECT event_type, h,
+              |  count(*) OVER (PARTITION BY event_type ORDER BY h
+              |    ROWS UNBOUNDED PRECEDING) AS k,
+              |  sum(y) OVER (PARTITION BY event_type ORDER BY h
+              |    ROWS UNBOUNDED PRECEDING) AS cum,
+              |  count(*) OVER (PARTITION BY event_type) AS n,
+              |  sum(y) OVER (PARTITION BY event_type) AS tot
+              |  FROM hourly),
+              |st AS (SELECT event_type, h, k, n, cum / k AS mean_l,
+              |  (tot - cum) / (n - k) AS mean_r,
+              |  abs(cum / k - (tot - cum) / (n - k))
+              |    * sqrt(k * (n - k) / CAST(n AS DOUBLE)) AS stat
+              |  FROM c WHERE k < n),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+              |    ORDER BY ${r6("stat")} DESC, h) AS rk FROM st)
+              |SELECT event_type, h AS split_h, k AS n_left, n - k AS n_right,
+              |  ${r6("mean_l")} AS mean_left, ${r6("mean_r")} AS mean_right,
+              |  ${r6("stat")} AS shift_stat
+              |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin)),
+
+    // Theil-Sen robust trend per series: median pairwise slope over the
+    // hourly grid (grid-metadata pair table, not events) with the
+    // median-residual intercept.
+    "q182_theil_sen" -> Q(
+      (s, d) => graft.operators.SeasonalOps.theilSenTrend(
+          Tables.events(s, d), "event_type", "ts", "value", scoreOut = dec6)
+        .orderBy("event_type"),
+      Some(s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+              |  avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY 1, 2),
+              |b AS (SELECT event_type, y,
+              |  CAST(epoch_us(h) / 3600000000 AS DOUBLE) AS t FROM hourly),
+              |sl AS (SELECT a.event_type,
+              |  (b2.y - a.y) / (b2.t - a.t) AS slope
+              |  FROM b a JOIN b b2 USING (event_type) WHERE b2.t > a.t),
+              |ms AS (SELECT event_type, count(*) AS n_pairs,
+              |  quantile_cont(slope, 0.5) AS m_slope FROM sl GROUP BY event_type),
+              |ic AS (SELECT b.event_type, ms.n_pairs, ms.m_slope,
+              |  count(*) AS n_points,
+              |  quantile_cont(b.y - ms.m_slope * b.t, 0.5) AS m_icept
+              |  FROM b JOIN ms USING (event_type)
+              |  GROUP BY b.event_type, ms.n_pairs, ms.m_slope)
+              |SELECT event_type, n_points, n_pairs,
+              |  ${r6("m_slope")} AS slope_per_hour, ${r6("m_icept")} AS intercept
+              |FROM ic ORDER BY event_type""".stripMargin))
   )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.SeasonalOps
+import graft.queries.Q.dec6
+
+/** Closed-form boundaries of the seasonal/trend operators: STL residuals
+  * vanish on a pure trend+seasonal composite, the changepoint locator
+  * finds a known step, and Theil-Sen recovers an exact slope and shrugs
+  * off an outlier that would wreck OLS. */
+class SeasonalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(dayHour: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-${1 + dayHour / 24}%02d ${dayHour % 24}%02d:00:00")
+
+  test("stl: flat series decomposes to zero seasonal and zero residual") {
+    val rows = (0 until 240).map(i => ("s", ts(i), 42.0))
+    val df = rows.toDF("event_type", "ts", "value")
+    val out = SeasonalOps.stlDecompose(df, "event_type", "ts", "value", 12, dec6)
+      .collect()
+    assert(out.length == 240)
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(3) - 42.0) < 1e-6, s"trend ${r.getDouble(3)}")
+      assert(math.abs(r.getDouble(4)) < 1e-6, s"seasonal ${r.getDouble(4)}")
+      assert(math.abs(r.getDouble(5)) < 1e-6, s"residual ${r.getDouble(5)}")
+    }
+  }
+
+  test("stl: seasonal component is zero-centered per series") {
+    // daily sawtooth on a slow ramp: seasonal must average to ~0 so the
+    // trend keeps the level
+    val rows = (0 until 480).map(i => ("s", ts(i), i * 0.01 + (i % 24) * 1.5))
+    val out = SeasonalOps.stlDecompose(rows.toDF("event_type", "ts", "value"),
+      "event_type", "ts", "value", 12, dec6)
+    val meanSeasonal = out.agg(avg("seasonal")).head().getDouble(0)
+    assert(math.abs(meanSeasonal) < 1e-6, s"seasonal mean $meanSeasonal")
+    // and it actually carries the sawtooth: hour 23 max, hour 0 min
+    val byHod = out.withColumn("hod", hour(col("h")))
+      .groupBy("hod").agg(avg("seasonal").as("s")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(byHod(23) > byHod(0) + 20, s"sawtooth not in seasonal: $byHod")
+  }
+
+  test("changepoint: locates a known step, per series") {
+    // series A steps 10 -> 50 at hour 100 of 200; series B is flat
+    val a = (0 until 200).map(i => ("A", ts(i), if (i < 100) 10.0 else 50.0))
+    val b = (0 until 200).map(i => ("B", ts(i), 7.0))
+    val out = SeasonalOps.meanShiftChangepoint(
+        (a ++ b).toDF("event_type", "ts", "value"),
+        "event_type", "ts", "value", dec6)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val best = out("A")
+    assert(best.getTimestamp(1) == ts(99), s"split at ${best.getTimestamp(1)}")
+    assert(best.getLong(2) == 100 && best.getLong(3) == 100)
+    assert(math.abs(best.getDouble(4) - 10.0) < 1e-6)
+    assert(math.abs(best.getDouble(5) - 50.0) < 1e-6)
+    // flat series: every split has stat 0; deterministic earliest-h winner
+    assert(out("B").getDouble(6) == 0.0)
+  }
+
+  test("theil-sen: exact slope on a line; robust to one wild outlier") {
+    val clean = (0 until 100).map(i => ("L", ts(i), 5.0 + 0.25 * i))
+    val r1 = SeasonalOps.theilSenTrend(clean.toDF("event_type", "ts", "value"),
+      "event_type", "ts", "value", dec6).head()
+    assert(math.abs(r1.getDouble(3) - 0.25) < 1e-6, s"slope ${r1.getDouble(3)}")
+    assert(r1.getLong(1) == 100 && r1.getLong(2) == 100L * 99 / 2)
+    // poison one point by 10000x: median-of-slopes must not move (OLS would)
+    val dirty = clean.updated(50, ("L", ts(50), 175000.0))
+    val r2 = SeasonalOps.theilSenTrend(dirty.toDF("event_type", "ts", "value"),
+      "event_type", "ts", "value", dec6).head()
+    assert(math.abs(r2.getDouble(3) - 0.25) < 0.01,
+      s"outlier dragged slope to ${r2.getDouble(3)}")
+  }
+}
