@@ -926,4 +926,79 @@ object SimilarityOps {
         scoreOut(col("max_sim_sel")).as("max_sim_sel"),
         scoreOut(col("mmr_score")).as("mmr_score"))
   }
+
+  /** Matryoshka truncation evaluation (Kusupati et al. '22): how much of
+    * the full-dimension top-k survives when the embedding column is
+    * truncated to its first `d` dimensions — the measurement behind
+    * "store 64 dims, search 8 first" tiered retrieval. For each budget,
+    * the top-k is a TakeOrdered scan over the ROUNDED truncated cosine
+    * (id tiebreak — deterministic cross-engine ranks, the q133
+    * discipline: never a corpus-wide rank window); overlap against the
+    * full-dimension list folds in one k·|dims|-row join. The budget loop
+    * is driver-bounded (≤8 budgets), the same contract as [[annRecall]].
+    *
+    * Returns one row per budget: (dim_budget, k, n_overlap, recall),
+    * ordered by budget; the full-dimension row is the recall=1 sanity
+    * anchor. */
+  def matryoshkaRecall(emb: DataFrame, idCol: String, vecCol: String,
+                       queryId: Long, k: Int, dims: Seq[Int],
+                       scoreOut: Column => Column): DataFrame = {
+    require(dims.nonEmpty && dims.size <= 8, s"budget set must be bounded, got ${dims.size}")
+    require(dims == dims.sorted && dims.distinct == dims, "budgets must be ascending, distinct")
+    VectorFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    def topkAt(d: Int): DataFrame = {
+      val q = e.filter(col(idCol) === queryId)
+        .select(slice(col("v"), 1, d).as("qv"))
+      val sv = slice(col("v"), 1, d)
+      val na = normFast(sv)
+      e.crossJoin(broadcast(q.withColumn("qn", normFast(col("qv")))))
+        .withColumn("cos_sim", scoreOut(
+          when(na > 0 && col("qn") > 0, dotFast(sv, col("qv")) / (na * col("qn")))))
+        .orderBy(col("cos_sim").desc, col(idCol))
+        .limit(k)
+        .select(col(idCol))
+    }
+    val fullSet = topkAt(dims.max).withColumn("__hit", lit(1))
+    dims.map(d => topkAt(d).select(lit(d).as("dim_budget"), col(idCol)))
+      .reduce(_ unionByName _)
+      .join(fullSet, Seq(idCol), "left")
+      .groupBy("dim_budget")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_overlap"))
+      .select(col("dim_budget"), col("k"), col("n_overlap"),
+        scoreOut(col("n_overlap").cast("double") / col("k")).as("recall"))
+      .orderBy("dim_budget")
+  }
+
+  /** Mean pairwise cosine of a deterministic id-sampled subset — the
+    * corpus-diversity number a curation pass reads before/after dedup
+    * ("did near-dup removal actually spread the embedding cloud?"). The
+    * sample is `id % sampleMod == 0` (reproducible in any engine, no RNG);
+    * the pair table is sample²/2 rows of DISTRIBUTED work — sampleMod
+    * bounds it independently of corpus size, the operator's scale knob.
+    *
+    * Returns one row: (n_sample, n_pairs, mean_cos, min_cos, max_cos). */
+  def sampleDiversity(emb: DataFrame, idCol: String, vecCol: String,
+                      sampleMod: Long,
+                      scoreOut: Column => Column): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be positive, got $sampleMod")
+    VectorFunctions.register(emb.sparkSession)
+    val e = emb.filter(col(idCol) % sampleMod === 0)
+      .select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .withColumn("n", normFast(col("v")))
+    val a = e.select(col(idCol).as("id1"), col("v").as("v1"), col("n").as("n1"))
+    val b = e.select(col(idCol).as("id2"), col("v").as("v2"), col("n").as("n2"))
+    val pairs = a.join(b, col("id1") < col("id2"))
+      .select(when(col("n1") > 0 && col("n2") > 0,
+        dotFast(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cos"))
+    val nRow = e.agg(count(lit(1)).as("n_sample"))
+    nRow.crossJoin(broadcast(pairs.agg(
+        count(lit(1)).as("n_pairs"), avg("cos").as("m"),
+        min("cos").as("lo"), max("cos").as("hi"))))
+      .select(col("n_sample"), col("n_pairs"),
+        scoreOut(col("m")).as("mean_cos"),
+        scoreOut(col("lo")).as("min_cos"),
+        scoreOut(col("hi")).as("max_cos"))
+  }
 }

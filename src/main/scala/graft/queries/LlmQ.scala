@@ -417,6 +417,76 @@ object LlmQ {
              |SELECT doc_id, chunk_idx, md5(chunk) AS chunk_md5,
              |  octet_length(encode(chunk)) AS chunk_len
              |FROM c WHERE chunk_idx % 4 = 0
-             |ORDER BY doc_id, chunk_idx""".stripMargin))
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Matryoshka truncation eval: top-10 survival when cosine search runs
+    // on the first 8/16/64 dims — TakeOrdered per budget over the rounded
+    // truncated cosine, never a corpus-wide rank window; the 64-dim row is
+    // the recall=1 sanity anchor.
+    "q183_matryoshka" -> Q(
+      (s, d) => SimilarityOps.matryoshkaRecall(Tables.embeddings(s, d),
+        "vec_id", "embedding", queryId = 0L, k = 10, dims = Seq(8, 16, 64),
+        scoreOut = dec6),
+      Some {
+        def topkAt(d: Int, name: String) =
+          s"""$name AS (SELECT vec_id FROM (
+             |  SELECT vec_id,
+             |    ${r6(s"""CASE WHEN nv_$d > 0 AND nq_$d > 0
+             |      THEN dot_$d / (nv_$d * nq_$d) END""")} AS cs
+             |  FROM x ORDER BY cs DESC, vec_id LIMIT 10))""".stripMargin
+        def parts(d: Int) =
+          s"""  list_reduce(list_prepend(0.0, list_transform(generate_series(1, $d),
+             |    i -> v[i] * qv[i])), (acc, y) -> acc + y) AS dot_$d,
+             |  sqrt(list_reduce(list_prepend(0.0, list_transform(v[1:$d], y -> y * y)),
+             |    (acc, y) -> acc + y)) AS nv_$d,
+             |  sqrt(list_reduce(list_prepend(0.0, list_transform(qv[1:$d], y -> y * y)),
+             |    (acc, y) -> acc + y)) AS nq_$d""".stripMargin
+        s"""WITH e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+           |x AS (SELECT vec_id,
+           |${parts(8)},
+           |${parts(16)},
+           |${parts(64)}
+           |  FROM e, q),
+           |${topkAt(8, "t8")},
+           |${topkAt(16, "t16")},
+           |${topkAt(64, "t64")},
+           |u AS (SELECT 8 AS dim_budget, vec_id FROM t8
+           |  UNION ALL SELECT 16, vec_id FROM t16
+           |  UNION ALL SELECT 64, vec_id FROM t64)
+           |SELECT u.dim_budget, count(*) AS k,
+           |  CAST(sum(CASE WHEN t64.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_overlap,
+           |  ${r6("""CAST(sum(CASE WHEN t64.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS DOUBLE) / count(*)""")} AS recall
+           |FROM u LEFT JOIN t64 ON u.vec_id = t64.vec_id
+           |GROUP BY u.dim_budget ORDER BY u.dim_budget""".stripMargin
+      }),
+
+    // Embedding-cloud diversity of a deterministic id-sample: mean/min/max
+    // pairwise cosine — the before/after-dedup spread check. Sample by
+    // vec_id % 37 (engine-neutral, no RNG); pair table is sample-bounded.
+    "q184_sample_diversity" -> Q(
+      (s, d) => SimilarityOps.sampleDiversity(Tables.embeddings(s, d),
+        "vec_id", "embedding", sampleMod = 37L, scoreOut = dec6),
+      Some(s"""WITH e AS (SELECT vec_id,
+              |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |  FROM embeddings WHERE vec_id % 37 = 0),
+              |n AS (SELECT vec_id, v,
+              |  sqrt(list_reduce(list_prepend(0.0, list_transform(v, y -> y * y)),
+              |    (acc, y) -> acc + y)) AS nv FROM e),
+              |p AS (SELECT
+              |  CASE WHEN a.nv > 0 AND b.nv > 0 THEN
+              |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.v)),
+              |      i -> a.v[i] * b.v[i])), (acc, y) -> acc + y) / (a.nv * b.nv)
+              |  END AS cos
+              |  FROM n a JOIN n b ON a.vec_id < b.vec_id),
+              |s AS (SELECT count(*) AS n_pairs, avg(cos) AS m,
+              |  min(cos) AS lo, max(cos) AS hi FROM p),
+              |c AS (SELECT count(*) AS n_sample FROM e)
+              |SELECT c.n_sample, s.n_pairs, ${r6("s.m")} AS mean_cos,
+              |  ${r6("s.lo")} AS min_cos, ${r6("s.hi")} AS max_cos
+              |FROM c, s""".stripMargin))
   )
 }
