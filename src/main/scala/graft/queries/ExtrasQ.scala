@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{TimeSeriesOps, WindowOps}
+import graft.operators.{CorpusOps, TimeSeriesOps, WindowOps}
 import Q.{dec4, dec6, r4, r6}
 import scala.collection.immutable.ListMap
 
@@ -963,6 +963,39 @@ object ExtrasQ {
               |  ${r6("mean_l")} AS mean_left, ${r6("mean_r")} AS mean_right,
               |  ${r6("stat")} AS shift_stat
               |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin)),
+
+    // Per-series quantile normalization: value → (rank − 0.5)/n within its
+    // event_type — the rank-uniform feature transform (step one of
+    // rank-gauss / quantile mapping). Ranks come from the GROUPED
+    // range-partitioned prefix sum (no per-series single-partition sort
+    // however large one series is); output thinned to every 100th event id
+    // to keep the gate frame bounded.
+    "q186_quantile_norm" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            col("value").cast("double").as("v"))
+        val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        CorpusOps.orderedPrefixSum(ev,
+            Seq(col("v").asc, col("event_id").asc), lit(1L), "rn",
+            groupCols = Seq("event_type"))
+          .join(n, Seq("event_type"))
+          .filter(col("event_id") % 100 === 0)
+          .select(col("event_type"), col("event_id"), col("v").as("value"),
+            col("rn").cast("long").as("rank"),
+            dec6((col("rn") - lit(0.5)) / col("n")).as("q_norm"))
+          .orderBy("event_type", "event_id")
+      },
+      Some(s"""WITH r AS (SELECT event_type, event_id,
+              |  CAST(value AS DOUBLE) AS value,
+              |  row_number() OVER (PARTITION BY event_type
+              |    ORDER BY CAST(value AS DOUBLE), event_id) AS rn,
+              |  count(*) OVER (PARTITION BY event_type) AS n
+              |  FROM events)
+              |SELECT event_type, event_id, value, CAST(rn AS BIGINT) AS "rank",
+              |  ${r6("(rn - 0.5) / n")} AS q_norm
+              |FROM r WHERE event_id % 100 = 0
+              |ORDER BY event_type, event_id""".stripMargin)),
 
     // Theil-Sen robust trend per series: median pairwise slope over the
     // hourly grid (grid-metadata pair table, not events) with the

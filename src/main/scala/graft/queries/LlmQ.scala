@@ -419,6 +419,34 @@ object LlmQ {
              |FROM c WHERE chunk_idx % 4 = 0
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // Tokenizer fertility per language: chars-per-token and tokens-per-doc
+    // by lang — the budget-planning numbers behind "how many training
+    // tokens does this corpus slice actually buy"; languages whose
+    // fertility outruns the corpus mean get tokenizer attention first.
+    // One map-side-combinable aggregate over (lang, counts).
+    "q185_fertility" -> Q(
+      (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        Tables.documents(s, d)
+        .select(col("lang"), length(col("text")).cast("long").as("c"),
+          TextOps.tokenCountFast(col("text")).cast("long").as("n"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("c").as("total_chars"), sum("n").as("total_tokens"),
+          dec6(sum("c").cast("double") / sum("n")).as("chars_per_token"),
+          dec6(sum("n").cast("double") / count(lit(1))).as("tokens_per_doc"))
+        .orderBy("lang")
+      },
+      Some(s"""WITH x AS (SELECT lang, CAST(length(text) AS BIGINT) AS c,
+              |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+              |  FROM documents)
+              |SELECT lang, count(*) AS n_docs,
+              |  CAST(sum(c) AS BIGINT) AS total_chars,
+              |  CAST(sum(n) AS BIGINT) AS total_tokens,
+              |  ${r6("CAST(sum(c) AS DOUBLE) / sum(n)")} AS chars_per_token,
+              |  ${r6("CAST(sum(n) AS DOUBLE) / count(*)")} AS tokens_per_doc
+              |FROM x GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Matryoshka truncation eval: top-10 survival when cosine search runs
     // on the first 8/16/64 dims — TakeOrdered per budget over the rounded
     // truncated cosine, never a corpus-wide rank window; the 64-dim row is
