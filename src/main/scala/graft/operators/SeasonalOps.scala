@@ -132,4 +132,73 @@ object SeasonalOps {
         scoreOut(col("m_slope")).as("slope_per_hour"),
         scoreOut(col("m_icept")).as("intercept"))
   }
+
+  /** OLS trend per series with fit quality: slope/intercept from the
+    * explicit moment formulas (E[ty] − E[t]E[y])/(E[t²] − E[t]²) and
+    * R² = corr² — [[theilSenTrend]]'s least-squares twin, one map-side-
+    * combinable aggregate per series instead of a pair table (use OLS when
+    * the series is clean and you want the fit diagnostic; Theil–Sen when
+    * sensors lie). The explicit moment algebra (not a regr_* builtin)
+    * keeps both engines bit-aligned, the [[EventOps.xcorrLagScan]]
+    * discipline. Time is hours since the SERIES' FIRST grid hour — not
+    * epoch — because E[t²]−E[t]² over epoch-scale hours cancels ~6
+    * leading digits and the last-ulp noise crosses rounding boundaries
+    * cross-engine; centering removes the cancellation (and makes the
+    * intercept the fitted value at series start, the number a reader
+    * actually wants).
+    *
+    * Returns one row per series: (seriesCol, n_points, slope_per_hour,
+    * intercept, r2), intercept = fit at the series' first hour. */
+  def olsTrend(events: DataFrame, seriesCol: String, tsCol: String,
+               valueCol: String, scoreOut: Column => Column): DataFrame = {
+    val wS = Window.partitionBy(seriesCol)
+    val base = hourly(events, seriesCol, tsCol, valueCol)
+      .withColumn("t",
+        ((unix_micros(col("h")) - min(unix_micros(col("h"))).over(wS))
+          / lit(3600000000L)).cast("double"))
+    val m = base.groupBy(seriesCol).agg(
+      count(lit(1)).as("n"),
+      avg("t").as("mt"), avg("y").as("my"),
+      avg(col("t") * col("t")).as("mtt"),
+      avg(col("t") * col("y")).as("mty"),
+      avg(col("y") * col("y")).as("myy"))
+    val varT = col("mtt") - col("mt") * col("mt")
+    val varY = col("myy") - col("my") * col("my")
+    val cov = col("mty") - col("mt") * col("my")
+    m.select(col(seriesCol), col("n").as("n_points"),
+      scoreOut(cov / varT).as("slope_per_hour"),
+      scoreOut(col("my") - (cov / varT) * col("mt")).as("intercept"),
+      scoreOut(when(varY > 0, cov * cov / (varT * varY)).otherwise(lit(0.0)))
+        .as("r2"))
+  }
+
+  /** Seasonal / trend strength diagnostics (Hyndman & Athanasopoulos,
+    * FPP3 §4.3) from the [[stlDecompose]] components:
+    * F_seasonal = max(0, 1 − var(R)/var(S+R)) and
+    * F_trend = max(0, 1 − var(R)/var(T+R)) — the "is this series seasonal
+    * at all / trending at all" triage that decides which decomposition a
+    * forecast or anomaly pass should bother with. One aggregate per
+    * series over the decomposition's grid-sized output; population
+    * variance by the explicit moment formula.
+    *
+    * Returns one row per series: (seriesCol, n_hours, seasonal_strength,
+    * trend_strength). */
+  def seasonalStrength(events: DataFrame, seriesCol: String, tsCol: String,
+                       valueCol: String, halfWin: Int,
+                       scoreOut: Column => Column): DataFrame = {
+    val dec = stlDecompose(events, seriesCol, tsCol, valueCol, halfWin, scoreOut)
+    def popVar(c: Column): Column = avg(c * c) - avg(c) * avg(c)
+    val agg = dec.groupBy(seriesCol).agg(
+      count(lit(1)).as("n_hours"),
+      popVar(col("residual")).as("vr"),
+      popVar(col("seasonal") + col("residual")).as("vsr"),
+      popVar(col("trend") + col("residual")).as("vtr"))
+    agg.select(col(seriesCol), col("n_hours"),
+      scoreOut(greatest(lit(0.0),
+        lit(1.0) - when(col("vsr") > 0, col("vr") / col("vsr")).otherwise(lit(1.0))))
+        .as("seasonal_strength"),
+      scoreOut(greatest(lit(0.0),
+        lit(1.0) - when(col("vtr") > 0, col("vr") / col("vtr")).otherwise(lit(1.0))))
+        .as("trend_strength"))
+  }
 }

@@ -997,6 +997,65 @@ object ExtrasQ {
               |FROM r WHERE event_id % 100 = 0
               |ORDER BY event_type, event_id""".stripMargin)),
 
+    // OLS trend per series with R² from explicit moment formulas — the
+    // least-squares twin of q182 (one aggregate, no pair table), plus the
+    // fit diagnostic Theil-Sen can't give.
+    "q187_ols_trend" -> Q(
+      (s, d) => graft.operators.SeasonalOps.olsTrend(
+          Tables.events(s, d), "event_type", "ts", "value", scoreOut = dec6)
+        .orderBy("event_type"),
+      Some(s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+              |  avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY 1, 2),
+              |b AS (SELECT event_type, y,
+              |  CAST((epoch_us(h) - min(epoch_us(h)) OVER (PARTITION BY event_type))
+              |    / 3600000000 AS DOUBLE) AS t FROM hourly),
+              |m AS (SELECT event_type, count(*) AS n,
+              |  avg(t) AS mt, avg(y) AS my, avg(t * t) AS mtt,
+              |  avg(t * y) AS mty, avg(y * y) AS myy FROM b GROUP BY event_type)
+              |SELECT event_type, n AS n_points,
+              |  ${r6("(mty - mt * my) / (mtt - mt * mt)")} AS slope_per_hour,
+              |  ${r6("my - (mty - mt * my) / (mtt - mt * mt) * mt")} AS intercept,
+              |  ${r6("""CASE WHEN myy - my * my > 0
+              |    THEN (mty - mt * my) * (mty - mt * my)
+              |      / ((mtt - mt * mt) * (myy - my * my)) ELSE 0.0 END""")} AS r2
+              |FROM m ORDER BY event_type""".stripMargin)),
+
+    // Hyndman seasonal/trend strength from the STL components: the "is
+    // this series seasonal at all" triage over q180's decomposition.
+    "q188_seasonal_strength" -> Q(
+      (s, d) => graft.operators.SeasonalOps.seasonalStrength(
+          Tables.events(s, d), "event_type", "ts", "value", halfWin = 12,
+          scoreOut = dec6)
+        .orderBy("event_type"),
+      Some(s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+              |  avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY 1, 2),
+              |tr AS (SELECT event_type, h, y,
+              |  avg(y) OVER (PARTITION BY event_type ORDER BY h
+              |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+              |  FROM hourly),
+              |se AS (SELECT event_type, h, y, trend,
+              |  avg(y - trend) OVER (PARTITION BY event_type, hour(h)) AS s_raw
+              |  FROM tr),
+              |ce AS (SELECT event_type, y, trend,
+              |  s_raw - avg(s_raw) OVER (PARTITION BY event_type) AS sea_raw
+              |  FROM se),
+              |cc AS (SELECT event_type, ${r6("trend")} AS trend,
+              |  ${r6("sea_raw")} AS seasonal,
+              |  ${r6("y - trend - sea_raw")} AS residual FROM ce),
+              |ag AS (SELECT event_type, count(*) AS n_hours,
+              |  avg(residual * residual) - avg(residual) * avg(residual) AS vr,
+              |  avg((seasonal + residual) * (seasonal + residual))
+              |    - avg(seasonal + residual) * avg(seasonal + residual) AS vsr,
+              |  avg((trend + residual) * (trend + residual))
+              |    - avg(trend + residual) * avg(trend + residual) AS vtr
+              |  FROM cc GROUP BY event_type)
+              |SELECT event_type, n_hours,
+              |  ${r6("""greatest(0.0, 1.0 - CASE WHEN vsr > 0
+              |    THEN vr / vsr ELSE 1.0 END)""")} AS seasonal_strength,
+              |  ${r6("""greatest(0.0, 1.0 - CASE WHEN vtr > 0
+              |    THEN vr / vtr ELSE 1.0 END)""")} AS trend_strength
+              |FROM ag ORDER BY event_type""".stripMargin)),
+
     // Theil-Sen robust trend per series: median pairwise slope over the
     // hourly grid (grid-metadata pair table, not events) with the
     // median-residual intercept.

@@ -60,6 +60,42 @@ class SeasonalOpsSpec extends SparkSpec {
     assert(out("B").getDouble(6) == 0.0)
   }
 
+  test("ols: exact fit on a line (r2 = 1); r2 = 0 on a flat series") {
+    val line = (0 until 100).map(i => ("L", ts(i), 5.0 + 0.25 * i))
+    val r = SeasonalOps.olsTrend(line.toDF("event_type", "ts", "value"),
+      "event_type", "ts", "value", dec6).head()
+    assert(r.getLong(1) == 100)
+    assert(math.abs(r.getDouble(2) - 0.25) < 1e-6, s"slope ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-6, s"r2 ${r.getDouble(4)}")
+    val flat = (0 until 100).map(i => ("F", ts(i), 9.0))
+    val rf = SeasonalOps.olsTrend(flat.toDF("event_type", "ts", "value"),
+      "event_type", "ts", "value", dec6).head()
+    assert(math.abs(rf.getDouble(2)) < 1e-6 && rf.getDouble(4) == 0.0,
+      s"flat series slope ${rf.getDouble(2)} r2 ${rf.getDouble(4)}")
+  }
+
+  test("seasonalStrength: sawtooth scores seasonal, ramp scores trend, noise-free extremes") {
+    val saw = (0 until 480).map(i => ("SAW", ts(i), 100.0 + (i % 24) * 2.0))
+    val ramp = (0 until 480).map(i => ("RAMP", ts(i), i * 0.5))
+    val out = SeasonalOps.seasonalStrength(
+        (saw ++ ramp).toDF("event_type", "ts", "value"),
+        "event_type", "ts", "value", halfWin = 12, dec6)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = out("SAW"); val t = out("RAMP")
+    assert(s.getLong(1) == 480 && t.getLong(1) == 480)
+    // pure daily sawtooth: seasonal strength near 1, far above the ramp's
+    assert(s.getDouble(2) > 0.95, s"sawtooth seasonal ${s.getDouble(2)}")
+    assert(t.getDouble(2) < s.getDouble(2) - 0.3,
+      s"ramp seasonal ${t.getDouble(2)} vs sawtooth ${s.getDouble(2)}")
+    // pure linear ramp: trend strength near 1
+    assert(t.getDouble(3) > 0.95, s"ramp trend ${t.getDouble(3)}")
+    // strengths are clamped to [0, 1]
+    out.values.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("theil-sen: exact slope on a line; robust to one wild outlier") {
     val clean = (0 until 100).map(i => ("L", ts(i), 5.0 + 0.25 * i))
     val r1 = SeasonalOps.theilSenTrend(clean.toDF("event_type", "ts", "value"),
