@@ -913,4 +913,124 @@ object EventOps {
         scoreOut(col("n_step2").cast("double") / col("n_step1")).as("rate_12"),
         scoreOut(col("n_step3").cast("double") / col("n_step1")).as("rate_13"))
   }
+
+  /** Top-k user-journey trigrams: the most common 3-step event-type
+    * sequences across all users — the "what do people actually do"
+    * summary behind funnel design (the trigram LM of the event stream,
+    * one order up from [[markovTransitions]]). Two leads per user window
+    * build the chains; counts collapse to a (≤ |types|³)-key aggregate;
+    * the top-k is TakeOrdered with full-gram tiebreaks, never a global
+    * rank window. Share = n / all complete trigrams (1-row broadcast).
+    *
+    * Returns top-k rows: (step1, step2, step3, n, share). */
+  def journeyTrigrams(events: DataFrame, userCol: String, tsCol: String,
+                      tieCol: String, typeCol: String, topK: Int,
+                      scoreOut: Column => Column): DataFrame = {
+    require(topK >= 1 && topK <= 10000, s"topK must be bounded, got $topK")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val grams = events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol).as("step1"))
+      .withColumn("step2", lead("step1", 1).over(w))
+      .withColumn("step3", lead("step1", 2).over(w))
+      .filter(col("step2").isNotNull && col("step3").isNotNull)
+      .groupBy("step1", "step2", "step3").agg(count(lit(1)).as("n"))
+    val tot = grams.agg(sum("n").as("nt"))
+    grams.crossJoin(broadcast(tot))
+      .select(col("step1"), col("step2"), col("step3"), col("n"),
+        scoreOut(col("n") / col("nt")).as("share"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(topK)
+  }
+
+  /** Winsorized statistics per group: mean/min/max after clamping to the
+    * group's [pLo, pHi] percentiles — the robust-location report that
+    * keeps a fat-fingered 10⁶ entry from moving a dashboard mean, without
+    * discarding rows (the winsorize-don't-trim convention). Percentile
+    * bounds come from one grouped aggregate and join back agg-sized; the
+    * clamp is row-local.
+    *
+    * Returns per group: (groupCol, n, n_clipped_lo, n_clipped_hi, p_lo,
+    * p_hi, mean_raw, mean_winsorized). */
+  def winsorizedStats(events: DataFrame, groupCol: String, valueCol: String,
+                      pLo: Double, pHi: Double,
+                      scoreOut: Column => Column): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1")
+    val v = col(valueCol).cast("double")
+    val base = events.select(col(groupCol), v.as("v"))
+    val bounds = base.groupBy(groupCol).agg(
+      expr(s"percentile(v, $pLo)").as("lo"),
+      expr(s"percentile(v, $pHi)").as("hi"))
+    base.join(bounds, Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum((col("v") < col("lo")).cast("long")).as("n_clipped_lo"),
+        sum((col("v") > col("hi")).cast("long")).as("n_clipped_hi"),
+        max("lo").as("lo"), max("hi").as("hi"),
+        avg("v").as("m_raw"),
+        avg(least(greatest(col("v"), col("lo")), col("hi"))).as("m_win"))
+      .select(col(groupCol), col("n"), col("n_clipped_lo"), col("n_clipped_hi"),
+        scoreOut(col("lo")).as("p_lo"), scoreOut(col("hi")).as("p_hi"),
+        scoreOut(col("m_raw")).as("mean_raw"),
+        scoreOut(col("m_win")).as("mean_winsorized"))
+  }
+
+  /** Conversion lag: per user, the delay from the FIRST `fromType` event
+    * to the first `toType` event at-or-after it, summarized as conversion
+    * rate + lag percentiles — "how long from first view to first
+    * purchase", the funnel's time dimension. One user-keyed conditional
+    * aggregate builds both firsts (the to-side is a conditional min over
+    * events ≥ the from time via a two-pass: min(from), then min(to ≥
+    * from) — expressed as one join-free window pair per user); lags then
+    * collapse to a single summary row.
+    *
+    * Returns one row: (n_users_from, n_converted, conversion_rate,
+    * median_lag_s, p90_lag_s). */
+  def conversionLag(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, fromType: String, toType: String,
+                    scoreOut: Column => Column): DataFrame = {
+    val t = col(tsCol)
+    val firstFrom = events.filter(col(typeCol) === fromType)
+      .groupBy(userCol).agg(min(t).as("t_from"))
+    val tos = events.filter(col(typeCol) === toType)
+      .select(col(userCol), t.as("t_to"))
+    // conditional min, NOT filter-then-min: a user whose to-events all
+    // precede t_from must still count as unconverted, not vanish
+    val lagged = firstFrom.join(tos, Seq(userCol), "left")
+      .groupBy(userCol, "t_from")
+      .agg(min(when(col("t_to") >= col("t_from"), col("t_to"))).as("t_conv"))
+      .withColumn("lag_s",
+        (unix_micros(col("t_conv")) - unix_micros(col("t_from"))) / lit(1e6))
+    lagged.agg(
+        count(lit(1)).as("n_users_from"),
+        count(col("t_conv")).as("n_converted"),
+        expr("percentile(lag_s, 0.5)").as("med"),
+        expr("percentile(lag_s, 0.9)").as("p90"))
+      .select(col("n_users_from"), col("n_converted"),
+        scoreOut(col("n_converted").cast("double") / col("n_users_from"))
+          .as("conversion_rate"),
+        scoreOut(col("med")).as("median_lag_s"),
+        scoreOut(col("p90")).as("p90_lag_s"))
+  }
+
+  /** Outage/gap inventory: per series, the inter-event gaps exceeding
+    * `minGapHours` — the "sensor went dark" report a pipeline reads
+    * before trusting any rolling statistic over the affected range. One
+    * lag window per series; output is gap-sized, not event-sized.
+    *
+    * Returns (seriesCol, gap_start, gap_end, gap_hours) per outage,
+    * gap_start = last event before silence. */
+  def gapOutages(events: DataFrame, seriesCol: String, tsCol: String,
+                 minGapHours: Double,
+                 scoreOut: Column => Column): DataFrame = {
+    val w = Window.partitionBy(seriesCol).orderBy(tsCol)
+    events
+      .select(col(seriesCol), col(tsCol).as("gap_end"),
+        lag(col(tsCol), 1).over(w).as("gap_start"))
+      .withColumn("gap_hours",
+        (unix_micros(col("gap_end")) - unix_micros(col("gap_start")))
+          / lit(3600e6))
+      .filter(col("gap_hours") > minGapHours)
+      .select(col(seriesCol), col("gap_start"), col("gap_end"),
+        scoreOut(col("gap_hours")).as("gap_hours"))
+  }
 }

@@ -201,4 +201,36 @@ object SeasonalOps {
         lit(1.0) - when(col("vtr") > 0, col("vr") / col("vtr")).otherwise(lit(1.0))))
         .as("trend_strength"))
   }
+
+  /** Pairwise Pearson correlation matrix across series (upper triangle):
+    * which metrics move together, hour by hour — the cross-sectional
+    * complement of [[EventOps.xcorrLagScan]]'s lag-0 (and the screen that
+    * decides which pairs deserve a lag scan at all). The hourly tables
+    * self-join on the grid hour with a series-order predicate; per-pair
+    * correlations fold with the explicit moment formula (cross-engine
+    * exact, no corr() builtin). Pair count is #series²/2 — the series
+    * PANEL is the bound (named metrics, not events); the join itself keys
+    * on the hour, so work is grid × panel², never event-scaled.
+    *
+    * Returns per pair: (series_a, series_b, n_hours, corr), series_a <
+    * series_b. */
+  def seriesCorrMatrix(events: DataFrame, seriesCol: String, tsCol: String,
+                       valueCol: String,
+                       scoreOut: Column => Column): DataFrame = {
+    val base = hourly(events, seriesCol, tsCol, valueCol)
+    val a = base.select(col(seriesCol).as("series_a"), col("h"), col("y").as("ya"))
+    val b = base.select(col(seriesCol).as("series_b"), col("h"), col("y").as("yb"))
+    a.join(b, Seq("h"))
+      .filter(col("series_a") < col("series_b"))
+      .groupBy("series_a", "series_b")
+      .agg(count(lit(1)).as("n_hours"),
+        avg("ya").as("ma"), avg("yb").as("mb"),
+        avg(col("ya") * col("yb")).as("mab"),
+        avg(col("ya") * col("ya")).as("maa"),
+        avg(col("yb") * col("yb")).as("mbb"))
+      .select(col("series_a"), col("series_b"), col("n_hours"),
+        scoreOut((col("mab") - col("ma") * col("mb")) /
+          (sqrt(col("maa") - col("ma") * col("ma")) *
+            sqrt(col("mbb") - col("mb") * col("mb")))).as("corr"))
+  }
 }

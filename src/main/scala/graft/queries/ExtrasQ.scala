@@ -964,6 +964,106 @@ object ExtrasQ {
               |  ${r6("stat")} AS shift_stat
               |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin)),
 
+    // Top-10 user-journey trigrams: the most common 3-step event-type
+    // sequences — TakeOrdered over the |types|³-key aggregate.
+    "q189_journey_trigrams" -> Q(
+      (s, d) => graft.operators.EventOps.journeyTrigrams(
+        Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+        topK = 10, scoreOut = dec6),
+      Some(s"""WITH g AS (SELECT event_type AS step1,
+              |  lead(event_type, 1) OVER w AS step2,
+              |  lead(event_type, 2) OVER w AS step3
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              |c AS (SELECT step1, step2, step3, count(*) AS n FROM g
+              |  WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+              |  GROUP BY 1, 2, 3),
+              |t AS (SELECT sum(n) AS nt FROM c)
+              |SELECT step1, step2, step3, n, ${r6("CAST(n AS DOUBLE) / nt")} AS share
+              |FROM c, t
+              |ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin)),
+
+    // Winsorized mean per event type: clamp at the [p05, p95] group
+    // percentiles, then average — robust location without discarding rows.
+    "q190_winsorized_stats" -> Q(
+      (s, d) => graft.operators.EventOps.winsorizedStats(
+          Tables.events(s, d), "event_type", "value", pLo = 0.05, pHi = 0.95,
+          scoreOut = dec6)
+        .orderBy("event_type"),
+      Some(s"""WITH b AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+              |q AS (SELECT event_type, quantile_cont(v, 0.05) AS lo,
+              |  quantile_cont(v, 0.95) AS hi FROM b GROUP BY event_type)
+              |SELECT b.event_type, count(*) AS n,
+              |  CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+              |  CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+              |  ${r6("max(lo)")} AS p_lo, ${r6("max(hi)")} AS p_hi,
+              |  ${r6("avg(v)")} AS mean_raw,
+              |  ${r6("avg(least(greatest(v, lo), hi))")} AS mean_winsorized
+              |FROM b JOIN q USING (event_type)
+              |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin)),
+
+    // Conversion lag: first 'view' to first subsequent 'purchase' per
+    // user — rate + median/p90 delay, the funnel's time dimension.
+    "q191_conversion_lag" -> Q(
+      (s, d) => graft.operators.EventOps.conversionLag(
+        Tables.events(s, d), "user_id", "ts", "event_type",
+        fromType = "view", toType = "purchase", scoreOut = dec6),
+      Some(s"""WITH f AS (SELECT user_id, min(ts) AS t_from FROM events
+              |  WHERE event_type = 'view' GROUP BY user_id),
+              |t AS (SELECT user_id, ts AS t_to FROM events
+              |  WHERE event_type = 'purchase'),
+              |l AS (SELECT f.user_id, f.t_from,
+              |  min(CASE WHEN t.t_to >= f.t_from THEN t.t_to END) AS t_conv
+              |  FROM f LEFT JOIN t USING (user_id)
+              |  GROUP BY f.user_id, f.t_from),
+              |g AS (SELECT user_id, t_conv,
+              |  (epoch_us(t_conv) - epoch_us(t_from)) / 1e6 AS lag_s FROM l)
+              |SELECT count(*) AS n_users_from,
+              |  count(t_conv) AS n_converted,
+              |  ${r6("CAST(count(t_conv) AS DOUBLE) / count(*)")} AS conversion_rate,
+              |  ${r6("quantile_cont(lag_s, 0.5)")} AS median_lag_s,
+              |  ${r6("quantile_cont(lag_s, 0.9)")} AS p90_lag_s
+              |FROM g""".stripMargin)),
+
+    // Pairwise correlation matrix across the event-type hourly series
+    // (upper triangle, explicit moment formula — which metrics co-move).
+    "q192_corr_matrix" -> Q(
+      (s, d) => graft.operators.SeasonalOps.seriesCorrMatrix(
+          Tables.events(s, d), "event_type", "ts", "value", scoreOut = dec6)
+        .orderBy("series_a", "series_b"),
+      Some(s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+              |  avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY 1, 2),
+              |j AS (SELECT a.event_type AS series_a, b.event_type AS series_b,
+              |  a.y AS ya, b.y AS yb
+              |  FROM hourly a JOIN hourly b ON a.h = b.h
+              |  WHERE a.event_type < b.event_type),
+              |m AS (SELECT series_a, series_b, count(*) AS n,
+              |  avg(ya) AS ma, avg(yb) AS mb, avg(ya * yb) AS mab,
+              |  avg(ya * ya) AS maa, avg(yb * yb) AS mbb
+              |  FROM j GROUP BY 1, 2)
+              |SELECT series_a, series_b, n AS n_hours,
+              |  ${r6("""(mab - ma * mb)
+              |    / (sqrt(maa - ma * ma) * sqrt(mbb - mb * mb))""")} AS corr
+              |FROM m ORDER BY series_a, series_b""".stripMargin)),
+
+    // Outage inventory: inter-event gaps over 2 hours per series — the
+    // "sensor went dark" ranges rolling statistics must not trust.
+    "q193_gap_outages" -> Q(
+      (s, d) => graft.operators.EventOps.gapOutages(
+          Tables.events(s, d), "event_type", "ts", minGapHours = 2.0,
+          scoreOut = dec6)
+        .orderBy("event_type", "gap_start"),
+      Some(s"""WITH g AS (SELECT event_type, ts AS gap_end,
+              |  lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS gap_start
+              |  FROM events),
+              |x AS (SELECT event_type, gap_start, gap_end,
+              |  (epoch_us(gap_end) - epoch_us(gap_start)) / 3600e6 AS gap_hours
+              |  FROM g)
+              |SELECT event_type, gap_start, gap_end,
+              |  ${r6("gap_hours")} AS gap_hours
+              |FROM x WHERE gap_hours > 2.0
+              |ORDER BY event_type, gap_start""".stripMargin)),
+
     // Per-series quantile normalization: value → (rank − 0.5)/n within its
     // event_type — the rank-uniform feature transform (step one of
     // rank-gauss / quantile mapping). Ranks come from the GROUPED

@@ -2,69 +2,88 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
-import graft.operators.EventOps
+import graft.operators.{EventOps, SeasonalOps}
 import graft.queries.Q.dec6
 
-/** Boundary semantics of the event-analytics operators whose gate queries
-  * only exercise the organic testdata: PSI at zero drift, Kaplan–Meier
-  * with full observation, Benford on exact powers, and xcorr at lag 0 on
-  * a self-correlated series. */
+/** Closed-form boundaries of the round-7 event-analytics additions:
+  * journey trigrams, winsorized stats, conversion lag (incl. the
+  * to-before-from trap), gap outages, and the correlation matrix. */
 class EventAnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("psi of identical snapshots is ~0 in every bin; disjoint ranges dominate") {
-    val a = (1 to 400).map(_.toDouble % 97).toDF("value")
-    val same = EventOps.psi(a, a, "value", bins = 10, lo = 0.0, hi = 100.0, dec6)
-      .agg(sum("psi_contrib")).head().getDouble(0)
-    assert(math.abs(same) < 1e-9, s"self-PSI $same should be 0")
-    // a shifted distribution must produce a large PSI
-    val b = (1 to 400).map(i => 900.0 + i % 97).toDF("value")
-    val drift = EventOps.psi(a, b, "value", bins = 10, lo = 0.0, hi = 100.0, dec6)
-      .agg(sum("psi_contrib")).head().getDouble(0)
-    assert(drift > 1.0, s"full range shift must alarm, got $drift")
-    // the shifted mass lands in the OVERFLOW bin — drift out of the
-    // declared range registers instead of vanishing
-    val over = EventOps.psi(a, b, "value", bins = 10, lo = 0.0, hi = 100.0, dec6)
-      .filter(col("bin") === 10).head()
-    assert(over.getLong(2) == 400L)
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("journeyTrigrams: counts and deterministic order on a known stream") {
+    // user 1: a b c d  -> (a,b,c), (b,c,d); user 2: a b c -> (a,b,c)
+    val rows = Seq(
+      (1L, ts(0), 1L, "a"), (1L, ts(1), 2L, "b"), (1L, ts(2), 3L, "c"),
+      (1L, ts(3), 4L, "d"),
+      (2L, ts(0), 5L, "a"), (2L, ts(1), 6L, "b"), (2L, ts(2), 7L, "c")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventOps.journeyTrigrams(rows, "user_id", "ts", "event_id",
+      "event_type", topK = 10, dec6).collect()
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "a" && out(0).getString(2) == "c" &&
+      out(0).getLong(3) == 2)
+    assert(out(1).getString(0) == "b" && out(1).getLong(3) == 1)
+    assert(math.abs(out(0).getDouble(4) - 2.0 / 3) < 1e-6)
   }
 
-  test("kaplanMeier: all users converting on day d gives a single step to ~0") {
-    def ts(s: String) = Timestamp.valueOf(s)
-    val ev = (1L to 10L).flatMap { u =>
-      Seq((u, ts("2024-01-01 08:00:00"), "signup"),
-        (u, ts("2024-01-04 08:00:00"), "purchase"))
-    }.toDF("user_id", "ts", "event_type")
-    val km = EventOps.kaplanMeier(ev, "user_id", "ts", "event_type",
-      "signup", "purchase", dec6).collect()
-    assert(km.length == 1)
-    assert(km(0).getInt(0) == 3)          // t_days
-    assert(km(0).getLong(1) == 10L)       // n_at_risk
-    assert(km(0).getLong(2) == 10L)       // n_events
-    assert(math.abs(km(0).getDouble(3)) < 1e-9, "S(3) = 0 when everyone converts")
+  test("winsorizedStats: clamp moves the mean, bounds count the clipped rows") {
+    // 19 values of 10 plus one wild 1000: p95 of the 20 values clips it
+    val rows = ((1 to 19).map(i => ("g", 10.0)) :+ ("g", 1000.0))
+      .toDF("event_type", "value")
+    val r = EventOps.winsorizedStats(rows, "event_type", "value",
+      pLo = 0.05, pHi = 0.95, dec6).head()
+    assert(r.getLong(1) == 20)
+    assert(r.getLong(3) == 1, s"hi clips ${r.getLong(3)}") // the 1000
+    val mRaw = r.getDouble(6); val mWin = r.getDouble(7)
+    assert(mRaw > 59 && mRaw < 60, s"raw mean $mRaw")     // 59.5
+    assert(mWin < mRaw - 40, s"winsorized $mWin vs raw $mRaw")
   }
 
-  test("benford digit extraction: exact powers and mantissas map to their digit") {
-    val vals = Seq(1.0, 2.0, 9.0, 10.0, 99.0, 0.5, 0.002, 3.14e7)
-    val df = vals.toDF("value")
-    val got = EventOps.benfordDigits(df, "value", dec6)
-      .select("digit", "n").as[(Int, Long)].collect().toMap
-    // digits: 1,2,9,1,9,5,2,3
-    assert(got == Map(1 -> 2L, 2 -> 2L, 3 -> 1L, 5 -> 1L, 9 -> 2L), s"got $got")
+  test("conversionLag: to-events BEFORE the first from must not erase the user") {
+    val rows = Seq(
+      // u1 converts 30 min after first view
+      (1L, ts(0), "view"), (1L, ts(30), "purchase"),
+      // u2: purchase BEFORE any view — counts as unconverted, not dropped
+      (2L, ts(0), "purchase"), (2L, ts(10), "view"),
+      // u3: view only
+      (3L, ts(5), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val r = EventOps.conversionLag(rows, "user_id", "ts", "event_type",
+      "view", "purchase", dec6).head()
+    assert(r.getLong(0) == 3, s"users_from ${r.getLong(0)}")
+    assert(r.getLong(1) == 1, s"converted ${r.getLong(1)}")
+    assert(math.abs(r.getDouble(2) - 1.0 / 3) < 1e-6)
+    assert(math.abs(r.getDouble(3) - 1800.0) < 1e-6, s"median ${r.getDouble(3)}")
   }
 
-  test("xcorr lag scan: a series shifted by k hours peaks exactly at lag k") {
-    def ts(h: Int) = Timestamp.valueOf(f"2024-01-${1 + h / 24}%02d ${h % 24}%02d:00:00")
-    // x(t) = y(t - 3): x at hour h carries the value y had at h-3
-    val base = (0 until 96).map(h => math.sin(h / 5.0) * 10 + h % 7)
-    val rows = (3 until 96).map(h => ("x", ts(h), base(h - 3))) ++
-      (0 until 96).map(h => ("y", ts(h), base(h)))
-    val df = rows.toDF("event_type", "ts", "value")
-    val sc = EventOps.xcorrLagScan(df, "event_type", "ts", "value",
-        seriesX = "x", seriesY = "y", maxLag = 6, scoreOut = dec6)
-      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
-    assert(math.abs(sc(3) - 1.0) < 1e-6, s"lag 3 should be perfect, got ${sc(3)}")
-    assert(sc.filter(_._1 != 3).values.forall(_ < 0.999),
-      s"only lag 3 may be ~1: $sc")
+  test("gapOutages: finds exactly the planted gap") {
+    val rows = Seq(
+      ("s", ts(0)), ("s", ts(60)), ("s", ts(60 + 200)), ("s", ts(60 + 260)),
+      ("t", ts(0)), ("t", ts(30))
+    ).toDF("event_type", "ts")
+    val out = EventOps.gapOutages(rows, "event_type", "ts", minGapHours = 2.0,
+      dec6).collect()
+    assert(out.length == 1)
+    val g = out.head
+    assert(g.getString(0) == "s" && g.getTimestamp(1) == ts(60))
+    assert(math.abs(g.getDouble(3) - 200.0 / 60) < 1e-6, s"hours ${g.getDouble(3)}")
+  }
+
+  test("seriesCorrMatrix: perfect anti-correlation and the upper triangle") {
+    val rows = (0 until 48).flatMap { i =>
+      Seq(("a", ts(i * 60), 10.0 + i), ("b", ts(i * 60), 100.0 - i),
+        ("c", ts(i * 60), if (i % 2 == 0) 1.0 else 2.0))
+    }.toDF("event_type", "ts", "value")
+    val out = SeasonalOps.seriesCorrMatrix(rows, "event_type", "ts", "value",
+      dec6).collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 3) // (a,b) (a,c) (b,c): upper triangle only
+    assert(out.keys.forall { case (x, y) => x < y })
+    val ab = out(("a", "b"))
+    assert(ab.getLong(2) == 48)
+    assert(math.abs(ab.getDouble(3) + 1.0) < 1e-6, s"corr ${ab.getDouble(3)}")
   }
 }
