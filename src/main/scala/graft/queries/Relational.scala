@@ -11,6 +11,17 @@ import scala.collection.immutable.ListMap
   * TPC-H-ish testdata. Every query has a DuckDB oracle. */
 object Relational {
 
+  /** The single source of truth for q194's column set — the Spark side
+    * and the generated oracle both read it. */
+  private val profileCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "numeric", "l_partkey" -> "numeric",
+    "l_suppkey" -> "numeric", "l_linenumber" -> "numeric",
+    "l_quantity" -> "numeric", "l_extendedprice" -> "numeric",
+    "l_discount" -> "numeric", "l_tax" -> "numeric",
+    "l_returnflag" -> "string", "l_linestatus" -> "string",
+    "l_shipdate" -> "other")
+
+
   val queries: ListMap[String, Q] = ListMap(
 
     // S1/S6 + A1-ish: pricing summary (scan with pushed filter, hash agg).
@@ -314,6 +325,37 @@ object Relational {
         count(lit(1)).as("n")),
       Some("""SELECT min(ts) AS min_ts, max(ts) AS max_ts,
              |date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS span_days,
-             |count(*) AS n FROM events""".stripMargin))
+             |count(*) AS n FROM events""".stripMargin)),
+
+    // Long-form one-scan data profile of lineitem — the describe/Deequ
+    // report (one row per column: nulls, distinct, min/max/mean). The
+    // oracle is GENERATED from the same column list so both sides can
+    // never drift.
+    "q194_profile" -> Q(
+      (s, d) => graft.operators.ProfileOps.profile(
+          Tables.lineitem(s, d), profileCols.map(_._1), exact = true,
+          scoreOut = dec6)
+        .orderBy("column"),
+      Some {
+        val perCol = profileCols.map { case (c, kind) =>
+          val (mn, mx, av, smn, smx) = kind match {
+            case "numeric" => (
+              s"""floor((min(CAST($c AS DOUBLE))) * 1000000.0 + 0.500618034) / 1000000.0""",
+              s"""floor((max(CAST($c AS DOUBLE))) * 1000000.0 + 0.500618034) / 1000000.0""",
+              s"""floor((avg(CAST($c AS DOUBLE))) * 1000000.0 + 0.500618034) / 1000000.0""",
+              "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+            case "string" => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+              "CAST(NULL AS DOUBLE)", s"min($c)", s"max($c)")
+            case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+              "CAST(NULL AS DOUBLE)", "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+          }
+          s"""SELECT '$c' AS "column", '$kind' AS kind, count(*) AS n_rows,
+             |  CAST(sum(CAST($c IS NULL AS INT)) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  $mn AS min_num, $mx AS max_num, $av AS mean_num,
+             |  $smn AS min_str, $smx AS max_str FROM lineitem""".stripMargin
+        }
+        perCol.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+      })
   )
 }
