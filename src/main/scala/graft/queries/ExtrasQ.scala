@@ -1097,6 +1097,53 @@ object ExtrasQ {
               |FROM r WHERE event_id % 100 = 0
               |ORDER BY event_type, event_id""".stripMargin)),
 
+    // Seasonal-adjusted anomalies: z-score the STL RESIDUAL against its
+    // per-series σ and keep |z| > 3 — the deseasonalized upgrade of the
+    // trailing-z detector (W10/q36): "high for 3 am" fires, "normal
+    // morning peak" doesn't. Composes q180's decomposition; every window
+    // is series-partitioned.
+    "q195_seasonal_anomalies" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val dec = graft.operators.SeasonalOps.stlDecompose(
+          Tables.events(s, d), "event_type", "ts", "value", halfWin = 12,
+          scoreOut = dec6)
+        val wS = Window.partitionBy("event_type")
+        dec
+          .withColumn("mu", avg("residual").over(wS))
+          .withColumn("sd",
+            sqrt(avg(col("residual") * col("residual")).over(wS) -
+              avg(col("residual")).over(wS) * avg(col("residual")).over(wS)))
+          .withColumn("z", (col("residual") - col("mu")) / col("sd"))
+          .filter(abs(col("z")) > 3.0)
+          .select(col("event_type"), col("h"), col("y"), col("residual"),
+            dec6(col("z")).as("z"))
+          .orderBy("event_type", "h")
+      },
+      Some(s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+              |  avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY 1, 2),
+              |tr AS (SELECT event_type, h, y,
+              |  avg(y) OVER (PARTITION BY event_type ORDER BY h
+              |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+              |  FROM hourly),
+              |se AS (SELECT event_type, h, y, trend,
+              |  avg(y - trend) OVER (PARTITION BY event_type, hour(h)) AS s_raw
+              |  FROM tr),
+              |ce AS (SELECT event_type, h, ${r6("y")} AS y,
+              |  ${r6("""y - trend
+              |    - (s_raw - avg(s_raw) OVER (PARTITION BY event_type))""")} AS residual
+              |  FROM se),
+              |zz AS (SELECT event_type, h, y, residual,
+              |  avg(residual) OVER (PARTITION BY event_type) AS mu,
+              |  sqrt(avg(residual * residual) OVER (PARTITION BY event_type)
+              |    - avg(residual) OVER (PARTITION BY event_type)
+              |      * avg(residual) OVER (PARTITION BY event_type)) AS sd
+              |  FROM ce)
+              |SELECT event_type, h, y, residual,
+              |  ${r6("(residual - mu) / sd")} AS z
+              |FROM zz WHERE abs((residual - mu) / sd) > 3.0
+              |ORDER BY event_type, h""".stripMargin)),
+
     // OLS trend per series with R² from explicit moment formulas — the
     // least-squares twin of q182 (one aggregate, no pair table), plus the
     // fit diagnostic Theil-Sen can't give.
