@@ -5,11 +5,13 @@ The driver's oracle gate and the Spark side share the same closed-form
 formulas, so a formula-level bug would pass both. This script recomputes
 KS (q170), Mann-Whitney U (q171), Gini (q172) and Kaplan-Meier (q158)
 from raw parquet with INDEPENDENT numpy algorithms (searchsorted ECDFs,
-mergesort midranks, explicit survival product) and compares against the
-graft.Verify dumps.
+mergesort midranks, explicit survival product, broadcast pairwise slopes,
+polyfit, corrcoef, argmax scans) and compares against the graft.Verify
+dumps. Round 7 adds Theil-Sen (q182), OLS+R2 (q187), the correlation
+matrix (q192) and the changepoint locator (q181).
 
 Usage: python3 tools/crosscheck_stats.py [sf_dir] [verify_out_dir]
-Last verified 2026-08-14: all four match to 6 decimals at sf0.01.
+Last verified 2026-08-14 (r7): all eight match to 6 decimals at sf0.01.
 """
 import sys, glob
 import duckdb
@@ -103,6 +105,77 @@ def main():
             for a, b in zip(rows, mine))
         ok &= good
         print(f"{'PASS' if good else 'FAIL'} q158 KM: {len(rows)} curve points compared")
+
+    # --- hourly series shared by the r7 trend checks ---
+    hourly = con.execute("""SELECT event_type, date_trunc('hour', ts) AS h,
+        avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY 1, 2
+        ORDER BY event_type, h""").df()
+
+    # --- Theil-Sen (q182): numpy broadcasting over ALL pairs ---
+    ts_dump = dump("q182_theil_sen")
+    if ts_dump is not None:
+        good = True
+        for et, grp in hourly.groupby("event_type"):
+            t = grp.h.values.astype("datetime64[us]").astype(np.int64) / 3.6e9
+            y = grp.y.values
+            dt = t[None, :] - t[:, None]
+            dy = y[None, :] - y[:, None]
+            iu = np.triu_indices(len(t), k=1)
+            slope = np.median(dy[iu] / dt[iu])
+            icept = np.median(y - slope * t)
+            row = ts_dump[ts_dump.event_type == et].iloc[0]
+            good &= abs(row.slope_per_hour - slope) < 2e-6
+            good &= abs(row.intercept - icept) < 2e-6
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q182 Theil-Sen: "
+              f"{hourly.event_type.nunique()} series, full pair set")
+
+    # --- OLS (q187): numpy.polyfit per series (t centered on series start) ---
+    ols = dump("q187_ols_trend")
+    if ols is not None:
+        good = True
+        for et, grp in hourly.groupby("event_type"):
+            t = grp.h.values.astype("datetime64[us]").astype(np.int64) / 3.6e9
+            t = t - t.min()
+            y = grp.y.values
+            sl, ic = np.polyfit(t, y, 1)
+            r2 = np.corrcoef(t, y)[0, 1] ** 2
+            row = ols[ols.event_type == et].iloc[0]
+            good &= abs(row.slope_per_hour - sl) < 2e-6
+            good &= abs(row.intercept - ic) < 2e-6
+            good &= abs(row.r2 - r2) < 2e-6
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q187 OLS: polyfit + corrcoef^2 per series")
+
+    # --- Correlation matrix (q192): numpy.corrcoef on the aligned wide frame ---
+    cm = dump("q192_corr_matrix")
+    if cm is not None:
+        wide = hourly.pivot(index="h", columns="event_type", values="y")
+        good = True
+        for _, row in cm.iterrows():
+            pair = wide[[row.series_a, row.series_b]].dropna()
+            good &= int(row.n_hours) == len(pair)
+            good &= abs(row["corr"] - np.corrcoef(pair.iloc[:, 0], pair.iloc[:, 1])[0, 1]) < 2e-6
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q192 corr matrix: {len(cm)} pairs vs corrcoef")
+
+    # --- Changepoint (q181): explicit argmax scan per series ---
+    cp = dump("q181_changepoint")
+    if cp is not None:
+        good = True
+        for et, grp in hourly.groupby("event_type"):
+            y = grp.y.values
+            n = len(y)
+            cums = np.cumsum(y)
+            k = np.arange(1, n)
+            stat = np.abs(cums[:-1] / k - (cums[-1] - cums[:-1]) / (n - k)) \
+                * np.sqrt(k * (n - k) / n)
+            best = int(np.argmax(np.round(stat * 1e6) / 1e6))  # rounded-rank tiebreak: earliest h
+            row = cp[cp.event_type == et].iloc[0]
+            good &= int(row.n_left) == best + 1
+            good &= abs(row.shift_stat - stat[best]) < 2e-6
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q181 changepoint: argmax scan per series")
 
     sys.exit(0 if ok else 1)
 
