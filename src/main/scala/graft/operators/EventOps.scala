@@ -947,7 +947,10 @@ object EventOps {
     * keeps a fat-fingered 10⁶ entry from moving a dashboard mean, without
     * discarding rows (the winsorize-don't-trim convention). Percentile
     * bounds come from one grouped aggregate and join back agg-sized; the
-    * clamp is row-local.
+    * clamp is row-local. The gate uses exact `percentile` for oracle
+    * parity; at 100 TB swap the bounds aggregate to `approx_percentile`
+    * (mergeable sketch, no per-group value buffer) — the clamp algebra is
+    * unchanged, the q17 substitution convention.
     *
     * Returns per group: (groupCol, n, n_clipped_lo, n_clipped_hi, p_lo,
     * p_hi, mean_raw, mean_winsorized). */
@@ -981,7 +984,9 @@ object EventOps {
     * aggregate builds both firsts (the to-side is a conditional min over
     * events ≥ the from time via a two-pass: min(from), then min(to ≥
     * from) — expressed as one join-free window pair per user); lags then
-    * collapse to a single summary row.
+    * collapse to a single summary row. The lag percentiles are exact for
+    * oracle parity — at 100 TB (billions of converting users) swap to
+    * `approx_percentile`, the q17 substitution convention.
     *
     * Returns one row: (n_users_from, n_converted, conversion_rate,
     * median_lag_s, p90_lag_s). */

@@ -105,20 +105,26 @@ object SeasonalOps {
     * point (one broken sensor week cannot drag it, unlike OLS). The pair
     * table is an equi-join on the series key over the GRID, so its size is
     * #hours²/2 per series — grid metadata, not events; for multi-year
-    * grids subsample pairs by hashing before the median (documented; the
-    * estimator tolerates it).
+    * grids pass `pairSampleMod > 1` to keep a deterministic 1/mod hash
+    * sample of the pairs (the estimator is a median — Sen's proof only
+    * needs the sample to be outlier-agnostic, which a hash of the pair
+    * key is; TheilSenSampleSpec pins the tolerance).
     *
     * Returns one row per series: (seriesCol, n_points, n_pairs,
     * slope_per_hour, intercept). */
   def theilSenTrend(events: DataFrame, seriesCol: String, tsCol: String,
                     valueCol: String,
-                    scoreOut: Column => Column): DataFrame = {
+                    scoreOut: Column => Column,
+                    pairSampleMod: Long = 1L): DataFrame = {
+    require(pairSampleMod >= 1, s"pairSampleMod must be >= 1, got $pairSampleMod")
     val base = hourly(events, seriesCol, tsCol, valueCol)
       .withColumn("t", (unix_micros(col("h")) / lit(3600000000L)).cast("double"))
     val a = base.select(col(seriesCol), col("t").as("t1"), col("y").as("y1"))
     val b = base.select(col(seriesCol), col("t").as("t2"), col("y").as("y2"))
     val slopes = a.join(b, Seq(seriesCol))
       .filter(col("t2") > col("t1"))
+      .filter(pmod(xxhash64(col(seriesCol), col("t1"), col("t2")),
+        lit(pairSampleMod)) === 0)
       .select(col(seriesCol),
         ((col("y2") - col("y1")) / (col("t2") - col("t1"))).as("slope"))
     val slope = slopes.groupBy(seriesCol)

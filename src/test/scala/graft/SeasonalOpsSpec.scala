@@ -109,4 +109,23 @@ class SeasonalOpsSpec extends SparkSpec {
     assert(math.abs(r2.getDouble(3) - 0.25) < 0.01,
       s"outlier dragged slope to ${r2.getDouble(3)}")
   }
+
+  test("theil-sen pair subsampling: 1/7 hash sample keeps the slope, cuts the pairs") {
+    // noisy-ish line: value quantized so pairwise slopes vary but center on 0.25
+    val rows = (0 until 200).map(i =>
+      ("L", ts(i), 5.0 + 0.25 * i + (i % 5) * 0.3))
+    val df = rows.toDF("event_type", "ts", "value")
+    val exact = SeasonalOps.theilSenTrend(df, "event_type", "ts", "value", dec6)
+      .head()
+    val sampled = SeasonalOps.theilSenTrend(df, "event_type", "ts", "value",
+      dec6, pairSampleMod = 7L).head()
+    val full = 200L * 199 / 2
+    assert(exact.getLong(2) == full)
+    // ~1/7 of the pairs survive the deterministic hash filter
+    assert(sampled.getLong(2) > full / 12 && sampled.getLong(2) < full / 4,
+      s"sampled pairs ${sampled.getLong(2)} of $full")
+    // the median slope barely moves — Sen's estimator tolerates hash thinning
+    assert(math.abs(sampled.getDouble(3) - exact.getDouble(3)) < 0.02,
+      s"sampled slope ${sampled.getDouble(3)} vs exact ${exact.getDouble(3)}")
+  }
 }
