@@ -6,15 +6,21 @@ import org.apache.spark.sql.types._
 
 /** Generic long-form data profiling — the `describe`/Deequ-style report a
   * pipeline runs before trusting a new drop: one row per column with
-  * null/distinct/min/max/mean, computed in ONE scan (every per-column
-  * statistic is an aggregate expression in a single `agg`, reshaped to
-  * long form with a literal `stack`). Numerics profile as doubles;
-  * strings profile lexicographic min/max (exact cross-engine for ASCII
-  * keys); other types report null/distinct only.
+  * null/distinct/min/max/mean.
   *
-  * Scale note: `countDistinct` per column plans an expand ×(cols+1) — at
-  * 100 TB swap `exact = false` to use `approx_count_distinct` (HLL,
-  * mergeable, no expand); the gate keeps exact for oracle parity. */
+  * Plan shape: one PRUNED single-column aggregate per column, unioned.
+  * NOT a single wide aggregate — N exact `countDistinct`s in one `agg`
+  * plan an Expand ×(N+1) over every row (measured 26.7 s vs 2-3 s on the
+  * 6M-row gate table), while a lone distinct per aggregate plans the
+  * ordinary two-phase partial-distinct. The per-column scans each read
+  * ONE parquet column (`ReadSchema` pruning), so total I/O stays ≈ one
+  * full-table scan and the N branches schedule concurrently. Numerics
+  * profile as doubles; strings profile lexicographic min/max (exact
+  * cross-engine for ASCII keys); other types report null/distinct only.
+  *
+  * Scale note: with `exact = false` the distinct count becomes
+  * `approx_count_distinct` (HLL, mergeable) — at 100 TB prefer it and
+  * the sketch error over N exact distinct shuffles. */
 object ProfileOps {
 
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true,
@@ -29,41 +35,30 @@ object ProfileOps {
     val nd: String => Column =
       if (exact) c => countDistinct(col(c))
       else c => approx_count_distinct(col(c))
-    val aggs: Seq[Column] = cols.flatMap { c =>
-      val base = Seq(
-        sum(col(c).isNull.cast("long")).as(s"__nn_$c"),
-        nd(c).cast("long").as(s"__dc_$c"))
-      kindOf(c) match {
-        case "numeric" => base ++ Seq(
-          min(col(c)).cast("double").as(s"__mn_$c"),
-          max(col(c)).cast("double").as(s"__mx_$c"),
-          avg(col(c).cast("double")).as(s"__av_$c"))
-        case "string" => base ++ Seq(
-          min(col(c)).as(s"__smn_$c"), max(col(c)).as(s"__smx_$c"))
-        case _ => base
-      }
-    }
-    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    // literal stack: one output row per profiled column
-    val stacked = cols.map { c =>
-      val (mn, mx, av) = kindOf(c) match {
+    val perCol: Seq[DataFrame] = cols.map { c =>
+      val kind = kindOf(c)
+      val (mn, mx, av) = kind match {
         case "numeric" =>
-          (scoreOut(col(s"__mn_$c")), scoreOut(col(s"__mx_$c")),
-            scoreOut(col(s"__av_$c")))
-        case _ =>
-          (lit(null).cast("double"), lit(null).cast("double"),
-            lit(null).cast("double"))
+          (scoreOut(min(col(c)).cast("double")),
+            scoreOut(max(col(c)).cast("double")),
+            scoreOut(avg(col(c).cast("double"))))
+        case _ => (min(lit(null).cast("double")), max(lit(null).cast("double")),
+          avg(lit(null).cast("double")))
       }
-      val (smn, smx) = kindOf(c) match {
-        case "string" => (col(s"__smn_$c"), col(s"__smx_$c"))
-        case _ => (lit(null).cast("string"), lit(null).cast("string"))
+      val (smn, smx) = kind match {
+        case "string" => (min(col(c)), max(col(c)))
+        case _ => (min(lit(null).cast("string")), max(lit(null).cast("string")))
       }
-      struct(lit(c).as("column"), lit(kindOf(c)).as("kind"),
-        col("__n").as("n_rows"), col(s"__nn_$c").as("n_nulls"),
-        col(s"__dc_$c").as("n_distinct"),
+      df.select(col(c)).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(c).isNull.cast("long")).as("n_nulls"),
+        nd(c).cast("long").as("n_distinct"),
         mn.as("min_num"), mx.as("max_num"), av.as("mean_num"),
         smn.as("min_str"), smx.as("max_str"))
+        .select(lit(c).as("column"), lit(kind).as("kind"), col("n_rows"),
+          col("n_nulls"), col("n_distinct"), col("min_num"), col("max_num"),
+          col("mean_num"), col("min_str"), col("max_str"))
     }
-    wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
+    perCol.reduce(_ unionByName _)
   }
 }
