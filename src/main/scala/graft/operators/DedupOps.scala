@@ -620,4 +620,36 @@ object DedupOps {
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Fuzzy (edit-distance) duplicate pairs — the record-linkage primitive
+    * for near-identical documents a token-set measure can't separate
+    * ("same text, three typos" scores high Jaccard AND high n-gram sim;
+    * edit distance is the direct claim). Candidates come from an equi-join
+    * on (blockCols, ⌊len/lenBucket⌋) — never a cross join; two texts more
+    * than `lenBucket` apart in length can't be within `maxDist` anyway
+    * when lenBucket > 2·maxDist, so the length bucket is a sound-ish
+    * prefilter (boundary-straddling pairs are the standard sorted-
+    * neighborhood caveat; tighten with a SimHash bucket for recall at
+    * scale). The confirm step uses Spark's THRESHOLDED levenshtein —
+    * the DP aborts early once `maxDist` is exceeded, O(maxDist·len) not
+    * O(len²) per pair.
+    *
+    * Returns confirmed pairs: (id_a, id_b, edit_dist), id_a < id_b. */
+  def fuzzyDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                    blockCols: Seq[String], lenBucket: Int,
+                    maxDist: Int): DataFrame = {
+    require(lenBucket >= 1 && maxDist >= 0, "lenBucket >= 1, maxDist >= 0")
+    val keyed = docs.select(
+      (col(idCol) +: col(textCol) +: blockCols.map(col)) :+
+        floor(length(col(textCol)) / lenBucket).cast("int").as("__lb"): _*)
+    val a = keyed.select(col(idCol).as("id_a") +: col(textCol).as("t_a") +:
+      blockCols.map(col) :+ col("__lb"): _*)
+    val b = keyed.select(col(idCol).as("id_b") +: col(textCol).as("t_b") +:
+      blockCols.map(col) :+ col("__lb"): _*)
+    a.join(b, blockCols :+ "__lb")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b"), maxDist))
+      .filter(col("edit_dist") >= 0) // thresholded form returns -1 past maxDist
+      .select("id_a", "id_b", "edit_dist")
+  }
 }

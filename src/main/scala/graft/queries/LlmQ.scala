@@ -419,6 +419,22 @@ object LlmQ {
              |FROM c WHERE chunk_idx % 4 = 0
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // Fuzzy duplicate pairs: (lang, length-bucket)-blocked candidates
+    // confirmed by thresholded Levenshtein <= 16 — "same text, three
+    // typos" dedup that token-set similarity can't separate.
+    "q196_fuzzy_pairs" -> Q(
+      (s, d) => DedupOps.fuzzyDupPairs(Tables.documents(s, d), "doc_id",
+          "text", blockCols = Seq("lang"), lenBucket = 32, maxDist = 16)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH b AS (SELECT doc_id, lang, text,
+             |  CAST(floor(length(text) / 32) AS INT) AS lb FROM documents)
+             |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+             |  levenshtein(a.text, c.text) AS edit_dist
+             |FROM b a JOIN b c ON a.lang = c.lang AND a.lb = c.lb
+             |  AND a.doc_id < c.doc_id
+             |WHERE levenshtein(a.text, c.text) <= 16
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Tokenizer fertility per language: chars-per-token and tokens-per-doc
     // by lang — the budget-planning numbers behind "how many training
     // tokens does this corpus slice actually buy"; languages whose
