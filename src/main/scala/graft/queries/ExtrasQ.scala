@@ -964,6 +964,28 @@ object ExtrasQ {
               |  ${r6("stat")} AS shift_stat
               |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin)),
 
+    // Day-of-week × hour-of-day activity heatmap (long form) — the
+    // dashboard staple behind staffing/capacity reads. Weekday is pure
+    // date arithmetic anchored on a known Monday (engine-neutral: no
+    // dayofweek() whose week origin differs between engines).
+    "q197_dow_hod_heatmap" -> Q(
+      (s, d) => Tables.events(s, d)
+        .select(
+          (pmod(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")),
+            lit(7)) + 1).cast("int").as("dow_iso"),
+          hour(col("ts")).as("hod"),
+          col("value").cast("double").as("v"))
+        .groupBy("dow_iso", "hod")
+        .agg(count(lit(1)).as("n_events"), dec6(avg("v")).as("avg_value"))
+        .orderBy("dow_iso", "hod"),
+      Some(s"""SELECT
+              |  CAST((date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 + 7) % 7 + 1
+              |    AS INT) AS dow_iso,
+              |  hour(ts) AS hod,
+              |  count(*) AS n_events,
+              |  ${r6("avg(CAST(value AS DOUBLE))")} AS avg_value
+              |FROM events GROUP BY 1, 2 ORDER BY dow_iso, hod""".stripMargin)),
+
     // Top-10 user-journey trigrams: the most common 3-step event-type
     // sequences — TakeOrdered over the |types|³-key aggregate.
     "q189_journey_trigrams" -> Q(
