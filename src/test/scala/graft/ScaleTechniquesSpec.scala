@@ -368,4 +368,23 @@ class ScaleTechniquesSpec extends SparkSpec {
         "join keys must be 8-byte xxhash64 words, not string pairs")
     } finally spark.conf.set(key, prev)
   }
+
+  test("r7 plan contracts: q133 lexical TakeOrdered, q194 no Expand") {
+    import graft.queries.Registry
+    // q133's lexical arm must bound the corpus with TakeOrderedAndProject
+    // BEFORE any rank window (the round-6 finding: a corpus-wide
+    // row_number window single-partitions the scored stream)
+    val rrf = Registry.all("q133_hybrid_rrf").fn(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(rrf.contains("TakeOrderedAndProject"),
+      s"q133 must TakeOrdered its top-100 candidates:\n${rrf.take(1500)}")
+    // q194's profiler must NOT plan an Expand: N exact countDistincts in
+    // one aggregate expand every row x(N+1) — measured 26.7 s vs 4.4 s at
+    // sf0.1; the per-column pruned aggregates keep each distinct on the
+    // ordinary two-phase path
+    val prof = Registry.all("q194_profile").fn(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(!prof.contains("Expand"),
+      s"profiler must stay expand-free (per-column aggregates):\n${prof.take(1500)}")
+  }
 }
