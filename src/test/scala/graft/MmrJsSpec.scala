@@ -49,6 +49,30 @@ class MmrJsSpec extends SparkSpec {
     assert(a.map(_._2).distinct.length == 5)
   }
 
+  test("mmr with k larger than the candidate pool returns the pool, not a crash") {
+    // advisor regression: 3 non-query rows, k = 5 — the greedy loop must
+    // stop at the exhausted pool instead of indexing bestIdx = -1
+    val out = SimilarityOps.mmrRerank(toyEmb, "vec_id", "embedding",
+      queryId = 0L, candN = 10, k = 5, lambda = 0.5, scoreOut = dec6)
+      .collect()
+    assert(out.length == 3, s"expected the 3-row pool, got ${out.length}")
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3), "ranks stay dense")
+  }
+
+  test("annRecall divides by the retrievable count when the corpus is short") {
+    // advisor regression: corpus of 3 non-query vectors, k = 10 — exact
+    // list has 4 entries (incl. the query row), so a perfect ANN scores
+    // recall 1.0, not 4/10
+    val out = SimilarityOps.annRecall(toyEmb, "vec_id", "embedding",
+      queryIds = Seq(0L), k = 10,
+      annTopK = qid => SimilarityOps.bruteForceTopK(toyEmb, "vec_id",
+        "embedding", qid, 10, dec6),
+      scoreOut = dec6).collect()
+    val row = out.find(_.getString(0) == "0").get
+    assert(row.getDouble(3) == 1.0,
+      s"self-identical retrieval must score recall 1.0, got ${row.getDouble(3)}")
+  }
+
   test("js divergence: identical corpora → 0, disjoint vocabularies → ln 2") {
     val a = Seq((1L, "alpha beta gamma"), (2L, "beta gamma")).toDF("doc_id", "text")
     val same = CorpusOps.jsDivergence(a, a, "text", dec6).head()
