@@ -715,6 +715,59 @@ object CorpusOps {
           .otherwise(lit(-1L)))
   }
 
+  /** Exact-target mixture downsampling: given target SHARES per stratum,
+    * find the largest corpus the available data can honor — feasible
+    * total T = min over strata of N_s/share_s (the scarcest stratum
+    * binds; closed form, no iteration) — then keep each stratum's
+    * ⌊share_s·T⌋ quota with a DETERMINISTIC md5 draw (u16 < rate, the
+    * [[stratifiedSample]] hash discipline at 1/65536 granularity): the
+    * sampling-rate planner a mixture spec turns into an actual keep
+    * filter, where [[temperatureMix]] only reweights. Strata absent from
+    * the target map are dropped (share 0). Counts and rates live on a
+    * strata-sized aggregate; the corpus itself is touched by one count
+    * scan + one row-local filter.
+    *
+    * Returns one row per targeted stratum: (stratumCol, n_docs,
+    * target_share, feasible_total, kept_target, keep_rate, n_kept) —
+    * n_kept is the realized draw (≈ kept_target, binomial noise;
+    * identical in any engine because the draw is a pure id hash). */
+  def targetMixtureSample(docs: DataFrame, idCol: String, stratumCol: String,
+                          targetShares: Map[String, Double],
+                          scoreOut: Column => Column): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(s => s > 0 && s <= 1),
+      "target shares must be positive")
+    require(math.abs(targetShares.values.sum - 1.0) < 1e-9,
+      s"target shares must sum to 1, got ${targetShares.values.sum}")
+    // fixed-order fold → deterministic when-chain regardless of map order
+    val shareCol = targetShares.toSeq.sortBy(_._1)
+      .foldLeft(lit(Double.NaN)) { case (acc, (s, p)) =>
+        when(col(stratumCol) === s, lit(p)).otherwise(acc)
+      }
+    val base = docs
+      .select(col(idCol), col(stratumCol), shareCol.as("target_share"))
+      .filter(!isnan(col("target_share")))
+    val counts = base.groupBy(stratumCol, "target_share")
+      .agg(count(lit(1)).as("n_docs"))
+    val feasible = counts.agg(
+      min(floor(col("n_docs") / col("target_share"))).as("feasible_total"))
+    val rates = counts.crossJoin(broadcast(feasible))
+      .withColumn("kept_target",
+        floor(col("target_share") * col("feasible_total")).cast("long"))
+      .withColumn("keep_rate", col("kept_target") / col("n_docs"))
+    val u16 = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("int") / lit(65536.0)
+    base.join(rates.select(col(stratumCol), col("keep_rate")), Seq(stratumCol))
+      .filter(u16 < col("keep_rate"))
+      .groupBy(stratumCol).agg(count(lit(1)).as("n_kept"))
+      .join(rates, Seq(stratumCol), "right")
+      .select(col(stratumCol), col("n_docs"),
+        scoreOut(col("target_share")).as("target_share"),
+        col("feasible_total").cast("long").as("feasible_total"),
+        col("kept_target"),
+        scoreOut(col("keep_rate")).as("keep_rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Temperature-scaled mixture weights per stratum (the multilingual /
     * multi-domain rebalancing rule, sampled at α≈0.3–0.7 in multilingual
     * LM training): a stratum with natural share p gets temperature share

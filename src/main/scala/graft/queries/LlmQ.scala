@@ -419,6 +419,39 @@ object LlmQ {
              |FROM c WHERE chunk_idx % 4 = 0
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // Exact-target mixture rates + deterministic downsample: the scarcest
+    // targeted language binds the feasible total (closed-form water line,
+    // no iteration); kept quotas realize via the md5 u16 draw.
+    "q198_mixture_rates" -> Q(
+      (s, d) => graft.operators.CorpusOps.targetMixtureSample(
+          Tables.documents(s, d), "doc_id", "lang",
+          targetShares = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25),
+          scoreOut = c => dec6(c))
+        .orderBy("lang"),
+      Some(s"""WITH t(lang, share) AS (VALUES ('de', 0.25), ('en', 0.5), ('zh', 0.25)),
+              |c AS (SELECT d.lang, t.share AS target_share, count(*) AS n_docs
+              |  FROM documents d JOIN t ON d.lang = t.lang
+              |  GROUP BY d.lang, t.share),
+              |f AS (SELECT min(floor(n_docs / target_share)) AS feasible_total FROM c),
+              |r AS (SELECT c.*, f.feasible_total,
+              |  CAST(floor(target_share * feasible_total) AS BIGINT) AS kept_target,
+              |  floor(target_share * feasible_total) / n_docs AS keep_rate
+              |  FROM c, f),
+              |kept AS (SELECT d.lang, count(*) AS n_kept
+              |  FROM documents d JOIN r ON d.lang = r.lang
+              |  WHERE ((strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+              |    + (strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+              |    + (strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+              |    + (strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1))
+              |    / 65536.0 < r.keep_rate
+              |  GROUP BY d.lang)
+              |SELECT r.lang, r.n_docs, ${r6("r.target_share")} AS target_share,
+              |  CAST(r.feasible_total AS BIGINT) AS feasible_total, r.kept_target,
+              |  ${r6("r.keep_rate")} AS keep_rate,
+              |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept
+              |FROM r LEFT JOIN kept ON r.lang = kept.lang
+              |ORDER BY r.lang""".stripMargin)),
+
     // Fuzzy duplicate pairs: (lang, length-bucket)-blocked candidates
     // confirmed by thresholded Levenshtein <= 16 — "same text, three
     // typos" dedup that token-set similarity can't separate.

@@ -260,4 +260,23 @@ class CurationOpsSpec extends SparkSpec {
       assert(ns.max - ns.min <= 1, s"$lang tertile sizes $ns")
     }
   }
+
+  test("targetMixtureSample: the scarcest stratum binds the water line") {
+    // 100 a / 10 b with targets 0.8/0.2 → T = min(125, 50) = 50:
+    // b keeps everything (rate 1.0), a thins to 40
+    val docs = ((1L to 100L).map(i => (i, "a")) ++ (101L to 110L).map(i => (i, "b")))
+      .toDF("doc_id", "stratum")
+    val out = CorpusOps.targetMixtureSample(docs, "doc_id", "stratum",
+        Map("a" -> 0.8, "b" -> 0.2), identity)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(3) == 50 && out("b").getLong(3) == 50)
+    assert(out("a").getLong(4) == 40 && out("b").getLong(4) == 10)
+    assert(out("b").getDouble(5) == 1.0, "the binding stratum keeps all rows")
+    assert(out("b").getLong(6) == 10, "rate 1.0 must realize every row")
+    // shares that don't sum to 1 are a caller error
+    intercept[IllegalArgumentException] {
+      CorpusOps.targetMixtureSample(docs, "doc_id", "stratum",
+        Map("a" -> 0.5), identity)
+    }
+  }
 }
