@@ -327,6 +327,45 @@ object Relational {
              |date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS span_days,
              |count(*) AS n FROM events""".stripMargin)),
 
+    // Hierarchy rollup with subtotals: revenue by region > nation plus
+    // per-region and grand-total rows in ONE pass (partial aggregation
+    // per grouping set, no self-union of separate aggregates);
+    // grouping_id disambiguates the subtotal levels, NULL keys formatted
+    // as '(all)' so the cross-engine compare sees plain strings.
+    "q199_rollup_revenue" -> Q(
+      (s, d) => {
+        // the DataFrame rollup API resolves grouping names via df.col,
+        // whose __dataset_id metadata trips the ambiguous-self-join
+        // detector once Expand duplicates the attributes — the SQL surface
+        // resolves cleanly and is the idiomatic GROUPING SETS spelling
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name").as("rn"), col("n_name").as("nn"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("q199_base")
+        s.sql(s"""SELECT coalesce(rn, '(all)') AS region,
+                 |  coalesce(nn, '(all)') AS nation,
+                 |  CAST(grouping(rn) * 2 + grouping(nn) AS INT) AS gid,
+                 |  count(*) AS n_orders,
+                 |  CAST(${Q.r4("CAST(sum(o_totalprice) AS DOUBLE)")} AS DOUBLE)
+                 |    AS revenue
+                 |FROM q199_base
+                 |GROUP BY ROLLUP (rn, nn)
+                 |ORDER BY gid, region, nation""".stripMargin)
+      },
+      Some(s"""SELECT coalesce(r_name, '(all)') AS region,
+              |  coalesce(n_name, '(all)') AS nation,
+              |  CAST(grouping(r_name) * 2 + grouping(n_name) AS INT) AS gid,
+              |  count(*) AS n_orders,
+              |  ${Q.r4("sum(o_totalprice)")} AS revenue
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY ROLLUP (r_name, n_name)
+              |ORDER BY gid, region, nation""".stripMargin)),
+
     // Long-form one-scan data profile of lineitem — the describe/Deequ
     // report (one row per column: nulls, distinct, min/max/mean). The
     // oracle is GENERATED from the same column list so both sides can
