@@ -964,6 +964,121 @@ object ExtrasQ {
               |  ${r6("stat")} AS shift_stat
               |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin)),
 
+    // Round-7 flagship composite: one health row per series — grid size,
+    // outage count, seasonal-adjusted anomaly count, most-likely
+    // changepoint, OLS trend + fit, seasonal/trend strengths — the
+    // single-glance triage board every per-series diagnostic above feeds.
+    // Five agg-sized frames join on the series key; every component is
+    // individually oracle-verified (q181/q187/q188/q193/q195).
+    "q200_series_health" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val So = graft.operators.SeasonalOps
+        val ev = Tables.events(s, d)
+        val cp = So.meanShiftChangepoint(ev, "event_type", "ts", "value", dec6)
+          .select(col("event_type"), col("split_h"), col("shift_stat"))
+        val ols = So.olsTrend(ev, "event_type", "ts", "value", dec6)
+          .select(col("event_type"), col("slope_per_hour"), col("r2"))
+        val ss = So.seasonalStrength(ev, "event_type", "ts", "value", 12, dec6)
+        val gaps = graft.operators.EventOps.gapOutages(ev, "event_type", "ts", 2.0, dec6)
+          .groupBy("event_type").agg(count(lit(1)).as("n_outages"))
+        val wS = Window.partitionBy("event_type")
+        val anom = So.stlDecompose(ev, "event_type", "ts", "value", 12, dec6)
+          .withColumn("mu", avg("residual").over(wS))
+          .withColumn("sd",
+            sqrt(avg(col("residual") * col("residual")).over(wS) -
+              avg(col("residual")).over(wS) * avg(col("residual")).over(wS)))
+          .filter(abs((col("residual") - col("mu")) / col("sd")) > 3.0)
+          .groupBy("event_type").agg(count(lit(1)).as("n_anomalies"))
+        ss.join(ols, Seq("event_type"))
+          .join(cp, Seq("event_type"))
+          .join(gaps, Seq("event_type"), "left")
+          .join(anom, Seq("event_type"), "left")
+          .select(col("event_type"), col("n_hours"),
+            coalesce(col("n_outages"), lit(0L)).as("n_outages"),
+            coalesce(col("n_anomalies"), lit(0L)).as("n_anomalies"),
+            col("split_h"), col("shift_stat"),
+            col("slope_per_hour"), col("r2"),
+            col("seasonal_strength"), col("trend_strength"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+              |  avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY 1, 2),
+              |tr AS (SELECT event_type, h, y,
+              |  avg(y) OVER (PARTITION BY event_type ORDER BY h
+              |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+              |  FROM hourly),
+              |se AS (SELECT event_type, h, y, trend,
+              |  avg(y - trend) OVER (PARTITION BY event_type, hour(h)) AS s_raw
+              |  FROM tr),
+              |ce AS (SELECT event_type, ${r6("trend")} AS rtrend,
+              |  ${r6("s_raw - avg(s_raw) OVER (PARTITION BY event_type)")} AS rseasonal,
+              |  ${r6("""y - trend
+              |    - (s_raw - avg(s_raw) OVER (PARTITION BY event_type))""")} AS residual
+              |  FROM se),
+              |zz AS (SELECT event_type, residual,
+              |  avg(residual) OVER (PARTITION BY event_type) AS mu,
+              |  sqrt(avg(residual * residual) OVER (PARTITION BY event_type)
+              |    - avg(residual) OVER (PARTITION BY event_type)
+              |      * avg(residual) OVER (PARTITION BY event_type)) AS sd
+              |  FROM ce),
+              |anom AS (SELECT event_type, count(*) AS n_anomalies FROM zz
+              |  WHERE abs((residual - mu) / sd) > 3.0 GROUP BY event_type),
+              |strength AS (SELECT event_type, count(*) AS n_hours,
+              |  avg(residual * residual) - avg(residual) * avg(residual) AS vr,
+              |  avg((rseasonal + residual) * (rseasonal + residual))
+              |    - avg(rseasonal + residual) * avg(rseasonal + residual) AS vsr,
+              |  avg((rtrend + residual) * (rtrend + residual))
+              |    - avg(rtrend + residual) * avg(rtrend + residual) AS vtr
+              |  FROM ce GROUP BY event_type),
+              |cum AS (SELECT event_type, h,
+              |  count(*) OVER (PARTITION BY event_type ORDER BY h
+              |    ROWS UNBOUNDED PRECEDING) AS k,
+              |  sum(y) OVER (PARTITION BY event_type ORDER BY h
+              |    ROWS UNBOUNDED PRECEDING) AS cum,
+              |  count(*) OVER (PARTITION BY event_type) AS n,
+              |  sum(y) OVER (PARTITION BY event_type) AS tot
+              |  FROM hourly),
+              |st AS (SELECT event_type, h,
+              |  abs(cum / k - (tot - cum) / (n - k))
+              |    * sqrt(k * (n - k) / CAST(n AS DOUBLE)) AS stat
+              |  FROM cum WHERE k < n),
+              |cp AS (SELECT event_type, h AS split_h, ${r6("stat")} AS shift_stat,
+              |  row_number() OVER (PARTITION BY event_type
+              |    ORDER BY ${r6("stat")} DESC, h) AS rk FROM st),
+              |ob AS (SELECT event_type, y,
+              |  CAST((epoch_us(h) - min(epoch_us(h)) OVER (PARTITION BY event_type))
+              |    / 3600000000 AS DOUBLE) AS t FROM hourly),
+              |om AS (SELECT event_type,
+              |  avg(t) AS mt, avg(y) AS my, avg(t * t) AS mtt,
+              |  avg(t * y) AS mty, avg(y * y) AS myy FROM ob GROUP BY event_type),
+              |ols AS (SELECT event_type,
+              |  ${r6("(mty - mt * my) / (mtt - mt * mt)")} AS slope_per_hour,
+              |  ${r6("""CASE WHEN myy - my * my > 0
+              |    THEN (mty - mt * my) * (mty - mt * my)
+              |      / ((mtt - mt * mt) * (myy - my * my)) ELSE 0.0 END""")} AS r2
+              |  FROM om),
+              |gp AS (SELECT event_type, ts AS gap_end,
+              |  lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS gap_start
+              |  FROM events),
+              |gaps AS (SELECT event_type, count(*) AS n_outages FROM gp
+              |  WHERE (epoch_us(gap_end) - epoch_us(gap_start)) / 3600e6 > 2.0
+              |  GROUP BY event_type)
+              |SELECT s.event_type, s.n_hours,
+              |  CAST(coalesce(gaps.n_outages, 0) AS BIGINT) AS n_outages,
+              |  CAST(coalesce(anom.n_anomalies, 0) AS BIGINT) AS n_anomalies,
+              |  cp.split_h, cp.shift_stat, ols.slope_per_hour, ols.r2,
+              |  ${r6("""greatest(0.0, 1.0 - CASE WHEN s.vsr > 0
+              |    THEN s.vr / s.vsr ELSE 1.0 END)""")} AS seasonal_strength,
+              |  ${r6("""greatest(0.0, 1.0 - CASE WHEN s.vtr > 0
+              |    THEN s.vr / s.vtr ELSE 1.0 END)""")} AS trend_strength
+              |FROM strength s
+              |JOIN ols USING (event_type)
+              |JOIN cp ON cp.event_type = s.event_type AND cp.rk = 1
+              |LEFT JOIN gaps USING (event_type)
+              |LEFT JOIN anom USING (event_type)
+              |ORDER BY s.event_type""".stripMargin)),
+
     // Day-of-week × hour-of-day activity heatmap (long form) — the
     // dashboard staple behind staffing/capacity reads. Weekday is pure
     // date arithmetic anchored on a known Monday (engine-neutral: no
