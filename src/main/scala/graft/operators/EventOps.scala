@@ -1017,6 +1017,78 @@ object EventOps {
         scoreOut(col("p90")).as("p90_lag_s"))
   }
 
+  /** Audience co-engagement matrix: per event-type pair, the Jaccard
+    * overlap of their USER bases — "do purchasers also click", the
+    * audience-planning cousin of [[SeasonalOps.seriesCorrMatrix]] (which
+    * correlates volumes, not membership). The raw log collapses to
+    * DISTINCT (user, type) map-side; pair counts come from the self-join
+    * on the user key (per-user fanout = type-set size², panel-bounded);
+    * per-type totals attach agg-sized.
+    *
+    * Returns per pair (type_a < type_b): (type_a, type_b, n_users_a,
+    * n_users_b, n_both, jaccard). */
+  def coEngagement(events: DataFrame, userCol: String, typeCol: String,
+                   scoreOut: Column => Column): DataFrame = {
+    val ut = events.select(col(userCol).as("u"), col(typeCol).as("t")).distinct()
+    val totals = ut.groupBy("t").agg(count(lit(1)).as("n"))
+    val pairs = ut.select(col("u"), col("t").as("type_a"))
+      .join(ut.select(col("u"), col("t").as("type_b")), Seq("u"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(totals.select(col("t").as("type_a"), col("n").as("n_users_a")), Seq("type_a"))
+      .join(totals.select(col("t").as("type_b"), col("n").as("n_users_b")), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_users_a"), col("n_users_b"),
+        col("n_both"),
+        scoreOut(col("n_both").cast("double") /
+          (col("n_users_a") + col("n_users_b") - col("n_both"))).as("jaccard"))
+  }
+
+  /** New-vs-returning daily split: per calendar day, how many active
+    * users were seen for the FIRST time that day — the growth-vs-
+    * retention read every product dashboard leads with. The log collapses
+    * to distinct (user, day) map-side; first-seen day is a per-user min
+    * over that collapsed table; the daily split is one aggregate. Dates
+    * cross the oracle compare as formatted strings (driver convention).
+    *
+    * Returns per day: (day, n_active, n_new, n_returning). */
+  def newVsReturning(events: DataFrame, userCol: String, tsCol: String,
+                     scoreOut: Column => Column): DataFrame = {
+    val ud = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d")).distinct()
+    val first = ud.groupBy("u").agg(min("d").as("d0"))
+    ud.join(first, Seq("u"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n_active"),
+        sum((col("d") === col("d0")).cast("long")).as("n_new"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"))
+  }
+
+  /** Rolling 7-day active users per day (WAU curve): for each calendar
+    * day, the distinct users active in the trailing 7-day window. Exact
+    * form: the distinct (user, day) table joins the (bounded) day grid on
+    * a 7-day range and counts distinct users per grid day — work is
+    * (user-days × 7), never raw events, and the grid is #days rows. At
+    * extreme scale substitute mergeable HLL sketches per day and union 7
+    * (the q106 rollup machinery); the exact form here is the oracle
+    * surface.
+    *
+    * Returns per day: (day, n_active_7d). */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+                         windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 92, s"window must be bounded, got $windowDays")
+    val ud = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d")).distinct()
+    val grid = ud.select(col("d").as("g")).distinct()
+    ud.join(grid,
+        col("d") <= col("g") && col("d") > date_sub(col("g"), windowDays))
+      .groupBy("g")
+      .agg(countDistinct(col("u")).as("n_active_7d"))
+      .select(date_format(col("g"), "yyyy-MM-dd").as("day"), col("n_active_7d"))
+  }
+
   /** Outage/gap inventory: per series, the inter-event gaps exceeding
     * `minGapHours` — the "sensor went dark" report a pipeline reads
     * before trusting any rolling statistic over the affected range. One

@@ -964,6 +964,57 @@ object ExtrasQ {
               |  ${r6("stat")} AS shift_stat
               |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin)),
 
+    // Audience co-engagement: Jaccard overlap of user bases per
+    // event-type pair — membership overlap, beside q192's volume
+    // correlation.
+    "q201_co_engagement" -> Q(
+      (s, d) => graft.operators.EventOps.coEngagement(
+          Tables.events(s, d), "user_id", "event_type", scoreOut = dec6)
+        .orderBy("type_a", "type_b"),
+      Some(s"""WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+              |tot AS (SELECT t, count(*) AS n FROM ut GROUP BY t),
+              |p AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+              |  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+              |  GROUP BY a.t, b.t)
+              |SELECT p.type_a, p.type_b,
+              |  ta.n AS n_users_a, tb.n AS n_users_b, p.n_both,
+              |  ${r6("CAST(p.n_both AS DOUBLE) / (ta.n + tb.n - p.n_both)")} AS jaccard
+              |FROM p JOIN tot ta ON ta.t = p.type_a
+              |JOIN tot tb ON tb.t = p.type_b
+              |ORDER BY p.type_a, p.type_b""".stripMargin)),
+
+    // New vs returning actives per day — the growth-vs-retention lead
+    // metric; first-seen day from the distinct (user, day) collapse.
+    "q202_new_vs_returning" -> Q(
+      (s, d) => graft.operators.EventOps.newVsReturning(
+          Tables.events(s, d), "user_id", "ts", scoreOut = dec6)
+        .orderBy("day"),
+      Some("""WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+             |  FROM events),
+             |f AS (SELECT u, min(d) AS d0 FROM ud GROUP BY u)
+             |SELECT strftime(d, '%Y-%m-%d') AS day,
+             |  count(*) AS n_active,
+             |  CAST(sum(CASE WHEN d = d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             |  CAST(count(*) - sum(CASE WHEN d = d0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_returning
+             |FROM ud JOIN f USING (u)
+             |GROUP BY d ORDER BY day""".stripMargin)),
+
+    // Rolling 7-day active users per day — the WAU curve from the
+    // (user, day) collapse joined to the bounded day grid; HLL union at
+    // extreme scale (q106 machinery), exact here as the oracle surface.
+    "q203_rolling_wau" -> Q(
+      (s, d) => graft.operators.EventOps.rollingActiveUsers(
+          Tables.events(s, d), "user_id", "ts", windowDays = 7)
+        .orderBy("day"),
+      Some("""WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+             |  FROM events),
+             |g AS (SELECT DISTINCT d AS gd FROM ud)
+             |SELECT strftime(gd, '%Y-%m-%d') AS day,
+             |  count(DISTINCT u) AS n_active_7d
+             |FROM ud JOIN g ON d <= gd AND d > gd - 7
+             |GROUP BY gd ORDER BY day""".stripMargin)),
+
     // Round-7 flagship composite: one health row per series — grid size,
     // outage count, seasonal-adjusted anomaly count, most-likely
     // changepoint, OLS trend + fit, seasonal/trend strengths — the
