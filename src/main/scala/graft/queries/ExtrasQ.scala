@@ -964,6 +964,50 @@ object ExtrasQ {
               |  ${r6("stat")} AS shift_stat
               |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin)),
 
+    // SLO burn rate (SRE fast/slow-burn policy): hourly error-event share
+    // vs a 1% budget, with the trailing-6h average burn — the alert pair
+    // (1h fast spike, 6h sustained) from the SRE workbook. One hourly
+    // aggregate + one 6-row trailing window per... the single global
+    // hourly series is grid-sized and the window partitions on the
+    // constant policy key via rowsBetween on the ordered grid.
+    "q204_slo_burn" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n_events"),
+            sum((col("event_type") === "error").cast("long")).as("n_errors"))
+        val w = Window.orderBy("h").rowsBetween(-5, 0) // trailing 6 hourly rows
+        hourly
+          .withColumn("rate", col("n_errors").cast("double") / col("n_events"))
+          .withColumn("burn_1h", col("rate") / lit(0.01))
+          .withColumn("burn_6h", avg(col("rate")).over(w) / lit(0.01))
+          .select(col("h"), col("n_events"), col("n_errors"),
+            dec6(col("rate")).as("error_rate"),
+            dec6(col("burn_1h")).as("burn_1h"),
+            dec6(col("burn_6h")).as("burn_6h"),
+            (col("burn_1h") > 14.4).cast("int").as("fast_burn"),
+            (col("burn_6h") > 6.0).cast("int").as("slow_burn"))
+          .orderBy("h")
+      },
+      Some(s"""WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+              |  count(*) AS n_events,
+              |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_errors
+              |  FROM events GROUP BY 1),
+              |r AS (SELECT h, n_events, n_errors,
+              |  CAST(n_errors AS DOUBLE) / n_events AS rate,
+              |  avg(CAST(n_errors AS DOUBLE) / n_events) OVER (ORDER BY h
+              |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS rate6
+              |  FROM hourly)
+              |SELECT h, n_events, n_errors,
+              |  ${r6("rate")} AS error_rate,
+              |  ${r6("rate / 0.01")} AS burn_1h,
+              |  ${r6("rate6 / 0.01")} AS burn_6h,
+              |  CAST(rate / 0.01 > 14.4 AS INT) AS fast_burn,
+              |  CAST(rate6 / 0.01 > 6.0 AS INT) AS slow_burn
+              |FROM r ORDER BY h""".stripMargin)),
+
     // Audience co-engagement: Jaccard overlap of user bases per
     // event-type pair — membership overlap, beside q192's volume
     // correlation.

@@ -41,6 +41,8 @@ class GlobalWindowLintSpec extends SparkSpec {
       "ffill over the post-aggregation hourly grid: ≤ #hours rows (KilnSources.scala:163)",
     "q78_cadence" ->
       "lag over the synthetic hourly grid branch: ≤ #hours rows; the raw-event branch partitions by series",
+    "q204_slo_burn" ->
+      "trailing-6h burn window over the post-aggregation hourly grid: ≤ #hours rows",
     "q158_kaplan_meier" ->
       "ECDF over the DISTINCT event-duration table (durations quantize to a day/hour grid); scaladoc documents sketch-binning for continuous durations",
     "q170_ks_test" ->
