@@ -964,6 +964,59 @@ object ExtrasQ {
               |  ${r6("stat")} AS shift_stat
               |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin)),
 
+    // Repeat-purchase cadence: the inter-purchase gap distribution over
+    // users with 2+ purchases — the replenishment-cycle read behind
+    // "when to re-engage". Lag per user over purchase events only;
+    // percentiles over the user-gap pairs (approx_percentile at scale,
+    // q17 convention).
+    "q205_purchase_cadence" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gaps = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("prev", lag("ts", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(((unix_micros(col("ts")) - unix_micros(col("prev")))
+            / lit(86400e6)).as("gap_days"))
+        gaps.agg(count(lit(1)).as("n_gaps"),
+          dec6(expr("percentile(gap_days, 0.5)")).as("median_gap_days"),
+          dec6(expr("percentile(gap_days, 0.9)")).as("p90_gap_days"),
+          dec6(avg("gap_days")).as("mean_gap_days"))
+      },
+      Some(s"""WITH p AS (SELECT user_id, ts, event_id FROM events
+              |  WHERE event_type = 'purchase'),
+              |g AS (SELECT (epoch_us(ts) - epoch_us(lag(ts) OVER (
+              |    PARTITION BY user_id ORDER BY ts, event_id))) / 86400e6
+              |    AS gap_days FROM p),
+              |x AS (SELECT gap_days FROM g WHERE gap_days IS NOT NULL)
+              |SELECT count(*) AS n_gaps,
+              |  ${r6("quantile_cont(gap_days, 0.5)")} AS median_gap_days,
+              |  ${r6("quantile_cont(gap_days, 0.9)")} AS p90_gap_days,
+              |  ${r6("avg(gap_days)")} AS mean_gap_days
+              |FROM x""".stripMargin)),
+
+    // Daily event-type composition: each type's share of the day's
+    // events — the stacked-area dashboard series; shares from a
+    // day-partitioned total window over the (day, type) aggregate.
+    "q206_daily_composition" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("day")
+        Tables.events(s, d)
+          .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("share", dec6(col("n") / sum("n").over(w)))
+          .orderBy("day", "event_type")
+      },
+      Some(s"""WITH c AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+              |  event_type, count(*) AS n FROM events GROUP BY 1, 2)
+              |SELECT day, event_type, n,
+              |  ${r6("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY day)")} AS share
+              |FROM c ORDER BY day, event_type""".stripMargin)),
+
     // SLO burn rate (SRE fast/slow-burn policy): hourly error-event share
     // vs a 1% budget, with the trailing-6h average burn — the alert pair
     // (1h fast spike, 6h sustained) from the SRE workbook. One hourly
