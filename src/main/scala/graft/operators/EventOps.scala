@@ -1068,10 +1068,14 @@ object EventOps {
 
   /** Rolling 7-day active users per day (WAU curve): for each calendar
     * day, the distinct users active in the trailing 7-day window. Exact
-    * form: the distinct (user, day) table joins the (bounded) day grid on
-    * a 7-day range and counts distinct users per grid day — work is
-    * (user-days × 7), never raw events, and the grid is #days rows. At
-    * extreme scale substitute mergeable HLL sketches per day and union 7
+    * form: each distinct (user, day) row EXPLODES into the ≤`windowDays`
+    * grid days it covers (a bounded constant-factor fanout of 8-byte
+    * pairs), then one distinct count per grid day — every join/aggregate
+    * is an equi operation; a range join against the grid would plan a
+    * nested-loop of user-days × days comparisons. The synthetic coverage
+    * days clip to the OBSERVED grid by an agg-sized semi join, so days
+    * with no activity at all emit no row (matching the SQL oracle). At
+    * extreme scale substitute mergeable per-day HLL sketches unioned 7
     * (the q106 rollup machinery); the exact form here is the oracle
     * surface.
     *
@@ -1082,8 +1086,9 @@ object EventOps {
     val ud = events
       .select(col(userCol).as("u"), to_date(col(tsCol)).as("d")).distinct()
     val grid = ud.select(col("d").as("g")).distinct()
-    ud.join(grid,
-        col("d") <= col("g") && col("d") > date_sub(col("g"), windowDays))
+    ud.select(col("u"),
+        explode(sequence(col("d"), date_add(col("d"), windowDays - 1))).as("g"))
+      .join(grid, Seq("g"), "left_semi")
       .groupBy("g")
       .agg(countDistinct(col("u")).as("n_active_7d"))
       .select(date_format(col("g"), "yyyy-MM-dd").as("day"), col("n_active_7d"))
