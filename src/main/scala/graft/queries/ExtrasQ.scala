@@ -187,6 +187,103 @@ object ExtrasQ {
               |FROM numbered GROUP BY user_id, session_idx
               |ORDER BY user_id, session_idx""".stripMargin)),
 
+    // Session-depth distribution: how many sessions have k events, plus
+    // per-depth duration stats — the engagement-depth histogram over
+    // q88's sessionization (sessions collapse to one row each first, so
+    // the distribution aggregate is session-sized, not event-sized).
+    "q207_session_depth" -> Q(
+      (s, d) => graft.streaming.Sessionize.sessionizeBatch(
+          Tables.events(s, d), "user_id", "ts", "value", "event_id",
+          gapSeconds = 12L * 3600)
+        .withColumn("dur_h",
+          (unix_micros(col("session_end")) - unix_micros(col("session_start")))
+            / lit(3600e6))
+        .groupBy(col("n_events").as("depth"))
+        .agg(count(lit(1)).as("n_sessions"),
+          dec6(avg("dur_h")).as("mean_duration_h"),
+          dec6(max("dur_h")).as("max_duration_h"))
+        .orderBy("depth"),
+      Some(s"""WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us
+              |  FROM events),
+              |marked AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+              |    OR us - lag(us) OVER w > 43200000000 THEN 1 ELSE 0 END AS new_sess
+              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+              |numbered AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+              |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+              |  FROM marked),
+              |sess AS (SELECT user_id, session_idx, count(*) AS depth,
+              |  (max(us) - min(us)) / 3600e6 AS dur_h
+              |  FROM numbered GROUP BY user_id, session_idx)
+              |SELECT depth, count(*) AS n_sessions,
+              |  ${r6("avg(dur_h)")} AS mean_duration_h,
+              |  ${r6("max(dur_h)")} AS max_duration_h
+              |FROM sess GROUP BY depth ORDER BY depth""".stripMargin)),
+
+    // Anomaly episodes: consecutive anomalous hours merged into incidents
+    // (gaps-and-islands over q195's seasonal-adjusted flags) — pagers act
+    // on EPISODES with a start, an end and a peak, not on hourly points.
+    "q208_anomaly_episodes" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wS = Window.partitionBy("event_type")
+        val dec = graft.operators.SeasonalOps.stlDecompose(
+          Tables.events(s, d), "event_type", "ts", "value", halfWin = 12,
+          scoreOut = dec6)
+        val flagged = dec
+          .withColumn("mu", avg("residual").over(wS))
+          .withColumn("sd",
+            sqrt(avg(col("residual") * col("residual")).over(wS) -
+              avg(col("residual")).over(wS) * avg(col("residual")).over(wS)))
+          .withColumn("z", (col("residual") - col("mu")) / col("sd"))
+          .filter(abs(col("z")) > 3.0)
+        val wI = Window.partitionBy("event_type").orderBy("h")
+        flagged
+          .withColumn("prev_h", lag("h", 1).over(wI))
+          .withColumn("brk",
+            when(col("prev_h").isNull ||
+              unix_micros(col("h")) - unix_micros(col("prev_h")) > 3600e6, 1)
+              .otherwise(0))
+          .withColumn("episode",
+            sum("brk").over(wI.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("event_type", "episode")
+          .agg(min("h").as("episode_start"), max("h").as("episode_end"),
+            count(lit(1)).as("n_hours"),
+            dec6(max(abs(col("z")))).as("peak_abs_z"))
+          .orderBy("event_type", "episode")
+      },
+      Some(s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+              |  avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY 1, 2),
+              |tr AS (SELECT event_type, h, y,
+              |  avg(y) OVER (PARTITION BY event_type ORDER BY h
+              |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+              |  FROM hourly),
+              |se AS (SELECT event_type, h, y, trend,
+              |  avg(y - trend) OVER (PARTITION BY event_type, hour(h)) AS s_raw
+              |  FROM tr),
+              |ce AS (SELECT event_type, h,
+              |  ${r6("""y - trend
+              |    - (s_raw - avg(s_raw) OVER (PARTITION BY event_type))""")} AS residual
+              |  FROM se),
+              |zz AS (SELECT event_type, h, residual,
+              |  avg(residual) OVER (PARTITION BY event_type) AS mu,
+              |  sqrt(avg(residual * residual) OVER (PARTITION BY event_type)
+              |    - avg(residual) OVER (PARTITION BY event_type)
+              |      * avg(residual) OVER (PARTITION BY event_type)) AS sd
+              |  FROM ce),
+              |fl AS (SELECT event_type, h, (residual - mu) / sd AS z FROM zz
+              |  WHERE abs((residual - mu) / sd) > 3.0),
+              |mk AS (SELECT *, CASE WHEN lag(h) OVER w IS NULL
+              |    OR epoch_us(h) - epoch_us(lag(h) OVER w) > 3600e6 THEN 1 ELSE 0 END
+              |    AS brk
+              |  FROM fl WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+              |ep AS (SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY h
+              |    ROWS UNBOUNDED PRECEDING) AS episode FROM mk)
+              |SELECT event_type, CAST(episode AS BIGINT) AS episode,
+              |  min(h) AS episode_start, max(h) AS episode_end,
+              |  count(*) AS n_hours, ${r6("max(abs(z))")} AS peak_abs_z
+              |FROM ep GROUP BY event_type, episode
+              |ORDER BY event_type, episode""".stripMargin)),
+
     // SkewOps in the gate: salted two-phase aggregation over the skewed
     // event_type key must be EXACTLY the plain group-by (algebraic
     // aggregates recombine losslessly) — the oracle is that plain group-by.
