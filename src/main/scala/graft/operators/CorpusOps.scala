@@ -746,14 +746,25 @@ object CorpusOps {
     val base = docs
       .select(col(idCol), col(stratumCol), shareCol.as("target_share"))
       .filter(!isnan(col("target_share")))
-    val counts = base.groupBy(stratumCol, "target_share")
-      .agg(count(lit(1)).as("n_docs"))
+    // anchor the counts on the TARGET list, not the observed strata: a
+    // targeted stratum with zero rows must drive the water line to 0
+    // (nothing can honor its share), not silently drop out of the min
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val targets = targetShares.toSeq.sortBy(_._1)
+      .toDF(stratumCol, "target_share")
+    val counts = targets.join(
+        base.groupBy(stratumCol).agg(count(lit(1)).as("n_docs")),
+        Seq(stratumCol), "left")
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
     val feasible = counts.agg(
       min(floor(col("n_docs") / col("target_share"))).as("feasible_total"))
     val rates = counts.crossJoin(broadcast(feasible))
       .withColumn("kept_target",
         floor(col("target_share") * col("feasible_total")).cast("long"))
-      .withColumn("keep_rate", col("kept_target") / col("n_docs"))
+      .withColumn("keep_rate", // 0/0 on an empty stratum reads as rate 0
+        when(col("n_docs") > 0, col("kept_target") / col("n_docs"))
+          .otherwise(lit(0.0)))
     val u16 = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
       .cast("int") / lit(65536.0)
     base.join(rates.select(col(stratumCol), col("keep_rate")), Seq(stratumCol))

@@ -279,4 +279,22 @@ class CurationOpsSpec extends SparkSpec {
         Map("a" -> 0.5), identity)
     }
   }
+
+  test("targetMixtureSample: a targeted stratum with zero rows collapses the water line") {
+    // target 'c' has no documents — no corpus can honor a 20% 'c' share,
+    // so the feasible total must be 0 for EVERY stratum, not silently
+    // computed over the strata that happen to exist
+    val docs = (1L to 100L).map(i => (i, if (i <= 80) "a" else "b"))
+      .toDF("doc_id", "stratum")
+    val out = CorpusOps.targetMixtureSample(docs, "doc_id", "stratum",
+        Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), identity)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 3, s"all targeted strata must report: ${out.keys}")
+    out.foreach { case (st, r) =>
+      assert(r.getLong(3) == 0, s"$st feasible ${r.getLong(3)}")
+      assert(r.getLong(4) == 0 && r.getLong(6) == 0, s"$st kept ${r.getLong(6)}")
+      assert(r.getDouble(5) == 0.0, s"$st rate ${r.getDouble(5)}")
+    }
+    assert(out("c").getLong(1) == 0, "empty stratum reports n_docs 0")
+  }
 }

@@ -73,6 +73,43 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.abs(g.getDouble(3) - 200.0 / 60) < 1e-6, s"hours ${g.getDouble(3)}")
   }
 
+  test("conversionLag: zero conversions give null percentiles, exact counts") {
+    val rows = Seq((1L, ts(0), "view"), (2L, ts(5), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val r = EventOps.conversionLag(rows, "user_id", "ts", "event_type",
+      "view", "purchase", dec6).head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 0)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.isNullAt(3) && r.isNullAt(4), "no lags -> null percentiles")
+  }
+
+  test("coEngagement: single-type users produce no pairs; two-type overlap exact") {
+    val rows = Seq(
+      (1L, "a"), (1L, "b"),        // user 1 does both
+      (2L, "a"), (3L, "b"), (4L, "a")
+    ).toDF("user_id", "event_type")
+    val out = EventOps.coEngagement(rows, "user_id", "event_type", dec6)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getLong(2) == 3 && r.getLong(3) == 2 && r.getLong(4) == 1)
+    assert(math.abs(r.getDouble(5) - 0.25) < 1e-6, s"jaccard ${r.getDouble(5)}") // 1/(3+2-1)
+  }
+
+  test("rollingActiveUsers: window carry-forward counts each user once") {
+    // one user active on days 1 and 2: day-3 window must count them once
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-02 10:00:00")),
+      (2L, Timestamp.valueOf("2024-01-03 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = EventOps.rollingActiveUsers(rows, "user_id", "ts", windowDays = 7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("2024-01-01" -> 1, "2024-01-02" -> 1, "2024-01-03" -> 2),
+      s"got $out")
+  }
+
   test("seriesCorrMatrix: perfect anti-correlation and the upper triangle") {
     val rows = (0 until 48).flatMap { i =>
       Seq(("a", ts(i * 60), 10.0 + i), ("b", ts(i * 60), 100.0 - i),
