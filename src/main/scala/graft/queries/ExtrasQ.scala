@@ -187,6 +187,64 @@ object ExtrasQ {
               |FROM numbered GROUP BY user_id, session_idx
               |ORDER BY user_id, session_idx""".stripMargin)),
 
+    // KNN imputation (closes SURVEY §7.4-4's documented deviation): the
+    // reference's KNNImputer(n_neighbors=5) over the hourly wide matrix.
+    // Dropout is planted deterministically (md5 nibble of the hour, ~1/8
+    // of rows — the CorpusFixture convention) on the click column; each
+    // missing cell takes the mean of the 5 euclidean-nearest complete
+    // hours on the other four series. Neighbor sets rank on rounded
+    // distances with hour tiebreaks, so both engines pick identically.
+    "q209_knn_impute" -> Q(
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .pivot("event_type", types).agg(avg("value"))
+          .filter(types.map(t => col(t).isNotNull).reduce(_ && _))
+        val hs = (unix_micros(col("h")) / lit(3600000000L)).cast("long")
+        val dropped = wide.withColumn("click",
+          when(conv(substring(md5(hs.cast("string")), 1, 1), 16, 10)
+            .cast("int") < 2, lit(null).cast("double"))
+            .otherwise(col("click")))
+        graft.operators.ImputeOps.knnImputeColumn(dropped, "h",
+            featureCols = Seq("error", "purchase", "signup", "view"),
+            targetCol = "click", k = 5, scoreOut = dec6)
+          .orderBy("h")
+      },
+      Some(s"""WITH wide AS (SELECT date_trunc('hour', ts) AS h,
+              |  avg(CASE WHEN event_type = 'click' THEN value END) AS click,
+              |  avg(CASE WHEN event_type = 'error' THEN value END) AS error,
+              |  avg(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+              |  avg(CASE WHEN event_type = 'signup' THEN value END) AS signup,
+              |  avg(CASE WHEN event_type = 'view' THEN value END) AS view
+              |  FROM events GROUP BY 1),
+              |base AS (SELECT * FROM wide WHERE click IS NOT NULL
+              |  AND error IS NOT NULL AND purchase IS NOT NULL
+              |  AND signup IS NOT NULL AND view IS NOT NULL),
+              |dropped AS (SELECT h,
+              |  CASE WHEN strpos('0123456789abcdef', substring(md5(
+              |    CAST(CAST(epoch_us(h) / 3600000000 AS BIGINT) AS VARCHAR)), 1, 1)) - 1 < 2
+              |  THEN NULL ELSE click END AS click,
+              |  error, purchase, signup, view FROM base),
+              |m AS (SELECT h, error, purchase, signup, view FROM dropped
+              |  WHERE click IS NULL),
+              |c AS (SELECT h, click, error, purchase, signup, view FROM dropped
+              |  WHERE click IS NOT NULL),
+              |pairs AS (SELECT m.h AS mk, c.h AS ck, c.click AS tv,
+              |  ${r6("""sqrt((m.error - c.error) * (m.error - c.error)
+              |    + (m.purchase - c.purchase) * (m.purchase - c.purchase)
+              |    + (m.signup - c.signup) * (m.signup - c.signup)
+              |    + (m.view - c.view) * (m.view - c.view))""")} AS dd
+              |  FROM m CROSS JOIN c),
+              |rk AS (SELECT *, row_number() OVER (PARTITION BY mk
+              |    ORDER BY dd, ck) AS r FROM pairs),
+              |imp AS (SELECT mk, avg(tv) AS iv FROM rk WHERE r <= 5 GROUP BY mk)
+              |SELECT h, ${r6("iv")} AS click, 1 AS was_missing
+              |FROM m JOIN imp ON m.h = imp.mk
+              |UNION ALL
+              |SELECT h, ${r6("click")} AS click, 0 AS was_missing FROM c
+              |ORDER BY h""".stripMargin)),
+
     // Session-depth distribution: how many sessions have k events, plus
     // per-depth duration stats — the engagement-depth histogram over
     // q88's sessionization (sessions collapse to one row each first, so
