@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
 /** Window-feature combinators — the heart of the reference workload
@@ -136,8 +136,9 @@ object WindowOps {
     * (`savgol_filter(temps, 11, 3)`, `data_generator.py:963`). For symmetric
     * windows the order-2/3 smoothing weights coincide; width-11 weights are
     * (-36,9,44,69,84,89,84,69,44,9,-36)/429. Emits null at the edges where
-    * the full window is unavailable (documented deviation from scipy's
-    * `mode='interp'` edge handling). Pure expression — codegen-friendly. */
+    * the full window is unavailable; [[savgol11o3Interp]] supplies
+    * scipy's `mode='interp'` edge handling when edge values are needed.
+    * Pure expression — codegen-friendly. */
   def savgol11o3(c: Column, w: WindowSpec): Column = {
     val weights = Seq(-36, 9, 44, 69, 84, 89, 84, 69, 44, 9, -36).map(_ / 429.0)
     val terms = weights.zipWithIndex.map { case (wt, i) =>
@@ -147,5 +148,92 @@ object WindowOps {
     }
     val full = count(c).over(w.rowsBetween(-5, 5)) === 11
     when(full, terms.reduce(_ + _))
+  }
+
+  /** Edge-fit rows of scipy's `mode='interp'` for window 11 / order 3:
+    * row i (i = 0..4) is the least-squares cubic fitted to a full
+    * 11-point window, evaluated at position i — edge value =
+    * P[i]·y[0..10]. Computed from first principles (vandermonde
+    * projection P = X(XᵀX)⁻¹Xᵀ, 4×4 Gauss–Jordan inverse); the same
+    * projection's central row reproduces the classic (-36,9,44,…)/429
+    * interior kernel, and SavgolInterpSpec pins the construction with the
+    * cubic fixed-point invariance (a degree-≤3 series passes through
+    * unchanged, edges included). By the reversal symmetry of the polynomial space,
+    * P[10−i][10−k] = P[i][k], so the SAME rows apply to the REVERSED
+    * last-11 values for the tail edges. These doubles are the single
+    * source for the Spark plan AND the generated oracle SQL. */
+  lazy val savgolEdgeRows: Seq[Array[Double]] = {
+    val n = 11; val p = 4
+    val x = Array.tabulate(n, p)((i, j) => math.pow(i.toDouble, j.toDouble))
+    val xtx = Array.tabulate(p, p)((a, b) =>
+      (0 until n).map(i => x(i)(a) * x(i)(b)).sum)
+    // Gauss–Jordan inverse of the 4×4 normal matrix
+    val aug = Array.tabulate(p, 2 * p)((r, cc) =>
+      if (cc < p) xtx(r)(cc) else if (cc - p == r) 1.0 else 0.0)
+    for (colI <- 0 until p) {
+      val piv = (colI until p).maxBy(r => math.abs(aug(r)(colI)))
+      val tmp = aug(colI); aug(colI) = aug(piv); aug(piv) = tmp
+      val d = aug(colI)(colI)
+      for (cc <- 0 until 2 * p) aug(colI)(cc) /= d
+      for (r <- 0 until p if r != colI) {
+        val f = aug(r)(colI)
+        for (cc <- 0 until 2 * p) aug(r)(cc) -= f * aug(colI)(cc)
+      }
+    }
+    val inv = Array.tabulate(p, p)((r, cc) => aug(r)(cc + p))
+    (0 until 5).map { i =>
+      Array.tabulate(n) { j =>
+        (0 until p).map(a => (0 until p).map(b =>
+          x(i)(a) * inv(a)(b) * x(j)(b)).sum).sum
+      }
+    }
+  }
+
+  /** Savitzky–Golay 11/3 with scipy's `mode='interp'` edge handling —
+    * closes the documented deviation of [[savgol11o3]] (nulls at edges):
+    * the first/last 5 values of each series come from the cubic fitted to
+    * that end's full 11-point window ([[savgolEdgeRows]]), the interior
+    * stays the FIR kernel. Each series' head/tail windows collapse to ONE
+    * 11-element array per series (agg-sized), joined back; series shorter
+    * than 11 points emit null everywhere (scipy raises there — we stay
+    * total). Frame-level operator because edges need per-series arrays,
+    * not just lag/lead.
+    *
+    * Returns (seriesCol, orderCol, valueCol, `outCol`). */
+  def savgol11o3Interp(df: DataFrame, seriesCol: String, orderCol: String,
+                       valueCol: String, outCol: String,
+                       scoreOut: Column => Column): DataFrame = {
+    val w = Window.partitionBy(seriesCol).orderBy(orderCol)
+    val wAll = Window.partitionBy(seriesCol)
+    val base = df
+      .select(col(seriesCol), col(orderCol), col(valueCol).cast("double").as("__v"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    def endArray(rank: Column, name: String) =
+      base.filter(rank <= 11)
+        .groupBy(seriesCol)
+        .agg(transform(array_sort(collect_list(struct(rank.as("r"),
+          col("__v").as("v")))), e => e("v")).as(name))
+    val head = endArray(col("__rn"), "__h11")
+    val tail = endArray(col("__n") - col("__rn") + 1, "__t11")
+    def edgeDot(pos: Column, arr: Column): Column = {
+      def dot(i: Int) = savgolEdgeRows(i).zipWithIndex.map { case (cf, j) =>
+        lit(cf) * element_at(arr, j + 1)
+      }.reduce(_ + _)
+      (1 until 5).foldLeft(when(pos === 1, dot(0))) { (acc, i) =>
+        acc.when(pos === i + 1, dot(i))
+      }
+    }
+    val interior = savgol11o3(col("__v"), w)
+    base
+      .join(head, Seq(seriesCol))
+      .join(tail, Seq(seriesCol))
+      .withColumn(outCol, scoreOut(
+        when(col("__n") < 11, lit(null).cast("double"))
+          .when(col("__rn") <= 5, edgeDot(col("__rn"), col("__h11")))
+          .when(col("__n") - col("__rn") < 5,
+            edgeDot(col("__n") - col("__rn") + 1, col("__t11")))
+          .otherwise(interior)))
+      .select(col(seriesCol), col(orderCol), col("__v").as(valueCol), col(outCol))
   }
 }

@@ -299,6 +299,49 @@ object WindowQ {
            |ORDER BY ts, event_type""".stripMargin
       }),
 
+    // Savitzky-Golay with scipy's mode='interp' edge handling — closes
+    // q40's documented edge deviation: the first/last 5 points of each
+    // series come from the cubic least-squares fit to that end's full
+    // 11-point window (WindowOps.savgolEdgeRows, computed from first
+    // principles; the same doubles generate this oracle), the interior
+    // stays the FIR kernel.
+    "q210_savgol_interp" -> Q(
+      (s, d) => WindowOps.savgol11o3Interp(series(s, d), "event_type", "ts",
+          "v", "v_smooth", scoreOut = dec6)
+        .select(col("ts"), col("event_type"), col("v_smooth"))
+        .orderBy("ts", "event_type"),
+      Some {
+        val interior = savgolW.map { case (off, wt) =>
+          val v = if (off < 0) s"lag(v, ${-off}) OVER w"
+                  else if (off > 0) s"lead(v, $off) OVER w" else "v"
+          s"($wt) * $v"
+        }.mkString(" + ")
+        def edgeCase(arr: String, pos: String) =
+          (0 until 5).map { i =>
+            val dot = WindowOps.savgolEdgeRows(i).zipWithIndex.map {
+              case (cf, j) => s"($cf) * $arr[${j + 1}]"
+            }.mkString(" + ")
+            s"WHEN $pos = ${i + 1} THEN $dot"
+          }.mkString(" ")
+        s"""WITH $sqlSeries,
+           |rn AS (SELECT ts, event_type, v,
+           |  row_number() OVER w AS r,
+           |  count(*) OVER (PARTITION BY event_type) AS n
+           |  FROM series WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+           |h AS (SELECT event_type, list(v ORDER BY r) AS h11 FROM rn
+           |  WHERE r <= 11 GROUP BY event_type),
+           |t AS (SELECT event_type, list(v ORDER BY n - r + 1) AS t11 FROM rn
+           |  WHERE n - r + 1 <= 11 GROUP BY event_type)
+           |SELECT ts, event_type,
+           |${r6(s"""CASE WHEN n < 11 THEN NULL
+           |  WHEN r <= 5 THEN CASE ${edgeCase("h11", "r")} END
+           |  WHEN n - r < 5 THEN CASE ${edgeCase("t11", "n - r + 1")} END
+           |  ELSE $interior END""")} AS v_smooth
+           |FROM rn JOIN h USING (event_type) JOIN t USING (event_type)
+           |WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+           |ORDER BY ts, event_type""".stripMargin
+      }),
+
     // A4: horizontal (row-wise) aggregates over the wide aligned matrix —
     // `all_zones_avg`, `greatest`, count-above-threshold
     // (`pre_processing.py:1140-1144,1302-1319`).
