@@ -8,10 +8,12 @@ from raw parquet with INDEPENDENT numpy algorithms (searchsorted ECDFs,
 mergesort midranks, explicit survival product, broadcast pairwise slopes,
 polyfit, corrcoef, argmax scans) and compares against the graft.Verify
 dumps. Round 7 adds Theil-Sen (q182), OLS+R2 (q187), the correlation
-matrix (q192) and the changepoint locator (q181).
+matrix (q192), the changepoint locator (q181), the savgol interp edge
+fits (q210, via lstsq) and the KNN imputation (q209, brute-force
+neighbor means).
 
 Usage: python3 tools/crosscheck_stats.py [sf_dir] [verify_out_dir]
-Last verified 2026-08-14 (r7): all eight match to 6 decimals at sf0.01.
+Last verified 2026-08-14 (r7): all ten match to 6 decimals at sf0.01.
 """
 import sys, glob
 import duckdb
@@ -176,6 +178,73 @@ def main():
             good &= abs(row.shift_stat - stat[best]) < 2e-6
         ok &= good
         print(f"{'PASS' if good else 'FAIL'} q181 changepoint: argmax scan per series")
+
+    # --- Savgol mode='interp' (q210): lstsq edge fits per series ---
+    sg = dump("q210_savgol_interp")
+    if sg is not None:
+        # rebuild the ffilled hourly 'series' frame the query consumes
+        srs = con.execute("""
+            WITH grid AS (SELECT unnest(generate_series(
+                (SELECT date_trunc('hour', min(ts)) FROM events),
+                (SELECT date_trunc('hour', max(ts)) FROM events),
+                INTERVAL 1 HOUR)) AS ts),
+            types AS (SELECT DISTINCT event_type FROM events),
+            hourly AS (SELECT date_trunc('hour', ts) AS ts, event_type,
+                avg(CAST(value AS DOUBLE)) AS v FROM events GROUP BY 1, 2),
+            aligned AS (SELECT g.ts, t.event_type, h.v
+                FROM grid g CROSS JOIN types t
+                LEFT JOIN hourly h ON h.ts = g.ts AND h.event_type = t.event_type)
+            SELECT ts, event_type, last_value(v IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+            FROM aligned ORDER BY event_type, ts""").df()
+        X = np.vander(np.arange(11.0), 4, increasing=True)
+        good = True
+        for et, grp in srs.groupby("event_type"):
+            y = grp.v.values
+            mine = sg[sg.event_type == et].sort_values("ts").v_smooth.values
+            for i in range(5):
+                ch, _, _, _ = np.linalg.lstsq(X, y[:11], rcond=None)
+                ct, _, _, _ = np.linalg.lstsq(X, y[-11:], rcond=None)
+                good &= abs(mine[i] - np.polyval(ch[::-1], i)) < 2e-6
+                good &= abs(mine[-1 - i] - np.polyval(ct[::-1], 10 - i)) < 2e-6
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q210 savgol interp: "
+              f"lstsq edge fits per series")
+
+    # --- KNN imputation (q209): brute-force neighbor means ---
+    knn = dump("q209_knn_impute")
+    if knn is not None:
+        wide = con.execute("""
+            WITH wide AS (SELECT date_trunc('hour', ts) AS h,
+              avg(CASE WHEN event_type='click' THEN value END) AS click,
+              avg(CASE WHEN event_type='error' THEN value END) AS error,
+              avg(CASE WHEN event_type='purchase' THEN value END) AS purchase,
+              avg(CASE WHEN event_type='signup' THEN value END) AS signup,
+              avg(CASE WHEN event_type='view' THEN value END) AS view
+              FROM events GROUP BY 1)
+            SELECT * FROM wide WHERE click IS NOT NULL AND error IS NOT NULL
+              AND purchase IS NOT NULL AND signup IS NOT NULL
+              AND view IS NOT NULL ORDER BY h""").df()
+        import hashlib
+        hrs = (wide.h.values.astype("datetime64[us]").astype(np.int64)
+               // 3_600_000_000)
+        drop = np.array([int(hashlib.md5(str(h).encode()).hexdigest()[0], 16) < 2
+                         for h in hrs])
+        F = wide[["error", "purchase", "signup", "view"]].values
+        tgt = wide.click.values
+        good = True
+        for mi in np.where(drop)[0]:
+            d = np.sqrt(((F[~drop] - F[mi]) ** 2).sum(axis=1))
+            # rounded-distance rank with hour tiebreak, like both engines
+            dr = np.floor(d * 1e6 + 0.500618034) / 1e6
+            order = np.lexsort((hrs[~drop], dr))[:5]
+            want = tgt[~drop][order].mean()
+            got = knn[knn.h == wide.h.values[mi]].click.iloc[0]
+            good &= abs(got - want) < 2e-6
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q209 KNN impute: "
+              f"{int(drop.sum())} planted cells, brute-force neighbors")
 
     sys.exit(0 if ok else 1)
 
