@@ -197,9 +197,11 @@ object ExtrasQ {
     "q209_knn_impute" -> Q(
       (s, d) => {
         val types = Seq("click", "error", "purchase", "signup", "view")
-        val wide = Tables.events(s, d)
-          .groupBy(date_trunc("hour", col("ts")).as("h"))
-          .pivot("event_type", types).agg(avg("value"))
+        val wS = Window.partitionBy("event_type").orderBy("ts")
+        val filled = TimeSeriesQ.aligned(s, d)
+          .withColumn("vf", WindowOps.ffill(col("v"), wS))
+        val wide = filled.groupBy(col("ts").as("h"))
+          .pivot("event_type", types).agg(first("vf"))
           .filter(types.map(t => col(t).isNotNull).reduce(_ && _))
         val hs = (unix_micros(col("h")) / lit(3600000000L)).cast("long")
         val dropped = wide.withColumn("click",
@@ -211,13 +213,18 @@ object ExtrasQ {
             targetCol = "click", k = 5, scoreOut = dec6)
           .orderBy("h")
       },
-      Some(s"""WITH wide AS (SELECT date_trunc('hour', ts) AS h,
-              |  avg(CASE WHEN event_type = 'click' THEN value END) AS click,
-              |  avg(CASE WHEN event_type = 'error' THEN value END) AS error,
-              |  avg(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
-              |  avg(CASE WHEN event_type = 'signup' THEN value END) AS signup,
-              |  avg(CASE WHEN event_type = 'view' THEN value END) AS view
-              |  FROM events GROUP BY 1),
+      Some(s"""WITH ${TimeSeriesQ.sqlAligned},
+              |ff AS (SELECT ts, event_type,
+              |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf
+              |  FROM aligned),
+              |wide AS (SELECT ts AS h,
+              |  max(CASE WHEN event_type = 'click' THEN vf END) AS click,
+              |  max(CASE WHEN event_type = 'error' THEN vf END) AS error,
+              |  max(CASE WHEN event_type = 'purchase' THEN vf END) AS purchase,
+              |  max(CASE WHEN event_type = 'signup' THEN vf END) AS signup,
+              |  max(CASE WHEN event_type = 'view' THEN vf END) AS view
+              |  FROM ff GROUP BY ts),
               |base AS (SELECT * FROM wide WHERE click IS NOT NULL
               |  AND error IS NOT NULL AND purchase IS NOT NULL
               |  AND signup IS NOT NULL AND view IS NOT NULL),

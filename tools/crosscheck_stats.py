@@ -179,11 +179,8 @@ def main():
         ok &= good
         print(f"{'PASS' if good else 'FAIL'} q181 changepoint: argmax scan per series")
 
-    # --- Savgol mode='interp' (q210): lstsq edge fits per series ---
-    sg = dump("q210_savgol_interp")
-    if sg is not None:
-        # rebuild the ffilled hourly 'series' frame the query consumes
-        srs = con.execute("""
+    # --- ffilled aligned hourly series, shared by q210 and q209 ---
+    srs = con.execute("""
             WITH grid AS (SELECT unnest(generate_series(
                 (SELECT date_trunc('hour', min(ts)) FROM events),
                 (SELECT date_trunc('hour', max(ts)) FROM events),
@@ -198,6 +195,10 @@ def main():
                 PARTITION BY event_type ORDER BY ts
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
             FROM aligned ORDER BY event_type, ts""").df()
+
+    # --- Savgol mode='interp' (q210): lstsq edge fits per series ---
+    sg = dump("q210_savgol_interp")
+    if sg is not None:
         X = np.vander(np.arange(11.0), 4, increasing=True)
         good = True
         for et, grp in srs.groupby("event_type"):
@@ -212,20 +213,12 @@ def main():
         print(f"{'PASS' if good else 'FAIL'} q210 savgol interp: "
               f"lstsq edge fits per series")
 
-    # --- KNN imputation (q209): brute-force neighbor means ---
+    # --- KNN imputation (q209): brute-force neighbor means over the same
+    # ffilled aligned wide matrix the query consumes ---
     knn = dump("q209_knn_impute")
     if knn is not None:
-        wide = con.execute("""
-            WITH wide AS (SELECT date_trunc('hour', ts) AS h,
-              avg(CASE WHEN event_type='click' THEN value END) AS click,
-              avg(CASE WHEN event_type='error' THEN value END) AS error,
-              avg(CASE WHEN event_type='purchase' THEN value END) AS purchase,
-              avg(CASE WHEN event_type='signup' THEN value END) AS signup,
-              avg(CASE WHEN event_type='view' THEN value END) AS view
-              FROM events GROUP BY 1)
-            SELECT * FROM wide WHERE click IS NOT NULL AND error IS NOT NULL
-              AND purchase IS NOT NULL AND signup IS NOT NULL
-              AND view IS NOT NULL ORDER BY h""").df()
+        wide = (srs.pivot(index="ts", columns="event_type", values="v")
+                .dropna().reset_index().rename(columns={"ts": "h"}))
         import hashlib
         hrs = (wide.h.values.astype("datetime64[us]").astype(np.int64)
                // 3_600_000_000)
