@@ -77,6 +77,51 @@ class GlobalWindowLintSpec extends SparkSpec {
     ordersByPid || aboveLimit
   }
 
+  /** query name → the bounded broadcast side justifying a nested-loop
+    * join (the q203 class: a non-equi join whose broadcast side is NOT
+    * provably small plans user-data × user-data comparisons). BNLJs whose
+    * broadcast subtree contains an Aggregate (1-row scalar crossjoins)
+    * are allowed structurally. */
+  private val allowBnlj: Map[String, String] = Map(
+    "q58_ann_topk" -> "broadcast side is the single query vector (unique-id filter)",
+    "q63_ann_multiprobe" -> "single query vector broadcast",
+    "q64_ann_ivf" -> "single query vector broadcast",
+    "q105_ann_pq" -> "single query vector broadcast",
+    "q110_ann_ivfpq" -> "single query vector broadcast",
+    "q133_hybrid_rrf" -> "single query vector broadcast (dense arm)",
+    "q134_hard_negatives" -> "bounded anchor set broadcast (≤64 anchors, scaladoc'd)",
+    "q147_triplet_mine" -> "bounded anchor set broadcast",
+    "q183_matryoshka" -> "single query vector broadcast per dim budget (≤4)",
+    "q184_sample_diversity" -> "pair table bounded by the sampling modulus (scaladoc'd)",
+    "q73_kiln_label" -> "interval side of the J3/J4 range join: maintenance-log-sized",
+    "q75_training_matrix" -> "interval side of the range join: maintenance-log-sized"
+  )
+
+  test("no registry query nested-loop-joins without a bounded broadcast side") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val unused = scala.collection.mutable.Set(allowBnlj.keySet.toSeq: _*)
+    Registry.all.foreach { case (name, q) =>
+      val df =
+        try q.fn(spark, sfTiny)
+        catch { case e: Throwable => fail(s"$name failed to build: $e") }
+      val risky = allNodes(finalPlan(df))
+        .collect { case b: BroadcastNestedLoopJoinExec => b }
+        .filterNot { b =>
+          // scalar crossjoins broadcast a 1-row aggregate — structurally fine
+          val bc = if (b.buildSide.toString.contains("Right")) b.right else b.left
+          allNodes(bc).exists(_.nodeName.contains("Aggregate"))
+        }
+      if (risky.nonEmpty) {
+        if (allowBnlj.contains(name)) unused -= name
+        else offenders += s"$name (${risky.size} nested-loop join(s))"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"queries with unjustified nested-loop joins:\n  ${offenders.mkString("\n  ")}")
+    assert(unused.isEmpty, s"stale BNLJ allowlist entries: $unused")
+  }
+
   test("no registry query windows unbounded data without a partition key") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     val unusedAllow = scala.collection.mutable.Set(allow.keySet.toSeq: _*)
