@@ -625,14 +625,18 @@ object DedupOps {
     * for near-identical documents a token-set measure can't separate
     * ("same text, three typos" scores high Jaccard AND high n-gram sim;
     * edit distance is the direct claim). Candidates come from an equi-join
-    * on (blockCols, ⌊len/lenBucket⌋) — never a cross join; two texts more
-    * than `lenBucket` apart in length can't be within `maxDist` anyway
-    * when lenBucket > 2·maxDist, so the length bucket is a sound-ish
-    * prefilter (boundary-straddling pairs are the standard sorted-
-    * neighborhood caveat; tighten with a SimHash bucket for recall at
-    * scale). The confirm step uses Spark's THRESHOLDED levenshtein —
-    * the DP aborts early once `maxDist` is exceeded, O(maxDist·len) not
-    * O(len²) per pair.
+    * on (blockCols, length bucket) — never a cross join. Side b explodes
+    * each row to buckets {lb−1, lb}, so a pair lands in the candidate set
+    * iff the two docs' buckets differ by at most 1, with side a always
+    * holding the lower-or-equal bucket — boundary-straddling pairs
+    * (lengths 99/101 around a bucket edge) are candidates too. Since a
+    * true pair satisfies |len_a − len_b| ≤ maxDist (edit distance ≥ the
+    * length gap), its buckets can differ by at most 1 whenever
+    * lenBucket > maxDist — so with that sizing the blocking has FULL
+    * recall, not "sound-ish": zero pairs within maxDist are ever missed,
+    * at ~2× the candidate volume of same-bucket-only. The confirm step
+    * uses Spark's THRESHOLDED levenshtein — the DP aborts early once
+    * `maxDist` is exceeded, O(maxDist·len) not O(len²) per pair.
     *
     * Returns confirmed pairs: (id_a, id_b, edit_dist), id_a < id_b. */
   def fuzzyDupPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -644,23 +648,31 @@ object DedupOps {
         floor(length(col(textCol)) / lenBucket).cast("int").as("__lb"): _*)
     val a = keyed.select(col(idCol).as("id_a") +: col(textCol).as("t_a") +:
       blockCols.map(col) :+ col("__lb"): _*)
+    // b carries its TRUE bucket in __lb_b and joins on the exploded
+    // {lb−1, lb}: a match means a.__lb ∈ {b.lb−1, b.lb}, i.e. side a's
+    // bucket ≤ side b's. A cross-bucket pair therefore appears exactly
+    // once (lower-bucket doc on side a); a same-bucket pair appears in
+    // both orders and is halved by the id test below.
     val b = keyed.select(col(idCol).as("id_b") +: col(textCol).as("t_b") +:
-      blockCols.map(col) :+ col("__lb"): _*)
+      blockCols.map(col) :+ col("__lb").as("__lb_b") :+
+      explode(array(col("__lb") - 1, col("__lb"))).as("__lb"): _*)
     // ONE explicit conjunction, cheapest test first: separate .filter
     // calls merge into the join condition in surprising order (measured
-    // with the DP predicate ahead of id_a < id_b — every pair confirmed
-    // TWICE, 4 s → 11.5 s at sf0.1). Authored order is preserved and
-    // short-circuits: id ordering kills half the pairs, the
-    // |len difference| bound (edit distance ≥ it) kills most of the rest,
-    // and only survivors pay the O(maxDist·len) thresholded DP. The
-    // surviving few recompute the distance once more in the output
+    // with the DP predicate ahead of the dedup predicate — every pair
+    // confirmed TWICE, 4 s → 11.5 s at sf0.1). Authored order is preserved
+    // and short-circuits: the pair-dedup test kills half the same-bucket
+    // pairs, the |len difference| bound (edit distance ≥ it) kills most of
+    // the rest, and only survivors pay the O(maxDist·len) thresholded DP.
+    // The surviving few recompute the distance once more in the output
     // projection — negligible against double-confirming every candidate.
-    val confirmed = col("id_a") < col("id_b") &&
+    val confirmed =
+      (col("__lb") < col("__lb_b") || col("id_a") < col("id_b")) &&
       abs(length(col("t_a")) - length(col("t_b"))) <= maxDist &&
       levenshtein(col("t_a"), col("t_b"), maxDist) >= 0
     a.join(b, blockCols :+ "__lb")
       .filter(confirmed)
-      .select(col("id_a"), col("id_b"),
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
         levenshtein(col("t_a"), col("t_b"), maxDist).as("edit_dist"))
   }
 }

@@ -452,9 +452,12 @@ object LlmQ {
               |FROM r LEFT JOIN kept ON r.lang = kept.lang
               |ORDER BY r.lang""".stripMargin)),
 
-    // Fuzzy duplicate pairs: (lang, length-bucket)-blocked candidates
+    // Fuzzy duplicate pairs: (lang, ±1 length-bucket)-blocked candidates
     // confirmed by thresholded Levenshtein <= 16 — "same text, three
-    // typos" dedup that token-set similarity can't separate.
+    // typos" dedup that token-set similarity can't separate. With
+    // lenBucket (32) > maxDist (16) the ±1-bucket blocking has FULL
+    // recall (|len diff| <= maxDist can straddle at most one boundary),
+    // so the oracle's abs(lb diff) <= 1 is the same candidate set.
     "q196_fuzzy_pairs" -> Q(
       (s, d) => DedupOps.fuzzyDupPairs(Tables.documents(s, d), "doc_id",
           "text", blockCols = Seq("lang"), lenBucket = 32, maxDist = 16)
@@ -463,7 +466,7 @@ object LlmQ {
              |  CAST(floor(length(text) / 32) AS INT) AS lb FROM documents)
              |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
              |  levenshtein(a.text, c.text) AS edit_dist
-             |FROM b a JOIN b c ON a.lang = c.lang AND a.lb = c.lb
+             |FROM b a JOIN b c ON a.lang = c.lang AND abs(a.lb - c.lb) <= 1
              |  AND a.doc_id < c.doc_id
              |WHERE levenshtein(a.text, c.text) <= 16
              |ORDER BY id_a, id_b""".stripMargin)),
