@@ -80,9 +80,41 @@ class GlobalWindowLintSpec extends SparkSpec {
   /** query name → the bounded broadcast side justifying a nested-loop
     * join (the q203 class: a non-equi join whose broadcast side is NOT
     * provably small plans user-data × user-data comparisons). BNLJs whose
-    * broadcast subtree contains an Aggregate (1-row scalar crossjoins)
-    * are allowed structurally. */
-  private val allowBnlj: Map[String, String] = Map(
+    * broadcast subtree contains a SCALAR Aggregate (grouping-free → exactly
+    * one row; the scalar-crossjoin shape) are allowed structurally. A
+    * GROUPED aggregate is NOT a bound — a groupBy over document ids is
+    * corpus-sized — so those must carry a named allowlist entry (round 7's
+    * any-Aggregate escape let them pass silently; q209 rode it). */
+  /** The shared bound for every query built on TimeSeriesQ.aligned /
+    * WindowQ.series: `TimeSeriesOps.alignToGrid` crossjoins the hourly
+    * timeline (scalar-aggregate-bounded) with the broadcast DISTINCT
+    * series-key set — event_type, an enum-sized domain vocabulary whose
+    * cardinality is fixed by the schema, not by data volume. The grouped
+    * distinct LOOKS unbounded to the lint (same plan shape as a groupBy
+    * over doc ids), hence named entries rather than a structural escape. */
+  private val seriesGridBound =
+    "broadcast side is the distinct series-key set (event_type: enum-sized " +
+      "domain vocabulary) crossjoined onto the hourly grid (alignToGrid) — " +
+      "keys × hours, never event rows"
+
+  private val seriesGridQueries = Seq(
+    "q22_resample_ffill", "q23_resample_interpolate", "q24_asof_join",
+    "q24b_asof_native", "q163_asof_tolerance", "q25_nearest_reindex",
+    "q30_lag_features", "q31_rolling_mean_std", "q32_rolling_minmax",
+    "q33_diff_gradient", "q34_pct_change", "q35_cooling_trend",
+    "q36_anomaly_zscore", "q37_drift", "q38_zscore_spread", "q40_savgol",
+    "q210_savgol_interp", "q44_impute", "q70_early_warning",
+    "q97_rolling_median", "q107_subseq_search", "q108_sax_words",
+    "q109_sax_motifs")
+
+  private val allowBnlj: Map[String, String] =
+    seriesGridQueries.map(_ -> seriesGridBound).toMap ++ Map(
+    "q168_ab_test" ->
+      "broadcast side is the per-arm conversion aggregate: exactly 2 rows (arms a/b)",
+    "q209_knn_impute" -> ("broadcast side is the missing-row slice of the " +
+      "wide HOURLY matrix (a pivot aggregate over the time grid: <= #hours " +
+      "rows by construction, never events; ImputeOps scaladoc documents the " +
+      "LSH prefilter past grid scale)"),
     "q58_ann_topk" -> "broadcast side is the single query vector (unique-id filter)",
     "q63_ann_multiprobe" -> "single query vector broadcast",
     "q64_ann_ivf" -> "single query vector broadcast",
@@ -97,21 +129,55 @@ class GlobalWindowLintSpec extends SparkSpec {
     "q75_training_matrix" -> "interval side of the range join: maintenance-log-sized"
   )
 
-  test("no registry query nested-loop-joins without a bounded broadcast side") {
+  /** The BNLJs in `plan` whose broadcast side is NOT a provably-1-row
+    * subtree. The only structural escape is a SCALAR aggregate
+    * (groupingExpressions.isEmpty → exactly one output row) anywhere on the
+    * broadcast side: the innermost such aggregate bounds everything above
+    * it at 1 row. `nodeName.contains("Aggregate")` alone is NOT enough —
+    * HashAggregateExec with grouping keys has unbounded cardinality. */
+  private def riskyBnljs(plan: SparkPlan): Seq[SparkPlan] = {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    allNodes(plan)
+      .collect { case b: BroadcastNestedLoopJoinExec => b }
+      .filterNot { b =>
+        val bc = if (b.buildSide.toString.contains("Right")) b.right else b.left
+        allNodes(bc).exists {
+          case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+          case _ => false
+        }
+      }
+  }
+
+  test("a broadcast GROUPED aggregate does not pass the structural escape") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k")
+    // grouped aggregate (unbounded at scale) broadcast into a non-equi join
+    val grouped = docs.groupBy("k")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val bad = docs.join(
+      org.apache.spark.sql.functions.broadcast(grouped),
+      docs("id") > grouped("n"), "inner")
+    assert(riskyBnljs(finalPlan(bad)).nonEmpty,
+      "grouped-aggregate broadcast must be flagged as risky")
+    // scalar aggregate (1 row by construction) stays structurally allowed
+    val scalar = docs.agg(
+      org.apache.spark.sql.functions.max("id").as("mx"))
+    val ok = docs.join(
+      org.apache.spark.sql.functions.broadcast(scalar),
+      docs("id") > scalar("mx"), "inner")
+    assert(riskyBnljs(finalPlan(ok)).isEmpty,
+      "scalar-aggregate broadcast must remain structurally allowed")
+  }
+
+  test("no registry query nested-loop-joins without a bounded broadcast side") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     val unused = scala.collection.mutable.Set(allowBnlj.keySet.toSeq: _*)
     Registry.all.foreach { case (name, q) =>
       val df =
         try q.fn(spark, sfTiny)
         catch { case e: Throwable => fail(s"$name failed to build: $e") }
-      val risky = allNodes(finalPlan(df))
-        .collect { case b: BroadcastNestedLoopJoinExec => b }
-        .filterNot { b =>
-          // scalar crossjoins broadcast a 1-row aggregate — structurally fine
-          val bc = if (b.buildSide.toString.contains("Right")) b.right else b.left
-          allNodes(bc).exists(_.nodeName.contains("Aggregate"))
-        }
+      val risky = riskyBnljs(finalPlan(df))
       if (risky.nonEmpty) {
         if (allowBnlj.contains(name)) unused -= name
         else offenders += s"$name (${risky.size} nested-loop join(s))"
