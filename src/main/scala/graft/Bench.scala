@@ -95,15 +95,20 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
     val nCores = Runtime.getRuntime.availableProcessors()
-    // two renderings of the same results: the STDOUT line is COMPACT
-    // (per-query medians only) because the driver's tail capture truncates
-    // long lines — round 6's full-detail line outgrew the window and the
-    // round artifact parsed as null; the file artifact keeps min/max/err
-    // detail per query.
+    // two renderings of the same results: the STDOUT line is a SUMMARY
+    // (total + counts + the 10 slowest medians, guaranteed < 1.5 KB)
+    // because the driver's tail capture is a 2 KB window — round 6's
+    // full-detail line outgrew it and the round artifact parsed as null,
+    // and round 7's "compact" all-queries map STILL outgrew it at 211
+    // entries (~7 KB). The file artifact keeps the complete per-query
+    // min/median/max/err detail.
     def render(partial: Boolean, withDetail: Boolean): String = {
       import scala.jdk.CollectionConverters._
       val results = done.asScala.toMap
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.median }
+      val shownQ =
+        if (withDetail) results.toSeq
+        else results.toSeq.filter(_._2.ok).sortBy(-_._2.median).take(10)
+      val qs = shownQ.map { case (k, v) => s"\"" + k + "\":" + v.median }
         .mkString("{", ",", "}")
       val detail =
         if (!withDetail) ""
@@ -111,14 +116,16 @@ object Bench {
           val e = v.err.map(m => "\"" + jsonEscape(m) + "\"").getOrElse("null")
           s"""\"$k\":{"median":${v.median},"min":${v.min},"max":${v.max},"ok":${v.ok},"err":$e}"""
         }.mkString(""""queries_detail":{""", ",", "},")
-      val failed = results.collect { case (k, v) if !v.ok => "\"" + k + "\"" }
+      val failedAll = results.collect { case (k, v) if !v.ok => "\"" + k + "\"" }.toSeq
+      val failed = (if (withDetail) failedAll else failedAll.take(10))
         .mkString("[", ",", "]")
       val total = results.values.collect { case r if r.ok => r.median }.sum
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         detail +
-        s""""failed":$failed,"passes":$passes,""" +
+        s""""failed":$failed,"n_failed":${failedAll.size},"passes":$passes,""" +
         s""""partial":$partial,"completed":${results.size},""" +
         s""""selected":${selected.size},""" +
+        (if (withDetail) "" else s""""queries_shown":${shownQ.size},""") +
         s""""loadavg_start":$loadStart,"loadavg_now":${osBean.getSystemLoadAverage},""" +
         s""""cores":$nCores,"sf":"$sfDir"}"""
     }
