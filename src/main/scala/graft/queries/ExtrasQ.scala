@@ -481,13 +481,14 @@ object ExtrasQ {
       (s, d) => graft.operators.EventOps.bootstrapMeanCi(
         Tables.events(s, d), "value", b = 32, level = 0.95,
         idCol = "event_id", scoreOut = dec6),
-      Some(s"""WITH reps AS (SELECT u.r, CAST(value AS DOUBLE) AS v
-              |  FROM events, LATERAL (SELECT unnest(generate_series(1, 32)) AS r) u
-              |  WHERE (strpos('0123456789abcdef', substring(md5(
-              |      CAST(event_id AS VARCHAR) || '_' || CAST(u.r AS VARCHAR)), 1, 1)) - 1)
+      Some(s"""WITH hp AS (SELECT CAST(value AS DOUBLE) AS v,
+              |  md5(CAST(event_id AS VARCHAR) || '_1')
+              |    || md5(CAST(event_id AS VARCHAR) || '_2') AS h FROM events),
+              |reps AS (SELECT u.r, v
+              |  FROM hp, LATERAL (SELECT unnest(generate_series(1, 32)) AS r) u
+              |  WHERE (strpos('0123456789abcdef', substring(h, 2 * u.r - 1, 1)) - 1)
               |      * 16
-              |    + strpos('0123456789abcdef', substring(md5(
-              |      CAST(event_id AS VARCHAR) || '_' || CAST(u.r AS VARCHAR)), 2, 1)) - 1
+              |    + strpos('0123456789abcdef', substring(h, 2 * u.r, 1)) - 1
               |    < 162),
               |means AS (SELECT r, avg(v) AS m FROM reps GROUP BY r),
               |ci AS (SELECT quantile_cont(m, 0.025) AS lo,
