@@ -287,6 +287,76 @@ object DedupOps {
     else verifyJaccard(cand, ex, idCol, threshold)
   }
 
+  /** MinHash signature table (id, sig: array<bigint>) — the unit that gets
+    * PERSISTED for incremental dedup: signatures are mergeable state (a
+    * doc's signature never changes), so a rolling crawl stores one row per
+    * historical doc and never re-shingles history. Same lane construction
+    * as [[minhashLshPairs]] (xxhash64 re-hash per lane, per-doc minima in
+    * one typed-imperative aggregate). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 64): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    hashedShingles(docs, idCol, textCol, shingleN)
+      .groupBy(idCol)
+      .agg(call_function("graft_minhash", col("h"), lit(numHashes)).as("sig"))
+  }
+
+  /** LSH band-bucket table (id, band, bh) of a signature table — the
+    * persisted historical BAND INDEX. At 100 TB this is a parquet table
+    * bucketed by (band, bh): the daily batch's bands equi-join it
+    * co-located, and appending a new day is a pure insert (band hashes are
+    * a function of the signature alone). Identical band hashing to
+    * [[minhashLshPairs]], so candidate sets agree exactly with the batch
+    * formulation. */
+  def minhashBands(sig: DataFrame, idCol: String, numHashes: Int,
+                   rows: Int): DataFrame = {
+    require(numHashes % rows == 0, s"numHashes ($numHashes) must divide into rows of $rows")
+    val bands = numHashes / rows
+    val bandStructs = (0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        xxhash64((lit(bi) +: (0 until rows).map(r =>
+          element_at(col("sig"), bi * rows + r + 1))): _*).as("bh"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** Incremental NEAR-dup — the LSH twin of [[incrementalDedup]] and the
+    * shape a rolling 100 TB crawl actually runs: the new batch's MinHash
+    * bands equi-join the PERSISTED historical band index ([[minhashBands]]
+    * output), so history is never re-shingled and never rescanned
+    * pair-wise; the only history touched is (a) the band index (co-located
+    * bucketed join, batch side 1000× smaller → broadcast) and (b) the
+    * signature rows of the few candidate ids (hash join on id).
+    * Verification is SIGNATURE-ONLY: estimated Jaccard = matching lanes /
+    * numHashes (unbiased, σ = √(j(1−j)/numHashes) ≈ 0.06 at 64 lanes) —
+    * exact-Jaccard confirmation would need candidate text fetches; do that
+    * downstream if the use case needs exactness (the batch-mode
+    * [[minhashLshPairs]] is the exact-verified reference).
+    *
+    * Returns (batch_id, hist_id, est_jaccard) for candidates with
+    * estimate ≥ threshold. */
+  def incrementalNearDup(batchSig: DataFrame, histIndex: DataFrame,
+                         histSig: DataFrame, idCol: String,
+                         numHashes: Int, rows: Int,
+                         threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val bBands = minhashBands(batchSig, idCol, numHashes, rows)
+      .select(col(idCol).as("batch_id"), col("band"), col("bh"))
+    val hIdx = histIndex.select(col(idCol).as("hist_id"), col("band"), col("bh"))
+    val cand = bBands.join(hIdx, Seq("band", "bh"))
+      .select("batch_id", "hist_id").distinct()
+    val bs = batchSig.select(col(idCol).as("batch_id"), col("sig").as("__sig_b"))
+    val hs = histSig.select(col(idCol).as("hist_id"), col("sig").as("__sig_h"))
+    cand.join(bs, "batch_id").join(hs, "hist_id")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("__sig_b"), col("__sig_h"),
+            (x, y) => (x === y).cast("long")),
+          lit(0L), (acc, z) => acc + z).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("batch_id", "hist_id", "est_jaccard")
+  }
+
   /** Large-star contraction step (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC'14): for each node u, connect every
     * strictly-LARGER neighbor v to m = min({u} ∪ Γ(u)). Input/output edges
@@ -652,10 +722,18 @@ object DedupOps {
     // {lb−1, lb}: a match means a.__lb ∈ {b.lb−1, b.lb}, i.e. side a's
     // bucket ≤ side b's. A cross-bucket pair therefore appears exactly
     // once (lower-bucket doc on side a); a same-bucket pair appears in
-    // both orders and is halved by the id test below.
+    // both orders and is halved by the id test below. The downward explode
+    // is GATED on len mod lenBucket < maxDist: a doc deeper than maxDist
+    // into its bucket cannot be within maxDist of anything in the bucket
+    // below (len_a ≤ lb·L−1 forces len_b − len_a > maxDist), and any true
+    // straddling pair's higher doc provably passes the gate — so the gate
+    // loses zero recall while cutting the extra candidate volume from
+    // 2× to ~(1 + maxDist/lenBucket)× (q196 sf0.1: 5.9 → 5.1 s median).
     val b = keyed.select(col(idCol).as("id_b") +: col(textCol).as("t_b") +:
       blockCols.map(col) :+ col("__lb").as("__lb_b") :+
-      explode(array(col("__lb") - 1, col("__lb"))).as("__lb"): _*)
+      explode(when(pmod(length(col(textCol)), lit(lenBucket)) < maxDist,
+          array(col("__lb") - 1, col("__lb")))
+        .otherwise(array(col("__lb")))).as("__lb"): _*)
     // ONE explicit conjunction, cheapest test first: separate .filter
     // calls merge into the join condition in surprising order (measured
     // with the DP predicate ahead of the dedup predicate — every pair
@@ -674,5 +752,38 @@ object DedupOps {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"),
         levenshtein(col("t_a"), col("t_b"), maxDist).as("edit_dist"))
+  }
+
+  /** The CANDIDATE pair set of [[fuzzyDupPairs]] — same (blockCols, ±1
+    * length-bucket) join and |len diff| ≤ maxDist bound, WITHOUT the DP
+    * confirm — for measuring blocking quality ([[blockingQuality]]): with
+    * `lenBucket = Int.MaxValue` every doc lands in bucket 0 and this
+    * degrades to the exact length-bound-only candidate set, the recall
+    * denominator. Deliberately repeats the join rather than sharing a
+    * helper with [[fuzzyDupPairs]]: the confirm conjunction's authored
+    * ordering there is perf-critical (see its comment) and must not be
+    * split into separate filters.
+    *
+    * Returns (id_a, id_b), id_a < id_b. */
+  def fuzzyDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+                         blockCols: Seq[String], lenBucket: Int,
+                         maxDist: Int): DataFrame = {
+    require(lenBucket >= 1 && maxDist >= 0, "lenBucket >= 1, maxDist >= 0")
+    val keyed = docs.select(
+      (col(idCol) +: blockCols.map(col)) :+ length(col(textCol)).as("__len") :+
+        floor(length(col(textCol)) / lenBucket).cast("int").as("__lb"): _*)
+    val a = keyed.select(col(idCol).as("id_a") +: col("__len").as("__len_a") +:
+      blockCols.map(col) :+ col("__lb"): _*)
+    // same gated downward explode as [[fuzzyDupPairs]] (see its comment)
+    val b = keyed.select(col(idCol).as("id_b") +: col("__len").as("__len_b") +:
+      blockCols.map(col) :+ col("__lb").as("__lb_b") :+
+      explode(when(pmod(col("__len"), lit(lenBucket)) < maxDist,
+          array(col("__lb") - 1, col("__lb")))
+        .otherwise(array(col("__lb")))).as("__lb"): _*)
+    a.join(b, blockCols :+ "__lb")
+      .filter((col("__lb") < col("__lb_b") || col("id_a") < col("id_b")) &&
+        abs(col("__len_a") - col("__len_b")) <= maxDist)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
   }
 }

@@ -471,6 +471,43 @@ object LlmQ {
              |WHERE levenshtein(a.text, c.text) <= 16
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Incremental NEAR-dup: the LSH twin of q103 — the daily batch
+    // (doc_id % 5 == 0) band-joins the PERSISTED historical band index
+    // (no re-shingling, no corpus rescan), with signature-only estimated
+    // Jaccard as the verify. Band-hash-specific → rows-only check;
+    // IncrementalNearDupSpec cross-validates against batch q56 machinery
+    // on the union.
+    "q211_incremental_near_dup" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+        val hist = docs.filter(col("doc_id") % 5 =!= 0)
+        val bSig = DedupOps.minhashSignatures(batch, "doc_id", "text")
+        val hSig = DedupOps.minhashSignatures(hist, "doc_id", "text")
+        val hIdx = DedupOps.minhashBands(hSig, "doc_id", numHashes = 64, rows = 4)
+        DedupOps.incrementalNearDup(bSig, hIdx, hSig, "doc_id",
+            numHashes = 64, rows = 4, threshold = 0.3)
+          .select(col("batch_id"), col("hist_id"),
+            dec6(col("est_jaccard")).as("est_jaccard"))
+          .orderBy("batch_id", "hist_id")
+      }),
+
+    // Fuzzy-blocking quality harness: pair recall + reduction ratio of the
+    // (lang, ±1 length-bucket) blocker against the exact length-bound-only
+    // candidate set, on a deterministic 1/4 sample — the fuzzy twin of
+    // q155's LSH blocking audit. Recall is 1.0 BY CONSTRUCTION since
+    // lenBucket (32) > maxDist (16); this harness keeps that claim
+    // measured, not assumed. Sample-draw-specific denominator → rows-only.
+    "q212_fuzzy_blocking_quality" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
+        val truth = DedupOps.fuzzyDupCandidates(docs, "doc_id", "text",
+          blockCols = Seq("lang"), lenBucket = Int.MaxValue, maxDist = 16)
+        val cand = DedupOps.fuzzyDupCandidates(docs, "doc_id", "text",
+          blockCols = Seq("lang"), lenBucket = 32, maxDist = 16)
+        DedupOps.blockingQuality(truth, cand, nDocs = docs.count(), scoreOut = dec6)
+      }),
+
     // Tokenizer fertility per language: chars-per-token and tokens-per-doc
     // by lang — the budget-planning numbers behind "how many training
     // tokens does this corpus slice actually buy"; languages whose
