@@ -14,6 +14,67 @@ import scala.collection.immutable.ListMap
   * median + ffill (§2.12, documented deviation). */
 object ExtrasQ {
 
+  /** q209/q213 gate fixture: the hourly wide matrix (ffill → pivot →
+    * complete-rows filter) with deterministic md5-nibble dropout (~1/8 of
+    * hours) planted on the click column. */
+  private def knnGateMatrix(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wS = Window.partitionBy("event_type").orderBy("ts")
+    val filled = TimeSeriesQ.aligned(s, d)
+      .withColumn("vf", WindowOps.ffill(col("v"), wS))
+    val wide = filled.groupBy(col("ts").as("h"))
+      .pivot("event_type", types).agg(first("vf"))
+      .filter(types.map(t => col(t).isNotNull).reduce(_ && _))
+    val hs = (unix_micros(col("h")) / lit(3600000000L)).cast("long")
+    wide.withColumn("click",
+      when(conv(substring(md5(hs.cast("string")), 1, 1), 16, 10)
+        .cast("int") < 2, lit(null).cast("double"))
+        .otherwise(col("click")))
+  }
+
+  /** Shared exact-KNN oracle for q209 AND its LSH twin q213 (bucketed ≡
+    * exact on this matrix is the spec-pinned contract). */
+  private val knnImputeOracle: String =
+    s"""WITH ${TimeSeriesQ.sqlAligned},
+       |ff AS (SELECT ts, event_type,
+       |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf
+       |  FROM aligned),
+       |wide AS (SELECT ts AS h,
+       |  max(CASE WHEN event_type = 'click' THEN vf END) AS click,
+       |  max(CASE WHEN event_type = 'error' THEN vf END) AS error,
+       |  max(CASE WHEN event_type = 'purchase' THEN vf END) AS purchase,
+       |  max(CASE WHEN event_type = 'signup' THEN vf END) AS signup,
+       |  max(CASE WHEN event_type = 'view' THEN vf END) AS view
+       |  FROM ff GROUP BY ts),
+       |base AS (SELECT * FROM wide WHERE click IS NOT NULL
+       |  AND error IS NOT NULL AND purchase IS NOT NULL
+       |  AND signup IS NOT NULL AND view IS NOT NULL),
+       |dropped AS (SELECT h,
+       |  CASE WHEN strpos('0123456789abcdef', substring(md5(
+       |    CAST(CAST(epoch_us(h) / 3600000000 AS BIGINT) AS VARCHAR)), 1, 1)) - 1 < 2
+       |  THEN NULL ELSE click END AS click,
+       |  error, purchase, signup, view FROM base),
+       |m AS (SELECT h, error, purchase, signup, view FROM dropped
+       |  WHERE click IS NULL),
+       |c AS (SELECT h, click, error, purchase, signup, view FROM dropped
+       |  WHERE click IS NOT NULL),
+       |pairs AS (SELECT m.h AS mk, c.h AS ck, c.click AS tv,
+       |  ${r6("""sqrt((m.error - c.error) * (m.error - c.error)
+       |    + (m.purchase - c.purchase) * (m.purchase - c.purchase)
+       |    + (m.signup - c.signup) * (m.signup - c.signup)
+       |    + (m.view - c.view) * (m.view - c.view))""")} AS dd
+       |  FROM m CROSS JOIN c),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY mk
+       |    ORDER BY dd, ck) AS r FROM pairs),
+       |imp AS (SELECT mk, avg(tv) AS iv FROM rk WHERE r <= 5 GROUP BY mk)
+       |SELECT h, ${r6("iv")} AS click, 1 AS was_missing
+       |FROM m JOIN imp ON m.h = imp.mk
+       |UNION ALL
+       |SELECT h, ${r6("click")} AS click, 0 AS was_missing FROM c
+       |ORDER BY h""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
 
     // A11 + §1.4 array mapping: daily rollup — count, max, and the
@@ -195,62 +256,26 @@ object ExtrasQ {
     // hours on the other four series. Neighbor sets rank on rounded
     // distances with hour tiebreaks, so both engines pick identically.
     "q209_knn_impute" -> Q(
-      (s, d) => {
-        val types = Seq("click", "error", "purchase", "signup", "view")
-        val wS = Window.partitionBy("event_type").orderBy("ts")
-        val filled = TimeSeriesQ.aligned(s, d)
-          .withColumn("vf", WindowOps.ffill(col("v"), wS))
-        val wide = filled.groupBy(col("ts").as("h"))
-          .pivot("event_type", types).agg(first("vf"))
-          .filter(types.map(t => col(t).isNotNull).reduce(_ && _))
-        val hs = (unix_micros(col("h")) / lit(3600000000L)).cast("long")
-        val dropped = wide.withColumn("click",
-          when(conv(substring(md5(hs.cast("string")), 1, 1), 16, 10)
-            .cast("int") < 2, lit(null).cast("double"))
-            .otherwise(col("click")))
-        graft.operators.ImputeOps.knnImputeColumn(dropped, "h",
-            featureCols = Seq("error", "purchase", "signup", "view"),
-            targetCol = "click", k = 5, scoreOut = dec6)
-          .orderBy("h")
-      },
-      Some(s"""WITH ${TimeSeriesQ.sqlAligned},
-              |ff AS (SELECT ts, event_type,
-              |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts
-              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf
-              |  FROM aligned),
-              |wide AS (SELECT ts AS h,
-              |  max(CASE WHEN event_type = 'click' THEN vf END) AS click,
-              |  max(CASE WHEN event_type = 'error' THEN vf END) AS error,
-              |  max(CASE WHEN event_type = 'purchase' THEN vf END) AS purchase,
-              |  max(CASE WHEN event_type = 'signup' THEN vf END) AS signup,
-              |  max(CASE WHEN event_type = 'view' THEN vf END) AS view
-              |  FROM ff GROUP BY ts),
-              |base AS (SELECT * FROM wide WHERE click IS NOT NULL
-              |  AND error IS NOT NULL AND purchase IS NOT NULL
-              |  AND signup IS NOT NULL AND view IS NOT NULL),
-              |dropped AS (SELECT h,
-              |  CASE WHEN strpos('0123456789abcdef', substring(md5(
-              |    CAST(CAST(epoch_us(h) / 3600000000 AS BIGINT) AS VARCHAR)), 1, 1)) - 1 < 2
-              |  THEN NULL ELSE click END AS click,
-              |  error, purchase, signup, view FROM base),
-              |m AS (SELECT h, error, purchase, signup, view FROM dropped
-              |  WHERE click IS NULL),
-              |c AS (SELECT h, click, error, purchase, signup, view FROM dropped
-              |  WHERE click IS NOT NULL),
-              |pairs AS (SELECT m.h AS mk, c.h AS ck, c.click AS tv,
-              |  ${r6("""sqrt((m.error - c.error) * (m.error - c.error)
-              |    + (m.purchase - c.purchase) * (m.purchase - c.purchase)
-              |    + (m.signup - c.signup) * (m.signup - c.signup)
-              |    + (m.view - c.view) * (m.view - c.view))""")} AS dd
-              |  FROM m CROSS JOIN c),
-              |rk AS (SELECT *, row_number() OVER (PARTITION BY mk
-              |    ORDER BY dd, ck) AS r FROM pairs),
-              |imp AS (SELECT mk, avg(tv) AS iv FROM rk WHERE r <= 5 GROUP BY mk)
-              |SELECT h, ${r6("iv")} AS click, 1 AS was_missing
-              |FROM m JOIN imp ON m.h = imp.mk
-              |UNION ALL
-              |SELECT h, ${r6("click")} AS click, 0 AS was_missing FROM c
-              |ORDER BY h""".stripMargin)),
+      (s, d) => graft.operators.ImputeOps.knnImputeColumn(knnGateMatrix(s, d),
+          "h", featureCols = Seq("error", "purchase", "signup", "view"),
+          targetCol = "click", k = 5, scoreOut = dec6)
+        .orderBy("h"),
+      Some(knnImputeOracle)),
+
+    // The LSH-prefiltered twin of q209 (the wide-matrix scale path:
+    // sign-LSH buckets over standardized features, multiprobe Hamming ≤ 2
+    // as a pure equi-join, exact distance within candidates). Shares
+    // q209's EXACT oracle on purpose: bucketed ≡ exact on this matrix is
+    // the spec-pinned contract (ImputeOpsSpec), so a recall regression in
+    // the prefilter shows up here as a hash mismatch, not just a slower
+    // plan.
+    "q213_knn_impute_lsh" -> Q(
+      (s, d) => graft.operators.ImputeOps.knnImputeColumnLsh(
+          knnGateMatrix(s, d), "h",
+          featureCols = Seq("error", "purchase", "signup", "view"),
+          targetCol = "click", k = 5, scoreOut = dec6)
+        .orderBy("h"),
+      Some(knnImputeOracle)),
 
     // Session-depth distribution: how many sessions have k events, plus
     // per-depth duration stats — the engagement-depth histogram over

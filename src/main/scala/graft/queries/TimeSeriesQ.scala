@@ -38,7 +38,7 @@ object TimeSeriesQ {
        |  LEFT JOIN hourly h ON h.ts = g.ts AND h.event_type = t.event_type)""".stripMargin
 
   /** Spark side of the dense (grid × event_type) frame with hourly means. */
-  private[queries] def aligned(s: SparkSession, d: String): DataFrame = {
+  private[graft] def aligned(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("ts"), col("event_type"))
       .agg(avg("value").as("v"))

@@ -115,6 +115,10 @@ class GlobalWindowLintSpec extends SparkSpec {
       "wide HOURLY matrix (a pivot aggregate over the time grid: <= #hours " +
       "rows by construction, never events; ImputeOps scaladoc documents the " +
       "LSH prefilter past grid scale)"),
+    "q213_knn_impute_lsh" -> ("the candidate join itself is a pure equi-join " +
+      "on the LSH bucket; the flagged BNLJs are the gate matrix's " +
+      "alignToGrid key-set crossjoins (enum-sized event_type x hourly " +
+      "grid), replicated across the missing/complete/stats subtrees"),
     "q58_ann_topk" -> "broadcast side is the single query vector (unique-id filter)",
     "q63_ann_multiprobe" -> "single query vector broadcast",
     "q64_ann_ivf" -> "single query vector broadcast",

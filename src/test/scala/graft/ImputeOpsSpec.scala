@@ -33,4 +33,46 @@ class ImputeOpsSpec extends SparkSpec {
     val want = (10.0 + 20.0 + 80.0) / 3
     assert(math.abs(out(99L) - want) < 1e-4, s"imputed ${out(99L)} want $want")
   }
+
+  /** The q209 gate matrix, rebuilt with the identical steps (ffill →
+    * pivot → complete-rows filter → deterministic md5 dropout). */
+  private def gateMatrix = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wS = Window.partitionBy("event_type").orderBy("ts")
+    val filled = graft.queries.TimeSeriesQ.aligned(spark, sfTiny)
+      .withColumn("vf", graft.operators.WindowOps.ffill(col("v"), wS))
+    val wide = filled.groupBy(col("ts").as("h"))
+      .pivot("event_type", types).agg(first("vf"))
+      .filter(types.map(t => col(t).isNotNull).reduce(_ && _))
+    val hs = (unix_micros(col("h")) / lit(3600000000L)).cast("long")
+    wide.withColumn("click",
+      when(conv(substring(md5(hs.cast("string")), 1, 1), 16, 10)
+        .cast("int") < 2, lit(null).cast("double"))
+        .otherwise(col("click")))
+  }
+
+  test("LSH-prefiltered impute equals the exact estimator on the q209 gate matrix") {
+    val feats = Seq("error", "purchase", "signup", "view")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.get(0), r.getInt(2)) -> r.getDouble(1)).toMap
+    val exact = collect(ImputeOps.knnImputeColumn(
+      gateMatrix, "h", feats, "click", k = 5, dec6))
+    val lsh = collect(ImputeOps.knnImputeColumnLsh(
+      gateMatrix, "h", feats, "click", k = 5, dec6,
+      nPlanes = 3, seed = 1L, probeHamming = 2))
+    assert(exact.keySet == lsh.keySet, "row sets must agree")
+    val diffs = exact.collect {
+      case (k0, v) if math.abs(lsh(k0) - v) > 1e-9 => (k0, v, lsh(k0)) }
+    assert(diffs.isEmpty, s"bucketed != exact on: ${diffs.take(5)}")
+    assert(exact.keys.exists(_._2 == 1), "fixture must contain missing rows")
+  }
+
+  test("probeHamming = nPlanes degrades to the exact estimator by construction") {
+    val out = ImputeOps.knnImputeColumnLsh(rows, "id", Seq("x"), "t", k = 2,
+      dec6, nPlanes = 2, seed = 11L, probeHamming = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(99L) - 15.0) < 1e-6, s"imputed ${out(99L)}")
+  }
 }
