@@ -1,0 +1,454 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The statistical-test harness over event measures — drift (PSI, exact
+  * and binned KS), rank tests (Mann-Whitney, exact and binned), CUSUM
+  * change detection, robust outliers (MAD), concentration (Gini),
+  * first-digit conformance (Benford), survival (Kaplan-Meier), A/B
+  * z-tests and the deterministic Poisson-bootstrap CI. Split out of
+  * EventOps (round 8) purely for file hygiene - same operators, same
+  * specs (StatOpsSpec, SketchBinnedSpec, crosscheck_stats.py).
+  *
+  * Scale shape: every test reduces the raw stream with ONE map-side
+  * combinable aggregate (per distinct value, per bin, per unit, or per
+  * replicate) before any window; the continuous-measure scale paths are
+  * the binned variants whose support is bins-sized by construction. */
+object StatOps {
+
+  /** Population Stability Index between a reference and a current snapshot
+    * of a measure — the standard production drift monitor for a model
+    * input or scored feature: PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref)
+    * over fixed equal-width bins (industry rule of thumb: < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 shifted). Proportions are Laplace-smoothed
+    * ((n + 0.5)/(N + bins/2)) so an empty bin on one side contributes a
+    * finite, engine-identical term instead of ±∞.
+    *
+    * Each snapshot collapses to `bins + 2` counter rows map-side (under/
+    * overflow are bins of their own — drift OUT of the declared range must
+    * register, not vanish); the join is bin-keyed over those few rows. The
+    * complement of [[graft.operators.CorpusOps.jsDivergence]]: numeric
+    * feature space, not token space.
+    *
+    * Returns one row per bin: (bin, n_ref, n_cur, p_ref, p_cur,
+    * psi_contrib); Σ psi_contrib is the PSI. */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+          bins: Int, lo: Double, hi: Double,
+          scoreOut: Column => Column): DataFrame = {
+    require(bins >= 1, s"bins must be positive, got $bins")
+    def binned(df: DataFrame, n: String): DataFrame = {
+      val v = col(valueCol).cast("double")
+      val b = when(v < lo, lit(-1))
+        .when(v >= hi, lit(bins))
+        .otherwise(least(floor((v - lo) / ((hi - lo) / bins)).cast("int"),
+          lit(bins - 1)))
+      df.select(b.as("bin")).groupBy("bin").agg(count(lit(1)).as(n))
+    }
+    val a = binned(ref, "n_ref")
+    val b = binned(cur, "n_cur")
+    val j = a.join(b, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = j.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+    val half = lit(bins / 2.0)
+    j.crossJoin(broadcast(tot))
+      .withColumn("pr", (col("n_ref") + lit(0.5)) / (col("tr") + half))
+      .withColumn("pc", (col("n_cur") + lit(0.5)) / (col("tc") + half))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        scoreOut(col("pr")).as("p_ref"), scoreOut(col("pc")).as("p_cur"),
+        scoreOut((col("pc") - col("pr")) * log(col("pc") / col("pr")))
+          .as("psi_contrib"))
+  }
+
+  /** One-sided CUSUM changepoint detection per series (Page 1954): the
+    * classic upward-shift alarm C_t = max(0, C_{t−1} + x_t − k), alarmed
+    * when C_t > h. The recursion LOOKS sequential, but the standard
+    * identity C_t = S_t − min(0, min_{j≤t} S_j) over the drift-adjusted
+    * prefix sum S_t = Σ(x_i − k) turns it into two plain running windows
+    * (sum + min) — fully distributed, no recursive state, no arrays, no
+    * UDAF. Window order is (ts, tiebreak) so the fold order — and hence
+    * the float sum — is engine-identical.
+    *
+    * Returns per series: (series, n, max_cusum, n_alarms). */
+  def cusum(events: DataFrame, seriesCol: String, tsCol: String,
+            tiebreakCol: String, valueCol: String, k: Double, h: Double,
+            scoreOut: Column => Column): DataFrame = {
+    val w = Window.partitionBy(seriesCol).orderBy(col(tsCol), col(tiebreakCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(seriesCol), col(tsCol), col(tiebreakCol),
+        col(valueCol).cast("double").as("v"))
+      .withColumn("s", sum(col("v") - lit(k)).over(w))
+      .withColumn("c", col("s") - least(min("s").over(w), lit(0.0)))
+      .groupBy(seriesCol)
+      .agg(count(lit(1)).as("n"),
+        scoreOut(max("c")).as("max_cusum"),
+        sum((col("c") > h).cast("long")).as("n_alarms"))
+  }
+
+  /** Robust outlier scoring by median absolute deviation: modified
+    * z-score 0.6745·(x − median)/MAD — the robust twin of the σ-based
+    * detectors (W10, seasonalProfile), immune to the outliers it hunts
+    * (one wild value shifts a mean/σ threshold but not a median/MAD one).
+    * Exact per-group medians via `percentile` — at gate scale a sort of
+    * each group's values; at 100 TB swap in `approx_percentile` (same
+    * call shape, sketch-backed) and document the error. Two aggregates on
+    * the SAME group key (medians, then MAD of residuals) and a final
+    * flag-count pass — three scans, all group-keyed, no global sort.
+    *
+    * Returns (series, n, med, mad, n_outliers) with |modified z| > zCut
+    * flagged. */
+  def madOutliers(events: DataFrame, seriesCol: String, valueCol: String,
+                  zCut: Double, scoreOut: Column => Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = events.groupBy(seriesCol)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withMed = events.select(col(seriesCol), v.as("v"))
+      .join(med, Seq(seriesCol))
+    val mad = withMed
+      .withColumn("absdev", abs(col("v") - col("med")))
+      .groupBy(seriesCol)
+      .agg(max("med").as("med"), expr("percentile(absdev, 0.5)").as("mad"))
+    withMed.drop("med").join(mad, Seq(seriesCol))
+      .withColumn("flag",
+        (col("mad") > 0 &&
+          abs(lit(0.6745) * (col("v") - col("med")) / col("mad")) > zCut)
+          .cast("long"))
+      .groupBy(seriesCol)
+      .agg(count(lit(1)).as("n"),
+        scoreOut(max("med")).as("med"),
+        scoreOut(max("mad")).as("mad"),
+        sum("flag").as("n_outliers"))
+  }
+
+  /** Kaplan–Meier survival estimate for time-to-first-`targetType` per
+    * user, right-censored at the observation end: S(t) = Π_{tᵢ≤t}
+    * (1 − dᵢ/nᵢ) over distinct event days — "how long until a signup
+    * converts", the duration analytics the reference's accretion-event
+    * DURATION_DAYS column gestures at, done properly with censoring. The
+    * product folds as exp(Σ ln(1 − dᵢ/nᵢ)) over an ORDERED running window
+    * (both engines sum the same terms in the same day order, ln noise
+    * absorbed by rounding). Per-user durations are one user-keyed
+    * aggregate; the curve itself lives on a days-sized table.
+    *
+    * Returns per event-day: (t_days, n_at_risk, n_events, survival). */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, startType: String, targetType: String,
+                  scoreOut: Column => Column): DataFrame = {
+    val perUser = events.groupBy(col(userCol))
+      .agg(
+        min(when(col(typeCol) === startType, to_date(col(tsCol)))).as("d0"),
+        min(when(col(typeCol) === targetType, to_date(col(tsCol)))).as("d1"),
+        max(to_date(col(tsCol))).as("dmax"))
+      .filter(col("d0").isNotNull)
+    val horizon = perUser.agg(max("dmax").as("dend"))
+    val durations = perUser.crossJoin(broadcast(horizon))
+      .select(
+        when(col("d1").isNotNull && col("d1") >= col("d0"),
+          datediff(col("d1"), col("d0")))
+          .otherwise(datediff(col("dend"), col("d0"))).as("t"),
+        (col("d1").isNotNull && col("d1") >= col("d0")).cast("int").as("observed"))
+    val total = durations.agg(count(lit(1)).as("n_total"))
+    val byDay = durations.groupBy("t")
+      .agg(sum("observed").as("d"), count(lit(1)).as("c"))
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val wInc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    byDay.crossJoin(broadcast(total))
+      .withColumn("n_at_risk", col("n_total") - coalesce(sum("c").over(w), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("factor", lit(1.0) - col("d").cast("double") / col("n_at_risk"))
+      // exact-zero factor (everyone at risk converts): S hits 0 and STAYS 0
+      // — Spark's log(0) is null, so the exp-sum-log fold needs the guard
+      .withColumn("zeroed",
+        max((col("factor") <= 0).cast("int")).over(wInc))
+      .withColumn("survival", scoreOut(when(col("zeroed") === 1, lit(0.0))
+        .otherwise(exp(sum(log(col("factor"))).over(wInc)))))
+      .select(col("t").as("t_days"), col("n_at_risk"), col("d").as("n_events"),
+        col("survival"))
+  }
+
+  /** Two-proportion z-test between hash-split experiment arms: conversion
+    * = fraction of users with any event satisfying `successCond`, arms
+    * assigned by the
+    * deterministic md5 bucket of the user id (the [[graft.operators.
+    * CorpusOps.assignSplit]] trick — reproducible assignment IS the
+    * experiment's validity), z = (p̂_a − p̂_b)/√(p̂(1−p̂)(1/n_a + 1/n_b)).
+    * The statistic is pure arithmetic over two aggregate rows; |z| > 1.96
+    * flags 95% significance without needing an erf implementation.
+    *
+    * Returns one row: (n_a, n_b, conv_a, conv_b, p_a, p_b, z,
+    * significant_95). */
+  def abTest(events: DataFrame, userCol: String, successCond: Column,
+             scoreOut: Column => Column): DataFrame = {
+    val perUser = events.groupBy(col(userCol))
+      .agg(max(successCond.cast("int")).as("conv"))
+      .withColumn("arm",
+        when(conv(substring(md5(col(userCol).cast("string").cast("binary")), 1, 1),
+          16, 10).cast("int") < 8, "a").otherwise("b"))
+    val agg = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    val a = agg.filter(col("arm") === "a")
+      .select(col("n").as("n_a"), col("c").as("conv_a"))
+    val b = agg.filter(col("arm") === "b")
+      .select(col("n").as("n_b"), col("c").as("conv_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("p_a", col("conv_a") / col("n_a"))
+      .withColumn("p_b", col("conv_b") / col("n_b"))
+      .withColumn("p_pool", (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")))
+      .withColumn("z", (col("p_a") - col("p_b")) /
+        sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        scoreOut(col("p_a")).as("p_a"), scoreOut(col("p_b")).as("p_b"),
+        scoreOut(col("z")).as("z"),
+        (abs(col("z")) > 1.96).cast("int").as("significant_95"))
+  }
+
+  /** Deterministic bootstrap confidence interval for a group mean: B
+    * resamples, each the subset of rows whose per-(row, replicate) hash
+    * draw keeps ~63.2% of rows (the asymptotic distinct-row mass of a
+    * with-replacement resample — "Poisson bootstrap" with p = 1 − 1/e,
+    * the standard scalable approximation since true resampling needs
+    * global row multiplicity). One pass: each row explodes into its
+    * (bounded) B replicate memberships, replicate means aggregate
+    * per-key, and the CI reads percentile bounds over the B means. Fully
+    * deterministic — hash draws, no rand() — so the CI is reproducible
+    * across runs, engines and retries.
+    *
+    * Returns one row: (n, mean, boot_lo, boot_hi) at the given level. */
+  def bootstrapMeanCi(events: DataFrame, valueCol: String, b: Int,
+                      level: Double, idCol: String,
+                      scoreOut: Column => Column): DataFrame = {
+    require(b >= 8 && b <= 256, s"replicate budget must be bounded, got $b")
+    require(level > 0 && level < 1, s"level in (0,1), got $level")
+    val v = col(valueCol).cast("double")
+    // keep row in replicate r iff the r-th byte of the row's hash pool is
+    // < 162 (162/256 ≈ 0.632 = 1 − 1/e). The pool is ⌈b/16⌉ md5 blocks of
+    // the row id — each md5 yields 16 independent uniform bytes, so b=32
+    // replicates cost 2 md5/row, not b md5/row: the per-(row,replicate)
+    // md5 draw measured 1.9 s vs 0.3 s for the identical explode+agg at
+    // sf0.1 (~19M hashes), and the block pool cuts that 16× while keeping
+    // the draw reproducible in any engine with md5 (the DuckDB oracle
+    // indexes the same hex pool).
+    val nBlocks = (b + 15) / 16
+    val pool = concat((1 to nBlocks).map(k =>
+      md5(concat(col(idCol).cast("string"), lit(s"_$k")).cast("binary"))): _*)
+    val reps = events.select(v.as("v"), pool.as("hp"))
+      .select(col("v"), col("hp"), explode(sequence(lit(1), lit(b))).as("r"))
+      .filter(conv(col("hp").substr(col("r") * 2 - 1, lit(2)), 16, 10)
+        .cast("int") < 162)
+    val means = reps.groupBy("r").agg(avg("v").as("m"))
+    val alpha = (1.0 - level) / 2.0
+    val base = events.agg(count(lit(1)).as("n"), avg(v).as("mean"))
+    base.crossJoin(broadcast(means.agg(
+        expr(s"percentile(m, $alpha)").as("lo"),
+        expr(s"percentile(m, ${1.0 - alpha})").as("hi"))))
+      .select(col("n"), scoreOut(col("mean")).as("mean"),
+        scoreOut(col("lo")).as("boot_lo"), scoreOut(col("hi")).as("boot_hi"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) test between two samples: U from
+    * the rank sum over the POOLED ordering with midranks for ties, and
+    * the normal-approximation z with the tie-correction term — the
+    * rank-based "did the distribution shift" test that, unlike the
+    * t-test, needs no normality and, unlike KS, targets location shifts.
+    * Ranks come from one window over the pooled (value, count) table —
+    * distinct-value-sized, not row-sized, because midranks are a pure
+    * function of the cumulative counts.
+    *
+    * Returns one row: (n_a, n_b, u, mu, sigma, z, significant_95). */
+  def mannWhitneyU(a: DataFrame, b: DataFrame, valueCol: String,
+                   scoreOut: Column => Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val pooled = a.select(v.as("x")).withColumn("s", lit("a"))
+      .unionByName(b.select(v.as("x")).withColumn("s", lit("b")))
+    val byV = pooled.groupBy("x")
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("s") === "a", 1L).otherwise(0L)).as("ta"))
+    val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = byV
+      .withColumn("cum", sum("t").over(w))
+      // midrank of a tie group spanning ranks (cum−t, cum]:
+      // (cum − t + 1 + cum)/2
+      .withColumn("midrank", (col("cum") * 2 - col("t") + 1) / lit(2.0))
+    val agg = ranked.agg(
+      sum("ta").cast("double").as("na"),
+      sum(col("t") - col("ta")).cast("double").as("nb"),
+      sum(col("ta") * col("midrank")).as("ra"),
+      // tie correction Σ (t³ − t)
+      sum(col("t") * col("t") * col("t") - col("t")).cast("double").as("tie"))
+    agg.select(
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        (col("ra") - col("na") * (col("na") + 1) / 2).as("u"),
+        (col("na") * col("nb") / 2.0).as("mu"),
+        sqrt(col("na") * col("nb") / 12.0 *
+          ((col("na") + col("nb") + 1) -
+            col("tie") / ((col("na") + col("nb")) * (col("na") + col("nb") - 1))))
+          .as("sigma"))
+      .select(col("n_a"), col("n_b"),
+        scoreOut(col("u")).as("u"), scoreOut(col("mu")).as("mu"),
+        scoreOut(col("sigma")).as("sigma"),
+        scoreOut((col("u") - col("mu")) / col("sigma")).as("z"),
+        (abs((col("u") - col("mu")) / col("sigma")) > 1.96).cast("int")
+          .as("significant_95"))
+  }
+
+  /** Gini coefficient of a nonnegative measure's concentration across
+    * units (how unequally activity/tokens/spend distribute): the sorted-
+    * cumulative formula G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n over values
+    * ranked ascending with an id tiebreak. Units are users/documents —
+    * hundreds of millions of rows at 100 TB — so the rank is NOT a global
+    * `row_number` window (one partition's sort): it is the range-
+    * partitioned two-phase prefix sum of 1 ([[CorpusOps.orderedPrefixSum]],
+    * the same machinery as token-budget selection), whose only global
+    * window runs over the ≤-#partitions offset table. The (x, id) order is
+    * total, so ranks are dense, deterministic, and tie-free — exactly
+    * `row_number` — and Σ i·xᵢ folds in one aggregate.
+    * 0 = perfectly equal, → 1 = one unit holds everything.
+    *
+    * Returns one row: (n_units, total, gini). */
+  def giniConcentration(perUnit: DataFrame, idCol: String, valueCol: String,
+                        scoreOut: Column => Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    CorpusOps.orderedPrefixSum(
+        perUnit.select(col(idCol), v.as("x")),
+        Seq(col("x").asc, col(idCol).asc), lit(1L), "i")
+      .agg(count(lit(1)).cast("double").as("n"), sum("x").as("tot"),
+        sum(col("i") * col("x")).as("ix"))
+      .select(col("n").cast("long").as("n_units"),
+        scoreOut(col("tot")).as("total"),
+        scoreOut(lit(2.0) * col("ix") / (col("n") * col("tot")) -
+          (col("n") + 1) / col("n")).as("gini"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between a reference and a
+    * current snapshot: D = max |F_ref(x) − F_cur(x)| over the pooled
+    * support — the nonparametric drift test beside [[psi]] (PSI needs a
+    * binning; KS sees any distributional change). Exact ECDFs from one
+    * full-outer join of per-value cumulative counts; at gate scale the
+    * support is the distinct-value set, and at 100 TB the same algebra
+    * runs over quantile-sketch bins (documented approximation). The
+    * significance line D_crit = c(α)·√((n+m)/(n·m)) with c(0.05) = 1.358
+    * is pure arithmetic.
+    *
+    * Returns one row: (n_ref, n_cur, ks_d, d_crit_95, drifted). */
+  def ksTest(ref: DataFrame, cur: DataFrame, valueCol: String,
+             scoreOut: Column => Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    def ecdf(df: DataFrame, n: String, f: String): DataFrame = {
+      val byV = df.select(v.as("x")).groupBy("x").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+      byV.withColumn("cum", sum("c").over(w))
+        .crossJoin(broadcast(byV.agg(sum("c").as(n))))
+        .select(col("x"), (col("cum") / col(n)).as(f), col(n))
+    }
+    val a = ecdf(ref, "n_ref", "f_ref")
+    val b = ecdf(cur, "n_cur", "f_cur")
+    val joined = a.join(b, Seq("x"), "full_outer")
+    // at support points absent from one side, that side's ECDF is the
+    // LAST defined value at or below x — forward-fill over the pooled,
+    // ordered support (0 before the first point)
+    val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    joined
+      .withColumn("fr", coalesce(last("f_ref", ignoreNulls = true).over(w), lit(0.0)))
+      .withColumn("fc", coalesce(last("f_cur", ignoreNulls = true).over(w), lit(0.0)))
+      .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+        max(abs(col("fr") - col("fc"))).as("d"))
+      .select(col("n_ref"), col("n_cur"),
+        scoreOut(col("d")).as("ks_d"),
+        scoreOut(lit(1.358) * sqrt((col("n_ref") + col("n_cur")).cast("double") /
+          (col("n_ref") * col("n_cur")))).as("d_crit_95"),
+        (col("d") > lit(1.358) * sqrt((col("n_ref") + col("n_cur")).cast("double") /
+          (col("n_ref") * col("n_cur")))).cast("int").as("drifted"))
+  }
+
+  /** Bin both samples by POOLED approximate-quantile boundaries — the
+    * scale substitution [[ksTest]]/[[mannWhitneyU]] document for
+    * continuous measures, where "distinct values" ≈ N and the exact
+    * per-value table would feed an effectively row-sized global window.
+    * The boundary fit is `approxQuantile` (Greenwald–Khanna, one
+    * distributed pass, mergeable partials); the ≤`bins`−1 boundaries come
+    * back as bounded driver metadata and are baked into the bin
+    * assignment as ONE literal array (the IVF-centroid contract), so the
+    * bin map is a pure broadcast-free column expression:
+    * bin = #{boundaries < x}. Returns the two frames reduced to a
+    * `__bin` int column. */
+  private def binByPooledQuantiles(a: DataFrame, b: DataFrame,
+                                   valueCol: String, bins: Int,
+                                   relErr: Double): (DataFrame, DataFrame) = {
+    require(bins >= 8 && bins <= 4096, s"bin budget must be bounded, got $bins")
+    val v = col(valueCol).cast("double")
+    val pooled = a.select(v.as("x")).unionByName(b.select(v.as("x")))
+      .filter(col("x").isNotNull)
+    val probs = (1 until bins).map(_.toDouble / bins).toArray
+    val bounds = pooled.stat.approxQuantile("x", probs, relErr).distinct.sorted
+    val bLit = lit(bounds)
+    def binned(df: DataFrame): DataFrame = df
+      .filter(v.isNotNull)
+      .select(size(filter(bLit, bd => bd < v)).as("__bin"))
+    (binned(a), binned(b))
+  }
+
+  /** Sketch-binned two-sample KS: [[ksTest]]'s exact algebra applied to
+    * the pooled-quantile bin index instead of the raw value, evaluating
+    * both ECDFs on the ≤`bins` shared boundaries. The support table — and
+    * therefore the one ordered window — is now bins-sized BY CONSTRUCTION
+    * whatever the measure's cardinality. One-sided error: the binned D is
+    * a max over a subset of the support, so ksBinned ≤ ksExact, and the
+    * gap is bounded by the largest per-bin probability mass (≈1/bins for
+    * quantile bins, plus sketch error) — SketchBinnedSpec pins the bound
+    * empirically. Output schema matches [[ksTest]]. */
+  def ksTestBinned(ref: DataFrame, cur: DataFrame, valueCol: String,
+                   bins: Int, scoreOut: Column => Column,
+                   relErr: Double = 0.001): DataFrame = {
+    val (r, c) = binByPooledQuantiles(ref, cur, valueCol, bins, relErr)
+    ksTest(r, c, "__bin", scoreOut)
+  }
+
+  /** Sketch-binned Mann–Whitney U: [[mannWhitneyU]]'s midrank algebra on
+    * the pooled-quantile bin index — every row in a bin becomes one tie
+    * group at the bin's midrank, capping the rank table at `bins` rows.
+    * Rank distortion is within-bin only (≤ the bin's count), which the
+    * tie-corrected normal approximation absorbs; z converges to the exact
+    * statistic as bins grow (SketchBinnedSpec pins the tolerance).
+    * Output schema matches [[mannWhitneyU]]. */
+  def mannWhitneyUBinned(a: DataFrame, b: DataFrame, valueCol: String,
+                         bins: Int, scoreOut: Column => Column,
+                         relErr: Double = 0.001): DataFrame = {
+    val (ba, bb) = binByPooledQuantiles(a, b, valueCol, bins, relErr)
+    mannWhitneyU(ba, bb, "__bin", scoreOut)
+  }
+
+  /** Benford first-digit analysis: observed vs expected (log10(1 + 1/d))
+    * leading-significant-digit distribution of a measure, with the χ²
+    * statistic — the classic forensic test for fabricated or synthetic
+    * numeric columns (organic multi-scale measures follow Benford;
+    * uniform generators and hand-entered numbers don't). The first digit
+    * falls out of pure column algebra (normalize into [1, 10) via
+    * log10-floor — no string formatting), and the whole result is one
+    * 9-key map-side aggregate plus a broadcast total.
+    *
+    * Returns per digit 1-9: (digit, n, p_obs, p_benford, chi2_term);
+    * Σ chi2_term vs χ²₈ critical values answers "is this column
+    * organic". Zero/negative/null values are excluded (no first digit). */
+  def benfordDigits(events: DataFrame, valueCol: String,
+                    scoreOut: Column => Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val digit = floor(v / pow(lit(10.0), floor(log10(v)))).cast("int")
+    val counts = events.filter(v > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("nt"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p_obs", col("n") / col("nt"))
+      .withColumn("p_benford", log10(lit(1.0) + lit(1.0) / col("digit")))
+      .select(col("digit"), col("n"),
+        scoreOut(col("p_obs")).as("p_obs"),
+        scoreOut(col("p_benford")).as("p_benford"),
+        scoreOut(col("nt") * (col("p_obs") - col("p_benford")) *
+          (col("p_obs") - col("p_benford")) / col("p_benford")).as("chi2_term"))
+  }
+}

@@ -469,7 +469,7 @@ object ExtrasQ {
     // = any purchase with value > 100; the z statistic is pure arithmetic
     // over two aggregate rows, |z| > 1.96 flags 95% significance.
     "q168_ab_test" -> Q(
-      (s, d) => graft.operators.EventOps.abTest(
+      (s, d) => graft.operators.StatOps.abTest(
         Tables.events(s, d), "user_id",
         successCond = col("event_type") === "purchase" && col("value") > 100,
         scoreOut = dec6),
@@ -503,7 +503,7 @@ object ExtrasQ {
     // 32 hash-drawn replicates (p = 1 - 1/e), percentile bounds over the
     // replicate means — reproducible across runs and engines.
     "q169_bootstrap_ci" -> Q(
-      (s, d) => graft.operators.EventOps.bootstrapMeanCi(
+      (s, d) => graft.operators.StatOps.bootstrapMeanCi(
         Tables.events(s, d), "value", b = 32, level = 0.95,
         idCol = "event_id", scoreOut = dec6),
       Some(s"""WITH hp AS (SELECT CAST(value AS DOUBLE) AS v,
@@ -530,7 +530,7 @@ object ExtrasQ {
       (s, d) => {
         val ev = Tables.events(s, d)
         val cut = lit("2024-01-16").cast("timestamp")
-        graft.operators.EventOps.ksTest(
+        graft.operators.StatOps.ksTest(
           ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
           "value", scoreOut = dec6)
       },
@@ -700,7 +700,7 @@ object ExtrasQ {
       (s, d) => {
         val ev = Tables.events(s, d)
         val cut = lit("2024-01-16").cast("timestamp")
-        graft.operators.EventOps.ksTestBinned(
+        graft.operators.StatOps.ksTestBinned(
           ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
           "value", bins = 64, scoreOut = dec6)
       }),
@@ -712,7 +712,7 @@ object ExtrasQ {
       (s, d) => {
         val ev = Tables.events(s, d)
         val cut = lit("2024-01-16").cast("timestamp")
-        graft.operators.EventOps.mannWhitneyUBinned(
+        graft.operators.StatOps.mannWhitneyUBinned(
           ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
           "value", bins = 64, scoreOut = dec6)
       }),
@@ -724,7 +724,7 @@ object ExtrasQ {
       (s, d) => {
         val ev = Tables.events(s, d)
         val cut = lit("2024-01-16").cast("timestamp")
-        graft.operators.EventOps.mannWhitneyU(
+        graft.operators.StatOps.mannWhitneyU(
           ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
           "value", scoreOut = dec6)
       },
@@ -760,7 +760,7 @@ object ExtrasQ {
       (s, d) => {
         val perUser = Tables.events(s, d)
           .groupBy("user_id").agg(count(lit(1)).as("n_events"))
-        graft.operators.EventOps.giniConcentration(perUser, "user_id",
+        graft.operators.StatOps.giniConcentration(perUser, "user_id",
           "n_events", scoreOut = dec6)
       },
       Some(s"""WITH pu AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS x
@@ -777,7 +777,7 @@ object ExtrasQ {
     // data test; the first digit derives from log10-floor normalization,
     // no string formatting.
     "q167_benford_digits" -> Q(
-      (s, d) => graft.operators.EventOps.benfordDigits(
+      (s, d) => graft.operators.StatOps.benfordDigits(
           Tables.events(s, d), "value", scoreOut = dec6)
         .orderBy("digit"),
       Some(s"""WITH x AS (SELECT CAST(value AS DOUBLE) AS v FROM events
@@ -869,7 +869,7 @@ object ExtrasQ {
     // — immune to the outliers it hunts, unlike the σ-based detectors.
     // Exact interpolated medians on both engines.
     "q157_mad_outliers" -> Q(
-      (s, d) => graft.operators.EventOps.madOutliers(
+      (s, d) => graft.operators.StatOps.madOutliers(
           Tables.events(s, d), "event_type", "value", zCut = 3.5, scoreOut = dec6)
         .orderBy("event_type"),
       Some(s"""WITH x AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
@@ -892,7 +892,7 @@ object ExtrasQ {
     // right-censored at the observation horizon — S(t) folds as
     // exp(Σ ln(1 − d/n)) over the identical day order in both engines.
     "q158_kaplan_meier" -> Q(
-      (s, d) => graft.operators.EventOps.kaplanMeier(
+      (s, d) => graft.operators.StatOps.kaplanMeier(
           Tables.events(s, d), "user_id", "ts", "event_type",
           startType = "signup", targetType = "purchase", scoreOut = dec6)
         .orderBy("t_days"),
@@ -986,7 +986,7 @@ object ExtrasQ {
       (s, d) => {
         val ev = Tables.events(s, d)
         val cut = lit("2024-01-16").cast("timestamp")
-        graft.operators.EventOps.psi(
+        graft.operators.StatOps.psi(
             ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
             "value", bins = 10, lo = 0.0, hi = 500.0, scoreOut = dec6)
           .orderBy("bin")
@@ -1041,7 +1041,7 @@ object ExtrasQ {
     // prefix-sum minus running-min, so both engines fold the identical
     // window arithmetic in the identical (ts, event_id) order.
     "q144_cusum" -> Q(
-      (s, d) => graft.operators.EventOps.cusum(
+      (s, d) => graft.operators.StatOps.cusum(
           Tables.events(s, d), "event_type", "ts", "event_id", "value",
           k = 50.0, h = 500.0, scoreOut = dec6)
         .orderBy("event_type"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming CUSUM changepoint alarms — the stream twin of
-  * `EventOps.cusum`, holding the SAME algebra in O(1) state per series:
+  * `StatOps.cusum`, holding the SAME algebra in O(1) state per series:
   * the batch path computes C_t = S_t − min(0, min_j S_j) with two running
   * windows; here the two accumulators (prefix sum, running min) ARE the
   * state record, updated per event via `flatMapGroupsWithState`. No reset

@@ -3,12 +3,12 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Streaming PSI drift monitor — the stream twin of `EventOps.psi`: per
+/** Streaming PSI drift monitor — the stream twin of `StatOps.psi`: per
   * event-time tumbling window, bin the metric into the SAME fixed
   * [lo, hi)/bins grid (underflow bin −1, overflow bin `bins`) and score
   * the window's distribution against a LITERAL reference histogram with
   * the same smoothed formula p = (n + 0.5)/(tot + bins/2). The reference
-  * counts are fit offline (one batch `EventOps.psi`-style pass) and baked
+  * counts are fit offline (one batch `StatOps.psi`-style pass) and baked
   * into the plan — serving never joins or broadcasts the baseline.
   *
   * Structured Streaming forbids chained aggregations in append mode, so
@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * formula on the same closed input. */
 object StreamPsi {
 
-  /** Shared bin expression — identical to the batch `EventOps.psi` grid. */
+  /** Shared bin expression — identical to the batch `StatOps.psi` grid. */
   private def binOf(v: Column, bins: Int, lo: Double, hi: Double): Column =
     when(v < lo, lit(-1))
       .when(v >= hi, lit(bins))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.EventOps
+import graft.operators.{EventOps, StatOps}
 import graft.queries.Q.dec6
 
 /** Error bounds of the sketch-binned KS / Mann-Whitney variants against
@@ -23,10 +23,10 @@ class SketchBinnedSpec extends SparkSpec {
   private lazy val b = (1 to 5000).map(i => mix(i + 7919) + 0.35).toDF("value")
 
   test("binned KS lower-bounds the exact D within the per-bin mass") {
-    val exact = EventOps.ksTest(a, b, "value", dec6).head()
+    val exact = StatOps.ksTest(a, b, "value", dec6).head()
     val dExact = exact.getDouble(2)
     for (bins <- Seq(32, 128)) {
-      val r = EventOps.ksTestBinned(a, b, "value", bins, dec6).head()
+      val r = StatOps.ksTestBinned(a, b, "value", bins, dec6).head()
       val dBinned = r.getDouble(2)
       // same sample sizes flow through
       assert(r.getLong(0) == 4000 && r.getLong(1) == 5000)
@@ -40,11 +40,11 @@ class SketchBinnedSpec extends SparkSpec {
   }
 
   test("binned MW z converges to the exact z as bins grow") {
-    val exact = EventOps.mannWhitneyU(a, b, "value", dec6).head()
+    val exact = StatOps.mannWhitneyU(a, b, "value", dec6).head()
     val zExact = exact.getDouble(5)
     assert(math.abs(zExact) > 3, s"fixture should carry a real shift, z=$zExact")
     for ((bins, tol) <- Seq(32 -> 0.15, 128 -> 0.05)) {
-      val r = EventOps.mannWhitneyUBinned(a, b, "value", bins, dec6).head()
+      val r = StatOps.mannWhitneyUBinned(a, b, "value", bins, dec6).head()
       assert(r.getLong(0) == 4000 && r.getLong(1) == 5000)
       val zBinned = r.getDouble(5)
       // within-bin rank distortion only — relative z error shrinks ~1/bins
@@ -56,7 +56,7 @@ class SketchBinnedSpec extends SparkSpec {
   }
 
   test("binned KS support table is bins-sized: identical samples give D = 0") {
-    val r = EventOps.ksTestBinned(a, a, "value", 64, dec6).head()
+    val r = StatOps.ksTestBinned(a, a, "value", 64, dec6).head()
     assert(r.getDouble(2) == 0.0, s"self-KS D ${r.getDouble(2)}")
     assert(r.getInt(4) == 0)
   }

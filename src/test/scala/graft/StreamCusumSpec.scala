@@ -29,7 +29,7 @@ class StreamCusumSpec extends SparkSpec {
   private def batchAlarms: Map[String, Long] = {
     val df = rows.toDF("event_type", "ts", "value")
       .withColumn("event_id", monotonically_increasing_id())
-    graft.operators.EventOps.cusum(df, "event_type", "ts", "event_id", "value",
+    graft.operators.StatOps.cusum(df, "event_type", "ts", "event_id", "value",
         k = 10.0, h = 25.0, scoreOut = graft.queries.Q.dec6)
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
   }
