@@ -552,6 +552,35 @@ object EventOps {
         scoreOut(col("m_win")).as("mean_winsorized"))
   }
 
+  /** Last-touch attribution: each conversion event's value is credited to
+    * the user's most recent PRIOR non-conversion event type (the
+    * touchpoint) — the marketing-attribution primitive that closes the
+    * loop between the funnel (q140) and revenue. One window pass over the
+    * user-keyed order (the `last(..., ignoreNulls)` trailing frame ending
+    * at −1 row excludes the conversion itself and earlier conversions
+    * never match the non-conversion predicate), then a channel-keyed
+    * aggregate over conversions only — conversions with no prior
+    * touchpoint land in the "(none)" bucket so revenue is conserved.
+    *
+    * Returns (channel, n_conversions, revenue). */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+                           tiebreakCol: String, typeCol: String,
+                           valueCol: String, conversionType: String,
+                           scoreOut: Column => Column): DataFrame = {
+    val ord = Window.partitionBy(userCol).orderBy(col(tsCol), col(tiebreakCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col(userCol), col(tsCol), col(tiebreakCol),
+        col(typeCol), col(valueCol).cast("double").as("__v"))
+      .withColumn("__touch",
+        last(when(col(typeCol) =!= conversionType, col(typeCol)),
+          ignoreNulls = true).over(ord))
+      .filter(col(typeCol) === conversionType)
+      .groupBy(coalesce(col("__touch"), lit("(none)")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        scoreOut(sum("__v")).as("revenue"))
+  }
+
   /** Conversion lag: per user, the delay from the FIRST `fromType` event
     * to the first `toType` event at-or-after it, summarized as conversion
     * rate + lag percentiles — "how long from first view to first

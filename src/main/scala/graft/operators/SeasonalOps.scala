@@ -239,4 +239,123 @@ object SeasonalOps {
           (sqrt(col("maa") - col("ma") * col("ma")) *
             sqrt(col("mbb") - col("mb") * col("mb")))).as("corr"))
   }
+
+  /** Exponentially-weighted moving average — pandas
+    * `ewm(alpha, adjust=False).mean()` parity: y_0 = x_0,
+    * y_t = (1−α)·y_{t−1} + α·x_t per series over an ALIGNED grid (callers
+    * drop leading nulls; an ffilled series is non-null after its first
+    * observation, so the recursion never sees a null). The recursion
+    * folds over the series' collected grid array — grid-bounded state per
+    * series (≤ #hours rows, the STL/Theil-Sen contract here) — then zips
+    * back to rows: no partition-less window, no driver collect. Each step
+    * is two IEEE double ops in fixed order, so an engine replaying the
+    * recursion (the DuckDB oracle's recursive CTE) matches bit-for-bit.
+    *
+    * Returns (seriesCol, tsCol, x, ewma). */
+  def ewma(grid: DataFrame, seriesCol: String, tsCol: String,
+           valueCol: String, alpha: Double,
+           scoreOut: Column => Column): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val collected = grid
+      .select(col(seriesCol), col(tsCol).as("__t"),
+        col(valueCol).cast("double").as("__x"))
+      .groupBy(seriesCol)
+      .agg(sort_array(collect_list(struct(col("__t"), col("__x")))).as("arr"))
+    val ys = aggregate(
+      col("arr"),
+      struct(lit(null).cast("double").as("prev"),
+        array().cast("array<double>").as("ys")),
+      (acc, e) => {
+        val y = when(acc.getField("prev").isNull, e.getField("__x"))
+          .otherwise(lit(1.0 - alpha) * acc.getField("prev") +
+            lit(alpha) * e.getField("__x"))
+        struct(y.as("prev"), concat(acc.getField("ys"), array(y)).as("ys"))
+      },
+      acc => acc.getField("ys"))
+    collected
+      .withColumn("__ys", ys)
+      .select(col(seriesCol), explode(arrays_zip(col("arr"), col("__ys"))).as("__z"))
+      .select(col(seriesCol), col("__z.arr.__t").as(tsCol),
+        col("__z.arr.__x").as("x"), scoreOut(col("__z.__ys")).as("ewma"))
+  }
+
+  /** Additive Holt–Winters (triple exponential smoothing, period `m`) per
+    * series over an aligned non-null grid — fitted one-step-ahead values
+    * and residual z anomalies, the classical forecaster the reference's
+    * domain (sensor telemetry with daily cycles) reaches for first.
+    *
+    * Classical init over the first two seasons: b₀ = (mean(season 2) −
+    * mean(season 1)) / m; the level starts at the END of season 1
+    * (l = mean(season 1) + b₀·(m−1)/2 — the season mean is the level at
+    * the season MIDPOINT, so it must be advanced half a season or every
+    * early forecast lags the trend by (m−1)/2·b₀, which is exactly the
+    * residual bias the zero-residual spec caught); seasonals are the
+    * DETRENDED first season, s_i = x_i − (mean(season 1) + b₀·(i −
+    * (m−1)/2)), so a linear trend cannot leak into the seasonal state.
+    * The recursion then runs from t = m+1 (fitted = l + b + s_{t−m};
+    * l' = α(x − s_{t−m}) + (1−α)(l+b); b' = β(l'−l) + (1−β)b;
+    * s' = γ(x − l − b) + (1−γ)s_{t−m}). The first m rows carry null
+    * fitted. Same fold-over-the-collected-grid shape (and scale contract)
+    * as [[ewma]]; state is (l, b, the m-slot seasonal ring, fitted list).
+    * HoltWintersSpec replays the identical recursion in plain Scala on
+    * the driver and matches row-for-row.
+    *
+    * Returns (seriesCol, tsCol, x, fitted, residual, is_anom) where
+    * is_anom flags |residual| > zCut·σ_resid (per-series σ). */
+  def holtWinters(grid: DataFrame, seriesCol: String, tsCol: String,
+                  valueCol: String, m: Int, alpha: Double, beta: Double,
+                  gamma: Double, zCut: Double,
+                  scoreOut: Column => Column): DataFrame = {
+    require(m >= 2 && alpha > 0 && alpha < 1 && beta > 0 && beta < 1 &&
+      gamma > 0 && gamma < 1 && zCut > 0, "need period >= 2, params in (0,1)")
+    val collected = grid
+      .select(col(seriesCol), col(tsCol).as("__t"),
+        col(valueCol).cast("double").as("__x"))
+      .groupBy(seriesCol)
+      .agg(sort_array(collect_list(struct(col("__t"), col("__x")))).as("arr"))
+      .filter(size(col("arr")) >= 2 * m) // need two full seasons to init
+    val xs = col("arr").getField("__x")
+    val s1 = slice(xs, 1, m)
+    val s2 = slice(xs, m + 1, m)
+    def mean(a: Column): Column =
+      aggregate(a, lit(0.0), _ + _) / size(a)
+    val mu1 = mean(s1)
+    val b0 = (mean(s2) - mean(s1)) / m
+    val l0 = mu1 + b0 * ((m - 1) / 2.0)
+    val seas0 = transform(s1, (x, i) =>
+      x - (mu1 + b0 * (i.cast("double") - lit((m - 1) / 2.0))))
+    // fold over t = m+1 .. n: state (l, b, seas ring, fitted-so-far)
+    val folded = aggregate(
+      slice(xs, lit(m + 1), greatest(size(xs) - m, lit(0))),
+      struct(l0.as("l"), b0.as("b"), seas0.as("seas"),
+        array().cast("array<double>").as("fit")),
+      (acc, x) => {
+        val l = acc.getField("l"); val b = acc.getField("b")
+        val seas = acc.getField("seas")
+        val sOld = element_at(seas, 1)
+        val fitted = l + b + sOld
+        val lN = lit(alpha) * (x - sOld) + lit(1.0 - alpha) * (l + b)
+        val bN = lit(beta) * (lN - l) + lit(1.0 - beta) * b
+        val sN = lit(gamma) * (x - l - b) + lit(1.0 - gamma) * sOld
+        struct(lN.as("l"), bN.as("b"),
+          concat(slice(seas, 2, m - 1), array(sN)).as("seas"),
+          concat(acc.getField("fit"), array(fitted)).as("fit"))
+      },
+      acc => acc.getField("fit"))
+    val fitPadded = concat(
+      transform(sequence(lit(1), lit(m)), _ => lit(null).cast("double")),
+      folded)
+    val wS = Window.partitionBy(seriesCol)
+    collected
+      .withColumn("__fit", fitPadded)
+      .select(col(seriesCol), explode(arrays_zip(col("arr"), col("__fit"))).as("__z"))
+      .select(col(seriesCol), col("__z.arr.__t").as(tsCol),
+        col("__z.arr.__x").as("x"), col("__z.__fit").as("__f"))
+      .withColumn("__r", col("x") - col("__f"))
+      .withColumn("__sd", stddev_pop("__r").over(wS))
+      .select(col(seriesCol), col(tsCol), col("x"),
+        scoreOut(col("__f")).as("fitted"), scoreOut(col("__r")).as("residual"),
+        (col("__sd") > 0 && abs(col("__r")) > lit(zCut) * col("__sd"))
+          .cast("int").as("is_anom"))
+  }
 }

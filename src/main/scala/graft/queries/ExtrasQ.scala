@@ -277,6 +277,25 @@ object ExtrasQ {
         .orderBy("h"),
       Some(knnImputeOracle)),
 
+    // Last-touch attribution: purchase value credited to the user's most
+    // recent prior non-purchase event type — revenue by acquisition
+    // touchpoint, conservation guaranteed via the "(none)" bucket.
+    "q216_last_touch" -> Q(
+      (s, d) => graft.operators.EventOps.lastTouchAttribution(
+          Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+          "value", conversionType = "purchase", scoreOut = dec6)
+        .orderBy("channel"),
+      Some(s"""WITH t AS (SELECT user_id, ts, event_id, event_type, value,
+              |  last_value(CASE WHEN event_type <> 'purchase'
+              |      THEN event_type END IGNORE NULLS) OVER (
+              |    PARTITION BY user_id ORDER BY ts, event_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+              |  FROM events)
+              |SELECT coalesce(touch, '(none)') AS channel,
+              |  count(*) AS n_conversions, ${r6("sum(value)")} AS revenue
+              |FROM t WHERE event_type = 'purchase'
+              |GROUP BY 1 ORDER BY channel""".stripMargin)),
+
     // Session-depth distribution: how many sessions have k events, plus
     // per-depth duration stats — the engagement-depth histogram over
     // q88's sessionization (sessions collapse to one row each first, so

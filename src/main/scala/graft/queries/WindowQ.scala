@@ -342,6 +342,45 @@ object WindowQ {
            |ORDER BY ts, event_type""".stripMargin
       }),
 
+    // EWMA smoothing — pandas ewm(alpha=0.25, adjust=False).mean() parity
+    // per series on the ffilled grid (leading nulls dropped so the
+    // recursion never sees one). The Spark fold and the oracle's
+    // recursive CTE replay the identical two-op IEEE recursion, so values
+    // match bit-for-bit before the output rounding.
+    "q214_ewma" -> Q(
+      (s, d) => graft.operators.SeasonalOps.ewma(
+          series(s, d).filter(col("v").isNotNull),
+          "event_type", "ts", "v", alpha = 0.25, scoreOut = dec6)
+        .select(col("ts"), col("event_type"), col("ewma"))
+        .orderBy("ts", "event_type"),
+      Some(s"""WITH RECURSIVE $sqlSeries,
+              |g AS (SELECT ts, event_type, v,
+              |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts)
+              |    AS INT) AS r
+              |  FROM series WHERE v IS NOT NULL),
+              |rec(event_type, r, ts, y) AS (
+              |  SELECT event_type, r, ts, v FROM g WHERE r = 1
+              |  UNION ALL
+              |  SELECT g.event_type, g.r, g.ts, 0.75 * rec.y + 0.25 * g.v
+              |  FROM rec JOIN g ON g.event_type = rec.event_type
+              |    AND g.r = rec.r + 1)
+              |SELECT ts, event_type, ${r6("y")} AS ewma
+              |FROM rec ORDER BY ts, event_type""".stripMargin)),
+
+    // Additive Holt-Winters (period 24 = the daily cycle) per series on
+    // the ffilled grid: one-step-ahead fitted values + residual-z anomaly
+    // flags. Fold-recursion over the collected grid (no SQL-expressible
+    // three-state recursion) → rows-only; HoltWintersSpec replays the
+    // identical recursion in plain Scala and matches row-for-row.
+    "q215_holt_winters" -> Q(
+      (s, d) => graft.operators.SeasonalOps.holtWinters(
+          series(s, d).filter(col("v").isNotNull),
+          "event_type", "ts", "v", m = 24,
+          alpha = 0.3, beta = 0.05, gamma = 0.2, zCut = 3.0, scoreOut = dec6)
+        .select(col("ts"), col("event_type"), col("fitted"),
+          col("residual"), coalesce(col("is_anom"), lit(0)).as("is_anom"))
+        .orderBy("ts", "event_type")),
+
     // A4: horizontal (row-wise) aggregates over the wide aligned matrix —
     // `all_zones_avg`, `greatest`, count-above-threshold
     // (`pre_processing.py:1140-1144,1302-1319`).
