@@ -476,6 +476,91 @@ object CorpusOps {
         coalesce(col("mean_surprisal"), lit(0.0)).as("mean_surprisal"))
   }
 
+  /** Jelinek–Mercer interpolated TRIGRAM-LM surprisal — the order-2 step
+    * from [[bigramSurprisal]] toward a KenLM-grade perplexity filter:
+    * p(w₃|w₁w₂) = λ₃·c(w₁w₂w₃)/c(w₁w₂) + λ₂·c(w₂w₃)/c(w₂) +
+    * λ₁·(c(w₃)+k)/(N+kV), fit and scored on the same corpus (so every
+    * observed trigram's prefix counts are ≥ 1 — no zero denominators by
+    * construction). Same scale shape as the bigram scorer: 8-byte hashed
+    * grams everywhere, the n-gram count tables join EACH OTHER (vocab
+    * scale) into one fused per-trigram score table, and the (doc, trigram)
+    * stream shuffles exactly once through a plain join against it; the
+    * only hinted broadcast is the 1-row (N, V) aggregate. The component
+    * hashes (prefix bigram, suffix bigram, w₂, w₃) are functionally
+    * determined by the trigram hash, so they ride the count group-by as
+    * max() — no re-tokenization.
+    *
+    * Returns (id, n_trigrams, mean_surprisal); docs with < 3 tokens get
+    * (0, 0.0). */
+  def trigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                       lambda3: Double = 0.5, lambda2: Double = 0.3,
+                       lambda1: Double = 0.2, k: Double = 0.5): DataFrame = {
+    require(math.abs(lambda1 + lambda2 + lambda3 - 1.0) < 1e-12,
+      "interpolation weights must sum to 1")
+    val toks = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+    val mkTri = transform(
+      sequence(lit(1), size(col("__t")) - lit(2)),
+      i => struct(element_at(col("__t"), i).as("w1"),
+        element_at(col("__t"), i + lit(1)).as("w2"),
+        element_at(col("__t"), i + lit(2)).as("w3")))
+    val triT = "array<struct<w1:string,w2:string,w3:string>>"
+    val tri = toks
+      .select(col(idCol), explode_outer(when(size(col("__t")) >= 3, mkTri)
+        .otherwise(array().cast(triT))).as("tg"))
+      .filter(col("tg").isNotNull)
+      .select(col(idCol),
+        xxhash64(col("tg.w1"), col("tg.w2"), col("tg.w3")).as("h123"),
+        xxhash64(col("tg.w1"), col("tg.w2")).as("h12"),
+        xxhash64(col("tg.w2"), col("tg.w3")).as("h23"),
+        xxhash64(col("tg.w2")).as("h2"),
+        xxhash64(col("tg.w3")).as("h3"))
+    val dtc = tri.groupBy(col(idCol), col("h123"))
+      .agg(count(lit(1)).as("n"), max("h12").as("h12"), max("h23").as("h23"),
+        max("h2").as("h2"), max("h3").as("h3"))
+    val c3t = dtc.groupBy("h123")
+      .agg(sum("n").cast("double").as("c3"), max("h12").as("h12"),
+        max("h23").as("h23"), max("h2").as("h2"), max("h3").as("h3"))
+    // corpus bigram counts over ALL adjacent pairs (positions 1..n-1) —
+    // serves both the prefix (h12) and suffix (h23) lookups
+    val mkBig = transform(
+      sequence(lit(1), size(col("__t")) - lit(1)),
+      i => struct(element_at(col("__t"), i).as("w1"),
+        element_at(col("__t"), i + lit(1)).as("w2")))
+    val bigT = "array<struct<w1:string,w2:string>>"
+    val bi = toks
+      .select(explode_outer(when(size(col("__t")) >= 2, mkBig)
+        .otherwise(array().cast(bigT))).as("bg"))
+      .filter(col("bg").isNotNull)
+      .select(xxhash64(col("bg.w1"), col("bg.w2")).as("hb"))
+      .groupBy("hb").agg(count(lit(1)).cast("double").as("cb"))
+    val uni = toks
+      .select(explode_outer(col("__t")).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
+      .select(xxhash64(col("tok")).as("hu"))
+      .groupBy("hu").agg(count(lit(1)).cast("double").as("cu"))
+    val nv = uni.agg(sum("cu").as("nn"), count(lit(1)).cast("double").as("vsz"))
+    val stab = c3t
+      .join(bi.select(col("hb").as("h12"), col("cb").as("c12")), Seq("h12"))
+      .join(bi.select(col("hb").as("h23"), col("cb").as("c23")), Seq("h23"))
+      .join(uni.select(col("hu").as("h2"), col("cu").as("cu2")), Seq("h2"))
+      .join(uni.select(col("hu").as("h3"), col("cu").as("cu3")), Seq("h3"))
+      .crossJoin(broadcast(nv))
+      .select(col("h123"),
+        (-log(lit(lambda3) * col("c3") / col("c12") +
+          lit(lambda2) * col("c23") / col("cu2") +
+          lit(lambda1) * (col("cu3") + lit(k)) /
+            (col("nn") + lit(k) * col("vsz")))).as("s"))
+    dtc
+      .join(stab, Seq("h123"))
+      .groupBy(idCol)
+      .agg(sum(col("n")).as("n_trigrams"),
+        (sum(col("s") * col("n")) / sum(col("n"))).as("mean_surprisal"))
+      .join(docs.select(col(idCol)), Seq(idCol), "right")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("mean_surprisal"), lit(0.0)).as("mean_surprisal"))
+  }
+
   /** Bounded-memory vocabulary head via the Misra–Gries summary
     * ([[graft.functions.HeavyHittersAgg]]): the top of the token
     * distribution in ONE linear scan with ≤ `capacity` counters per task

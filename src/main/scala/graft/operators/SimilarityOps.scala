@@ -1001,4 +1001,96 @@ object SimilarityOps {
         scoreOut(col("lo")).as("min_cos"),
         scoreOut(col("hi")).as("max_cos"))
   }
+
+  /** PQ reconstruction-distortion report — the quality denominator for
+    * the PQ/IVFPQ compression family (the storage twin of [[annRecall]]):
+    * per subspace, the mean squared error between each vector's slice and
+    * its assigned codeword, the raw slice energy, and their ratio (the
+    * relative quantization error a codebook budget buys). The decode is
+    * pure plan arithmetic against the literal codebooks — one linear
+    * scan, no shuffle before the m-row aggregate. Codebook-specific
+    * numbers → rows-only gate; PqDistortionSpec pins the contracts
+    * (ratio in [0,1]-ish, k = n distinct points → ~0 distortion,
+    * distortion monotone non-increasing in k).
+    *
+    * Returns one row per subspace (subspace, n, mse_per_dim,
+    * energy_per_dim, distortion_ratio) plus a (-1, …) overall row. */
+  def pqDistortion(emb: DataFrame, idCol: String, vecCol: String,
+                   m: Int, k: Int, seed: Long,
+                   scoreOut: Column => Column): DataFrame = {
+    val (encoded, codebooks) = fitPq(emb, idCol, vecCol, m, k, seed)
+    val sub = codebooks.head.head.length
+    val perSub = (0 until m).map { j =>
+      val cw = element_at(bookLit(codebooks(j)),
+        element_at(col("code"), j + 1) + 1)
+      val sl = slice(col("v"), j * sub + 1, sub)
+      struct(lit(j).as("subspace"),
+        aggregate(zip_with(sl, cw, (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _).as("se"),
+        aggregate(transform(sl, x => x * x), lit(0.0), _ + _).as("sxx"))
+    }
+    val el = encoded.select(explode(array(perSub: _*)).as("z"))
+      .select(col("z.subspace").as("subspace"), col("z.se").as("se"),
+        col("z.sxx").as("sxx"))
+    def report(df: DataFrame, tag: Column): DataFrame =
+      df.agg(count(lit(1)).as("n"), sum("se").as("tse"), sum("sxx").as("tsxx"))
+        .select(tag.as("subspace"), col("n"),
+          scoreOut(col("tse") / (col("n") * sub)).as("mse_per_dim"),
+          scoreOut(col("tsxx") / (col("n") * sub)).as("energy_per_dim"),
+          scoreOut(when(col("tsxx") > 0, col("tse") / col("tsxx"))
+            .otherwise(lit(0.0))).as("distortion_ratio"))
+    (0 until m).map(j => report(el.filter(col("subspace") === j), lit(j)))
+      .reduce(_ unionByName _)
+      .unionByName(report(el, lit(-1)))
+  }
+
+  /** Leave-one-out kNN classification eval over the labeled embedding
+    * table — "do these embeddings separate the labels", the
+    * representation-quality check that recall@k can't answer. Query set =
+    * the deterministic `idCol % sampleMod == 0` slice (bounded pair
+    * table: (n/sampleMod) × n, the q184 modulus contract; the query side
+    * broadcasts). Neighbors rank by the ROUNDED cosine with the neighbor
+    * id as tiebreak and the vote breaks ties toward the smaller label —
+    * the q133 determinism discipline, so any engine replays the same
+    * prediction.
+    *
+    * Returns per true label (label, n_queries, n_correct, accuracy) plus
+    * a (-1, …) overall row. */
+  def knnLabelEval(emb: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String, k: Int, sampleMod: Int,
+                   scoreOut: Column => Column): DataFrame = {
+    require(k >= 1 && k <= 64 && sampleMod >= 1, "bounded k and sampleMod")
+    VectorFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol), col(labelCol).as("lbl"),
+      toDouble(col(vecCol)).as("v"))
+    val q = e.filter(col(idCol) % sampleMod === 0)
+      .select(col(idCol).as("qid"), col("lbl").as("qlbl"),
+        col("v").as("qv"), normFast(col("v")).as("qn"))
+    val na = normFast(col("v"))
+    val wR = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+    val votes = e.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("cos_sim", scoreOut(
+        when(na > 0 && col("qn") > 0, dotFast(col("v"), col("qv")) / (na * col("qn")))
+          .otherwise(lit(0.0))))
+      .withColumn("rk", row_number().over(wR))
+      .filter(col("rk") <= k)
+      .groupBy("qid", "qlbl", "lbl")
+      .agg(count(lit(1)).as("nv"))
+    val wV = Window.partitionBy("qid")
+      .orderBy(col("nv").desc, col("lbl").asc)
+    val pred = votes
+      .withColumn("vr", row_number().over(wV))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("qlbl"),
+        (col("lbl") === col("qlbl")).cast("long").as("ok"))
+    def report(df: DataFrame, tag: Column): DataFrame =
+      df.groupBy(tag.as("label"))
+        .agg(count(lit(1)).as("n_queries"), sum("ok").as("n_correct"),
+          scoreOut(sum("ok").cast("double") / count(lit(1))).as("accuracy"))
+    report(pred, col("qlbl").cast("int"))
+      .unionByName(report(pred, lit(-1)))
+      .orderBy("label")
+  }
 }

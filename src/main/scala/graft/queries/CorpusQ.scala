@@ -719,6 +719,50 @@ object CorpusQ {
               |FROM documents d LEFT JOIN sc USING (doc_id)
               |ORDER BY d.doc_id""".stripMargin)),
 
+    // Jelinek-Mercer interpolated trigram-LM surprisal — the order-2
+    // extension of q116 toward a KenLM-grade perplexity filter:
+    // p(w3|w1w2) = 0.5*ML3 + 0.3*ML2 + 0.2*add-k unigram, self-scored
+    // (observed trigrams always have nonzero prefix counts).
+    "q217_trigram_surprisal" -> Q(
+      (s, d) => CorpusOps.trigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_trigrams"),
+          dec6(col("mean_surprisal")).as("mean_surprisal"))
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id,
+              |  string_split_regex(trim(text), '\\s+') AS t FROM documents),
+              |tg AS (SELECT doc_id, unnest(list_transform(
+              |  generate_series(1, greatest(len(t) - 2, 0)),
+              |  i -> struct_pack(w1 := t[i], w2 := t[i+1], w3 := t[i+2]))) AS g
+              |  FROM toks),
+              |tg2 AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM tg),
+              |c3 AS (SELECT w1, w2, w3, CAST(count(*) AS DOUBLE) AS c3
+              |  FROM tg2 GROUP BY 1, 2, 3),
+              |bg AS (SELECT doc_id, unnest(list_transform(
+              |  generate_series(1, greatest(len(t) - 1, 0)),
+              |  i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS g FROM toks),
+              |cb AS (SELECT g.w1 AS w1, g.w2 AS w2,
+              |  CAST(count(*) AS DOUBLE) AS cb FROM bg GROUP BY 1, 2),
+              |uni AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cu FROM
+              |  (SELECT unnest(t) AS tok FROM toks) WHERE tok IS NOT NULL
+              |  AND tok <> '' GROUP BY tok),
+              |nv AS (SELECT sum(cu) AS nn, CAST(count(*) AS DOUBLE) AS vsz
+              |  FROM uni),
+              |sc AS (SELECT doc_id, count(*) AS n_trigrams,
+              |  avg(-ln(0.5 * c3.c3 / p.cb + 0.3 * sfx.cb / u2.cu
+              |    + 0.2 * (u3.cu + 0.5) / (nv.nn + 0.5 * nv.vsz))) AS ms
+              |  FROM tg2
+              |  JOIN c3 USING (w1, w2, w3)
+              |  JOIN cb p ON p.w1 = tg2.w1 AND p.w2 = tg2.w2
+              |  JOIN cb sfx ON sfx.w1 = tg2.w2 AND sfx.w2 = tg2.w3
+              |  JOIN uni u2 ON u2.tok = tg2.w2
+              |  JOIN uni u3 ON u3.tok = tg2.w3, nv
+              |  GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+              |  ${r6("coalesce(sc.ms, 0.0)")} AS mean_surprisal
+              |FROM documents d LEFT JOIN sc USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin)),
+
     // Bloom-filtered decontamination — q80's scale path when the eval side
     // outgrows broadcast: eval grams collapse to ONE mergeable bloom filter
     // (order-independent OR-merge => deterministic bits), and the training

@@ -508,6 +508,52 @@ object LlmQ {
         DedupOps.blockingQuality(truth, cand, nDocs = docs.count(), scoreOut = dec6)
       }),
 
+    // PQ reconstruction-distortion report: per-subspace MSE vs slice
+    // energy for the q105 codebook budget (m=8, k=16) — the storage-side
+    // quality denominator next to q153's recall. Codebook-specific →
+    // rows-only; PqDistortionSpec pins the contracts.
+    "q218_pq_distortion" -> Q(
+      (s, d) => SimilarityOps.pqDistortion(Tables.embeddings(s, d),
+        "vec_id", "embedding", m = 8, k = 16, seed = 11L, scoreOut = dec6)),
+
+    // Leave-one-out kNN label eval on the vec_id % 10 query slice:
+    // does cosine neighborhood structure predict the label? Per-label
+    // accuracy + overall row; rounded-cosine ranks and smallest-label
+    // vote ties keep both engines' predictions identical.
+    "q220_knn_label_eval" -> Q(
+      (s, d) => SimilarityOps.knnLabelEval(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label", k = 5, sampleMod = 10, scoreOut = dec6),
+      Some(s"""WITH e AS (SELECT vec_id, label,
+              |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |  FROM embeddings),
+              |nrm AS (SELECT vec_id, label, v,
+              |  sqrt(list_reduce(list_prepend(0.0, list_transform(v, y -> y * y)),
+              |    (acc, y) -> acc + y)) AS nv FROM e),
+              |q AS (SELECT vec_id AS qid, label AS qlbl, v AS qv, nv AS qn
+              |  FROM nrm WHERE vec_id % 10 = 0),
+              |p AS (SELECT q.qid, q.qlbl, nrm.vec_id, nrm.label,
+              |  ${r6(s"""CASE WHEN nrm.nv > 0 AND q.qn > 0 THEN
+              |    list_reduce(list_prepend(0.0, list_transform(
+              |      generate_series(1, len(nrm.v)), i -> nrm.v[i] * q.qv[i])),
+              |      (acc, y) -> acc + y) / (nrm.nv * q.qn) ELSE 0.0 END""")} AS cs
+              |  FROM nrm JOIN q ON nrm.vec_id <> q.qid),
+              |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+              |    ORDER BY cs DESC, vec_id) AS r FROM p),
+              |votes AS (SELECT qid, qlbl, label, count(*) AS nv
+              |  FROM rk WHERE r <= 5 GROUP BY 1, 2, 3),
+              |pred AS (SELECT qid, qlbl, label, row_number() OVER (
+              |    PARTITION BY qid ORDER BY nv DESC, label) AS vr FROM votes),
+              |ok AS (SELECT qid, qlbl, CAST(label = qlbl AS BIGINT) AS ok
+              |  FROM pred WHERE vr = 1)
+              |SELECT CAST(qlbl AS INT) AS label, count(*) AS n_queries,
+              |  CAST(sum(ok) AS BIGINT) AS n_correct,
+              |  ${r6("CAST(sum(ok) AS DOUBLE) / count(*)")} AS accuracy
+              |FROM ok GROUP BY 1
+              |UNION ALL
+              |SELECT -1, count(*), CAST(sum(ok) AS BIGINT),
+              |  ${r6("CAST(sum(ok) AS DOUBLE) / count(*)")} FROM ok
+              |ORDER BY label""".stripMargin)),
+
     // Tokenizer fertility per language: chars-per-token and tokens-per-doc
     // by lang — the budget-planning numbers behind "how many training
     // tokens does this corpus slice actually buy"; languages whose

@@ -129,6 +129,8 @@ class GlobalWindowLintSpec extends SparkSpec {
     "q147_triplet_mine" -> "bounded anchor set broadcast",
     "q183_matryoshka" -> "single query vector broadcast per dim budget (≤4)",
     "q184_sample_diversity" -> "pair table bounded by the sampling modulus (scaladoc'd)",
+    "q220_knn_label_eval" ->
+      "broadcast side is the vec_id % sampleMod query slice: pair table bounded by the modulus (the q184 contract)",
     "q73_kiln_label" -> "interval side of the J3/J4 range join: maintenance-log-sized",
     "q75_training_matrix" -> "interval side of the range join: maintenance-log-sized"
   )
