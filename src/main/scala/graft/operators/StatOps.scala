@@ -451,4 +451,39 @@ object StatOps {
         scoreOut(col("nt") * (col("p_obs") - col("p_benford")) *
           (col("p_obs") - col("p_benford")) / col("p_benford")).as("chi2_term"))
   }
+
+  /** Precision/recall sweep of a continuous score against a binary label —
+    * the classifier-calibration harness behind "where do we cut the
+    * quality score": one row per threshold with precision, recall and F1
+    * of `score >= threshold` as the positive prediction. The threshold
+    * axis explodes from a literal array (bounded, ≤ 1024), so the cost is
+    * one scan + a thresholds-keyed map-side-combinable aggregate; no
+    * per-threshold rescan, no sort.
+    *
+    * Returns (threshold, n, n_pos, n_pred_pos, tp, precision, recall, f1);
+    * precision is null when nothing is predicted positive. */
+  def prCurve(scored: DataFrame, scoreCol: String, labelCol: String,
+              thresholds: Seq[Double],
+              scoreOut: Column => Column): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.size <= 1024,
+      s"threshold sweep must be bounded, got ${thresholds.size}")
+    val base = scored.select(col(scoreCol).cast("double").as("__s"),
+      col(labelCol).cast("long").as("__y"))
+    val agged = base
+      .select(col("__s"), col("__y"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"),
+        sum((col("__s") >= col("threshold")).cast("long")).as("n_pred_pos"),
+        sum(((col("__s") >= col("threshold")).cast("long") * col("__y")))
+          .as("tp"))
+    val p = col("tp").cast("double") / col("n_pred_pos")
+    val r = col("tp").cast("double") / col("n_pos")
+    agged.select(col("threshold"), col("n"), col("n_pos"), col("n_pred_pos"),
+      col("tp"),
+      scoreOut(when(col("n_pred_pos") > 0, p)).as("precision"),
+      scoreOut(when(col("n_pos") > 0, r)).as("recall"),
+      scoreOut(when(col("n_pred_pos") > 0 && col("n_pos") > 0 && (p + r) > 0,
+        lit(2.0) * p * r / (p + r))).as("f1"))
+  }
 }

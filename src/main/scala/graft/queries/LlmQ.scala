@@ -508,6 +508,61 @@ object LlmQ {
         DedupOps.blockingQuality(truth, cand, nDocs = docs.count(), scoreOut = dec6)
       }),
 
+    // Quality-score calibration: PR sweep of the q51 stopword/length
+    // quality score against q69's Gopher-repetition keep flag as the weak
+    // label — "where to cut" answered with measured precision/recall per
+    // threshold instead of a folklore constant. One scan + a 10-threshold
+    // keyed aggregate.
+    "q221_quality_pr_curve" -> Q(
+      (s, d) => {
+        val stop = Seq("a", "the", "and", "of", "in", "to")
+        val docs = Tables.documents(s, d)
+          .withColumn("t", TextOps.tokens(col("text")))
+        val ratio = TextOps.markerCount(col("t"), stop) / size(col("t"))
+        val scored = docs.select(
+          (least(lit(1.0), size(col("t")) / lit(200.0)) * (lit(1.0) - ratio))
+            .as("quality"),
+          (dec6(TextOps.topTokenFrac(col("t"))) <= 0.2 &&
+            dec6(TextOps.dupBigramFrac(col("t"))) <= 0.3).cast("long").as("keep"))
+        graft.operators.StatOps.prCurve(scored, "quality", "keep",
+            thresholds = (0 to 9).map(_ / 10.0), scoreOut = dec6)
+          .orderBy("threshold")
+      },
+      Some(s"""WITH $sqlToks,
+              |x AS (SELECT doc_id, t,
+              |  CAST(len(list_filter(t, y -> list_contains(
+              |    ['a', 'the', 'and', 'of', 'in', 'to'], y))) AS DOUBLE)
+              |    / len(t) AS ratio,
+              |  CASE WHEN len(t) > 0 THEN
+              |    CAST(list_max(list_transform(list_distinct(t),
+              |      x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t)
+              |  END AS tf,
+              |  CASE WHEN len(t) > 1 THEN
+              |    1.0 - CAST(len(list_distinct(list_transform(
+              |      generate_series(1, len(t) - 1),
+              |      i -> concat_ws(' ', t[i], t[i+1])))) AS DOUBLE) / (len(t) - 1)
+              |  ELSE 0.0 END AS dg
+              |  FROM toks),
+              |scored AS (SELECT
+              |  least(1.0, len(t) / 200.0) * (1.0 - ratio) AS s,
+              |  CAST(${r6("tf")} <= 0.2 AND ${r6("dg")} <= 0.3 AS BIGINT) AS y
+              |  FROM x),
+              |sweep AS (SELECT s, y, th / 10.0 AS threshold
+              |  FROM scored, LATERAL (SELECT unnest(generate_series(0, 9)) AS th)),
+              |ag AS (SELECT threshold, count(*) AS n,
+              |  CAST(sum(y) AS BIGINT) AS n_pos,
+              |  CAST(sum(CAST(s >= threshold AS INT)) AS BIGINT) AS n_pred_pos,
+              |  CAST(sum(CAST(s >= threshold AS INT) * y) AS BIGINT) AS tp
+              |  FROM sweep GROUP BY threshold)
+              |SELECT threshold, n, n_pos, n_pred_pos, tp,
+              |  ${r6("CASE WHEN n_pred_pos > 0 THEN CAST(tp AS DOUBLE) / n_pred_pos END")} AS precision,
+              |  ${r6("CASE WHEN n_pos > 0 THEN CAST(tp AS DOUBLE) / n_pos END")} AS recall,
+              |  ${r6("""CASE WHEN n_pred_pos > 0 AND n_pos > 0
+              |    AND CAST(tp AS DOUBLE) / n_pred_pos + CAST(tp AS DOUBLE) / n_pos > 0
+              |  THEN 2.0 * (CAST(tp AS DOUBLE) / n_pred_pos) * (CAST(tp AS DOUBLE) / n_pos)
+              |    / (CAST(tp AS DOUBLE) / n_pred_pos + CAST(tp AS DOUBLE) / n_pos) END""")} AS f1
+              |FROM ag ORDER BY threshold""".stripMargin)),
+
     // PQ reconstruction-distortion report: per-subspace MSE vs slice
     // energy for the q105 codebook budget (m=8, k=16) — the storage-side
     // quality denominator next to q153's recall. Codebook-specific →
