@@ -1115,6 +1115,54 @@ object ExtrasQ {
               |  ${r6("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur_state)")} AS p
               |FROM p ORDER BY cur_state, next_state""".stripMargin)),
 
+    // Next-event prediction accuracy of the q146 Markov model, evaluated
+    // on its own transitions: predicted next = argmax p per current state
+    // (ties -> lexicographically smallest), accuracy = the probability
+    // mass the argmax captures. The whole eval runs on the transition
+    // MATRIX (states^2 rows), never rescanning events.
+    "q222_markov_accuracy" -> Q(
+      (s, d) => {
+        val m = graft.operators.EventOps.markovTransitions(
+          Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+          scoreOut = identity)
+        val wS = Window.partitionBy("cur_state")
+          .orderBy(col("n").desc, col("next_state").asc)
+        val pred = m.withColumn("rk", row_number().over(wS))
+        val per = pred.groupBy("cur_state")
+          .agg(sum("n").as("n_total"),
+            max(when(col("rk") === 1, col("next_state"))).as("predicted"),
+            sum(when(col("rk") === 1, col("n")).otherwise(lit(0L))).as("n_correct"))
+          .select(col("cur_state"), col("predicted"), col("n_total"),
+            col("n_correct"),
+            dec6(col("n_correct").cast("double") / col("n_total")).as("accuracy"))
+        val overall = per.agg(sum("n_total").as("n_total"),
+            sum("n_correct").as("n_correct"))
+          .select(lit("__all__").as("cur_state"), lit(null).cast("string").as("predicted"),
+            col("n_total"), col("n_correct"),
+            dec6(col("n_correct").cast("double") / col("n_total")).as("accuracy"))
+        per.unionByName(overall).orderBy("cur_state")
+      },
+      Some(s"""WITH x AS (SELECT event_type AS cur_state,
+              |  lead(event_type) OVER (PARTITION BY user_id
+              |    ORDER BY ts, event_id) AS next_state FROM events),
+              |p AS (SELECT cur_state, next_state, count(*) AS n FROM x
+              |  WHERE next_state IS NOT NULL GROUP BY 1, 2),
+              |rk AS (SELECT *, row_number() OVER (PARTITION BY cur_state
+              |    ORDER BY n DESC, next_state) AS r FROM p),
+              |per AS (SELECT cur_state,
+              |  max(CASE WHEN r = 1 THEN next_state END) AS predicted,
+              |  CAST(sum(n) AS BIGINT) AS n_total,
+              |  CAST(sum(CASE WHEN r = 1 THEN n ELSE 0 END) AS BIGINT) AS n_correct
+              |  FROM rk GROUP BY cur_state)
+              |SELECT cur_state, predicted, n_total, n_correct,
+              |  ${r6("CAST(n_correct AS DOUBLE) / n_total")} AS accuracy
+              |FROM per
+              |UNION ALL
+              |SELECT '__all__', NULL, CAST(sum(n_total) AS BIGINT),
+              |  CAST(sum(n_correct) AS BIGINT),
+              |  ${r6("CAST(sum(n_correct) AS DOUBLE) / sum(n_total)")}
+              |FROM per ORDER BY cur_state""".stripMargin)),
+
     // STL-lite classical decomposition per event-type series: centered
     // 25h rolling-mean trend, zero-centered hour-of-day seasonal,
     // residual — the detrended/deseasonalized anomaly input. Every window

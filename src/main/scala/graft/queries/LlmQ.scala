@@ -609,6 +609,74 @@ object LlmQ {
               |  ${r6("CAST(sum(ok) AS DOUBLE) / count(*)")} FROM ok
               |ORDER BY label""".stripMargin)),
 
+    // Embedding snapshot drift: per label (and overall, label -1), the
+    // cosine between the two snapshot halves' centroids and the L2
+    // centroid shift — the "did the new encoder move the space" check
+    // run before swapping an embedding index. vec_id parity stands in for
+    // the two snapshots; centroids are elementwise means assembled from
+    // one posexplode + (label, half, dim)-keyed aggregate (map-side
+    // combinable; dims x labels x 2 rows, never vector-count-sized
+    // state).
+    "q224_embedding_drift" -> Q(
+      (s, d) => {
+        val base = Tables.embeddings(s, d).select(col("label"),
+          SimilarityOps.toDouble(col("embedding")).as("v"),
+          (col("vec_id") % 2).cast("int").as("half"))
+        val e = base.unionByName(base.withColumn("label", lit(-1)))
+        val el = e.select(col("label"), col("half"),
+            posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy("label", "half", "i").agg(avg("x").as("m"))
+        val cent = el.groupBy("label", "half")
+          .agg(sort_array(collect_list(struct(col("i"), col("m"))))
+            .getField("m").as("c"))
+        val counts = e.groupBy("label", "half").agg(count(lit(1)).as("n"))
+        val a = cent.filter(col("half") === 0)
+          .join(counts.filter(col("half") === 0), Seq("label", "half"))
+          .select(col("label"), col("c").as("ca"), col("n").as("n_a"))
+        val b = cent.filter(col("half") === 1)
+          .join(counts.filter(col("half") === 1), Seq("label", "half"))
+          .select(col("label"), col("c").as("cb"), col("n").as("n_b"))
+        val dot = SimilarityOps.dot(col("ca"), col("cb"))
+        val l2 = sqrt(aggregate(zip_with(col("ca"), col("cb"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+        a.join(b, Seq("label"))
+          .select(col("label"), col("n_a"), col("n_b"),
+            dec6(dot / (SimilarityOps.norm(col("ca")) *
+              SimilarityOps.norm(col("cb")))).as("centroid_cos"),
+            dec6(l2).as("l2_shift"))
+          .orderBy("label")
+      },
+      Some(s"""WITH e0 AS (SELECT label, CAST(vec_id % 2 AS INT) AS half,
+              |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |  FROM embeddings),
+              |e AS (SELECT * FROM e0
+              |  UNION ALL SELECT -1 AS label, half, v FROM e0),
+              |el AS (SELECT label, half, s.i, avg(v[s.i]) AS m
+              |  FROM e, (SELECT unnest(generate_series(1, 64)) AS i) s
+              |  GROUP BY 1, 2, 3),
+              |cent AS (SELECT label, half, list(m ORDER BY i) AS c
+              |  FROM el GROUP BY 1, 2),
+              |cnt AS (SELECT label, half, count(*) AS n FROM e GROUP BY 1, 2),
+              |a AS (SELECT cent.label, c AS ca, n AS n_a FROM cent
+              |  JOIN cnt USING (label, half) WHERE half = 0),
+              |b AS (SELECT cent.label, c AS cb, n AS n_b FROM cent
+              |  JOIN cnt USING (label, half) WHERE half = 1),
+              |x AS (SELECT label, n_a, n_b,
+              |  list_reduce(list_prepend(0.0, list_transform(
+              |    generate_series(1, 64), i -> ca[i] * cb[i])),
+              |    (acc, y) -> acc + y) AS dd,
+              |  sqrt(list_reduce(list_prepend(0.0, list_transform(ca, y -> y * y)),
+              |    (acc, y) -> acc + y)) AS na,
+              |  sqrt(list_reduce(list_prepend(0.0, list_transform(cb, y -> y * y)),
+              |    (acc, y) -> acc + y)) AS nb,
+              |  sqrt(list_reduce(list_prepend(0.0, list_transform(
+              |    generate_series(1, 64), i -> (ca[i] - cb[i]) * (ca[i] - cb[i]))),
+              |    (acc, y) -> acc + y)) AS l2
+              |  FROM a JOIN b USING (label))
+              |SELECT label, n_a, n_b, ${r6("dd / (na * nb)")} AS centroid_cos,
+              |  ${r6("l2")} AS l2_shift
+              |FROM x ORDER BY label""".stripMargin)),
+
     // Tokenizer fertility per language: chars-per-token and tokens-per-doc
     // by lang — the budget-planning numbers behind "how many training
     // tokens does this corpus slice actually buy"; languages whose

@@ -366,6 +366,48 @@ object Relational {
               |GROUP BY ROLLUP (r_name, n_name)
               |ORDER BY gid, region, nation""".stripMargin)),
 
+    // TPC-H Q5-shaped local-supplier volume: revenue per nation where the
+    // ordering customer and the line's supplier sit in the SAME nation,
+    // one region, one order-year — the five-way join whose shape is the
+    // scale story: lineitem (the only big table) joins orders/customer on
+    // shuffled keys while supplier/nation/region ride broadcasts, and the
+    // same-nation predicate prunes before aggregation.
+    "q223_local_volume" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val c = Tables.customer(s, d)
+        val su = Tables.supplier(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(count(lit(1)).as("n_lines"),
+            dec4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("revenue"))
+          .orderBy(col("revenue").desc, col("nation"))
+      },
+      Some(s"""SELECT n_name AS nation, count(*) AS n_lines,
+              |  ${Q.r4("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |  AND c_nationkey = s_nationkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA'
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+              |  AND o_orderdate < TIMESTAMP '1997-01-01'
+              |GROUP BY n_name ORDER BY revenue DESC, nation""".stripMargin)),
+
     // Long-form one-scan data profile of lineitem — the describe/Deequ
     // report (one row per column: nulls, distinct, min/max/mean). The
     // oracle is GENERATED from the same column list so both sides can
