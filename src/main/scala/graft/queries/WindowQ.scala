@@ -381,6 +381,36 @@ object WindowQ {
           col("residual"), coalesce(col("is_anom"), lit(0)).as("is_anom"))
         .orderBy("ts", "event_type")),
 
+    // Forecast backtest: one-step-ahead MAE of the q215 Holt-Winters fit
+    // vs the seasonal-naive baseline (x_{t-24}) per series, with the
+    // skill score 1 - MAE_hw/MAE_naive — the model-selection number that
+    // decides whether triple smoothing earns its state (Hyndman's rule:
+    // never report a forecast without its naive skill). Evaluated on the
+    // rows where both forecasts exist; rows-only (HW is fold-recursive),
+    // recursion itself pinned by HoltWintersSpec.
+    "q225_forecast_backtest" -> Q(
+      (s, d) => {
+        val g = series(s, d).filter(col("v").isNotNull)
+        val hw = graft.operators.SeasonalOps.holtWinters(g, "event_type",
+            "ts", "v", m = 24, alpha = 0.3, beta = 0.05, gamma = 0.2,
+            zCut = 3.0, scoreOut = identity)
+          .select(col("event_type"), col("ts"), col("x"), col("fitted"))
+        val wS = Window.partitionBy("event_type").orderBy("ts")
+        val naive = g.withColumn("naive", lag("v", 24).over(wS))
+          .select(col("event_type"), col("ts"), col("naive"))
+        hw.join(naive, Seq("event_type", "ts"))
+          .filter(col("fitted").isNotNull && col("naive").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            avg(abs(col("x") - col("fitted"))).as("mae_hw"),
+            avg(abs(col("x") - col("naive"))).as("mae_naive"))
+          .select(col("event_type"), col("n"),
+            dec6(col("mae_hw")).as("mae_hw"),
+            dec6(col("mae_naive")).as("mae_naive"),
+            dec6(lit(1.0) - col("mae_hw") / col("mae_naive")).as("skill"))
+          .orderBy("event_type")
+      }),
+
     // A4: horizontal (row-wise) aggregates over the wide aligned matrix —
     // `all_zones_avg`, `greatest`, count-above-threshold
     // (`pre_processing.py:1140-1144,1302-1319`).

@@ -105,7 +105,8 @@ class GlobalWindowLintSpec extends SparkSpec {
     "q36_anomaly_zscore", "q37_drift", "q38_zscore_spread", "q40_savgol",
     "q210_savgol_interp", "q44_impute", "q70_early_warning",
     "q97_rolling_median", "q107_subseq_search", "q108_sax_words",
-    "q109_sax_motifs", "q214_ewma", "q215_holt_winters")
+    "q109_sax_motifs", "q214_ewma", "q215_holt_winters",
+    "q225_forecast_backtest")
 
   private val allowBnlj: Map[String, String] =
     seriesGridQueries.map(_ -> seriesGridBound).toMap ++ Map(
