@@ -27,6 +27,27 @@ object SkewOps {
       .agg(aggs.head.combine, aggs.tail.map(_.combine): _*)
   }
 
+  /** Salted equi-join for hot keys: the BIG side takes a deterministic
+    * per-row salt (hash of the whole row id stream, mod nSalts) and the
+    * SMALL-but-unbroadcastable side replicates ×nSalts via one explode, so
+    * a key holding 20% of the big table spreads over nSalts reducers
+    * instead of melting one. Exact for inner joins on `keys` (every big
+    * row meets every matching small row exactly once — at its own salt).
+    * Use when AQE's skew split can't apply: the skew is in the JOIN KEY
+    * population itself and the small side is too big to broadcast but
+    * cheap to replicate (dimension tables in the 10s-100s of MB). Costs
+    * nSalts× the small side's shuffle volume — size nSalts to the skew
+    * factor, not higher. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 nSalts: Int): DataFrame = {
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
+    val b = big.withColumn("__salt",
+      pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(nSalts)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    b.join(s, keys :+ "__salt").drop("__salt")
+  }
+
   /** One salted aggregate: a partial stage expression and its combiner. */
   case class SaltedAgg(partial: Column, combine: Column)
 

@@ -508,6 +508,85 @@ object LlmQ {
         DedupOps.blockingQuality(truth, cand, nDocs = docs.count(), scoreOut = dec6)
       }),
 
+    // Exact-dedup impact report: duplicate-group-size histogram with the
+    // docs/chars a dedup pass would drop per size — the "what does dedup
+    // buy us" number that decides whether the near-dup pass is even worth
+    // its shuffle. Rides q54's fingerprint grouping; one extra aggregate.
+    "q226_dedup_impact" -> Q(
+      (s, d) => DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text")
+        .groupBy(col("group_size"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_duplicate").cast("long")).as("n_dups"),
+          sum(when(col("is_duplicate") === 1, length(col("text")).cast("long"))
+            .otherwise(lit(0L))).as("chars_dropped"))
+        .withColumn("n_groups",
+          (col("n_docs") / col("group_size")).cast("long"))
+        .orderBy("group_size"),
+      Some("""WITH f AS (SELECT doc_id, length(text) AS c,
+             |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+             |  FROM documents),
+             |g AS (SELECT fp, count(*) AS gs, min(doc_id) AS canon
+             |  FROM f GROUP BY fp),
+             |x AS (SELECT f.doc_id, f.c, g.gs,
+             |  CAST(f.doc_id <> g.canon AS INT) AS dup
+             |  FROM f JOIN g USING (fp))
+             |SELECT gs AS group_size, count(*) AS n_docs,
+             |  CAST(sum(dup) AS BIGINT) AS n_dups,
+             |  CAST(sum(dup * c) AS BIGINT) AS chars_dropped,
+             |  CAST(count(*) / gs AS BIGINT) AS n_groups
+             |FROM x GROUP BY gs ORDER BY group_size""".stripMargin)),
+
+    // Calibration (reliability) curve for the q51 quality score against
+    // the q69 repetition keep label: per score decile, predicted-vs-
+    // observed rate and the |gap| whose n-weighted sum is the ECE — the
+    // companion diagnostic to q221's PR sweep (a score can rank well and
+    // still be miscalibrated).
+    "q228_calibration" -> Q(
+      (s, d) => {
+        val stop = Seq("a", "the", "and", "of", "in", "to")
+        val docs = Tables.documents(s, d)
+          .withColumn("t", TextOps.tokens(col("text")))
+        val ratio = TextOps.markerCount(col("t"), stop) / size(col("t"))
+        val scored = docs.select(
+          (least(lit(1.0), size(col("t")) / lit(200.0)) * (lit(1.0) - ratio))
+            .as("q"),
+          (dec6(TextOps.topTokenFrac(col("t"))) <= 0.2 &&
+            dec6(TextOps.dupBigramFrac(col("t"))) <= 0.3)
+            .cast("long").as("keep"))
+        scored
+          .withColumn("bucket", least(floor(col("q") * 10).cast("int"), lit(9)))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            dec6(avg("q")).as("mean_score"),
+            dec6(avg(col("keep").cast("double"))).as("obs_rate"),
+            dec6(abs(avg("q") - avg(col("keep").cast("double")))).as("abs_gap"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH $sqlToks,
+              |x AS (SELECT doc_id, t,
+              |  CAST(len(list_filter(t, y -> list_contains(
+              |    ['a', 'the', 'and', 'of', 'in', 'to'], y))) AS DOUBLE)
+              |    / len(t) AS ratio,
+              |  CASE WHEN len(t) > 0 THEN
+              |    CAST(list_max(list_transform(list_distinct(t),
+              |      x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t)
+              |  END AS tf,
+              |  CASE WHEN len(t) > 1 THEN
+              |    1.0 - CAST(len(list_distinct(list_transform(
+              |      generate_series(1, len(t) - 1),
+              |      i -> concat_ws(' ', t[i], t[i+1])))) AS DOUBLE) / (len(t) - 1)
+              |  ELSE 0.0 END AS dg
+              |  FROM toks),
+              |scored AS (SELECT
+              |  least(1.0, len(t) / 200.0) * (1.0 - ratio) AS q,
+              |  CAST(${r6("tf")} <= 0.2 AND ${r6("dg")} <= 0.3 AS BIGINT) AS keep
+              |  FROM x)
+              |SELECT least(CAST(floor(q * 10) AS INT), 9) AS bucket,
+              |  count(*) AS n, ${r6("avg(q)")} AS mean_score,
+              |  ${r6("avg(CAST(keep AS DOUBLE))")} AS obs_rate,
+              |  ${r6("abs(avg(q) - avg(CAST(keep AS DOUBLE)))")} AS abs_gap
+              |FROM scored GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // Quality-score calibration: PR sweep of the q51 stopword/length
     // quality score against q69's Gopher-repetition keep flag as the weak
     // label — "where to cut" answered with measured precision/recall per

@@ -31,6 +31,28 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(salted.count() == direct.count())
   }
 
+  test("salted join is exact vs the direct equi-join on a skewed key") {
+    import spark.implicits._
+    // hot key 7 owns ~99% of the big side — the manual complement of the
+    // AQE skew-split test below, for when the medium side can't broadcast
+    val big = spark.range(0, 20000).select(
+      when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id") % 50).as("k"),
+      col("id").as("v"))
+    val small = spark.range(0, 50).select(col("id").as("k"), (col("id") * 3).as("w"))
+    val salted = SkewOps.saltedJoin(big, small, Seq("k"), nSalts = 8)
+    val direct = big.join(small, Seq("k"))
+    assert(salted.count() == direct.count())
+    val sAgg = salted.groupBy("k").agg(sum("v").as("sv"), sum("w").as("sw"))
+    val dAgg = direct.groupBy("k").agg(sum("v").as("sv"), sum("w").as("sw"))
+    assert(sAgg.exceptAll(dAgg).isEmpty && dAgg.exceptAll(sAgg).isEmpty,
+      "salted join must be exactly the direct join")
+    // the small side replicated x8: its scan feeds an explode, and the join
+    // keys on (k, salt) so the hot key spreads over 8 reducers
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt") || plan.contains("Generate"),
+      s"salt column must reach the join:\n${plan.take(800)}")
+  }
+
   test("observe() metrics ride the cleaning pass with no second job") {
     // data-quality telemetry at 100 TB must free-ride on the pass itself —
     // a separate count() pass re-reads the corpus. Dataset.observe attaches
