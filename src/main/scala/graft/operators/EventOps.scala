@@ -719,4 +719,46 @@ object EventOps {
       .select(col(seriesCol), col("gap_start"), col("gap_end"),
         scoreOut(col("gap_hours")).as("gap_hours"))
   }
+
+  /** Linear (even-split) multi-touch attribution: every conversion's
+    * value splits EQUALLY across the touch events (non-conversion rows)
+    * between the previous conversion and it — the fairness counterpart to
+    * [[lastTouchAttribution]], and the two bracket any position-weighted
+    * scheme. Touch→conversion assignment is join-free: a REVERSE running
+    * count of conversions per user gives every row the index of its next
+    * conversion (same index ⇒ same attribution group), then one more
+    * window over (user, group) — hash(user) already satisfies the
+    * (user, group) clustering, so the second window adds a sort but NO
+    * second exchange. Conversions with no prior touches keep their full
+    * value in the "(none)" bucket, so revenue is conserved exactly.
+    *
+    * Returns (channel, n_touches, revenue) — Σ revenue = Σ conversion
+    * value. */
+  def linearAttribution(events: DataFrame, userCol: String, tsCol: String,
+                        tiebreakCol: String, typeCol: String,
+                        valueCol: String, conversionType: String,
+                        scoreOut: Column => Column): DataFrame = {
+    val isConv = (col(typeCol) === conversionType).cast("long")
+    val revOrd = Window.partitionBy(userCol)
+      .orderBy(col(tsCol).desc, col(tiebreakCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grouped = events
+      .select(col(userCol), col(tsCol), col(tiebreakCol), col(typeCol),
+        col(valueCol).cast("double").as("__v"))
+      .withColumn("__grp", sum(isConv).over(revOrd))
+      .filter(col("__grp") > 0) // touches after the last conversion: no credit
+    val wG = Window.partitionBy(col(userCol), col("__grp"))
+    val credited = grouped
+      .withColumn("__cv", max(when(isConv === 1, col("__v"))).over(wG))
+      .withColumn("__nt", sum(lit(1L) - isConv).over(wG))
+    credited
+      .select(
+        when(isConv === 0, col(typeCol)).otherwise(lit("(none)")).as("channel"),
+        when(isConv === 0, col("__cv") / col("__nt"))
+          .when(col("__nt") === 0, col("__v")).as("__credit"))
+      .filter(col("__credit").isNotNull)
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        scoreOut(sum("__credit")).as("revenue"))
+  }
 }

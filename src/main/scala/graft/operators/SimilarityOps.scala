@@ -1093,4 +1093,40 @@ object SimilarityOps {
       .unionByName(report(pred, lit(-1)))
       .orderBy("label")
   }
+
+  /** Grid-density outlier detection over a low-dim projection of the
+    * embedding space: bin each point into a hypercube cell of side `h`
+    * on `dims` leading coordinates, count per cell, and flag points in
+    * cells holding fewer than `minPts` neighbors — DBSCAN's density
+    * intuition without its pairwise radius search. The per-cell count is
+    * one groupBy-sized aggregate and the flag is a count window keyed by
+    * the SAME cell id (one exchange total); nothing ever compares point
+    * pairs, so the operator is a two-pass linear scan at any corpus size.
+    * Flag quality depends on h tracking the data scale (the classic grid
+    * caveat); points on a cell edge belong to exactly one cell, so the
+    * flag is deterministic.
+    *
+    * Returns per label: (label, n_points, n_outliers, outlier_rate,
+    * n_cells). */
+  def gridDensityOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                          labelCol: String, dims: Int, h: Double,
+                          minPts: Int,
+                          scoreOut: Column => Column): DataFrame = {
+    require(dims >= 1 && h > 0 && minPts >= 1,
+      s"bad grid params: dims=$dims h=$h minPts=$minPts")
+    val cell = concat_ws(",", (1 to dims).map(i =>
+      floor(element_at(col(vecCol), i).cast("double") / lit(h))
+        .cast("long").cast("string")): _*)
+    val binned = emb.select(col(idCol), col(labelCol), cell.as("__cell"))
+    val wC = Window.partitionBy("__cell")
+    binned
+      .withColumn("__n_cell", count(lit(1)).over(wC))
+      .groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_points"),
+        sum((col("__n_cell") < minPts).cast("long")).as("n_outliers"),
+        scoreOut(avg((col("__n_cell") < minPts).cast("double")))
+          .as("outlier_rate"),
+        countDistinct(col("__cell")).as("n_cells"))
+      .orderBy("label")
+  }
 }

@@ -486,4 +486,34 @@ object StatOps {
       scoreOut(when(col("n_pred_pos") > 0 && col("n_pos") > 0 && (p + r) > 0,
         lit(2.0) * p * r / (p + r))).as("f1"))
   }
+
+  /** Cohen's kappa between two binary labelers — chance-corrected
+    * agreement, the number that decides whether two cheap quality
+    * heuristics are independent signals or the same signal twice (two
+    * filters with κ ≈ 1 are redundant; κ ≈ 0 means composing them
+    * actually tightens the corpus). po = observed agreement, pe = chance
+    * agreement from the marginals, κ = (po − pe)/(1 − pe). ONE map-side
+    * combinable aggregate over the labeled frame — four counters — so the
+    * operator costs exactly one scan at any corpus size.
+    *
+    * Returns one row: (n, p_a, p_b, po, pe, kappa). */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String,
+                  scoreOut: Column => Column): DataFrame = {
+    val a = col(aCol).cast("double")
+    val b = col(bCol).cast("double")
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      avg(a).as("__pa"),
+      avg(b).as("__pb"),
+      avg((a === b).cast("double")).as("__po"))
+    val pe = col("__pa") * col("__pb") +
+      (lit(1.0) - col("__pa")) * (lit(1.0) - col("__pb"))
+    agg.select(col("n"),
+      scoreOut(col("__pa")).as("p_a"),
+      scoreOut(col("__pb")).as("p_b"),
+      scoreOut(col("__po")).as("po"),
+      scoreOut(pe).as("pe"),
+      scoreOut(when(pe < 1.0, (col("__po") - pe) / (lit(1.0) - pe)))
+        .as("kappa"))
+  }
 }

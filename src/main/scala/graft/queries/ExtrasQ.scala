@@ -296,6 +296,66 @@ object ExtrasQ {
               |FROM t WHERE event_type = 'purchase'
               |GROUP BY 1 ORDER BY channel""".stripMargin)),
 
+    // Linear multi-touch attribution: each purchase's value split equally
+    // across the touches since the previous purchase — q216's fairness
+    // counterpart; the two bracket any position-weighted scheme. Revenue
+    // is conserved (the "(none)" bucket keeps untouched conversions).
+    "q229_linear_touch" -> Q(
+      (s, d) => graft.operators.EventOps.linearAttribution(
+          Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+          "value", conversionType = "purchase", scoreOut = dec6)
+        .orderBy("channel"),
+      Some(s"""WITH e AS (SELECT user_id, ts, event_id, event_type,
+              |  CAST(value AS DOUBLE) AS v,
+              |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isc
+              |  FROM events),
+              |g AS (SELECT *, sum(isc) OVER (PARTITION BY user_id
+              |    ORDER BY ts DESC, event_id DESC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+              |  FROM e),
+              |f AS (SELECT * FROM g WHERE grp > 0),
+              |w AS (SELECT *,
+              |  max(CASE WHEN isc = 1 THEN v END)
+              |    OVER (PARTITION BY user_id, grp) AS cv,
+              |  sum(1 - isc) OVER (PARTITION BY user_id, grp) AS nt FROM f),
+              |c AS (SELECT
+              |  CASE WHEN isc = 0 THEN event_type ELSE '(none)' END AS channel,
+              |  CASE WHEN isc = 0 THEN cv / nt
+              |       WHEN nt = 0 THEN v END AS credit FROM w)
+              |SELECT channel, count(*) AS n_touches,
+              |  ${r6("sum(credit)")} AS revenue
+              |FROM c WHERE credit IS NOT NULL
+              |GROUP BY 1 ORDER BY channel""".stripMargin)),
+
+    // SCD2 as-of reconstruction: the per-user dimension state at one
+    // instant, recovered from q145's [valid_from, valid_to) intervals —
+    // the read side of slowly-changing dimensions ("what did the table
+    // look like on Jan 15"), and the batch twin of time-travel reads.
+    // The interval predicate prunes to at most one row per user.
+    "q230_scd2_asof" -> Q(
+      (s, d) => {
+        val asOfUs = lit(1705276800000000L) // 2024-01-15T00:00:00Z
+        graft.operators.EventOps.scd2Build(
+            Tables.events(s, d), "user_id", "ts", "event_id", "event_type")
+          .filter(col("valid_from_us") <= asOfUs &&
+            (col("valid_to_us").isNull || col("valid_to_us") > asOfUs))
+          .select(col("user_id"), col("state"), col("valid_from_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH x AS (SELECT user_id, event_type AS state,
+             |  epoch_us(ts) AS ts_us, event_id,
+             |  lag(event_type) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) AS prev_state FROM events),
+             |ch AS (SELECT user_id, state, ts_us, event_id FROM x
+             |  WHERE prev_state IS NULL OR state <> prev_state),
+             |f AS (SELECT user_id, state, ts_us AS valid_from_us,
+             |  lead(ts_us) OVER (PARTITION BY user_id
+             |    ORDER BY ts_us, event_id) AS valid_to_us FROM ch)
+             |SELECT user_id, state, valid_from_us FROM f
+             |WHERE valid_from_us <= 1705276800000000
+             |  AND (valid_to_us IS NULL OR valid_to_us > 1705276800000000)
+             |ORDER BY user_id""".stripMargin)),
+
     // Session-depth distribution: how many sessions have k events, plus
     // per-depth duration stats — the engagement-depth histogram over
     // q88's sessionization (sessions collapse to one row each first, so

@@ -587,6 +587,78 @@ object LlmQ {
               |  ${r6("abs(avg(q) - avg(CAST(keep AS DOUBLE)))")} AS abs_gap
               |FROM scored GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // Cohen's kappa between the two cheap labelers (q51 quality >= 0.5 vs
+    // q69 repetition keep): are they independent signals or the same
+    // filter twice? One four-counter aggregate — the redundancy check a
+    // curation pipeline runs before paying for BOTH filters at 100 TB.
+    "q232_labeler_kappa" -> Q(
+      (s, d) => {
+        val stop = Seq("a", "the", "and", "of", "in", "to")
+        val docs = Tables.documents(s, d)
+          .withColumn("t", TextOps.tokens(col("text")))
+        val ratio = TextOps.markerCount(col("t"), stop) / size(col("t"))
+        val labeled = docs.select(
+          ((least(lit(1.0), size(col("t")) / lit(200.0)) * (lit(1.0) - ratio))
+            >= 0.5).cast("long").as("a"),
+          (dec6(TextOps.topTokenFrac(col("t"))) <= 0.2 &&
+            dec6(TextOps.dupBigramFrac(col("t"))) <= 0.3)
+            .cast("long").as("b"))
+        graft.operators.StatOps.cohensKappa(labeled, "a", "b", dec6)
+      },
+      Some(s"""WITH $sqlToks,
+              |x AS (SELECT doc_id, t,
+              |  CAST(len(list_filter(t, y -> list_contains(
+              |    ['a', 'the', 'and', 'of', 'in', 'to'], y))) AS DOUBLE)
+              |    / len(t) AS ratio,
+              |  CASE WHEN len(t) > 0 THEN
+              |    CAST(list_max(list_transform(list_distinct(t),
+              |      x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t)
+              |  END AS tf,
+              |  CASE WHEN len(t) > 1 THEN
+              |    1.0 - CAST(len(list_distinct(list_transform(
+              |      generate_series(1, len(t) - 1),
+              |      i -> concat_ws(' ', t[i], t[i+1])))) AS DOUBLE) / (len(t) - 1)
+              |  ELSE 0.0 END AS dg
+              |  FROM toks),
+              |lab AS (SELECT
+              |  CAST(least(1.0, len(t) / 200.0) * (1.0 - ratio) >= 0.5
+              |    AS INT) AS a,
+              |  CAST(${r6("tf")} <= 0.2 AND ${r6("dg")} <= 0.3 AS INT) AS b
+              |  FROM x),
+              |agg AS (SELECT count(*) AS n,
+              |  avg(CAST(a AS DOUBLE)) AS pa, avg(CAST(b AS DOUBLE)) AS pb,
+              |  avg(CASE WHEN a = b THEN 1.0 ELSE 0.0 END) AS po FROM lab)
+              |SELECT n, ${r6("pa")} AS p_a, ${r6("pb")} AS p_b,
+              |  ${r6("po")} AS po,
+              |  ${r6("pa*pb + (1-pa)*(1-pb)")} AS pe,
+              |  ${r6("CASE WHEN pa*pb + (1-pa)*(1-pb) < 1.0 THEN " +
+                 "(po - (pa*pb + (1-pa)*(1-pb))) / (1.0 - (pa*pb + (1-pa)*(1-pb))) END")}
+              |  AS kappa
+              |FROM agg""".stripMargin)),
+
+    // Grid-density outliers over the leading 2 embedding coordinates:
+    // DBSCAN's density intuition as a two-pass linear scan (cell count +
+    // cell-keyed window), never a pairwise radius search — the outlier
+    // sweep that scales to any corpus. Reported per label.
+    "q231_grid_outliers" -> Q(
+      (s, d) => SimilarityOps.gridDensityOutliers(
+          Tables.embeddings(s, d), "vec_id", "embedding", "label",
+          dims = 2, h = 0.05, minPts = 3, scoreOut = dec6),
+      Some(s"""WITH b AS (SELECT vec_id, label, concat_ws(',',
+              |  CAST(CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.05)
+              |    AS BIGINT) AS VARCHAR),
+              |  CAST(CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.05)
+              |    AS BIGINT) AS VARCHAR)) AS cell FROM embeddings),
+              |w AS (SELECT *, count(*) OVER (PARTITION BY cell) AS n_cell
+              |  FROM b)
+              |SELECT label, count(*) AS n_points,
+              |  CAST(sum(CASE WHEN n_cell < 3 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_outliers,
+              |  ${r6("avg(CASE WHEN n_cell < 3 THEN 1.0 ELSE 0.0 END)")}
+              |    AS outlier_rate,
+              |  count(DISTINCT cell) AS n_cells
+              |FROM w GROUP BY label ORDER BY label""".stripMargin)),
+
     // Quality-score calibration: PR sweep of the q51 stopword/length
     // quality score against q69's Gopher-repetition keep flag as the weak
     // label — "where to cut" answered with measured precision/recall per
