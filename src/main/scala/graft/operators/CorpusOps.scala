@@ -1354,4 +1354,67 @@ object CorpusOps {
     docs.withColumn("rank_in_group", row_number().over(w))
       .filter(col("rank_in_group") <= k)
   }
+
+  /** Heaps-law vocabulary-growth curve: distinct vocabulary size as the
+    * corpus grows through `buckets` deterministic doc-id slices — the
+    * "are we still seeing new language or re-crawling the same text"
+    * corpus-freshness diagnostic (sublinear growth ~ K·nᵝ is healthy; a
+    * flat curve means saturation, a linear one means noise/OCR garbage).
+    * The corpus collapses to (token → first bucket) with ONE token-keyed
+    * aggregate; the cumulative sum then runs over the ≤`buckets`-row
+    * bucket table (named lint bound). Bucket assignment is pure id
+    * arithmetic — no global sort, no ntile.
+    *
+    * Returns (bucket, n_docs, new_types, vocab_size), bucket ascending. */
+  def vocabGrowthCurve(docs: DataFrame, idCol: String, textCol: String,
+                       buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, s"bad bucket count $buckets")
+    val mx = docs.agg(max(col(idCol)).as("__mx"))
+    val withB = docs.crossJoin(mx)
+      .withColumn("__b", floor(col(idCol) * lit(buckets) /
+        (col("__mx") + 1)).cast("long"))
+    val nd = withB.groupBy(col("__b").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val firstB = withB
+      .select(col("__b"), explode_outer(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
+      .groupBy("tok").agg(min("__b").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    nd.join(firstB, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("vocab_size", sum("new_types").over(wCum))
+      .select(col("bucket"), col("n_docs"), col("new_types"), col("vocab_size"))
+  }
+
+  /** Positional phrase search via posting-list equi-joins: each phrase
+    * token selects its (doc, position) postings, and token i joins token
+    * 0 on (doc, pos₀+i = posᵢ) — the inverted-index query plan, never a
+    * substring scan over raw text. The token filters prune the exploded
+    * postings BEFORE any shuffle, so the join inputs are
+    * term-frequency-sized, not corpus-sized; at 100 TB the postings would
+    * be a materialized table bucketed by token, making each phrase query
+    * index-only. Whitespace tokens ([[TextOps.tokens]] semantics);
+    * positions are 0-based internals that never surface.
+    *
+    * Returns (idCol, n_matches) for documents containing the phrase. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val post = docs.select(col(idCol).as("__id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val first = post.filter(col("__tok") === phrase.head)
+      .select(col("__id"), col("__pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (tok, i)) =>
+        val pi = post.filter(col("__tok") === tok)
+          .select(col("__id").as("__id2"), col("__pos").as("__p2"))
+        acc.join(pi, acc("__id") === col("__id2") &&
+            acc("__pos") + lit(i) === col("__p2"))
+          .select(acc("__id"), acc("__pos"))
+    }
+    matched.groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_matches"))
+  }
 }

@@ -648,6 +648,39 @@ object EventOps {
           (col("n_users_a") + col("n_users_b") - col("n_both"))).as("jaccard"))
   }
 
+  /** Market-basket association rules over per-user event-type sets —
+    * [[coEngagement]]'s overlap counts upgraded to the full
+    * support/confidence/lift triple (Agrawal '93): which behaviors
+    * predict which, and is the pairing more than chance (lift > 1). The
+    * raw log collapses to DISTINCT (user, type) map-side; pair counts
+    * come from the user-keyed self-join (per-user fanout = type-set
+    * size², panel-bounded); totals attach agg-sized and the user
+    * denominator is one scalar-aggregate crossjoin. A `minSupport` cut
+    * keeps the rule table actionable.
+    *
+    * Returns per pair (type_a < type_b): (type_a, type_b, n_both,
+    * support, conf_a_to_b, conf_b_to_a, lift). */
+  def assocRules(events: DataFrame, userCol: String, typeCol: String,
+                 minSupport: Double, scoreOut: Column => Column): DataFrame = {
+    val ut = events.select(col(userCol).as("u"), col(typeCol).as("t")).distinct()
+    val nTab = ut.agg(countDistinct("u").cast("double").as("__nu"))
+    val totals = ut.groupBy("t").agg(count(lit(1)).as("n"))
+    val both = col("n_both").cast("double")
+    ut.select(col("u"), col("t").as("type_a"))
+      .join(ut.select(col("u"), col("t").as("type_b")), Seq("u"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+      .join(totals.select(col("t").as("type_a"), col("n").as("__na")), Seq("type_a"))
+      .join(totals.select(col("t").as("type_b"), col("n").as("__nb")), Seq("type_b"))
+      .crossJoin(nTab)
+      .filter(both / col("__nu") >= minSupport)
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        scoreOut(both / col("__nu")).as("support"),
+        scoreOut(both / col("__na")).as("conf_a_to_b"),
+        scoreOut(both / col("__nb")).as("conf_b_to_a"),
+        scoreOut(both * col("__nu") / (col("__na") * col("__nb"))).as("lift"))
+  }
+
   /** New-vs-returning daily split: per calendar day, how many active
     * users were seen for the FIRST time that day — the growth-vs-
     * retention read every product dashboard leads with. The log collapses
@@ -734,6 +767,53 @@ object EventOps {
     *
     * Returns (channel, n_touches, revenue) — Σ revenue = Σ conversion
     * value. */
+  /** Time-decay multi-touch attribution — the third of the attribution
+    * family ([[lastTouchAttribution]], [[linearAttribution]]): each touch
+    * before a conversion earns weight 0.5^(Δhours/halfLife), normalized
+    * within the conversion group, so recency is rewarded smoothly instead
+    * of linear's equal split or last-touch's winner-take-all. Identical
+    * scale shape to linear: the reverse-running conversion index buckets
+    * touches join-free, the (user, grp) windows reuse ONE user-keyed
+    * exchange, and revenue is conserved via the `(none)` bucket for
+    * touchless conversions. Gap arithmetic is exact integer microseconds
+    * before the one pow() per touch.
+    *
+    * Returns per channel: (channel, n_touches, revenue). */
+  def timeDecayAttribution(events: DataFrame, userCol: String, tsCol: String,
+                           tiebreakCol: String, typeCol: String,
+                           valueCol: String, conversionType: String,
+                           halfLifeHours: Double,
+                           scoreOut: Column => Column): DataFrame = {
+    require(halfLifeHours > 0, s"halfLifeHours > 0, got $halfLifeHours")
+    val isConv = (col(typeCol) === conversionType).cast("long")
+    val revOrd = Window.partitionBy(userCol)
+      .orderBy(col(tsCol).desc, col(tiebreakCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grouped = events
+      .select(col(userCol), col(tsCol), col(tiebreakCol), col(typeCol),
+        col(valueCol).cast("double").as("__v"),
+        unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__grp", sum(isConv).over(revOrd))
+      .filter(col("__grp") > 0)
+    val wG = Window.partitionBy(col(userCol), col("__grp"))
+    val credited = grouped
+      .withColumn("__cv", max(when(isConv === 1, col("__v"))).over(wG))
+      .withColumn("__cus", max(when(isConv === 1, col("__us"))).over(wG))
+      .withColumn("__w", when(isConv === 0,
+        pow(lit(0.5), (col("__cus") - col("__us")).cast("double") /
+          lit(3600e6 * halfLifeHours))))
+      .withColumn("__sw", sum("__w").over(wG))
+    credited
+      .select(
+        when(isConv === 0, col(typeCol)).otherwise(lit("(none)")).as("channel"),
+        when(isConv === 0, col("__cv") * col("__w") / col("__sw"))
+          .when(col("__sw").isNull, col("__v")).as("__credit"))
+      .filter(col("__credit").isNotNull)
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        scoreOut(sum("__credit")).as("revenue"))
+  }
+
   def linearAttribution(events: DataFrame, userCol: String, tsCol: String,
                         tiebreakCol: String, typeCol: String,
                         valueCol: String, conversionType: String,

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms as unrolled DataFrame joins. The per-node
+  * state (the rank vector) is always node-sized — orders of magnitude
+  * smaller than the edge table — so every iteration is one edge⋈rank
+  * equi-join on src plus one dst-keyed aggregate, the textbook
+  * shuffle-bounded power-iteration shape (Pregel's superstep without the
+  * framework). Companion to the star-contraction connected components in
+  * [[DedupOps]].
+  *
+  * Each superstep MATERIALIZES the node-sized rank vector
+  * (`localCheckpoint`) and reuses the persisted normalized edge table —
+  * the Pregel execution model. A pure lazy plan is NOT an option here:
+  * the rank vector feeds three consumers per step (dangling mass,
+  * contribution join, next vector), so unmaterialized lineage grows
+  * ~3^iters logical nodes and Catalyst analysis time explodes long
+  * before execution would. */
+object GraphOps {
+
+  /** Weighted PageRank by `iters` unrolled power-iteration steps:
+    * r ← (1−d)/N + d·(Pᵀr + dangling/N), where P is the out-weight-
+    * normalized transition matrix and `dangling` is the rank mass parked
+    * on nodes with no out-edges (redistributed uniformly, the standard
+    * stochastic fix — without it the vector no longer sums to 1).
+    *
+    * Every step costs: one scalar aggregate for the dangling mass (an
+    * anti-join against the src set, broadcast back as a 1-row literal
+    * crossjoin), one src-keyed equi-join of the normalized edges with the
+    * node-sized rank vector, and one dst-keyed sum. Parallel edges are
+    * pre-merged so the transition weights are well-defined.
+    *
+    * Returns (node, rank) — Σ rank = 1 up to float noise. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: String, damping: Double, iters: Int,
+               scoreOut: Column => Column): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1,
+      s"bad pagerank params: iters=$iters damping=$damping")
+    // the merged edge table is the expensive subtree (it may sit on top
+    // of an arbitrary join pipeline): persist it, because nodes, out-
+    // weights and the transition table all derive from it — unpersisted,
+    // the upstream pipeline re-executes once per consumer
+    val e = edges
+      .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(sum(col(weightCol).cast("double")).as("w"))
+      .persist()
+    val outw = e.groupBy("src").agg(sum("w").as("__ow"))
+    // the per-step working set: read `iters` times
+    val norm = e.join(outw, "src")
+      .select(col("src"), col("dst"), (col("w") / col("__ow")).as("p"))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val nTab = nodes.agg(count(lit(1)).cast("double").as("__N"))
+    // rank carries N along so each step needs no fresh scalar crossjoin.
+    // The vector is node-sized — orders of magnitude under the edge table
+    // — so it lives in ONE partition and enters every join broadcast:
+    // the only shuffle per superstep is the dst-keyed contribution sum.
+    var rank: DataFrame = nodes.crossJoin(nTab)
+      .select(col("node"), (lit(1.0) / col("__N")).as("r"), col("__N"))
+      .coalesce(1).localCheckpoint()
+    val srcSet = norm.select(col("src").as("node")).distinct()
+      .coalesce(1).persist()
+    for (_ <- 1 to iters) {
+      val dangling = rank.join(broadcast(srcSet), Seq("node"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0.0)).as("__dm"))
+      val contrib = norm
+        .join(broadcast(rank.select(col("node"), col("r"))),
+          col("src") === col("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("r") * col("p")).as("__cin"))
+      rank = rank.select(col("node"), col("__N"))
+        .join(broadcast(contrib), Seq("node"), "left")
+        .crossJoin(dangling)
+        .select(col("node"),
+          (lit(1.0 - damping) / col("__N") + lit(damping) *
+            (coalesce(col("__cin"), lit(0.0)) + col("__dm") / col("__N")))
+            .as("r"),
+          col("__N"))
+        .coalesce(1).localCheckpoint() // one job per superstep; O(1) lineage
+    }
+    rank.select(col("node"), scoreOut(col("r")).as("rank"))
+  }
+}

@@ -240,6 +240,42 @@ object SeasonalOps {
             sqrt(col("mbb") - col("mb") * col("mb")))).as("corr"))
   }
 
+  /** Rolling pairwise Pearson correlation — [[seriesCorrMatrix]]'s static
+    * number upgraded to a stability read: per pair, a trailing
+    * `windowHours`-hour correlation at every shared grid hour, summarized
+    * per pair (a pair whose rolling r swings from +0.9 to −0.9 is
+    * regime-coupled, not structurally coupled — the static matrix hides
+    * exactly that). The hour-keyed self-join is panel-bounded (pairs =
+    * keys², rows = pairs × hours, never events) and every window
+    * partitions by the PAIR. Full frames only (min_periods = window);
+    * zero-variance frames yield null and drop from the summary.
+    *
+    * Returns (series_a, series_b, n_windows, mean_r, min_r, max_r). */
+  def rollingPairCorr(events: DataFrame, seriesCol: String, tsCol: String,
+                      valueCol: String, windowHours: Int,
+                      scoreOut: Column => Column): DataFrame = {
+    require(windowHours >= 2, s"windowHours >= 2, got $windowHours")
+    val base = hourly(events, seriesCol, tsCol, valueCol)
+    val a = base.select(col(seriesCol).as("series_a"), col("h"), col("y").as("ya"))
+    val b = base.select(col(seriesCol).as("series_b"), col("h"), col("y").as("yb"))
+    val w = Window.partitionBy("series_a", "series_b").orderBy("h")
+      .rowsBetween(-(windowHours - 1), 0)
+    val va = avg(col("ya") * col("ya")).over(w) - avg("ya").over(w) * avg("ya").over(w)
+    val vb = avg(col("yb") * col("yb")).over(w) - avg("yb").over(w) * avg("yb").over(w)
+    val cov = avg(col("ya") * col("yb")).over(w) - avg("ya").over(w) * avg("yb").over(w)
+    a.join(b, Seq("h"))
+      .filter(col("series_a") < col("series_b"))
+      .withColumn("__r",
+        when(count(lit(1)).over(w) === windowHours && va > 0 && vb > 0,
+          cov / (sqrt(va) * sqrt(vb))))
+      .filter(col("__r").isNotNull)
+      .groupBy("series_a", "series_b")
+      .agg(count(lit(1)).as("n_windows"),
+        scoreOut(avg("__r")).as("mean_r"),
+        scoreOut(min("__r")).as("min_r"),
+        scoreOut(max("__r")).as("max_r"))
+  }
+
   /** Exponentially-weighted moving average — pandas
     * `ewm(alpha, adjust=False).mean()` parity: y_0 = x_0,
     * y_t = (1−α)·y_{t−1} + α·x_t per series over an ALIGNED grid (callers
@@ -357,5 +393,53 @@ object SeasonalOps {
         scoreOut(col("__f")).as("fitted"), scoreOut(col("__r")).as("residual"),
         (col("__sd") > 0 && abs(col("__r")) > lit(zCut) * col("__sd"))
           .cast("int").as("is_anom"))
+  }
+
+  /** Split-conformal prediction interval for the seasonal-naive
+    * forecaster x̂_t = x_{t−period}: per series, the first half of the
+    * time-ordered forecastable points calibrates the half-width
+    * q̂ = k-th smallest |residual|, k = min(⌈α·(n_cal+1)⌉, n_cal) — the
+    * finite-sample-valid conformal quantile — and the second half
+    * measures the empirical coverage of x̂ ± q̂. Distribution-free under
+    * exchangeable residuals; the report's job is to catch when they are
+    * NOT (trend or regime drift shows up as coverage under target).
+    *
+    * |residuals| are rounded (scoreOut) BEFORE ranking so the rank order
+    * — and with it q̂ — is engine-identical (the rank-over-rounded
+    * convention). Per-series windows only; q̂ is one row per series,
+    * broadcast back for the coverage pass.
+    *
+    * Returns (seriesCol, n_cal, n_test, q_hat, coverage). */
+  def conformalNaive(grid: DataFrame, seriesCol: String, tsCol: String,
+                     valueCol: String, period: Int, alpha: Double,
+                     scoreOut: Column => Column): DataFrame = {
+    require(period >= 1 && alpha > 0 && alpha < 1,
+      s"bad conformal params: period=$period alpha=$alpha")
+    val wTs = Window.partitionBy(seriesCol).orderBy(tsCol)
+    val wAll = Window.partitionBy(seriesCol)
+    val base = grid
+      .select(col(seriesCol), col(tsCol), col(valueCol).cast("double").as("__x"))
+      .withColumn("__res", col("__x") - lag("__x", period).over(wTs))
+      .filter(col("__res").isNotNull)
+      .withColumn("__abs", scoreOut(abs(col("__res"))))
+      .withColumn("__rn", row_number().over(wTs))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__cal", col("__rn") <= floor(col("__n") / lit(2.0)))
+    val qhat = base.filter(col("__cal"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(seriesCol).orderBy(col("__abs"), col(tsCol))))
+      .withColumn("__ncal", count(lit(1)).over(wAll))
+      .filter(col("__rk") === least(
+        ceil(lit(alpha) * (col("__ncal").cast("double") + lit(1.0))),
+        col("__ncal")))
+      .select(col(seriesCol), col("__ncal").as("n_cal"),
+        col("__abs").as("q_hat"))
+    base.filter(!col("__cal"))
+      .join(broadcast(qhat), Seq(seriesCol))
+      .groupBy(seriesCol)
+      .agg(max("n_cal").as("n_cal"), count(lit(1)).as("n_test"),
+        max("q_hat").as("q_hat"),
+        scoreOut(avg((col("__abs") <= col("q_hat")).cast("double")))
+          .as("coverage"))
   }
 }

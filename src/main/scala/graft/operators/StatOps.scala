@@ -487,6 +487,66 @@ object StatOps {
         lit(2.0) * p * r / (p + r))).as("f1"))
   }
 
+  /** 2-D Pareto frontier (skyline) per group: the rows not dominated on
+    * the (maximize x, maximize y) plane — "the best documents at every
+    * length budget", the multi-objective selection primitive behind
+    * quality-vs-cost curation cuts. A row is dominated iff another row in
+    * its group is ≥ on both axes and > on at least one; with two
+    * objectives that reduces to two windows, both partitioned by the
+    * group: max(y) over STRICTLY larger x (a range frame, so x must be
+    * integral), and max(y) within the same-x tie group. Two window passes
+    * over one group-keyed exchange — never the O(n²) dominance self-join.
+    * Duplicate points dominate neither (strictness), so both survive.
+    *
+    * Returns the input rows (all columns) that sit on the frontier. */
+  def paretoFrontier(df: DataFrame, groupCol: String, xCol: String,
+                     yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("double")
+    val wHigher = Window.partitionBy(groupCol).orderBy(x)
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val wSameX = Window.partitionBy(col(groupCol), x)
+    df.withColumn("__m1", max(y).over(wHigher))
+      .withColumn("__m2", max(y).over(wSameX))
+      .filter((col("__m1").isNull || y > col("__m1")) && y === col("__m2"))
+      .drop("__m1", "__m2")
+  }
+
+  /** ROC AUC of a continuous score against a binary label, by the
+    * rank-statistic identity AUC = (R₊ − n₊(n₊+1)/2)/(n₊·n₋) with
+    * midranks for ties (so a tie contributes ½, the probabilistic
+    * definition P(s₊ > s₋) + ½P(s₊ = s₋)) — the threshold-free companion
+    * of [[prCurve]]: one number for "does the score order the corpus at
+    * all". Same scale shape as [[mannWhitneyU]]: the corpus collapses
+    * map-side to the distinct-score table (score, n, n_pos); the single
+    * rank window runs over THAT, never over rows. Callers must pass an
+    * already-rounded score (rank-over-rounded) so tie groups — and with
+    * them the midranks — are engine-identical.
+    *
+    * Returns one row: (n_pos, n_neg, n_scores, auc). */
+  def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String,
+             scoreOut: Column => Column): DataFrame = {
+    val byS = scored
+      .groupBy(col(scoreCol).cast("double").as("__s"))
+      .agg(count(lit(1)).as("t"), sum(col(labelCol).cast("long")).as("tp"))
+    val w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = byS
+      .withColumn("cum", sum("t").over(w))
+      .withColumn("midrank", (col("cum") * 2 - col("t") + 1) / lit(2.0))
+    ranked.agg(
+        sum("tp").cast("double").as("__np"),
+        sum(col("t") - col("tp")).cast("double").as("__nn"),
+        count(lit(1)).as("n_scores"),
+        sum(col("tp") * col("midrank")).as("__rp"))
+      .select(
+        col("__np").cast("long").as("n_pos"),
+        col("__nn").cast("long").as("n_neg"),
+        col("n_scores"),
+        scoreOut(when(col("__np") > 0 && col("__nn") > 0,
+          (col("__rp") - col("__np") * (col("__np") + 1) / 2) /
+            (col("__np") * col("__nn")))).as("auc"))
+  }
+
   /** Cohen's kappa between two binary labelers — chance-corrected
     * agreement, the number that decides whether two cheap quality
     * heuristics are independent signals or the same signal twice (two

@@ -321,6 +321,31 @@ object CorpusQ {
               |${r6("regr_r2(ln(CAST(tf AS DOUBLE)), ln(CAST(rank AS DOUBLE)))")} AS r2
               |FROM ranked""".stripMargin)),
 
+    // Heaps-law vocabulary growth across 10 deterministic doc-id slices —
+    // the "new language or re-crawl?" freshness diagnostic. One
+    // token-keyed first-bucket aggregate; the cumulative sum runs over
+    // the 10-row bucket table.
+    "q242_vocab_growth" -> Q(
+      (s, d) => CorpusOps.vocabGrowthCurve(
+          Tables.documents(s, d), "doc_id", "text", buckets = 10)
+        .orderBy("bucket"),
+      Some("""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+             |b AS (SELECT doc_id,
+             |  CAST(floor(doc_id * 10 / (m + 1)) AS BIGINT) AS bucket, text
+             |  FROM documents, mx),
+             |nd AS (SELECT bucket, count(*) AS n_docs FROM b GROUP BY bucket),
+             |ex AS (SELECT bucket,
+             |  unnest(string_split_regex(trim(text), '\s+')) AS tok FROM b),
+             |fb AS (SELECT tok, min(bucket) AS bucket FROM ex
+             |  WHERE tok IS NOT NULL AND tok <> '' GROUP BY tok),
+             |nt AS (SELECT bucket, count(*) AS new_types FROM fb GROUP BY bucket)
+             |SELECT nd.bucket, n_docs,
+             |  coalesce(new_types, 0) AS new_types,
+             |  CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY nd.bucket)
+             |    AS BIGINT) AS vocab_size
+             |FROM nd LEFT JOIN nt USING (bucket)
+             |ORDER BY nd.bucket""".stripMargin)),
+
     // Leakage-free train/val/test split: assignment is a pure function of
     // the doc id (12/2/2 of 16 hash buckets), summarized per (split, lang).
     // Adding data or re-partitioning can never migrate an old row between

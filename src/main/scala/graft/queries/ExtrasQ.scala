@@ -327,6 +327,44 @@ object ExtrasQ {
               |FROM c WHERE credit IS NOT NULL
               |GROUP BY 1 ORDER BY channel""".stripMargin)),
 
+    // Time-decay attribution — the third of the attribution family:
+    // 0.5^(Δh/halfLife) per touch, normalized within the conversion
+    // group; recency rewarded smoothly vs linear's equal split.
+    "q241_time_decay_touch" -> Q(
+      (s, d) => graft.operators.EventOps.timeDecayAttribution(
+          Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+          "value", conversionType = "purchase", halfLifeHours = 24.0,
+          scoreOut = dec6)
+        .orderBy("channel"),
+      Some(s"""WITH e AS (SELECT user_id, ts, event_id, event_type,
+              |  CAST(value AS DOUBLE) AS v, epoch_us(ts) AS us,
+              |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isc
+              |  FROM events),
+              |g AS (SELECT *, sum(isc) OVER (PARTITION BY user_id
+              |    ORDER BY ts DESC, event_id DESC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+              |  FROM e),
+              |f AS (SELECT * FROM g WHERE grp > 0),
+              |w0 AS (SELECT *,
+              |  max(CASE WHEN isc = 1 THEN v END)
+              |    OVER (PARTITION BY user_id, grp) AS cv,
+              |  max(CASE WHEN isc = 1 THEN us END)
+              |    OVER (PARTITION BY user_id, grp) AS cus FROM f),
+              |w1 AS (SELECT *,
+              |  CASE WHEN isc = 0 THEN
+              |    power(0.5, CAST(cus - us AS DOUBLE) / (3600e6 * 24.0)) END
+              |    AS wt FROM w0),
+              |w2 AS (SELECT *,
+              |  sum(wt) OVER (PARTITION BY user_id, grp) AS sw FROM w1),
+              |c AS (SELECT
+              |  CASE WHEN isc = 0 THEN event_type ELSE '(none)' END AS channel,
+              |  CASE WHEN isc = 0 THEN cv * wt / sw
+              |       WHEN sw IS NULL THEN v END AS credit FROM w2)
+              |SELECT channel, count(*) AS n_touches,
+              |  ${r6("sum(credit)")} AS revenue
+              |FROM c WHERE credit IS NOT NULL
+              |GROUP BY 1 ORDER BY channel""".stripMargin)),
+
     // SCD2 as-of reconstruction: the per-user dimension state at one
     // instant, recovered from q145's [valid_from, valid_to) intervals —
     // the read side of slowly-changing dimensions ("what did the table
@@ -1395,6 +1433,31 @@ object ExtrasQ {
               |JOIN tot tb ON tb.t = p.type_b
               |ORDER BY p.type_a, p.type_b""".stripMargin)),
 
+    // Market-basket association rules over per-user event-type sets —
+    // q201's overlap counts upgraded to support/confidence/lift: which
+    // behaviors predict which, and is the pairing above chance (lift>1).
+    "q238_assoc_rules" -> Q(
+      (s, d) => graft.operators.EventOps.assocRules(
+          Tables.events(s, d), "user_id", "event_type",
+          minSupport = 0.05, scoreOut = dec6)
+        .orderBy("type_a", "type_b"),
+      Some(s"""WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t
+              |  FROM events),
+              |nu AS (SELECT CAST(count(DISTINCT u) AS DOUBLE) AS nu FROM ut),
+              |tot AS (SELECT t, count(*) AS n FROM ut GROUP BY t),
+              |p AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+              |  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+              |  GROUP BY a.t, b.t)
+              |SELECT type_a, type_b, n_both,
+              |  ${r6("n_both / nu.nu")} AS support,
+              |  ${r6("CAST(n_both AS DOUBLE) / ta.n")} AS conf_a_to_b,
+              |  ${r6("CAST(n_both AS DOUBLE) / tb.n")} AS conf_b_to_a,
+              |  ${r6("n_both * nu.nu / (CAST(ta.n AS DOUBLE) * tb.n)")} AS lift
+              |FROM p JOIN tot ta ON ta.t = p.type_a
+              |JOIN tot tb ON tb.t = p.type_b, nu
+              |WHERE n_both / nu.nu >= 0.05
+              |ORDER BY type_a, type_b""".stripMargin)),
+
     // New vs returning actives per day — the growth-vs-retention lead
     // metric; first-seen day from the distinct (user, day) collapse.
     "q202_new_vs_returning" -> Q(
@@ -1645,6 +1708,39 @@ object ExtrasQ {
               |  ${r6("""(mab - ma * mb)
               |    / (sqrt(maa - ma * ma) * sqrt(mbb - mb * mb))""")} AS corr
               |FROM m ORDER BY series_a, series_b""".stripMargin)),
+
+    // Rolling pairwise correlation summary — q192's static number as a
+    // stability read: trailing-24h Pearson r per series pair over the
+    // shared hourly grid, summarized per pair. Pair-partitioned windows
+    // over the panel-bounded hour-keyed self-join.
+    "q240_rolling_corr" -> Q(
+      (s, d) => graft.operators.SeasonalOps.rollingPairCorr(
+          Tables.events(s, d), "event_type", "ts", "value",
+          windowHours = 24, scoreOut = dec6)
+        .orderBy("series_a", "series_b"),
+      Some(s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+              |  avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY 1, 2),
+              |j AS (SELECT a.event_type AS series_a, b.event_type AS series_b,
+              |  a.h AS h, a.y AS ya, b.y AS yb
+              |  FROM hourly a JOIN hourly b ON a.h = b.h
+              |  WHERE a.event_type < b.event_type),
+              |w AS (SELECT series_a, series_b,
+              |  count(*) OVER f AS c,
+              |  avg(ya) OVER f AS ma, avg(yb) OVER f AS mb,
+              |  avg(ya * yb) OVER f AS mab,
+              |  avg(ya * ya) OVER f AS maa, avg(yb * yb) OVER f AS mbb
+              |  FROM j
+              |  WINDOW f AS (PARTITION BY series_a, series_b ORDER BY h
+              |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+              |r AS (SELECT series_a, series_b,
+              |  (mab - ma * mb) / (sqrt(maa - ma * ma) * sqrt(mbb - mb * mb))
+              |    AS r
+              |  FROM w WHERE c = 24 AND maa - ma * ma > 0
+              |    AND mbb - mb * mb > 0)
+              |SELECT series_a, series_b, count(*) AS n_windows,
+              |  ${r6("avg(r)")} AS mean_r, ${r6("min(r)")} AS min_r,
+              |  ${r6("max(r)")} AS max_r
+              |FROM r GROUP BY 1, 2 ORDER BY series_a, series_b""".stripMargin)),
 
     // Outage inventory: inter-event gaps over 2 hours per series — the
     // "sensor went dark" ranges rolling statistics must not trust.

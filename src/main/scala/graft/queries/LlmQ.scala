@@ -659,6 +659,159 @@ object LlmQ {
               |  count(DISTINCT cell) AS n_cells
               |FROM w GROUP BY label ORDER BY label""".stripMargin)),
 
+    // Positional phrase search ("table scan") via posting-list equi-joins
+    // — the inverted-index query plan: token filters prune the exploded
+    // postings BEFORE the (doc, pos+1)=(doc, pos) join, so join inputs
+    // are term-frequency-sized, never corpus-sized.
+    "q235_phrase_search" -> Q(
+      (s, d) => graft.operators.CorpusOps.phraseSearch(
+          Tables.documents(s, d), "doc_id", "text", Seq("table", "scan"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $sqlToks,
+              |m AS (SELECT doc_id,
+              |  CAST(len(list_filter(generate_series(1, len(t) - 1),
+              |    i -> t[i] = 'table' AND t[i+1] = 'scan')) AS BIGINT)
+              |    AS n_matches
+              |  FROM toks WHERE len(t) >= 2)
+              |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Per-source curation report: the composite scorecard (volume,
+    // language mix, token budget, quality, keep rate) that decides which
+    // sources get up/down-weighted in the q86 mixture — one grouped scan.
+    "q236_source_report" -> Q(
+      (s, d) => {
+        val stop = Seq("a", "the", "and", "of", "in", "to")
+        val docs = Tables.documents(s, d)
+          .withColumn("t", TextOps.tokens(col("text")))
+        val ratio = TextOps.markerCount(col("t"), stop) / size(col("t"))
+        val q = least(lit(1.0), size(col("t")) / lit(200.0)) *
+          (lit(1.0) - ratio)
+        val keep = (dec6(TextOps.topTokenFrac(col("t"))) <= 0.2 &&
+          dec6(TextOps.dupBigramFrac(col("t"))) <= 0.3).cast("double")
+        docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("lang").as("n_langs"),
+            dec6(avg(size(col("t")).cast("double"))).as("mean_tokens"),
+            dec6(avg(q)).as("mean_quality"),
+            dec6(avg(keep)).as("keep_rate"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, lang, source,
+              |  string_split_regex(trim(text), '\\s+') AS t FROM documents),
+              |x AS (SELECT source, lang, len(t) AS nt,
+              |  CAST(len(list_filter(t, y -> list_contains(
+              |    ['a', 'the', 'and', 'of', 'in', 'to'], y))) AS DOUBLE)
+              |    / len(t) AS ratio,
+              |  CASE WHEN len(t) > 0 THEN
+              |    CAST(list_max(list_transform(list_distinct(t),
+              |      x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t)
+              |  END AS tf,
+              |  CASE WHEN len(t) > 1 THEN
+              |    1.0 - CAST(len(list_distinct(list_transform(
+              |      generate_series(1, len(t) - 1),
+              |      i -> concat_ws(' ', t[i], t[i+1])))) AS DOUBLE) / (len(t) - 1)
+              |  ELSE 0.0 END AS dg
+              |  FROM tk),
+              |lab AS (SELECT source, lang, nt,
+              |  least(1.0, nt / 200.0) * (1.0 - ratio) AS q,
+              |  CASE WHEN ${r6("tf")} <= 0.2 AND ${r6("dg")} <= 0.3
+              |    THEN 1.0 ELSE 0.0 END AS keep FROM x)
+              |SELECT source, count(*) AS n_docs,
+              |  count(DISTINCT lang) AS n_langs,
+              |  ${r6("avg(CAST(nt AS DOUBLE))")} AS mean_tokens,
+              |  ${r6("avg(q)")} AS mean_quality,
+              |  ${r6("avg(keep)")} AS keep_rate
+              |FROM lab GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ROC AUC of the q51 quality score against the q69 repetition keep
+    // label — the threshold-free rank statistic completing the q221 (PR
+    // sweep) / q228 (calibration) harness trio. Corpus collapses to the
+    // distinct ROUNDED-score table before the one rank window (the q171
+    // midrank machinery), so ties — and the AUC — are engine-identical.
+    "q237_quality_auc" -> Q(
+      (s, d) => {
+        val stop = Seq("a", "the", "and", "of", "in", "to")
+        val docs = Tables.documents(s, d)
+          .withColumn("t", TextOps.tokens(col("text")))
+        val ratio = TextOps.markerCount(col("t"), stop) / size(col("t"))
+        val scored = docs.select(
+          dec6(least(lit(1.0), size(col("t")) / lit(200.0)) *
+            (lit(1.0) - ratio)).as("quality"),
+          (dec6(TextOps.topTokenFrac(col("t"))) <= 0.2 &&
+            dec6(TextOps.dupBigramFrac(col("t"))) <= 0.3).cast("long").as("keep"))
+        graft.operators.StatOps.rocAuc(scored, "quality", "keep",
+          scoreOut = dec6)
+      },
+      Some(s"""WITH $sqlToks,
+              |x AS (SELECT doc_id, t,
+              |  CAST(len(list_filter(t, y -> list_contains(
+              |    ['a', 'the', 'and', 'of', 'in', 'to'], y))) AS DOUBLE)
+              |    / len(t) AS ratio,
+              |  CASE WHEN len(t) > 0 THEN
+              |    CAST(list_max(list_transform(list_distinct(t),
+              |      x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t)
+              |  END AS tf,
+              |  CASE WHEN len(t) > 1 THEN
+              |    1.0 - CAST(len(list_distinct(list_transform(
+              |      generate_series(1, len(t) - 1),
+              |      i -> concat_ws(' ', t[i], t[i+1])))) AS DOUBLE) / (len(t) - 1)
+              |  ELSE 0.0 END AS dg
+              |  FROM toks),
+              |scored AS (SELECT
+              |  ${r6("least(1.0, len(t) / 200.0) * (1.0 - ratio)")} AS s,
+              |  CAST(${r6("tf")} <= 0.2 AND ${r6("dg")} <= 0.3 AS BIGINT) AS y
+              |  FROM x),
+              |bys AS (SELECT s, count(*) AS t, sum(y) AS tp
+              |  FROM scored GROUP BY s),
+              |rk AS (SELECT tp, t,
+              |  (sum(t) OVER (ORDER BY s) * 2 - t + 1) / 2.0 AS midrank
+              |  FROM bys),
+              |ag AS (SELECT CAST(sum(tp) AS DOUBLE) AS np,
+              |  CAST(sum(t - tp) AS DOUBLE) AS nn,
+              |  count(*) AS n_scores, sum(tp * midrank) AS rp FROM rk)
+              |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+              |  n_scores,
+              |  CASE WHEN np > 0 AND nn > 0 THEN
+              |    ${r6("(rp - np * (np + 1) / 2) / (np * nn)")} END AS auc
+              |FROM ag""".stripMargin)),
+
+    // Per-source Pareto frontier on (token count, quality): the documents
+    // not dominated on both axes — the best document at every length
+    // budget, i.e. the multi-objective curation cut. Two group-partitioned
+    // windows (strictly-longer max + same-length tie max), never the
+    // O(n^2) dominance self-join.
+    "q239_pareto_frontier" -> Q(
+      (s, d) => {
+        val stop = Seq("a", "the", "and", "of", "in", "to")
+        val docs = Tables.documents(s, d)
+          .withColumn("t", TextOps.tokens(col("text")))
+        val ratio = TextOps.markerCount(col("t"), stop) / size(col("t"))
+        val base = docs.select(col("doc_id"), col("source"),
+          size(col("t")).as("n_tokens"),
+          dec6(least(lit(1.0), size(col("t")) / lit(200.0)) *
+            (lit(1.0) - ratio)).as("quality"))
+        graft.operators.StatOps.paretoFrontier(base, "source",
+            "n_tokens", "quality")
+          .orderBy("source", "n_tokens", "doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source,
+              |  string_split_regex(trim(text), '\\s+') AS t FROM documents),
+              |b AS (SELECT doc_id, source, len(t) AS n_tokens,
+              |  ${r6("""least(1.0, len(t) / 200.0) * (1.0 -
+              |    CAST(len(list_filter(t, y -> list_contains(
+              |      ['a', 'the', 'and', 'of', 'in', 'to'], y))) AS DOUBLE)
+              |      / len(t))""")} AS quality
+              |  FROM tk),
+              |w AS (SELECT doc_id, source, n_tokens, quality,
+              |  max(quality) OVER (PARTITION BY source ORDER BY n_tokens
+              |    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS m1,
+              |  max(quality) OVER (PARTITION BY source, n_tokens) AS m2
+              |  FROM b)
+              |SELECT doc_id, source, n_tokens, quality FROM w
+              |WHERE (m1 IS NULL OR quality > m1) AND quality = m2
+              |ORDER BY source, n_tokens, doc_id""".stripMargin)),
+
     // Quality-score calibration: PR sweep of the q51 stopword/length
     // quality score against q69's Gopher-repetition keep flag as the weak
     // label — "where to cut" answered with measured precision/recall per

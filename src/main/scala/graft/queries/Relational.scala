@@ -408,6 +408,87 @@ object Relational {
               |  AND o_orderdate < TIMESTAMP '1997-01-01'
               |GROUP BY n_name ORDER BY revenue DESC, nation""".stripMargin)),
 
+    // Weighted PageRank over the nation-level trade graph (customer
+    // nation → supplier nation, edge weight = extended price): 5
+    // materialized power-iteration supersteps (GraphOps.pageRank) — the
+    // iterative-graph-algorithm family (importance propagation) on
+    // DataFrames. The rank vector is node-sized; the big join pipeline
+    // is touched exactly once to build the persisted edge list. Bench
+    // note: ~4.5 s at sf0.1 is iters × the local-mode job-scheduling
+    // floor (each superstep is one materializing job by design), NOT a
+    // data-volume cost — at cluster scale the same 11 jobs amortize over
+    // arbitrarily large edge tables with one shuffle each.
+    "q233_trade_pagerank" -> Q(
+      (s, d) => {
+        val nc = Tables.nation(s, d)
+          .select(col("n_nationkey").as("__ck"), col("n_name").as("src_nation"))
+        val ns = Tables.nation(s, d)
+          .select(col("n_nationkey").as("__sk"), col("n_name").as("dst_nation"))
+        val edges = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nc), col("c_nationkey") === col("__ck"))
+          .join(broadcast(ns), col("s_nationkey") === col("__sk"))
+          .select(col("src_nation"), col("dst_nation"), col("l_extendedprice"))
+        graft.operators.GraphOps.pageRank(edges, "src_nation", "dst_nation",
+            "l_extendedprice", damping = 0.85, iters = 5, scoreOut = dec6)
+          .orderBy("node")
+      },
+      Some(s"""WITH e AS (SELECT cn.n_name AS src, sn.n_name AS dst,
+              |  sum(l_extendedprice) AS w
+              |  FROM lineitem
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN customer ON o_custkey = c_custkey
+              |  JOIN supplier ON l_suppkey = s_suppkey
+              |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+              |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+              |  GROUP BY 1, 2),
+              |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+              |norm AS (SELECT e.src, e.dst, e.w / ow.ow AS p
+              |  FROM e JOIN ow ON e.src = ow.src),
+              |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+              |nn AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM nodes),
+              |r0 AS (SELECT node, 1.0 / (SELECT N FROM nn) AS r FROM nodes),
+              |d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0
+              |  WHERE node NOT IN (SELECT DISTINCT src FROM norm)),
+              |c1 AS (SELECT dst, sum(r * p) AS cin FROM norm
+              |  JOIN r0 ON norm.src = r0.node GROUP BY dst),
+              |r1 AS (SELECT n.node, (1.0 - 0.85) / (SELECT N FROM nn)
+              |  + 0.85 * (coalesce(c.cin, 0) + (SELECT dm FROM d1) / (SELECT N FROM nn)) AS r
+              |  FROM nodes n LEFT JOIN c1 c ON n.node = c.dst),
+              |d2 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1
+              |  WHERE node NOT IN (SELECT DISTINCT src FROM norm)),
+              |c2 AS (SELECT dst, sum(r * p) AS cin FROM norm
+              |  JOIN r1 ON norm.src = r1.node GROUP BY dst),
+              |r2 AS (SELECT n.node, (1.0 - 0.85) / (SELECT N FROM nn)
+              |  + 0.85 * (coalesce(c.cin, 0) + (SELECT dm FROM d2) / (SELECT N FROM nn)) AS r
+              |  FROM nodes n LEFT JOIN c2 c ON n.node = c.dst),
+              |d3 AS (SELECT coalesce(sum(r), 0) AS dm FROM r2
+              |  WHERE node NOT IN (SELECT DISTINCT src FROM norm)),
+              |c3 AS (SELECT dst, sum(r * p) AS cin FROM norm
+              |  JOIN r2 ON norm.src = r2.node GROUP BY dst),
+              |r3 AS (SELECT n.node, (1.0 - 0.85) / (SELECT N FROM nn)
+              |  + 0.85 * (coalesce(c.cin, 0) + (SELECT dm FROM d3) / (SELECT N FROM nn)) AS r
+              |  FROM nodes n LEFT JOIN c3 c ON n.node = c.dst),
+              |d4 AS (SELECT coalesce(sum(r), 0) AS dm FROM r3
+              |  WHERE node NOT IN (SELECT DISTINCT src FROM norm)),
+              |c4 AS (SELECT dst, sum(r * p) AS cin FROM norm
+              |  JOIN r3 ON norm.src = r3.node GROUP BY dst),
+              |r4 AS (SELECT n.node, (1.0 - 0.85) / (SELECT N FROM nn)
+              |  + 0.85 * (coalesce(c.cin, 0) + (SELECT dm FROM d4) / (SELECT N FROM nn)) AS r
+              |  FROM nodes n LEFT JOIN c4 c ON n.node = c.dst),
+              |d5 AS (SELECT coalesce(sum(r), 0) AS dm FROM r4
+              |  WHERE node NOT IN (SELECT DISTINCT src FROM norm)),
+              |c5 AS (SELECT dst, sum(r * p) AS cin FROM norm
+              |  JOIN r4 ON norm.src = r4.node GROUP BY dst),
+              |r5 AS (SELECT n.node, (1.0 - 0.85) / (SELECT N FROM nn)
+              |  + 0.85 * (coalesce(c.cin, 0) + (SELECT dm FROM d5) / (SELECT N FROM nn)) AS r
+              |  FROM nodes n LEFT JOIN c5 c ON n.node = c.dst)
+              |SELECT node, ${Q.r6("r")} AS rank FROM r5
+              |ORDER BY node""".stripMargin)),
+
     // Long-form one-scan data profile of lineitem — the describe/Deequ
     // report (one row per column: nulls, distinct, min/max/mean). The
     // oracle is GENERATED from the same column list so both sides can

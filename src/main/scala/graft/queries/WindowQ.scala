@@ -411,6 +411,43 @@ object WindowQ {
           .orderBy("event_type")
       }),
 
+    // Split-conformal interval for the seasonal-naive forecaster: first
+    // half of the residuals calibrates q_hat = k-th smallest |res| with
+    // k = min(ceil(0.9*(n+1)), n), second half measures coverage of
+    // x_{t-24} ± q_hat — the distribution-free uncertainty quantifier
+    // every forecast in q215/q225 should ship with. |res| is dec6-rounded
+    // BEFORE ranking (rank-over-rounded convention) so q_hat is
+    // engine-identical.
+    "q234_conformal_coverage" -> Q(
+      (s, d) => graft.operators.SeasonalOps.conformalNaive(
+          series(s, d).filter(col("v").isNotNull),
+          "event_type", "ts", "v", period = 24, alpha = 0.9, scoreOut = dec6)
+        .orderBy("event_type"),
+      Some(s"""WITH $sqlSeries,
+              |g AS (SELECT ts, event_type, v FROM series WHERE v IS NOT NULL),
+              |b0 AS (SELECT event_type, ts,
+              |  v - lag(v, 24) OVER (PARTITION BY event_type ORDER BY ts) AS res
+              |  FROM g),
+              |b1 AS (SELECT event_type, ts, ${r6("abs(res)")} AS a,
+              |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+              |  count(*) OVER (PARTITION BY event_type) AS n
+              |  FROM b0 WHERE res IS NOT NULL),
+              |b AS (SELECT *, rn <= floor(n / 2.0) AS cal FROM b1),
+              |calr AS (SELECT event_type, ts, a,
+              |  row_number() OVER (PARTITION BY event_type ORDER BY a, ts) AS rk,
+              |  count(*) OVER (PARTITION BY event_type) AS ncal
+              |  FROM b WHERE cal),
+              |qh AS (SELECT event_type, ncal AS n_cal, a AS q_hat FROM calr
+              |  WHERE rk = least(CAST(ceil(0.9 * (CAST(ncal AS DOUBLE) + 1.0))
+              |    AS BIGINT), ncal)),
+              |t AS (SELECT b.event_type, b.a, qh.n_cal, qh.q_hat
+              |  FROM b JOIN qh USING (event_type) WHERE NOT cal)
+              |SELECT event_type, max(n_cal) AS n_cal, count(*) AS n_test,
+              |  max(q_hat) AS q_hat,
+              |  ${r6("avg(CASE WHEN a <= q_hat THEN 1.0 ELSE 0.0 END)")}
+              |    AS coverage
+              |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // A4: horizontal (row-wise) aggregates over the wide aligned matrix —
     // `all_zones_avg`, `greatest`, count-above-threshold
     // (`pre_processing.py:1140-1144,1302-1319`).

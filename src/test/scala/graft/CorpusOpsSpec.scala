@@ -194,4 +194,35 @@ class CorpusOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"dedupLines must not shuffle:\n$plan")
   }
+
+  test("vocabGrowthCurve: new types land in their first bucket; cumsum is the vocab") {
+    // ids 0-4 -> bucket 0 ("a b"), ids 5-9 -> bucket 1 ("b c")
+    val docs = (0L to 9L).map(i => (i, if (i < 5) "a b" else "b c"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.vocabGrowthCurve(docs, "doc_id", "text", buckets = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 5L, 2L, 2L), (1L, 5L, 1L, 3L)), out.mkString(","))
+  }
+
+  test("phraseSearch counts overlapping positional matches; non-matches drop") {
+    val docs = Seq(
+      (1L, "the quick brown fox saw the quick brown hare"),
+      (2L, "quick brown"),
+      (3L, "brown quick"),                // right tokens, wrong order
+      (4L, "quick red brown"),            // gap breaks adjacency
+      (5L, "go go go go"))                // overlapping bigram occurrences
+      .toDF("doc_id", "text")
+    val two = CorpusOps.phraseSearch(docs, "doc_id", "text",
+        Seq("quick", "brown"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(1L -> 2L, 2L -> 1L), s"got $two")
+    val over = CorpusOps.phraseSearch(docs, "doc_id", "text", Seq("go", "go"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(over == Map(5L -> 3L), s"overlaps must count: $over")
+    val tri = CorpusOps.phraseSearch(docs, "doc_id", "text",
+        Seq("the", "quick", "brown"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1L -> 2L), s"got $tri")
+  }
 }

@@ -110,6 +110,31 @@ class EventAnalyticsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("timeDecayAttribution: hand-computed half-life weights; revenue conserved") {
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-03 $h%02d:00:00")
+    val rows = Seq(
+      // user 1: touch a at -48h (w 0.25), b at -24h (w 0.5), conv 100
+      (1L, Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "a", 0.0),
+      (1L, Timestamp.valueOf("2024-01-02 12:00:00"), 2L, "b", 0.0),
+      (1L, Timestamp.valueOf("2024-01-03 12:00:00"), 3L, "purchase", 100.0),
+      // user 2: touchless conversion -> (none)
+      (2L, t(1), 4L, "purchase", 50.0),
+      // user 3: touch after the conversion earns nothing
+      (3L, t(1), 5L, "purchase", 10.0), (3L, t(2), 6L, "a", 0.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = EventOps.timeDecayAttribution(rows, "user_id", "ts",
+        "event_id", "event_type", "value", "purchase",
+        halfLifeHours = 24.0, scoreOut = dec6)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // weights 0.25 / 0.5 -> credits 100/3 and 200/3
+    assert(out("a") == ((1L, 33.333333)), s"${out("a")}")
+    assert(out("b") == ((1L, 66.666667)), s"${out("b")}")
+    // user 2's conversion keeps its value; user 3's is touchless too
+    assert(out("(none)") == ((2L, 60.0)), s"${out("(none)")}")
+    // conservation: every credited conversion's value is fully distributed
+    assert(math.abs(out.values.map(_._2).sum - 160.0) < 1e-5)
+  }
+
   test("seriesCorrMatrix: perfect anti-correlation and the upper triangle") {
     val rows = (0 until 48).flatMap { i =>
       Seq(("a", ts(i * 60), 10.0 + i), ("b", ts(i * 60), 100.0 - i),

@@ -49,6 +49,10 @@ class GlobalWindowLintSpec extends SparkSpec {
       "ECDF over the distinct-value support; the continuous-measure scale path is q178_ks_binned (bins-sized by construction)",
     "q171_mann_whitney" ->
       "midranks over the distinct-value table; the continuous-measure scale path is q179_mw_binned (bins-sized by construction)",
+    "q237_quality_auc" ->
+      "midranks over the distinct ROUNDED-score table (dec6 score in [0,1] caps it at 10^6+1 rows independent of corpus size)",
+    "q242_vocab_growth" ->
+      "cumulative sum over the bucket table: <= buckets (10) rows by construction (CorpusOps.vocabGrowthCurve)",
     "q178_ks_binned" ->
       "support table capped at bins=64 rows by pooled-quantile construction",
     "q179_mw_binned" ->
@@ -106,7 +110,11 @@ class GlobalWindowLintSpec extends SparkSpec {
     "q210_savgol_interp", "q44_impute", "q70_early_warning",
     "q97_rolling_median", "q107_subseq_search", "q108_sax_words",
     "q109_sax_motifs", "q214_ewma", "q215_holt_winters",
-    "q225_forecast_backtest")
+    "q225_forecast_backtest",
+    // conformalNaive's own joins are equi (broadcast q_hat); the two
+    // flagged BNLJs are the series() fixture's alignToGrid crossjoins,
+    // duplicated across the calibrate and coverage branches
+    "q234_conformal_coverage")
 
   private val allowBnlj: Map[String, String] =
     seriesGridQueries.map(_ -> seriesGridBound).toMap ++ Map(

@@ -128,4 +128,46 @@ class SeasonalOpsSpec extends SparkSpec {
     assert(math.abs(sampled.getDouble(3) - exact.getDouble(3)) < 0.02,
       s"sampled slope ${sampled.getDouble(3)} vs exact ${exact.getDouble(3)}")
   }
+
+  test("rollingPairCorr: linear twins pin r at +/-1; constant frames drop") {
+    val rows = (0 until 10).flatMap { i =>
+      Seq(("A", ts(i), i.toDouble), ("B", ts(i), 2.0 * i + 3),
+        ("C", ts(i), -i.toDouble), ("K", ts(i), 7.0))
+    }
+    val out = SeasonalOps.rollingPairCorr(
+        rows.toDF("event_type", "ts", "value"), "event_type", "ts", "value",
+        windowHours = 4, scoreOut = dec6)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // 10 hours, full 4-frames start at hour 3 -> 7 windows per pair
+    assert(out(("A", "B")) == ((7L, 1.0, 1.0, 1.0)), s"${out(("A", "B"))}")
+    assert(out(("A", "C")) == ((7L, -1.0, -1.0, -1.0)))
+    assert(out(("B", "C")) == ((7L, -1.0, -1.0, -1.0)))
+    // constant series K: zero variance in every frame -> no windows at all
+    assert(!out.keySet.exists(p => p._1 == "K" || p._2 == "K"),
+      s"constant series must not emit windows: ${out.keySet}")
+  }
+
+  test("conformal: hand-computed q_hat and coverage on planted residuals") {
+    // period=1 residuals by construction: calibration |res| = 2,4,..,12,
+    // test |res| = 1,3,..,11 (values are the running sum). n=12 residuals,
+    // n_cal = 6.
+    val res = Seq(2, 4, 6, 8, 10, 12, 1, 3, 5, 7, 9, 11)
+    val vals = res.scanLeft(0.0)(_ + _)
+    val df = vals.zipWithIndex.map { case (v, i) => ("s", ts(i), v) }
+      .toDF("event_type", "ts", "value")
+    // alpha=0.9: k = min(ceil(0.9*7), 6) = 6 -> q_hat = 12; all test <= 12
+    val r9 = SeasonalOps.conformalNaive(df, "event_type", "ts", "value",
+      period = 1, alpha = 0.9, scoreOut = dec6).head()
+    assert(r9.getLong(1) == 6 && r9.getLong(2) == 6,
+      s"split: ${r9.getLong(1)}/${r9.getLong(2)}")
+    assert(r9.getDouble(3) == 12.0, s"q_hat ${r9.getDouble(3)}")
+    assert(r9.getDouble(4) == 1.0, s"coverage ${r9.getDouble(4)}")
+    // alpha=0.5: k = ceil(0.5*7) = 4 -> q_hat = 8; test 1,3,5,7 covered -> 4/6
+    val r5 = SeasonalOps.conformalNaive(df, "event_type", "ts", "value",
+      period = 1, alpha = 0.5, scoreOut = dec6).head()
+    assert(r5.getDouble(3) == 8.0, s"q_hat ${r5.getDouble(3)}")
+    assert(math.abs(r5.getDouble(4) - 0.666667) < 1e-9,
+      s"coverage ${r5.getDouble(4)}")
+  }
 }

@@ -58,6 +58,68 @@ class StatOpsSpec extends SparkSpec {
     assert(r.toSeq == r2.toSeq, "assignment must be a pure function of user id")
   }
 
+  test("rocAuc: perfect, reversed, random and tied orderings hit closed forms") {
+    import spark.implicits._
+    // perfect separation: all positives above all negatives -> AUC 1
+    val perfect = Seq((0.9, 1L), (0.8, 1L), (0.2, 0L), (0.1, 0L))
+      .toDF("s", "y")
+    assert(StatOps.rocAuc(perfect, "s", "y", dec6).head().getDouble(3) == 1.0)
+    // reversed -> AUC 0
+    val rev = Seq((0.9, 0L), (0.8, 0L), (0.2, 1L), (0.1, 1L)).toDF("s", "y")
+    assert(StatOps.rocAuc(rev, "s", "y", dec6).head().getDouble(3) == 0.0)
+    // all scores tied -> every pair is a half-win -> AUC 0.5
+    val tied = Seq((0.5, 1L), (0.5, 0L), (0.5, 1L), (0.5, 0L)).toDF("s", "y")
+    val rt = StatOps.rocAuc(tied, "s", "y", dec6).head()
+    assert(rt.getDouble(3) == 0.5 && rt.getLong(2) == 1L)
+    // hand case: pos {3, 1}, neg {2}. pairs: (3>2)=1, (1<2)=0 -> AUC 0.5
+    val hand = Seq((3.0, 1L), (1.0, 1L), (2.0, 0L)).toDF("s", "y")
+    val rh = StatOps.rocAuc(hand, "s", "y", dec6).head()
+    assert(rh.getLong(0) == 2 && rh.getLong(1) == 1 && rh.getDouble(3) == 0.5)
+    // degenerate single-class input -> null AUC, not a crash
+    val mono = Seq((0.5, 1L), (0.7, 1L)).toDF("s", "y")
+    assert(StatOps.rocAuc(mono, "s", "y", dec6).head().isNullAt(3))
+  }
+
+  test("paretoFrontier: dominance, ties and duplicates on a planted plane") {
+    import spark.implicits._
+    val pts = Seq(
+      ("g", 1L, 1, 5.0),   // frontier: nothing longer has y >= 5
+      ("g", 2L, 3, 3.0),   // frontier
+      ("g", 3L, 2, 3.0),   // dominated by id 2 (x 3 > 2, y equal)
+      ("g", 4L, 3, 1.0),   // dominated by id 2 (same x, lower y)
+      ("g", 5L, 5, 2.0),   // frontier (longest)
+      ("g", 6L, 5, 2.0),   // duplicate point: also on frontier
+      ("h", 7L, 1, 0.0)    // other group: trivially on its own frontier
+    ).toDF("grp", "id", "x", "y")
+    val got = StatOps.paretoFrontier(pts, "grp", "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 5L, 6L, 7L), s"got $got")
+  }
+
+  test("assocRules: counts, confidence and lift on a planted basket set") {
+    import spark.implicits._
+    // 4 users: {a,b} {a,b} {a} {b,c} -> n(a)=3, n(b)=3, n(ab)=2, n(bc)=1
+    val ev = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"),
+      (4L, "b"), (4L, "c"), (1L, "a") /* dup event collapses */)
+      .toDF("user_id", "event_type")
+    val out = EventOps.assocRules(ev, "user_id", "event_type",
+        minSupport = 0.0, scoreOut = dec6)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("a", "b"))
+    assert(ab.getLong(2) == 2L)
+    assert(ab.getDouble(3) == 0.5)                       // support 2/4
+    assert(math.abs(ab.getDouble(4) - 0.666667) < 1e-9)  // conf a->b 2/3
+    assert(math.abs(ab.getDouble(6) - 0.888889) < 1e-9)  // lift 2*4/(3*3)
+    val bc = out(("b", "c"))
+    assert(bc.getLong(2) == 1L && bc.getDouble(5) == 1.0) // conf c->b = 1
+    assert(math.abs(bc.getDouble(6) - 1.333333) < 1e-6)   // lift 1*4/(3*1)
+    // minSupport cut drops the 1/4-support pair
+    val cut = EventOps.assocRules(ev, "user_id", "event_type",
+      minSupport = 0.3, scoreOut = dec6).collect()
+    assert(cut.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b")))
+  }
+
   test("localPeaks: a hand-built series yields exactly its planted peaks") {
     def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
     // flat 10s with spikes at hours 5 and 12
