@@ -10,10 +10,15 @@ polyfit, corrcoef, argmax scans) and compares against the graft.Verify
 dumps. Round 7 adds Theil-Sen (q182), OLS+R2 (q187), the correlation
 matrix (q192), the changepoint locator (q181), the savgol interp edge
 fits (q210, via lstsq) and the KNN imputation (q209, brute-force
-neighbor means).
+neighbor means). Round 8 adds ROC AUC (q237, explicit O(n_pos*n_neg)
+pairwise wins — not the rank identity the engines share), PageRank
+(q233, dense numpy power iteration vs the join formulation),
+split-conformal coverage (q234), rolling pair correlation (q240, pandas
+rolling.corr) and the Pareto frontier (q239, brute-force O(n^2)
+dominance).
 
 Usage: python3 tools/crosscheck_stats.py [sf_dir] [verify_out_dir]
-Last verified 2026-08-14 (r7): all ten match to 6 decimals at sf0.01.
+Last verified 2026-08-14 (r8): all fifteen match to 6 decimals at sf0.01.
 """
 import sys, glob
 import duckdb
@@ -238,6 +243,142 @@ def main():
         ok &= good
         print(f"{'PASS' if good else 'FAIL'} q209 KNN impute: "
               f"{int(drop.sum())} planted cells, brute-force neighbors")
+
+    # --- shared helpers for the r8 checks ---
+    def r6(x):
+        return np.floor(np.asarray(x, dtype=float) * 1e6 + 0.500618034) / 1e6
+
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    import re
+    STOP = {"a", "the", "and", "of", "in", "to"}
+
+    def doc_features(text):
+        t = re.split(r"\s+", text.strip())
+        n = len(t)
+        ratio = sum(1 for w in t if w in STOP) / n
+        q = min(1.0, n / 200.0) * (1.0 - ratio)
+        tf = max(t.count(w) for w in set(t)) / n
+        dg = 0.0 if n <= 1 else 1.0 - len({(t[i], t[i + 1]) for i in range(n - 1)}) / (n - 1)
+        keep = int(r6(tf) <= 0.2 and r6(dg) <= 0.3)
+        return q, keep
+
+    # --- ROC AUC (q237): explicit pairwise wins + half-ties, NOT the rank
+    # identity both engines share ---
+    auc_d = dump("q237_quality_auc")
+    if auc_d is not None:
+        docs = con.execute("SELECT text FROM documents").df()
+        feats = [doc_features(x) for x in docs.text]
+        s = r6([q for q, _ in feats])
+        y = np.array([k for _, k in feats])
+        sp, sn = s[y == 1], s[y == 0]
+        wins = (sp[:, None] > sn[None, :]).sum() + 0.5 * (sp[:, None] == sn[None, :]).sum()
+        auc = wins / (len(sp) * len(sn))
+        good = (int(auc_d.n_pos.iloc[0]) == len(sp)
+                and int(auc_d.n_neg.iloc[0]) == len(sn)
+                and abs(auc_d.auc.iloc[0] - auc) < 2e-6)
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q237 AUC: pairwise {auc:.6f} "
+              f"({len(sp)}x{len(sn)} comparisons) vs {auc_d.auc.iloc[0]}")
+
+    # --- PageRank (q233): dense numpy power iteration over the aggregated
+    # trade edges — matrices, not joins ---
+    pr = dump("q233_trade_pagerank")
+    if pr is not None:
+        for t in ["lineitem", "orders", "customer", "supplier", "nation"]:
+            con.execute(f"CREATE VIEW IF NOT EXISTS {t} AS SELECT * FROM "
+                        f"read_parquet('{sf}/{t}.parquet')")
+        edges = con.execute("""
+            SELECT cn.n_name AS src, sn.n_name AS dst, sum(l_extendedprice) AS w
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            GROUP BY 1, 2""").df()
+        names = sorted(set(edges.src) | set(edges.dst))
+        idx = {nm: i for i, nm in enumerate(names)}
+        N = len(names)
+        W = np.zeros((N, N))
+        for _, e in edges.iterrows():
+            W[idx[e.src], idx[e.dst]] = e.w
+        rowsum = W.sum(axis=1)
+        P = np.divide(W, rowsum[:, None], out=np.zeros_like(W),
+                      where=rowsum[:, None] > 0)
+        r, d = np.full(N, 1.0 / N), 0.85
+        for _ in range(5):
+            dm = r[rowsum == 0].sum()
+            r = (1 - d) / N + d * (P.T @ r + dm / N)
+        mine = dict(zip(pr.node, pr["rank"]))
+        good = (abs(sum(mine.values()) - 1.0) < 1e-4 and
+                all(abs(mine[nm] - r[idx[nm]]) < 2e-6 for nm in names))
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q233 PageRank: dense power "
+              f"iteration over {N} nodes, {len(edges)} edges")
+
+    # --- Split-conformal (q234): per-series numpy replay of the
+    # calibrate/test protocol on the aligned (non-ffilled) grid ---
+    cf = dump("q234_conformal_coverage")
+    if cf is not None:
+        # the query consumes WindowQ.series = the FFILLED aligned grid
+        # (srs above), non-null only (i.e. after each series' first obs)
+        al = srs[srs.v.notna()]
+        good = True
+        for et, grp in al.groupby("event_type"):
+            v = grp.v.values
+            res = np.abs(v[24:] - v[:-24])
+            ab = r6(res)
+            n = len(ab)
+            ncal = n // 2
+            cal, test = ab[:ncal], ab[ncal:]
+            order = np.lexsort((np.arange(ncal), cal))  # ties: earlier ts
+            k = min(int(np.ceil(0.9 * (ncal + 1))), ncal)
+            qhat = cal[order[k - 1]]
+            cov = r6((test <= qhat).mean())
+            row = cf[cf.event_type == et].iloc[0]
+            good &= (int(row.n_cal) == ncal and int(row.n_test) == n - ncal
+                     and abs(row.q_hat - qhat) < 1e-12
+                     and abs(row.coverage - cov) < 1e-12)
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q234 conformal: numpy replay "
+              f"per series (q_hat + coverage)")
+
+    # --- Rolling pair correlation (q240): pandas rolling(24).corr ---
+    rc = dump("q240_rolling_corr")
+    if rc is not None:
+        wide = hourly.pivot(index="h", columns="event_type", values="y")
+        good = True
+        for _, row in rc.iterrows():
+            pair = wide[[row.series_a, row.series_b]].dropna()
+            r = pair.iloc[:, 0].rolling(24).corr(pair.iloc[:, 1]).dropna()
+            r = r[np.isfinite(r)]
+            good &= int(row.n_windows) == len(r)
+            good &= abs(row.mean_r - r.mean()) < 2e-6
+            good &= abs(row.min_r - r.min()) < 2e-6
+            good &= abs(row.max_r - r.max()) < 2e-6
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q240 rolling corr: "
+              f"{len(rc)} pairs vs pandas rolling.corr")
+
+    # --- Pareto frontier (q239): brute-force O(n^2) dominance ---
+    pf = dump("q239_pareto_frontier")
+    if pf is not None:
+        docs = con.execute("SELECT doc_id, source, text FROM documents").df()
+        feats = [doc_features(x) for x in docs.text]
+        docs["nt"] = [len(re.split(r"\s+", x.strip())) for x in docs.text]
+        docs["q"] = r6([q for q, _ in feats])
+        want = set()
+        for src, grp in docs.groupby("source"):
+            X = grp[["nt", "q"]].values
+            for i, (xi, yi) in enumerate(X):
+                dominated = any((xj >= xi and yj >= yi and (xj > xi or yj > yi))
+                                for j, (xj, yj) in enumerate(X) if j != i)
+                if not dominated:
+                    want.add(int(grp.doc_id.values[i]))
+        got = set(pf.doc_id.astype(int))
+        good = got == want
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q239 frontier: brute-force "
+              f"dominance, {len(want)} frontier docs")
 
     sys.exit(0 if ok else 1)
 
