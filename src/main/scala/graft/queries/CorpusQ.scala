@@ -663,6 +663,51 @@ object CorpusQ {
              |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // Merkle-bucket anti-entropy over q117's planted snapshots: each side
+    // collapses to 64 (bucket, count, xor-digest) rows map-side; only
+    // buckets whose summaries disagree need a row rescan — the scale form
+    // of the snapshot diff (compare 64 rows, not every id).
+    "q243_merkle_diff" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val v1 = docs.filter(col("doc_id") % 23 =!= 1)
+        val v2 = docs.filter(col("doc_id") % 29 =!= 2)
+          .withColumn("text", when(col("doc_id") % 31 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        graft.operators.SyncOps.merkleDiff(v1, v2, "doc_id", "text",
+            buckets = 64)
+          .orderBy("bucket")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 23 <> 1),
+             |v2 AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 31 = 0 THEN text || ' rev2' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 29 <> 2),
+             |d1 AS (SELECT
+             |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+             |    AS BIGINT) % 64 AS bucket,
+             |  count(*) AS n_old,
+             |  bit_xor(CAST(('0x' || substring(
+             |    md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 12))
+             |    AS BIGINT)) AS digest_old
+             |  FROM v1 GROUP BY 1),
+             |d2 AS (SELECT
+             |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+             |    AS BIGINT) % 64 AS bucket,
+             |  count(*) AS n_new,
+             |  bit_xor(CAST(('0x' || substring(
+             |    md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 12))
+             |    AS BIGINT)) AS digest_new
+             |  FROM v2 GROUP BY 1)
+             |SELECT coalesce(d1.bucket, d2.bucket) AS bucket,
+             |  coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new,
+             |  coalesce(digest_old, 0) AS digest_old,
+             |  coalesce(digest_new, 0) AS digest_new,
+             |  CAST(coalesce(n_old, 0) <> coalesce(n_new, 0)
+             |    OR coalesce(digest_old, 0) <> coalesce(digest_new, 0)
+             |    AS INT) AS differs
+             |FROM d1 FULL OUTER JOIN d2 ON d1.bucket = d2.bucket
+             |ORDER BY bucket""".stripMargin)),
+
     // One BPE pair-counting round (Sennrich ACL'16) — the aggregation a
     // corpus-scale tokenizer fit iterates. Corpus collapses to the distinct-
     // word vocab first, so pair counting is O(vocab), not O(corpus).
