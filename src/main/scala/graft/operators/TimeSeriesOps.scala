@@ -196,4 +196,25 @@ object TimeSeriesOps {
       .withColumn("inferred_freq_us",
         when(col("n_gap_values") === 1 && col("modal_gap_us") > 0, col("modal_gap_us")))
   }
+
+  /** OHLC resample bars (pandas `resample(freq).ohlc()` — the candlestick
+    * summary of an irregular series): per series per `truncUnit` bucket,
+    * open/close = first/last value in (ts, id) order, high/low = max/min,
+    * plus row count and mean. One map-side-combinable aggregate — open and
+    * close ride `min_by`/`max_by` over the (ts, id) struct, so there is no
+    * per-bucket sort and no window, just a single hash aggregate that
+    * scales with bucket cardinality, never row count. */
+  def ohlcBars(df: DataFrame, seriesCol: String, tsCol: String, idCol: String,
+               valueCol: String, truncUnit: String = "hour"): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val key = struct(col(tsCol), col(idCol))
+    df.groupBy(col(seriesCol), date_trunc(truncUnit, col(tsCol)).as("bar_ts"))
+      .agg(
+        min_by(v, key).as("open"),
+        max(v).as("high"),
+        min(v).as("low"),
+        max_by(v, key).as("close"),
+        count(lit(1)).as("n_rows"),
+        avg(v).as("mean_value"))
+  }
 }

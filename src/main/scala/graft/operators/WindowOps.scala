@@ -236,4 +236,38 @@ object WindowOps {
           .otherwise(interior)))
       .select(col(seriesCol), col(orderCol), col("__v").as(valueCol), col(outCol))
   }
+
+  /** Hampel despiking filter (Pearson's rule): over a CENTERED window of
+    * `2*half+1` rows per series, flag points whose deviation from the
+    * window median exceeds `nSigmas * 1.4826 * MAD` and repair them to the
+    * median — the robust outlier-removal pass a sensor pipeline runs
+    * before any mean/σ feature (the reference's z-score despike,
+    * `pre_processing.py:1137-1170`, is the non-robust form this upgrades).
+    *
+    * Median and MAD are exact element picks from the sorted frame
+    * (`sort_array` + `element_at` on the odd-length window), not
+    * interpolated, so both engines read the identical IEEE double and the
+    * flag comparison is bit-deterministic. Interior-only: rows whose frame
+    * is short (series edges) pass through unflagged.
+    *
+    * Scale: window is series-partitioned and frame-bounded (2*half+1
+    * rows), so state per row is O(window) regardless of series length. */
+  def hampel(df: DataFrame, seriesCol: String, tsCol: String, idCol: String,
+             valueCol: String, half: Int = 12, nSigmas: Double = 3.0): DataFrame = {
+    val width = 2 * half + 1
+    val w = Window.partitionBy(seriesCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-half, half)
+    val mid = half + 1 // 1-indexed middle of the sorted odd-length frame
+    val withFrame = df
+      .withColumn("__v", col(valueCol).cast("double"))
+      .withColumn("__frame", collect_list(col("__v")).over(w))
+      .filter(size(col("__frame")) === width)
+      .withColumn("__med", element_at(sort_array(col("__frame")), mid))
+      .withColumn("__mad", element_at(
+        sort_array(transform(col("__frame"), x => abs(x - col("__med")))), mid))
+    withFrame
+      .filter(abs(col("__v") - col("__med")) > lit(nSigmas * 1.4826) * col("__mad"))
+      .select(col(seriesCol), col(idCol), col("__v").as(valueCol),
+        col("__med").as("window_median"), col("__mad").as("window_mad"))
+  }
 }

@@ -52,6 +52,31 @@ object WindowQ {
     // median over the trailing day, min_periods-guarded. Both engines
     // interpolate the even-count midpoint identically up to ulp, absorbed
     // by the rounding bias.
+    // Hampel despiking filter: centered 25-row window per series, flag
+    // |x − med| > 3·1.4826·MAD, report the repair value. Median and MAD are
+    // exact element picks from the sorted odd-length frame in BOTH engines
+    // (no interpolation), so the flag boundary is IEEE-deterministic; the
+    // raw flag comparison happens pre-rounding on both sides.
+    "q244_hampel_despike" -> Q(
+      (s, d) => WindowOps.hampel(Tables.events(s, d),
+          "event_type", "ts", "event_id", "value", half = 12, nSigmas = 3.0)
+        .select(col("event_type"), col("event_id"), col("value"),
+          dec6(col("window_median")).as("window_median"),
+          dec6(col("window_mad")).as("window_mad"))
+        .orderBy("event_type", "event_id"),
+      Some(s"""WITH w AS (SELECT event_type, event_id, value,
+              |  list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+              |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS lst
+              |  FROM events),
+              |m AS (SELECT event_type, event_id, value,
+              |  list_sort(lst)[13] AS med,
+              |  list_sort(list_transform(lst, x -> abs(x - list_sort(lst)[13])))[13] AS mad
+              |  FROM w WHERE len(lst) = 25)
+              |SELECT event_type, event_id, value,
+              |  ${r6("med")} AS window_median, ${r6("mad")} AS window_mad
+              |FROM m WHERE abs(value - med) > 3.0 * 1.4826 * mad
+              |ORDER BY event_type, event_id""".stripMargin)),
+
     "q97_rolling_median" -> Q(
       (s, d) => series(s, d)
         .select(col("ts"), col("event_type"),

@@ -70,4 +70,31 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out(1).getDouble(3) == 1.0)  // tie -> previous
     assert(out(3).getDouble(3) == 5.0)  // 1h back vs 3h forward
   }
+
+  test("ohlcBars: open/close by (ts,id) order, high/low/mean per bucket") {
+    val df = Seq(
+      ("x", ts("2024-01-01 00:10:00"), 1L, 5.0),
+      ("x", ts("2024-01-01 00:20:00"), 2L, 9.0),
+      ("x", ts("2024-01-01 00:40:00"), 3L, 1.0),
+      ("x", ts("2024-01-01 00:50:00"), 4L, 7.0),
+      ("y", ts("2024-01-01 00:30:00"), 5L, 2.0)
+    ).toDF("k", "ts", "id", "v")
+    val out = TimeSeriesOps.ohlcBars(df, "k", "ts", "id", "v")
+      .orderBy("k").collect()
+    val x = out(0)
+    assert(x.getDouble(2) == 5.0 && x.getDouble(3) == 9.0)   // open, high
+    assert(x.getDouble(4) == 1.0 && x.getDouble(5) == 7.0)   // low, close
+    assert(x.getLong(6) == 4L && x.getDouble(7) == 5.5)      // n, mean
+    val y = out(1)
+    assert(y.getDouble(2) == 2.0 && y.getDouble(5) == 2.0 && y.getLong(6) == 1L)
+  }
+
+  test("ohlcBars: same-ts tie broken by id for open") {
+    val df = Seq(
+      ("x", ts("2024-01-01 00:10:00"), 1L, 5.0),
+      ("x", ts("2024-01-01 00:10:00"), 0L, 3.0)  // same ts, smaller id -> open
+    ).toDF("k", "ts", "id", "v")
+    val out = TimeSeriesOps.ohlcBars(df, "k", "ts", "id", "v").collect().head
+    assert(out.getDouble(2) == 3.0 && out.getDouble(5) == 5.0)
+  }
 }

@@ -62,4 +62,37 @@ class WindowOpsSpec extends SparkSpec {
       assert(math.abs(out(i).getDouble(0) - f(i)) < 1e-6, s"at $i")
     }
   }
+
+  test("hampel flags only the spike, with hand-computed median and MAD") {
+    import java.sql.Timestamp
+    // linear ramp 0..8 with a +100 spike at i=4: only the spike's own
+    // frame [2,3,104,5,6] trips the rule (med 5, MAD 2, dev 99 > 8.9);
+    // neighbors' deviations (0 or 1) stay under 3*1.4826*MAD.
+    val rows = (0 until 9).map { i =>
+      val v = if (i == 4) 104.0 else i.toDouble
+      ("a", new Timestamp(i * 3600000L), i.toLong, v)
+    }
+    val df = rows.toDF("k", "ts", "id", "v")
+    val out = WindowOps.hampel(df, "k", "ts", "id", "v", half = 2, nSigmas = 3.0)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 4L && r.getDouble(2) == 104.0)
+    assert(r.getDouble(3) == 5.0 && r.getDouble(4) == 2.0) // median, MAD
+  }
+
+  test("hampel: short edge frames pass through unflagged") {
+    import java.sql.Timestamp
+    // spike at the very first row: its frame is short (3 of 5) so it is
+    // excluded from consideration entirely (interior-only contract)
+    val rows = Seq(1000.0, 1.0, 2.0, 3.0, 4.0, 5.0).zipWithIndex.map {
+      case (v, i) => ("a", new Timestamp(i * 3600000L), i.toLong, v)
+    }
+    val df = rows.toDF("k", "ts", "id", "v")
+    val out = WindowOps.hampel(df, "k", "ts", "id", "v", half = 2, nSigmas = 3.0)
+      .collect()
+    // interior rows i=2,3: frames [1000,1,2,3,4] (med 3, dev 1, MAD 2) and
+    // [1,2,3,4,5] (dev 0) — neither flagged; the edge spike never surfaces
+    assert(out.isEmpty)
+  }
 }
