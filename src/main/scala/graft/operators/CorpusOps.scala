@@ -1417,4 +1417,55 @@ object CorpusOps {
     matched.groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).as("n_matches"))
   }
+
+  /** Most distinctive terms per group by weighted log-odds with an
+    * informative Dirichlet prior (Monroe–Colaresi–Quinn '08, "Fightin'
+    * Words") — the statistically-grounded replacement for raw TF-IDF
+    * "top terms per source": the prior (α_w = a0·y_w/N, i.e. scaled
+    * global frequency) shrinks rare-word noise, and dividing by the
+    * estimated standard deviation turns the log-odds delta into a
+    * z-score comparable across frequency bands.
+    *
+    *   δ_w = ln((y_gw+α_w)/(n_g+a0−y_gw−α_w)) − ln((y_rw+α_w)/(n_r+a0−y_rw−α_w))
+    *   z_w = δ_w / √(1/(y_gw+α_w) + 1/(y_rw+α_w))
+    *
+    * where r is the complement corpus (everything but g). All counts are
+    * map-side-combinable token aggregates; the per-group totals join back
+    * agg-sized and the global vocab joins on the token key. The top-k cut
+    * ranks the ROUNDED z with the token as tiebreak (group-partitioned
+    * window, cross-engine deterministic).
+    *
+    * Returns (group, token, y_group, y_rest, z_logodds, rn), rn ≤ k. */
+  def logOddsTerms(docs: DataFrame, groupCol: String, textCol: String,
+                   a0: Double, k: Int, scoreOut: Column => Column): DataFrame = {
+    val ex = docs
+      .select(col(groupCol).as("grp"), TextOps.tokens(col(textCol)).as("__t"))
+      .select(col("grp"), explode_outer(col("__t")).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
+    val yGw = ex.groupBy("grp", "tok").agg(count(lit(1)).cast("double").as("y_g"))
+    val nG = yGw.groupBy("grp").agg(sum("y_g").as("n_g"))
+    val yW = yGw.groupBy("tok").agg(sum("y_g").as("y_w"))
+    val nTab = yW.agg(sum("y_w").as("__N"))
+    val joined = yGw
+      .join(yW, "tok")
+      .join(nG, "grp")
+      .crossJoin(broadcast(nTab))
+      .select(col("grp"), col("tok"), col("y_g"),
+        (col("y_w") - col("y_g")).as("y_r"),
+        (lit(a0) * col("y_w") / col("__N")).as("__aw"),
+        col("n_g"), (col("__N") - col("n_g")).as("n_r"))
+    val delta =
+      log((col("y_g") + col("__aw")) /
+          (col("n_g") + lit(a0) - col("y_g") - col("__aw"))) -
+      log((col("y_r") + col("__aw")) /
+          (col("n_r") + lit(a0) - col("y_r") - col("__aw")))
+    val sd = sqrt(lit(1.0) / (col("y_g") + col("__aw")) +
+                  lit(1.0) / (col("y_r") + col("__aw")))
+    val scored = joined.select(col("grp"), col("tok"),
+      col("y_g").cast("long").as("y_group"),
+      col("y_r").cast("long").as("y_rest"),
+      scoreOut(delta / sd).as("z_logodds"))
+    val w = Window.partitionBy("grp").orderBy(col("z_logodds").desc, col("tok"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
 }

@@ -841,4 +841,79 @@ object EventOps {
       .agg(count(lit(1)).as("n_touches"),
         scoreOut(sum("__credit")).as("revenue"))
   }
+
+  /** Item-item collaborative similarity (the "users who touched X also
+    * touched Y" table): binary user×item interactions → per-pair cosine
+    * n_both / √(n_a·n_b) → top-`k` neighbors per item. The raw log
+    * collapses map-side to DISTINCT (user, item); pair candidates come
+    * from the user-keyed self-join, so the fanout is per-user basket
+    * size², never |users|·|items| — the classic item-CF shape (Linden
+    * '03). At 100 TB the basket-size² fanout is the knob: cap each
+    * user's basket at the B most recent items (a bounded sort per user)
+    * before pairing; power users past B add noise, not signal.
+    *
+    * Ranking is over the ROUNDED cosine (scoreOut) with the neighbor id
+    * as tiebreak, so the top-k cut is reproducible cross-engine.
+    *
+    * Returns (item, neighbor, n_item, n_neighbor, n_both, cosine, rn)
+    * with rn ≤ k, both directions of each pair present. */
+  def itemNeighbors(events: DataFrame, userCol: String, itemCol: String,
+                    k: Int, scoreOut: Column => Column): DataFrame = {
+    val ui = events.select(col(userCol).as("u"), col(itemCol).as("item"))
+      .distinct().persist()
+    val totals = ui.groupBy("item").agg(count(lit(1)).as("n"))
+    val pairs = ui.select(col("u"), col("item").as("item_a"))
+      .join(ui.select(col("u"), col("item").as("item_b")), Seq("u"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_both"))
+    val scored = pairs
+      .join(totals.select(col("item").as("item_a"), col("n").as("n_a")), "item_a")
+      .join(totals.select(col("item").as("item_b"), col("n").as("n_b")), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"), col("n_both"),
+        scoreOut(col("n_both").cast("double") /
+          sqrt(col("n_a").cast("double") * col("n_b"))).as("cosine"))
+    // mirror to both directions so every item ranks its own neighbors
+    val sym = scored.select(col("item_a").as("item"), col("item_b").as("neighbor"),
+        col("n_a").as("n_item"), col("n_b").as("n_neighbor"),
+        col("n_both"), col("cosine"))
+      .unionAll(scored.select(col("item_b").as("item"), col("item_a").as("neighbor"),
+        col("n_b").as("n_item"), col("n_a").as("n_neighbor"),
+        col("n_both"), col("cosine")))
+    val w = Window.partitionBy("item")
+      .orderBy(col("cosine").desc, col("neighbor"))
+    sym.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Longest consecutive-day activity streak per user (gaps-and-islands):
+    * collapse the log to DISTINCT (user, day), island id = day −
+    * row_number (consecutive days share it), one aggregate per island,
+    * then the per-user best island by (length DESC, start ASC). All
+    * windows are user-partitioned; state per user is bounded by the
+    * calendar horizon. Day columns come back as formatted strings (the
+    * cross-engine DATE discipline).
+    *
+    * Returns (user, n_active_days, n_streaks, longest_streak,
+    * streak_start, streak_end). */
+  def activityStreaks(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val ud = events.select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .distinct()
+    val w = Window.partitionBy("u").orderBy("d")
+    val islands = ud
+      .withColumn("__g", date_sub(col("d"), row_number().over(w)))
+      .groupBy("u", "__g")
+      .agg(count(lit(1)).as("len"), min("d").as("start"), max("d").as("end"))
+    islands.groupBy(col("u").as("user"))
+      .agg(sum("len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        // (len, −epoch-day) max = longest streak, earliest start on ties
+        max(struct(col("len"), (-unix_date(col("start"))).as("__ns")))
+          .as("__best"))
+      .select(col("user"), col("n_active_days"), col("n_streaks"),
+        col("__best.len").as("longest_streak"),
+        date_format(date_from_unix_date(-col("__best.__ns")), "yyyy-MM-dd")
+          .as("streak_start"),
+        date_format(date_add(date_from_unix_date(-col("__best.__ns")),
+            col("__best.len").cast("int") - 1), "yyyy-MM-dd")
+          .as("streak_end"))
+  }
 }

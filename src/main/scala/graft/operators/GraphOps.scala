@@ -83,4 +83,75 @@ object GraphOps {
     }
     rank.select(col("node"), scoreOut(col("r")).as("rank"))
   }
+
+  /** Per-node triangle count and local clustering coefficient over an
+    * undirected edge list (any orientation, duplicates/self-loops
+    * tolerated), via the degree-ordered wedge join (Schank–Wagner /
+    * Latapy): orient every canonical edge from its lower-(degree, id)
+    * endpoint to the higher, enumerate wedges only at each edge's
+    * oriented SOURCE, and close them against the oriented edge set.
+    * With this orientation every node's out-degree is O(√m), so the
+    * wedge table is O(m^1.5) worst-case instead of Σdeg² — the standard
+    * scale fix that makes triangle counting survive skewed degree
+    * distributions (a celebrity node of degree 10⁶ contributes ZERO
+    * wedges at itself; its triangles are counted at low-degree
+    * neighbors). Each triangle {a,b,c} is emitted exactly once (its
+    * rank-minimal node is the wedge center), then exploded to all three
+    * corners for the per-node tally.
+    *
+    * Returns (node, degree, n_triangles, clustering) where clustering =
+    * 2T / (deg·(deg−1)), defined 0 for degree < 2. */
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String,
+                    scoreOut: Column => Column): DataFrame = {
+    // canonical undirected edge set: u < v, loops dropped. Persisted —
+    // degrees, orientation and the closing join all re-read it.
+    val e = edges.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist()
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .persist()
+    // attach endpoint degrees, orient low-(deg,id) → high-(deg,id); carry
+    // the target's rank struct so wedge endpoints can be ordered without
+    // another degree join
+    val oriented = e
+      .join(deg.select(col("node").as("u"), col("deg").as("__du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("__dv")), "v")
+      .select(
+        when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")),
+          struct(col("u").as("s"), col("v").as("t"),
+            struct(col("__dv").as("d"), col("v").as("n")).as("trk")))
+        .otherwise(
+          struct(col("v").as("s"), col("u").as("t"),
+            struct(col("__du").as("d"), col("u").as("n")).as("trk")))
+        .as("o"))
+      .select(col("o.s").as("s"), col("o.t").as("t"), col("o.trk").as("trk"))
+      .persist()
+    // wedges at the rank-minimal corner; b precedes c in rank order, so
+    // the closing edge — if present — is oriented exactly b → c
+    val wedges = oriented.select(col("s"), col("t").as("b"), col("trk").as("__rb"))
+      .join(oriented.select(col("s"), col("t").as("c"), col("trk").as("__rc")),
+        Seq("s"))
+      .filter(col("__rb") < col("__rc"))
+      .select(col("s").as("a"), col("b"), col("c"))
+    val tri = wedges
+      .join(oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+      .persist()
+    val perNode = tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        scoreOut(when(col("deg") >= 2,
+            lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+              (col("deg").cast("double") * (col("deg") - lit(1))))
+          .otherwise(lit(0.0))).as("clustering"))
+  }
 }

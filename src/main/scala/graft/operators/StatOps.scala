@@ -576,4 +576,48 @@ object StatOps {
       scoreOut(when(pe < 1.0, (col("__po") - pe) / (lit(1.0) - pe)))
         .as("kappa"))
   }
+
+  /** Allan variance per series at a ladder of averaging times τ — the
+    * sensor-stability metric (oscillator/gyroscope drift, IEEE 1139):
+    * σ²(τ) = ½·E[(ȳ_{i+1} − ȳ_i)²] over means of ADJACENT non-overlapping
+    * τ-wide buckets. The slope of log σ vs log τ identifies the noise
+    * regime (white −½, flicker 0, random-walk +½), which a plain rolling
+    * σ cannot separate.
+    *
+    * One hash aggregate collapses the stream to bucket means per (series,
+    * τ) — the window that pairs adjacent buckets runs on that agg-sized
+    * frame, series-partitioned. Buckets are indexed off the HOUR-truncated
+    * epoch (τ must be whole hours) so sub-second timestamp precision can
+    * never move a row across a bucket boundary cross-engine. Gap
+    * discipline: only pairs of consecutive bucket indexes (i+1 == i') are
+    * averaged; a data outage contributes no phantom pair.
+    *
+    * Returns (series, tau_hours, n_buckets, n_pairs, allan_var,
+    * allan_dev). */
+  def allanVariance(df: DataFrame, seriesCol: String, tsCol: String,
+                    valueCol: String, tausHours: Seq[Int],
+                    scoreOut: Column => Column): DataFrame = {
+    require(tausHours.nonEmpty && tausHours.forall(_ >= 1), "taus: whole hours >= 1")
+    val perTau = tausHours.map { tau =>
+      val bucket = floor(unix_timestamp(date_trunc("hour", col(tsCol))) /
+        lit(3600L * tau)).as("__b")
+      val means = df
+        .groupBy(col(seriesCol).as("series"), bucket)
+        .agg(avg(col(valueCol).cast("double")).as("__m"))
+      val w = Window.partitionBy("series").orderBy("__b")
+      means
+        .withColumn("__dm",
+          when(lead(col("__b"), 1).over(w) === col("__b") + 1,
+            lead(col("__m"), 1).over(w) - col("__m")))
+        .groupBy("series")
+        .agg(count(lit(1)).as("n_buckets"),
+          count(col("__dm")).as("n_pairs"),
+          (lit(0.5) * avg(col("__dm") * col("__dm"))).as("__av"))
+        .select(col("series"), lit(tau).as("tau_hours"),
+          col("n_buckets"), col("n_pairs"),
+          scoreOut(col("__av")).as("allan_var"),
+          scoreOut(sqrt(col("__av"))).as("allan_dev"))
+    }
+    perTau.reduce(_ unionAll _)
+  }
 }

@@ -1668,6 +1668,38 @@ object CorpusQ {
              |  md5(coalesce(array_to_string(list_filter(list_transform(
              |    generate_series(1, len(t)), i -> CASE WHEN mk[i] THEN t[i] END),
              |    x -> x IS NOT NULL), ' '), '')) AS target_md5
-             |FROM m ORDER BY doc_id""".stripMargin))
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Distinctive terms per source by weighted log-odds with an
+    // informative Dirichlet prior (Monroe '08 "Fightin' Words") — the
+    // statistically-grounded "what words characterize this source"
+    // replacement for raw TF-IDF tops: the global-frequency prior
+    // shrinks rare-word noise, the variance estimate makes z comparable
+    // across frequency bands. Rank over ROUNDED z, token tiebreak.
+    "q250_logodds_terms" -> Q(
+      (s, d) => CorpusOps.logOddsTerms(Tables.documents(s, d),
+          "source", "text", a0 = 500.0, k = 5, scoreOut = dec6)
+        .select(col("grp").as("source"), col("tok").as("token"),
+          col("y_group"), col("y_rest"), col("z_logodds"), col("rn"))
+        .orderBy("source", "rn"),
+      Some(s"""WITH ex AS (SELECT source,
+              |  unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              |  FROM documents),
+              |yg AS (SELECT source, tok, CAST(count(*) AS DOUBLE) AS y_g
+              |  FROM ex WHERE tok IS NOT NULL AND tok <> '' GROUP BY 1, 2),
+              |ng AS (SELECT source, sum(y_g) AS n_g FROM yg GROUP BY source),
+              |yw AS (SELECT tok, sum(y_g) AS y_w FROM yg GROUP BY tok),
+              |nt AS (SELECT sum(y_w) AS N FROM yw),
+              |j AS (SELECT yg.source, yg.tok, y_g, y_w - y_g AS y_r,
+              |    500.0 * y_w / nt.N AS aw, n_g, nt.N - n_g AS n_r
+              |  FROM yg JOIN yw USING (tok) JOIN ng USING (source), nt),
+              |sc AS (SELECT source, tok,
+              |  CAST(y_g AS BIGINT) AS y_group, CAST(y_r AS BIGINT) AS y_rest,
+              |  ${r6("(ln((y_g + aw) / (n_g + 500.0 - y_g - aw)) - ln((y_r + aw) / (n_r + 500.0 - y_r - aw))) / sqrt(1.0 / (y_g + aw) + 1.0 / (y_r + aw))")} AS z_logodds
+              |  FROM j),
+              |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+              |  ORDER BY z_logodds DESC, tok) AS INT) AS rn FROM sc)
+              |SELECT source, tok AS token, y_group, y_rest, z_logodds, rn
+              |FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin))
   )
 }

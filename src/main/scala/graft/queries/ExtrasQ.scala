@@ -1922,6 +1922,127 @@ object ExtrasQ {
               |  GROUP BY b.event_type, ms.n_pairs, ms.m_slope)
               |SELECT event_type, n_points, n_pairs,
               |  ${r6("m_slope")} AS slope_per_hour, ${r6("m_icept")} AS intercept
-              |FROM ic ORDER BY event_type""".stripMargin))
+              |FROM ic ORDER BY event_type""".stripMargin)),
+
+    // Co-activity triangle census: users active in the same (hour, type,
+    // k-decile) bucket form an undirected edge; per-user triangle count
+    // and local clustering coefficient via GraphOps' degree-ordered wedge
+    // join (oriented out-degree O(sqrt m) — the orientation, not the
+    // count, is what survives a celebrity node at 100 TB). The oracle
+    // re-counts with the id-only orientation: the triangle SET is
+    // orientation-invariant, only the enumeration cost isn't.
+    "q246_triangle_census" -> Q(
+      (s, d) => {
+        val b = Tables.events(s, d).select(
+            date_trunc("hour", col("ts")).as("h"), col("event_type").as("t"),
+            (get_json_object(col("props"), "$.k").cast("int") / lit(10))
+              .cast("int").as("kd"),
+            col("user_id").as("u"))
+          .distinct()
+        val edges = b.select(col("h"), col("t"), col("kd"), col("u").as("ua"))
+          .join(b.select(col("h"), col("t"), col("kd"), col("u").as("ub")),
+            Seq("h", "t", "kd"))
+          .filter(col("ua") < col("ub"))
+          .select("ua", "ub")
+        graft.operators.GraphOps.triangleStats(edges, "ua", "ub", dec6)
+          .orderBy("node")
+      },
+      Some(s"""WITH b AS (SELECT DISTINCT date_trunc('hour', ts) AS h,
+              |  event_type AS t,
+              |  CAST(json_extract_string(props, '$$.k') AS INT) // 10 AS kd,
+              |  user_id AS u FROM events),
+              |e AS (SELECT DISTINCT a.u AS u, b2.u AS v FROM b a JOIN b b2
+              |  ON a.h = b2.h AND a.t = b2.t AND a.kd = b2.kd AND a.u < b2.u),
+              |deg AS (SELECT node, count(*) AS degree FROM
+              |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
+              |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+              |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+              |tn AS (SELECT node, count(*) AS n_tri FROM
+              |  (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+              |   UNION ALL SELECT c FROM tri) GROUP BY node)
+              |SELECT deg.node, deg.degree,
+              |  coalesce(tn.n_tri, 0) AS n_triangles,
+              |  ${r6("CASE WHEN deg.degree >= 2 THEN 2.0 * coalesce(tn.n_tri, 0) / (deg.degree * (deg.degree - 1.0)) ELSE 0.0 END")} AS clustering
+              |FROM deg LEFT JOIN tn USING (node)
+              |ORDER BY node""".stripMargin)),
+
+    // Item-item collaborative similarity ("users who touched X also
+    // touched Y"): binary user×item interactions on the props content
+    // key, per-pair cosine, top-5 neighbors per item. Rank runs over the
+    // ROUNDED cosine with the neighbor id tiebreak on BOTH engines.
+    "q247_item_neighbors" -> Q(
+      (s, d) => graft.operators.EventOps.itemNeighbors(
+          Tables.events(s, d).select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("int").as("item")),
+          "user_id", "item", k = 5, scoreOut = dec6)
+        .orderBy("item", "rn"),
+      Some(s"""WITH ui AS (SELECT DISTINCT user_id AS u,
+              |  CAST(json_extract_string(props, '$$.k') AS INT) AS item FROM events),
+              |tot AS (SELECT item, count(*) AS n FROM ui GROUP BY item),
+              |p AS (SELECT a.item AS ia, b.item AS ib, count(*) AS n_both
+              |  FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+              |  GROUP BY 1, 2),
+              |sc AS (SELECT ia, ib, ta.n AS na, tb.n AS nb, n_both,
+              |  ${r6("n_both / sqrt(CAST(ta.n AS DOUBLE) * tb.n)")} AS cosine
+              |  FROM p JOIN tot ta ON ta.item = p.ia
+              |  JOIN tot tb ON tb.item = p.ib),
+              |sym AS (SELECT ia AS item, ib AS neighbor, na AS n_item,
+              |    nb AS n_neighbor, n_both, cosine FROM sc
+              |  UNION ALL SELECT ib, ia, nb, na, n_both, cosine FROM sc),
+              |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY item
+              |  ORDER BY cosine DESC, neighbor) AS INT) AS rn FROM sym)
+              |SELECT item, neighbor, n_item, n_neighbor, n_both, cosine, rn
+              |FROM r WHERE rn <= 5 ORDER BY item, rn""".stripMargin)),
+
+    // Longest consecutive-day activity streak per user — gaps-and-islands
+    // on the distinct (user, day) collapse; island id = day − row_number.
+    // Best island per user by (length DESC, start ASC); day columns cross
+    // the gate as formatted strings (DATE discipline).
+    "q248_activity_streaks" -> Q(
+      (s, d) => graft.operators.EventOps.activityStreaks(
+          Tables.events(s, d), "user_id", "ts")
+        .orderBy("user"),
+      Some("""WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+             |  FROM events),
+             |i AS (SELECT u, d, d - CAST(row_number() OVER (PARTITION BY u
+             |  ORDER BY d) AS INT) AS g FROM ud),
+             |isl AS (SELECT u, g, count(*) AS len, min(d) AS s, max(d) AS f
+             |  FROM i GROUP BY u, g),
+             |r AS (SELECT u, len, s, f,
+             |  row_number() OVER (PARTITION BY u ORDER BY len DESC, s) AS rn,
+             |  sum(len) OVER (PARTITION BY u) AS nad,
+             |  count(*) OVER (PARTITION BY u) AS ns FROM isl)
+             |SELECT u AS user, CAST(nad AS BIGINT) AS n_active_days,
+             |  ns AS n_streaks, len AS longest_streak,
+             |  strftime(s, '%Y-%m-%d') AS streak_start,
+             |  strftime(f, '%Y-%m-%d') AS streak_end
+             |FROM r WHERE rn = 1 ORDER BY u""".stripMargin)),
+
+    // Allan variance ladder (IEEE 1139 sensor stability): sigma^2(tau) =
+    // 1/2 E[(mean_{i+1} - mean_i)^2] over ADJACENT non-overlapping
+    // tau-wide buckets, tau in {1, 4, 24} h. Buckets index off the
+    // hour-truncated epoch so sub-second ts precision can't move a row
+    // across a boundary cross-engine; gaps contribute no phantom pair.
+    "q249_allan_variance" -> Q(
+      (s, d) => graft.operators.StatOps.allanVariance(
+          Tables.events(s, d), "event_type", "ts", "value",
+          tausHours = Seq(1, 4, 24), scoreOut = dec6)
+        .orderBy("series", "tau_hours"),
+      Some(Seq(1, 4, 24).map { tau =>
+        s"""SELECT series, $tau AS tau_hours, n_buckets, n_pairs,
+           |  ${r6("av")} AS allan_var, ${r6("sqrt(av)")} AS allan_dev
+           |FROM (SELECT series, count(*) AS n_buckets, count(dm) AS n_pairs,
+           |    0.5 * avg(dm * dm) AS av
+           |  FROM (SELECT series, b, m,
+           |      CASE WHEN lead(b) OVER w = b + 1
+           |        THEN lead(m) OVER w - m END AS dm
+           |    FROM (SELECT event_type AS series,
+           |        floor(epoch(date_trunc('hour', ts)) / ${3600 * tau}) AS b,
+           |        avg(value) AS m
+           |      FROM events GROUP BY 1, 2)
+           |    WINDOW w AS (PARTITION BY series ORDER BY b))
+           |  GROUP BY series)""".stripMargin
+      }.mkString("", " UNION ALL ", " ORDER BY series, tau_hours")))
   )
 }

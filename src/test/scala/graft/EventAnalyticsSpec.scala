@@ -148,4 +148,39 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(ab.getLong(2) == 48)
     assert(math.abs(ab.getDouble(3) + 1.0) < 1e-6, s"corr ${ab.getDouble(3)}")
   }
+
+  test("activityStreaks: islands, longest streak, earliest-start tie") {
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 09:30:00")
+    val rows = Seq(
+      // user 1: Jan 1-3 and Jan 5-6 → longest 3 (Jan 1-3); a same-day
+      // duplicate event must collapse
+      (1L, day(1)), (1L, day(1)), (1L, day(2)), (1L, day(3)),
+      (1L, day(5)), (1L, day(6)),
+      // user 2: two streaks of 2 → tie goes to the EARLIEST start
+      (2L, day(1)), (2L, day(2)), (2L, day(4)), (2L, day(5))
+    ).toDF("user_id", "ts")
+    val out = EventOps.activityStreaks(rows, "user_id", "ts")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val u1 = out(1L)
+    assert(u1.getLong(1) == 5L && u1.getLong(2) == 2L && u1.getLong(3) == 3L)
+    assert(u1.getString(4) == "2024-01-01" && u1.getString(5) == "2024-01-03")
+    val u2 = out(2L)
+    assert(u2.getLong(3) == 2L && u2.getString(4) == "2024-01-01"
+      && u2.getString(5) == "2024-01-02")
+  }
+
+  test("itemNeighbors: cosine from co-occurrence counts, both directions") {
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"),
+        (3L, "c"), (3L, "a")) // duplicate interaction must collapse
+      .toDF("u", "item")
+    val out = EventOps.itemNeighbors(rows, "u", "item", k = 5, scoreOut = dec6)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // n: a=3 b=2 c=1; pairs ab=2 ac=1 → cos ab = 2/√6, ac = 1/√3
+    val ab = out(("a", "b"))
+    assert(ab.getLong(2) == 3L && ab.getLong(3) == 2L && ab.getLong(4) == 2L)
+    assert(ab.getDouble(5) == 0.816497 && ab.getInt(6) == 1)
+    assert(out(("a", "c")).getInt(6) == 2)           // a's 2nd neighbor
+    assert(out(("b", "a")).getDouble(5) == 0.816497) // mirrored direction
+    assert(!out.contains(("b", "c")))                // never co-occur
+  }
 }

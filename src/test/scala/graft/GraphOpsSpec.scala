@@ -59,4 +59,21 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out("hub") > out("x") + 0.1, s"hub must dominate: $out")
   }
+
+  test("triangleStats: hand graph — counts, clustering, canonicalization") {
+    // edges ab ac bc cd bd de → triangles {a,b,c}, {b,c,d}; plus a
+    // reversed duplicate and a self-loop that must be canonicalized away
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("b", "d"),
+        ("d", "e"), ("b", "a"), ("c", "c"))
+      .toDF("x", "y")
+    val out = GraphOps.triangleStats(e, "x", "y", dec6)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 5)
+    def row(n: String) = (out(n).getLong(1), out(n).getLong(2), out(n).getDouble(3))
+    assert(row("a") == ((2L, 1L, 1.0)))
+    assert(row("b") == ((3L, 2L, 0.666667)))
+    assert(row("c") == ((3L, 2L, 0.666667)))
+    assert(row("d") == ((3L, 1L, 0.333333)))
+    assert(row("e") == ((1L, 0L, 0.0)))
+  }
 }

@@ -132,4 +132,34 @@ class StatOpsSpec extends SparkSpec {
     assert(peaks.map(_.getTimestamp(1).toString).toSeq ==
       Seq("2024-01-01 05:00:00.0", "2024-01-01 12:00:00.0"))
   }
+
+  test("allanVariance: hand values at tau=1 and tau=2") {
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val df = Seq(0.0, 2.0, 4.0, 10.0, 10.0, 16.0).zipWithIndex
+      .map { case (v, h) => ("s", ts(h), v) }
+      .toDF("event_type", "ts", "value")
+    val out = graft.operators.StatOps.allanVariance(df, "event_type", "ts",
+        "value", Seq(1, 2), dec6)
+      .collect().map(r => r.getInt(1) -> r).toMap
+    // tau=1: diffs [2,2,6,0,6] → avar = 0.5·80/5 = 8
+    val t1 = out(1)
+    assert(t1.getLong(2) == 6L && t1.getLong(3) == 5L)
+    assert(t1.getDouble(4) == 8.0 && math.abs(t1.getDouble(5) - 2.828427) < 1e-6)
+    // tau=2: bucket means [1,7,13], diffs [6,6] → avar = 0.5·36 = 18
+    val t2 = out(2)
+    assert(t2.getLong(2) == 3L && t2.getLong(3) == 2L)
+    assert(t2.getDouble(4) == 18.0)
+  }
+
+  test("allanVariance: a gap contributes no phantom pair") {
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // hours 0,1,3,4 — bucket 2 missing → only pairs (0,1) and (3,4)
+    val df = Seq((0, 0.0), (1, 2.0), (3, 10.0), (4, 14.0))
+      .map { case (h, v) => ("s", ts(h), v) }
+      .toDF("event_type", "ts", "value")
+    val out = graft.operators.StatOps.allanVariance(df, "event_type", "ts",
+        "value", Seq(1), dec6).collect().head
+    assert(out.getLong(2) == 4L && out.getLong(3) == 2L)
+    assert(out.getDouble(4) == 5.0)  // 0.5·(4+16)/2
+  }
 }
