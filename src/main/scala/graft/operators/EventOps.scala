@@ -916,4 +916,57 @@ object EventOps {
             col("__best.len").cast("int") - 1), "yyyy-MM-dd")
           .as("streak_end"))
   }
+
+  /** RFM segmentation (Hughes '94): per-user recency (days since last
+    * event vs the global anchor day), frequency (event count) and monetary
+    * (value sum), each scored 1-5 by its empirical quintile, plus the
+    * classic segment labels over the (r,f) plane. Quintile scoring is by
+    * THRESHOLD comparison — score = 1 + #{quintile cuts strictly below the
+    * metric} (reversed for recency, where smaller is better) — so ties at
+    * a cut land deterministically on the lower score and NO global ranking
+    * window exists anywhere: the cuts are one scalar aggregate (exact
+    * `percentile` at gate scale; the documented 100 TB swap is
+    * `approx_percentile`, same contract) broadcast back, and scoring is a
+    * per-row comparison. Cuts and monetary are rounded by `scoreOut` on
+    * both engines before comparing, so interpolated cut bits can never
+    * disagree cross-engine.
+    *
+    * Returns (user, recency_days, frequency, monetary, r_score, f_score,
+    * m_score, segment). */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String, scoreOut: Column => Column): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol).as("user"))
+      .agg(max(to_date(col(tsCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("double")).as("__mon"))
+      .crossJoin(broadcast(
+        events.agg(max(to_date(col(tsCol))).as("__anchor"))))
+      .select(col("user"),
+        datediff(col("__anchor"), col("__last")).as("recency_days"),
+        col("frequency"), scoreOut(col("__mon")).as("monetary"))
+    val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+    val cuts = perUser.agg(
+      transform(percentile(col("recency_days"), qs), scoreOut).as("__cr"),
+      transform(percentile(col("frequency"), qs), scoreOut).as("__cf"),
+      transform(percentile(col("monetary"), qs), scoreOut).as("__cm"))
+    def above(x: Column, cutsCol: Column): Column =
+      lit(1) + aggregate(cutsCol, lit(0),
+        (acc, c) => acc + when(x > c, 1).otherwise(0))
+    def below(x: Column, cutsCol: Column): Column =
+      lit(1) + aggregate(cutsCol, lit(0),
+        (acc, c) => acc + when(x < c, 1).otherwise(0))
+    val scored = perUser.crossJoin(broadcast(cuts))
+      .select(col("user"), col("recency_days"), col("frequency"), col("monetary"),
+        below(col("recency_days").cast("double"), col("__cr")).as("r_score"),
+        above(col("frequency").cast("double"), col("__cf")).as("f_score"),
+        above(col("monetary"), col("__cm")).as("m_score"))
+    scored.withColumn("segment",
+      when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+        "champion")
+        .when(col("r_score") >= 4 && col("f_score") <= 2, "new")
+        .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+        .when(col("r_score") <= 2, "hibernating")
+        .otherwise("regular"))
+  }
 }

@@ -442,4 +442,62 @@ object SeasonalOps {
         scoreOut(avg((col("__abs") <= col("q_hat")).cast("double")))
           .as("coverage"))
   }
+
+  /** Single-frequency periodogram power at a ladder of candidate periods —
+    * "is there a daily / half-daily / weekly cycle, and how strong": for
+    * each period P (hours), project the hourly series onto cos/sin at
+    * ω = 2π/P and report the harmonic amplitude and the fraction of series
+    * variance it explains,
+    *
+    *   C = Σxc − x̄Σc,  S = Σxs − x̄Σs   (c,s the basis at ω)
+    *   amplitude = (2/n)·√(C²+S²),  var_frac = 2(C²+S²) / (n·SSE)
+    *
+    * — the quantitative companion of [[seasonalStrength]]: that one needs
+    * the period known; this one ranks candidates (Schuster's periodogram).
+    *
+    * Scale shape: the stream collapses to hourly means once, then ONE
+    * map-side-combinable aggregate per (series, period) computes all six
+    * sums — no window, no per-period rescan of raw events. The basis angle
+    * is built from the integer hour index mod P, so the trig argument is
+    * identical cross-engine. var_frac is exact only over whole cycles;
+    * with partial cycles it is the standard regression R² of the single
+    * harmonic (documented, deterministic).
+    *
+    * Returns (series, period_hours, n_hours, amplitude, var_frac). */
+  def harmonicPower(events: DataFrame, seriesCol: String, tsCol: String,
+                    valueCol: String, periodsHours: Seq[Int],
+                    scoreOut: Column => Column): DataFrame = {
+    require(periodsHours.nonEmpty && periodsHours.forall(_ >= 2), "periods: hours >= 2")
+    val grid = events
+      .select(col(seriesCol).as("series"),
+        floor(unix_timestamp(date_trunc("hour", col(tsCol))) / lit(3600L)).as("__h"),
+        col(valueCol).cast("double").as("__v"))
+      .groupBy("series", "__h").agg(avg("__v").as("__y"))
+      .persist()
+    val perPeriod = periodsHours.map { p =>
+      val theta = lit(2.0 * math.Pi / p) * (col("__h") % lit(p.toLong)).cast("double")
+      grid
+        .select(col("series"), col("__y"), cos(theta).as("__c"), sin(theta).as("__s"))
+        .groupBy("series")
+        .agg(count(lit(1)).cast("double").as("__n"),
+          sum("__y").as("__sx"), sum(col("__y") * col("__y")).as("__sxx"),
+          sum("__c").as("__sc"), sum("__s").as("__ss"),
+          sum(col("__y") * col("__c")).as("__sxc"),
+          sum(col("__y") * col("__s")).as("__sxs"))
+        .select(col("series"), lit(p).as("period_hours"),
+          col("__n").cast("long").as("n_hours"),
+          (col("__sxc") - col("__sx") / col("__n") * col("__sc")).as("__cc"),
+          (col("__sxs") - col("__sx") / col("__n") * col("__ss")).as("__ssn"),
+          (col("__sxx") - col("__sx") * col("__sx") / col("__n")).as("__sse"),
+          col("__n"))
+        .select(col("series"), col("period_hours"), col("n_hours"),
+          scoreOut(lit(2.0) / col("__n") *
+            sqrt(col("__cc") * col("__cc") + col("__ssn") * col("__ssn")))
+            .as("amplitude"),
+          scoreOut(when(col("__sse") > 0,
+            lit(2.0) * (col("__cc") * col("__cc") + col("__ssn") * col("__ssn")) /
+              (col("__n") * col("__sse")))).as("var_frac"))
+    }
+    perPeriod.reduce(_ unionAll _)
+  }
 }

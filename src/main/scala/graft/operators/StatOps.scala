@@ -620,4 +620,43 @@ object StatOps {
     }
     perTau.reduce(_ unionAll _)
   }
+
+  /** Gumbel (EVT type-I) return levels per series from daily block maxima,
+    * fit by the method of moments (Gumbel '58 / NIST-ish): with m, s the
+    * mean and sample std of the daily maxima,
+    *
+    *   β = s·√6/π,   μ = m − γ·β   (γ = Euler–Mascheroni),
+    *   x_T = μ − β·ln(−ln(1 − 1/T))
+    *
+    * — the level exceeded once per T blocks in expectation, the principled
+    * extreme-value answer to "what alert threshold fires ~once a year"
+    * that a z-score threshold (which assumes Gaussian tails) gets wrong.
+    *
+    * Scale shape: one (series, day) hash aggregate collapses the stream to
+    * block maxima, one series-keyed moment aggregate follows — both
+    * map-side combinable, no window anywhere. At 100 TB the block table is
+    * series×days-sized, i.e. tiny.
+    *
+    * Returns (series, n_blocks, gumbel_mu, gumbel_beta, level_{T}d per
+    * horizon). */
+  def gumbelReturnLevels(df: DataFrame, seriesCol: String, tsCol: String,
+                         valueCol: String, horizonsDays: Seq[Int],
+                         scoreOut: Column => Column): DataFrame = {
+    require(horizonsDays.nonEmpty && horizonsDays.forall(_ >= 2), "horizons: days >= 2")
+    val gamma = 0.5772156649015329
+    val blocks = df
+      .groupBy(col(seriesCol).as("series"), to_date(col(tsCol)).as("__d"))
+      .agg(max(col(valueCol).cast("double")).as("__mx"))
+    val mom = blocks.groupBy("series")
+      .agg(count(lit(1)).as("n_blocks"),
+        avg("__mx").as("__m"), stddev_samp("__mx").as("__s"))
+    val beta = col("__s") * lit(math.sqrt(6.0) / math.Pi)
+    val mu = col("__m") - lit(gamma) * beta
+    val levels = horizonsDays.map { t =>
+      scoreOut(mu - beta * lit(math.log(-math.log(1.0 - 1.0 / t))))
+        .as(s"level_${t}d")
+    }
+    mom.select(Seq(col("series"), col("n_blocks"),
+      scoreOut(mu).as("gumbel_mu"), scoreOut(beta).as("gumbel_beta")) ++ levels: _*)
+  }
 }

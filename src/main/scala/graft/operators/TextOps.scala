@@ -13,6 +13,31 @@ object TextOps {
   /** Whitespace tokenizer. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Readability statistics as a struct (n_sentences, n_words,
+    * n_syllables, flesch, fk_grade): Flesch reading ease and
+    * Flesch–Kincaid grade from three linear regex counts —
+    * sentences = terminal-punctuation runs `[.!?]+`, words = whitespace
+    * tokens, syllables = vowel-group runs `[aeiouy]+` (the standard cheap
+    * syllable proxy; no silent-e handling — documented heuristic, both
+    * engines count the same runs). All three counts floor at 1 so the
+    * ratios are total. Pure codegen'd regexp over one scan — the curation
+    * signal that separates "readable prose" from word soup at the same
+    * length/stopword profile. */
+  def readability(text: Column): Column = {
+    val sen = greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("double")
+    val words = greatest(size(tokens(text)), lit(1)).cast("double")
+    val syl = greatest(regexp_count(lower(text), lit("[aeiouy]+")), lit(1))
+      .cast("double")
+    struct(
+      sen.cast("long").as("n_sentences"),
+      words.cast("long").as("n_words"),
+      syl.cast("long").as("n_syllables"),
+      (lit(206.835) - lit(1.015) * words / sen - lit(84.6) * syl / words)
+        .as("flesch"),
+      (lit(0.39) * words / sen + lit(11.8) * syl / words - lit(15.59))
+        .as("fk_grade"))
+  }
+
   /** Word n-gram shingles (contiguous, space-joined). Empty array when the
     * document has fewer than `n` tokens — Spark's `sequence(1, 0)` would
     * count DOWN, so the guard is semantic, not just defensive. */

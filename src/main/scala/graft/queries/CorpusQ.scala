@@ -1700,6 +1700,34 @@ object CorpusQ {
               |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
               |  ORDER BY z_logodds DESC, tok) AS INT) AS rn FROM sc)
               |SELECT source, tok AS token, y_group, y_rest, z_logodds, rn
-              |FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin))
+              |FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin)),
+
+    // Flesch reading ease + Flesch-Kincaid grade per enriched doc, from
+    // three linear regex counts (sentence runs, whitespace words,
+    // vowel-group syllable proxy, each floored at 1) — the curation
+    // signal separating readable prose from same-length word soup. Pure
+    // codegen'd regexp over one scan.
+    "q254_readability" -> Q(
+      (s, d) => {
+        val st = graft.operators.TextOps.readability(col("text"))
+        CorpusFixture.enriched(s, d)
+          .select(col("doc_id"), col("source"), st.as("__r"))
+          .select(col("doc_id"), col("source"),
+            col("__r.n_sentences"), col("__r.n_words"), col("__r.n_syllables"),
+            dec6(col("__r.flesch")).as("flesch"),
+            dec6(col("__r.fk_grade")).as("fk_grade"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${CorpusFixture.sql},
+              |c AS (SELECT doc_id, source,
+              |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS sen,
+              |  CAST(greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS DOUBLE) AS w,
+              |  CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS DOUBLE) AS syl
+              |  FROM enr)
+              |SELECT doc_id, source, CAST(sen AS BIGINT) AS n_sentences,
+              |  CAST(w AS BIGINT) AS n_words, CAST(syl AS BIGINT) AS n_syllables,
+              |  ${r6("206.835 - 1.015 * w / sen - 84.6 * syl / w")} AS flesch,
+              |  ${r6("0.39 * w / sen + 11.8 * syl / w - 15.59")} AS fk_grade
+              |FROM c ORDER BY doc_id""".stripMargin))
   )
 }

@@ -2043,6 +2043,97 @@ object ExtrasQ {
            |      FROM events GROUP BY 1, 2)
            |    WINDOW w AS (PARTITION BY series ORDER BY b))
            |  GROUP BY series)""".stripMargin
-      }.mkString("", " UNION ALL ", " ORDER BY series, tau_hours")))
+      }.mkString("", " UNION ALL ", " ORDER BY series, tau_hours"))),
+
+    // Gumbel (EVT-I) return levels from daily block maxima, method of
+    // moments: beta = s*sqrt(6)/pi, mu = m - gamma*beta, x_T = mu -
+    // beta*ln(-ln(1-1/T)) — the principled "threshold exceeded once per T
+    // days" that Gaussian z-scores get wrong in the tail. Two hash aggs,
+    // no window.
+    "q251_gumbel_return" -> Q(
+      (s, d) => graft.operators.StatOps.gumbelReturnLevels(
+          Tables.events(s, d), "event_type", "ts", "value",
+          horizonsDays = Seq(30, 365), scoreOut = dec6)
+        .orderBy("series"),
+      Some {
+        val c = math.sqrt(6.0) / math.Pi
+        val g = 0.5772156649015329
+        def lv(t: Int) =
+          r6(s"(m - $g * (s * $c)) - (s * $c) * ${math.log(-math.log(1.0 - 1.0 / t))}")
+        s"""WITH dm AS (SELECT event_type AS series, CAST(ts AS DATE) AS d,
+           |    max(value) AS mx FROM events GROUP BY 1, 2),
+           |mom AS (SELECT series, count(*) AS n_blocks, avg(mx) AS m,
+           |    stddev_samp(mx) AS s FROM dm GROUP BY series)
+           |SELECT series, n_blocks,
+           |  ${r6(s"m - $g * (s * $c)")} AS gumbel_mu,
+           |  ${r6(s"s * $c")} AS gumbel_beta,
+           |  ${lv(30)} AS level_30d, ${lv(365)} AS level_365d
+           |FROM mom ORDER BY series""".stripMargin
+      }),
+
+    // Schuster periodogram power at candidate periods {24, 12, 168} h:
+    // harmonic amplitude + fraction of variance explained per (series,
+    // period). One hourly collapse, then ONE map-side agg of six sums per
+    // period — the trig argument is built from the integer hour index mod
+    // P, identical cross-engine.
+    "q252_periodogram" -> Q(
+      (s, d) => graft.operators.SeasonalOps.harmonicPower(
+          Tables.events(s, d), "event_type", "ts", "value",
+          periodsHours = Seq(12, 24, 168), scoreOut = dec6)
+        .orderBy("series", "period_hours"),
+      Some(Seq(12, 24, 168).map { p =>
+        val w = 2.0 * math.Pi / p
+        s"""SELECT series, $p AS period_hours, CAST(n AS BIGINT) AS n_hours,
+           |  ${r6("2.0 / n * sqrt(cc * cc + ssn * ssn)")} AS amplitude,
+           |  ${r6("CASE WHEN sse > 0 THEN 2.0 * (cc * cc + ssn * ssn) / (n * sse) END")} AS var_frac
+           |FROM (SELECT series, n, sxc - sx / n * sc AS cc,
+           |    sxs - sx / n * ss AS ssn, sxx - sx * sx / n AS sse
+           |  FROM (SELECT series, CAST(count(*) AS DOUBLE) AS n, sum(y) AS sx,
+           |      sum(y * y) AS sxx, sum(c) AS sc, sum(sn) AS ss,
+           |      sum(y * c) AS sxc, sum(y * sn) AS sxs
+           |    FROM (SELECT series, y, cos($w * (h % $p)) AS c,
+           |        sin($w * (h % $p)) AS sn
+           |      FROM (SELECT event_type AS series,
+           |          floor(epoch(date_trunc('hour', ts)) / 3600) AS h,
+           |          avg(value) AS y FROM events GROUP BY 1, 2))
+           |    GROUP BY series))""".stripMargin
+      }.mkString("", " UNION ALL ", " ORDER BY series, period_hours"))),
+
+    // RFM segmentation: per-user recency/frequency/monetary scored 1-5 by
+    // empirical quintile THRESHOLDS (one scalar percentile agg broadcast
+    // back — no global ranking window; 100 TB swap = approx_percentile).
+    // Cuts and monetary are dec6-rounded on both engines before the
+    // comparison, so interpolated cut bits can never disagree.
+    "q253_rfm_segments" -> Q(
+      (s, d) => graft.operators.EventOps.rfmSegments(
+          Tables.events(s, d), "user_id", "ts", "value", scoreOut = dec6)
+        .orderBy("user"),
+      Some(s"""WITH pu AS (SELECT user_id AS u,
+              |    date_diff('day', max(CAST(ts AS DATE)),
+              |      (SELECT max(CAST(ts AS DATE)) FROM events)) AS rec,
+              |    count(*) AS freq, ${r6("sum(value)")} AS mon
+              |  FROM events GROUP BY user_id),
+              |cuts AS (SELECT
+              |    list_transform(quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]),
+              |      x -> ${r6("x")}) AS cr,
+              |    list_transform(quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]),
+              |      x -> ${r6("x")}) AS cf,
+              |    list_transform(quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]),
+              |      x -> ${r6("x")}) AS cm
+              |  FROM pu),
+              |sc AS (SELECT u, rec, freq, mon,
+              |    1 + len(list_filter(cr, c -> rec < c)) AS r_score,
+              |    1 + len(list_filter(cf, c -> freq > c)) AS f_score,
+              |    1 + len(list_filter(cm, c -> mon > c)) AS m_score
+              |  FROM pu, cuts)
+              |SELECT u AS user, CAST(rec AS INT) AS recency_days, freq AS frequency,
+              |  mon AS monetary, r_score, f_score, m_score,
+              |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+              |      THEN 'champion'
+              |    WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+              |    WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+              |    WHEN r_score <= 2 THEN 'hibernating'
+              |    ELSE 'regular' END AS segment
+              |FROM sc ORDER BY u""".stripMargin))
   )
 }

@@ -183,4 +183,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(("b", "a")).getDouble(5) == 0.816497) // mirrored direction
     assert(!out.contains(("b", "c")))                // never co-occur
   }
+
+  test("rfmSegments: hand quintiles, scores and segment labels") {
+    // user u: u events on day u, value u each -> rec = 10-u, freq = u,
+    // mon = u^2; every metric has distinct values so cuts are hand-known
+    val rows = for (u <- 1 to 10; i <- 1 to u)
+      yield (u.toLong, Timestamp.valueOf(f"2024-01-$u%02d ${i}%02d:00:00"), u.toDouble)
+    val df = rows.toDF("user_id", "ts", "value")
+    val out = EventOps.rfmSegments(df, "user_id", "ts", "value", dec6)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def scores(u: Long) = (out(u).getInt(4), out(u).getInt(5), out(u).getInt(6))
+    // rec cuts (1.8, 3.6, 5.4, 7.2), freq cuts (2.8, 4.6, 6.4, 8.2),
+    // mon cuts (8, 21.4, 41.2, 67.4) — strict threshold counting:
+    assert(scores(7L) == ((4, 4, 4)) && out(7L).getString(7) == "champion")
+    assert(scores(3L) == ((2, 2, 2)) && out(3L).getString(7) == "hibernating")
+    assert(scores(10L) == ((5, 5, 5)) && out(10L).getString(7) == "champion")
+    assert(scores(5L) == ((3, 3, 3)) && out(5L).getString(7) == "regular")
+    assert(out(1L).getString(7) == "hibernating")
+    assert(out(10L).getInt(1) == 0 && out(1L).getInt(1) == 9) // recency days
+    assert(out(6L).getLong(2) == 6L && out(6L).getDouble(3) == 36.0)
+  }
 }

@@ -170,4 +170,24 @@ class SeasonalOpsSpec extends SparkSpec {
     assert(math.abs(r5.getDouble(4) - 0.666667) < 1e-9,
       s"coverage ${r5.getDouble(4)}")
   }
+
+  test("harmonicPower: pure 24h cosine is fully explained at period 24, " +
+    "absent at 12") {
+    // y = 10 + 3*cos(2*pi*h/24) over exactly 2 whole cycles
+    val rows = (0 until 48).map { h =>
+      ("s", ts(h), 10.0 + 3.0 * math.cos(2.0 * math.Pi * h / 24.0))
+    }
+    val df = rows.toDF("event_type", "ts", "value")
+    val out = SeasonalOps.harmonicPower(df, "event_type", "ts", "value",
+        Seq(12, 24), dec6)
+      .collect().map(r => r.getInt(1) -> r).toMap
+    val p24 = out(24)
+    assert(p24.getLong(2) == 48L)
+    assert(math.abs(p24.getDouble(3) - 3.0) < 1e-5, s"amp ${p24.getDouble(3)}")
+    assert(math.abs(p24.getDouble(4) - 1.0) < 1e-5, s"frac ${p24.getDouble(4)}")
+    // the 12h harmonic of a pure 24h cosine is orthogonal: ~zero power
+    val p12 = out(12)
+    assert(p12.getDouble(3) < 1e-5 && p12.getDouble(4) < 1e-5,
+      s"12h leak ${p12.getDouble(3)} / ${p12.getDouble(4)}")
+  }
 }

@@ -151,6 +151,28 @@ class StatOpsSpec extends SparkSpec {
     assert(t2.getDouble(4) == 18.0)
   }
 
+  test("gumbelReturnLevels: moments to mu/beta/levels by hand") {
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // daily maxima 10, 14, 12, 16 (two events on day 1 — max wins)
+    val df = Seq((ts(1), 4.0), (ts(1), 10.0), (ts(2), 14.0), (ts(3), 12.0),
+        (ts(4), 16.0))
+      .map { case (t, v) => ("s", t, v) }.toDF("k", "ts", "v")
+    val r = StatOps.gumbelReturnLevels(df, "k", "ts", "v", Seq(30), dec6).head()
+    // m = 13, s = sqrt(20/3); beta = s*sqrt(6)/pi; mu = m - gamma*beta
+    val s = math.sqrt(20.0 / 3.0)
+    val beta = s * math.sqrt(6.0) / math.Pi
+    val mu = 13.0 - 0.5772156649015329 * beta
+    val lvl = mu - beta * math.log(-math.log(1.0 - 1.0 / 30.0))
+    assert(r.getLong(1) == 4L)
+    assert(math.abs(r.getDouble(2) - mu) < 1e-6, s"mu ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - beta) < 1e-6)
+    assert(math.abs(r.getDouble(4) - lvl) < 1e-6)
+    // return level grows with horizon: 30d < 365d on a fresh run
+    val r2 = StatOps.gumbelReturnLevels(df, "k", "ts", "v", Seq(30, 365), dec6)
+      .head()
+    assert(r2.getDouble(5) > r2.getDouble(4))
+  }
+
   test("allanVariance: a gap contributes no phantom pair") {
     def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
     // hours 0,1,3,4 — bucket 2 missing → only pairs (0,1) and (3,4)
