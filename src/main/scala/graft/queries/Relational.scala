@@ -518,6 +518,101 @@ object Relational {
              |  $smn AS min_str, $smx AS max_str FROM lineitem""".stripMargin
         }
         perCol.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
-      })
+      }),
+
+    // TPC-H Q3 shape (shipping priority): the selective filters sit on
+    // BOTH fact inputs before the l_orderkey shuffle join; the customer
+    // probe keeps only one segment; top-10 by revenue lands on
+    // TakeOrderedAndProject (never a global sort). Rounded-revenue +
+    // orderkey ordering makes the cut cross-engine deterministic.
+    "q255_ship_priority" -> Q(
+      (s, d) => {
+        val cut = lit("1996-03-15").cast("timestamp")
+        val c = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+        val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(dec4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue"))
+          .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+            col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey,
+              |  ${Q.r4("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue,
+              |  o_orderdate, o_orderpriority
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |  AND o_orderdate < TIMESTAMP '1996-03-15'
+              |  AND l_shipdate > TIMESTAMP '1996-03-15'
+              |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // TPC-H Q10 shape (returned-item report): one quarter of orders,
+    // only 'R' lines, revenue per customer, top-20. Customer joins by
+    // shuffle (customer is big at scale); nation broadcasts. The
+    // quarter filter prunes orders BEFORE the join.
+    "q256_returned_items" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(dec4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue"))
+          .select(col("c_custkey"), col("c_name"), col("revenue"),
+            col("c_acctbal"), col("n_name").as("nation"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name,
+              |  ${Q.r4("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue,
+              |  c_acctbal, n_name AS nation
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |WHERE l_returnflag = 'R'
+              |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+              |  AND o_orderdate < TIMESTAMP '1997-01-01'
+              |GROUP BY c_custkey, c_name, c_acctbal, n_name
+              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q18 shape (large-volume customers): the HAVING aggregate
+    // collapses lineitem to qualifying orderkeys FIRST (orders-sized,
+    // heavily filtered), and only then joins orders + customer — never
+    // the other way around. Top-20 rides TakeOrderedAndProject.
+    "q257_big_orders" -> Q(
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("sum_qty"))
+          .filter(col("sum_qty") > 300.0)
+        big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+             |  o_totalprice, sum_qty
+             |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+             |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0)
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin))
   )
 }
