@@ -232,14 +232,19 @@ object StatOps {
     // md5 draw measured 1.9 s vs 0.3 s for the identical explode+agg at
     // sf0.1 (~19M hashes), and the block pool cuts that 16× while keeping
     // the draw reproducible in any engine with md5 (the DuckDB oracle
-    // indexes the same hex pool).
+    // indexes the same hex pool). The byte test itself is LEXICOGRAPHIC —
+    // a two-hex-char substring is < "a2" iff the byte is < 0xa2 = 162,
+    // because lowercase hex digits are ASCII-ordered — which skips the
+    // base-16 `conv` parse per (row, replicate): measured 1.96 s → 1.12 s
+    // for the explode+filter+agg at sf0.1. (Filtering the replicate array
+    // BEFORE the explode is NOT a win: a higher-order-function lambda
+    // leaves WholeStageCodegen and measured 2.7 s.)
     val nBlocks = (b + 15) / 16
     val pool = concat((1 to nBlocks).map(k =>
       md5(concat(col(idCol).cast("string"), lit(s"_$k")).cast("binary"))): _*)
     val reps = events.select(v.as("v"), pool.as("hp"))
       .select(col("v"), col("hp"), explode(sequence(lit(1), lit(b))).as("r"))
-      .filter(conv(col("hp").substr(col("r") * 2 - 1, lit(2)), 16, 10)
-        .cast("int") < 162)
+      .filter(col("hp").substr(col("r") * 2 - 1, lit(2)) < lit("a2"))
     val means = reps.groupBy("r").agg(avg("v").as("m"))
     val alpha = (1.0 - level) / 2.0
     val base = events.agg(count(lit(1)).as("n"), avg(v).as("mean"))
