@@ -14,11 +14,15 @@ neighbor means). Round 8 adds ROC AUC (q237, explicit O(n_pos*n_neg)
 pairwise wins — not the rank identity the engines share), PageRank
 (q233, dense numpy power iteration vs the join formulation),
 split-conformal coverage (q234), rolling pair correlation (q240, pandas
-rolling.corr) and the Pareto frontier (q239, brute-force O(n^2)
-dominance).
+rolling.corr), the Pareto frontier (q239, brute-force O(n^2)
+dominance), Allan variance (q249, explicit bucket-mean diffs), Gumbel
+return levels (q251, block-maxima moments), the periodogram (q252,
+centered cos/sin projection) and the triangle census (q246, dense
+adjacency A^3 trace — a wholly different algorithm from the wedge
+join).
 
 Usage: python3 tools/crosscheck_stats.py [sf_dir] [verify_out_dir]
-Last verified 2026-08-14 (r8): all fifteen match to 6 decimals at sf0.01.
+Last verified 2026-08-15 (r8): all nineteen match to 6 decimals at sf0.01.
 """
 import sys, glob
 import duckdb
@@ -379,6 +383,104 @@ def main():
         ok &= good
         print(f"{'PASS' if good else 'FAIL'} q239 frontier: brute-force "
               f"dominance, {len(want)} frontier docs")
+
+    # --- Allan variance (q249): explicit bucket means + adjacent diffs ---
+    av = dump("q249_allan_variance")
+    if av is not None:
+        raw = con.execute(
+            "SELECT event_type s, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) e, "
+            "CAST(value AS DOUBLE) v FROM events").df()
+        good = True
+        for tau in (1, 4, 24):
+            raw["b"] = raw.e // (3600 * tau)
+            means = raw.groupby(["s", "b"]).v.mean().reset_index()
+            for s_, grp in means.groupby("s"):
+                g = grp.sort_values("b")
+                bb, mm = g.b.values, g.v.values
+                d = mm[1:][bb[1:] == bb[:-1] + 1] - mm[:-1][bb[1:] == bb[:-1] + 1]
+                avar = 0.5 * np.mean(d * d)
+                row = av[(av.series == s_) & (av.tau_hours == tau)].iloc[0]
+                good &= (abs(row.allan_var - avar) < 2e-6
+                         and row.n_pairs == len(d) and row.n_buckets == len(bb))
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q249 allan: bucket-mean diffs, "
+              f"{len(av)} rows")
+
+    # --- Gumbel return levels (q251): block maxima moments ---
+    gb = dump("q251_gumbel_return")
+    if gb is not None:
+        dm = con.execute(
+            "SELECT event_type s, CAST(ts AS DATE) d, max(CAST(value AS DOUBLE)) mx "
+            "FROM events GROUP BY 1, 2").df()
+        good = True
+        gamma, c6 = 0.5772156649015329, np.sqrt(6.0) / np.pi
+        for s_, grp in dm.groupby("s"):
+            m, sd = grp.mx.mean(), grp.mx.std(ddof=1)
+            beta = sd * c6
+            mu = m - gamma * beta
+            row = gb[gb.series == s_].iloc[0]
+            good &= abs(row.gumbel_mu - mu) < 2e-6
+            good &= abs(row.gumbel_beta - beta) < 2e-6
+            for t, colname in ((30, "level_30d"), (365, "level_365d")):
+                lvl = mu - beta * np.log(-np.log(1.0 - 1.0 / t))
+                good &= abs(row[colname] - lvl) < 2e-6
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q251 gumbel: moment fit, "
+              f"{len(gb)} series")
+
+    # --- Periodogram (q252): explicit centered projection per period ---
+    pg = dump("q252_periodogram")
+    if pg is not None:
+        hm = con.execute(
+            "SELECT event_type s, CAST(floor(epoch(date_trunc('hour', ts)) / 3600) "
+            "AS BIGINT) h, avg(CAST(value AS DOUBLE)) y FROM events GROUP BY 1, 2").df()
+        good = True
+        for p in (12, 24, 168):
+            th = 2.0 * np.pi / p * (hm.h.values % p)
+            for s_, idx in hm.groupby("s").groups.items():
+                y = hm.y.values[idx]
+                cth, sth = np.cos(th[idx]), np.sin(th[idx])
+                n = float(len(y))
+                C = (y * cth).sum() - y.sum() / n * cth.sum()
+                S = (y * sth).sum() - y.sum() / n * sth.sum()
+                sse = (y * y).sum() - y.sum() ** 2 / n
+                amp = 2.0 / n * np.sqrt(C * C + S * S)
+                frac = 2.0 * (C * C + S * S) / (n * sse)
+                row = pg[(pg.series == s_) & (pg.period_hours == p)].iloc[0]
+                good &= abs(row.amplitude - amp) < 2e-6
+                good &= abs(row.var_frac - frac) < 2e-6
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q252 periodogram: centered "
+              f"projection, {len(pg)} rows")
+
+    # --- Triangle census (q246): dense adjacency A^3 trace ---
+    tc = dump("q246_triangle_census")
+    if tc is not None:
+        eb = con.execute(
+            "SELECT DISTINCT date_trunc('hour', ts) h, event_type t, "
+            "CAST(json_extract_string(props, '$.k') AS INT) // 10 kd, user_id u "
+            "FROM events").df()
+        users = np.sort(eb.u.unique())
+        uix = {u: i for i, u in enumerate(users)}
+        A = np.zeros((len(users), len(users)), dtype=np.int64)
+        for _, grp in eb.groupby(["h", "t", "kd"]):
+            us = [uix[u] for u in grp.u.values]
+            for i in range(len(us)):
+                for j in range(i + 1, len(us)):
+                    A[us[i], us[j]] = A[us[j], us[i]] = 1
+        np.fill_diagonal(A, 0)
+        tri = np.diag(A @ A @ A) // 2
+        deg = A.sum(axis=1)
+        good = True
+        for _, row in tc.iterrows():
+            i = uix[row.node]
+            cl = 2.0 * tri[i] / (deg[i] * (deg[i] - 1.0)) if deg[i] >= 2 else 0.0
+            good &= (row.degree == deg[i] and row.n_triangles == tri[i]
+                     and abs(row.clustering - cl) < 2e-6)
+        good &= len(tc) == int((deg > 0).sum())
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q246 triangles: A^3 trace, "
+              f"{int(tri.sum() // 3)} triangles")
 
     sys.exit(0 if ok else 1)
 
