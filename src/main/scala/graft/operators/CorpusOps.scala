@@ -1468,4 +1468,35 @@ object CorpusOps {
     val w = Window.partitionBy("grp").orderBy(col("z_logodds").desc, col("tok"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
+
+  /** Pairwise shingle-Jaccard overlap matrix between corpus groups
+    * (sources): which slices share content — the input to mixture
+    * weighting and cross-source contamination triage. The text is scanned
+    * ONCE into the distinct (shingle, group) table; the pair counts come
+    * from the shingle-keyed self-join of that table (fanout per shingle =
+    * (#groups carrying it)², bounded by the group count squared — never
+    * corpus²); per-group totals join back agg-sized. With G groups the
+    * result is G·(G−1)/2 rows.
+    *
+    * Returns (src_a, src_b, n_a, n_b, n_both, jaccard) for a < b. */
+  def groupOverlap(docs: DataFrame, groupCol: String, textCol: String,
+                   shingleN: Int, scoreOut: Column => Column): DataFrame = {
+    val d = docs
+      .select(col(groupCol).as("g"),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN))
+          .as("sh"))
+      .distinct()
+      .persist()
+    val totals = d.groupBy("g").agg(count(lit(1)).as("n"))
+    val pairs = d.select(col("sh"), col("g").as("src_a"))
+      .join(d.select(col("sh"), col("g").as("src_b")), Seq("sh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(totals.select(col("g").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(totals.select(col("g").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_both"),
+        scoreOut(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both"))).as("jaccard"))
+  }
 }

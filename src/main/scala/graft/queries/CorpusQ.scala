@@ -1728,6 +1728,28 @@ object CorpusQ {
               |  CAST(w AS BIGINT) AS n_words, CAST(syl AS BIGINT) AS n_syllables,
               |  ${r6("206.835 - 1.015 * w / sen - 84.6 * syl / w")} AS flesch,
               |  ${r6("0.39 * w / sen + 11.8 * syl / w - 15.59")} AS fk_grade
-              |FROM c ORDER BY doc_id""".stripMargin))
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Pairwise 3-gram-Jaccard overlap matrix between sources — which
+    // corpus slices share content (mixture-weighting / contamination
+    // triage input). Text scanned once into distinct (shingle, source);
+    // pair counts from the shingle-keyed self-join (fanout per shingle
+    // <= sources², never corpus²).
+    "q258_source_overlap" -> Q(
+      (s, d) => CorpusOps.groupOverlap(Tables.documents(s, d),
+          "source", "text", shingleN = 3, scoreOut = dec6)
+        .orderBy("src_a", "src_b"),
+      Some(s"""WITH toks AS (SELECT source, string_split_regex(trim(text), '\\s+') AS t
+              |  FROM documents),
+              |d AS (SELECT DISTINCT source AS g, unnest(list_transform(
+              |  generate_series(1, greatest(len(t) - 2, 0)),
+              |  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh FROM toks),
+              |tot AS (SELECT g, count(*) AS n FROM d GROUP BY g),
+              |p AS (SELECT a.g AS src_a, b.g AS src_b, count(*) AS n_both
+              |  FROM d a JOIN d b ON a.sh = b.sh AND a.g < b.g GROUP BY 1, 2)
+              |SELECT src_a, src_b, ta.n AS n_a, tb.n AS n_b, n_both,
+              |  ${r6("n_both / CAST(ta.n + tb.n - n_both AS DOUBLE)")} AS jaccard
+              |FROM p JOIN tot ta ON ta.g = p.src_a JOIN tot tb ON tb.g = p.src_b
+              |ORDER BY src_a, src_b""".stripMargin))
   )
 }

@@ -2142,6 +2142,31 @@ object ExtrasQ {
               |    WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
               |    WHEN r_score <= 2 THEN 'hibernating'
               |    ELSE 'regular' END AS segment
-              |FROM sc ORDER BY u""".stripMargin))
+              |FROM sc ORDER BY u""".stripMargin)),
+
+    // Per-(type, day) latency-style quantile report (p50/p90/p99 + count)
+    // — the SLA rollup. Exact `percentile` per group at gate scale; the
+    // documented 100 TB swap is approx_percentile with the same contract.
+    // Groups are day-sized so the per-group sort state is bounded.
+    "q259_latency_quantiles" -> Q(
+      (s, d) => {
+        val qs = array(lit(0.5), lit(0.9), lit(0.99))
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("__d"))
+          .agg(count(lit(1)).as("n"),
+            percentile(col("value").cast("double"), qs).as("__q"))
+          .select(col("event_type"),
+            date_format(col("__d"), "yyyy-MM-dd").as("day"), col("n"),
+            dec6(element_at(col("__q"), 1)).as("p50"),
+            dec6(element_at(col("__q"), 2)).as("p90"),
+            dec6(element_at(col("__q"), 3)).as("p99"))
+          .orderBy("event_type", "day")
+      },
+      Some(s"""SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+              |  count(*) AS n,
+              |  ${r6("quantile_cont(value, 0.5)")} AS p50,
+              |  ${r6("quantile_cont(value, 0.9)")} AS p90,
+              |  ${r6("quantile_cont(value, 0.99)")} AS p99
+              |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin))
   )
 }

@@ -613,6 +613,63 @@ object Relational {
              |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0)
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
-             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin))
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    // Referential-integrity / key-quality audit (the dbt-tests shape):
+    // orphan foreign keys via LEFT ANTI joins (each one shuffle on the
+    // key, no row fanout), duplicate and null primary keys via one
+    // aggregate per table. One row per named check, so the report is
+    // constant-sized no matter the data.
+    "q260_integrity_audit" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val checks = Seq(
+          li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+            .agg(lit("lineitem_orphan_orderkey").as("check"),
+              count(lit(1)).as("n_violations"))
+            .crossJoin(broadcast(li.agg(count(lit(1)).as("n_checked")))),
+          o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+            .agg(lit("orders_orphan_custkey").as("check"),
+              count(lit(1)).as("n_violations"))
+            .crossJoin(broadcast(o.agg(count(lit(1)).as("n_checked")))),
+          o.agg(lit("orders_duplicate_pk").as("check"),
+            (count(lit(1)) - count_distinct(col("o_orderkey")))
+              .as("n_violations"), count(lit(1)).as("n_checked")),
+          o.agg(lit("orders_null_pk").as("check"),
+            count(when(col("o_orderkey").isNull, 1)).as("n_violations"),
+            count(lit(1)).as("n_checked")),
+          li.agg(lit("lineitem_duplicate_pk").as("check"),
+            (count(lit(1)) -
+              count_distinct(col("l_orderkey"), col("l_linenumber")))
+              .as("n_violations"), count(lit(1)).as("n_checked")))
+        checks.reduce(_ unionAll _).orderBy("check")
+      },
+      Some("""SELECT * FROM (
+             |SELECT 'lineitem_orphan_orderkey' AS "check",
+             |  (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+             |    ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+             |    AS n_violations,
+             |  (SELECT count(*) FROM lineitem) AS n_checked
+             |UNION ALL
+             |SELECT 'orders_orphan_custkey',
+             |  (SELECT count(*) FROM orders o LEFT JOIN customer c
+             |    ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL),
+             |  (SELECT count(*) FROM orders)
+             |UNION ALL
+             |SELECT 'orders_duplicate_pk',
+             |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders),
+             |  (SELECT count(*) FROM orders)
+             |UNION ALL
+             |SELECT 'orders_null_pk',
+             |  (SELECT count(*) FILTER (o_orderkey IS NULL) FROM orders),
+             |  (SELECT count(*) FROM orders)
+             |UNION ALL
+             |SELECT 'lineitem_duplicate_pk',
+             |  (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+             |    FROM lineitem),
+             |  (SELECT count(*) FROM lineitem)
+             |) ORDER BY "check" """.stripMargin))
   )
 }
