@@ -664,4 +664,50 @@ object StatOps {
     mom.select(Seq(col("series"), col("n_blocks"),
       scoreOut(mu).as("gumbel_mu"), scoreOut(beta).as("gumbel_beta")) ++ levels: _*)
   }
+
+  /** Weibull fit of the inter-arrival gaps per series via the closed-form
+    * log-moment (Menon '63) estimator: with ln-gap mean m and sample std
+    * s,
+    *
+    *   shape k = (π/√6)/s,   scale λ = exp(m + γ/k)
+    *
+    * (γ = Euler–Mascheroni; ln of a Weibull is Gumbel-of-minima with
+    * std π/(k√6) and mean ln λ − γ/k). Shape < 1 means bursty
+    * (clustered arrivals, heavy tail), ≈ 1 Poisson-like, > 1 regular —
+    * the parametric companion of [[graft.operators.EventOps.burstiness]]
+    * that also yields a usable survival function for timeout tuning.
+    * The MLE needs iteration; the log-moment form is one aggregate and
+    * deterministic cross-engine.
+    *
+    * Scale shape: gaps are one series-partitioned lag window over the
+    * (series-sorted) stream, the fit is one hash aggregate. Zero gaps
+    * (same-timestamp events) are excluded from the log moments by
+    * construction and reported in n_zero_gaps.
+    *
+    * Returns (series, n_gaps, n_zero_gaps, shape_k, scale_s,
+    * mean_gap_s). */
+  def weibullInterarrival(df: DataFrame, seriesCol: String, tsCol: String,
+                          tiebreakCol: String,
+                          scoreOut: Column => Column): DataFrame = {
+    val gamma = 0.5772156649015329
+    val w = Window.partitionBy(seriesCol).orderBy(col(tsCol), col(tiebreakCol))
+    val gaps = df
+      .withColumn("__g",
+        (unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)))
+          .cast("double") / lit(1e6))
+      .filter(col("__g").isNotNull)
+    gaps
+      .groupBy(col(seriesCol).as("series"))
+      .agg(count(when(col("__g") > 0, 1)).as("n_gaps"),
+        count(when(col("__g") === 0, 1)).as("n_zero_gaps"),
+        avg(when(col("__g") > 0, log(col("__g")))).as("__m"),
+        stddev_samp(when(col("__g") > 0, log(col("__g")))).as("__s"),
+        avg(when(col("__g") > 0, col("__g"))).as("__mg"))
+      .select(col("series"), col("n_gaps"), col("n_zero_gaps"),
+        scoreOut(lit(math.Pi / math.sqrt(6.0)) / col("__s")).as("shape_k"),
+        scoreOut(exp(col("__m") +
+          lit(gamma) / (lit(math.Pi / math.sqrt(6.0)) / col("__s"))))
+          .as("scale_s"),
+        scoreOut(col("__mg")).as("mean_gap_s"))
+  }
 }

@@ -2167,6 +2167,36 @@ object ExtrasQ {
               |  ${r6("quantile_cont(value, 0.5)")} AS p50,
               |  ${r6("quantile_cont(value, 0.9)")} AS p90,
               |  ${r6("quantile_cont(value, 0.99)")} AS p99
-              |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin))
+              |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin)),
+
+    // Weibull inter-arrival fit per type (closed-form log-moment Menon
+    // estimator: k = (pi/sqrt 6)/std(ln g), lambda = exp(mean(ln g) +
+    // gamma/k)) — shape < 1 = bursty, ~1 = Poisson-like, > 1 = regular;
+    // the parametric companion of the q177-family burstiness coefficient
+    // with a usable survival function for timeout tuning.
+    "q261_weibull_gaps" -> Q(
+      (s, d) => graft.operators.StatOps.weibullInterarrival(
+          Tables.events(s, d), "event_type", "ts", "event_id", scoreOut = dec6)
+        .orderBy("series"),
+      Some {
+        val c = math.Pi / math.sqrt(6.0)
+        val g = 0.5772156649015329
+        s"""WITH gp AS (SELECT event_type AS series,
+           |    (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type
+           |      ORDER BY ts, event_id))) / 1000000.0 AS gg
+           |  FROM events),
+           |ag AS (SELECT series,
+           |    count(CASE WHEN gg > 0 THEN 1 END) AS n_gaps,
+           |    count(CASE WHEN gg = 0 THEN 1 END) AS n_zero_gaps,
+           |    avg(CASE WHEN gg > 0 THEN ln(gg) END) AS m,
+           |    stddev_samp(CASE WHEN gg > 0 THEN ln(gg) END) AS sd,
+           |    avg(CASE WHEN gg > 0 THEN gg END) AS mg
+           |  FROM gp WHERE gg IS NOT NULL GROUP BY series)
+           |SELECT series, n_gaps, n_zero_gaps,
+           |  ${r6(s"$c / sd")} AS shape_k,
+           |  ${r6(s"exp(m + $g / ($c / sd))")} AS scale_s,
+           |  ${r6("mg")} AS mean_gap_s
+           |FROM ag ORDER BY series""".stripMargin
+      })
   )
 }

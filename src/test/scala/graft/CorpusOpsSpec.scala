@@ -225,4 +225,21 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(tri == Map(1L -> 2L), s"got $tri")
   }
+
+  test("groupOverlap: hand Jaccard; within-source duplicate shingles collapse") {
+    val docs = Seq(
+      ("A", "a b c d"),   // 3-grams: "a b c", "b c d"
+      ("A", "a b c d"),   // duplicate doc — must NOT inflate n_a
+      ("B", "a b c x"),   // 3-grams: "a b c", "b c x"
+      ("C", "z z z z")    // 3-grams: "z z z" (x2, collapses to 1)
+    ).toDF("source", "text")
+    val out = CorpusOps.groupOverlap(docs, "source", "text", 3,
+        graft.queries.Q.dec6)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("A", "B"))
+    assert(ab.getLong(2) == 2L && ab.getLong(3) == 2L && ab.getLong(4) == 1L)
+    assert(math.abs(ab.getDouble(5) - 1.0 / 3.0) < 1e-6)
+    assert(!out.contains(("A", "C")) && !out.contains(("B", "C")),
+      "disjoint sources must yield no pair row")
+  }
 }

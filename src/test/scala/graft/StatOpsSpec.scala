@@ -173,6 +173,26 @@ class StatOpsSpec extends SparkSpec {
     assert(r2.getDouble(5) > r2.getDouble(4))
   }
 
+  test("weibullInterarrival: log-moment fit by hand; zero gaps counted out") {
+    def ts(sec: Int) = new Timestamp(1704067200000L + sec * 1000L)
+    // gaps 1, 2, 4 s plus one duplicate timestamp (zero gap)
+    val df = Seq(ts(0), ts(1), ts(3), ts(7), ts(7))
+      .map(t => ("s", t)).zipWithIndex
+      .map { case ((k, t), i) => (k, t, i.toLong) }
+      .toDF("event_type", "ts", "event_id")
+    val r = StatOps.weibullInterarrival(df, "event_type", "ts", "event_id",
+      dec6).head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L)
+    val lns = Seq(0.0, math.log(2.0), math.log(4.0))
+    val m = lns.sum / 3
+    val sd = math.sqrt(lns.map(x => (x - m) * (x - m)).sum / 2)
+    val k = math.Pi / math.sqrt(6.0) / sd
+    val lam = math.exp(m + 0.5772156649015329 / k)
+    assert(math.abs(r.getDouble(3) - k) < 1e-6, s"k ${r.getDouble(3)} vs $k")
+    assert(math.abs(r.getDouble(4) - lam) < 1e-6)
+    assert(math.abs(r.getDouble(5) - 7.0 / 3.0) < 1e-6)
+  }
+
   test("allanVariance: a gap contributes no phantom pair") {
     def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
     // hours 0,1,3,4 — bucket 2 missing → only pairs (0,1) and (3,4)
