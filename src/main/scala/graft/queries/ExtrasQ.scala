@@ -1941,6 +1941,8 @@ object ExtrasQ {
     // defect.
     "q246_triangle_census" -> Q(
       (s, d) => {
+        // (a pre-spread of the single-partition scan was measured here and
+        // does NOT help — the cost is the wedge phase, not the parse)
         val b = Tables.events(s, d).select(
             date_trunc("hour", col("ts")).as("h"), col("event_type").as("t"),
             (get_json_object(col("props"), "$.k").cast("int") / lit(10))
