@@ -917,6 +917,40 @@ object EventOps {
           .as("streak_end"))
   }
 
+  /** Weekly-cohort revenue retention matrix (the "NRR curve" input): users
+    * are assigned the Monday-truncated week of their FIRST event; each
+    * (cohort, age-in-weeks) cell reports active users, revenue, and
+    * revenue as a fraction of the cohort's week-0 revenue. Dollar
+    * retention, not just headcount — the difference between "users came
+    * back" and "value came back".
+    *
+    * Scale shape: first-week per user is one user-keyed aggregate joined
+    * back on the same key (one shuffle, reused); the matrix is one hash
+    * aggregate; week-0 joins back cohort-sized (broadcast). No window.
+    * Week columns cross the gate as formatted strings (DATE discipline).
+    *
+    * Returns (cohort_week, age_weeks, n_active_users, revenue,
+    * pct_of_week0). */
+  def revenueCohorts(events: DataFrame, userCol: String, tsCol: String,
+                     valueCol: String, scoreOut: Column => Column): DataFrame = {
+    val ev = events.select(col(userCol).as("u"),
+      date_trunc("week", col(tsCol)).cast("date").as("w"),
+      col(valueCol).cast("double").as("v"))
+    val firstWeek = ev.groupBy("u").agg(min("w").as("cw"))
+    val cells = ev.join(firstWeek, "u")
+      .groupBy(col("cw"),
+        floor(datediff(col("w"), col("cw")) / lit(7)).cast("int").as("age_weeks"))
+      .agg(count_distinct(col("u")).as("n_active_users"),
+        sum("v").as("__rev"))
+    val week0 = cells.filter(col("age_weeks") === 0)
+      .select(col("cw"), col("__rev").as("__rev0"))
+    cells.join(broadcast(week0), "cw")
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("age_weeks"), col("n_active_users"),
+        scoreOut(col("__rev")).as("revenue"),
+        scoreOut(col("__rev") / col("__rev0")).as("pct_of_week0"))
+  }
+
   /** RFM segmentation (Hughes '94): per-user recency (days since last
     * event vs the global anchor day), frequency (event count) and monetary
     * (value sum), each scored 1-5 by its empirical quintile, plus the

@@ -665,6 +665,40 @@ object StatOps {
       scoreOut(mu).as("gumbel_mu"), scoreOut(beta).as("gumbel_beta")) ++ levels: _*)
   }
 
+  /** Tukey boxplot fences per group: q1/q3 by exact percentile (the
+    * documented 100 TB swap is approx_percentile, same contract), fences
+    * at q1 − k·IQR and q3 + k·IQR, and the count of rows beyond each —
+    * the distribution-free outlier screen that complements [[madOutliers]]
+    * (MAD assumes a symmetric center; the IQR fences don't). Quartiles
+    * are `scoreOut`-rounded on BOTH engines before the fence arithmetic,
+    * so the comparison boundary is bit-identical cross-engine.
+    *
+    * Scale shape: one group-keyed percentile aggregate, the group-sized
+    * fence table broadcast back, one counting aggregate — no window.
+    *
+    * Returns (series, n, q1, q3, lo_fence, hi_fence, n_low, n_high). */
+  def tukeyFences(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double, scoreOut: Column => Column): DataFrame = {
+    val rows = df.select(col(groupCol).as("series"),
+      col(valueCol).cast("double").as("__v"))
+    val fences = rows.groupBy("series")
+      .agg(percentile(col("__v"), array(lit(0.25), lit(0.75))).as("__q"))
+      .select(col("series"), scoreOut(element_at(col("__q"), 1)).as("q1"),
+        scoreOut(element_at(col("__q"), 2)).as("q3"))
+      .select(col("series"), col("q1"), col("q3"),
+        (col("q1") - lit(k) * (col("q3") - col("q1"))).as("lo_fence"),
+        (col("q3") + lit(k) * (col("q3") - col("q1"))).as("hi_fence"))
+    rows.join(broadcast(fences), "series")
+      .groupBy("series", "q1", "q3", "lo_fence", "hi_fence")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("__v") < col("lo_fence"), 1)).as("n_low"),
+        count(when(col("__v") > col("hi_fence"), 1)).as("n_high"))
+      .select(col("series"), col("n"), col("q1"), col("q3"),
+        scoreOut(col("lo_fence")).as("lo_fence"),
+        scoreOut(col("hi_fence")).as("hi_fence"),
+        col("n_low"), col("n_high"))
+  }
+
   /** Weibull fit of the inter-arrival gaps per series via the closed-form
     * log-moment (Menon '63) estimator: with ln-gap mean m and sample std
     * s,

@@ -2199,6 +2199,77 @@ object ExtrasQ {
            |  ${r6(s"exp(m + $g / ($c / sd))")} AS scale_s,
            |  ${r6("mg")} AS mean_gap_s
            |FROM ag ORDER BY series""".stripMargin
-      })
+      }),
+
+    // Tukey boxplot fences per type: q1/q3 (exact percentile; rounded on
+    // BOTH engines before the fence arithmetic so the comparison boundary
+    // is bit-identical), counts beyond q1-1.5*IQR / q3+1.5*IQR — the
+    // distribution-free outlier screen beside MAD (q157).
+    "q262_tukey_outliers" -> Q(
+      (s, d) => graft.operators.StatOps.tukeyFences(
+          Tables.events(s, d), "event_type", "value", k = 1.5, scoreOut = dec6)
+        .orderBy("series"),
+      Some(s"""WITH q AS (SELECT event_type AS series,
+              |    ${r6("quantile_cont(value, 0.25)")} AS q1,
+              |    ${r6("quantile_cont(value, 0.75)")} AS q3
+              |  FROM events GROUP BY 1),
+              |f AS (SELECT series, q1, q3, q1 - 1.5 * (q3 - q1) AS lo,
+              |    q3 + 1.5 * (q3 - q1) AS hi FROM q)
+              |SELECT series, count(*) AS n, q1, q3,
+              |  ${r6("lo")} AS lo_fence, ${r6("hi")} AS hi_fence,
+              |  count(CASE WHEN value < lo THEN 1 END) AS n_low,
+              |  count(CASE WHEN value > hi THEN 1 END) AS n_high
+              |FROM events JOIN f ON event_type = series
+              |GROUP BY series, q1, q3, lo, hi ORDER BY series""".stripMargin)),
+
+    // Weekly-cohort DOLLAR retention matrix: revenue per (first-activity
+    // week, age-in-weeks) with the week-0 share — "value came back", not
+    // just "users came back". One user-keyed agg joined back on the same
+    // key, one matrix agg, cohort-sized week-0 broadcast.
+    "q263_revenue_cohorts" -> Q(
+      (s, d) => graft.operators.EventOps.revenueCohorts(
+          Tables.events(s, d), "user_id", "ts", "value", scoreOut = dec6)
+        .orderBy("cohort_week", "age_weeks"),
+      Some(s"""WITH ev AS (SELECT user_id AS u,
+              |    CAST(date_trunc('week', ts) AS DATE) AS w, value AS v
+              |  FROM events),
+              |fw AS (SELECT u, min(w) AS cw FROM ev GROUP BY u),
+              |cells AS (SELECT cw,
+              |    CAST(floor(date_diff('day', cw, w) / 7) AS INT) AS age_weeks,
+              |    count(DISTINCT u) AS n_active_users, sum(v) AS rev
+              |  FROM ev JOIN fw USING (u) GROUP BY 1, 2),
+              |w0 AS (SELECT cw, rev AS rev0 FROM cells WHERE age_weeks = 0)
+              |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, age_weeks,
+              |  n_active_users, ${r6("rev")} AS revenue,
+              |  ${r6("rev / rev0")} AS pct_of_week0
+              |FROM cells JOIN w0 USING (cw)
+              |ORDER BY cohort_week, age_weeks""".stripMargin)),
+
+    // Embedding L2-norm outliers per label via the same Tukey fences —
+    // the cheap embedding-hygiene screen (degenerate/exploding vectors)
+    // before any ANN index build. The norm is the identical sequential
+    // fold on both engines.
+    "q264_norm_outliers" -> Q(
+      (s, d) => graft.operators.StatOps.tukeyFences(
+          Tables.embeddings(s, d).select(col("label"),
+            graft.operators.SimilarityOps.norm(
+              col("embedding").cast("array<double>")).as("nrm")),
+          "label", "nrm", k = 1.5, scoreOut = dec6)
+        .orderBy("series"),
+      Some(s"""WITH e AS (SELECT label AS series,
+              |  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+              |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              |    (acc, y) -> acc + y)) AS v FROM embeddings),
+              |q AS (SELECT series, ${r6("quantile_cont(v, 0.25)")} AS q1,
+              |    ${r6("quantile_cont(v, 0.75)")} AS q3
+              |  FROM e GROUP BY 1),
+              |f AS (SELECT series, q1, q3, q1 - 1.5 * (q3 - q1) AS lo,
+              |    q3 + 1.5 * (q3 - q1) AS hi FROM q)
+              |SELECT e.series, count(*) AS n, q1, q3,
+              |  ${r6("lo")} AS lo_fence, ${r6("hi")} AS hi_fence,
+              |  count(CASE WHEN v < lo THEN 1 END) AS n_low,
+              |  count(CASE WHEN v > hi THEN 1 END) AS n_high
+              |FROM e JOIN f ON e.series = f.series
+              |GROUP BY e.series, q1, q3, lo, hi ORDER BY e.series""".stripMargin))
   )
 }

@@ -184,6 +184,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(!out.contains(("b", "c")))                // never co-occur
   }
 
+  test("revenueCohorts: week assignment, dollar retention, week-0 share") {
+    def ts(d: Int, h: Int = 9) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // 2024-01-01 is a Monday. u1 starts week 1 (rev 10), returns week 2
+    // (rev 5); u2 starts week 1 (rev 20) and never returns; u3 starts
+    // week 2 (rev 8)
+    val rows = Seq((1L, ts(1), 10.0), (1L, ts(9), 5.0),
+      (2L, ts(2), 20.0), (3L, ts(10), 8.0))
+      .toDF("user_id", "ts", "value")
+    val out = EventOps.revenueCohorts(rows, "user_id", "ts", "value", dec6)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    val w10 = out(("2024-01-01", 0))
+    assert(w10.getLong(2) == 2L && w10.getDouble(3) == 30.0
+      && w10.getDouble(4) == 1.0)
+    val w11 = out(("2024-01-01", 1))
+    assert(w11.getLong(2) == 1L && w11.getDouble(3) == 5.0)
+    assert(math.abs(w11.getDouble(4) - 5.0 / 30.0) < 1e-6)
+    val w20 = out(("2024-01-08", 0))
+    assert(w20.getLong(2) == 1L && w20.getDouble(3) == 8.0)
+    assert(out.size == 3)
+  }
+
   test("rfmSegments: hand quintiles, scores and segment labels") {
     // user u: u events on day u, value u each -> rec = 10-u, freq = u,
     // mon = u^2; every metric has distinct values so cuts are hand-known

@@ -173,6 +173,23 @@ class StatOpsSpec extends SparkSpec {
     assert(r2.getDouble(5) > r2.getDouble(4))
   }
 
+  test("tukeyFences: hand quartiles, fence counts, per-group isolation") {
+    // series a: 0..10 plus outliers -100 and +100; q1 = 2, q3 = 8 over the
+    // 13 values: positions (n-1)q = 3, 9 land exactly on sorted elements
+    val a = (Seq(-100.0, 100.0) ++ (0 to 10).map(_.toDouble)).map(("a", _))
+    val b = Seq(("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", 4.0), ("b", 5.0))
+    val out = StatOps.tukeyFences((a ++ b).toDF("k", "v"), "k", "v", 1.5, dec6)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ra = out("a")
+    assert(ra.getLong(1) == 13L)
+    assert(ra.getDouble(2) == 2.0 && ra.getDouble(3) == 8.0)
+    assert(ra.getDouble(4) == -7.0 && ra.getDouble(5) == 17.0) // 2-9, 8+9
+    assert(ra.getLong(6) == 1L && ra.getLong(7) == 1L)
+    val rb = out("b") // q1 = 2, q3 = 4, fences -1/7 -> no outliers
+    assert(rb.getDouble(2) == 2.0 && rb.getDouble(3) == 4.0)
+    assert(rb.getLong(6) == 0L && rb.getLong(7) == 0L)
+  }
+
   test("weibullInterarrival: log-moment fit by hand; zero gaps counted out") {
     def ts(sec: Int) = new Timestamp(1704067200000L + sec * 1000L)
     // gaps 1, 2, 4 s plus one duplicate timestamp (zero gap)
