@@ -917,6 +917,46 @@ object EventOps {
           .as("streak_end"))
   }
 
+  /** Weekly growth accounting (the new/retained/resurrected/churned
+    * decomposition): each active (user, week) is classified by the gap to
+    * the user's PREVIOUS active week — first week = new, exactly one week
+    * = retained, longer = resurrected — and a user whose NEXT active week
+    * is more than one week away (or absent) emits a churned row in the
+    * week after their last activity, so `new + resurrected − churned`
+    * telescopes to the net-active delta week over week.
+    *
+    * Scale shape: the log collapses to the distinct (user, week) table
+    * first; both lag and lead come from ONE user-partitioned window over
+    * that collapsed table; the final rollup is a counting aggregate.
+    * Week columns cross the gate as formatted strings (DATE discipline).
+    *
+    * Returns (week, n_new, n_retained, n_resurrected, n_churned). */
+  def growthAccounting(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val uw = events.select(col(userCol).as("u"),
+      date_trunc("week", col(tsCol)).cast("date").as("w")).distinct()
+    val win = Window.partitionBy("u").orderBy("w")
+    val marked = uw
+      .withColumn("__lag", lag(col("w"), 1).over(win))
+      .withColumn("__lead", lead(col("w"), 1).over(win))
+    val active = marked.select(col("w"),
+      when(col("__lag").isNull, "new")
+        .when(datediff(col("w"), col("__lag")) === 7, "retained")
+        .otherwise("resurrected").as("cls"))
+    val churned = marked
+      .filter(col("__lead").isNull || datediff(col("__lead"), col("w")) > 7)
+      .select(date_add(col("w"), 7).as("w"), lit("churned").as("cls"))
+    active.unionAll(churned)
+      .groupBy("w")
+      .agg(count(when(col("cls") === "new", 1)).as("n_new"),
+        count(when(col("cls") === "retained", 1)).as("n_retained"),
+        count(when(col("cls") === "resurrected", 1)).as("n_resurrected"),
+        count(when(col("cls") === "churned", 1)).as("n_churned"))
+      .select(date_format(col("w"), "yyyy-MM-dd").as("week"),
+        col("n_new"), col("n_retained"), col("n_resurrected"),
+        col("n_churned"))
+  }
+
   /** Weekly-cohort revenue retention matrix (the "NRR curve" input): users
     * are assigned the Monday-truncated week of their FIRST event; each
     * (cohort, age-in-weeks) cell reports active users, revenue, and

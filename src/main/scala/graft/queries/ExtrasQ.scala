@@ -2270,6 +2270,78 @@ object ExtrasQ {
               |  count(CASE WHEN v < lo THEN 1 END) AS n_low,
               |  count(CASE WHEN v > hi THEN 1 END) AS n_high
               |FROM e JOIN f ON e.series = f.series
-              |GROUP BY e.series, q1, q3, lo, hi ORDER BY e.series""".stripMargin))
+              |GROUP BY e.series, q1, q3, lo, hi ORDER BY e.series""".stripMargin)),
+
+    // Weekly growth accounting: new/retained/resurrected per active
+    // (user, week) from the gap to the PREVIOUS active week; churned
+    // emitted the week after the last activity. new + resurrected −
+    // churned telescopes to the net-active delta. One user-partitioned
+    // window over the distinct (user, week) collapse.
+    "q265_growth_accounting" -> Q(
+      (s, d) => graft.operators.EventOps.growthAccounting(
+          Tables.events(s, d), "user_id", "ts")
+        .orderBy("week"),
+      Some("""WITH uw AS (SELECT DISTINCT user_id AS u,
+             |    CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+             |m AS (SELECT u, w, lag(w) OVER pw AS lw, lead(w) OVER pw AS nw
+             |  FROM uw WINDOW pw AS (PARTITION BY u ORDER BY w)),
+             |r AS (SELECT w, CASE WHEN lw IS NULL THEN 'new'
+             |    WHEN date_diff('day', lw, w) = 7 THEN 'retained'
+             |    ELSE 'resurrected' END AS cls FROM m
+             |  UNION ALL
+             |  SELECT w + 7, 'churned' FROM m
+             |  WHERE nw IS NULL OR date_diff('day', w, nw) > 7)
+             |SELECT strftime(w, '%Y-%m-%d') AS week,
+             |  count(CASE WHEN cls = 'new' THEN 1 END) AS n_new,
+             |  count(CASE WHEN cls = 'retained' THEN 1 END) AS n_retained,
+             |  count(CASE WHEN cls = 'resurrected' THEN 1 END) AS n_resurrected,
+             |  count(CASE WHEN cls = 'churned' THEN 1 END) AS n_churned
+             |FROM r GROUP BY w ORDER BY week""".stripMargin)),
+
+    // Peak session concurrency per day — the sweep-line classic: ±1
+    // deltas at session starts/ends (30-min gap sessions), ONE globally
+    // ordered running sum on the range-partitioned two-phase
+    // orderedPrefixSum (the q172/q175 machinery — no single-partition
+    // window anywhere), then a per-day max. Starts sort before ends at
+    // the same instant (d DESC) so single-event sessions still register.
+    "q266_peak_concurrency" -> Q(
+      (s, d) => {
+        val sess = graft.streaming.Sessionize.sessionizeBatch(
+            Tables.events(s, d), "user_id", "ts", "value", "event_id",
+            gapSeconds = 1800L)
+          .select(col("user_id").as("u"), col("session_idx").as("si"),
+            col("session_start").as("st"), col("session_end").as("en"))
+        val deltas = sess.select(col("st").as("t"), lit(1).as("dl"),
+            col("u"), col("si"))
+          .unionAll(sess.select(col("en").as("t"), lit(-1).as("dl"),
+            col("u"), col("si")))
+        graft.operators.CorpusOps.orderedPrefixSum(deltas,
+            Seq(col("t").asc, col("dl").desc, col("u").asc, col("si").asc),
+            col("dl").cast("long"), "conc")
+          .groupBy(date_format(to_date(col("t")), "yyyy-MM-dd").as("day"))
+          .agg(max(col("conc")).cast("long").as("peak_concurrent"),
+            count(when(col("dl") === 1, 1)).as("n_sessions_started"))
+          .orderBy("day")
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us
+              |  FROM events),
+              |marked AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+              |    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+              |numbered AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+              |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS si
+              |  FROM marked),
+              |sess AS (SELECT user_id AS u, si, min(ts) AS st, max(ts) AS en
+              |  FROM numbered GROUP BY u, si),
+              |deltas AS (SELECT st AS t, 1 AS dl, u, si FROM sess
+              |  UNION ALL SELECT en, -1, u, si FROM sess),
+              |cum AS (SELECT t, dl,
+              |    sum(dl) OVER (ORDER BY t, dl DESC, u, si
+              |      ROWS UNBOUNDED PRECEDING) AS conc
+              |  FROM deltas)
+              |SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS day,
+              |  CAST(max(conc) AS BIGINT) AS peak_concurrent,
+              |  count(CASE WHEN dl = 1 THEN 1 END) AS n_sessions_started
+              |FROM cum GROUP BY 1 ORDER BY day""".stripMargin))
   )
 }

@@ -184,6 +184,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(!out.contains(("b", "c")))                // never co-occur
   }
 
+  test("growthAccounting: new/retained/resurrected/churned telescoping") {
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // weeks: w1=Jan1, w2=Jan8, w3=Jan15. u1 active w1,w2,w3 (new,
+    // retained, retained); u2 active w1, w3 (new, resurrected; NOT
+    // churned in w2's ledger — churn lands the week AFTER last activity);
+    // u3 active w1 only (new, churned in w2)
+    val rows = Seq((1L, ts(1)), (1L, ts(9)), (1L, ts(16)),
+      (2L, ts(2)), (2L, ts(17)), (3L, ts(3)))
+      .toDF("user_id", "ts")
+    val out = EventOps.growthAccounting(rows, "user_id", "ts")
+      .collect().map(r => r.getString(0) -> r).toMap
+    def w(k: String) = (out(k).getLong(1), out(k).getLong(2),
+      out(k).getLong(3), out(k).getLong(4))
+    assert(w("2024-01-01") == ((3L, 0L, 0L, 0L)))
+    assert(w("2024-01-08") == ((0L, 1L, 0L, 2L))) // u2+u3 churn here
+    assert(w("2024-01-15") == ((0L, 1L, 1L, 0L))) // u2 resurrects
+    assert(w("2024-01-22") == ((0L, 0L, 0L, 2L))) // u1+u2 horizon churn
+  }
+
   test("revenueCohorts: week assignment, dollar retention, week-0 share") {
     def ts(d: Int, h: Int = 9) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
     // 2024-01-01 is a Monday. u1 starts week 1 (rev 10), returns week 2
