@@ -665,6 +665,79 @@ object StatOps {
       scoreOut(mu).as("gumbel_mu"), scoreOut(beta).as("gumbel_beta")) ++ levels: _*)
   }
 
+  /** Welch's unequal-variance t-test per series between two row classes
+    * (e.g. weekend vs weekday): t = (m₁−m₂)/√(s₁²/n₁+s₂²/n₂) with the
+    * Welch–Satterthwaite df. The mean-shift companion of [[abTest]]
+    * (which tests proportions) — use this when the measure is continuous
+    * and the variances genuinely differ. One hash aggregate computes all
+    * six moments per (series, class); the df formula and the |t| > 1.96
+    * flag (normal approximation at the df sizes a 100 TB scan produces)
+    * are pure arithmetic on that agg-sized frame.
+    *
+    * Returns (series, n_a, n_b, mean_a, mean_b, t_stat, df,
+    * significant_95). */
+  def welchTTest(df: DataFrame, seriesCol: String, valueCol: String,
+                 isB: Column, scoreOut: Column => Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val agg = df
+      .groupBy(col(seriesCol).as("series"))
+      .agg(
+        count(when(!isB, 1)).cast("double").as("__na"),
+        count(when(isB, 1)).cast("double").as("__nb"),
+        avg(when(!isB, v)).as("__ma"), avg(when(isB, v)).as("__mb"),
+        variance(when(!isB, v)).as("__va"), variance(when(isB, v)).as("__vb"))
+    val sea = col("__va") / col("__na")
+    val seb = col("__vb") / col("__nb")
+    val t = (col("__ma") - col("__mb")) / sqrt(sea + seb)
+    val dof = (sea + seb) * (sea + seb) /
+      (sea * sea / (col("__na") - 1) + seb * seb / (col("__nb") - 1))
+    agg.select(col("series"),
+      col("__na").cast("long").as("n_a"), col("__nb").cast("long").as("n_b"),
+      scoreOut(col("__ma")).as("mean_a"), scoreOut(col("__mb")).as("mean_b"),
+      scoreOut(t).as("t_stat"), scoreOut(dof).as("df"),
+      (abs(t) > 1.96).cast("int").as("significant_95"))
+  }
+
+  /** Cramér's V association between two categorical columns: the
+    * contingency table is ONE hash aggregate, expected counts come from
+    * agg-sized margin joins, χ² = Σ(o−e)²/e over observed cells plus the
+    * zero-observed correction term (margins whose product the observed
+    * sum misses: χ² gains Σe over EMPTY cells, computed as
+    * n − Σ_observed e — no dense cell cross-join is ever materialized),
+    * and V = √(χ²/(n·min(r−1,c−1))). The "are these two labels
+    * redundant" screen before paying for both at 100 TB (the categorical
+    * sibling of the q232 kappa check).
+    *
+    * Returns one row: (n, n_rows_cat, n_cols_cat, chi2, cramers_v). */
+  def cramersV(df: DataFrame, aCol: String, bCol: String,
+               scoreOut: Column => Column): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).cast("double").as("__o"))
+      .persist()
+    val ra = cells.groupBy("__a").agg(sum("__o").as("__ra"))
+    val cb = cells.groupBy("__b").agg(sum("__o").as("__cb"))
+    val tot = cells.agg(sum("__o").as("__n"),
+      count_distinct(col("__a")).cast("double").as("__r"),
+      count_distinct(col("__b")).cast("double").as("__c"))
+    val scored = cells.join(ra, "__a").join(cb, "__b")
+      .crossJoin(broadcast(tot))
+      .select(col("__n"), col("__r"), col("__c"),
+        (col("__ra") * col("__cb") / col("__n")).as("__e"), col("__o"))
+    scored
+      .groupBy("__n", "__r", "__c")
+      .agg(sum((col("__o") - col("__e")) * (col("__o") - col("__e")) /
+        col("__e")).as("__chiObs"),
+        sum("__e").as("__eObs"))
+      .select(col("__n").cast("long").as("n"),
+        col("__r").cast("long").as("n_rows_cat"),
+        col("__c").cast("long").as("n_cols_cat"),
+        scoreOut(col("__chiObs") + (col("__n") - col("__eObs"))).as("chi2"),
+        scoreOut(sqrt((col("__chiObs") + (col("__n") - col("__eObs"))) /
+          (col("__n") * least(col("__r") - 1, col("__c") - 1))))
+          .as("cramers_v"))
+  }
+
   /** Tukey boxplot fences per group: q1/q3 by exact percentile (the
     * documented 100 TB swap is approx_percentile, same contract), fences
     * at q1 − k·IQR and q3 + k·IQR, and the count of rows beyond each —

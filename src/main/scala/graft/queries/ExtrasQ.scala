@@ -2342,6 +2342,67 @@ object ExtrasQ {
               |SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS day,
               |  CAST(max(conc) AS BIGINT) AS peak_concurrent,
               |  count(CASE WHEN dl = 1 THEN 1 END) AS n_sessions_started
-              |FROM cum GROUP BY 1 ORDER BY day""".stripMargin))
+              |FROM cum GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // Weekend-lift Welch t-test per type: unequal-variance t on the value
+    // mean, weekday arm vs weekend arm, Welch-Satterthwaite df — the
+    // continuous-measure companion of the q168 proportion z-test.
+    "q267_weekend_welch" -> Q(
+      (s, d) => graft.operators.StatOps.welchTTest(
+          Tables.events(s, d), "event_type", "value",
+          isB = dayofweek(col("ts")).isin(1, 7), scoreOut = dec6)
+        .orderBy("series"),
+      Some(s"""WITH m AS (SELECT event_type AS series,
+              |    CAST(count(CASE WHEN isodow(ts) < 6 THEN 1 END) AS DOUBLE) AS na,
+              |    CAST(count(CASE WHEN isodow(ts) >= 6 THEN 1 END) AS DOUBLE) AS nb,
+              |    avg(CASE WHEN isodow(ts) < 6 THEN value END) AS ma,
+              |    avg(CASE WHEN isodow(ts) >= 6 THEN value END) AS mb,
+              |    var_samp(CASE WHEN isodow(ts) < 6 THEN value END) AS va,
+              |    var_samp(CASE WHEN isodow(ts) >= 6 THEN value END) AS vb
+              |  FROM events GROUP BY 1),
+              |x AS (SELECT series, na, nb, ma, mb,
+              |    (ma - mb) / sqrt(va / na + vb / nb) AS t,
+              |    (va / na + vb / nb) * (va / na + vb / nb) /
+              |      ((va / na) * (va / na) / (na - 1)
+              |        + (vb / nb) * (vb / nb) / (nb - 1)) AS dof
+              |  FROM m)
+              |SELECT series, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              |  ${r6("ma")} AS mean_a, ${r6("mb")} AS mean_b,
+              |  ${r6("t")} AS t_stat, ${r6("dof")} AS df,
+              |  CAST(abs(t) > 1.96 AS INT) AS significant_95
+              |FROM x ORDER BY series""".stripMargin)),
+
+    // Cramér's V between event_type and the props k-decile — the "are
+    // these two labels redundant" categorical-association screen (the
+    // sibling of q232's kappa for rater agreement). Chi-square over the
+    // observed contingency cells + the closed-form zero-cell correction
+    // (n - sum of observed expected) — no dense cell cross-join.
+    "q268_cramers_v" -> Q(
+      (s, d) => graft.operators.StatOps.cramersV(
+          Tables.events(s, d).select(col("event_type").as("a"),
+            (get_json_object(col("props"), "$.k").cast("int") / lit(10))
+              .cast("int").as("b")),
+          "a", "b", scoreOut = dec6),
+      Some(s"""WITH base AS (SELECT event_type AS a,
+              |    CAST(json_extract_string(props, '$$.k') AS INT) // 10 AS b
+              |  FROM events WHERE event_type IS NOT NULL
+              |    AND json_extract_string(props, '$$.k') IS NOT NULL),
+              |cells AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS o
+              |  FROM base GROUP BY a, b),
+              |ra AS (SELECT a, sum(o) AS rr FROM cells GROUP BY a),
+              |cb AS (SELECT b, sum(o) AS cc FROM cells GROUP BY b),
+              |tot AS (SELECT sum(o) AS n,
+              |    CAST(count(DISTINCT a) AS DOUBLE) AS r,
+              |    CAST(count(DISTINCT b) AS DOUBLE) AS c FROM cells),
+              |sc AS (SELECT n, r, c, rr * cc / n AS e, o
+              |  FROM cells JOIN ra USING (a) JOIN cb USING (b), tot),
+              |ag AS (SELECT n, r, c,
+              |    sum((o - e) * (o - e) / e) AS chiObs, sum(e) AS eObs
+              |  FROM sc GROUP BY n, r, c)
+              |SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS n_rows_cat,
+              |  CAST(c AS BIGINT) AS n_cols_cat,
+              |  ${r6("chiObs + (n - eObs)")} AS chi2,
+              |  ${r6("sqrt((chiObs + (n - eObs)) / (n * least(r - 1, c - 1)))")} AS cramers_v
+              |FROM ag""".stripMargin))
   )
 }

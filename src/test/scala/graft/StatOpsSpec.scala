@@ -173,6 +173,40 @@ class StatOpsSpec extends SparkSpec {
     assert(r2.getDouble(5) > r2.getDouble(4))
   }
 
+  test("welchTTest: hand moments; equal arms give t=0") {
+    // arm a: 1,2,3 (m=2, var=1); arm b: 5,7 (m=6, var=2)
+    val df = Seq((1.0, false), (2.0, false), (3.0, false),
+      (5.0, true), (7.0, true)).map { case (v, b) => ("s", v, b) }
+      .toDF("k", "v", "b")
+    val r = StatOps.welchTTest(df, "k", "v", col("b"), dec6).head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 6.0)
+    val se = 1.0 / 3 + 2.0 / 2
+    val t = -4.0 / math.sqrt(se)
+    val dof = se * se / ((1.0 / 3) * (1.0 / 3) / 2 + 1.0 * 1.0 / 1)
+    assert(math.abs(r.getDouble(5) - t) < 1e-6, s"t ${r.getDouble(5)} vs $t")
+    assert(math.abs(r.getDouble(6) - dof) < 1e-6)
+    assert(r.getInt(7) == 1)
+    val same = Seq(("s", 1.0, false), ("s", 2.0, false),
+      ("s", 1.0, true), ("s", 2.0, true)).toDF("k", "v", "b")
+    val r2 = StatOps.welchTTest(same, "k", "v", col("b"), dec6).head()
+    assert(r2.getDouble(5) == 0.0 && r2.getInt(7) == 0)
+  }
+
+  test("cramersV: perfect association gives 1, independence gives 0") {
+    // perfect: a determines b
+    val perfect = Seq(("x", 1), ("x", 1), ("y", 2), ("y", 2), ("z", 3))
+      .toDF("a", "b")
+    val r1 = StatOps.cramersV(perfect, "a", "b", dec6).head()
+    assert(r1.getLong(0) == 5L && r1.getLong(1) == 3L && r1.getLong(2) == 3L)
+    assert(r1.getDouble(4) == 1.0, s"V ${r1.getDouble(4)}")
+    // independence: uniform 2x2 — chi2 = 0 (with the zero-cell
+    // correction contributing nothing: all cells observed)
+    val indep = Seq(("x", 1), ("x", 2), ("y", 1), ("y", 2)).toDF("a", "b")
+    val r2 = StatOps.cramersV(indep, "a", "b", dec6).head()
+    assert(r2.getDouble(3) == 0.0 && r2.getDouble(4) == 0.0)
+  }
+
   test("tukeyFences: hand quartiles, fence counts, per-group isolation") {
     // series a: 0..10 plus outliers -100 and +100; q1 = 2, q3 = 8 over the
     // 13 values: positions (n-1)q = 3, 9 land exactly on sorted elements
