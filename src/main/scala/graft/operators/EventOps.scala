@@ -848,9 +848,13 @@ object EventOps {
     * collapses map-side to DISTINCT (user, item); pair candidates come
     * from the user-keyed self-join, so the fanout is per-user basket
     * size², never |users|·|items| — the classic item-CF shape (Linden
-    * '03). At 100 TB the basket-size² fanout is the knob: cap each
-    * user's basket at the B most recent items (a bounded sort per user)
-    * before pairing; power users past B add noise, not signal.
+    * '03). At 100 TB the basket-size² fanout is the knob: `maxBasket`
+    * caps each user's basket at the B most recent items (per-user
+    * `row_number ≤ B` over `recencyCol` DESC — a bounded partitioned
+    * sort) BEFORE pairing, so one power user with a 100k-item basket
+    * contributes at most B² pairs instead of 10^10; power users past B
+    * add noise, not signal. With no `recencyCol` the cap falls back to
+    * the item id order (still bounded, just not recency-ranked).
     *
     * Ranking is over the ROUNDED cosine (scoreOut) with the neighbor id
     * as tiebreak, so the top-k cut is reproducible cross-engine.
@@ -858,9 +862,28 @@ object EventOps {
     * Returns (item, neighbor, n_item, n_neighbor, n_both, cosine, rn)
     * with rn ≤ k, both directions of each pair present. */
   def itemNeighbors(events: DataFrame, userCol: String, itemCol: String,
-                    k: Int, scoreOut: Column => Column): DataFrame = {
-    val ui = events.select(col(userCol).as("u"), col(itemCol).as("item"))
-      .distinct().persist()
+                    k: Int, scoreOut: Column => Column,
+                    maxBasket: Int = Int.MaxValue,
+                    recencyCol: Option[String] = None): DataFrame = {
+    require(maxBasket >= 1, s"maxBasket must be >= 1, got $maxBasket")
+    val uiAll = recencyCol match {
+      case Some(ts) => events
+        .select(col(userCol).as("u"), col(itemCol).as("item"), col(ts).as("__ts"))
+        .groupBy("u", "item").agg(max("__ts").as("__last"))
+      case None => events
+        .select(col(userCol).as("u"), col(itemCol).as("item"))
+        .distinct().withColumn("__last", lit(null))
+    }
+    val capped =
+      if (maxBasket == Int.MaxValue) uiAll
+      else {
+        // most-recent-first, item id tiebreak → a deterministic bounded cut
+        val wb = Window.partitionBy("u")
+          .orderBy(col("__last").desc_nulls_last, col("item"))
+        uiAll.withColumn("__rn", row_number().over(wb))
+          .filter(col("__rn") <= maxBasket)
+      }
+    val ui = capped.select("u", "item").persist()
     val totals = ui.groupBy("item").agg(count(lit(1)).as("n"))
     val pairs = ui.select(col("u"), col("item").as("item_a"))
       .join(ui.select(col("u"), col("item").as("item_b")), Seq("u"))

@@ -27,15 +27,29 @@ object GraphOps {
     * stochastic fix — without it the vector no longer sums to 1).
     *
     * Every step costs: one scalar aggregate for the dangling mass (an
-    * anti-join against the src set, broadcast back as a 1-row literal
-    * crossjoin), one src-keyed equi-join of the normalized edges with the
-    * node-sized rank vector, and one dst-keyed sum. Parallel edges are
-    * pre-merged so the transition weights are well-defined.
+    * anti-join against the src set, crossed back as a 1-row literal),
+    * one src-keyed equi-join of the normalized edges with the node-sized
+    * rank vector, and one dst-keyed sum. Parallel edges are pre-merged
+    * so the transition weights are well-defined.
+    *
+    * Two physical regimes, switched on |nodes| vs `broadcastNodeLimit`:
+    *  - FAST PATH (|nodes| ≤ limit): the rank vector lives in ONE
+    *    partition and enters every join broadcast — the only shuffle per
+    *    superstep is the dst-keyed contribution sum. Right for the
+    *    node-sized-state-fits-in-an-executor regime.
+    *  - SCALE PATH (|nodes| > limit, the web-graph regime): the vector
+    *    stays hash-partitioned by node and the joins shuffle — no
+    *    per-iteration broadcast of a multi-GB vector, no one-partition
+    *    checkpoint bottleneck. Each superstep's output is already
+    *    node-partitioned (the node-keyed join fixes the distribution),
+    *    so the checkpoint preserves it and the next step's node-keyed
+    *    joins reuse the partitioning without an extra exchange.
     *
     * Returns (node, rank) — Σ rank = 1 up to float noise. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: String, damping: Double, iters: Int,
-               scoreOut: Column => Column): DataFrame = {
+               scoreOut: Column => Column,
+               broadcastNodeLimit: Long = 1000000L): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1,
       s"bad pagerank params: iters=$iters damping=$damping")
     // the merged edge table is the expensive subtree (it may sit on top
@@ -51,37 +65,50 @@ object GraphOps {
     val norm = e.join(outw, "src")
       .select(col("src"), col("dst"), (col("w") / col("__ow")).as("p"))
       .persist()
-    val nodes = e.select(col("src").as("node"))
+    val nodeTab = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-    val nTab = nodes.agg(count(lit(1)).cast("double").as("__N"))
-    // rank carries N along so each step needs no fresh scalar crossjoin.
-    // The vector is node-sized — orders of magnitude under the edge table
-    // — so it lives in ONE partition and enters every join broadcast:
-    // the only shuffle per superstep is the dst-keyed contribution sum.
-    var rank: DataFrame = nodes.crossJoin(nTab)
+    val nTab = nodeTab.agg(count(lit(1)).cast("double").as("__N"))
+    // one bounded metadata action decides the regime (node-scale count,
+    // served from the persisted edge table)
+    val bcastRank = nodeTab.count() <= broadcastNodeLimit
+    // rank carries N along so each step needs no fresh scalar crossjoin
+    val rank0 = nodeTab.crossJoin(nTab)
       .select(col("node"), (lit(1.0) / col("__N")).as("r"), col("__N"))
-      .coalesce(1).localCheckpoint()
-    val srcSet = norm.select(col("src").as("node")).distinct()
-      .coalesce(1).persist()
+    var rank: DataFrame =
+      (if (bcastRank) rank0.coalesce(1) else rank0).localCheckpoint()
+    val srcSet0 = norm.select(col("src").as("node")).distinct()
+    val srcSet = (if (bcastRank) srcSet0.coalesce(1) else srcSet0).persist()
     for (_ <- 1 to iters) {
-      val dangling = rank.join(broadcast(srcSet), Seq("node"), "left_anti")
-        .agg(coalesce(sum("r"), lit(0.0)).as("__dm"))
-      val contrib = norm
-        .join(broadcast(rank.select(col("node"), col("r"))),
-          col("src") === col("node"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("r") * col("p")).as("__cin"))
-      rank = rank.select(col("node"), col("__N"))
-        .join(broadcast(contrib), Seq("node"), "left")
-        .crossJoin(dangling)
-        .select(col("node"),
-          (lit(1.0 - damping) / col("__N") + lit(damping) *
-            (coalesce(col("__cin"), lit(0.0)) + col("__dm") / col("__N")))
-            .as("r"),
-          col("__N"))
-        .coalesce(1).localCheckpoint() // one job per superstep; O(1) lineage
+      val nxt = pageRankStep(norm, srcSet, rank, damping, bcastRank)
+      // one job per superstep; O(1) lineage. Fast path re-collapses to
+      // one partition; scale path keeps the join's node partitioning.
+      rank = (if (bcastRank) nxt.coalesce(1) else nxt).localCheckpoint()
     }
     rank.select(col("node"), scoreOut(col("r")).as("rank"))
+  }
+
+  /** One PageRank superstep (pre-checkpoint), exposed so GraphOpsSpec can
+    * pin BOTH plan shapes: `bcastRank=true` broadcasts the node-sized
+    * vector into the edge join; `bcastRank=false` leaves every node-keyed
+    * join to shuffle — no broadcast of the rank vector anywhere (the
+    * dangling-mass scalar is the only 1-row crossjoin). */
+  private[graft] def pageRankStep(norm: DataFrame, srcSet: DataFrame,
+      rank: DataFrame, damping: Double, bcastRank: Boolean): DataFrame = {
+    def h(df: DataFrame): DataFrame = if (bcastRank) broadcast(df) else df
+    val dangling = rank.join(h(srcSet), Seq("node"), "left_anti")
+      .agg(coalesce(sum("r"), lit(0.0)).as("__dm"))
+    val contrib = norm
+      .join(h(rank.select(col("node"), col("r"))), col("src") === col("node"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("r") * col("p")).as("__cin"))
+    rank.select(col("node"), col("__N"))
+      .join(h(contrib), Seq("node"), "left")
+      .crossJoin(dangling)
+      .select(col("node"),
+        (lit(1.0 - damping) / col("__N") + lit(damping) *
+          (coalesce(col("__cin"), lit(0.0)) + col("__dm") / col("__N")))
+          .as("r"),
+        col("__N"))
   }
 
   /** Per-node triangle count and local clustering coefficient over an

@@ -1981,11 +1981,15 @@ object ExtrasQ {
     // touched Y"): binary user×item interactions on the props content
     // key, per-pair cosine, top-5 neighbors per item. Rank runs over the
     // ROUNDED cosine with the neighbor id tiebreak on BOTH engines.
+    // maxBasket = 1000 exercises the capped code path; gate baskets are
+    // far smaller (≤ the distinct content-key count), so the oracle —
+    // which has no cap — still matches exactly.
     "q247_item_neighbors" -> Q(
       (s, d) => graft.operators.EventOps.itemNeighbors(
-          Tables.events(s, d).select(col("user_id"),
+          Tables.events(s, d).select(col("user_id"), col("ts"),
             get_json_object(col("props"), "$.k").cast("int").as("item")),
-          "user_id", "item", k = 5, scoreOut = dec6)
+          "user_id", "item", k = 5, scoreOut = dec6,
+          maxBasket = 1000, recencyCol = Some("ts"))
         .orderBy("item", "rn"),
       Some(s"""WITH ui AS (SELECT DISTINCT user_id AS u,
               |  CAST(json_extract_string(props, '$$.k') AS INT) AS item FROM events),

@@ -184,6 +184,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(!out.contains(("b", "c")))                // never co-occur
   }
 
+  test("itemNeighbors: maxBasket caps a power user to the B most recent items") {
+    def ts(m: Int) = new Timestamp(1704067200000L + m * 60000L)
+    // power user 1: 50 items, recency increasing with item id; user 2
+    // shares only the two MOST-RECENT of them (items 48, 49)
+    val power = (0 until 50).map(i => (1L, f"i$i%02d", ts(i)))
+    val rows = (power ++ Seq((2L, "i48", ts(100)), (2L, "i49", ts(101))))
+      .map { case (u, i, t) => (u, i, t) }.toDF("u", "item", "ts")
+    val out = EventOps.itemNeighbors(rows, "u", "item", k = 100,
+      scoreOut = dec6, maxBasket = 3, recencyCol = Some("ts"))
+      .collect()
+    // capped basket for user 1 = {i47, i48, i49}: pair fanout is 3²-bounded
+    // (3 undirected pairs → 6 directed rows), not 50²
+    assert(out.length == 6)
+    val pairs = out.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("i47", "i48"), ("i47", "i49"), ("i48", "i49"),
+      ("i48", "i47"), ("i49", "i47"), ("i49", "i48")))
+    // totals are computed over the CAPPED matrix: i48 kept for both users
+    val m = out.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(m(("i48", "i49")).getLong(2) == 2L && m(("i48", "i49")).getLong(4) == 2L)
+    assert(m(("i47", "i48")).getLong(2) == 1L)
+  }
+
   test("growthAccounting: new/retained/resurrected/churned telescoping") {
     def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
     // weeks: w1=Jan1, w2=Jan8, w3=Jan15. u1 active w1,w2,w3 (new,

@@ -60,6 +60,52 @@ class GraphOpsSpec extends SparkSpec {
     assert(out("hub") > out("x") + 0.1, s"hub must dominate: $out")
   }
 
+  test("scale path (partitioned rank) matches the broadcast fast path") {
+    val e = Seq(("a", "b", 1.0), ("b", "a", 1.0), ("a", "c", 1.0),
+        ("c", "d", 2.0), ("d", "a", 1.0))
+      .toDF("src", "dst", "w")
+    def run(limit: Long) = GraphOps.pageRank(e, "src", "dst", "w",
+        damping = 0.85, iters = 4, scoreOut = identity,
+        broadcastNodeLimit = limit)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val fast = run(Long.MaxValue) // 4 nodes ≤ limit → broadcast path
+    val scale = run(0L)           // forces the partitioned-rank path
+    assert(fast.keySet == scale.keySet)
+    fast.foreach { case (n, r) =>
+      assert(math.abs(r - scale(n)) < 1e-12, s"$n: $r vs ${scale(n)}")
+    }
+    assert(math.abs(scale.values.sum - 1.0) < 1e-9)
+  }
+
+  test("large-N superstep plan has NO broadcast of the rank vector") {
+    // with auto-broadcast off, any BroadcastHashJoin left in the plan can
+    // only come from an explicit broadcast() hint — the hazard this pins
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = confs.map(k => k -> spark.conf.getOption(k))
+    confs.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val norm = Seq(("a", "b", 0.5), ("a", "c", 0.5), ("b", "a", 1.0))
+        .toDF("src", "dst", "p")
+      val srcSet = Seq("a", "b").toDF("node")
+      val rank = Seq(("a", 1.0 / 3, 3.0), ("b", 1.0 / 3, 3.0),
+        ("c", 1.0 / 3, 3.0)).toDF("node", "r", "__N")
+      def planOf(bcast: Boolean): String = {
+        val step = graft.operators.GraphOps
+          .pageRankStep(norm, srcSet, rank, 0.85, bcastRank = bcast)
+        step.queryExecution.executedPlan.toString
+      }
+      val scalePlan = planOf(bcast = false)
+      assert(!scalePlan.contains("BroadcastHashJoin"),
+        s"scale path must not broadcast the rank vector:\n$scalePlan")
+      val fastPlan = planOf(bcast = true)
+      assert(fastPlan.contains("BroadcastHashJoin"),
+        s"fast path should take the hint:\n$fastPlan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("triangleStats: hand graph — counts, clustering, canonicalization") {
     // edges ab ac bc cd bd de → triangles {a,b,c}, {b,c,d}; plus a
     // reversed duplicate and a self-loop that must be canonicalized away
