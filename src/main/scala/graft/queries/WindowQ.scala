@@ -33,6 +33,55 @@ object WindowQ {
 
   private def w = Window.partitionBy("event_type").orderBy("ts")
 
+  /** Shared oracle body for the Holt-Winters family (q215/q225): the
+    * triple-smoothing recursion as a LIST-typed recursive CTE — the
+    * 24-slot seasonal ring is a list column, shifted with [2:24] +
+    * list_append each step; init via list_reduce/list_transform replays
+    * Spark's `aggregate` fold order bit-for-bit. Ends at `fit`
+    * (ts, event_type, x, f = one-step-ahead fitted, naive = x_{t-24}).
+    * Callers prepend WITH RECURSIVE. */
+  private lazy val sqlHwFit =
+    s"""$sqlSeries,
+       |g AS (SELECT ts, event_type, CAST(v AS DOUBLE) AS v,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS r,
+       |  count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM series WHERE v IS NOT NULL),
+       |g2 AS (SELECT * FROM g WHERE n >= 48),
+       |init AS (SELECT event_type,
+       |    list(v ORDER BY r) FILTER (WHERE r <= 24) AS s1,
+       |    list(v ORDER BY r) FILTER (WHERE r > 24 AND r <= 48) AS s2
+       |  FROM g2 GROUP BY event_type),
+       |init2 AS (SELECT event_type,
+       |    list_reduce(s1, (a, b) -> a + b) / 24 AS mu1,
+       |    (list_reduce(s2, (a, b) -> a + b) / 24
+       |      - list_reduce(s1, (a, b) -> a + b) / 24) / 24 AS b0,
+       |    s1 FROM init),
+       |init3 AS (SELECT event_type, mu1, b0,
+       |    mu1 + b0 * 11.5 AS l0,
+       |    list_transform(s1, (x, i) ->
+       |      x - (mu1 + b0 * (CAST(i - 1 AS DOUBLE) - 11.5))) AS seas0
+       |  FROM init2),
+       |rec(event_type, r, l, b, seas, fitted) AS (
+       |  SELECT event_type, CAST(24 AS BIGINT), l0, b0, seas0,
+       |    CAST(NULL AS DOUBLE)
+       |  FROM init3
+       |  UNION ALL
+       |  SELECT g.event_type, g.r,
+       |    0.3 * (g.v - rec.seas[1]) + 0.7 * (rec.l + rec.b),
+       |    0.05 * ((0.3 * (g.v - rec.seas[1]) + 0.7 * (rec.l + rec.b))
+       |      - rec.l) + 0.95 * rec.b,
+       |    list_append(rec.seas[2:24],
+       |      0.2 * (g.v - rec.l - rec.b) + 0.8 * rec.seas[1]),
+       |    rec.l + rec.b + rec.seas[1]
+       |  FROM rec JOIN g2 g ON g.event_type = rec.event_type
+       |    AND g.r = rec.r + 1),
+       |fit AS (SELECT g.ts, g.event_type, g.v AS x,
+       |    CASE WHEN g.r > 24 THEN rec.fitted END AS f,
+       |    lag(g.v, 24) OVER (PARTITION BY g.event_type ORDER BY g.ts)
+       |      AS naive
+       |  FROM g2 g LEFT JOIN rec ON rec.event_type = g.event_type
+       |    AND rec.r = g.r)""".stripMargin
+
   /** Query pattern for q107: a 12-step ramp spike, shared verbatim between
     * the Spark expression and the generated oracle SQL (defined before the
     * queries map — its oracle string evaluates at object init). */
@@ -394,9 +443,13 @@ object WindowQ {
 
     // Additive Holt-Winters (period 24 = the daily cycle) per series on
     // the ffilled grid: one-step-ahead fitted values + residual-z anomaly
-    // flags. Fold-recursion over the collected grid (no SQL-expressible
-    // three-state recursion) → rows-only; HoltWintersSpec replays the
-    // identical recursion in plain Scala and matches row-for-row.
+    // flags. The oracle replays the identical three-state recursion as a
+    // LIST-typed recursive CTE (the seasonal ring is a 24-slot list
+    // column, shifted with [2:24] + list_append each step; init via
+    // list_reduce/list_transform so the fold order matches Spark's
+    // `aggregate` bit-for-bit) — the q214 recursive-CTE pattern extended
+    // to vector state. HoltWintersSpec additionally replays the recursion
+    // in plain Scala and matches row-for-row.
     "q215_holt_winters" -> Q(
       (s, d) => graft.operators.SeasonalOps.holtWinters(
           series(s, d).filter(col("v").isNotNull),
@@ -404,15 +457,24 @@ object WindowQ {
           alpha = 0.3, beta = 0.05, gamma = 0.2, zCut = 3.0, scoreOut = dec6)
         .select(col("ts"), col("event_type"), col("fitted"),
           col("residual"), coalesce(col("is_anom"), lit(0)).as("is_anom"))
-        .orderBy("ts", "event_type")),
+        .orderBy("ts", "event_type"),
+      Some(s"""WITH RECURSIVE $sqlHwFit,
+              |res AS (SELECT ts, event_type, x, f, x - f AS res,
+              |    stddev_pop(x - f) OVER (PARTITION BY event_type) AS sd
+              |  FROM fit)
+              |SELECT ts, event_type, ${r6("f")} AS fitted,
+              |  ${r6("res")} AS residual,
+              |  coalesce(CAST((sd > 0 AND abs(res) > 3.0 * sd) AS INT), 0)
+              |    AS is_anom
+              |FROM res ORDER BY ts, event_type""".stripMargin)),
 
     // Forecast backtest: one-step-ahead MAE of the q215 Holt-Winters fit
     // vs the seasonal-naive baseline (x_{t-24}) per series, with the
     // skill score 1 - MAE_hw/MAE_naive — the model-selection number that
     // decides whether triple smoothing earns its state (Hyndman's rule:
     // never report a forecast without its naive skill). Evaluated on the
-    // rows where both forecasts exist; rows-only (HW is fold-recursive),
-    // recursion itself pinned by HoltWintersSpec.
+    // rows where both forecasts exist; the oracle rides the shared
+    // recursive-CTE Holt-Winters body (sqlHwFit).
     "q225_forecast_backtest" -> Q(
       (s, d) => {
         val g = series(s, d).filter(col("v").isNotNull)
@@ -434,7 +496,16 @@ object WindowQ {
             dec6(col("mae_naive")).as("mae_naive"),
             dec6(lit(1.0) - col("mae_hw") / col("mae_naive")).as("skill"))
           .orderBy("event_type")
-      }),
+      },
+      Some(s"""WITH RECURSIVE $sqlHwFit,
+              |m AS (SELECT event_type, count(*) AS n,
+              |    avg(abs(x - f)) AS mae_hw, avg(abs(x - naive)) AS mae_naive
+              |  FROM fit WHERE f IS NOT NULL AND naive IS NOT NULL
+              |  GROUP BY event_type)
+              |SELECT event_type, n, ${r6("mae_hw")} AS mae_hw,
+              |  ${r6("mae_naive")} AS mae_naive,
+              |  ${r6("1.0 - mae_hw / mae_naive")} AS skill
+              |FROM m ORDER BY event_type""".stripMargin)),
 
     // Split-conformal interval for the seasonal-naive forecaster: first
     // half of the residuals calibrates q_hat = k-th smallest |res| with
