@@ -339,9 +339,23 @@ object DedupOps {
   def incrementalNearDup(batchSig: DataFrame, histIndex: DataFrame,
                          histSig: DataFrame, idCol: String,
                          numHashes: Int, rows: Int,
-                         threshold: Double): DataFrame = {
+                         threshold: Double): DataFrame =
+    incrementalNearDupBands(
+      minhashBands(batchSig, idCol, numHashes, rows),
+      histIndex, batchSig, histSig, idCol, numHashes, threshold)
+
+  /** [[incrementalNearDup]] entered at the BAND level: both band tables
+    * may be PERSISTED, and when both are written bucketed by (band, bh)
+    * with the same bucket count ([[graft.sources.Bucketing]]) the
+    * candidate equi-join plans with ZERO exchanges — the co-located form
+    * the rolling-crawl scaladoc promises (IncrementalNearDupSpec pins the
+    * no-Exchange plan on real bucketed tables). */
+  def incrementalNearDupBands(batchBands: DataFrame, histIndex: DataFrame,
+                              batchSig: DataFrame, histSig: DataFrame,
+                              idCol: String, numHashes: Int,
+                              threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
-    val bBands = minhashBands(batchSig, idCol, numHashes, rows)
+    val bBands = batchBands
       .select(col(idCol).as("batch_id"), col("band"), col("bh"))
     val hIdx = histIndex.select(col(idCol).as("hist_id"), col("band"), col("bh"))
     val cand = bBands.join(hIdx, Seq("band", "bh"))

@@ -384,7 +384,10 @@ object Relational {
         val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
         li.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
-          .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          // supplier is SF-proportional (1B rows at SF 100k) — no explicit
+          // broadcast hint; AQE broadcasts it while it fits and shuffles
+          // past that, which a forced hint would not survive
+          .join(su, col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -427,7 +430,9 @@ object Relational {
         val edges = Tables.lineitem(s, d)
           .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
           .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(Tables.supplier(s, d)),
+          // supplier is SF-proportional — leave the broadcast decision to
+          // AQE (see q223)
+          .join(Tables.supplier(s, d),
             col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(nc), col("c_nationkey") === col("__ck"))
           .join(broadcast(ns), col("s_nationkey") === col("__sk"))

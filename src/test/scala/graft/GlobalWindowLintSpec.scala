@@ -203,6 +203,87 @@ class GlobalWindowLintSpec extends SparkSpec {
     assert(unused.isEmpty, s"stale BNLJ allowlist entries: $unused")
   }
 
+  /** query name → the size bound justifying each explicit `broadcast()`
+    * hint that is NOT structurally bounded (the PageRank class that
+    * motivated the partitioned-rank fallback: an explicit hint forces the
+    * broadcast regardless of size, so every one must carry a bound).
+    * Shares the series-grid family with the BNLJ allowlist — the hinted
+    * side there IS the alignToGrid key-set broadcast — and inherits the
+    * other allowBnlj bounds where the bounded side is the hinted one
+    * (q184's diversity pair table never carries a hint, so it is
+    * excluded). */
+  private val allowHint: Map[String, String] =
+    (allowBnlj - "q184_sample_diversity") ++ Map(
+      "q03_join_agg" ->
+        "broadcast sides are nation (25 rows) / region (5 rows): constant-size dims",
+      "q199_rollup_revenue" ->
+        "broadcast sides are nation (25 rows) / region (5 rows): constant-size dims",
+      "q223_local_volume" -> ("broadcast sides are nation/region constant dims; " +
+        "the SF-proportional supplier deliberately carries NO hint (AQE decides)"),
+      "q256_returned_items" ->
+        "broadcast side is nation (25 rows): constant-size dim",
+      "q59_ann_lsh" -> "single query vector broadcast (unique-id filter)",
+      "q80_contamination" -> ("broadcast side is the DISTINCT eval-benchmark " +
+        "n-gram hash set: eval-suite-sized, not corpus-scaled"),
+      "q92_curation_funnel" -> ("broadcast side is the DISTINCT eval-benchmark " +
+        "n-gram hash set: eval-suite-sized, not corpus-scaled"),
+      "q91_centroid_outlier" ->
+        "broadcast side is the per-label centroid table: label-domain-sized",
+      "q177_local_peaks" -> ("broadcast side is the per-series global mean/std " +
+        "aggregate: enum-sized event_type key set"),
+      "q262_tukey_outliers" ->
+        "broadcast side is the per-series Tukey fence table: series-key-domain-sized",
+      "q264_norm_outliers" ->
+        "broadcast side is the per-series Tukey fence table: series-key-domain-sized",
+      "q263_revenue_cohorts" -> ("broadcast side is the week-0 revenue row per " +
+        "cohort week: calendar-bounded (#weeks)")
+    )
+
+  /** Explicit broadcast() hints in the ANALYZED plan whose hinted subtree
+    * is not provably bounded. Structural escapes: a grouping-free
+    * Aggregate below the hint (exactly one row — the scalar-crossjoin
+    * shape), or a `__pid` output column (the orderedPrefixSum offsets
+    * table: ≤ #partitions rows by construction, the same bound the
+    * global-window lint recognizes). Optimized plans fold hints into the
+    * join node, so the analyzed tree is where a user-authored
+    * `broadcast(df)` is still visible. */
+  private def riskyHints(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, ResolvedHint, UnresolvedHint}
+    def nodes(p: LogicalPlan): Seq[LogicalPlan] =
+      p +: p.children.flatMap(nodes)
+    nodes(df.queryExecution.analyzed)
+      .collect {
+        case h: ResolvedHint
+          if h.hints.strategy.exists(_.toString.toLowerCase.contains("broadcast")) => h.child
+        case h: UnresolvedHint
+          if h.name.toUpperCase == "BROADCAST" => h
+      }
+      .filterNot(c => c.output.exists(_.name == "__pid"))
+      .filterNot(c => nodes(c).exists {
+        case a: Aggregate => a.groupingExpressions.isEmpty
+        case _ => false
+      })
+      .map(_.nodeName)
+  }
+
+  test("no registry query force-broadcasts an unbounded DataFrame") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val unused = scala.collection.mutable.Set(allowHint.keySet.toSeq: _*)
+    Registry.all.foreach { case (name, q) =>
+      val df =
+        try q.fn(spark, sfTiny)
+        catch { case e: Throwable => fail(s"$name failed to build: $e") }
+      val risky = riskyHints(df)
+      if (risky.nonEmpty) {
+        if (allowHint.contains(name)) unused -= name
+        else offenders += s"$name (${risky.size} unbounded broadcast hint(s))"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"queries force-broadcasting without a named bound:\n  ${offenders.mkString("\n  ")}")
+    assert(unused.isEmpty, s"stale broadcast-hint allowlist entries: $unused")
+  }
+
   test("no registry query windows unbounded data without a partition key") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     val unusedAllow = scala.collection.mutable.Set(allow.keySet.toSeq: _*)

@@ -1,6 +1,10 @@
 package graft
 
 import graft.operators.DedupOps
+import graft.sources.Bucketing
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 
 /** Incremental LSH near-dup (q211): semantic behavior on a constructed
@@ -74,6 +78,64 @@ class IncrementalNearDupSpec extends SparkSpec {
       exact.get(k).foreach { j =>
         assert(math.abs(est - j) <= 0.25, s"pair $k est $est vs exact $j")
       }
+    }
+  }
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: allNodes(q.plan)
+    case _ => p +: p.children.flatMap(allNodes)
+  }
+
+  test("bucketed (band, bh) index: the incremental candidate join is exchange-free") {
+    // the actual 100 TB rolling-crawl shape: the historical band index is
+    // a parquet table bucketed by (band, bh); the day's batch bands are
+    // staged with the same bucket spec before the join, so the candidate
+    // equi-join — the only stage that touches all of history — plans with
+    // ZERO shuffle exchanges (and appending the day to the index is a
+    // pure insert)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val docs = graft.sources.Tables.documents(spark, sfTiny)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val hist = docs.filter(col("doc_id") % 5 =!= 0)
+      val bSig = DedupOps.minhashSignatures(batch, "doc_id", "text").persist()
+      val hSig = DedupOps.minhashSignatures(hist, "doc_id", "text").persist()
+      Bucketing.writeBucketed(
+        DedupOps.minhashBands(hSig, "doc_id", numHashes = 64, rows = 4),
+        "inds_hist_bands", buckets = 8, keys = Seq("band", "bh"))
+      Bucketing.writeBucketed(
+        DedupOps.minhashBands(bSig, "doc_id", numHashes = 64, rows = 4),
+        "inds_batch_bands", buckets = 8, keys = Seq("band", "bh"))
+      val hIdx = spark.table("inds_hist_bands")
+      val bIdx = spark.table("inds_batch_bands")
+      // the operator's candidate stage on the bucketed tables, pre-distinct
+      // (the dedup of candidate ids re-keys by id — count join-side only,
+      // exactly BucketedJoinSpec's discipline)
+      val joinOnly = bIdx.select(col("doc_id").as("batch_id"), col("band"), col("bh"))
+        .join(hIdx.select(col("doc_id").as("hist_id"), col("band"), col("bh")),
+          Seq("band", "bh"))
+        .select("batch_id", "hist_id")
+      val nShuffles = allNodes(joinOnly.queryExecution.executedPlan)
+        .count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(nShuffles == 0,
+        s"bucketed band join must elide all exchanges:\n${joinOnly.queryExecution.executedPlan}")
+      // and the full operator entered at the persisted band tables agrees
+      // with the recompute-everything path
+      val viaIndex = DedupOps.incrementalNearDupBands(bIdx, hIdx, bSig, hSig,
+          "doc_id", numHashes = 64, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val direct = DedupOps.incrementalNearDup(bSig,
+          DedupOps.minhashBands(hSig, "doc_id", numHashes = 64, rows = 4),
+          hSig, "doc_id", numHashes = 64, rows = 4, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(viaIndex == direct, "persisted-index path must equal direct path")
+      bSig.unpersist(); hSig.unpersist()
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS inds_hist_bands")
+      spark.sql("DROP TABLE IF EXISTS inds_batch_bands")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
 }
