@@ -276,16 +276,41 @@ object SeasonalOps {
         scoreOut(max("__r")).as("max_r"))
   }
 
+  /** Run `rec` (series array of (__t, __x) → the per-row output array)
+    * over each series' collected grid via a LINEAR `mapPartitions` scan —
+    * the sanctioned per-series imperative fold (the `orderedPrefixSum`
+    * precedent): a Catalyst `aggregate` that grows its output array with
+    * `concat` copies the whole accumulator every step (O(grid²) element
+    * copies — ~3.8e9 for one 10-year hourly series), where the recursion
+    * itself is linear. State stays grid-bounded per series (≤ #hours
+    * rows); the Scala loop runs the identical IEEE ops in the identical
+    * order, so DuckDB recursive-CTE oracles still match bit-for-bit. */
+  private def scanSeries(collected: DataFrame, seriesCol: String)
+                        (rec: IndexedSeq[Double] => Array[Double]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
+    val outSchema = StructType(collected.schema.fields :+
+      StructField("__ys", ArrayType(DoubleType), nullable = true))
+    collected.mapPartitions { it =>
+      it.map { r =>
+        val arr = r.getSeq[Row](1)
+        val xs = arr.map(_.getDouble(1)).toIndexedSeq
+        Row(r.get(0), arr, rec(xs))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Exponentially-weighted moving average — pandas
     * `ewm(alpha, adjust=False).mean()` parity: y_0 = x_0,
     * y_t = (1−α)·y_{t−1} + α·x_t per series over an ALIGNED grid (callers
     * drop leading nulls; an ffilled series is non-null after its first
-    * observation, so the recursion never sees a null). The recursion
-    * folds over the series' collected grid array — grid-bounded state per
-    * series (≤ #hours rows, the STL/Theil-Sen contract here) — then zips
-    * back to rows: no partition-less window, no driver collect. Each step
-    * is two IEEE double ops in fixed order, so an engine replaying the
-    * recursion (the DuckDB oracle's recursive CTE) matches bit-for-bit.
+    * observation, so the recursion never sees a null). The recursion is a
+    * LINEAR scan over the series' collected grid array ([[scanSeries]]) —
+    * grid-bounded state per series (≤ #hours rows, the STL/Theil-Sen
+    * contract here) — then zips back to rows: no partition-less window,
+    * no driver collect. Each step is two IEEE double ops in fixed order,
+    * so an engine replaying the recursion (the DuckDB oracle's recursive
+    * CTE) matches bit-for-bit.
     *
     * Returns (seriesCol, tsCol, x, ewma). */
   def ewma(grid: DataFrame, seriesCol: String, tsCol: String,
@@ -297,19 +322,17 @@ object SeasonalOps {
         col(valueCol).cast("double").as("__x"))
       .groupBy(seriesCol)
       .agg(sort_array(collect_list(struct(col("__t"), col("__x")))).as("arr"))
-    val ys = aggregate(
-      col("arr"),
-      struct(lit(null).cast("double").as("prev"),
-        array().cast("array<double>").as("ys")),
-      (acc, e) => {
-        val y = when(acc.getField("prev").isNull, e.getField("__x"))
-          .otherwise(lit(1.0 - alpha) * acc.getField("prev") +
-            lit(alpha) * e.getField("__x"))
-        struct(y.as("prev"), concat(acc.getField("ys"), array(y)).as("ys"))
-      },
-      acc => acc.getField("ys"))
-    collected
-      .withColumn("__ys", ys)
+    val withYs = scanSeries(collected, seriesCol) { xs =>
+      val ys = new Array[Double](xs.length)
+      var i = 0
+      while (i < xs.length) {
+        ys(i) = if (i == 0) xs(0)
+                else (1.0 - alpha) * ys(i - 1) + alpha * xs(i)
+        i += 1
+      }
+      ys
+    }
+    withYs
       .select(col(seriesCol), explode(arrays_zip(col("arr"), col("__ys"))).as("__z"))
       .select(col(seriesCol), col("__z.arr.__t").as(tsCol),
         col("__z.arr.__x").as("x"), scoreOut(col("__z.__ys")).as("ewma"))
@@ -331,10 +354,10 @@ object SeasonalOps {
     * The recursion then runs from t = m+1 (fitted = l + b + s_{t−m};
     * l' = α(x − s_{t−m}) + (1−α)(l+b); b' = β(l'−l) + (1−β)b;
     * s' = γ(x − l − b) + (1−γ)s_{t−m}). The first m rows carry null
-    * fitted. Same fold-over-the-collected-grid shape (and scale contract)
-    * as [[ewma]]; state is (l, b, the m-slot seasonal ring, fitted list).
-    * HoltWintersSpec replays the identical recursion in plain Scala on
-    * the driver and matches row-for-row.
+    * fitted. Same LINEAR scan-over-the-collected-grid shape (and scale
+    * contract) as [[ewma]] ([[scanSeries]]); state is (l, b, the m-slot
+    * seasonal ring, fitted list). HoltWintersSpec replays the identical
+    * recursion in plain Scala on the driver and matches row-for-row.
     *
     * Returns (seriesCol, tsCol, x, fitted, residual, is_anom) where
     * is_anom flags |residual| > zCut·σ_resid (per-series σ). */
@@ -350,40 +373,42 @@ object SeasonalOps {
       .groupBy(seriesCol)
       .agg(sort_array(collect_list(struct(col("__t"), col("__x")))).as("arr"))
       .filter(size(col("arr")) >= 2 * m) // need two full seasons to init
-    val xs = col("arr").getField("__x")
-    val s1 = slice(xs, 1, m)
-    val s2 = slice(xs, m + 1, m)
-    def mean(a: Column): Column =
-      aggregate(a, lit(0.0), _ + _) / size(a)
-    val mu1 = mean(s1)
-    val b0 = (mean(s2) - mean(s1)) / m
-    val l0 = mu1 + b0 * ((m - 1) / 2.0)
-    val seas0 = transform(s1, (x, i) =>
-      x - (mu1 + b0 * (i.cast("double") - lit((m - 1) / 2.0))))
-    // fold over t = m+1 .. n: state (l, b, seas ring, fitted-so-far)
-    val folded = aggregate(
-      slice(xs, lit(m + 1), greatest(size(xs) - m, lit(0))),
-      struct(l0.as("l"), b0.as("b"), seas0.as("seas"),
-        array().cast("array<double>").as("fit")),
-      (acc, x) => {
-        val l = acc.getField("l"); val b = acc.getField("b")
-        val seas = acc.getField("seas")
-        val sOld = element_at(seas, 1)
-        val fitted = l + b + sOld
-        val lN = lit(alpha) * (x - sOld) + lit(1.0 - alpha) * (l + b)
-        val bN = lit(beta) * (lN - l) + lit(1.0 - beta) * b
-        val sN = lit(gamma) * (x - l - b) + lit(1.0 - gamma) * sOld
-        struct(lN.as("l"), bN.as("b"),
-          concat(slice(seas, 2, m - 1), array(sN)).as("seas"),
-          concat(acc.getField("fit"), array(fitted)).as("fit"))
-      },
-      acc => acc.getField("fit"))
-    val fitPadded = concat(
-      transform(sequence(lit(1), lit(m)), _ => lit(null).cast("double")),
-      folded)
+    // linear scan per series: init over two seasons, then t = m .. n-1
+    // (0-based). Op order matches the former Catalyst fold exactly, so
+    // the recursive-CTE oracle stays bit-for-bit.
+    val withFit = scanSeries(collected, seriesCol) { xs =>
+      def mean(from: Int): Double = {
+        var s = 0.0; var i = from
+        while (i < from + m) { s += xs(i); i += 1 } // left fold from 0.0
+        s / m
+      }
+      val mu1 = mean(0)
+      val b0 = (mean(m) - mu1) / m
+      val half = (m - 1) / 2.0
+      var l = mu1 + b0 * half
+      var b = b0
+      // m-slot seasonal ring; head = index (t - m) mod m
+      val seas = Array.tabulate(m)(i => xs(i) - (mu1 + b0 * (i - half)))
+      val fit = new Array[Double](xs.length) // first m slots re-nulled below
+      var t = m
+      while (t < xs.length) {
+        val x = xs(t)
+        val sOld = seas(t % m)
+        fit(t) = l + b + sOld
+        val lN = alpha * (x - sOld) + (1.0 - alpha) * (l + b)
+        val bN = beta * (lN - l) + (1.0 - beta) * b
+        val sN = gamma * (x - l - b) + (1.0 - gamma) * sOld
+        l = lN; b = bN; seas(t % m) = sN
+        t += 1
+      }
+      fit
+    }
     val wS = Window.partitionBy(seriesCol)
-    collected
-      .withColumn("__fit", fitPadded)
+    withFit
+      // the scan fills slots 0..m-1 with 0.0 placeholders: null them (the
+      // first m rows have no forecast)
+      .withColumn("__fit", transform(col("__ys"),
+        (f, i) => when(i >= m, f)))
       .select(col(seriesCol), explode(arrays_zip(col("arr"), col("__fit"))).as("__z"))
       .select(col(seriesCol), col("__z.arr.__t").as(tsCol),
         col("__z.arr.__x").as("x"), col("__z.__fit").as("__f"))

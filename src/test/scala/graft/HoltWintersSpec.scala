@@ -78,4 +78,33 @@ class HoltWintersSpec extends SparkSpec {
       "k", "ts", "v", m, a, b, g, zCut = 3.0, scoreOut = identity)
     assert(out.count() == 0)
   }
+
+  test("long grid (50k steps): the linear scan stays exact end to end") {
+    // a 10-year-hourly-class series — the regime where the former
+    // concat-accumulator fold paid O(grid^2) element copies; the scan is
+    // linear and must still match the driver-side replay at every row
+    val n = 50000
+    val xs = (0 until n).map(i =>
+      5.0 + 0.002 * i + 2.0 * math.sin(2 * math.Pi * i / m) + (i * 13 % 7) * 0.1)
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val df = xs.zipWithIndex.map { case (x, i) =>
+      ("s1", new java.sql.Timestamp(ts0 + i * 60000L), x)
+    }.toDF("k", "ts", "v")
+    val out = SeasonalOps.holtWinters(df, "k", "ts", "v", m,
+        a, b, g, zCut = 3.0, scoreOut = identity)
+      .orderBy("ts").select("fitted").collect()
+    val want = reference(xs)
+    assert(out.length == n)
+    (0 until n).foreach { i =>
+      val got = if (out(i).isNullAt(0)) None else Some(out(i).getDouble(0))
+      assert(got == want(i), s"row $i: $got vs ${want(i)}")
+    }
+    // ewma on the same grid: spot the head, an interior run, and the tail
+    val ew = SeasonalOps.ewma(df, "k", "ts", "v", alpha = 0.25,
+        scoreOut = identity)
+      .orderBy("ts").select("ewma").collect().map(_.getDouble(0))
+    var y = xs(0)
+    (1 until n).foreach { i => y = 0.75 * y + 0.25 * xs(i) }
+    assert(ew(0) == xs(0) && ew(n - 1) == y)
+  }
 }
