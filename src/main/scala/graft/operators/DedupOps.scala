@@ -726,7 +726,11 @@ object DedupOps {
   def fuzzyDupPairs(docs: DataFrame, idCol: String, textCol: String,
                     blockCols: Seq[String], lenBucket: Int,
                     maxDist: Int): DataFrame = {
-    require(lenBucket >= 1 && maxDist >= 0, "lenBucket >= 1, maxDist >= 0")
+    // the FULL-recall proof above needs lenBucket > maxDist (otherwise a
+    // true pair's buckets can differ by >1 and the ±1 blocking drops it)
+    require(lenBucket > maxDist && maxDist >= 0,
+      s"need lenBucket > maxDist for full blocking recall, " +
+        s"got lenBucket=$lenBucket maxDist=$maxDist")
     val keyed = docs.select(
       (col(idCol) +: col(textCol) +: blockCols.map(col)) :+
         floor(length(col(textCol)) / lenBucket).cast("int").as("__lb"): _*)
@@ -782,7 +786,9 @@ object DedupOps {
   def fuzzyDupCandidates(docs: DataFrame, idCol: String, textCol: String,
                          blockCols: Seq[String], lenBucket: Int,
                          maxDist: Int): DataFrame = {
-    require(lenBucket >= 1 && maxDist >= 0, "lenBucket >= 1, maxDist >= 0")
+    require(lenBucket > maxDist && maxDist >= 0,
+      s"need lenBucket > maxDist for full blocking recall, " +
+        s"got lenBucket=$lenBucket maxDist=$maxDist")
     val keyed = docs.select(
       (col(idCol) +: blockCols.map(col)) :+ length(col(textCol)).as("__len") :+
         floor(length(col(textCol)) / lenBucket).cast("int").as("__lb"): _*)

@@ -753,20 +753,6 @@ object EventOps {
         scoreOut(col("gap_hours")).as("gap_hours"))
   }
 
-  /** Linear (even-split) multi-touch attribution: every conversion's
-    * value splits EQUALLY across the touch events (non-conversion rows)
-    * between the previous conversion and it — the fairness counterpart to
-    * [[lastTouchAttribution]], and the two bracket any position-weighted
-    * scheme. Touch→conversion assignment is join-free: a REVERSE running
-    * count of conversions per user gives every row the index of its next
-    * conversion (same index ⇒ same attribution group), then one more
-    * window over (user, group) — hash(user) already satisfies the
-    * (user, group) clustering, so the second window adds a sort but NO
-    * second exchange. Conversions with no prior touches keep their full
-    * value in the "(none)" bucket, so revenue is conserved exactly.
-    *
-    * Returns (channel, n_touches, revenue) — Σ revenue = Σ conversion
-    * value. */
   /** Time-decay multi-touch attribution — the third of the attribution
     * family ([[lastTouchAttribution]], [[linearAttribution]]): each touch
     * before a conversion earns weight 0.5^(Δhours/halfLife), normalized
@@ -814,6 +800,20 @@ object EventOps {
         scoreOut(sum("__credit")).as("revenue"))
   }
 
+  /** Linear (even-split) multi-touch attribution: every conversion's
+    * value splits EQUALLY across the touch events (non-conversion rows)
+    * between the previous conversion and it — the fairness counterpart to
+    * [[lastTouchAttribution]], and the two bracket any position-weighted
+    * scheme. Touch→conversion assignment is join-free: a REVERSE running
+    * count of conversions per user gives every row the index of its next
+    * conversion (same index ⇒ same attribution group), then one more
+    * window over (user, group) — hash(user) already satisfies the
+    * (user, group) clustering, so the second window adds a sort but NO
+    * second exchange. Conversions with no prior touches keep their full
+    * value in the "(none)" bucket, so revenue is conserved exactly.
+    *
+    * Returns (channel, n_touches, revenue) — Σ revenue = Σ conversion
+    * value. */
   def linearAttribution(events: DataFrame, userCol: String, tsCol: String,
                         tiebreakCol: String, typeCol: String,
                         valueCol: String, conversionType: String,

@@ -247,8 +247,12 @@ object SeasonalOps {
     * regime-coupled, not structurally coupled — the static matrix hides
     * exactly that). The hour-keyed self-join is panel-bounded (pairs =
     * keys², rows = pairs × hours, never events) and every window
-    * partitions by the PAIR. Full frames only (min_periods = window);
-    * zero-variance frames yield null and drop from the summary.
+    * partitions by the PAIR. Frames are ROWS-based (trailing
+    * `windowHours` GRID ROWS, not wall-clock hours): over a gappy grid —
+    * hours with no events — a frame spans a longer wall-clock range; an
+    * ffilled/aligned input makes rows ≡ time. Full frames only
+    * (min_periods = window); zero-variance frames yield null and drop
+    * from the summary.
     *
     * Returns (series_a, series_b, n_windows, mean_r, min_r, max_r). */
   def rollingPairCorr(events: DataFrame, seriesCol: String, tsCol: String,

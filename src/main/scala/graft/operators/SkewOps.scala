@@ -13,12 +13,21 @@ import org.apache.spark.sql.functions._
   * AGGREGATION skew, which AQE does not rebalance. */
 object SkewOps {
 
+  /** Deterministic per-row salt: hash of EVERY column, mod nSalts. A
+    * nondeterministic source (monotonically_increasing_id, rand) used as
+    * a shuffle partition key re-salts rows differently on stage retry —
+    * the classic lost/duplicated-row hazard — so the salt must be a pure
+    * function of row content. Identical duplicate rows share a salt;
+    * spreading relies on rows of a hot key differing in SOME column,
+    * which any real fact row (measures, timestamps) does. */
+  private def rowSalt(df: DataFrame, nSalts: Int): Column =
+    pmod(hash(df.columns.map(col): _*), lit(nSalts))
+
   /** Salted exact aggregation: `aggs` maps output name -> (partial, combine)
     * column builders. Convenience constructors below cover the common ones. */
   def saltedAgg(df: DataFrame, keys: Seq[String], nSalts: Int,
                 aggs: Seq[SaltedAgg]): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(nSalts)))
+    val salted = df.withColumn("__salt", rowSalt(df, nSalts))
     val partial = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(aggs.head.partial, aggs.tail.map(_.partial): _*)
@@ -28,7 +37,8 @@ object SkewOps {
   }
 
   /** Salted equi-join for hot keys: the BIG side takes a deterministic
-    * per-row salt (hash of the whole row id stream, mod nSalts) and the
+    * per-row salt ([[rowSalt]]: hash of the full row content, retry-stable
+    * by construction) and the
     * SMALL-but-unbroadcastable side replicates ×nSalts via one explode, so
     * a key holding 20% of the big table spreads over nSalts reducers
     * instead of melting one. Exact for inner joins on `keys` (every big
@@ -41,8 +51,7 @@ object SkewOps {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  nSalts: Int): DataFrame = {
     require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
-    val b = big.withColumn("__salt",
-      pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(nSalts)))
+    val b = big.withColumn("__salt", rowSalt(big, nSalts))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
     b.join(s, keys :+ "__salt").drop("__salt")

@@ -15,7 +15,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * were suppressed since the previous page, so the operator still sees
   * the storm's size. Out-of-order alerts older than the last emission are
   * suppressed (deterministic policy; within a micro-batch rows process in
-  * event-time order).
+  * (event-time, severity) order — the same tiebreak as the batch fold's
+  * sorted struct(ts, severity) array, so tied-timestamp alerts page
+  * identically on both paths. Parity's one edge: ties SPLIT across
+  * micro-batches process in arrival order — a stream cannot retro-sort
+  * rows it has already acted on).
   *
   * State per key is two numbers (last emission time + suppressed count),
   * removed by an event-time timeout after 10 cooldowns of silence.
@@ -44,7 +48,10 @@ object StreamSuppress {
           else {
             var st = state.getOption.getOrElse(SupState(Long.MinValue, 0L))
             val out = List.newBuilder[Page]
-            rows.toSeq.sortBy(_.ts.getTime).foreach { a =>
+            // (ts, severity) — the SAME tiebreak as suppressBatch's
+            // sort_array over struct(__t, __sev), so tied-timestamp
+            // alerts emit identical pages on both paths
+            rows.toSeq.sortBy(a => (a.ts.getTime, a.severity)).foreach { a =>
               val t = a.ts.getTime
               if (st.lastEmitMs == Long.MinValue || t >= st.lastEmitMs + cooldownMs) {
                 out += Page(key, a.ts, a.severity, st.suppressed)
