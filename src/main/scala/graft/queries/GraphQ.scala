@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import Q.{dec4, dec6, r4, r6}
+import scala.collection.immutable.ListMap
+
+/** Graph-analytics gate entries split out of ExtrasQ (round-9 hygiene):
+  * triangle census, item-CF neighbors, co-engagement projection, and
+  * association rules. (The nation-trade PageRank q233 lives with its
+  * TPC-H join pipeline in Relational.) */
+object GraphQ {
+
+  val queries: ListMap[String, Q] = ListMap(
+
+
+    // Co-activity triangle census: users active in the same (hour, type,
+    // k-decile) bucket form an undirected edge; per-user triangle count
+    // and local clustering coefficient via GraphOps' degree-ordered wedge
+    // join (oriented out-degree O(sqrt m) — the orientation, not the
+    // count, is what survives a celebrity node at 100 TB). The oracle
+    // re-counts with the id-only orientation: the triangle SET is
+    // orientation-invariant, only the enumeration cost isn't.
+    // Bench note: ~5.5 s at sf0.1 is the O(m^1.5) wedge table doing real
+    // work — the 150-user panel makes the co-activity graph DENSE (1.5k
+    // nodes, 130k edges, mean degree ~173 → ~5.5M wedges enumerated +
+    // closed). Profiled: events scan+distinct ~2.3 s, wedge+close the
+    // rest; no partition-less stage anywhere. At production sparsity
+    // (bounded users per bucket) the wedge table shrinks quadratically
+    // with degree; the panel density is a gate artifact, not a plan
+    // defect.
+    "q246_triangle_census" -> Q(
+      (s, d) => {
+        // (a pre-spread of the single-partition scan was measured here and
+        // does NOT help — the cost is the wedge phase, not the parse)
+        val b = Tables.events(s, d).select(
+            date_trunc("hour", col("ts")).as("h"), col("event_type").as("t"),
+            (get_json_object(col("props"), "$.k").cast("int") / lit(10))
+              .cast("int").as("kd"),
+            col("user_id").as("u"))
+          .distinct()
+        val edges = b.select(col("h"), col("t"), col("kd"), col("u").as("ua"))
+          .join(b.select(col("h"), col("t"), col("kd"), col("u").as("ub")),
+            Seq("h", "t", "kd"))
+          .filter(col("ua") < col("ub"))
+          .select("ua", "ub")
+        graft.operators.GraphOps.triangleStats(edges, "ua", "ub", dec6)
+          .orderBy("node")
+      },
+      Some(s"""WITH b AS (SELECT DISTINCT date_trunc('hour', ts) AS h,
+              |  event_type AS t,
+              |  CAST(json_extract_string(props, '$$.k') AS INT) // 10 AS kd,
+              |  user_id AS u FROM events),
+              |e AS (SELECT DISTINCT a.u AS u, b2.u AS v FROM b a JOIN b b2
+              |  ON a.h = b2.h AND a.t = b2.t AND a.kd = b2.kd AND a.u < b2.u),
+              |deg AS (SELECT node, count(*) AS degree FROM
+              |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
+              |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+              |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+              |tn AS (SELECT node, count(*) AS n_tri FROM
+              |  (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+              |   UNION ALL SELECT c FROM tri) GROUP BY node)
+              |SELECT deg.node, deg.degree,
+              |  coalesce(tn.n_tri, 0) AS n_triangles,
+              |  ${r6("CASE WHEN deg.degree >= 2 THEN 2.0 * coalesce(tn.n_tri, 0) / (deg.degree * (deg.degree - 1.0)) ELSE 0.0 END")} AS clustering
+              |FROM deg LEFT JOIN tn USING (node)
+              |ORDER BY node""".stripMargin)),
+
+
+    // Item-item collaborative similarity ("users who touched X also
+    // touched Y"): binary user×item interactions on the props content
+    // key, per-pair cosine, top-5 neighbors per item. Rank runs over the
+    // ROUNDED cosine with the neighbor id tiebreak on BOTH engines.
+    // maxBasket = 1000 exercises the capped code path; gate baskets are
+    // far smaller (≤ the distinct content-key count), so the oracle —
+    // which has no cap — still matches exactly.
+    "q247_item_neighbors" -> Q(
+      (s, d) => graft.operators.EventOps.itemNeighbors(
+          Tables.events(s, d).select(col("user_id"), col("ts"),
+            get_json_object(col("props"), "$.k").cast("int").as("item")),
+          "user_id", "item", k = 5, scoreOut = dec6,
+          maxBasket = 1000, recencyCol = Some("ts"))
+        .orderBy("item", "rn"),
+      Some(s"""WITH ui AS (SELECT DISTINCT user_id AS u,
+              |  CAST(json_extract_string(props, '$$.k') AS INT) AS item FROM events),
+              |tot AS (SELECT item, count(*) AS n FROM ui GROUP BY item),
+              |p AS (SELECT a.item AS ia, b.item AS ib, count(*) AS n_both
+              |  FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+              |  GROUP BY 1, 2),
+              |sc AS (SELECT ia, ib, ta.n AS na, tb.n AS nb, n_both,
+              |  ${r6("n_both / sqrt(CAST(ta.n AS DOUBLE) * tb.n)")} AS cosine
+              |  FROM p JOIN tot ta ON ta.item = p.ia
+              |  JOIN tot tb ON tb.item = p.ib),
+              |sym AS (SELECT ia AS item, ib AS neighbor, na AS n_item,
+              |    nb AS n_neighbor, n_both, cosine FROM sc
+              |  UNION ALL SELECT ib, ia, nb, na, n_both, cosine FROM sc),
+              |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY item
+              |  ORDER BY cosine DESC, neighbor) AS INT) AS rn FROM sym)
+              |SELECT item, neighbor, n_item, n_neighbor, n_both, cosine, rn
+              |FROM r WHERE rn <= 5 ORDER BY item, rn""".stripMargin)),
+
+
+    // Audience co-engagement: Jaccard overlap of user bases per
+    // event-type pair — membership overlap, beside q192's volume
+    // correlation.
+    "q201_co_engagement" -> Q(
+      (s, d) => graft.operators.EventOps.coEngagement(
+          Tables.events(s, d), "user_id", "event_type", scoreOut = dec6)
+        .orderBy("type_a", "type_b"),
+      Some(s"""WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+              |tot AS (SELECT t, count(*) AS n FROM ut GROUP BY t),
+              |p AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+              |  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+              |  GROUP BY a.t, b.t)
+              |SELECT p.type_a, p.type_b,
+              |  ta.n AS n_users_a, tb.n AS n_users_b, p.n_both,
+              |  ${r6("CAST(p.n_both AS DOUBLE) / (ta.n + tb.n - p.n_both)")} AS jaccard
+              |FROM p JOIN tot ta ON ta.t = p.type_a
+              |JOIN tot tb ON tb.t = p.type_b
+              |ORDER BY p.type_a, p.type_b""".stripMargin)),
+
+
+    // Market-basket association rules over per-user event-type sets —
+    // q201's overlap counts upgraded to support/confidence/lift: which
+    // behaviors predict which, and is the pairing above chance (lift>1).
+    "q238_assoc_rules" -> Q(
+      (s, d) => graft.operators.EventOps.assocRules(
+          Tables.events(s, d), "user_id", "event_type",
+          minSupport = 0.05, scoreOut = dec6)
+        .orderBy("type_a", "type_b"),
+      Some(s"""WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t
+              |  FROM events),
+              |nu AS (SELECT CAST(count(DISTINCT u) AS DOUBLE) AS nu FROM ut),
+              |tot AS (SELECT t, count(*) AS n FROM ut GROUP BY t),
+              |p AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+              |  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+              |  GROUP BY a.t, b.t)
+              |SELECT type_a, type_b, n_both,
+              |  ${r6("n_both / nu.nu")} AS support,
+              |  ${r6("CAST(n_both AS DOUBLE) / ta.n")} AS conf_a_to_b,
+              |  ${r6("CAST(n_both AS DOUBLE) / tb.n")} AS conf_b_to_a,
+              |  ${r6("n_both * nu.nu / (CAST(ta.n AS DOUBLE) * tb.n)")} AS lift
+              |FROM p JOIN tot ta ON ta.t = p.type_a
+              |JOIN tot tb ON tb.t = p.type_b, nu
+              |WHERE n_both / nu.nu >= 0.05
+              |ORDER BY type_a, type_b""".stripMargin)),
+  )
+}

@@ -1,0 +1,778 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.CorpusOps
+import Q.{dec4, dec6, r4, r6}
+import scala.collection.immutable.ListMap
+
+/** Statistical-inference gate entries split out of ExtrasQ (round-9
+  * hygiene): hypothesis tests (Welch, KS, Mann-Whitney, AB), robust
+  * statistics (MAD, Tukey, winsorized, Theil-Sen), distribution fits
+  * (Gumbel, Weibull, Benford), spectral/temporal (ACF, periodogram,
+  * Allan variance, burstiness), correlation (matrix, rolling), and the
+  * quantile machinery. Same Q/oracle discipline as every other suite. */
+object StatQ {
+
+  val queries: ListMap[String, Q] = ListMap(
+
+
+    // Mergeable histogram quantile rollup: per-day value sketches + the
+    // merged-corpus p50/p90/p99 — the quantile twin of the q106 HLL
+    // rollup. Rows-only: estimates are sketch-resolution-specific;
+    // HistogramSketchSpec pins the one-bin-width error bound, exact
+    // sketch-level merge, and repartition invariance.
+    // Two-proportion z-test between md5-split experiment arms: conversion
+    // = any purchase with value > 100; the z statistic is pure arithmetic
+    // over two aggregate rows, |z| > 1.96 flags 95% significance.
+    "q168_ab_test" -> Q(
+      (s, d) => graft.operators.StatOps.abTest(
+        Tables.events(s, d), "user_id",
+        successCond = col("event_type") === "purchase" && col("value") > 100,
+        scoreOut = dec6),
+      Some(s"""WITH pu AS (SELECT user_id,
+              |  max(CASE WHEN event_type = 'purchase' AND value > 100
+              |    THEN 1 ELSE 0 END) AS conv
+              |  FROM events GROUP BY user_id),
+              |arm AS (SELECT conv,
+              |  CASE WHEN strpos('0123456789abcdef',
+              |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 < 8
+              |  THEN 'a' ELSE 'b' END AS arm FROM pu),
+              |ag AS (SELECT arm, count(*) AS n, sum(conv) AS c FROM arm GROUP BY arm),
+              |x AS (SELECT
+              |  (SELECT n FROM ag WHERE arm = 'a') AS n_a,
+              |  (SELECT c FROM ag WHERE arm = 'a') AS conv_a,
+              |  (SELECT n FROM ag WHERE arm = 'b') AS n_b,
+              |  (SELECT c FROM ag WHERE arm = 'b') AS conv_b),
+              |y AS (SELECT n_a, n_b, conv_a, conv_b,
+              |  CAST(conv_a AS DOUBLE) / n_a AS p_a,
+              |  CAST(conv_b AS DOUBLE) / n_b AS p_b,
+              |  CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pp FROM x),
+              |z AS (SELECT *, (p_a - p_b)
+              |  / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)) AS zz FROM y)
+              |SELECT n_a, n_b, CAST(conv_a AS BIGINT) AS conv_a,
+              |  CAST(conv_b AS BIGINT) AS conv_b,
+              |  ${r6("p_a")} AS p_a, ${r6("p_b")} AS p_b, ${r6("zz")} AS z,
+              |  CAST(abs(zz) > 1.96 AS INT) AS significant_95
+              |FROM z""".stripMargin)),
+
+
+    // Deterministic Poisson-bootstrap 95% CI for the mean event value:
+    // 32 hash-drawn replicates (p = 1 - 1/e), percentile bounds over the
+    // replicate means — reproducible across runs and engines.
+    "q169_bootstrap_ci" -> Q(
+      (s, d) => graft.operators.StatOps.bootstrapMeanCi(
+        Tables.events(s, d), "value", b = 32, level = 0.95,
+        idCol = "event_id", scoreOut = dec6),
+      Some(s"""WITH hp AS (SELECT CAST(value AS DOUBLE) AS v,
+              |  md5(CAST(event_id AS VARCHAR) || '_1')
+              |    || md5(CAST(event_id AS VARCHAR) || '_2') AS h FROM events),
+              |reps AS (SELECT u.r, v
+              |  FROM hp, LATERAL (SELECT unnest(generate_series(1, 32)) AS r) u
+              |  WHERE (strpos('0123456789abcdef', substring(h, 2 * u.r - 1, 1)) - 1)
+              |      * 16
+              |    + strpos('0123456789abcdef', substring(h, 2 * u.r, 1)) - 1
+              |    < 162),
+              |means AS (SELECT r, avg(v) AS m FROM reps GROUP BY r),
+              |ci AS (SELECT quantile_cont(m, 0.025) AS lo,
+              |  quantile_cont(m, 0.975) AS hi FROM means),
+              |base AS (SELECT count(*) AS n, avg(CAST(value AS DOUBLE)) AS mean
+              |  FROM events)
+              |SELECT n, ${r6("mean")} AS mean, ${r6("lo")} AS boot_lo,
+              |  ${r6("hi")} AS boot_hi FROM base, ci""".stripMargin)),
+
+
+    // Two-sample KS drift test: exact ECDF max-gap between the first and
+    // second half of the month, with the 95% critical line — the
+    // nonparametric complement of the binned PSI (q142).
+    "q170_ks_test" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cut = lit("2024-01-16").cast("timestamp")
+        graft.operators.StatOps.ksTest(
+          ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+          "value", scoreOut = dec6)
+      },
+      Some(s"""WITH ra AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+              |  WHERE ts < TIMESTAMP '2024-01-16'),
+              |rb AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+              |  WHERE ts >= TIMESTAMP '2024-01-16'),
+              |ca AS (SELECT x, count(*) AS c FROM ra GROUP BY x),
+              |cb AS (SELECT x, count(*) AS c FROM rb GROUP BY x),
+              |ea AS (SELECT x, CAST(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              |    AS DOUBLE) / (SELECT sum(c) FROM ca) AS f,
+              |  (SELECT sum(c) FROM ca) AS n_ref FROM ca),
+              |eb AS (SELECT x, CAST(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              |    AS DOUBLE) / (SELECT sum(c) FROM cb) AS f,
+              |  (SELECT sum(c) FROM cb) AS n_cur FROM cb),
+              |j AS (SELECT coalesce(ea.x, eb.x) AS x, ea.f AS f_ref, eb.f AS f_cur,
+              |  ea.n_ref, eb.n_cur FROM ea FULL OUTER JOIN eb ON ea.x = eb.x),
+              |ff AS (SELECT
+              |  coalesce(last_value(f_ref IGNORE NULLS)
+              |    OVER (ORDER BY x ROWS UNBOUNDED PRECEDING), 0.0) AS fr,
+              |  coalesce(last_value(f_cur IGNORE NULLS)
+              |    OVER (ORDER BY x ROWS UNBOUNDED PRECEDING), 0.0) AS fc,
+              |  n_ref, n_cur FROM j),
+              |agg AS (SELECT CAST(max(n_ref) AS BIGINT) AS n_ref,
+              |  CAST(max(n_cur) AS BIGINT) AS n_cur,
+              |  max(abs(fr - fc)) AS d FROM ff)
+              |SELECT n_ref, n_cur, ${r6("d")} AS ks_d,
+              |  ${r6("1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE) / (n_ref * n_cur))")}
+              |    AS d_crit_95,
+              |  CAST(d > 1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE) / (n_ref * n_cur))
+              |    AS INT) AS drifted
+              |FROM agg""".stripMargin)),
+
+
+    // Mann-Whitney U between the two month halves: rank-based location-
+    // shift test with midrank ties + tie-corrected sigma — ranks live on
+    // the distinct-value table, not the row stream.
+    "q171_mann_whitney" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cut = lit("2024-01-16").cast("timestamp")
+        graft.operators.StatOps.mannWhitneyU(
+          ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+          "value", scoreOut = dec6)
+      },
+      Some(s"""WITH pooled AS (
+              |  SELECT CAST(value AS DOUBLE) AS x, 'a' AS s FROM events
+              |    WHERE ts < TIMESTAMP '2024-01-16'
+              |  UNION ALL
+              |  SELECT CAST(value AS DOUBLE) AS x, 'b' AS s FROM events
+              |    WHERE ts >= TIMESTAMP '2024-01-16'),
+              |bv AS (SELECT x, count(*) AS t,
+              |  sum(CASE WHEN s = 'a' THEN 1 ELSE 0 END) AS ta
+              |  FROM pooled GROUP BY x),
+              |rk AS (SELECT t, ta,
+              |  (sum(t) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) * 2 - t + 1) / 2.0
+              |    AS midrank FROM bv),
+              |ag AS (SELECT CAST(sum(ta) AS DOUBLE) AS na,
+              |  CAST(sum(t - ta) AS DOUBLE) AS nb,
+              |  sum(ta * midrank) AS ra,
+              |  CAST(sum(t * t * t - t) AS DOUBLE) AS tie FROM rk),
+              |st AS (SELECT na, nb, ra - na * (na + 1) / 2 AS u,
+              |  na * nb / 2.0 AS mu,
+              |  sqrt(na * nb / 12.0 * ((na + nb + 1)
+              |    - tie / ((na + nb) * (na + nb - 1)))) AS sigma FROM ag)
+              |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              |  ${r6("u")} AS u, ${r6("mu")} AS mu, ${r6("sigma")} AS sigma,
+              |  ${r6("(u - mu) / sigma")} AS z,
+              |  CAST(abs((u - mu) / sigma) > 1.96 AS INT) AS significant_95
+              |FROM st""".stripMargin)),
+
+
+    // Gini coefficient of per-user event-count concentration — how
+    // unequally activity distributes across users.
+    "q172_gini_activity" -> Q(
+      (s, d) => {
+        val perUser = Tables.events(s, d)
+          .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        graft.operators.StatOps.giniConcentration(perUser, "user_id",
+          "n_events", scoreOut = dec6)
+      },
+      Some(s"""WITH pu AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS x
+              |  FROM events GROUP BY user_id),
+              |rk AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM pu),
+              |ag AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS tot,
+              |  sum(i * x) AS ix FROM rk)
+              |SELECT CAST(n AS BIGINT) AS n_units, ${r6("tot")} AS total,
+              |  ${r6("2.0 * ix / (n * tot) - (n + 1) / n")} AS gini
+              |FROM ag""".stripMargin)),
+
+
+    // Sketch-binned KS (rows-only: approx_percentile boundaries are not
+    // reproducible in DuckDB) — the 100 TB form of q170 for continuous
+    // measures: ECDFs over 64 pooled-quantile bins, support table
+    // bins-sized by construction. SketchBinnedSpec pins the error bound
+    // against the exact q170 statistic.
+    "q178_ks_binned" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cut = lit("2024-01-16").cast("timestamp")
+        graft.operators.StatOps.ksTestBinned(
+          ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+          "value", bins = 64, scoreOut = dec6)
+      }),
+
+
+    // Sketch-binned Mann-Whitney (rows-only, same reason) — q171's
+    // midrank algebra on the 64-bin pooled-quantile index; rank table
+    // bins-sized by construction. SketchBinnedSpec pins the z tolerance.
+    "q179_mw_binned" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cut = lit("2024-01-16").cast("timestamp")
+        graft.operators.StatOps.mannWhitneyUBinned(
+          ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+          "value", bins = 64, scoreOut = dec6)
+      }),
+
+
+    // Benford first-digit forensics on the value column: observed vs
+    // log10(1+1/d) expectation with chi-square terms — the fabricated-
+    // data test; the first digit derives from log10-floor normalization,
+    // no string formatting.
+    "q167_benford_digits" -> Q(
+      (s, d) => graft.operators.StatOps.benfordDigits(
+          Tables.events(s, d), "value", scoreOut = dec6)
+        .orderBy("digit"),
+      Some(s"""WITH x AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+              |  WHERE CAST(value AS DOUBLE) > 0),
+              |dg AS (SELECT CAST(floor(v / pow(10.0, floor(log10(v)))) AS INT)
+              |  AS digit FROM x),
+              |c AS (SELECT digit, count(*) AS n FROM dg GROUP BY digit),
+              |t AS (SELECT sum(n) AS nt FROM c),
+              |p AS (SELECT digit, n, CAST(n AS DOUBLE) / nt AS p_obs,
+              |  log10(1.0 + 1.0 / digit) AS p_benford, nt FROM c, t)
+              |SELECT digit, n, ${r6("p_obs")} AS p_obs,
+              |  ${r6("p_benford")} AS p_benford,
+              |  ${r6("nt * (p_obs - p_benford) * (p_obs - p_benford) / p_benford")}
+              |    AS chi2_term
+              |FROM p ORDER BY digit""".stripMargin)),
+
+
+    // Entropy rate of the event-type process under its Markov model —
+    // how predictable the next action is (bot/template detection).
+    "q166_sequence_entropy" -> Q(
+      (s, d) => graft.operators.EventOps.sequenceEntropyRate(
+        Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+        scoreOut = dec6),
+      Some(s"""WITH x AS (SELECT event_type AS cur,
+              |  lead(event_type) OVER (PARTITION BY user_id
+              |    ORDER BY ts, event_id) AS nxt FROM events),
+              |pc AS (SELECT cur, nxt, count(*) AS n FROM x
+              |  WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+              |tot AS (SELECT sum(n) AS nt FROM pc),
+              |rowp AS (SELECT cur, n,
+              |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur) AS p FROM pc),
+              |agg AS (SELECT sum((CAST(n AS DOUBLE) / nt) * -ln(p)) AS h,
+              |  count(DISTINCT cur) AS ns, max(nt) AS ntr FROM rowp, tot)
+              |SELECT CAST(ntr AS BIGINT) AS n_transitions,
+              |  CAST(ns AS BIGINT) AS n_states,
+              |  ${r6("h")} AS entropy_rate,
+              |  ${r6("ln(CAST(ns AS DOUBLE))")} AS max_entropy,
+              |  ${r6("1.0 - h / ln(CAST(ns AS DOUBLE))")} AS predictability
+              |FROM agg""".stripMargin)),
+
+
+    // Inter-arrival burstiness per user (Goh-Barabási B): metronomes at
+    // −1, Poisson at 0, bursts toward 1 — bot-vs-organic separation.
+    // Limited to 40 users for a bounded gate result.
+    "q176_burstiness" -> Q(
+      (s, d) => graft.operators.EventOps.burstiness(
+          Tables.events(s, d).filter(col("user_id") < 40),
+          "user_id", "ts", "event_id", scoreOut = dec6)
+        .orderBy("user_id"),
+      Some(s"""WITH g AS (SELECT user_id,
+              |  (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+              |    ORDER BY ts, event_id)) / 1000000.0 AS gap
+              |  FROM events WHERE user_id < 40),
+              |a AS (SELECT user_id, count(*) AS n_gaps, avg(gap) AS m,
+              |  stddev_pop(gap) AS sd FROM g WHERE gap IS NOT NULL
+              |  GROUP BY user_id)
+              |SELECT user_id, n_gaps, ${r6("m")} AS mean_gap_s,
+              |  ${r6("sd")} AS std_gap_s,
+              |  ${r6("(sd - m) / (sd + m)")} AS burstiness
+              |FROM a WHERE n_gaps >= 2 ORDER BY user_id""".stripMargin)),
+
+
+    // Autocorrelation function: the lag scan with X = Y — lag 0 must be
+    // exactly 1, the rest profile the series' memory.
+    "q174_acf" -> Q(
+      (s, d) => graft.operators.EventOps.xcorrLagScan(
+          Tables.events(s, d), "event_type", "ts", "value",
+          seriesX = "click", seriesY = "click", maxLag = 12, scoreOut = dec6)
+        .orderBy("lag"),
+      Some(s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+              |  avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY event_type, h),
+              |x AS (SELECT h, y AS xv FROM hourly WHERE event_type = 'click'),
+              |ylag AS (SELECT u.lag, h + to_hours(u.lag) AS h, y AS yv
+              |  FROM hourly, LATERAL (SELECT unnest(generate_series(0, 12)) AS lag) u
+              |  WHERE event_type = 'click'),
+              |j AS (SELECT lag, xv, yv FROM x JOIN ylag USING (h)),
+              |m AS (SELECT lag, count(*) AS n, avg(xv) AS mx, avg(yv) AS my,
+              |  avg(xv * yv) AS mxy, avg(xv * xv) AS mxx, avg(yv * yv) AS myy
+              |  FROM j GROUP BY lag)
+              |SELECT lag, n,
+              |  ${r6("""(mxy - mx * my)
+              |    / (sqrt(mxx - mx * mx) * sqrt(myy - my * my))""")} AS xcorr
+              |FROM m ORDER BY lag""".stripMargin)),
+
+
+    // Robust outliers via MAD modified z-score (|0.6745·(x−med)/MAD| > 3.5)
+    // — immune to the outliers it hunts, unlike the σ-based detectors.
+    // Exact interpolated medians on both engines.
+    "q157_mad_outliers" -> Q(
+      (s, d) => graft.operators.StatOps.madOutliers(
+          Tables.events(s, d), "event_type", "value", zCut = 3.5, scoreOut = dec6)
+        .orderBy("event_type"),
+      Some(s"""WITH x AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+              |m AS (SELECT event_type, quantile_cont(v, 0.5) AS med FROM x
+              |  GROUP BY event_type),
+              |wm AS (SELECT x.event_type, v, med FROM x JOIN m USING (event_type)),
+              |md AS (SELECT event_type, max(med) AS med,
+              |  quantile_cont(abs(v - med), 0.5) AS mad FROM wm GROUP BY event_type),
+              |f AS (SELECT wm.event_type, v, md.med, md.mad,
+              |  CASE WHEN md.mad > 0
+              |    AND abs(0.6745 * (v - md.med) / md.mad) > 3.5
+              |    THEN 1 ELSE 0 END AS flag
+              |  FROM wm JOIN md USING (event_type))
+              |SELECT event_type, count(*) AS n, ${r6("max(med)")} AS med,
+              |  ${r6("max(mad)")} AS mad,
+              |  CAST(sum(flag) AS BIGINT) AS n_outliers
+              |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+
+    // Kaplan-Meier survival of time-to-first-purchase after signup,
+    // right-censored at the observation horizon — S(t) folds as
+    // exp(Σ ln(1 − d/n)) over the identical day order in both engines.
+    "q158_kaplan_meier" -> Q(
+      (s, d) => graft.operators.StatOps.kaplanMeier(
+          Tables.events(s, d), "user_id", "ts", "event_type",
+          startType = "signup", targetType = "purchase", scoreOut = dec6)
+        .orderBy("t_days"),
+      Some(s"""WITH pu AS (SELECT user_id,
+              |  min(CASE WHEN event_type = 'signup' THEN CAST(ts AS DATE) END) AS d0,
+              |  min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS d1,
+              |  max(CAST(ts AS DATE)) AS dmax
+              |  FROM events GROUP BY user_id),
+              |pu2 AS (SELECT * FROM pu WHERE d0 IS NOT NULL),
+              |hz AS (SELECT max(dmax) AS dend FROM pu2),
+              |dur AS (SELECT CASE WHEN d1 IS NOT NULL AND d1 >= d0
+              |    THEN CAST(d1 - d0 AS INT) ELSE CAST(dend - d0 AS INT) END AS t,
+              |  CAST(d1 IS NOT NULL AND d1 >= d0 AS INT) AS observed
+              |  FROM pu2, hz),
+              |tot AS (SELECT count(*) AS n_total FROM dur),
+              |bd AS (SELECT t, sum(observed) AS d, count(*) AS c FROM dur GROUP BY t),
+              |ar AS (SELECT t, d,
+              |  n_total - coalesce(sum(c) OVER (ORDER BY t
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+              |  FROM bd, tot),
+              |ev AS (SELECT t, d, n_at_risk,
+              |  1.0 - CAST(d AS DOUBLE) / n_at_risk AS factor
+              |  FROM ar WHERE d > 0),
+              |sv AS (SELECT t, n_at_risk, d,
+              |  CASE WHEN max(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
+              |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0
+              |    ELSE exp(sum(ln(factor))
+              |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END AS srv FROM ev)
+              |SELECT t AS t_days, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+              |  CAST(d AS BIGINT) AS n_events, ${r6("srv")} AS survival
+              |FROM sv ORDER BY t_days""".stripMargin)),
+
+
+    // Winsorized mean per event type: clamp at the [p05, p95] group
+    // percentiles, then average — robust location without discarding rows.
+    "q190_winsorized_stats" -> Q(
+      (s, d) => graft.operators.EventOps.winsorizedStats(
+          Tables.events(s, d), "event_type", "value", pLo = 0.05, pHi = 0.95,
+          scoreOut = dec6)
+        .orderBy("event_type"),
+      Some(s"""WITH b AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+              |q AS (SELECT event_type, quantile_cont(v, 0.05) AS lo,
+              |  quantile_cont(v, 0.95) AS hi FROM b GROUP BY event_type)
+              |SELECT b.event_type, count(*) AS n,
+              |  CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+              |  CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+              |  ${r6("max(lo)")} AS p_lo, ${r6("max(hi)")} AS p_hi,
+              |  ${r6("avg(v)")} AS mean_raw,
+              |  ${r6("avg(least(greatest(v, lo), hi))")} AS mean_winsorized
+              |FROM b JOIN q USING (event_type)
+              |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin)),
+
+
+    // Pairwise correlation matrix across the event-type hourly series
+    // (upper triangle, explicit moment formula — which metrics co-move).
+    "q192_corr_matrix" -> Q(
+      (s, d) => graft.operators.SeasonalOps.seriesCorrMatrix(
+          Tables.events(s, d), "event_type", "ts", "value", scoreOut = dec6)
+        .orderBy("series_a", "series_b"),
+      Some(s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+              |  avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY 1, 2),
+              |j AS (SELECT a.event_type AS series_a, b.event_type AS series_b,
+              |  a.y AS ya, b.y AS yb
+              |  FROM hourly a JOIN hourly b ON a.h = b.h
+              |  WHERE a.event_type < b.event_type),
+              |m AS (SELECT series_a, series_b, count(*) AS n,
+              |  avg(ya) AS ma, avg(yb) AS mb, avg(ya * yb) AS mab,
+              |  avg(ya * ya) AS maa, avg(yb * yb) AS mbb
+              |  FROM j GROUP BY 1, 2)
+              |SELECT series_a, series_b, n AS n_hours,
+              |  ${r6("""(mab - ma * mb)
+              |    / (sqrt(maa - ma * ma) * sqrt(mbb - mb * mb))""")} AS corr
+              |FROM m ORDER BY series_a, series_b""".stripMargin)),
+
+
+    // Rolling pairwise correlation summary — q192's static number as a
+    // stability read: trailing-24h Pearson r per series pair over the
+    // shared hourly grid, summarized per pair. Pair-partitioned windows
+    // over the panel-bounded hour-keyed self-join.
+    "q240_rolling_corr" -> Q(
+      (s, d) => graft.operators.SeasonalOps.rollingPairCorr(
+          Tables.events(s, d), "event_type", "ts", "value",
+          windowHours = 24, scoreOut = dec6)
+        .orderBy("series_a", "series_b"),
+      Some(s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+              |  avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY 1, 2),
+              |j AS (SELECT a.event_type AS series_a, b.event_type AS series_b,
+              |  a.h AS h, a.y AS ya, b.y AS yb
+              |  FROM hourly a JOIN hourly b ON a.h = b.h
+              |  WHERE a.event_type < b.event_type),
+              |w AS (SELECT series_a, series_b,
+              |  count(*) OVER f AS c,
+              |  avg(ya) OVER f AS ma, avg(yb) OVER f AS mb,
+              |  avg(ya * yb) OVER f AS mab,
+              |  avg(ya * ya) OVER f AS maa, avg(yb * yb) OVER f AS mbb
+              |  FROM j
+              |  WINDOW f AS (PARTITION BY series_a, series_b ORDER BY h
+              |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+              |r AS (SELECT series_a, series_b,
+              |  (mab - ma * mb) / (sqrt(maa - ma * ma) * sqrt(mbb - mb * mb))
+              |    AS r
+              |  FROM w WHERE c = 24 AND maa - ma * ma > 0
+              |    AND mbb - mb * mb > 0)
+              |SELECT series_a, series_b, count(*) AS n_windows,
+              |  ${r6("avg(r)")} AS mean_r, ${r6("min(r)")} AS min_r,
+              |  ${r6("max(r)")} AS max_r
+              |FROM r GROUP BY 1, 2 ORDER BY series_a, series_b""".stripMargin)),
+
+
+    // Per-series quantile normalization: value → (rank − 0.5)/n within its
+    // event_type — the rank-uniform feature transform (step one of
+    // rank-gauss / quantile mapping). Ranks come from the GROUPED
+    // range-partitioned prefix sum (no per-series single-partition sort
+    // however large one series is); output thinned to every 100th event id
+    // to keep the gate frame bounded.
+    "q186_quantile_norm" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            col("value").cast("double").as("v"))
+        val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        CorpusOps.orderedPrefixSum(ev,
+            Seq(col("v").asc, col("event_id").asc), lit(1L), "rn",
+            groupCols = Seq("event_type"))
+          .join(n, Seq("event_type"))
+          .filter(col("event_id") % 100 === 0)
+          .select(col("event_type"), col("event_id"), col("v").as("value"),
+            col("rn").cast("long").as("rank"),
+            dec6((col("rn") - lit(0.5)) / col("n")).as("q_norm"))
+          .orderBy("event_type", "event_id")
+      },
+      Some(s"""WITH r AS (SELECT event_type, event_id,
+              |  CAST(value AS DOUBLE) AS value,
+              |  row_number() OVER (PARTITION BY event_type
+              |    ORDER BY CAST(value AS DOUBLE), event_id) AS rn,
+              |  count(*) OVER (PARTITION BY event_type) AS n
+              |  FROM events)
+              |SELECT event_type, event_id, value, CAST(rn AS BIGINT) AS "rank",
+              |  ${r6("(rn - 0.5) / n")} AS q_norm
+              |FROM r WHERE event_id % 100 = 0
+              |ORDER BY event_type, event_id""".stripMargin)),
+
+
+    // OLS trend per series with R² from explicit moment formulas — the
+    // least-squares twin of q182 (one aggregate, no pair table), plus the
+    // fit diagnostic Theil-Sen can't give.
+    "q187_ols_trend" -> Q(
+      (s, d) => graft.operators.SeasonalOps.olsTrend(
+          Tables.events(s, d), "event_type", "ts", "value", scoreOut = dec6)
+        .orderBy("event_type"),
+      Some(s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+              |  avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY 1, 2),
+              |b AS (SELECT event_type, y,
+              |  CAST((epoch_us(h) - min(epoch_us(h)) OVER (PARTITION BY event_type))
+              |    / 3600000000 AS DOUBLE) AS t FROM hourly),
+              |m AS (SELECT event_type, count(*) AS n,
+              |  avg(t) AS mt, avg(y) AS my, avg(t * t) AS mtt,
+              |  avg(t * y) AS mty, avg(y * y) AS myy FROM b GROUP BY event_type)
+              |SELECT event_type, n AS n_points,
+              |  ${r6("(mty - mt * my) / (mtt - mt * mt)")} AS slope_per_hour,
+              |  ${r6("my - (mty - mt * my) / (mtt - mt * mt) * mt")} AS intercept,
+              |  ${r6("""CASE WHEN myy - my * my > 0
+              |    THEN (mty - mt * my) * (mty - mt * my)
+              |      / ((mtt - mt * mt) * (myy - my * my)) ELSE 0.0 END""")} AS r2
+              |FROM m ORDER BY event_type""".stripMargin)),
+
+
+    // Theil-Sen robust trend per series: median pairwise slope over the
+    // hourly grid (grid-metadata pair table, not events) with the
+    // median-residual intercept.
+    "q182_theil_sen" -> Q(
+      (s, d) => graft.operators.SeasonalOps.theilSenTrend(
+          Tables.events(s, d), "event_type", "ts", "value", scoreOut = dec6)
+        .orderBy("event_type"),
+      Some(s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+              |  avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY 1, 2),
+              |b AS (SELECT event_type, y,
+              |  CAST(epoch_us(h) / 3600000000 AS DOUBLE) AS t FROM hourly),
+              |sl AS (SELECT a.event_type,
+              |  (b2.y - a.y) / (b2.t - a.t) AS slope
+              |  FROM b a JOIN b b2 USING (event_type) WHERE b2.t > a.t),
+              |ms AS (SELECT event_type, count(*) AS n_pairs,
+              |  quantile_cont(slope, 0.5) AS m_slope FROM sl GROUP BY event_type),
+              |ic AS (SELECT b.event_type, ms.n_pairs, ms.m_slope,
+              |  count(*) AS n_points,
+              |  quantile_cont(b.y - ms.m_slope * b.t, 0.5) AS m_icept
+              |  FROM b JOIN ms USING (event_type)
+              |  GROUP BY b.event_type, ms.n_pairs, ms.m_slope)
+              |SELECT event_type, n_points, n_pairs,
+              |  ${r6("m_slope")} AS slope_per_hour, ${r6("m_icept")} AS intercept
+              |FROM ic ORDER BY event_type""".stripMargin)),
+
+
+    // Allan variance ladder (IEEE 1139 sensor stability): sigma^2(tau) =
+    // 1/2 E[(mean_{i+1} - mean_i)^2] over ADJACENT non-overlapping
+    // tau-wide buckets, tau in {1, 4, 24} h. Buckets index off the
+    // hour-truncated epoch so sub-second ts precision can't move a row
+    // across a boundary cross-engine; gaps contribute no phantom pair.
+    "q249_allan_variance" -> Q(
+      (s, d) => graft.operators.StatOps.allanVariance(
+          Tables.events(s, d), "event_type", "ts", "value",
+          tausHours = Seq(1, 4, 24), scoreOut = dec6)
+        .orderBy("series", "tau_hours"),
+      Some(Seq(1, 4, 24).map { tau =>
+        s"""SELECT series, $tau AS tau_hours, n_buckets, n_pairs,
+           |  ${r6("av")} AS allan_var, ${r6("sqrt(av)")} AS allan_dev
+           |FROM (SELECT series, count(*) AS n_buckets, count(dm) AS n_pairs,
+           |    0.5 * avg(dm * dm) AS av
+           |  FROM (SELECT series, b, m,
+           |      CASE WHEN lead(b) OVER w = b + 1
+           |        THEN lead(m) OVER w - m END AS dm
+           |    FROM (SELECT event_type AS series,
+           |        floor(epoch(date_trunc('hour', ts)) / ${3600 * tau}) AS b,
+           |        avg(value) AS m
+           |      FROM events GROUP BY 1, 2)
+           |    WINDOW w AS (PARTITION BY series ORDER BY b))
+           |  GROUP BY series)""".stripMargin
+      }.mkString("", " UNION ALL ", " ORDER BY series, tau_hours"))),
+
+
+    // Gumbel (EVT-I) return levels from daily block maxima, method of
+    // moments: beta = s*sqrt(6)/pi, mu = m - gamma*beta, x_T = mu -
+    // beta*ln(-ln(1-1/T)) — the principled "threshold exceeded once per T
+    // days" that Gaussian z-scores get wrong in the tail. Two hash aggs,
+    // no window.
+    "q251_gumbel_return" -> Q(
+      (s, d) => graft.operators.StatOps.gumbelReturnLevels(
+          Tables.events(s, d), "event_type", "ts", "value",
+          horizonsDays = Seq(30, 365), scoreOut = dec6)
+        .orderBy("series"),
+      Some {
+        val c = math.sqrt(6.0) / math.Pi
+        val g = 0.5772156649015329
+        def lv(t: Int) =
+          r6(s"(m - $g * (s * $c)) - (s * $c) * ${math.log(-math.log(1.0 - 1.0 / t))}")
+        s"""WITH dm AS (SELECT event_type AS series, CAST(ts AS DATE) AS d,
+           |    max(value) AS mx FROM events GROUP BY 1, 2),
+           |mom AS (SELECT series, count(*) AS n_blocks, avg(mx) AS m,
+           |    stddev_samp(mx) AS s FROM dm GROUP BY series)
+           |SELECT series, n_blocks,
+           |  ${r6(s"m - $g * (s * $c)")} AS gumbel_mu,
+           |  ${r6(s"s * $c")} AS gumbel_beta,
+           |  ${lv(30)} AS level_30d, ${lv(365)} AS level_365d
+           |FROM mom ORDER BY series""".stripMargin
+      }),
+
+
+    // Schuster periodogram power at candidate periods {24, 12, 168} h:
+    // harmonic amplitude + fraction of variance explained per (series,
+    // period). One hourly collapse, then ONE map-side agg of six sums per
+    // period — the trig argument is built from the integer hour index mod
+    // P, identical cross-engine.
+    "q252_periodogram" -> Q(
+      (s, d) => graft.operators.SeasonalOps.harmonicPower(
+          Tables.events(s, d), "event_type", "ts", "value",
+          periodsHours = Seq(12, 24, 168), scoreOut = dec6)
+        .orderBy("series", "period_hours"),
+      Some(Seq(12, 24, 168).map { p =>
+        val w = 2.0 * math.Pi / p
+        s"""SELECT series, $p AS period_hours, CAST(n AS BIGINT) AS n_hours,
+           |  ${r6("2.0 / n * sqrt(cc * cc + ssn * ssn)")} AS amplitude,
+           |  ${r6("CASE WHEN sse > 0 THEN 2.0 * (cc * cc + ssn * ssn) / (n * sse) END")} AS var_frac
+           |FROM (SELECT series, n, sxc - sx / n * sc AS cc,
+           |    sxs - sx / n * ss AS ssn, sxx - sx * sx / n AS sse
+           |  FROM (SELECT series, CAST(count(*) AS DOUBLE) AS n, sum(y) AS sx,
+           |      sum(y * y) AS sxx, sum(c) AS sc, sum(sn) AS ss,
+           |      sum(y * c) AS sxc, sum(y * sn) AS sxs
+           |    FROM (SELECT series, y, cos($w * (h % $p)) AS c,
+           |        sin($w * (h % $p)) AS sn
+           |      FROM (SELECT event_type AS series,
+           |          floor(epoch(date_trunc('hour', ts)) / 3600) AS h,
+           |          avg(value) AS y FROM events GROUP BY 1, 2))
+           |    GROUP BY series))""".stripMargin
+      }.mkString("", " UNION ALL ", " ORDER BY series, period_hours"))),
+
+
+    // Per-(type, day) latency-style quantile report (p50/p90/p99 + count)
+    // — the SLA rollup. Exact `percentile` per group at gate scale; the
+    // documented 100 TB swap is approx_percentile with the same contract.
+    // Groups are day-sized so the per-group sort state is bounded.
+    "q259_latency_quantiles" -> Q(
+      (s, d) => {
+        val qs = array(lit(0.5), lit(0.9), lit(0.99))
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("__d"))
+          .agg(count(lit(1)).as("n"),
+            percentile(col("value").cast("double"), qs).as("__q"))
+          .select(col("event_type"),
+            date_format(col("__d"), "yyyy-MM-dd").as("day"), col("n"),
+            dec6(element_at(col("__q"), 1)).as("p50"),
+            dec6(element_at(col("__q"), 2)).as("p90"),
+            dec6(element_at(col("__q"), 3)).as("p99"))
+          .orderBy("event_type", "day")
+      },
+      Some(s"""SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+              |  count(*) AS n,
+              |  ${r6("quantile_cont(value, 0.5)")} AS p50,
+              |  ${r6("quantile_cont(value, 0.9)")} AS p90,
+              |  ${r6("quantile_cont(value, 0.99)")} AS p99
+              |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin)),
+
+
+    // Weibull inter-arrival fit per type (closed-form log-moment Menon
+    // estimator: k = (pi/sqrt 6)/std(ln g), lambda = exp(mean(ln g) +
+    // gamma/k)) — shape < 1 = bursty, ~1 = Poisson-like, > 1 = regular;
+    // the parametric companion of the q177-family burstiness coefficient
+    // with a usable survival function for timeout tuning.
+    "q261_weibull_gaps" -> Q(
+      (s, d) => graft.operators.StatOps.weibullInterarrival(
+          Tables.events(s, d), "event_type", "ts", "event_id", scoreOut = dec6)
+        .orderBy("series"),
+      Some {
+        val c = math.Pi / math.sqrt(6.0)
+        val g = 0.5772156649015329
+        s"""WITH gp AS (SELECT event_type AS series,
+           |    (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type
+           |      ORDER BY ts, event_id))) / 1000000.0 AS gg
+           |  FROM events),
+           |ag AS (SELECT series,
+           |    count(CASE WHEN gg > 0 THEN 1 END) AS n_gaps,
+           |    count(CASE WHEN gg = 0 THEN 1 END) AS n_zero_gaps,
+           |    avg(CASE WHEN gg > 0 THEN ln(gg) END) AS m,
+           |    stddev_samp(CASE WHEN gg > 0 THEN ln(gg) END) AS sd,
+           |    avg(CASE WHEN gg > 0 THEN gg END) AS mg
+           |  FROM gp WHERE gg IS NOT NULL GROUP BY series)
+           |SELECT series, n_gaps, n_zero_gaps,
+           |  ${r6(s"$c / sd")} AS shape_k,
+           |  ${r6(s"exp(m + $g / ($c / sd))")} AS scale_s,
+           |  ${r6("mg")} AS mean_gap_s
+           |FROM ag ORDER BY series""".stripMargin
+      }),
+
+
+    // Tukey boxplot fences per type: q1/q3 (exact percentile; rounded on
+    // BOTH engines before the fence arithmetic so the comparison boundary
+    // is bit-identical), counts beyond q1-1.5*IQR / q3+1.5*IQR — the
+    // distribution-free outlier screen beside MAD (q157).
+    "q262_tukey_outliers" -> Q(
+      (s, d) => graft.operators.StatOps.tukeyFences(
+          Tables.events(s, d), "event_type", "value", k = 1.5, scoreOut = dec6)
+        .orderBy("series"),
+      Some(s"""WITH q AS (SELECT event_type AS series,
+              |    ${r6("quantile_cont(value, 0.25)")} AS q1,
+              |    ${r6("quantile_cont(value, 0.75)")} AS q3
+              |  FROM events GROUP BY 1),
+              |f AS (SELECT series, q1, q3, q1 - 1.5 * (q3 - q1) AS lo,
+              |    q3 + 1.5 * (q3 - q1) AS hi FROM q)
+              |SELECT series, count(*) AS n, q1, q3,
+              |  ${r6("lo")} AS lo_fence, ${r6("hi")} AS hi_fence,
+              |  count(CASE WHEN value < lo THEN 1 END) AS n_low,
+              |  count(CASE WHEN value > hi THEN 1 END) AS n_high
+              |FROM events JOIN f ON event_type = series
+              |GROUP BY series, q1, q3, lo, hi ORDER BY series""".stripMargin)),
+
+
+    // Embedding L2-norm outliers per label via the same Tukey fences —
+    // the cheap embedding-hygiene screen (degenerate/exploding vectors)
+    // before any ANN index build. The norm is the identical sequential
+    // fold on both engines.
+    "q264_norm_outliers" -> Q(
+      (s, d) => graft.operators.StatOps.tukeyFences(
+          Tables.embeddings(s, d).select(col("label"),
+            graft.operators.SimilarityOps.norm(
+              col("embedding").cast("array<double>")).as("nrm")),
+          "label", "nrm", k = 1.5, scoreOut = dec6)
+        .orderBy("series"),
+      Some(s"""WITH e AS (SELECT label AS series,
+              |  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+              |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              |    (acc, y) -> acc + y)) AS v FROM embeddings),
+              |q AS (SELECT series, ${r6("quantile_cont(v, 0.25)")} AS q1,
+              |    ${r6("quantile_cont(v, 0.75)")} AS q3
+              |  FROM e GROUP BY 1),
+              |f AS (SELECT series, q1, q3, q1 - 1.5 * (q3 - q1) AS lo,
+              |    q3 + 1.5 * (q3 - q1) AS hi FROM q)
+              |SELECT e.series, count(*) AS n, q1, q3,
+              |  ${r6("lo")} AS lo_fence, ${r6("hi")} AS hi_fence,
+              |  count(CASE WHEN v < lo THEN 1 END) AS n_low,
+              |  count(CASE WHEN v > hi THEN 1 END) AS n_high
+              |FROM e JOIN f ON e.series = f.series
+              |GROUP BY e.series, q1, q3, lo, hi ORDER BY e.series""".stripMargin)),
+
+
+    // Weekend-lift Welch t-test per type: unequal-variance t on the value
+    // mean, weekday arm vs weekend arm, Welch-Satterthwaite df — the
+    // continuous-measure companion of the q168 proportion z-test.
+    "q267_weekend_welch" -> Q(
+      (s, d) => graft.operators.StatOps.welchTTest(
+          Tables.events(s, d), "event_type", "value",
+          isB = dayofweek(col("ts")).isin(1, 7), scoreOut = dec6)
+        .orderBy("series"),
+      Some(s"""WITH m AS (SELECT event_type AS series,
+              |    CAST(count(CASE WHEN isodow(ts) < 6 THEN 1 END) AS DOUBLE) AS na,
+              |    CAST(count(CASE WHEN isodow(ts) >= 6 THEN 1 END) AS DOUBLE) AS nb,
+              |    avg(CASE WHEN isodow(ts) < 6 THEN value END) AS ma,
+              |    avg(CASE WHEN isodow(ts) >= 6 THEN value END) AS mb,
+              |    var_samp(CASE WHEN isodow(ts) < 6 THEN value END) AS va,
+              |    var_samp(CASE WHEN isodow(ts) >= 6 THEN value END) AS vb
+              |  FROM events GROUP BY 1),
+              |x AS (SELECT series, na, nb, ma, mb,
+              |    (ma - mb) / sqrt(va / na + vb / nb) AS t,
+              |    (va / na + vb / nb) * (va / na + vb / nb) /
+              |      ((va / na) * (va / na) / (na - 1)
+              |        + (vb / nb) * (vb / nb) / (nb - 1)) AS dof
+              |  FROM m)
+              |SELECT series, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              |  ${r6("ma")} AS mean_a, ${r6("mb")} AS mean_b,
+              |  ${r6("t")} AS t_stat, ${r6("dof")} AS df,
+              |  CAST(abs(t) > 1.96 AS INT) AS significant_95
+              |FROM x ORDER BY series""".stripMargin)),
+
+
+    // Cramér's V between event_type and the props k-decile — the "are
+    // these two labels redundant" categorical-association screen (the
+    // sibling of q232's kappa for rater agreement). Chi-square over the
+    // observed contingency cells + the closed-form zero-cell correction
+    // (n - sum of observed expected) — no dense cell cross-join.
+    "q268_cramers_v" -> Q(
+      (s, d) => graft.operators.StatOps.cramersV(
+          Tables.events(s, d).select(col("event_type").as("a"),
+            (get_json_object(col("props"), "$.k").cast("int") / lit(10))
+              .cast("int").as("b")),
+          "a", "b", scoreOut = dec6),
+      Some(s"""WITH base AS (SELECT event_type AS a,
+              |    CAST(json_extract_string(props, '$$.k') AS INT) // 10 AS b
+              |  FROM events WHERE event_type IS NOT NULL
+              |    AND json_extract_string(props, '$$.k') IS NOT NULL),
+              |cells AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS o
+              |  FROM base GROUP BY a, b),
+              |ra AS (SELECT a, sum(o) AS rr FROM cells GROUP BY a),
+              |cb AS (SELECT b, sum(o) AS cc FROM cells GROUP BY b),
+              |tot AS (SELECT sum(o) AS n,
+              |    CAST(count(DISTINCT a) AS DOUBLE) AS r,
+              |    CAST(count(DISTINCT b) AS DOUBLE) AS c FROM cells),
+              |sc AS (SELECT n, r, c, rr * cc / n AS e, o
+              |  FROM cells JOIN ra USING (a) JOIN cb USING (b), tot),
+              |ag AS (SELECT n, r, c,
+              |    sum((o - e) * (o - e) / e) AS chiObs, sum(e) AS eObs
+              |  FROM sc GROUP BY n, r, c)
+              |SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS n_rows_cat,
+              |  CAST(c AS BIGINT) AS n_cols_cat,
+              |  ${r6("chiObs + (n - eObs)")} AS chi2,
+              |  ${r6("sqrt((chiObs + (n - eObs)) / (n * least(r - 1, c - 1)))")} AS cramers_v
+              |FROM ag""".stripMargin)),
+  )
+}
