@@ -497,7 +497,13 @@ object CorpusOps {
                        lambda1: Double = 0.2, k: Double = 0.5): DataFrame = {
     require(math.abs(lambda1 + lambda2 + lambda3 - 1.0) < 1e-12,
       "interpolation weights must sum to 1")
-    val toks = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+    // spread the single-row-group gate scan before the tokenizer HOF —
+    // `toks` feeds THREE per-row-expensive consumers (tri/bi/uni), each
+    // otherwise replaying the one-partition tokenize (groupOverlap
+    // precedent; no-op-sized rebalance on a pre-split corpus)
+    val toks = docs.select(col(idCol), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
     val mkTri = transform(
       sequence(lit(1), size(col("__t")) - lit(2)),
       i => struct(element_at(col("__t"), i).as("w1"),
