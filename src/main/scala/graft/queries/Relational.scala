@@ -675,6 +675,160 @@ object Relational {
              |  (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber))
              |    FROM lineitem),
              |  (SELECT count(*) FROM lineitem)
-             |) ORDER BY "check" """.stripMargin))
+             |) ORDER BY "check" """.stripMargin)),
+
+    // TPC-H Q7-shaped directional trade matrix: yearly shipped value
+    // for every CROSS-BORDER (supplier nation → customer nation) pair —
+    // the supp→cust orientation is the business question, so both
+    // directions of a pair stay separate rows. Shape: lineitem carries
+    // the only big scan; the two-year filter prunes it BEFORE the
+    // orderkey shuffle joins; both nation lookups broadcast (constant
+    // 25-row dims). Output is panel-bounded: ≤ nations² × years rows.
+    "q269_nation_trade_volume" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        val n1 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("__sk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("__ck"), col("n_name").as("cust_nation"))
+        li.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          // supplier is SF-proportional — AQE decides (q223 discipline)
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("__sk"))
+          .join(broadcast(n2), col("c_nationkey") === col("__ck"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(count(lit(1)).as("n_lines"),
+            dec4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("volume"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |  CAST(year(l_shipdate) AS INT) AS l_year,
+              |  count(*) AS n_lines,
+              |  ${Q.r4("sum(l_extendedprice * (1.0 - l_discount))")} AS volume
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |WHERE n1.n_name <> n2.n_name
+              |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+              |  AND l_shipdate < TIMESTAMP '1998-01-01'
+              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q14-shaped promotion share: the % of one year's shipped
+    // revenue on PROMO-type parts, by month. part is SF-proportional so
+    // the partkey join carries no forced broadcast; the month rollup is
+    // 12 rows. Month crosses the gate as a formatted string (DATE
+    // discipline).
+    "q270_promo_share" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_lines"),
+          dec4(sum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .otherwise(lit(0.0)))).as("promo_revenue"),
+          dec6(lit(100.0) *
+            sum(when(col("p_type") === "PROMO",
+                col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .otherwise(lit(0.0))) /
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("promo_pct"))
+        .orderBy("month"),
+      Some(s"""SELECT strftime(l_shipdate, '%Y-%m') AS month,
+              |  count(*) AS n_lines,
+              |  ${Q.r4("sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)")}
+              |    AS promo_revenue,
+              |  ${Q.r6("100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) / sum(l_extendedprice * (1.0 - l_discount))")}
+              |    AS promo_pct
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              |  AND l_shipdate < TIMESTAMP '1998-01-01'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q19-shaped bracket pricing: revenue from three DISJUNCTIVE
+    // (brand, size-range, quantity-range) brackets — the OR-of-ANDs
+    // predicate family optimizers historically mishandle. The bracket
+    // label is computed ONCE (the when-chain mirrors the disjunction)
+    // and both the filter and the rollup ride it; part size/brand
+    // predicates reach the part scan, quantity predicates the lineitem
+    // scan.
+    "q271_bracket_revenue" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val bracket =
+          when(col("p_brand") === "Brand#1" &&
+            col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20), "small_lot")
+          .when(col("p_brand") === "Brand#2" &&
+            col("p_size").between(16, 30) &&
+            col("l_quantity").between(10, 30), "mid_lot")
+          .when(col("p_brand") === "Brand#3" &&
+            col("p_size").between(31, 50) &&
+            col("l_quantity").between(20, 40), "large_lot")
+        li.join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+          .withColumn("bracket", bracket)
+          .filter(col("bracket").isNotNull)
+          .groupBy("bracket")
+          .agg(count(lit(1)).as("n_lines"),
+            dec4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("revenue"))
+          .orderBy("bracket")
+      },
+      Some(s"""SELECT bracket, count(*) AS n_lines,
+              |  ${Q.r4("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue
+              |FROM (SELECT l_extendedprice, l_discount,
+              |  CASE
+              |    WHEN p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+              |      AND l_quantity BETWEEN 1 AND 20 THEN 'small_lot'
+              |    WHEN p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30
+              |      AND l_quantity BETWEEN 10 AND 30 THEN 'mid_lot'
+              |    WHEN p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50
+              |      AND l_quantity BETWEEN 20 AND 40 THEN 'large_lot'
+              |  END AS bracket
+              |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+              |WHERE bracket IS NOT NULL
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q22-shaped dormant high-value customers: above-average
+    // balance (positive balances only — the standard guard against the
+    // credit-heavy tail dragging the mean) with NO orders in the final
+    // year. The average is a scalar aggregate crossjoin; the "no recent
+    // orders" test is one LEFT ANTI join against the date-pruned orders
+    // scan — never a correlated per-customer probe.
+    "q272_dormant_customers" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val avgBal = c.filter(col("c_acctbal") > 0)
+          .agg(avg("c_acctbal").as("__ab"))
+        val recent = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-08-01").cast("timestamp"))
+          .select(col("o_custkey"))
+        c.crossJoin(avgBal)
+          .filter(col("c_acctbal") > col("__ab"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_customers"),
+            dec4(sum(col("c_acctbal"))).as("total_balance"))
+          .orderBy("segment")
+      },
+      Some(s"""SELECT c_mktsegment AS segment, count(*) AS n_customers,
+              |  ${Q.r4("sum(c_acctbal)")} AS total_balance
+              |FROM customer
+              |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+              |                   WHERE c_acctbal > 0)
+              |  AND NOT EXISTS (SELECT 1 FROM orders
+              |    WHERE o_custkey = c_custkey
+              |      AND o_orderdate >= TIMESTAMP '2000-08-01')
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -222,6 +222,9 @@ class GlobalWindowLintSpec extends SparkSpec {
         "the SF-proportional supplier deliberately carries NO hint (AQE decides)"),
       "q256_returned_items" ->
         "broadcast side is nation (25 rows): constant-size dim",
+      "q269_nation_trade_volume" -> ("broadcast sides are the two nation " +
+        "lookups (25 rows each, constant dims); SF-proportional supplier " +
+        "carries no hint (AQE decides)"),
       "q59_ann_lsh" -> "single query vector broadcast (unique-id filter)",
       "q80_contamination" -> ("broadcast side is the DISTINCT eval-benchmark " +
         "n-gram hash set: eval-suite-sized, not corpus-scaled"),
