@@ -817,4 +817,135 @@ object StatOps {
           .as("scale_s"),
         scoreOut(col("__mg")).as("mean_gap_s"))
   }
+
+  /** Kruskal–Wallis H — the k-group extension of [[mannWhitneyU]] (one-way
+    * ANOVA on ranks, no normality assumption): pooled midranks with ties,
+    * H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1), tie-corrected by
+    * 1 − Σ(t³−t)/(N³−N). Same scale shape as Mann-Whitney: midranks are a
+    * pure function of cumulative counts over the DISTINCT-(value, group)
+    * table, so the only partition-less window runs on the distinct-value
+    * support, never on rows (the q171 allowlist bound; the continuous-
+    * measure swap is pooled-quantile binning, q178/q179).
+    *
+    * Returns one row: (n_groups, n, h, h_corrected, df). */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
+                    scoreOut: Column => Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val byVG = df.select(col(groupCol).as("g"), v.as("x"))
+      .groupBy("x", "g").agg(count(lit(1)).as("tg"))
+    val byV = byVG.groupBy("x").agg(sum("tg").as("t"))
+    val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = byV
+      .withColumn("cum", sum("t").over(w))
+      .withColumn("midrank", (col("cum") * 2 - col("t") + 1) / lit(2.0))
+    val perG = byVG.join(ranked.select("x", "midrank"), "x")
+      .groupBy("g")
+      .agg(sum("tg").cast("double").as("ng"),
+        sum(col("tg") * col("midrank")).as("rg"))
+    val ties = ranked.agg(
+      sum(col("t") * col("t") * col("t") - col("t")).cast("double").as("tie"))
+    perG
+      .agg(count(lit(1)).as("n_groups"),
+        sum("ng").as("nn"),
+        sum(col("rg") * col("rg") / col("ng")).as("sr"))
+      .crossJoin(broadcast(ties))
+      .select(col("n_groups"), col("nn").cast("long").as("n"),
+        (lit(12.0) / (col("nn") * (col("nn") + 1)) * col("sr") -
+          lit(3.0) * (col("nn") + 1)).as("__h"),
+        (lit(1.0) - col("tie") /
+          (col("nn") * col("nn") * col("nn") - col("nn"))).as("__c"),
+        (col("n_groups") - 1).cast("int").as("df"))
+      .select(col("n_groups"), col("n"), scoreOut(col("__h")).as("h"),
+        scoreOut(col("__h") / col("__c")).as("h_corrected"), col("df"))
+  }
+
+  /** Spearman rank correlation per series PAIR over the shared hourly
+    * grid — the monotone-association complement of the Pearson matrix
+    * (q192): midranks are taken WITHIN each pair's joined sample (the
+    * textbook-exact form when series have unequal coverage), over the
+    * dec6-ROUNDED hourly means (rank-over-rounded: a last-ulp cross-
+    * engine difference in an hourly avg cannot flip a rank), then
+    * Pearson on the midranks via explicit moments — ranks are small
+    * integers/halves, so the moment formula has no cancellation hazard.
+    * Scale shape: the hour-keyed self-join is panel-bounded (pairs ×
+    * hours); both rank windows partition by the PAIR.
+    *
+    * Returns (series_a, series_b, n_hours, rho). */
+  def spearmanMatrix(events: DataFrame, seriesCol: String, tsCol: String,
+                     valueCol: String, scoreOut: Column => Column): DataFrame = {
+    val hourly = events
+      .select(col(seriesCol), date_trunc("hour", col(tsCol)).as("h"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy(seriesCol, "h").agg(scoreOut(avg("v")).as("y"))
+    val a = hourly.select(col(seriesCol).as("series_a"), col("h"), col("y").as("ya"))
+    val b = hourly.select(col(seriesCol).as("series_b"), col("h"), col("y").as("yb"))
+    val joined = a.join(b, Seq("h")).filter(col("series_a") < col("series_b"))
+    def midrank(c: Column): Column = {
+      val wP = Window.partitionBy("series_a", "series_b").orderBy(c)
+      val wT = Window.partitionBy(col("series_a"), col("series_b"), c)
+      rank().over(wP) + (count(lit(1)).over(wT) - 1) / lit(2.0)
+    }
+    joined
+      .select(col("series_a"), col("series_b"),
+        midrank(col("ya")).as("ra"), midrank(col("yb")).as("rb"))
+      .groupBy("series_a", "series_b")
+      .agg(count(lit(1)).as("n_hours"),
+        avg(col("ra") * col("rb")).as("mab"),
+        avg("ra").as("ma"), avg("rb").as("mb"),
+        avg(col("ra") * col("ra")).as("maa"),
+        avg(col("rb") * col("rb")).as("mbb"))
+      .select(col("series_a"), col("series_b"), col("n_hours"),
+        scoreOut((col("mab") - col("ma") * col("mb")) /
+          (sqrt(col("maa") - col("ma") * col("ma")) *
+            sqrt(col("mbb") - col("mb") * col("mb")))).as("rho"))
+  }
+
+  /** Mann–Kendall monotone-trend test per series (the nonparametric
+    * trend detector paired with Theil–Sen's slope, q182): over the DAILY
+    * mean series (rounded dec6 so the cross-engine sign of every
+    * difference is identical), S = Σ_{i<j} sign(x_j − x_i), tie-aware
+    * variance Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, and the
+    * continuity-corrected z. τ-a = S / (n(n−1)/2). Scale shape: the pair
+    * table is DAILY-GRID-bounded per series (days², grid metadata, never
+    * events — the Theil–Sen contract), built by one self-join on the
+    * series key.
+    *
+    * Returns (series, n_days, s, var_s, z, tau, trend ∈ {-1,0,1} at 95%). */
+  def mannKendall(events: DataFrame, seriesCol: String, tsCol: String,
+                  valueCol: String, scoreOut: Column => Column): DataFrame = {
+    val daily = events
+      .select(col(seriesCol).as("series"), to_date(col(tsCol)).as("d"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy("series", "d").agg(scoreOut(avg("v")).as("y"))
+      .persist()
+    val pairs = daily.select(col("series"), col("d").as("d1"), col("y").as("y1"))
+      .join(daily.select(col("series"), col("d").as("d2"), col("y").as("y2")),
+        Seq("series"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("series")
+      .agg(sum(signum(col("y2") - col("y1"))).cast("double").as("s"))
+    val ties = daily.groupBy("series", "y").agg(count(lit(1)).as("t"))
+      .groupBy("series")
+      .agg(sum("t").cast("double").as("n"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+          .cast("double").as("tsum"))
+    pairs.join(ties, "series")
+      .select(col("series"), col("n").cast("long").as("n_days"), col("s"),
+        ((col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tsum")) /
+          lit(18.0)).as("__var"))
+      .select(col("series"), col("n_days"), col("s").cast("long").as("s"),
+        scoreOut(col("__var")).as("var_s"),
+        scoreOut(
+          when(col("s") > 0, (col("s") - 1) / sqrt(col("__var")))
+            .when(col("s") < 0, (col("s") + 1) / sqrt(col("__var")))
+            .otherwise(lit(0.0))).as("z"),
+        scoreOut(col("s") / (col("n_days") * (col("n_days") - 1) / lit(2.0)))
+          .as("tau"),
+        (when(col("s") > 0, (col("s") - 1) / sqrt(col("__var")))
+          .when(col("s") < 0, (col("s") + 1) / sqrt(col("__var")))
+          .otherwise(lit(0.0)) > 1.96).cast("int")
+          .minus((when(col("s") > 0, (col("s") - 1) / sqrt(col("__var")))
+            .when(col("s") < 0, (col("s") + 1) / sqrt(col("__var")))
+            .otherwise(lit(0.0)) < -1.96).cast("int")).as("trend"))
+  }
 }

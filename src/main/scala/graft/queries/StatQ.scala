@@ -774,5 +774,95 @@ object StatQ {
               |  ${r6("chiObs + (n - eObs)")} AS chi2,
               |  ${r6("sqrt((chiObs + (n - eObs)) / (n * least(r - 1, c - 1)))")} AS cramers_v
               |FROM ag""".stripMargin)),
+
+    // Spearman rank-correlation matrix per series pair — the monotone
+    // complement of the q192 Pearson matrix: midranks WITHIN each pair's
+    // joined sample, over dec6-rounded hourly means (rank-over-rounded),
+    // then Pearson on ranks via explicit moments.
+    "q273_spearman_matrix" -> Q(
+      (s, d) => graft.operators.StatOps.spearmanMatrix(
+          Tables.events(s, d), "event_type", "ts", "value", scoreOut = dec6)
+        .orderBy("series_a", "series_b"),
+      Some(s"""WITH hourly AS (SELECT event_type AS s,
+              |    date_trunc('hour', ts) AS h,
+              |    ${r6("avg(CAST(value AS DOUBLE))")} AS y
+              |  FROM events GROUP BY 1, 2),
+              |j AS (SELECT a.s AS sa, b.s AS sb, a.y AS ya, b.y AS yb
+              |  FROM hourly a JOIN hourly b ON a.h = b.h AND a.s < b.s),
+              |rk AS (SELECT sa, sb,
+              |  rank() OVER (PARTITION BY sa, sb ORDER BY ya)
+              |    + (count(*) OVER (PARTITION BY sa, sb, ya) - 1) / 2.0 AS ra,
+              |  rank() OVER (PARTITION BY sa, sb ORDER BY yb)
+              |    + (count(*) OVER (PARTITION BY sa, sb, yb) - 1) / 2.0 AS rb
+              |  FROM j),
+              |m AS (SELECT sa, sb, count(*) AS n_hours,
+              |    avg(ra * rb) AS mab, avg(ra) AS ma, avg(rb) AS mb,
+              |    avg(ra * ra) AS maa, avg(rb * rb) AS mbb
+              |  FROM rk GROUP BY 1, 2)
+              |SELECT sa AS series_a, sb AS series_b, n_hours,
+              |  ${r6("(mab - ma * mb) / (sqrt(maa - ma * ma) * sqrt(mbb - mb * mb))")}
+              |    AS rho
+              |FROM m ORDER BY 1, 2""".stripMargin)),
+
+    // Kruskal-Wallis H across event types (k-group rank ANOVA, the
+    // multi-group q171): pooled midranks from the distinct-(value,group)
+    // table, tie-corrected H. The nonparametric "do the groups differ"
+    // screen run before any parametric per-pair test.
+    "q274_kruskal_wallis" -> Q(
+      (s, d) => graft.operators.StatOps.kruskalWallis(
+          Tables.events(s, d), "event_type", "value", scoreOut = dec6),
+      Some(s"""WITH p AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+              |  FROM events),
+              |bvg AS (SELECT x, g, count(*) AS tg FROM p GROUP BY 1, 2),
+              |bv AS (SELECT x, sum(tg) AS t FROM bvg GROUP BY 1),
+              |r AS (SELECT x, t,
+              |  sum(t) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM bv),
+              |r2 AS (SELECT x, t, (cum * 2 - t + 1) / 2.0 AS midrank FROM r),
+              |pg AS (SELECT g, CAST(sum(tg) AS DOUBLE) AS ng,
+              |    sum(tg * midrank) AS rg
+              |  FROM bvg JOIN r2 USING (x) GROUP BY g),
+              |tie AS (SELECT CAST(sum(t * t * t - t) AS DOUBLE) AS tie FROM r2),
+              |ag AS (SELECT count(*) AS n_groups, sum(ng) AS nn,
+              |    sum(rg * rg / ng) AS sr FROM pg)
+              |SELECT n_groups, CAST(nn AS BIGINT) AS n,
+              |  ${r6("12.0 / (nn * (nn + 1)) * sr - 3.0 * (nn + 1)")} AS h,
+              |  ${r6("(12.0 / (nn * (nn + 1)) * sr - 3.0 * (nn + 1)) / (1.0 - tie / (nn * nn * nn - nn))")}
+              |    AS h_corrected,
+              |  CAST(n_groups - 1 AS INT) AS df
+              |FROM ag, tie""".stripMargin)),
+
+    // Mann-Kendall monotone trend per series (the significance test
+    // paired with q182 Theil-Sen's slope estimate): S over the daily-mean
+    // pair table, tie-aware variance, continuity-corrected z, tau-a.
+    // Signs are taken on dec6-ROUNDED daily means so every pairwise
+    // comparison is engine-identical.
+    "q275_mann_kendall" -> Q(
+      (s, d) => graft.operators.StatOps.mannKendall(
+          Tables.events(s, d), "event_type", "ts", "value", scoreOut = dec6)
+        .orderBy("series"),
+      Some(s"""WITH daily AS (SELECT event_type AS series, CAST(ts AS DATE) AS d,
+              |    ${r6("avg(CAST(value AS DOUBLE))")} AS y
+              |  FROM events GROUP BY 1, 2),
+              |p AS (SELECT a.series, CAST(sum(sign(b.y - a.y)) AS DOUBLE) AS s
+              |  FROM daily a JOIN daily b ON a.series = b.series AND a.d < b.d
+              |  GROUP BY 1),
+              |t AS (SELECT series, CAST(sum(t) AS DOUBLE) AS n,
+              |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS DOUBLE) AS tsum
+              |  FROM (SELECT series, y, count(*) AS t FROM daily GROUP BY 1, 2)
+              |  GROUP BY 1),
+              |v AS (SELECT p.series, n, s,
+              |    (n * (n - 1) * (2 * n + 5) - tsum) / 18.0 AS vr
+              |  FROM p JOIN t ON p.series = t.series),
+              |z AS (SELECT series, n, s, vr,
+              |    CASE WHEN s > 0 THEN (s - 1) / sqrt(vr)
+              |         WHEN s < 0 THEN (s + 1) / sqrt(vr)
+              |         ELSE 0.0 END AS zz
+              |  FROM v)
+              |SELECT series, CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS s,
+              |  ${r6("vr")} AS var_s, ${r6("zz")} AS z,
+              |  ${r6("s / (n * (n - 1) / 2.0)")} AS tau,
+              |  CAST(zz > 1.96 AS INT) - CAST(zz < -1.96 AS INT) AS trend
+              |FROM z ORDER BY series""".stripMargin)),
   )
 }

@@ -21,8 +21,12 @@ centered cos/sin projection) and the triangle census (q246, dense
 adjacency A^3 trace — a wholly different algorithm from the wedge
 join).
 
+Round 9 adds Spearman (q273, scipy-free average-rank + corrcoef),
+Kruskal-Wallis (q274, dense pooled ranks) and Mann-Kendall (q275, the
+explicit O(n^2) sign double loop).
+
 Usage: python3 tools/crosscheck_stats.py [sf_dir] [verify_out_dir]
-Last verified 2026-08-15 (r8): all nineteen match to 6 decimals at sf0.01.
+Last verified 2026-08-15 (r9): all twenty-two match to 6 decimals at sf0.01.
 """
 import sys, glob
 import duckdb
@@ -481,6 +485,84 @@ def main():
         ok &= good
         print(f"{'PASS' if good else 'FAIL'} q246 triangles: A^3 trace, "
               f"{int(tri.sum() // 3)} triangles")
+
+    # --- Spearman matrix (q273): scipy-free rankdata + corrcoef ---
+    def rankdata(x):  # average ranks, independent of the SQL midrank path
+        order = np.argsort(x, kind="mergesort")
+        ranks = np.empty(len(x))
+        sx = x[order]
+        i = 0
+        while i < len(x):
+            j = i
+            while j + 1 < len(x) and sx[j + 1] == sx[i]:
+                j += 1
+            ranks[order[i:j + 1]] = (i + j) / 2.0 + 1.0
+            i = j + 1
+        return ranks
+    sp = dump("q273_spearman_matrix")
+    if sp is not None:
+        hourly = con.execute(
+            "SELECT event_type s, date_trunc('hour', ts) h, "
+            "floor(avg(CAST(value AS DOUBLE)) * 1e6 + 0.500618034) / 1e6 y "
+            "FROM events GROUP BY 1, 2").df()
+        good = True
+        for _, row in sp.iterrows():
+            pa = hourly[hourly.s == row.series_a].set_index("h").y
+            pb = hourly[hourly.s == row.series_b].set_index("h").y
+            shared = pa.index.intersection(pb.index)
+            ra = rankdata(pa.loc[shared].to_numpy())
+            rb = rankdata(pb.loc[shared].to_numpy())
+            rho = np.corrcoef(ra, rb)[0, 1]
+            good &= (row.n_hours == len(shared)
+                     and abs(row.rho - rho) < 2e-6)
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q273 spearman: rankdata+corrcoef "
+              f"over {len(sp)} pairs")
+
+    # --- Kruskal-Wallis (q274): dense pooled rank recomputation ---
+    kw = dump("q274_kruskal_wallis")
+    if kw is not None:
+        df = con.execute("SELECT event_type g, CAST(value AS DOUBLE) x "
+                         "FROM events").df()
+        r = rankdata(df.x.to_numpy())
+        N = len(df)
+        sr = sum((r[df.g.to_numpy() == g].sum() ** 2) / (df.g == g).sum()
+                 for g in df.g.unique())
+        H = 12.0 / (N * (N + 1)) * sr - 3 * (N + 1)
+        _, t = np.unique(df.x.to_numpy(), return_counts=True)
+        Hc = H / (1.0 - (t ** 3 - t).sum() / (N ** 3 - N))
+        row = kw.iloc[0]
+        good = (row.n == N and abs(row.h - H) < 2e-5
+                and abs(row.h_corrected - Hc) < 2e-5)
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q274 kruskal-wallis: "
+              f"numpy H={H:.4f} vs {row.h}")
+
+    # --- Mann-Kendall (q275): explicit O(n^2) sign double loop ---
+    mk = dump("q275_mann_kendall")
+    if mk is not None:
+        daily = con.execute(
+            "SELECT event_type s, CAST(ts AS DATE) d, "
+            "floor(avg(CAST(value AS DOUBLE)) * 1e6 + 0.500618034) / 1e6 y "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2").df()
+        good = True
+        for _, row in mk.iterrows():
+            y = daily[daily.s == row.series].y.to_numpy()
+            n = len(y)
+            S = sum(np.sign(y[j] - y[i])
+                    for i in range(n) for j in range(i + 1, n))
+            _, t = np.unique(y, return_counts=True)
+            var = (n * (n - 1) * (2 * n + 5)
+                   - (t * (t - 1) * (2 * t + 5)).sum()) / 18.0
+            z = (S - 1) / np.sqrt(var) if S > 0 else (
+                (S + 1) / np.sqrt(var) if S < 0 else 0.0)
+            good &= (row.n_days == n and row.s == S
+                     and abs(row.var_s - var) < 2e-5
+                     and abs(row.z - z) < 2e-6
+                     and abs(row.tau - S / (n * (n - 1) / 2.0)) < 2e-6)
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q275 mann-kendall: "
+              f"double-loop S over {len(mk)} series")
 
     sys.exit(0 if ok else 1)
 
