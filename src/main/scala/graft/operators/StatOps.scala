@@ -818,6 +818,75 @@ object StatOps {
         scoreOut(col("__mg")).as("mean_gap_s"))
   }
 
+  /** Isotonic calibration by Pool-Adjacent-Violators (PAVA; Barlow '72,
+    * the fitter behind sklearn's IsotonicRegression) — the principled
+    * completion of the calibration family: q228's fixed deciles report
+    * the gap, this FITS the monotone map score → P(label) that closes
+    * it. Scale shape: rows collapse map-side to the distinct ROUNDED
+    * score support (the q237 bound — dec6 scores in [0,1] cap it at
+    * 10⁶+1 rows regardless of corpus size), PAVA runs as one linear
+    * stack pass over that support's collected array (a bounded single
+    * row, same contract as the IVF centroid literals; past the bound,
+    * swap in pooled-quantile binning first), and the fit explodes back
+    * to support-sized output.
+    *
+    * Returns (score, n, obs_rate, iso_rate) with iso_rate monotone
+    * non-decreasing in score and Σ n·iso_rate = Σ labels (the PAVA
+    * mass-conservation invariant; IsotonicSpec pins both). */
+  def isotonicCalibration(scored: DataFrame, scoreCol: String,
+                          labelCol: String,
+                          scoreOut: Column => Column): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
+    val byScore = scored
+      .select(scoreOut(col(scoreCol).cast("double")).as("x"),
+        col(labelCol).cast("double").as("y"))
+      .groupBy("x").agg(count(lit(1)).as("n"), sum("y").as("s"))
+    val collected = byScore
+      .agg(sort_array(collect_list(struct(col("x"), col("n"), col("s"))))
+        .as("arr"))
+    val outSchema = StructType(Seq(
+      StructField("arr", collected.schema("arr").dataType),
+      StructField("fit", ArrayType(DoubleType))))
+    val fitted = collected.mapPartitions { it =>
+      it.map { r =>
+        val arr = r.getSeq[Row](0)
+        val m = arr.length
+        // PAVA stack: (weight, sum, run-length) blocks; merge while the
+        // previous block's mean exceeds the current's
+        val w = new Array[Double](m); val v = new Array[Double](m)
+        val runs = new Array[Int](m)
+        var top = -1
+        var i = 0
+        while (i < m) {
+          top += 1
+          w(top) = arr(i).getLong(1).toDouble
+          v(top) = arr(i).getDouble(2)
+          runs(top) = 1
+          while (top > 0 && v(top - 1) / w(top - 1) > v(top) / w(top)) {
+            w(top - 1) += w(top); v(top - 1) += v(top)
+            runs(top - 1) += runs(top); top -= 1
+          }
+          i += 1
+        }
+        val fit = new Array[Double](m)
+        var j = 0; var b = 0
+        while (b <= top) {
+          val mean = v(b) / w(b)
+          var k = 0
+          while (k < runs(b)) { fit(j) = mean; j += 1; k += 1 }
+          b += 1
+        }
+        Row(arr, fit)
+      }
+    }(Encoders.row(outSchema))
+    fitted
+      .select(explode(arrays_zip(col("arr"), col("fit"))).as("z"))
+      .select(col("z.arr.x").as("score"), col("z.arr.n").as("n"),
+        scoreOut(col("z.arr.s") / col("z.arr.n")).as("obs_rate"),
+        scoreOut(col("z.fit")).as("iso_rate"))
+  }
+
   /** Kruskal–Wallis H — the k-group extension of [[mannWhitneyU]] (one-way
     * ANOVA on ranks, no normality assumption): pooled midranks with ties,
     * H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1), tie-corrected by

@@ -587,6 +587,28 @@ object LlmQ {
               |  ${r6("abs(avg(q) - avg(CAST(keep AS DOUBLE)))")} AS abs_gap
               |FROM scored GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // Isotonic calibration (PAVA) of the q228 score/label pair: fits the
+    // monotone map score → P(keep) whose gap q228's fixed deciles only
+    // report. PAVA's stack pass is not SQL-expressible → rows-only;
+    // IsotonicSpec pins the hand-worked pooling, monotonicity, mass
+    // conservation, and the distinct-support collapse.
+    "q276_isotonic_calibration" -> Q(
+      (s, d) => {
+        val stop = Seq("a", "the", "and", "of", "in", "to")
+        val docs = Tables.documents(s, d)
+          .withColumn("t", TextOps.tokens(col("text")))
+        val ratio = TextOps.markerCount(col("t"), stop) / size(col("t"))
+        val scored = docs.select(
+          (least(lit(1.0), size(col("t")) / lit(200.0)) * (lit(1.0) - ratio))
+            .as("q"),
+          (dec6(TextOps.topTokenFrac(col("t"))) <= 0.2 &&
+            dec6(TextOps.dupBigramFrac(col("t"))) <= 0.3)
+            .cast("long").as("keep"))
+        graft.operators.StatOps.isotonicCalibration(scored, "q", "keep",
+            scoreOut = dec6)
+          .orderBy("score")
+      }),
+
     // Cohen's kappa between the two cheap labelers (q51 quality >= 0.5 vs
     // q69 repetition keep): are they independent signals or the same
     // filter twice? One four-counter aggregate — the redundancy check a
