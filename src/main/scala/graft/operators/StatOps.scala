@@ -1017,4 +1017,141 @@ object StatOps {
             .when(col("s") < 0, (col("s") + 1) / sqrt(col("__var")))
             .otherwise(lit(0.0)) < -1.96).cast("int")).as("trend"))
   }
+
+  /** Jarque–Bera normality test per group: JB = n/6·(S² + K²/4) with S
+    * the skewness and K the EXCESS kurtosis, χ²₂ under H₀ (95% cut
+    * 5.991). The screen run before trusting any z-score detector — a
+    * heavy-tailed measure makes q36-style flags fire constantly.
+    *
+    * Two-pass centered moments (group mean joined back before the
+    * power sums): raw E[x⁴]-style expansion cancels ~8 leading digits
+    * at value≈500 and crosses dec6 boundaries cross-engine (the q187
+    * epoch-centering lesson). The mean table is group-sized, so AQE
+    * broadcasts the join; S and K are ROUNDED before JB so the derived
+    * statistic is pure arithmetic on rounded values (engine-identical).
+    * Scale: two linear scans + one group-sized join — no window. */
+  def jarqueBera(df: DataFrame, groupCol: String, valueCol: String,
+                 scoreOut: Column => Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val x = df.select(col(groupCol).as("series"), v.as("x"))
+    val means = x.groupBy("series").agg(avg("x").as("__m"))
+    val xc = x.join(means, "series").select(col("series"),
+      (col("x") - col("__m")).as("c"))
+    val agg = xc.groupBy("series").agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg(col("c") * col("c")).as("__m2"),
+      avg(col("c") * col("c") * col("c")).as("__m3"),
+      avg(col("c") * col("c") * col("c") * col("c")).as("__m4"))
+    val skew = scoreOut(col("__m3") / pow(col("__m2"), 1.5))
+    val kurt = scoreOut(col("__m4") / (col("__m2") * col("__m2")) - 3.0)
+    agg.select(col("series"), col("__n").cast("long").as("n"),
+        skew.as("skewness"), kurt.as("kurtosis_excess"))
+      .withColumn("jb", scoreOut(col("n") / lit(6.0) *
+        (col("skewness") * col("skewness") +
+          col("kurtosis_excess") * col("kurtosis_excess") / lit(4.0))))
+      .withColumn("reject_normal_95", (col("jb") > 5.991).cast("int"))
+  }
+
+  /** One-way ANOVA F across groups — the parametric companion of
+    * [[kruskalWallis]] (means instead of ranks): F = (SSB/(k−1)) /
+    * (SSW/(N−k)), with η² = SSB/SST as the effect size.
+    *
+    * Values are centered by the GLOBAL mean first (a scalar-aggregate
+    * crossjoin — translation-invariant algebra, kills the E[x²]−E[x]²
+    * cancellation), then one hash aggregate per group (n, mean, Σc²)
+    * and one aggregate over the group-sized table. Outputs are the MEAN
+    * squares, not raw SSB/SSW: an O(10⁸) sum carries enough float-order
+    * ulp noise to cross a dec6 boundary cross-engine, while MS (variance
+    * scale) and the O(1) ratios are rounding-safe; F is arithmetic on
+    * the ROUNDED mean squares. One row: (k, n, df1, df2, ms_between,
+    * ms_within, f, eta_sq). */
+  def onewayAnova(df: DataFrame, groupCol: String, valueCol: String,
+                  scoreOut: Column => Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val x = df.select(col(groupCol).as("g"), v.as("x"))
+    val gm = x.agg(avg("x").as("__gm"))
+    val per = x.crossJoin(gm)
+      .select(col("g"), (col("x") - col("__gm")).as("c"))
+      .groupBy("g").agg(count(lit(1)).cast("double").as("n"),
+        avg("c").as("m"), sum(col("c") * col("c")).as("ss"))
+    per.agg(count(lit(1)).as("k"), sum("n").as("nn"),
+        sum(col("n") * col("m") * col("m")).as("__ssb"),
+        sum(col("ss") - col("n") * col("m") * col("m")).as("__ssw"))
+      .select(col("k"), col("nn").cast("long").as("n"),
+        (col("k") - 1).cast("int").as("df1"),
+        (col("nn") - col("k")).cast("long").as("df2"),
+        scoreOut(col("__ssb") / (col("k") - 1)).as("ms_between"),
+        scoreOut(col("__ssw") / (col("nn") - col("k"))).as("ms_within"),
+        scoreOut(col("__ssb") / (col("__ssb") + col("__ssw"))).as("eta_sq"))
+      .withColumn("f", scoreOut(col("ms_between") / col("ms_within")))
+  }
+
+  /** Brown–Forsythe equal-variance test: one-way ANOVA on the absolute
+    * deviations from each group's MEDIAN (Levene's test with the robust
+    * center — the recommended form when tails are unknown). The gate
+    * run before pooling variances in a classic t-test; its failure is
+    * what makes [[welchTTest]] the default.
+    *
+    * The per-group median is an exact interpolated percentile on a
+    * group-sized table, ROUNDED before the deviation so every |x−med|
+    * is engine-identical; the rest rides [[onewayAnova]]'s centered
+    * machinery. Scale: medians are the documented approx_percentile
+    * swap at 100 TB (q253 precedent). */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String,
+                    scoreOut: Column => Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val x = df.select(col(groupCol).as("g"), v.as("x"))
+    val med = x.groupBy("g")
+      .agg(scoreOut(expr("percentile(x, 0.5)")).as("__med"))
+    val z = x.join(med, "g").select(col("g"),
+      abs(col("x") - col("__med")).as("z"))
+    onewayAnova(z, "g", "z", scoreOut)
+  }
+
+  /** Yule–Walker AR(2) fit per series over the hourly grid — the
+    * lag-scan (q174 ACF) turned into a forecasting model: φ₁ =
+    * r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²) from the biased
+    * autocorrelations, plus the innovation-variance ratio
+    * σ²/c₀ = 1 − φ₁r₁ − φ₂r₂ and the AR(2) stationarity-triangle flag.
+    *
+    * Grid discipline: events collapse to hourly means once (persisted);
+    * centering joins the series-sized mean table back; each lag is an
+    * equi-join on integer hour index (gap-robust — a missing hour
+    * yields no phantom pair, the q164 lesson). r₁/r₂ are rounded before
+    * the φ algebra so coefficients are arithmetic on rounded values.
+    * All joins after the collapse touch grid metadata, never events. */
+  def yuleWalkerAr2(events: DataFrame, seriesCol: String, tsCol: String,
+                    valueCol: String, scoreOut: Column => Column): DataFrame = {
+    val hourly = events
+      .select(col(seriesCol).as("series"),
+        floor(unix_timestamp(date_trunc("hour", col(tsCol))) / 3600L).as("idx"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy("series", "idx").agg(avg("v").as("y"))
+      .persist()
+    val means = hourly.groupBy("series").agg(avg("y").as("__m"))
+    val c = hourly.join(means, "series")
+      .select(col("series"), col("idx"), (col("y") - col("__m")).as("c"))
+      .persist()
+    val c0 = c.groupBy("series")
+      .agg(count(lit(1)).cast("long").as("n_hours"),
+        sum(col("c") * col("c")).as("__c0"))
+    def lagCov(l: Int) = c
+      .join(c.select(col("series"), (col("idx") + l).as("idx"),
+          col("c").as("cl")),
+        Seq("series", "idx"))
+      .groupBy("series").agg(sum(col("c") * col("cl")).as(s"__c$l"))
+    val withR = c0.join(lagCov(1), "series").join(lagCov(2), "series")
+      .select(col("series"), col("n_hours"),
+        scoreOut(col("__c1") / col("__c0")).as("r1"),
+        scoreOut(col("__c2") / col("__c0")).as("r2"))
+    val den = lit(1.0) - col("r1") * col("r1")
+    withR
+      .withColumn("phi1", scoreOut(col("r1") * (lit(1.0) - col("r2")) / den))
+      .withColumn("phi2", scoreOut((col("r2") - col("r1") * col("r1")) / den))
+      .withColumn("innovation_ratio", scoreOut(lit(1.0) -
+        col("phi1") * col("r1") - col("phi2") * col("r2")))
+      .withColumn("stationary",
+        (abs(col("phi2")) < 1 && col("phi1") + col("phi2") < 1 &&
+          col("phi2") - col("phi1") < 1).cast("int"))
+  }
 }

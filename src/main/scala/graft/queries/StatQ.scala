@@ -864,5 +864,117 @@ object StatQ {
               |  ${r6("s / (n * (n - 1) / 2.0)")} AS tau,
               |  CAST(zz > 1.96 AS INT) - CAST(zz < -1.96 AS INT) AS trend
               |FROM z ORDER BY series""".stripMargin)),
+
+    // Jarque-Bera normality per event type — the screen before trusting
+    // any z-score detector. Two-pass centered moments (the q187
+    // epoch-centering lesson); S and K rounded before the χ²₂ statistic.
+    "q277_jarque_bera" -> Q(
+      (s, d) => graft.operators.StatOps.jarqueBera(
+          Tables.events(s, d), "event_type", "value", scoreOut = dec6)
+        .orderBy("series"),
+      Some(s"""WITH x AS (SELECT event_type AS series, CAST(value AS DOUBLE) AS x
+              |  FROM events),
+              |m AS (SELECT series, avg(x) AS mm FROM x GROUP BY 1),
+              |c AS (SELECT x.series AS series, x.x - m.mm AS c
+              |  FROM x JOIN m USING (series)),
+              |a AS (SELECT series, CAST(count(*) AS DOUBLE) AS n,
+              |  avg(c * c) AS m2, avg(c * c * c) AS m3,
+              |  avg(c * c * c * c) AS m4 FROM c GROUP BY 1),
+              |sk AS (SELECT series, n, ${r6("m3 / pow(m2, 1.5)")} AS skewness,
+              |  ${r6("m4 / (m2 * m2) - 3.0")} AS kurtosis_excess FROM a),
+              |j AS (SELECT series, CAST(n AS BIGINT) AS n, skewness,
+              |  kurtosis_excess,
+              |  ${r6("""n / 6.0 * (skewness * skewness
+              |    + kurtosis_excess * kurtosis_excess / 4.0)""")} AS jb
+              |  FROM sk)
+              |SELECT series, n, skewness, kurtosis_excess, jb,
+              |  CAST(jb > 5.991 AS INT) AS reject_normal_95
+              |FROM j ORDER BY series""".stripMargin)),
+
+    // One-way ANOVA F across event types — the parametric companion of
+    // q274 Kruskal-Wallis. Global-mean centering via a scalar crossjoin;
+    // mean squares (not raw SS) cross the gate so magnitudes stay in
+    // dec6-safe range; F is arithmetic on the rounded mean squares.
+    "q278_oneway_anova" -> Q(
+      (s, d) => graft.operators.StatOps.onewayAnova(
+        Tables.events(s, d), "event_type", "value", scoreOut = dec6),
+      Some(s"""WITH x AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+              |  FROM events),
+              |gm AS (SELECT avg(x) AS gmm FROM x),
+              |cx AS (SELECT g, x - gmm AS c FROM x, gm),
+              |per AS (SELECT g, CAST(count(*) AS DOUBLE) AS n, avg(c) AS m,
+              |  sum(c * c) AS ss FROM cx GROUP BY g),
+              |a AS (SELECT count(*) AS k, sum(n) AS nn,
+              |  sum(n * m * m) AS ssb, sum(ss - n * m * m) AS ssw FROM per),
+              |b AS (SELECT k, CAST(nn AS BIGINT) AS n,
+              |  CAST(k - 1 AS INT) AS df1, CAST(nn - k AS BIGINT) AS df2,
+              |  ${r6("ssb / (k - 1)")} AS ms_between,
+              |  ${r6("ssw / (nn - k)")} AS ms_within,
+              |  ${r6("ssb / (ssb + ssw)")} AS eta_sq FROM a)
+              |SELECT k, n, df1, df2, ms_between, ms_within, eta_sq,
+              |  ${r6("ms_between / ms_within")} AS f
+              |FROM b""".stripMargin)),
+
+    // Brown-Forsythe equal-variance test (Levene with the median
+    // center): ANOVA on |x − group median|, medians rounded before the
+    // deviation. The gate that justifies defaulting to q267 Welch.
+    "q279_brown_forsythe" -> Q(
+      (s, d) => graft.operators.StatOps.brownForsythe(
+        Tables.events(s, d), "event_type", "value", scoreOut = dec6),
+      Some(s"""WITH x0 AS (SELECT event_type AS g0, CAST(value AS DOUBLE) AS v
+              |  FROM events),
+              |md AS (SELECT g0, ${r6("quantile_cont(v, 0.5)")} AS med
+              |  FROM x0 GROUP BY 1),
+              |x AS (SELECT x0.g0 AS g, abs(x0.v - md.med) AS x
+              |  FROM x0 JOIN md USING (g0)),
+              |gm AS (SELECT avg(x) AS gmm FROM x),
+              |cx AS (SELECT g, x - gmm AS c FROM x, gm),
+              |per AS (SELECT g, CAST(count(*) AS DOUBLE) AS n, avg(c) AS m,
+              |  sum(c * c) AS ss FROM cx GROUP BY g),
+              |a AS (SELECT count(*) AS k, sum(n) AS nn,
+              |  sum(n * m * m) AS ssb, sum(ss - n * m * m) AS ssw FROM per),
+              |b AS (SELECT k, CAST(nn AS BIGINT) AS n,
+              |  CAST(k - 1 AS INT) AS df1, CAST(nn - k AS BIGINT) AS df2,
+              |  ${r6("ssb / (k - 1)")} AS ms_between,
+              |  ${r6("ssw / (nn - k)")} AS ms_within,
+              |  ${r6("ssb / (ssb + ssw)")} AS eta_sq FROM a)
+              |SELECT k, n, df1, df2, ms_between, ms_within, eta_sq,
+              |  ${r6("ms_between / ms_within")} AS f
+              |FROM b""".stripMargin)),
+
+    // Yule-Walker AR(2) per series — the q174 lag scan turned into a
+    // forecasting model: φ from dec6-rounded biased autocorrelations,
+    // innovation-variance ratio, and the stationarity-triangle flag.
+    // Lags are equi-joins on integer hour index (gap-robust, q164).
+    "q280_yule_walker_ar2" -> Q(
+      (s, d) => graft.operators.StatOps.yuleWalkerAr2(
+          Tables.events(s, d), "event_type", "ts", "value", scoreOut = dec6)
+        .orderBy("series"),
+      Some(s"""WITH hourly AS (SELECT event_type AS series,
+              |  CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT)
+              |    AS idx,
+              |  avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY 1, 2),
+              |m AS (SELECT series, avg(y) AS mm FROM hourly GROUP BY 1),
+              |c AS (SELECT h.series AS series, idx, y - mm AS c
+              |  FROM hourly h JOIN m USING (series)),
+              |c0 AS (SELECT series, count(*) AS n_hours, sum(c * c) AS c0
+              |  FROM c GROUP BY 1),
+              |l1 AS (SELECT a.series, sum(a.c * b.c) AS c1 FROM c a
+              |  JOIN c b ON a.series = b.series AND a.idx = b.idx + 1
+              |  GROUP BY 1),
+              |l2 AS (SELECT a.series, sum(a.c * b.c) AS c2 FROM c a
+              |  JOIN c b ON a.series = b.series AND a.idx = b.idx + 2
+              |  GROUP BY 1),
+              |r AS (SELECT series, n_hours, ${r6("c1 / c0")} AS r1,
+              |  ${r6("c2 / c0")} AS r2
+              |  FROM c0 JOIN l1 USING (series) JOIN l2 USING (series)),
+              |p AS (SELECT series, n_hours, r1, r2,
+              |  ${r6("r1 * (1.0 - r2) / (1.0 - r1 * r1)")} AS phi1,
+              |  ${r6("(r2 - r1 * r1) / (1.0 - r1 * r1)")} AS phi2 FROM r)
+              |SELECT series, n_hours, r1, r2, phi1, phi2,
+              |  ${r6("1.0 - phi1 * r1 - phi2 * r2")} AS innovation_ratio,
+              |  CAST(abs(phi2) < 1 AND phi1 + phi2 < 1
+              |    AND phi2 - phi1 < 1 AS INT) AS stationary
+              |FROM p ORDER BY series""".stripMargin)),
   )
 }

@@ -22,11 +22,14 @@ adjacency A^3 trace — a wholly different algorithm from the wedge
 join).
 
 Round 9 adds Spearman (q273, scipy-free average-rank + corrcoef),
-Kruskal-Wallis (q274, dense pooled ranks) and Mann-Kendall (q275, the
-explicit O(n^2) sign double loop).
+Kruskal-Wallis (q274, dense pooled ranks), Mann-Kendall (q275, the
+explicit O(n^2) sign double loop), Jarque-Bera (q277, numpy central
+moments), one-way ANOVA + Brown-Forsythe (q278/q279, textbook SS
+decomposition over per-group arrays) and Yule-Walker AR(2) (q280,
+dense gap-masked lagged-vector products).
 
 Usage: python3 tools/crosscheck_stats.py [sf_dir] [verify_out_dir]
-Last verified 2026-08-15 (r9): all twenty-two match to 6 decimals at sf0.01.
+Last verified 2026-08-15 (r9): all twenty-six match to 6 decimals at sf0.01.
 """
 import sys, glob
 import duckdb
@@ -563,6 +566,89 @@ def main():
         ok &= good
         print(f"{'PASS' if good else 'FAIL'} q275 mann-kendall: "
               f"double-loop S over {len(mk)} series")
+
+    # --- Jarque-Bera (q277): scipy-style moment recomputation ---
+    jb = dump("q277_jarque_bera")
+    if jb is not None:
+        df = con.execute("SELECT event_type g, CAST(value AS DOUBLE) x "
+                         "FROM events").df()
+        good = True
+        for _, row in jb.iterrows():
+            x = df[df.g == row.series].x.to_numpy()
+            c = x - x.mean()
+            S = (c ** 3).mean() / (c ** 2).mean() ** 1.5
+            K = (c ** 4).mean() / (c ** 2).mean() ** 2 - 3.0
+            J = len(x) / 6.0 * (S ** 2 + K ** 2 / 4.0)
+            good &= (row.n == len(x) and abs(row.skewness - S) < 2e-6
+                     and abs(row.kurtosis_excess - K) < 2e-6
+                     and abs(row.jb - J) < 2e-3)
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q277 jarque-bera: "
+              f"numpy moments over {len(jb)} series")
+
+    # --- One-way ANOVA (q278) + Brown-Forsythe (q279): textbook SS ---
+    an = dump("q278_oneway_anova")
+    bf = dump("q279_brown_forsythe")
+    if an is not None or bf is not None:
+        df = con.execute("SELECT event_type g, CAST(value AS DOUBLE) x "
+                         "FROM events").df()
+
+        def anova_f(frame):
+            gm = frame.x.mean()
+            groups = [frame[frame.g == g].x.to_numpy()
+                      for g in frame.g.unique()]
+            ssb = sum(len(x) * (x.mean() - gm) ** 2 for x in groups)
+            ssw = sum(((x - x.mean()) ** 2).sum() for x in groups)
+            k, N = len(groups), len(frame)
+            return (ssb / (k - 1)) / (ssw / (N - k)), ssb / (ssb + ssw)
+        good = True
+        if an is not None:
+            F, eta = anova_f(df)
+            row = an.iloc[0]
+            good &= abs(row.f - F) < 2e-5 and abs(row.eta_sq - eta) < 2e-6
+        if bf is not None:
+            z = df.copy()
+            med = z.groupby("g").x.transform(
+                lambda s: np.floor(np.quantile(s, 0.5) * 1e6
+                                   + 0.500618034) / 1e6)
+            z.x = (z.x - med).abs()
+            F, eta = anova_f(z)
+            row = bf.iloc[0]
+            good &= abs(row.f - F) < 2e-5 and abs(row.eta_sq - eta) < 2e-6
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q278/q279 anova+brown-forsythe: "
+              f"textbook SS decomposition")
+
+    # --- Yule-Walker AR(2) (q280): dense lagged-vector products ---
+    yw = dump("q280_yule_walker_ar2")
+    if yw is not None:
+        hourly = con.execute(
+            "SELECT event_type s, CAST(floor(epoch(date_trunc('hour', ts)) "
+            "/ 3600) AS BIGINT) idx, avg(CAST(value AS DOUBLE)) y "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2").df()
+        good = True
+        for _, row in yw.iterrows():
+            h = hourly[hourly.s == row.series]
+            idx = h.idx.to_numpy()
+            c = h.y.to_numpy() - h.y.mean()
+            pos = {v: i for i, v in enumerate(idx)}
+            c0 = (c ** 2).sum()
+            r = []
+            for l in (1, 2):
+                # gap-robust: only pairs whose t-l hour actually exists
+                mask = np.array([v - l in pos for v in idx])
+                prev = np.array([pos[v - l] for v in idx[mask]])
+                rl = (c[mask] * c[prev]).sum() / c0
+                r.append(np.floor(rl * 1e6 + 0.500618034) / 1e6)
+            r1, r2 = r
+            phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+            phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+            good &= (row.n_hours == len(h) and abs(row.r1 - r1) < 2e-6
+                     and abs(row.phi1 - phi1) < 2e-6
+                     and abs(row.phi2 - phi2) < 2e-6)
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q280 yule-walker: "
+              f"dense lagged products over {len(yw)} series")
 
     sys.exit(0 if ok else 1)
 
