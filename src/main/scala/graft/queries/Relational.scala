@@ -829,6 +829,106 @@ object Relational {
               |  AND NOT EXISTS (SELECT 1 FROM orders
               |    WHERE o_custkey = c_custkey
               |      AND o_orderdate >= TIMESTAMP '2000-08-01')
-              |GROUP BY 1 ORDER BY 1""".stripMargin))
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q4-shaped late-order priority count: one quarter's orders
+    // that had AT LEAST ONE lineitem ship > 90 days after the order
+    // date — the EXISTS becomes a LEFT SEMI join (Spark's native
+    // decorrelation target), so each order counts once no matter how
+    // many lines were late. The quarter filter prunes orders BEFORE the
+    // orderkey shuffle; the date comparison rides the join condition.
+    "q281_late_order_priorities" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+        o.join(li, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_late_orders"))
+          .orderBy("priority")
+      },
+      Some("""SELECT o_orderpriority AS priority, count(*) AS n_late_orders
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+             |  AND o_orderdate < TIMESTAMP '1997-10-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |    WHERE l_orderkey = o_orderkey
+             |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q15-shaped top supplier: one quarter's shipped revenue per
+    // supplier, then the supplier(s) hitting the maximum. Revenue is
+    // ROUNDED (dec4) before the max and the equality test, so the
+    // argmax is deterministic cross-engine; the scalar max is a
+    // 1-row crossjoin, never a re-aggregation of lineitem.
+    "q282_top_revenue_supplier" -> Q(
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+          .groupBy("l_suppkey")
+          .agg(dec4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("total_revenue"))
+        val top = rev.agg(max("total_revenue").as("__max"))
+        rev.crossJoin(top)
+          .filter(col("total_revenue") === col("__max"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH r AS (SELECT l_suppkey,
+              |    ${Q.r4("sum(l_extendedprice * (1.0 - l_discount))")}
+              |      AS total_revenue
+              |  FROM lineitem
+              |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              |    AND l_shipdate < TIMESTAMP '1997-04-01'
+              |  GROUP BY 1)
+              |SELECT s_suppkey, s_name, total_revenue
+              |FROM r JOIN supplier ON l_suppkey = s_suppkey
+              |WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+              |ORDER BY s_suppkey""".stripMargin)),
+
+    // TPC-H Q21-shaped sole-late-supplier ranking: finalized orders with
+    // 2+ suppliers where exactly ONE supplier shipped late (> 75 days
+    // after the order date) — blame lands on that supplier. The textbook
+    // EXISTS/NOT-EXISTS pair is re-expressed as aggregation: collapse to
+    // distinct (order, supplier, was-late) FIRST (one groupBy — NOT two
+    // countDistincts, which would plan an Expand ×3 over the joined
+    // stream), then per-order counts decide; the sole late suppkey is
+    // max(CASE WHEN late). Supplier blame counts are supplier-sized.
+    "q283_sole_late_supplier" -> Q(
+      (s, d) => {
+        val sl = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .agg(max((col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 75 DAYS")).cast("int"))
+            .as("late"))
+        val po = sl.groupBy("ok")
+          .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"),
+            max(when(col("late") === 1, col("sk"))).as("sole"))
+          .filter(col("n_supp") >= 2 && col("n_late") === 1)
+        po.join(Tables.supplier(s, d), col("sole") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""WITH sl AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+             |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 75 DAY
+             |      THEN 1 ELSE 0 END) AS late
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderstatus = 'F' GROUP BY 1, 2),
+             |po AS (SELECT ok, count(*) AS n_supp, sum(late) AS n_late,
+             |    max(CASE WHEN late = 1 THEN sk END) AS sole
+             |  FROM sl GROUP BY 1)
+             |SELECT s_name, count(*) AS numwait
+             |FROM po JOIN supplier ON sole = s_suppkey
+             |WHERE n_supp >= 2 AND n_late = 1
+             |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin))
   )
 }
