@@ -1108,6 +1108,54 @@ object StatOps {
     onewayAnova(z, "g", "z", scoreOut)
   }
 
+  /** Upper-tail standard-normal probability P(X > x) for x ≥ 0, via the
+    * Zelen–Severo polynomial (Abramowitz–Stegun 26.2.17, |ε| < 7.5e-8 —
+    * well inside dec6 rounding). A plain column formula, so BOTH engines
+    * can evaluate the IDENTICAL arithmetic — the trick that makes
+    * p-values oracle-checkable without a native erf on the DuckDB side. */
+  def normalUpperTail(x: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) +
+        t * lit(1.330274429)))))
+    exp(-x * x / lit(2.0)) / lit(math.sqrt(2.0 * math.Pi)) * poly
+  }
+
+  /** Benjamini–Hochberg FDR control over a FAMILY of test statistics —
+    * the missing discipline once per-series tests run at fleet scale: at
+    * 10k series, α=0.05 per test hands you 500 false alarms; BH keeps
+    * the FALSE DISCOVERY RATE at α instead. Input is one row per test
+    * (key, z); output adds the two-sided p, the BH rank, the rank-scaled
+    * cutoff i·α/m, and the reject flag (all tests at rank ≤ the largest
+    * qualifying rank).
+    *
+    * Scale contract: this operates on the test-FAMILY table — one row
+    * per completed test, agg-sized by construction (the raw data was
+    * reduced by whichever test produced z). The rank is a partition-less
+    * window over that family table (named GlobalWindowLint entry); m and
+    * the largest qualifying rank are scalar-aggregate crossjoins. p is
+    * rounded before ranking, rank ties break on the key. */
+  def bhFdr(tests: DataFrame, keyCol: String, zCol: String, alpha: Double,
+            scoreOut: Column => Column): DataFrame = {
+    val base = tests
+      .select(col(keyCol).as("test_key"), col(zCol).cast("double").as("z"))
+      .withColumn("p",
+        scoreOut(lit(2.0) * normalUpperTail(abs(col("z")))))
+    val m = base.agg(count(lit(1)).as("__m"))
+    val ranked = base.crossJoin(m)
+      .withColumn("rank",
+        row_number().over(Window.orderBy("p", "test_key")).cast("long"))
+      .withColumn("bh_cutoff",
+        scoreOut(col("rank") * lit(alpha) / col("__m")))
+    val kmax = ranked
+      .agg(max(when(col("p") <= col("bh_cutoff"), col("rank"))).as("__k"))
+    ranked.crossJoin(kmax)
+      .select(col("test_key"), scoreOut(col("z")).as("z"), col("p"),
+        col("rank"), col("bh_cutoff"),
+        (col("rank") <= coalesce(col("__k"), lit(0L))).cast("int")
+          .as("reject"))
+  }
+
   /** Yule–Walker AR(2) fit per series over the hourly grid — the
     * lag-scan (q174 ACF) turned into a forecasting model: φ₁ =
     * r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²) from the biased

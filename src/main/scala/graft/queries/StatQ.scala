@@ -976,5 +976,55 @@ object StatQ {
               |  CAST(abs(phi2) < 1 AND phi1 + phi2 < 1
               |    AND phi2 - phi1 < 1 AS INT) AS stationary
               |FROM p ORDER BY series""".stripMargin)),
+
+    // Benjamini-Hochberg FDR control over the q275 Mann-Kendall family —
+    // at 10k series, per-test α=0.05 hands you 500 false trend alarms;
+    // BH caps the false-discovery RATE instead. p-values via the shared
+    // Zelen-Severo Φ polynomial (engine-identical arithmetic, no native
+    // erf needed on either side).
+    "q284_bh_fdr" -> Q(
+      (s, d) => graft.operators.StatOps.bhFdr(
+          graft.operators.StatOps.mannKendall(
+              Tables.events(s, d), "event_type", "ts", "value",
+              scoreOut = dec6)
+            .select("series", "z"),
+          "series", "z", alpha = 0.05, scoreOut = dec6)
+        .orderBy("rank"),
+      Some(s"""WITH daily AS (SELECT event_type AS series, CAST(ts AS DATE) AS d,
+              |    ${r6("avg(CAST(value AS DOUBLE))")} AS y
+              |  FROM events GROUP BY 1, 2),
+              |p AS (SELECT a.series, CAST(sum(sign(b.y - a.y)) AS DOUBLE) AS s
+              |  FROM daily a JOIN daily b ON a.series = b.series AND a.d < b.d
+              |  GROUP BY 1),
+              |t AS (SELECT series, CAST(sum(t) AS DOUBLE) AS n,
+              |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS DOUBLE) AS tsum
+              |  FROM (SELECT series, y, count(*) AS t FROM daily GROUP BY 1, 2)
+              |  GROUP BY 1),
+              |v AS (SELECT p.series, n, s,
+              |    (n * (n - 1) * (2 * n + 5) - tsum) / 18.0 AS vr
+              |  FROM p JOIN t ON p.series = t.series),
+              |zz AS (SELECT series AS test_key,
+              |    ${r6("""CASE WHEN s > 0 THEN (s - 1) / sqrt(vr)
+              |      WHEN s < 0 THEN (s + 1) / sqrt(vr) ELSE 0.0 END""")} AS z
+              |  FROM v),
+              |pv AS (SELECT test_key, z,
+              |    1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM zz),
+              |pp AS (SELECT test_key, z,
+              |    ${r6("""2.0 * exp(-z * z / 2.0) / sqrt(2.0 * pi())
+              |      * (tt * (0.319381530 + tt * (-0.356563782
+              |        + tt * (1.781477937 + tt * (-1.821255978
+              |        + tt * 1.330274429)))))""")} AS p
+              |  FROM pv),
+              |rk AS (SELECT test_key, z, p,
+              |    CAST(row_number() OVER (ORDER BY p, test_key) AS BIGINT)
+              |      AS rank,
+              |    count(*) OVER () AS m FROM pp),
+              |ct AS (SELECT test_key, z, p, rank,
+              |    ${r6("rank * 0.05 / m")} AS bh_cutoff FROM rk),
+              |km AS (SELECT max(CASE WHEN p <= bh_cutoff THEN rank END) AS k
+              |  FROM ct)
+              |SELECT test_key, z, p, rank, bh_cutoff,
+              |  CAST(rank <= coalesce(k, 0) AS INT) AS reject
+              |FROM ct, km ORDER BY rank""".stripMargin)),
   )
 }

@@ -255,4 +255,28 @@ class StatOpsSpec extends SparkSpec {
     assert(out.getLong(2) == 4L && out.getLong(3) == 2L)
     assert(out.getDouble(4) == 5.0)  // 0.5·(4+16)/2
   }
+
+  test("bhFdr: stepwise rejection rescues a test above its own cutoff") {
+    // m=4, alpha=0.25 → cutoffs 0.0625, 0.125, 0.1875, 0.25.
+    // z=5 → p≈0, z=2.2 → p≈0.0278, z=1.6 → p≈0.1096, z=0.5 → p≈0.617.
+    // rank3's p (0.1096) < its own rank-2 cutoff? No: the BH rule takes
+    // the LARGEST k with p_(k) <= k·α/m: rank3 0.1096 <= 0.1875 → k=3,
+    // so ranks 1-3 all reject (rank2's p 0.0278 <= 0.125 too) and only
+    // the z=0.5 test survives.
+    val tests = Seq(("a", 5.0), ("b", 2.2), ("c", 1.6), ("d", 0.5))
+      .toDF("k", "z")
+    val out = graft.operators.StatOps.bhFdr(tests, "k", "z", alpha = 0.25,
+        scoreOut = dec6)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[String]("test_key")).toSeq ==
+      Seq("a", "b", "c", "d"))
+    assert(out.map(_.getAs[Int]("reject")).toSeq == Seq(1, 1, 1, 0))
+    // two-sided p of z=2.2 matches the textbook normal table to 4dp
+    assert(math.abs(out(1).getAs[Double]("p") - 0.0278) < 5e-4)
+    // no test qualifying → zero rejections (null kmax path)
+    val none = graft.operators.StatOps.bhFdr(
+        Seq(("a", 0.1), ("b", 0.2)).toDF("k", "z"), "k", "z",
+        alpha = 0.05, scoreOut = dec6).collect()
+    assert(none.forall(_.getAs[Int]("reject") == 0))
+  }
 }
