@@ -197,6 +197,13 @@ object VectorFunctions {
       { exprs => HistQuantile(exprs(0), exprs(1)) }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_token_count",
       { exprs => TokenCountExpr(exprs.head) }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_tdigest_agg",
+      { exprs => TDigestAgg(exprs(0), longLit(exprs(1), "delta").toInt) },
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_tdigest_merge",
+      { exprs => TDigestMergeAgg(exprs.head) }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_tdigest_quantile",
+      { exprs => TDigestQuantile(exprs(0), exprs(1)) }, "scala_udf")
   }
 
   private def longLit(e: Expression, what: String): Long = e match {

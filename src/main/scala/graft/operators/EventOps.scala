@@ -76,6 +76,38 @@ object EventOps {
     perDay.unionByName(all)
   }
 
+  /** t-digest twin of [[histQuantileRollup]] for UNBOUNDED measures: the
+    * fixed-bin histogram needs a known [lo, hi); the t-digest needs
+    * nothing and concentrates resolution at the tails (δ=100 holds the
+    * rank error well under 1%, tails under 0.3% — TDigestSpec pins the
+    * bounds). The corpus row merges the per-day digest ROWS with
+    * `graft_tdigest_merge` inside the same plan — a genuine no-rescan
+    * rollup: at 100 TB the daily digests are a stored kilobyte-scale
+    * table and month/corpus quantiles never touch raw events again. */
+  def tdigestQuantileRollup(events: DataFrame, tsCol: String, valueCol: String,
+                            delta: Int, scoreOut: Column => Column): DataFrame = {
+    graft.functions.VectorFunctions.register(events.sparkSession)
+    def q(sk: Column, p: Double) =
+      scoreOut(call_function("graft_tdigest_quantile", sk, lit(p)))
+    val daily = events
+      .select(date_format(col(tsCol), "yyyy-MM-dd").as("day"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        call_function("graft_tdigest_agg", col("v"), lit(delta)).as("sk"))
+      .persist()
+    val perDay = daily.select(col("day"), col("n"),
+      q(col("sk"), 0.5).as("p50"), q(col("sk"), 0.9).as("p90"),
+      q(col("sk"), 0.99).as("p99"))
+    val all = daily
+      .agg(sum("n").as("n"),
+        call_function("graft_tdigest_merge", col("sk")).as("sk"))
+      .select(lit("__all__").as("day"), col("n"),
+        q(col("sk"), 0.5).as("p50"), q(col("sk"), 0.9).as("p90"),
+        q(col("sk"), 0.99).as("p99"))
+    perDay.unionByName(all)
+  }
+
   /** Hour-of-day seasonal profile + residual anomalies: per (series,
     * hour-of-day) mean/σ as the periodic baseline, and the count of
     * events straying more than `zCut`·σ from their seasonal slot — the

@@ -1026,5 +1026,17 @@ object StatQ {
               |SELECT test_key, z, p, rank, bh_cutoff,
               |  CAST(rank <= coalesce(k, 0) AS INT) AS reject
               |FROM ct, km ORDER BY rank""".stripMargin)),
+
+    // t-digest quantile rollup — the unbounded-range twin of q141: per-day
+    // digests (δ=100) probed at p50/p90/p99, plus the corpus row merged
+    // FROM THE DAILY DIGEST ROWS in-plan (graft_tdigest_merge — the
+    // stored-sketch-table workflow, no raw rescan). Rows-only: digest
+    // bytes are merge-order-specific; TDigestSpec pins the rank-error
+    // bounds, rollup accuracy, and repartition invariance of the bound.
+    "q285_tdigest_quantiles" -> Q(
+      (s, d) => graft.operators.EventOps.tdigestQuantileRollup(
+          Tables.events(s, d), "ts", "value", delta = 100, scoreOut = dec6)
+        .orderBy("day"),
+      None),
   )
 }
