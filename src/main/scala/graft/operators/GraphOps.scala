@@ -111,6 +111,55 @@ object GraphOps {
         col("__N"))
   }
 
+  /** Frontier BFS: minimum hop distance from a seed set to every node
+    * within `maxHops`, over a directed or (default) undirected edge
+    * list — the reach/blast-radius primitive (supply-chain exposure,
+    * contagion radius, influence neighborhoods).
+    *
+    * Pregel discipline throughout (the [[pageRank]] lesson): the edge
+    * set is persisted once; per superstep the frontier expands through
+    * ONE equi-join, new nodes are a LEFT ANTI against the visited set,
+    * and both frames are `localCheckpoint`ed so lineage stays O(1)
+    * instead of k^hops. The per-step `isEmpty` probe is one scheduling
+    * job — the honest Pregel cost — and stops dead subtrees early.
+    * State is node-sized (node, hop); the frontier join shuffles on the
+    * node key, never broadcasting anything unbounded.
+    *
+    * Returns (node, hop) with hop = first-visit depth (= min hop, BFS
+    * invariant), seeds at hop 0. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: Seq[Long], maxHops: Int,
+              directed: Boolean = false): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 50, s"maxHops in [0,50], got $maxHops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(col(srcCol).cast("long").as("s"),
+      col(dstCol).cast("long").as("d"))
+    val e = (if (directed) e0
+             else e0.union(e0.select(col("d").as("s"), col("s").as("d"))))
+      .distinct().persist()
+    var visited = seeds.toDF("node").withColumn("hop", lit(0))
+      .localCheckpoint()
+    var frontier = visited
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
+      val next = frontier.join(e, col("node") === col("s"))
+        .select(col("d").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.union(next).localCheckpoint()
+        frontier = next
+      }
+      h += 1
+    }
+    e.unpersist()
+    visited
+  }
+
   /** Per-node triangle count and local clustering coefficient over an
     * undirected edge list (any orientation, duplicates/self-loops
     * tolerated), via the degree-ordered wedge join (Schank–Wagner /

@@ -342,6 +342,53 @@ object SeasonalOps {
         col("__z.arr.__x").as("x"), scoreOut(col("__z.__ys")).as("ewma"))
   }
 
+  /** Kalman filter for the LOCAL-LEVEL model (random-walk state + white
+    * observation noise — Durbin & Koopman §2; the "structural" cousin of
+    * [[ewma]] whose gain ADAPTS instead of staying a fixed α): per step
+    * P⁺ = P + q;  K = P⁺/(P⁺+r);  l ← l + K(x−l);  P ← (1−K)P⁺, with
+    * diffuse-ish init l₁ = x₁, P₁ = r. Early steps trust observations
+    * more (K large), then K converges to the steady-state gain of the
+    * q/r ratio — the principled answer to "what α should the EWMA use".
+    *
+    * Same scale contract as [[ewma]]: a LINEAR [[scanSeries]] fold over
+    * the series' collected grid (grid-bounded state, no partition-less
+    * window); each step is fixed-order IEEE arithmetic, so the DuckDB
+    * recursive-CTE oracle carrying (l, P) matches bit-for-bit.
+    *
+    * Returns (seriesCol, tsCol, x, level). */
+  def kalmanLocalLevel(grid: DataFrame, seriesCol: String, tsCol: String,
+                       valueCol: String, q: Double, r: Double,
+                       scoreOut: Column => Column): DataFrame = {
+    require(q > 0 && r > 0, s"need positive variances, got q=$q r=$r")
+    val collected = grid
+      .select(col(seriesCol), col(tsCol).as("__t"),
+        col(valueCol).cast("double").as("__x"))
+      .groupBy(seriesCol)
+      .agg(sort_array(collect_list(struct(col("__t"), col("__x")))).as("arr"))
+    val withYs = scanSeries(collected, seriesCol) { xs =>
+      val ys = new Array[Double](xs.length)
+      var l = 0.0
+      var p = 0.0
+      var i = 0
+      while (i < xs.length) {
+        if (i == 0) { l = xs(0); p = r }
+        else {
+          val pp = p + q
+          val k = pp / (pp + r)
+          l = l + k * (xs(i) - l)
+          p = (1.0 - k) * pp
+        }
+        ys(i) = l
+        i += 1
+      }
+      ys
+    }
+    withYs
+      .select(col(seriesCol), explode(arrays_zip(col("arr"), col("__ys"))).as("__z"))
+      .select(col(seriesCol), col("__z.arr.__t").as(tsCol),
+        col("__z.arr.__x").as("x"), scoreOut(col("__z.__ys")).as("level"))
+  }
+
   /** Additive Holt–Winters (triple exponential smoothing, period `m`) per
     * series over an aligned non-null grid — fitted one-step-ahead values
     * and residual z anomalies, the classical forecaster the reference's

@@ -146,5 +146,34 @@ object GraphQ {
               |JOIN tot tb ON tb.t = p.type_b, nu
               |WHERE n_both / nu.nu >= 0.05
               |ORDER BY type_a, type_b""".stripMargin)),
+
+    // Supply-chain blast radius: BFS hop distance from customer 1 over
+    // the bipartite customer-supplier purchase graph (suppliers offset
+    // by 1e6 to disjoint the key spaces) — hop 1 = my suppliers, hop 2 =
+    // their other customers, hop 3 = those customers' suppliers. Pregel
+    // frontier expansion with localCheckpoint per superstep (GraphOps
+    // discipline); the oracle is a recursive CTE deduped by min(hop) —
+    // path-explosion-bounded by maxHops=3.
+    "q287_bfs_reach" -> Q(
+      (s, d) => {
+        val edges = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (col("l_suppkey") + 1000000L).as("sp"))
+        graft.operators.GraphOps.bfsHops(edges, "c", "sp",
+            seeds = Seq(1L), maxHops = 3)
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE eu AS (SELECT DISTINCT o_custkey AS s,
+             |    l_suppkey + 1000000 AS d
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |e AS (SELECT s, d FROM eu UNION SELECT d, s FROM eu),
+             |bfs(node, hop) AS (
+             |  SELECT CAST(1 AS BIGINT), 0
+             |  UNION ALL
+             |  SELECT e.d, bfs.hop + 1 FROM bfs JOIN e ON e.s = bfs.node
+             |  WHERE bfs.hop < 3)
+             |SELECT node, min(hop) AS hop FROM bfs
+             |GROUP BY node ORDER BY node""".stripMargin)),
   )
 }

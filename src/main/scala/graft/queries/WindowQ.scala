@@ -441,6 +441,39 @@ object WindowQ {
               |SELECT ts, event_type, ${r6("y")} AS ewma
               |FROM rec ORDER BY ts, event_type""".stripMargin)),
 
+    // Kalman local-level filter (random-walk state, q=0.5, r=4.0) per
+    // series on the ffilled grid — the adaptive-gain cousin of q214: the
+    // gain starts high and converges to the steady state the q/r ratio
+    // implies. The oracle's recursive CTE carries the (level, P) state
+    // pair and replays the identical fixed-order IEEE recursion, so
+    // values match bit-for-bit before the output rounding.
+    "q286_kalman_level" -> Q(
+      (s, d) => graft.operators.SeasonalOps.kalmanLocalLevel(
+          series(s, d).filter(col("v").isNotNull),
+          "event_type", "ts", "v", q = 0.5, r = 4.0, scoreOut = dec6)
+        .select(col("ts"), col("event_type"), col("level"))
+        .orderBy("ts", "event_type"),
+      Some(s"""WITH RECURSIVE $sqlSeries,
+              |g AS (SELECT ts, event_type, v,
+              |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts)
+              |    AS INT) AS r
+              |  FROM series WHERE v IS NOT NULL),
+              |rec(event_type, r, ts, l, p) AS (
+              |  -- CAST: a bare 4.0 is DECIMAL(2,1) and would carry the
+              |  -- whole P recursion at one-decimal precision
+              |  SELECT event_type, r, ts, v, CAST(4.0 AS DOUBLE)
+              |  FROM g WHERE r = 1
+              |  UNION ALL
+              |  SELECT g.event_type, g.r, g.ts,
+              |    rec.l + ((rec.p + 0.5) / ((rec.p + 0.5) + 4.0))
+              |      * (g.v - rec.l),
+              |    (1.0 - (rec.p + 0.5) / ((rec.p + 0.5) + 4.0))
+              |      * (rec.p + 0.5)
+              |  FROM rec JOIN g ON g.event_type = rec.event_type
+              |    AND g.r = rec.r + 1)
+              |SELECT ts, event_type, ${r6("l")} AS level
+              |FROM rec ORDER BY ts, event_type""".stripMargin)),
+
     // Additive Holt-Winters (period 24 = the daily cycle) per series on
     // the ffilled grid: one-step-ahead fitted values + residual-z anomaly
     // flags. The oracle replays the identical three-state recursion as a

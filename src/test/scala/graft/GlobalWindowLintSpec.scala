@@ -114,7 +114,7 @@ class GlobalWindowLintSpec extends SparkSpec {
     "q210_savgol_interp", "q44_impute", "q70_early_warning",
     "q97_rolling_median", "q107_subseq_search", "q108_sax_words",
     "q109_sax_motifs", "q214_ewma", "q215_holt_winters",
-    "q225_forecast_backtest",
+    "q225_forecast_backtest", "q286_kalman_level",
     // conformalNaive's own joins are equi (broadcast q_hat); the two
     // flagged BNLJs are the series() fixture's alignToGrid crossjoins,
     // duplicated across the calibrate and coverage branches

@@ -122,4 +122,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(row("d") == ((3L, 1L, 0.333333)))
     assert(row("e") == ((1L, 0L, 0.0)))
   }
+
+  test("bfsHops: min-hop distances, early stop, directed asymmetry") {
+    // path 1-2-3-4-5 plus shortcut 1-4; island 9-10
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (9L, 10L)).toDF("s", "d")
+    val out = GraphOps.bfsHops(e, "s", "d", seeds = Seq(1L), maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // shortcut wins: 4 at hop 1 (not 3), 5 at hop 2; island unreached
+    assert(out == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2),
+      s"got $out")
+    // directed: 5 -> nothing (edges point away from it)
+    val dir = GraphOps.bfsHops(e, "s", "d", seeds = Seq(5L), maxHops = 10,
+        directed = true)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dir == Map(5L -> 0), s"got $dir")
+    // maxHops truncation
+    val trunc = GraphOps.bfsHops(e, "s", "d", seeds = Seq(1L), maxHops = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(trunc == Set(1L, 2L, 4L))
+  }
 }
