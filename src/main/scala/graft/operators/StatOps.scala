@@ -370,6 +370,132 @@ object StatOps {
           (col("n_ref") * col("n_cur")))).cast("int").as("drifted"))
   }
 
+  /** Wasserstein-1 (earth-mover) distance between two samples — the
+    * MAGNITUDE companion of [[ksTest]]: KS answers "did it drift" with
+    * the worst single ECDF gap; W₁ = ∫|F_ref − F_cur| dx answers "by how
+    * much, in the measure's own units" (it is the area between the
+    * ECDFs), which is what a retraining-trigger threshold wants.
+    *
+    * Same scale contract as [[ksTest]]: ECDFs on the DISTINCT-value
+    * support (named GlobalWindowLint entry); for continuous measures the
+    * documented swap is pooled-quantile binning on bin MIDPOINTS (the
+    * q178 pattern — W₁ then carries one-bin-width resolution). */
+  def wasserstein1(ref: DataFrame, cur: DataFrame, valueCol: String,
+                   scoreOut: Column => Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    def ecdf(df: DataFrame, n: String, f: String): DataFrame = {
+      val byV = df.select(v.as("x")).groupBy("x").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+      byV.withColumn("cum", sum("c").over(w))
+        .crossJoin(broadcast(byV.agg(sum("c").as(n))))
+        .select(col("x"), (col("cum") / col(n)).as(f), col(n))
+    }
+    val a = ecdf(ref, "n_ref", "f_ref")
+    val b = ecdf(cur, "n_cur", "f_cur")
+    val joined = a.join(b, Seq("x"), "full_outer")
+    val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    val wl = Window.orderBy("x")
+    joined
+      .withColumn("fr", coalesce(last("f_ref", ignoreNulls = true).over(w), lit(0.0)))
+      .withColumn("fc", coalesce(last("f_cur", ignoreNulls = true).over(w), lit(0.0)))
+      .withColumn("xn", lead("x", 1).over(wl))
+      .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+        sum(when(col("xn").isNotNull,
+          abs(col("fr") - col("fc")) * (col("xn") - col("x")))).as("__w1"))
+      .select(col("n_ref"), col("n_cur"), scoreOut(col("__w1")).as("w1"))
+  }
+
+  /** Hill tail-index estimator per group — "how heavy is the tail"
+    * quantified: for the top-k order statistics, α̂ = k / Σᵢ(ln xᵢ −
+    * ln x₍ₖ₊₁₎) (Hill '75). α ≲ 2 means infinite variance (means and
+    * σ-based monitors stop converging — the signal to switch to the
+    * robust/quantile machinery); document-length and session-depth
+    * columns are the classic cases.
+    *
+    * Shape: one group-partitioned rank window (payload (group, value,
+    * id)), the k+1 head rows aggregate per group — output is
+    * group-sized. Ranks break ties on `idCol` so the order statistics
+    * are engine-deterministic. Groups with ≤ k+1 positive rows are
+    * dropped (the estimator needs the full head). */
+  def hillTailIndex(df: DataFrame, groupCol: String, valueCol: String,
+                    idCol: String, k: Int,
+                    scoreOut: Column => Column): DataFrame = {
+    require(k >= 5 && k <= 10000, s"k in [5, 10000], got $k")
+    val v = col(valueCol).cast("double")
+    val ranked = df.select(col(groupCol).as("grp"), v.as("x"), col(idCol).as("__id"))
+      .filter(col("x") > 0)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("x").desc, col("__id"))))
+      .filter(col("rn") <= k + 1)
+    ranked.groupBy("grp")
+      .agg(count(lit(1)).as("__cnt"),
+        sum(when(col("rn") <= k, log(col("x")))).as("__slog"),
+        max(when(col("rn") === k + 1, col("x"))).as("__xk1"))
+      .filter(col("__cnt") === k + 1)
+      .select(col("grp").as(groupCol), lit(k).as("k"),
+        scoreOut(col("__xk1")).as("x_threshold"),
+        scoreOut(lit(k.toDouble) /
+          (col("__slog") - lit(k.toDouble) * log(col("__xk1")))).as("alpha"))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013) for the A/B harness —
+    * the adjustment every mature experimentation platform applies before
+    * the t-test: ŷ = y − θ(x_pre − E[x_pre]) with θ = cov(x,y)/var(x)
+    * from the PRE-period covariate strips the between-user variance the
+    * treatment cannot have caused, shrinking confidence intervals at
+    * identical sample size.
+    *
+    * Shape: events collapse to one (user, x_pre, y_post) row map-side;
+    * arms split on the md5 hex digit (the q168 convention); global means
+    * and θ are scalar-aggregate crossjoins; per-arm moments are one hash
+    * agg on the two-arm table. θ is ROUNDED before the adjustment so
+    * every ŷ is engine-identical arithmetic. Users lacking either
+    * period drop (no covariate → no adjustment — the standard CUPED
+    * eligibility rule). */
+  def cuped(events: DataFrame, userCol: String, tsCol: String,
+            valueCol: String, cutTs: String,
+            scoreOut: Column => Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val cut = lit(cutTs).cast("timestamp")
+    val per = events
+      .groupBy(col(userCol).as("u"))
+      .agg(avg(when(col(tsCol) < cut, v)).as("x"),
+        avg(when(col(tsCol) >= cut, v)).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .withColumn("arm",
+        when(conv(substring(md5(col("u").cast("string").cast("binary")), 1, 1),
+          16, 10).cast("int") < 8, "a").otherwise("b"))
+    val gm = per.agg(avg("x").as("__mx"), avg("y").as("__my"))
+    val centered = per.crossJoin(gm)
+      .select(col("u"), col("arm"), col("y"),
+        (col("x") - col("__mx")).as("cx"), (col("y") - col("__my")).as("cy"))
+    val theta = centered
+      .agg(scoreOut(sum(col("cx") * col("cy")) / sum(col("cx") * col("cx")))
+        .as("__theta"))
+    val adj = centered.crossJoin(theta)
+      .select(col("arm"), col("y"),
+        (col("y") - col("__theta") * col("cx")).as("adj"), col("__theta"))
+    val arms = adj.groupBy("arm")
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg("y").as("my"), avg("adj").as("madj"),
+        variance("y").as("vy"), variance("adj").as("vadj"),
+        max("__theta").as("theta"))
+    def a(c: String) = max(when(col("arm") === "a", col(c)))
+    def b(c: String) = max(when(col("arm") === "b", col(c)))
+    val seAdj = sqrt(a("vadj") / a("n") + b("vadj") / b("n"))
+    arms.agg(
+        a("n").cast("long").as("n_a"), b("n").cast("long").as("n_b"),
+        max("theta").as("theta"),
+        scoreOut(a("my") - b("my")).as("diff_raw"),
+        scoreOut(a("madj") - b("madj")).as("diff_adj"),
+        scoreOut(seAdj).as("se_adj"),
+        scoreOut((a("madj") - b("madj")) / seAdj).as("z_adj"),
+        scoreOut(lit(1.0) -
+          (a("vadj") * (a("n") - 1) + b("vadj") * (b("n") - 1)) /
+          (a("vy") * (a("n") - 1) + b("vy") * (b("n") - 1)))
+          .as("var_reduction"))
+  }
+
   /** Bin both samples by POOLED approximate-quantile boundaries — the
     * scale substitution [[ksTest]]/[[mannWhitneyU]] document for
     * continuous measures, where "distinct values" ≈ N and the exact
@@ -1168,6 +1294,42 @@ object StatOps {
     * yields no phantom pair, the q164 lesson). r₁/r₂ are rounded before
     * the φ algebra so coefficients are arithmetic on rounded values.
     * All joins after the collapse touch grid metadata, never events. */
+  /** One-step-ahead backtest of the [[yuleWalkerAr2]] fit vs the naive
+    * x_{t−1} carry-forward — Hyndman's rule again (the q225 discipline):
+    * never report a model without its naive skill. x̂_t = m + φ₁(x_{t−1}
+    * −m) + φ₂(x_{t−2}−m) with the per-series mean and the φ's ROUNDED
+    * before the forecast arithmetic; lags are the same gap-robust
+    * integer-hour equi-joins the fit used, so a missing hour produces no
+    * forecast instead of a silently misaligned one. Output is
+    * series-sized: (series, n, mae_ar2, mae_naive, skill). */
+  def ar2Backtest(events: DataFrame, seriesCol: String, tsCol: String,
+                  valueCol: String, scoreOut: Column => Column): DataFrame = {
+    val fit = yuleWalkerAr2(events, seriesCol, tsCol, valueCol, scoreOut)
+      .select(col("series"), col("phi1"), col("phi2"))
+    val hourly = events
+      .select(col(seriesCol).as("series"),
+        floor(unix_timestamp(date_trunc("hour", col(tsCol))) / 3600L).as("idx"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy("series", "idx").agg(avg("v").as("y"))
+      .persist()
+    val means = hourly.groupBy("series").agg(scoreOut(avg("y")).as("m"))
+    val l1 = hourly.select(col("series"), (col("idx") + 1).as("idx"),
+      col("y").as("x1"))
+    val l2 = hourly.select(col("series"), (col("idx") + 2).as("idx"),
+      col("y").as("x2"))
+    val xhat = col("m") + col("phi1") * (col("x1") - col("m")) +
+      col("phi2") * (col("x2") - col("m"))
+    hourly.join(l1, Seq("series", "idx")).join(l2, Seq("series", "idx"))
+      .join(means, "series").join(fit, "series")
+      .groupBy("series")
+      .agg(count(lit(1)).as("n"),
+        avg(abs(col("y") - xhat)).as("__ma"),
+        avg(abs(col("y") - col("x1"))).as("__mn"))
+      .select(col("series"), col("n"), scoreOut(col("__ma")).as("mae_ar2"),
+        scoreOut(col("__mn")).as("mae_naive"),
+        scoreOut(lit(1.0) - col("__ma") / col("__mn")).as("skill"))
+  }
+
   def yuleWalkerAr2(events: DataFrame, seriesCol: String, tsCol: String,
                     valueCol: String, scoreOut: Column => Column): DataFrame = {
     val hourly = events

@@ -1753,6 +1753,30 @@ object CorpusQ {
               |SELECT src_a, src_b, ta.n AS n_a, tb.n AS n_b, n_both,
               |  ${r6("n_both / CAST(ta.n + tb.n - n_both AS DOUBLE)")} AS jaccard
               |FROM p JOIN tot ta ON ta.g = p.src_a JOIN tot tb ON tb.g = p.src_b
-              |ORDER BY src_a, src_b""".stripMargin))
+              |ORDER BY src_a, src_b""".stripMargin)),
+
+    // Hill tail-index of corpus document length — "how heavy is the
+    // long-document tail": alpha <~ 2 means infinite variance, i.e. mean
+    // doc length and sigma-based length monitors stop converging and the
+    // robust/quantile machinery (q157/q262) is mandatory. The operator is
+    // group-partitioned (per-source at scale); the 500-doc gate corpus
+    // runs it as one group so the k=50 head exists (per-source slices
+    // here are 25 docs). Top-k order statistics with doc_id tiebreak.
+    "q288_hill_tail_index" -> Q(
+      (s, d) => graft.operators.StatOps.hillTailIndex(
+          Tables.documents(s, d).withColumn("corpus", lit("all")),
+          "corpus", "n_chars", "doc_id", k = 50, scoreOut = dec6)
+        .orderBy("corpus"),
+      Some(s"""WITH r AS (SELECT 'all' AS corpus, CAST(n_chars AS DOUBLE) AS x,
+              |    row_number() OVER (
+              |      ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn
+              |  FROM documents WHERE n_chars > 0),
+              |h AS (SELECT corpus, count(*) AS cnt,
+              |    sum(CASE WHEN rn <= 50 THEN ln(x) END) AS slog,
+              |    max(CASE WHEN rn = 51 THEN x END) AS xk1
+              |  FROM r WHERE rn <= 51 GROUP BY corpus)
+              |SELECT corpus, 50 AS k, ${r6("xk1")} AS x_threshold,
+              |  ${r6("50.0 / (slog - 50.0 * ln(xk1))")} AS alpha
+              |FROM h WHERE cnt = 51 ORDER BY corpus""".stripMargin)),
   )
 }

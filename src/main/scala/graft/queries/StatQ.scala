@@ -1027,6 +1027,140 @@ object StatQ {
               |  CAST(rank <= coalesce(k, 0) AS INT) AS reject
               |FROM ct, km ORDER BY rank""".stripMargin)),
 
+    // Wasserstein-1 drift between the two month halves — the MAGNITUDE
+    // companion of q170 KS: the area between the ECDFs, in the measure's
+    // own units; the retraining-trigger threshold quantity.
+    "q289_wasserstein_drift" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cut = lit("2024-01-16").cast("timestamp")
+        graft.operators.StatOps.wasserstein1(
+          ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+          "value", scoreOut = dec6)
+      },
+      Some(s"""WITH ra AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+              |  WHERE ts < TIMESTAMP '2024-01-16'),
+              |rb AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+              |  WHERE ts >= TIMESTAMP '2024-01-16'),
+              |ca AS (SELECT x, count(*) AS c FROM ra GROUP BY x),
+              |cb AS (SELECT x, count(*) AS c FROM rb GROUP BY x),
+              |ea AS (SELECT x, CAST(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              |    AS DOUBLE) / (SELECT sum(c) FROM ca) AS f,
+              |  (SELECT sum(c) FROM ca) AS n_ref FROM ca),
+              |eb AS (SELECT x, CAST(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              |    AS DOUBLE) / (SELECT sum(c) FROM cb) AS f,
+              |  (SELECT sum(c) FROM cb) AS n_cur FROM cb),
+              |j AS (SELECT coalesce(ea.x, eb.x) AS x, ea.f AS f_ref, eb.f AS f_cur,
+              |  ea.n_ref, eb.n_cur FROM ea FULL OUTER JOIN eb ON ea.x = eb.x),
+              |ff AS (SELECT x,
+              |  coalesce(last_value(f_ref IGNORE NULLS)
+              |    OVER (ORDER BY x ROWS UNBOUNDED PRECEDING), 0.0) AS fr,
+              |  coalesce(last_value(f_cur IGNORE NULLS)
+              |    OVER (ORDER BY x ROWS UNBOUNDED PRECEDING), 0.0) AS fc,
+              |  lead(x) OVER (ORDER BY x) AS xn,
+              |  n_ref, n_cur FROM j)
+              |SELECT CAST(max(n_ref) AS BIGINT) AS n_ref,
+              |  CAST(max(n_cur) AS BIGINT) AS n_cur,
+              |  ${r6("""sum(CASE WHEN xn IS NOT NULL
+              |    THEN abs(fr - fc) * (xn - x) END)""")} AS w1
+              |FROM ff""".stripMargin)),
+
+    // CUPED variance reduction on the md5-split arms (Deng '13): the
+    // pre-period covariate (first-half per-user mean) strips between-user
+    // variance from the post-period metric before the z-test — the
+    // adjustment every mature experimentation platform applies.
+    "q290_cuped" -> Q(
+      (s, d) => graft.operators.StatOps.cuped(
+        Tables.events(s, d), "user_id", "ts", "value",
+        cutTs = "2024-01-16", scoreOut = dec6),
+      Some(s"""WITH per AS (SELECT user_id AS u,
+              |    avg(CASE WHEN ts < TIMESTAMP '2024-01-16'
+              |      THEN CAST(value AS DOUBLE) END) AS x,
+              |    avg(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+              |      THEN CAST(value AS DOUBLE) END) AS y
+              |  FROM events GROUP BY 1),
+              |el AS (SELECT u, x, y,
+              |    CASE WHEN strpos('0123456789abcdef',
+              |      substring(md5(CAST(u AS VARCHAR)), 1, 1)) - 1 < 8
+              |      THEN 'a' ELSE 'b' END AS arm
+              |  FROM per WHERE x IS NOT NULL AND y IS NOT NULL),
+              |gm AS (SELECT avg(x) AS mx, avg(y) AS my FROM el),
+              |cen AS (SELECT arm, y, x - mx AS cx FROM el, gm),
+              |th AS (SELECT ${r6("sum(cx * cy) / sum(cx * cx)")} AS theta
+              |  FROM (SELECT cx, y - (SELECT my FROM gm) AS cy FROM cen)),
+              |ad AS (SELECT arm, y, y - theta * cx AS adj, theta
+              |  FROM cen, th),
+              |ar AS (SELECT arm, CAST(count(*) AS DOUBLE) AS n, avg(y) AS my,
+              |    avg(adj) AS madj, var_samp(y) AS vy, var_samp(adj) AS vadj,
+              |    max(theta) AS theta
+              |  FROM ad GROUP BY arm),
+              |p AS (SELECT
+              |  max(CASE WHEN arm = 'a' THEN n END) AS na,
+              |  max(CASE WHEN arm = 'b' THEN n END) AS nb,
+              |  max(theta) AS theta,
+              |  max(CASE WHEN arm = 'a' THEN my END) AS mya,
+              |  max(CASE WHEN arm = 'b' THEN my END) AS myb,
+              |  max(CASE WHEN arm = 'a' THEN madj END) AS mja,
+              |  max(CASE WHEN arm = 'b' THEN madj END) AS mjb,
+              |  max(CASE WHEN arm = 'a' THEN vy END) AS vya,
+              |  max(CASE WHEN arm = 'b' THEN vy END) AS vyb,
+              |  max(CASE WHEN arm = 'a' THEN vadj END) AS vja,
+              |  max(CASE WHEN arm = 'b' THEN vadj END) AS vjb
+              |  FROM ar)
+              |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              |  theta,
+              |  ${r6("mya - myb")} AS diff_raw,
+              |  ${r6("mja - mjb")} AS diff_adj,
+              |  ${r6("sqrt(vja / na + vjb / nb)")} AS se_adj,
+              |  ${r6("(mja - mjb) / sqrt(vja / na + vjb / nb)")} AS z_adj,
+              |  ${r6("""1.0 - (vja * (na - 1) + vjb * (nb - 1))
+              |    / (vya * (na - 1) + vyb * (nb - 1))""")} AS var_reduction
+              |FROM p""".stripMargin)),
+
+    // AR(2) one-step backtest — Hyndman's rule applied to q280: the
+    // Yule-Walker fit must beat the naive x_{t-1} carry-forward or it
+    // hasn't earned its state. Gap-robust lag joins, rounded phi/mean.
+    "q291_ar2_backtest" -> Q(
+      (s, d) => graft.operators.StatOps.ar2Backtest(
+          Tables.events(s, d), "event_type", "ts", "value", scoreOut = dec6)
+        .orderBy("series"),
+      Some(s"""WITH hourly AS (SELECT event_type AS series,
+              |  CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT)
+              |    AS idx,
+              |  avg(CAST(value AS DOUBLE)) AS y FROM events GROUP BY 1, 2),
+              |m AS (SELECT series, avg(y) AS mm FROM hourly GROUP BY 1),
+              |c AS (SELECT h.series AS series, idx, y - mm AS c
+              |  FROM hourly h JOIN m USING (series)),
+              |c0 AS (SELECT series, sum(c * c) AS c0 FROM c GROUP BY 1),
+              |l1 AS (SELECT a.series, sum(a.c * b.c) AS c1 FROM c a
+              |  JOIN c b ON a.series = b.series AND a.idx = b.idx + 1
+              |  GROUP BY 1),
+              |l2 AS (SELECT a.series, sum(a.c * b.c) AS c2 FROM c a
+              |  JOIN c b ON a.series = b.series AND a.idx = b.idx + 2
+              |  GROUP BY 1),
+              |r AS (SELECT series, ${r6("c1 / c0")} AS r1,
+              |  ${r6("c2 / c0")} AS r2
+              |  FROM c0 JOIN l1 USING (series) JOIN l2 USING (series)),
+              |p AS (SELECT series,
+              |  ${r6("r1 * (1.0 - r2) / (1.0 - r1 * r1)")} AS phi1,
+              |  ${r6("(r2 - r1 * r1) / (1.0 - r1 * r1)")} AS phi2 FROM r),
+              |mr AS (SELECT series, ${r6("avg(y)")} AS m FROM hourly
+              |  GROUP BY 1),
+              |bt AS (SELECT h.series AS series, h.y, a.y AS x1, b.y AS x2
+              |  FROM hourly h
+              |  JOIN hourly a ON h.series = a.series AND a.idx = h.idx - 1
+              |  JOIN hourly b ON h.series = b.series AND b.idx = h.idx - 2),
+              |f AS (SELECT bt.series AS series, y, x1, x2, mr.m, p.phi1,
+              |    p.phi2
+              |  FROM bt JOIN mr USING (series) JOIN p USING (series)),
+              |ag AS (SELECT series, count(*) AS n,
+              |    avg(abs(y - (m + phi1 * (x1 - m) + phi2 * (x2 - m)))) AS ma,
+              |    avg(abs(y - x1)) AS mn
+              |  FROM f GROUP BY 1)
+              |SELECT series, n, ${r6("ma")} AS mae_ar2,
+              |  ${r6("mn")} AS mae_naive, ${r6("1.0 - ma / mn")} AS skill
+              |FROM ag ORDER BY series""".stripMargin)),
+
     // t-digest quantile rollup — the unbounded-range twin of q141: per-day
     // digests (δ=100) probed at p50/p90/p99, plus the corpus row merged
     // FROM THE DAILY DIGEST ROWS in-plan (graft_tdigest_merge — the

@@ -47,6 +47,8 @@ class GlobalWindowLintSpec extends SparkSpec {
       "ECDF over the DISTINCT event-duration table (durations quantize to a day/hour grid); scaladoc documents sketch-binning for continuous durations",
     "q170_ks_test" ->
       "ECDF over the distinct-value support; the continuous-measure scale path is q178_ks_binned (bins-sized by construction)",
+    "q289_wasserstein_drift" ->
+      "ECDF over the distinct-value support (the q170 bound); continuous-measure swap is pooled-quantile binning on bin midpoints (StatOps.wasserstein1 scaladoc)",
     "q171_mann_whitney" ->
       "midranks over the distinct-value table; the continuous-measure scale path is q179_mw_binned (bins-sized by construction)",
     "q274_kruskal_wallis" ->

@@ -26,10 +26,11 @@ Kruskal-Wallis (q274, dense pooled ranks), Mann-Kendall (q275, the
 explicit O(n^2) sign double loop), Jarque-Bera (q277, numpy central
 moments), one-way ANOVA + Brown-Forsythe (q278/q279, textbook SS
 decomposition over per-group arrays) and Yule-Walker AR(2) (q280,
-dense gap-masked lagged-vector products).
+dense gap-masked lagged-vector products), Wasserstein-1 (q289, searchsorted
+ECDF area) and CUPED (q290, dense covariate adjustment with hashlib arms).
 
 Usage: python3 tools/crosscheck_stats.py [sf_dir] [verify_out_dir]
-Last verified 2026-08-15 (r9): all twenty-six match to 6 decimals at sf0.01.
+Last verified 2026-08-15 (r9): all twenty-eight match to 6 decimals at sf0.01.
 """
 import sys, glob
 import duckdb
@@ -618,6 +619,55 @@ def main():
         ok &= good
         print(f"{'PASS' if good else 'FAIL'} q278/q279 anova+brown-forsythe: "
               f"textbook SS decomposition")
+
+    # --- Wasserstein-1 (q289): numpy trapezoid-free ECDF area ---
+    ws = dump("q289_wasserstein_drift")
+    if ws is not None:
+        a = np.sort(con.execute("SELECT CAST(value AS DOUBLE) v FROM events "
+                                "WHERE ts < TIMESTAMP '2024-01-16'").df().v)
+        b = np.sort(con.execute("SELECT CAST(value AS DOUBLE) v FROM events "
+                                "WHERE ts >= TIMESTAMP '2024-01-16'").df().v)
+        support = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(a, support, 'right') / len(a)
+        fb = np.searchsorted(b, support, 'right') / len(b)
+        W1 = float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(support)))
+        row = ws.iloc[0]
+        good = (row.n_ref == len(a) and row.n_cur == len(b)
+                and abs(row.w1 - W1) < 2e-5)
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q289 wasserstein: "
+              f"numpy ECDF area {W1:.5f} vs {row.w1}")
+
+    # --- CUPED (q290): dense covariate-adjustment recomputation ---
+    cu = dump("q290_cuped")
+    if cu is not None:
+        import hashlib
+        per = con.execute(
+            "SELECT user_id u, "
+            "avg(CASE WHEN ts < TIMESTAMP '2024-01-16' "
+            "  THEN CAST(value AS DOUBLE) END) x, "
+            "avg(CASE WHEN ts >= TIMESTAMP '2024-01-16' "
+            "  THEN CAST(value AS DOUBLE) END) y "
+            "FROM events GROUP BY 1").df().dropna()
+        arm = per.u.map(lambda u: 'a' if int(
+            hashlib.md5(str(u).encode()).hexdigest()[0], 16) < 8 else 'b')
+        cx = per.x - per.x.mean()
+        cy = per.y - per.y.mean()
+        theta = np.floor((cx * cy).sum() / (cx * cx).sum() * 1e6
+                         + 0.500618034) / 1e6
+        adj = per.y - theta * cx
+        ya, yb = per.y[arm == 'a'], per.y[arm == 'b']
+        aa, ab = adj[arm == 'a'], adj[arm == 'b']
+        vr = 1 - (aa.var(ddof=1) * (len(aa) - 1) + ab.var(ddof=1) * (len(ab) - 1)) \
+            / (ya.var(ddof=1) * (len(ya) - 1) + yb.var(ddof=1) * (len(yb) - 1))
+        row = cu.iloc[0]
+        good = (row.n_a == len(aa) and row.n_b == len(ab)
+                and abs(row.theta - theta) < 2e-6
+                and abs(row.diff_adj - (aa.mean() - ab.mean())) < 2e-6
+                and abs(row.var_reduction - vr) < 2e-6)
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q290 cuped: theta={theta:.4f} "
+              f"var_reduction={vr:.4f} vs {row.var_reduction}")
 
     # --- Yule-Walker AR(2) (q280): dense lagged-vector products ---
     yw = dump("q280_yule_walker_ar2")
