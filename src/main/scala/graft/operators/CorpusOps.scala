@@ -1280,6 +1280,24 @@ object CorpusOps {
       .withColumn("violates", (col("n") < k).cast("int"))
   }
 
+  /** l-diversity audit (Machanavajjhala '06) — the attack k-anonymity
+    * misses: a group can be large yet carry ONE sensitive value, so
+    * membership alone discloses it (homogeneity attack). Each
+    * quasi-identifier group must contain ≥ l distinct sensitive values.
+    *
+    * Shape: distinct (QI, sensitive) collapse FIRST (map-side), then the
+    * group count — one exact countDistinct stays on the two-phase
+    * aggregate path (the Expand trap needs ≥2 of them); output is
+    * QI-group-sized. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 2, s"need quasi columns and l >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
+      .withColumn("violates", (col("distinct_sensitive") < l).cast("int"))
+  }
+
   /** CCNet-style LM-quality buckets (Wenzek et al., LREC'20): rank every
     * document by corpus-LM mean log-probability WITHIN its language and
     * cut the distribution into head/middle/tail thirds — the per-language

@@ -1563,6 +1563,24 @@ object CorpusQ {
              |FROM documents GROUP BY lang, source
              |ORDER BY lang, source""".stripMargin)),
 
+    // l-diversity audit on (event_type, day) groups with user_id as the
+    // sensitive attribute — the homogeneity attack q148's k-anonymity
+    // misses: a large group with ONE distinct user still discloses
+    // membership. Distinct collapse first; single countDistinct stays on
+    // the two-phase path.
+    "q292_l_diversity" -> Q(
+      (s, d) => graft.operators.CorpusOps.lDiversity(
+          Tables.events(s, d)
+            .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+          Seq("event_type", "day"), "user_id", l = 5)
+        .orderBy("event_type", "day"),
+      Some("""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             |  count(*) AS n,
+             |  count(DISTINCT user_id) AS distinct_sensitive,
+             |  CAST(count(DISTINCT user_id) < 5 AS INT) AS violates
+             |FROM events GROUP BY 1, 2
+             |ORDER BY event_type, day""".stripMargin)),
+
     // Maximal duplicated-span runs (Lee '22 exact-substring semantics):
     // consecutive duplicated 8-gram positions merge into runs; a run of r
     // grams covers r+7 tokens — the excisable span length.

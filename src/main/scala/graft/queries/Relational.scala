@@ -929,6 +929,96 @@ object Relational {
              |SELECT s_name, count(*) AS numwait
              |FROM po JOIN supplier ON sole = s_suppkey
              |WHERE n_supp >= 2 AND n_late = 1
-             |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin))
+             |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
+
+    // TPC-H Q8-shaped market share: NATION_2's suppliers' share of the
+    // yearly ECONOMY-part revenue sold to ASIA customers. The two
+    // constant dims (nation, region) broadcast; part is SF-proportional
+    // so its join is left to AQE; the share is a conditional-sum ratio
+    // inside one year-keyed aggregate — never two scans.
+    "q293_market_share" -> Q(
+      (s, d) => {
+        val custNation = Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .select(col("c_custkey"))
+        val suppNation = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d).select(
+              col("n_nationkey").as("__snk"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("__snk"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        Tables.lineitem(s, d)
+          .join(Tables.part(s, d).filter(col("p_type") === "ECONOMY"),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(custNation, col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(dec4(sum(when(col("supp_nation") === "NATION_2",
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .otherwise(lit(0.0)))).as("nation_revenue"),
+            dec4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("total_revenue"),
+            dec6(sum(when(col("supp_nation") === "NATION_2",
+                col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .otherwise(lit(0.0))) /
+              sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some(s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+              |  ${Q.r4("""sum(CASE WHEN n2.n_name = 'NATION_2'
+              |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)""")}
+              |    AS nation_revenue,
+              |  ${Q.r4("sum(l_extendedprice * (1.0 - l_discount))")}
+              |    AS total_revenue,
+              |  ${Q.r6("""sum(CASE WHEN n2.n_name = 'NATION_2'
+              |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+              |    / sum(l_extendedprice * (1.0 - l_discount))""")} AS mkt_share
+              |FROM lineitem
+              |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              |WHERE o_custkey IN (SELECT c_custkey FROM customer
+              |  JOIN nation ON c_nationkey = n_nationkey
+              |  JOIN region ON n_regionkey = r_regionkey
+              |  WHERE r_name = 'ASIA')
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q9-shaped product-line profit by supplier nation and year
+    // ('red' parts): profit proxy = revenue − 0.5·retailprice·qty (the
+    // reference schema's supplycost column doesn't ship in this
+    // testdata). The selective p_name filter reaches the part scan
+    // BEFORE the partkey shuffle; output is nations × years.
+    "q294_nation_profit" -> Q(
+      (s, d) => {
+        val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          lit(0.5) * col("p_retailprice") * col("l_quantity")
+        Tables.lineitem(s, d)
+          .join(Tables.part(s, d).filter(col("p_name").like("%red%")),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).as("o_year"))
+          .agg(count(lit(1)).as("n_lines"), dec4(sum(profit)).as("profit"))
+          .orderBy("nation", "o_year")
+      },
+      Some(s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+              |  count(*) AS n_lines,
+              |  ${Q.r4("""sum(l_extendedprice * (1.0 - l_discount)
+              |    - 0.5 * p_retailprice * l_quantity)""")} AS profit
+              |FROM lineitem
+              |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

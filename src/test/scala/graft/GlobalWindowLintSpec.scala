@@ -231,6 +231,11 @@ class GlobalWindowLintSpec extends SparkSpec {
       "q269_nation_trade_volume" -> ("broadcast sides are the two nation " +
         "lookups (25 rows each, constant dims); SF-proportional supplier " +
         "carries no hint (AQE decides)"),
+      "q293_market_share" -> ("broadcast sides are nation (25) / region (5) " +
+        "constant dims; SF-proportional part/customer/supplier carry no " +
+        "hint (AQE decides)"),
+      "q294_nation_profit" ->
+        "broadcast side is nation (25 rows): constant-size dim",
       "q59_ann_lsh" -> "single query vector broadcast (unique-id filter)",
       "q80_contamination" -> ("broadcast side is the DISTINCT eval-benchmark " +
         "n-gram hash set: eval-suite-sized, not corpus-scaled"),
