@@ -1234,6 +1234,126 @@ object StatOps {
     onewayAnova(z, "g", "z", scoreOut)
   }
 
+  /** Neyman optimal allocation (Neyman '34) — how to SPEND a sampling
+    * budget across strata: n_h ∝ N_h·σ_h beats proportional allocation
+    * whenever stratum variances differ (the variance of the stratified
+    * mean is minimized). The pipeline use: a labeling/eval budget of B
+    * rows allocated across sources/types before drawing the q125-style
+    * deterministic samples.
+    *
+    * One hash aggregate per stratum (N, σ rounded), one scalar
+    * normalizer crossjoin; output is stratum-sized: (stratum, n_rows,
+    * sigma, neyman_share, prop_share, n_sample). */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+                       budget: Int, scoreOut: Column => Column): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val v = col(valueCol).cast("double")
+    val per = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"), scoreOut(stddev_pop(v)).as("sigma"))
+    val tot = per.agg(sum(col("n_rows") * col("sigma")).as("__ns"),
+      sum("n_rows").as("__n"))
+    per.crossJoin(tot)
+      .select(col("stratum"), col("n_rows"), col("sigma"),
+        scoreOut(col("n_rows") * col("sigma") / col("__ns")).as("neyman_share"),
+        scoreOut(col("n_rows") / col("__n").cast("double")).as("prop_share"))
+      .withColumn("n_sample",
+        floor(col("neyman_share") * budget + lit(0.5)).cast("long"))
+  }
+
+  /** Horvitz–Thompson total estimator under deterministic
+    * probability-proportional-to-size Poisson sampling: π_i = min(1,
+    * c·xᵢ) with c = B/Σx, include row i when its portable Knuth-hash
+    * uniform uᵢ < πᵢ, estimate Σx by Σ_{sampled} xᵢ/πᵢ. The unbiasedness
+    * identity every weighted-sample downstream consumer relies on,
+    * MEASURED (reported with its realized relative error) — companion of
+    * the q132 A-Res draw, which samples a fixed k instead.
+    *
+    * πᵢ and uᵢ are rounded before the inclusion test and the weights, so
+    * the draw and the estimate are engine-identical. Scale: one linear
+    * scan + two scalar aggregates; the sample never materializes beyond
+    * the sum. */
+  def horvitzThompson(df: DataFrame, idCol: String, sizeCol: String,
+                      budget: Int, scoreOut: Column => Column): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val x = col(sizeCol).cast("double")
+    val base = df.select(col(idCol).as("__id"), x.as("x")).filter(col("x") > 0)
+    val tot = base.agg(sum("x").as("__tx"), count(lit(1)).as("__n"))
+    val h = pmod(pmod(col("__id").cast("long"), lit(2147483648L)) *
+      lit(2654435761L), lit(2147483647L))
+    val u = scoreOut((h + lit(1.0)) / lit(2147483648.0))
+    val pi = scoreOut(least(lit(1.0), lit(budget.toDouble) * col("x") / col("__tx")))
+    base.crossJoin(tot)
+      .withColumn("__u", u).withColumn("__pi", pi)
+      .withColumn("__in", (col("__u") < col("__pi")).cast("int"))
+      .agg(max("__n").as("n_total"), sum("__in").as("n_sampled"),
+        scoreOut(max("__tx")).as("true_total"),
+        scoreOut(sum(when(col("__in") === 1, col("x") / col("__pi"))
+          .otherwise(lit(0.0)))).as("ht_estimate"))
+      .withColumn("rel_err",
+        scoreOut(abs(col("ht_estimate") - col("true_total")) / col("true_total")))
+  }
+
+  /** Always-valid A/B monitoring via the mixture SPRT (Johari, Pekelis &
+    * Walsh — the "peeking problem" fix): the day-t statistic
+    * Λ_t = √(se²/(se²+τ²)) · exp(d²τ² / (2se²(se²+τ²))) over the
+    * CUMULATIVE arm difference d with standard error se, and the
+    * always-valid p_t = min(1, 1/max_{k≤t} Λ_k) — monotone by
+    * construction, so stopping the experiment the first day p < α keeps
+    * the false-positive rate at α no matter how often anyone peeks
+    * (fixed-n z-tests like q168 are only valid at their single
+    * preplanned look).
+    *
+    * Shape: events collapse to (day, arm) moment rows map-side; cumulative
+    * sums are arm-partitioned windows over the CALENDAR-sized table; the
+    * running max of Λ is one partition-less window over the same ~#days
+    * rows (named lint entry). d, se², Λ are rounded in sequence so the
+    * whole trajectory is engine-identical. */
+  def msprt(events: DataFrame, userCol: String, tsCol: String,
+            valueCol: String, tau: Double, alpha: Double,
+            scoreOut: Column => Column): DataFrame = {
+    require(tau > 0 && alpha > 0 && alpha < 1, s"bad tau=$tau alpha=$alpha")
+    val v = col(valueCol).cast("double")
+    val arm = when(conv(substring(md5(col(userCol).cast("string").cast("binary")), 1, 1),
+      16, 10).cast("int") < 8, "a").otherwise("b")
+    val daily = events
+      .select(to_date(col(tsCol)).as("d"), arm.as("arm"), v.as("x"))
+      .groupBy("d", "arm")
+      .agg(count(lit(1)).cast("double").as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("q"))
+    val wCum = Window.partitionBy("arm").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = daily
+      .withColumn("cn", sum("n").over(wCum))
+      .withColumn("cs", sum("s").over(wCum))
+      .withColumn("cq", sum("q").over(wCum))
+    def a(c: String) = max(when(col("arm") === "a", col(c)))
+    def b(c: String) = max(when(col("arm") === "b", col(c)))
+    val byDay = cum.groupBy("d")
+      .agg(a("cn").as("na"), b("cn").as("nb"),
+        a("cs").as("sa"), b("cs").as("sb"),
+        a("cq").as("qa"), b("cq").as("qb"))
+      .filter(col("na") >= 2 && col("nb") >= 2)
+      .withColumn("ma", col("sa") / col("na"))
+      .withColumn("mb", col("sb") / col("nb"))
+      .withColumn("diff", scoreOut(col("ma") - col("mb")))
+      .withColumn("se2", scoreOut(
+        (col("qa") / col("na") - col("ma") * col("ma")) / col("na") +
+          (col("qb") / col("nb") - col("mb") * col("mb")) / col("nb")))
+    val t2 = tau * tau
+    val lam = scoreOut(sqrt(col("se2") / (col("se2") + lit(t2))) *
+      exp(col("diff") * col("diff") * lit(t2) /
+        (lit(2.0) * col("se2") * (col("se2") + lit(t2)))))
+    val wMax = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    byDay
+      .withColumn("lambda", lam)
+      .withColumn("p_always_valid",
+        scoreOut(least(lit(1.0), lit(1.0) / max("lambda").over(wMax))))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        col("diff"), col("se2"), col("lambda"), col("p_always_valid"),
+        (col("p_always_valid") < alpha).cast("int").as("reject"))
+  }
+
   /** Upper-tail standard-normal probability P(X > x) for x ≥ 0, via the
     * Zelen–Severo polynomial (Abramowitz–Stegun 26.2.17, |ε| < 7.5e-8 —
     * well inside dec6 rounding). A plain column formula, so BOTH engines

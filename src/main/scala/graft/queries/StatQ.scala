@@ -1161,6 +1161,105 @@ object StatQ {
               |  ${r6("mn")} AS mae_naive, ${r6("1.0 - ma / mn")} AS skill
               |FROM ag ORDER BY series""".stripMargin)),
 
+    // Neyman optimal sampling allocation across event types: n_h ∝ N_h·σ_h
+    // — how a labeling/eval budget should actually be spent (vs the
+    // proportional share also reported). Stratum-sized output.
+    "q295_neyman_allocation" -> Q(
+      (s, d) => graft.operators.StatOps.neymanAllocation(
+          Tables.events(s, d), "event_type", "value", budget = 1000,
+          scoreOut = dec6)
+        .orderBy("stratum"),
+      Some(s"""WITH per AS (SELECT event_type AS stratum, count(*) AS n_rows,
+              |    ${r6("stddev_pop(CAST(value AS DOUBLE))")} AS sigma
+              |  FROM events GROUP BY 1),
+              |t AS (SELECT sum(n_rows * sigma) AS ns, sum(n_rows) AS nn
+              |  FROM per),
+              |sh AS (SELECT stratum, n_rows, sigma,
+              |    ${r6("n_rows * sigma / ns")} AS neyman_share,
+              |    ${r6("n_rows / CAST(nn AS DOUBLE)")} AS prop_share
+              |  FROM per, t)
+              |SELECT stratum, n_rows, sigma, neyman_share, prop_share,
+              |  CAST(floor(neyman_share * 1000 + 0.5) AS BIGINT) AS n_sample
+              |FROM sh ORDER BY stratum""".stripMargin)),
+
+    // Horvitz-Thompson total estimator under deterministic PPS Poisson
+    // sampling (Knuth-hash uniforms, the q132 convention): the
+    // unbiasedness identity every weighted sample rides, measured with
+    // its realized relative error. One scan, two scalar aggregates.
+    "q296_horvitz_thompson" -> Q(
+      (s, d) => graft.operators.StatOps.horvitzThompson(
+        Tables.documents(s, d), "doc_id", "n_chars", budget = 100,
+        scoreOut = dec6),
+      Some(s"""WITH base AS (SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS x
+              |  FROM documents WHERE n_chars > 0),
+              |t AS (SELECT sum(x) AS tx, count(*) AS n FROM base),
+              |w AS (SELECT id, x, tx, n,
+              |  ${r6("""((((id % 2147483648) * 2654435761) % 2147483647)
+              |    + 1.0) / 2147483648.0""")} AS u,
+              |  ${r6("least(1.0, 100.0 * x / tx)")} AS pi
+              |  FROM base, t),
+              |ag AS (SELECT CAST(max(n) AS BIGINT) AS n_total,
+              |  CAST(sum(CASE WHEN u < pi THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_sampled,
+              |  ${r6("max(tx)")} AS true_total,
+              |  ${r6("sum(CASE WHEN u < pi THEN x / pi ELSE 0.0 END)")}
+              |    AS ht_estimate
+              |  FROM w)
+              |SELECT n_total, n_sampled, true_total, ht_estimate,
+              |  ${r6("abs(ht_estimate - true_total) / true_total")} AS rel_err
+              |FROM ag""".stripMargin)),
+
+    // Always-valid A/B monitoring (mixture SPRT, tau=1): the peeking-safe
+    // p-value trajectory over cumulative md5-split arms — stop the first
+    // day p < 0.05 without inflating the false-positive rate; the
+    // sequential completion of the q168/q290 experimentation family.
+    "q297_msprt" -> Q(
+      (s, d) => graft.operators.StatOps.msprt(
+          Tables.events(s, d), "user_id", "ts", "value",
+          tau = 1.0, alpha = 0.05, scoreOut = dec6)
+        .orderBy("day"),
+      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+              |    CASE WHEN strpos('0123456789abcdef',
+              |      substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 < 8
+              |      THEN 'a' ELSE 'b' END AS arm,
+              |    CAST(count(*) AS DOUBLE) AS n,
+              |    sum(CAST(value AS DOUBLE)) AS s,
+              |    sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS q
+              |  FROM events GROUP BY 1, 2),
+              |cum AS (SELECT d, arm, sum(n) OVER w AS cn, sum(s) OVER w AS cs,
+              |    sum(q) OVER w AS cq
+              |  FROM daily WINDOW w AS (PARTITION BY arm ORDER BY d
+              |    ROWS UNBOUNDED PRECEDING)),
+              |byday AS (SELECT d,
+              |    max(CASE WHEN arm = 'a' THEN cn END) AS na,
+              |    max(CASE WHEN arm = 'b' THEN cn END) AS nb,
+              |    max(CASE WHEN arm = 'a' THEN cs END) AS sa,
+              |    max(CASE WHEN arm = 'b' THEN cs END) AS sb,
+              |    max(CASE WHEN arm = 'a' THEN cq END) AS qa,
+              |    max(CASE WHEN arm = 'b' THEN cq END) AS qb
+              |  FROM cum GROUP BY d),
+              |g AS (SELECT d, na, nb, sa / na AS ma, sb / nb AS mb, qa, qb
+              |  FROM byday WHERE na >= 2 AND nb >= 2),
+              |g2 AS (SELECT d, na, nb, ${r6("ma - mb")} AS diff,
+              |    ${r6("""(qa / na - ma * ma) / na
+              |      + (qb / nb - mb * mb) / nb""")} AS se2
+              |  FROM g),
+              |l AS (SELECT d, na, nb, diff, se2,
+              |    ${r6("""sqrt(se2 / (se2 + 1.0))
+              |      * exp(diff * diff / (2.0 * se2 * (se2 + 1.0)))""")}
+              |      AS lambda
+              |  FROM g2),
+              |p AS (SELECT d, na, nb, diff, se2, lambda,
+              |    ${r6("""least(1.0, 1.0 / max(lambda)
+              |      OVER (ORDER BY d ROWS UNBOUNDED PRECEDING))""")}
+              |      AS p_always_valid
+              |  FROM l)
+              |SELECT strftime(d, '%Y-%m-%d') AS day,
+              |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              |  diff, se2, lambda, p_always_valid,
+              |  CAST(p_always_valid < 0.05 AS INT) AS reject
+              |FROM p ORDER BY day""".stripMargin)),
+
     // t-digest quantile rollup — the unbounded-range twin of q141: per-day
     // digests (δ=100) probed at p50/p90/p99, plus the corpus row merged
     // FROM THE DAILY DIGEST ROWS in-plan (graft_tdigest_merge — the

@@ -55,6 +55,8 @@ class GlobalWindowLintSpec extends SparkSpec {
       "midranks over the distinct-value table (the q171 bound, k-group form); continuous-measure swap is pooled-quantile binning",
     "q284_bh_fdr" ->
       "BH rank over the test-FAMILY table: one row per completed test by construction (StatOps.bhFdr scale contract)",
+    "q297_msprt" ->
+      "running max of lambda over the day-cumulative table: calendar-bounded (#days rows)",
     "q237_quality_auc" ->
       "midranks over the distinct ROUNDED-score table (dec6 score in [0,1] caps it at 10^6+1 rows independent of corpus size)",
     "q242_vocab_growth" ->

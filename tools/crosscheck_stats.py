@@ -669,6 +669,36 @@ def main():
         print(f"{'PASS' if good else 'FAIL'} q290 cuped: theta={theta:.4f} "
               f"var_reduction={vr:.4f} vs {row.var_reduction}")
 
+    # --- mSPRT (q297): dense trajectory replay with numpy cumsums ---
+    ms = dump("q297_msprt")
+    if ms is not None:
+        import hashlib
+        ev = con.execute("SELECT CAST(ts AS DATE) d, user_id u, "
+                         "CAST(value AS DOUBLE) x FROM events ORDER BY d").df()
+        ev['arm'] = ev.u.map(lambda u: 'a' if int(
+            hashlib.md5(str(u).encode()).hexdigest()[0], 16) < 8 else 'b')
+        days = sorted(ev.d.unique())
+        r6 = lambda x: np.floor(x * 1e6 + 0.500618034) / 1e6
+        lam_max, good = 0.0, True
+        ms = ms.sort_values("day").reset_index(drop=True)
+        for i, day in enumerate(days):
+            sub = ev[ev.d <= day]
+            A, B = sub[sub.arm == 'a'].x, sub[sub.arm == 'b'].x
+            if len(A) < 2 or len(B) < 2:
+                continue
+            d_ = r6(A.mean() - B.mean())
+            se2 = r6(A.var(ddof=0) / len(A) + B.var(ddof=0) / len(B))
+            lam = r6(np.sqrt(se2 / (se2 + 1)) *
+                     np.exp(d_ * d_ / (2 * se2 * (se2 + 1))))
+            lam_max = max(lam_max, lam)
+            p = r6(min(1.0, 1.0 / lam_max))
+            row = ms.iloc[i]
+            good &= (abs(row['diff'] - d_) < 2e-6
+                     and abs(row.p_always_valid - p) < 2e-5)
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q297 msprt: dense cumulative "
+              f"replay over {len(ms)} days")
+
     # --- Yule-Walker AR(2) (q280): dense lagged-vector products ---
     yw = dump("q280_yule_walker_ar2")
     if yw is not None:
