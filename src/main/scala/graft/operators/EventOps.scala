@@ -874,6 +874,75 @@ object EventOps {
         scoreOut(sum("__credit")).as("revenue"))
   }
 
+  /** Shapley-value attribution (Shapley '53 applied à la Zhao '18) — the
+    * order-free, game-theoretic completion of the attribution family:
+    * last-touch (q216) over-credits closers, linear (q229) ignores
+    * synergy; the Shapley value φᵢ = Σ_{S⊆C∖{i}} |S|!(|C|−|S|−1)!/|C|! ·
+    * (v(S∪{i}) − v(S)) credits each channel its average marginal
+    * contribution across all join orders. The coalition value v(S) is
+    * the observed conversion rate among users whose touch set is
+    * EXACTLY S (unobserved sets contribute v = 0 — the standard
+    * simplified estimator; with it the efficiency axiom holds only up
+    * to coverage, which the output reports).
+    *
+    * Scale shape: users collapse map-side to one (mask, converted) row
+    * (bit per channel); v lives on a 2^|C|-row table and the Shapley
+    * sum is a tiny mask × channel join — the raw log is scanned ONCE.
+    * |C| is the channel VOCABULARY (≤ ~dozens), never data volume;
+    * past ~20 channels the 2^|C| table is the knob and the documented
+    * swap is sampled permutations. */
+  def shapleyAttribution(events: DataFrame, userCol: String, typeCol: String,
+                         channels: Seq[String], conversionType: String,
+                         scoreOut: Column => Column): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 16,
+      s"2^|C| table must stay bounded, got ${channels.size} channels")
+    require(!channels.contains(conversionType),
+      "the conversion event is not a credit channel")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val n = channels.size
+    val mask = channels.zipWithIndex.map { case (c, i) =>
+      when(max(when(col(typeCol) === c, 1).otherwise(0)) === 1,
+        lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(mask.as("mask"),
+        max((col(typeCol) === conversionType).cast("int")).as("conv"))
+    val v = perUser.groupBy("mask")
+      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"),
+        scoreOut(avg("conv")).as("v"))
+    // factorial weights by |S|, n ≤ 16 → exact longs
+    def fact(i: Int): Long = (1 to i).product.toLong
+    val wBySize = (0 until n).map(s =>
+      s -> fact(s) * fact(n - 1 - s).toDouble / fact(n))
+    val chan = channels.zipWithIndex
+      .map { case (c, i) => (c, 1 << i) }.toDF("channel", "bitval")
+    // every (channel, S without channel) pair over the tiny mask domain
+    val masks = (0 until (1 << n)).toDF("s")
+    val pairs = chan.crossJoin(masks)
+      .filter(col("s").bitwiseAND(col("bitval")) === 0)
+      .withColumn("s_with", col("s") + col("bitval"))
+    val wExpr = wBySize.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+      when(bit_count(col("s")) === s, lit(w)).otherwise(acc)
+    }
+    val vS = v.select(col("mask").as("s"), col("v").as("v_s"))
+    val vSi = v.select(col("mask").as("s_with"), col("v").as("v_si"))
+    val phi = pairs
+      .join(vS, Seq("s"), "left").join(vSi, Seq("s_with"), "left")
+      .withColumn("__w", wExpr)
+      .groupBy("channel")
+      .agg(scoreOut(sum(col("__w") *
+        (coalesce(col("v_si"), lit(0.0)) - coalesce(col("v_s"), lit(0.0)))))
+        .as("phi"))
+    val cover = v.agg(scoreOut(
+      sum(when(col("mask") =!= 0, col("n_conv"))).cast("double") /
+        sum(col("n_conv"))).as("__cov"))
+    phi.crossJoin(cover)
+      .select(col("channel"), col("phi"),
+        col("__cov").as("touched_conv_share"))
+  }
+
   /** Item-item collaborative similarity (the "users who touched X also
     * touched Y" table): binary user×item interactions → per-pair cosine
     * n_both / √(n_a·n_b) → top-`k` neighbors per item. The raw log

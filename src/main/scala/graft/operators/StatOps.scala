@@ -1293,6 +1293,49 @@ object StatOps {
         scoreOut(abs(col("ht_estimate") - col("true_total")) / col("true_total")))
   }
 
+  /** Difference-in-differences — the workhorse causal estimator when
+    * treatment wasn't randomized: (ȳ_treat,post − ȳ_treat,pre) −
+    * (ȳ_ctrl,post − ȳ_ctrl,pre) cancels both the group level difference
+    * and the common time trend (the parallel-trends assumption is the
+    * price). Here run as an A/A placebo over the md5 arms and the month
+    * halves — the estimate SHOULD be ≈ 0, which is exactly what makes it
+    * a standing pipeline health check for the split itself.
+    *
+    * One (arm, period)-keyed moment aggregate (4 cells), then pure
+    * arithmetic on the pivoted cell row; se via the four cell variances
+    * (Welch-style, no pooling). */
+  def diffInDiff(events: DataFrame, userCol: String, tsCol: String,
+                 valueCol: String, cutTs: String,
+                 scoreOut: Column => Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val cut = lit(cutTs).cast("timestamp")
+    val arm = when(conv(substring(md5(col(userCol).cast("string").cast("binary")), 1, 1),
+      16, 10).cast("int") < 8, "a").otherwise("b")
+    val cells = events
+      .select(arm.as("arm"),
+        when(col(tsCol) < cut, "pre").otherwise("post").as("period"), v.as("x"))
+      .groupBy("arm", "period")
+      .agg(count(lit(1)).cast("double").as("n"), avg("x").as("m"),
+        variance("x").as("s2"))
+    def cell(a: String, p: String, c: String) =
+      max(when(col("arm") === a && col("period") === p, col(c)))
+    val did = (cell("a", "post", "m") - cell("a", "pre", "m")) -
+      (cell("b", "post", "m") - cell("b", "pre", "m"))
+    val se = sqrt(
+      cell("a", "post", "s2") / cell("a", "post", "n") +
+        cell("a", "pre", "s2") / cell("a", "pre", "n") +
+        cell("b", "post", "s2") / cell("b", "post", "n") +
+        cell("b", "pre", "s2") / cell("b", "pre", "n"))
+    cells.agg(
+      cell("a", "pre", "n").cast("long").as("n_a_pre"),
+      cell("a", "post", "n").cast("long").as("n_a_post"),
+      cell("b", "pre", "n").cast("long").as("n_b_pre"),
+      cell("b", "post", "n").cast("long").as("n_b_post"),
+      scoreOut(did).as("did"), scoreOut(se).as("se"),
+      scoreOut(did / se).as("z"),
+      (abs(did / se) > 1.96).cast("int").as("significant_95"))
+  }
+
   /** Always-valid A/B monitoring via the mixture SPRT (Johari, Pekelis &
     * Walsh — the "peeking problem" fix): the day-t statistic
     * Λ_t = √(se²/(se²+τ²)) · exp(d²τ² / (2se²(se²+τ²))) over the

@@ -1260,6 +1260,98 @@ object StatQ {
               |  CAST(p_always_valid < 0.05 AS INT) AS reject
               |FROM p ORDER BY day""".stripMargin)),
 
+    // Shapley-value attribution over the four non-purchase channels —
+    // the order-free completion of the q216/q229/q241 attribution
+    // family: each channel's average marginal lift of the conversion
+    // rate across all coalition orders; v(S) from exact touch-set
+    // conversion rates, unobserved sets at 0 (simplified estimator).
+    "q298_shapley_attribution" -> Q(
+      (s, d) => graft.operators.EventOps.shapleyAttribution(
+          Tables.events(s, d), "user_id", "event_type",
+          channels = Seq("click", "view", "signup", "error"),
+          conversionType = "purchase", scoreOut = dec6)
+        .orderBy("channel"),
+      Some(s"""WITH pu AS (SELECT user_id,
+              |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c0,
+              |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+              |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c2,
+              |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c3,
+              |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              |      AS conv
+              |  FROM events GROUP BY 1),
+              |v AS (SELECT c0 + 2 * c1 + 4 * c2 + 8 * c3 AS mask,
+              |    count(*) AS n_users, sum(conv) AS n_conv,
+              |    ${r6("avg(conv)")} AS v
+              |  FROM pu GROUP BY 1),
+              |chan(channel, bitval) AS (VALUES ('click', 1), ('view', 2),
+              |  ('signup', 4), ('error', 8)),
+              |masks AS (SELECT unnest(generate_series(0, 15)) AS s),
+              |pairs AS (SELECT channel, s, s + bitval AS s_with,
+              |    CASE bit_count(s)
+              |      WHEN 0 THEN CAST(6 AS DOUBLE) / 24
+              |      WHEN 1 THEN CAST(2 AS DOUBLE) / 24
+              |      WHEN 2 THEN CAST(2 AS DOUBLE) / 24
+              |      ELSE CAST(6 AS DOUBLE) / 24 END AS w
+              |  FROM chan, masks WHERE (s & bitval) = 0),
+              |phi AS (SELECT channel,
+              |    ${r6("""sum(w * (coalesce(vi.v, 0.0)
+              |      - coalesce(vs.v, 0.0)))""")} AS phi
+              |  FROM pairs
+              |  LEFT JOIN v vs ON vs.mask = pairs.s
+              |  LEFT JOIN v vi ON vi.mask = pairs.s_with
+              |  GROUP BY channel),
+              |cov AS (SELECT ${r6("""CAST(sum(CASE WHEN mask <> 0
+              |    THEN n_conv END) AS DOUBLE) / sum(n_conv)""")} AS c
+              |  FROM v)
+              |SELECT channel, phi, c AS touched_conv_share
+              |FROM phi, cov ORDER BY channel""".stripMargin)),
+
+    // Difference-in-differences A/A placebo (md5 arms x month halves):
+    // the causal workhorse run as a standing split-health check — the
+    // estimate should be ~0 when the split is clean.
+    "q299_diff_in_diff" -> Q(
+      (s, d) => graft.operators.StatOps.diffInDiff(
+        Tables.events(s, d), "user_id", "ts", "value",
+        cutTs = "2024-01-16", scoreOut = dec6),
+      Some(s"""WITH cells AS (SELECT
+              |    CASE WHEN strpos('0123456789abcdef',
+              |      substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 < 8
+              |      THEN 'a' ELSE 'b' END AS arm,
+              |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'pre'
+              |      ELSE 'post' END AS period,
+              |    CAST(count(*) AS DOUBLE) AS n,
+              |    avg(CAST(value AS DOUBLE)) AS m,
+              |    var_samp(CAST(value AS DOUBLE)) AS s2
+              |  FROM events GROUP BY 1, 2),
+              |p AS (SELECT
+              |  max(CASE WHEN arm = 'a' AND period = 'pre' THEN n END) AS nap,
+              |  max(CASE WHEN arm = 'a' AND period = 'post' THEN n END) AS naq,
+              |  max(CASE WHEN arm = 'b' AND period = 'pre' THEN n END) AS nbp,
+              |  max(CASE WHEN arm = 'b' AND period = 'post' THEN n END) AS nbq,
+              |  max(CASE WHEN arm = 'a' AND period = 'pre' THEN m END) AS map,
+              |  max(CASE WHEN arm = 'a' AND period = 'post' THEN m END) AS maq,
+              |  max(CASE WHEN arm = 'b' AND period = 'pre' THEN m END) AS mbp,
+              |  max(CASE WHEN arm = 'b' AND period = 'post' THEN m END) AS mbq,
+              |  max(CASE WHEN arm = 'a' AND period = 'pre' THEN s2 END) AS sap,
+              |  max(CASE WHEN arm = 'a' AND period = 'post' THEN s2 END) AS saq,
+              |  max(CASE WHEN arm = 'b' AND period = 'pre' THEN s2 END) AS sbp,
+              |  max(CASE WHEN arm = 'b' AND period = 'post' THEN s2 END) AS sbq
+              |  FROM cells)
+              |SELECT CAST(nap AS BIGINT) AS n_a_pre,
+              |  CAST(naq AS BIGINT) AS n_a_post,
+              |  CAST(nbp AS BIGINT) AS n_b_pre,
+              |  CAST(nbq AS BIGINT) AS n_b_post,
+              |  ${r6("(maq - map) - (mbq - mbp)")} AS did,
+              |  ${r6("sqrt(saq / naq + sap / nap + sbq / nbq + sbp / nbp)")}
+              |    AS se,
+              |  ${r6("""((maq - map) - (mbq - mbp))
+              |    / sqrt(saq / naq + sap / nap + sbq / nbq + sbp / nbp)""")}
+              |    AS z,
+              |  CAST(abs(((maq - map) - (mbq - mbp))
+              |    / sqrt(saq / naq + sap / nap + sbq / nbq + sbp / nbp))
+              |    > 1.96 AS INT) AS significant_95
+              |FROM p""".stripMargin)),
+
     // t-digest quantile rollup — the unbounded-range twin of q141: per-day
     // digests (δ=100) probed at p50/p90/p99, plus the corpus row merged
     // FROM THE DAILY DIGEST ROWS in-plan (graft_tdigest_merge — the

@@ -206,6 +206,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(m(("i47", "i48")).getLong(2) == 1L)
   }
 
+  test("shapleyAttribution: hand-worked 2-channel game + efficiency axiom") {
+    // v(∅)=0 (4 users, 0 convert), v({A})=0.25, v({B})=0.5, v({A,B})=0.75
+    // → φ_A = ½(v(A)−v(∅)) + ½(v(AB)−v(B)) = 0.125 + 0.125 = 0.25
+    //   φ_B = ½(v(B)−v(∅)) + ½(v(AB)−v(A)) = 0.25  + 0.25  = 0.5
+    // all sets observed → efficiency holds: Σφ = v(AB) − v(∅) = 0.75
+    def u(id: Long, types: String*) = types.map(t => (id, t))
+    val rows = (
+      (1L to 4L).flatMap(i => u(i, "noise")) ++                // ∅, 0/4
+      (11L to 14L).flatMap(i => u(i, "A")) ++ u(11L, "conv") ++ // A, 1/4
+      (21L to 24L).flatMap(i => u(i, "B")) ++
+        u(21L, "conv") ++ u(22L, "conv") ++                     // B, 2/4
+      (31L to 34L).flatMap(i => u(i, "A", "B")) ++
+        u(31L, "conv") ++ u(32L, "conv") ++ u(33L, "conv")      // AB, 3/4
+    ).toDF("u", "t")
+    val out = EventOps.shapleyAttribution(rows, "u", "t",
+        channels = Seq("A", "B"), conversionType = "conv", scoreOut = dec6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("A" -> 0.25, "B" -> 0.5), s"got $out")
+  }
+
   test("growthAccounting: new/retained/resurrected/churned telescoping") {
     def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
     // weeks: w1=Jan1, w2=Jan8, w3=Jan15. u1 active w1,w2,w3 (new,

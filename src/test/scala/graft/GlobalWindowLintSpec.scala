@@ -148,6 +148,9 @@ class GlobalWindowLintSpec extends SparkSpec {
     "q184_sample_diversity" -> "pair table bounded by the sampling modulus (scaladoc'd)",
     "q220_knn_label_eval" ->
       "broadcast side is the vec_id % sampleMod query slice: pair table bounded by the modulus (the q184 contract)",
+    "q298_shapley_attribution" -> ("crossjoin of two LITERAL local " +
+      "relations: channels (|C| <= 16) x coalition masks (2^|C|) — " +
+      "channel-vocabulary-sized by construction, never data volume"),
     "q73_kiln_label" -> "interval side of the J3/J4 range join: maintenance-log-sized",
     "q75_training_matrix" -> "interval side of the range join: maintenance-log-sized"
   )
@@ -221,7 +224,7 @@ class GlobalWindowLintSpec extends SparkSpec {
     * (q184's diversity pair table never carries a hint, so it is
     * excluded). */
   private val allowHint: Map[String, String] =
-    (allowBnlj - "q184_sample_diversity") ++ Map(
+    (allowBnlj - "q184_sample_diversity" - "q298_shapley_attribution") ++ Map(
       "q03_join_agg" ->
         "broadcast sides are nation (25 rows) / region (5 rows): constant-size dims",
       "q199_rollup_revenue" ->
