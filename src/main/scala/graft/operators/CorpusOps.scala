@@ -1280,6 +1280,50 @@ object CorpusOps {
       .withColumn("violates", (col("n") < k).cast("int"))
   }
 
+  /** Burrows' Delta (Burrows '02) — the standard stylometric distance
+    * between text groups: z-score each group's relative frequency of the
+    * corpus's top-k words (function words dominate that head, and their
+    * rates are the classic authorship fingerprint), then Δ(a,b) = mean
+    * |z_a − z_b|. In a pipeline: which "sources" are actually the same
+    * generator/template farm — the style-level companion of the
+    * content-level q258 shingle overlap.
+    *
+    * Scale shape: one token scan collapses to (group, word) counts; the
+    * top-k head is a TakeOrdered over the vocabulary aggregate; the
+    * dense (group × k) grid, the per-word moments and the pairwise
+    * deltas all live on groups×k cells (vocabulary/domain-sized, never
+    * corpus rows). Zero-variance words drop (no style signal). */
+  def burrowsDelta(docs: DataFrame, groupCol: String, textCol: String,
+                   k: Int, scoreOut: Column => Column): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k in [2, 1000], got $k")
+    val tok = docs
+      .select(col(groupCol).as("g"),
+        explode(graft.operators.TextOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val counts = tok.groupBy("g", "w").agg(count(lit(1)).as("c")).persist()
+    val totals = counts.groupBy("g").agg(sum("c").as("tot"))
+    val top = counts.groupBy("w").agg(sum("c").as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(k)
+      .select("w")
+    val dense = totals.crossJoin(top)
+      .join(counts, Seq("g", "w"), "left")
+      .select(col("g"), col("w"),
+        (coalesce(col("c"), lit(0L)) / col("tot").cast("double")).as("f"))
+    val stats = dense.groupBy("w")
+      .agg(avg("f").as("mu"), stddev_pop("f").as("sd"))
+      .filter(col("sd") > 0)
+    val z = dense.join(stats, "w")
+      .select(col("g"), col("w"),
+        scoreOut((col("f") - col("mu")) / col("sd")).as("z"))
+    z.select(col("g").as("src_a"), col("w"), col("z").as("za"))
+      .join(z.select(col("g").as("src_b"), col("w"), col("z").as("zb")),
+        Seq("w"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_words"),
+        scoreOut(avg(abs(col("za") - col("zb")))).as("delta"))
+  }
+
   /** l-diversity audit (Machanavajjhala '06) — the attack k-anonymity
     * misses: a group can be large yet carry ONE sensitive value, so
     * membership alone discloses it (homogeneity attack). Each

@@ -1796,5 +1796,34 @@ object CorpusQ {
               |SELECT corpus, 50 AS k, ${r6("xk1")} AS x_threshold,
               |  ${r6("50.0 / (slog - 50.0 * ln(xk1))")} AS alpha
               |FROM h WHERE cnt = 51 ORDER BY corpus""".stripMargin)),
+
+    // Burrows' Delta stylometric distance between sources over the
+    // corpus's top-20 words — which "sources" share a generator/template
+    // (the style companion of q258's content overlap). z-scored word
+    // rates on the sources x 20 grid; pairwise mean |z_a - z_b|.
+    "q300_burrows_delta" -> Q(
+      (s, d) => graft.operators.CorpusOps.burrowsDelta(
+          Tables.documents(s, d), "source", "text", k = 20, scoreOut = dec6)
+        .orderBy("src_a", "src_b"),
+      Some(s"""WITH tok AS (SELECT source AS g,
+              |    unnest(string_split_regex(trim(text), '\\s+')) AS w
+              |  FROM documents),
+              |tok2 AS (SELECT g, w FROM tok WHERE len(w) > 0),
+              |counts AS (SELECT g, w, count(*) AS c FROM tok2 GROUP BY 1, 2),
+              |totals AS (SELECT g, sum(c) AS tot FROM counts GROUP BY 1),
+              |top AS (SELECT w FROM (SELECT w, sum(c) AS cw FROM counts
+              |  GROUP BY 1) ORDER BY cw DESC, w LIMIT 20),
+              |dense AS (SELECT t.g, top.w,
+              |    coalesce(c.c, 0) / CAST(t.tot AS DOUBLE) AS f
+              |  FROM totals t CROSS JOIN top
+              |  LEFT JOIN counts c ON c.g = t.g AND c.w = top.w),
+              |st AS (SELECT w, avg(f) AS mu, stddev_pop(f) AS sd
+              |  FROM dense GROUP BY 1),
+              |z AS (SELECT g, dense.w AS w, ${r6("(f - mu) / sd")} AS z
+              |  FROM dense JOIN st ON dense.w = st.w WHERE sd > 0)
+              |SELECT a.g AS src_a, b.g AS src_b, count(*) AS n_words,
+              |  ${r6("avg(abs(a.z - b.z))")} AS delta
+              |FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

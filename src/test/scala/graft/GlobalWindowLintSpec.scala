@@ -151,6 +151,9 @@ class GlobalWindowLintSpec extends SparkSpec {
     "q298_shapley_attribution" -> ("crossjoin of two LITERAL local " +
       "relations: channels (|C| <= 16) x coalition masks (2^|C|) — " +
       "channel-vocabulary-sized by construction, never data volume"),
+    "q300_burrows_delta" -> ("crossjoin of the source-domain totals table " +
+      "with the top-k word head (GlobalLimit k=20 subtree): groups x k " +
+      "cells, domain-sized by construction"),
     "q73_kiln_label" -> "interval side of the J3/J4 range join: maintenance-log-sized",
     "q75_training_matrix" -> "interval side of the range join: maintenance-log-sized"
   )
@@ -224,7 +227,8 @@ class GlobalWindowLintSpec extends SparkSpec {
     * (q184's diversity pair table never carries a hint, so it is
     * excluded). */
   private val allowHint: Map[String, String] =
-    (allowBnlj - "q184_sample_diversity" - "q298_shapley_attribution") ++ Map(
+    (allowBnlj - "q184_sample_diversity" - "q298_shapley_attribution"
+      - "q300_burrows_delta") ++ Map(
       "q03_join_agg" ->
         "broadcast sides are nation (25 rows) / region (5 rows): constant-size dims",
       "q199_rollup_revenue" ->
