@@ -93,6 +93,25 @@ object Bench {
     // artifact lets a reader separate contention from regression; the
     // queries_detail min is the load-robust statistic.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // Load GATE (round-9 lesson: a sweep started at loadavg 4.8 showed
+    // 3-6× "regressions" on code untouched since the prior round): wait
+    // for a quiet box before the first timed query, up to
+    // SPARK_GRAFT_LOAD_WAIT seconds (default 600), then proceed with a
+    // loud warning — the artifact's loadavg_start tells the reader
+    // whether the gate was satisfied. Disable with SPARK_GRAFT_LOAD_MAX=0.
+    val loadMax = sys.env.get("SPARK_GRAFT_LOAD_MAX").map(_.toDouble).getOrElse(2.0)
+    val loadWait = sys.env.get("SPARK_GRAFT_LOAD_WAIT").map(_.toInt).getOrElse(600)
+    if (loadMax > 0) {
+      var waited = 0
+      while (osBean.getSystemLoadAverage >= loadMax && waited < loadWait) {
+        System.err.println(
+          f"bench: loadavg ${osBean.getSystemLoadAverage}%.2f >= $loadMax%.1f — waiting for a quiet box ($waited/$loadWait s)")
+        Thread.sleep(30000); waited += 30
+      }
+      if (osBean.getSystemLoadAverage >= loadMax)
+        System.err.println(
+          f"bench: WARNING box never quieted (loadavg ${osBean.getSystemLoadAverage}%.2f) — timings are load-contaminated")
+    }
     val loadStart = osBean.getSystemLoadAverage
     val nCores = Runtime.getRuntime.availableProcessors()
     // two renderings of the same results: the STDOUT line is a SUMMARY

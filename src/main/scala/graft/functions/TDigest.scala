@@ -128,8 +128,12 @@ object TDigest {
 }
 
 /** Growable centroid buffer: raw points append until the buffer tops 8δ,
-  * then one compress pass folds them; min/max ride along exactly. */
-final class TDigestBuffer(val delta: Int) {
+  * then one compress pass folds them; min/max ride along exactly.
+  * `delta` is raisable (not fixed at construction) so the merge-rollup
+  * aggregate can adopt the resolution of the digests it is fed instead
+  * of silently re-compressing high-δ sketches at a coarser default. */
+final class TDigestBuffer(initialDelta: Int) {
+  var delta: Int = initialDelta
   var means: Array[Double] = new Array[Double](delta * 8)
   var weights: Array[Double] = new Array[Double](delta * 8)
   var n: Int = 0
@@ -152,6 +156,19 @@ final class TDigestBuffer(val delta: Int) {
     System.arraycopy(m, 0, means, 0, k)
     System.arraycopy(w, 0, weights, 0, k)
     n = k
+  }
+
+  /** Raise the compression delta to at least `d` (never lowers it, so a
+    * rollup over mixed-δ inputs lands on the finest resolution seen).
+    * Grows the append buffer to match; existing centroids are kept. */
+  def raiseDelta(d: Int): Unit = {
+    if (d > delta) {
+      delta = d
+      if (means.length < d * 8) {
+        means = java.util.Arrays.copyOf(means, d * 8)
+        weights = java.util.Arrays.copyOf(weights, d * 8)
+      }
+    }
   }
 }
 
@@ -227,13 +244,16 @@ case class TDigestMergeAgg(
   extends TypedImperativeAggregate[TDigestBuffer]
   with UnaryLike[Expression] {
 
+  // seed delta is only a floor: update/merge adopt the max delta seen in
+  // the input digests (raiseDelta), so rolling up δ=1000 sketches keeps
+  // δ=1000 accuracy instead of silently re-compressing at 100
   override def createAggregationBuffer(): TDigestBuffer = new TDigestBuffer(100)
 
   override def update(b: TDigestBuffer, row: InternalRow): TDigestBuffer = {
     val v = child.eval(row)
     if (v == null) return b
     val bb = ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
-    bb.getInt
+    b.raiseDelta(bb.getInt)
     val k = bb.getInt
     val mn = bb.getDouble
     val mx = bb.getDouble
@@ -247,6 +267,7 @@ case class TDigestMergeAgg(
   }
 
   override def merge(b: TDigestBuffer, o: TDigestBuffer): TDigestBuffer = {
+    b.raiseDelta(o.delta)
     var i = 0
     while (i < o.n) { b.add(o.means(i), o.weights(i)); i += 1 }
     if (o.min < b.min) b.min = o.min

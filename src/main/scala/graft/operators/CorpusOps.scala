@@ -500,9 +500,9 @@ object CorpusOps {
     // spread the single-row-group gate scan before the tokenizer HOF —
     // `toks` feeds THREE per-row-expensive consumers (tri/bi/uni), each
     // otherwise replaying the one-partition tokenize (groupOverlap
-    // precedent; no-op-sized rebalance on a pre-split corpus)
-    val toks = docs.select(col(idCol), col(textCol))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // precedent; gated on partition count so a pre-split corpus is not
+    // re-shuffled)
+    val toks = Spread.ifNarrow(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
     val mkTri = transform(
       sequence(lit(1), size(col("__t")) - lit(2)),
@@ -1558,10 +1558,11 @@ object CorpusOps {
     // partition (single row group), serializing it on one core (measured
     // 6.6 s single-task vs 0.8 s spread at sf0.1). Spreading the cheap
     // (group, text) projection first costs one tiny shuffle and buys the
-    // full core count for the expensive stage; a many-files 100 TB corpus
-    // arrives pre-split and the round-robin is then a no-op-sized rebalance.
-    val spread = docs.select(col(groupCol).as("g"), col(textCol).as("__t"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // full core count for the expensive stage; Spread.ifNarrow gates on
+    // the scan's partition count so a pre-split 100 TB corpus is not
+    // re-shuffled.
+    val spread = Spread.ifNarrow(
+      docs.select(col(groupCol).as("g"), col(textCol).as("__t")))
     val sets = spread
       .select(col("g"),
         explode(TextOps.shingles(TextOps.tokens(col("__t")), shingleN))

@@ -110,15 +110,13 @@ object DedupOps {
     * element (~10× slowdown — the repo's documented HOF pitfall). */
   private[graft] def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
                                         n: Int): DataFrame =
-    docs
-      .select(col(idCol), col(textCol))
-      // the shingle HOF pays CPU per ROW, and gate corpora arrive as ONE
-      // row group (= one scan partition) — spread the cheap (id, text)
-      // projection first so the expensive stage uses every core (the
-      // CorpusOps.groupOverlap precedent: 6.6 s single-task → 0.8 s). A
-      // many-files 100 TB corpus arrives pre-split; this is then a
-      // no-op-sized rebalance.
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // the shingle HOF pays CPU per ROW, and gate corpora arrive as ONE
+    // row group (= one scan partition) — spread the cheap (id, text)
+    // projection first so the expensive stage uses every core (the
+    // CorpusOps.groupOverlap precedent: 6.6 s single-task → 0.8 s).
+    // Spread.ifNarrow gates on the scan's partition count, so a
+    // pre-split 100 TB corpus is NOT re-shuffled.
+    Spread.ifNarrow(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
       .select(col(idCol), TextOps.hashedShingleSet(col("__t"), n).as("sh"))
       .select(col(idCol), explode_outer(col("sh")).as("h"))
@@ -472,7 +470,8 @@ object DedupOps {
     * unpaired docs are their own singleton cluster. */
   def nearDupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
                       maxIter: Int = 50,
-                      maxDriverEdges: Long = 1L << 22): DataFrame = {
+                      maxDriverEdges: Long = 1L << 22,
+                      reliableEvery: Int = 0): DataFrame = {
     // star-forest violations: a node sourcing >1 edge (cu > 1) or acting as
     // both source and target (cu >= 1 and more appearances than sourcings).
     // Zero violations <=> the edge set IS a star forest rooted at each
@@ -535,10 +534,14 @@ object DedupOps {
     var i = 0
     while (viol > 0 && ne > gate && i < maxIter) {
       // two fused rounds per action; only the final smallStar dedups (the
-      // intermediate rounds' min-windows are duplicate-insensitive)
+      // intermediate rounds' min-windows are duplicate-insensitive).
+      // Eager materialization either way: the probe's union reads the
+      // result twice. reliableEvery > 0 upgrades every k-th round to a
+      // durable checkpoint (fault-tolerance contract: Ckpt.step).
       val pre = snapIds
-      val next = smallStar(largeStar(smallStar(largeStar(edges), dedup = false)))
-        .localCheckpoint(true) // eager: the probe's union reads it twice
+      val next = Ckpt.step(
+        smallStar(largeStar(smallStar(largeStar(edges), dedup = false))),
+        i / 2 + 1, reliableEvery)
       val pr = probe(next)
       viol = pr._1; ne = pr._2
       val nextIds = snapIds -- pre

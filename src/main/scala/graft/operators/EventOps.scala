@@ -912,8 +912,10 @@ object EventOps {
     val v = perUser.groupBy("mask")
       .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"),
         scoreOut(avg("conv")).as("v"))
-    // factorial weights by |S|, n ≤ 16 → exact longs
-    def fact(i: Int): Long = (1 to i).product.toLong
+    // factorial weights by |S|, n ≤ 16 → exact longs (the product must
+    // accumulate in Long: Int overflows at 13!, silently corrupting the
+    // weights for the 13-16 channel range the require above permits)
+    def fact(i: Int): Long = (1L to i).product
     val wBySize = (0 until n).map(s =>
       s -> fact(s) * fact(n - 1 - s).toDouble / fact(n))
     val chan = channels.zipWithIndex

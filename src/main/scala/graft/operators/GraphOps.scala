@@ -45,11 +45,27 @@ object GraphOps {
     *    so the checkpoint preserves it and the next step's node-keyed
     *    joins reuse the partitioning without an extra exchange.
     *
+    * Regime selection: `broadcastRank = Some(b)` is a CALLER HINT that
+    * skips the probe job entirely — the caller usually knows whether the
+    * node universe is bounded (a vocabulary-keyed graph) or web-scale.
+    * With `None` (default) one node-count aggregate decides, and its
+    * collected value doubles as the literal N everywhere, so the rank
+    * state drops the __N carry column and rank0 loses its scalar
+    * crossjoin — the probe is folded into work the iteration needed
+    * anyway, never a count-only extra job.
+    *
+    * Fault tolerance: `reliableEvery` — see [[Ckpt.step]] (default 0 =
+    * every superstep localCheckpoints; set k > 0 plus a
+    * `setCheckpointDir` for durable snapshots every k supersteps on
+    * long cluster runs).
+    *
     * Returns (node, rank) — Σ rank = 1 up to float noise. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: String, damping: Double, iters: Int,
                scoreOut: Column => Column,
-               broadcastNodeLimit: Long = 1000000L): DataFrame = {
+               broadcastNodeLimit: Long = 1000000L,
+               broadcastRank: Option[Boolean] = None,
+               reliableEvery: Int = 0): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1,
       s"bad pagerank params: iters=$iters damping=$damping")
     // the merged edge table is the expensive subtree (it may sit on top
@@ -68,21 +84,43 @@ object GraphOps {
     val nodeTab = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     val nTab = nodeTab.agg(count(lit(1)).cast("double").as("__N"))
-    // one bounded metadata action decides the regime (node-scale count,
-    // served from the persisted edge table)
-    val bcastRank = nodeTab.count() <= broadcastNodeLimit
-    // rank carries N along so each step needs no fresh scalar crossjoin
-    val rank0 = nodeTab.crossJoin(nTab)
-      .select(col("node"), (lit(1.0) / col("__N")).as("r"), col("__N"))
-    var rank: DataFrame =
-      (if (bcastRank) rank0.coalesce(1) else rank0).localCheckpoint()
+    // hinted broadcast: zero probe jobs AND zero aggregate branch — the
+    // single fast-path partition computes N inside the same task that
+    // builds the vector. Hinted scale: N stays in-plan via the 1-row
+    // crossjoin. Auto: ONE aggregate job whose value serves both the
+    // regime decision and the literal N.
+    val (bcastRank, rank0) = broadcastRank match {
+      case Some(true) =>
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.catalyst.encoders.RowEncoder
+        import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+        val nt = nodeTab.coalesce(1)
+        val schema = StructType(nt.schema.fields ++ Seq(
+          StructField("r", DoubleType, nullable = false),
+          StructField("__N", DoubleType, nullable = false)))
+        (true, nt.mapPartitions { it =>
+          val rows = it.toArray
+          val n = rows.length.toDouble
+          rows.iterator.map(row => Row(row.get(0), 1.0 / n, n))
+        }(RowEncoder.encoderFor(schema)))
+      case Some(false) =>
+        (false, nodeTab.crossJoin(nTab)
+          .select(col("node"), (lit(1.0) / col("__N")).as("r"), col("__N")))
+      case None =>
+        val n = nTab.first().getDouble(0)
+        (n <= broadcastNodeLimit.toDouble, nodeTab
+          .select(col("node"), lit(1.0 / n).as("r"), lit(n).as("__N")))
+    }
+    var rank: DataFrame = (if (bcastRank) rank0.coalesce(1) else rank0)
+      .localCheckpoint()
     val srcSet0 = norm.select(col("src").as("node")).distinct()
     val srcSet = (if (bcastRank) srcSet0.coalesce(1) else srcSet0).persist()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val nxt = pageRankStep(norm, srcSet, rank, damping, bcastRank)
       // one job per superstep; O(1) lineage. Fast path re-collapses to
       // one partition; scale path keeps the join's node partitioning.
-      rank = (if (bcastRank) nxt.coalesce(1) else nxt).localCheckpoint()
+      rank = Ckpt.step(if (bcastRank) nxt.coalesce(1) else nxt,
+        i, reliableEvery)
     }
     rank.select(col("node"), scoreOut(col("r")).as("rank"))
   }
@@ -125,11 +163,16 @@ object GraphOps {
     * State is node-sized (node, hop); the frontier join shuffles on the
     * node key, never broadcasting anything unbounded.
     *
+    * Fault tolerance: `reliableEvery` — see [[Ckpt.step]] (default 0 =
+    * localCheckpoint every superstep; k > 0 plus a `setCheckpointDir`
+    * makes every k-th hop's state durable, bounding replay to k−1
+    * supersteps after an executor loss on long cluster runs).
+    *
     * Returns (node, hop) with hop = first-visit depth (= min hop, BFS
     * invariant), seeds at hop 0. */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
               seeds: Seq[Long], maxHops: Int,
-              directed: Boolean = false): DataFrame = {
+              directed: Boolean = false, reliableEvery: Int = 0): DataFrame = {
     require(maxHops >= 0 && maxHops <= 50, s"maxHops in [0,50], got $maxHops")
     val spark = edges.sparkSession
     import spark.implicits._
@@ -144,14 +187,13 @@ object GraphOps {
     var h = 1
     var done = false
     while (h <= maxHops && !done) {
-      val next = frontier.join(e, col("node") === col("s"))
+      val next = Ckpt.step(frontier.join(e, col("node") === col("s"))
         .select(col("d").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
-        .withColumn("hop", lit(h))
-        .localCheckpoint()
+        .withColumn("hop", lit(h)), h, reliableEvery)
       if (next.isEmpty) done = true
       else {
-        visited = visited.union(next).localCheckpoint()
+        visited = Ckpt.step(visited.union(next), h, reliableEvery)
         frontier = next
       }
       h += 1

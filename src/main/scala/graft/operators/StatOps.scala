@@ -1346,11 +1346,16 @@ object StatOps {
     * (fixed-n z-tests like q168 are only valid at their single
     * preplanned look).
     *
-    * Shape: events collapse to (day, arm) moment rows map-side; cumulative
-    * sums are arm-partitioned windows over the CALENDAR-sized table; the
-    * running max of Λ is one partition-less window over the same ~#days
-    * rows (named lint entry). d, se², Λ are rounded in sequence so the
-    * whole trajectory is engine-identical. */
+    * Shape: events collapse to (day, arm) moment rows map-side; the
+    * by-day table is built on the FULL day-calendar × arm grid (distinct
+    * days exploded to both arms, daily moments left-joined in) so a day
+    * on which one arm happens to record no events still emits a
+    * monitoring row — the cumulative sums ignore the grid's nulls,
+    * which IS the carry-forward. Cumulative sums are arm-partitioned
+    * windows over the calendar-sized table; the running max of Λ is one
+    * partition-less window over the same ~#days rows (named lint
+    * entry). d, se², Λ are rounded in sequence so the whole trajectory
+    * is engine-identical. */
   def msprt(events: DataFrame, userCol: String, tsCol: String,
             valueCol: String, tau: Double, alpha: Double,
             scoreOut: Column => Column): DataFrame = {
@@ -1363,9 +1368,13 @@ object StatOps {
       .groupBy("d", "arm")
       .agg(count(lit(1)).cast("double").as("n"), sum("x").as("s"),
         sum(col("x") * col("x")).as("q"))
+    // full calendar × arm grid: a generate (no join), 2·#days rows — a
+    // one-arm day must not drop out of the p trajectory
+    val grid = daily.select("d").distinct()
+      .select(col("d"), explode(array(lit("a"), lit("b"))).as("arm"))
     val wCum = Window.partitionBy("arm").orderBy("d")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = daily
+    val cum = grid.join(daily, Seq("d", "arm"), "left")
       .withColumn("cn", sum("n").over(wCum))
       .withColumn("cs", sum("s").over(wCum))
       .withColumn("cq", sum("q").over(wCum))

@@ -589,9 +589,14 @@ object LlmQ {
 
     // Isotonic calibration (PAVA) of the q228 score/label pair: fits the
     // monotone map score → P(keep) whose gap q228's fixed deciles only
-    // report. PAVA's stack pass is not SQL-expressible → rows-only;
-    // IsotonicSpec pins the hand-worked pooling, monotonicity, mass
-    // conservation, and the distinct-support collapse.
+    // report. The oracle replays the PAVA stack pass as a list-typed
+    // recursive CTE (the q215 precedent): one step per push-or-merge
+    // operation over the dec6 score support, terminal state = all rows
+    // consumed with no violating top pair. Block sums stay integer-valued
+    // doubles (counts and 0/1 label sums), so the merge trajectory is
+    // bit-exact cross-engine. IsotonicSpec additionally pins the
+    // hand-worked pooling, monotonicity, mass conservation, and the
+    // distinct-support collapse.
     "q276_isotonic_calibration" -> Q(
       (s, d) => {
         val stop = Seq("a", "the", "and", "of", "in", "to")
@@ -607,7 +612,62 @@ object LlmQ {
         graft.operators.StatOps.isotonicCalibration(scored, "q", "keep",
             scoreOut = dec6)
           .orderBy("score")
-      }),
+      },
+      Some(s"""WITH RECURSIVE $sqlToks,
+              |x AS (SELECT doc_id, t,
+              |  CAST(len(list_filter(t, y -> list_contains(
+              |    ['a', 'the', 'and', 'of', 'in', 'to'], y))) AS DOUBLE)
+              |    / len(t) AS ratio,
+              |  CASE WHEN len(t) > 0 THEN
+              |    CAST(list_max(list_transform(list_distinct(t),
+              |      x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t)
+              |  END AS tf,
+              |  CASE WHEN len(t) > 1 THEN
+              |    1.0 - CAST(len(list_distinct(list_transform(
+              |      generate_series(1, len(t) - 1),
+              |      i -> concat_ws(' ', t[i], t[i+1])))) AS DOUBLE) / (len(t) - 1)
+              |  ELSE 0.0 END AS dg
+              |  FROM toks),
+              |scored AS (SELECT
+              |  ${r6("least(1.0, len(t) / 200.0) * (1.0 - ratio)")} AS q,
+              |  CAST(${r6("tf")} <= 0.2 AND ${r6("dg")} <= 0.3 AS BIGINT) AS keep
+              |  FROM x),
+              |sup AS (SELECT q AS x, count(*) AS n,
+              |    CAST(sum(keep) AS DOUBLE) AS s,
+              |    row_number() OVER (ORDER BY q) AS rn
+              |  FROM scored GROUP BY q),
+              |pava AS (
+              |  SELECT 0 AS i,
+              |    CAST([] AS STRUCT(w DOUBLE, v DOUBLE, r INTEGER)[]) AS st
+              |  UNION ALL
+              |  SELECT CASE WHEN p.needmerge THEN p.i ELSE p.i + 1 END AS i,
+              |    CASE WHEN p.needmerge THEN list_append(p.st[1:len(p.st)-2],
+              |        {'w': p.st[-2].w + p.st[-1].w,
+              |         'v': p.st[-2].v + p.st[-1].v,
+              |         'r': p.st[-2].r + p.st[-1].r})
+              |      ELSE list_append(p.st,
+              |        {'w': CAST(nxt.n AS DOUBLE), 'v': nxt.s, 'r': 1})
+              |    END AS st
+              |  FROM (SELECT i, st, len(st) >= 2 AND
+              |          st[-2].v / st[-2].w > st[-1].v / st[-1].w AS needmerge
+              |        FROM pava) p
+              |  LEFT JOIN sup nxt ON nxt.rn = p.i + 1
+              |  WHERE p.needmerge OR nxt.rn IS NOT NULL),
+              |fin AS (SELECT st FROM pava
+              |  WHERE i = (SELECT count(*) FROM sup)
+              |    AND NOT (len(st) >= 2
+              |      AND st[-2].v / st[-2].w > st[-1].v / st[-1].w)),
+              |blocks AS (SELECT unnest(st) AS b,
+              |    generate_subscripts(st, 1) AS bi FROM fin),
+              |be AS (SELECT bi, b.w AS w, b.v AS v, b.r AS r,
+              |    sum(b.r) OVER (ORDER BY bi) AS rend FROM blocks),
+              |fit AS (SELECT v / w AS iso, rend - r + 1 AS rstart, rend
+              |  FROM be)
+              |SELECT sup.x AS score, CAST(sup.n AS BIGINT) AS n,
+              |  ${r6("sup.s / sup.n")} AS obs_rate,
+              |  ${r6("fit.iso")} AS iso_rate
+              |FROM sup JOIN fit ON sup.rn BETWEEN fit.rstart AND fit.rend
+              |ORDER BY score""".stripMargin)),
 
     // Cohen's kappa between the two cheap labelers (q51 quality >= 0.5 vs
     // q69 repetition keep): are they independent signals or the same

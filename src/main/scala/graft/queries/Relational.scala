@@ -437,8 +437,13 @@ object Relational {
           .join(broadcast(nc), col("c_nationkey") === col("__ck"))
           .join(broadcast(ns), col("s_nationkey") === col("__sk"))
           .select(col("src_nation"), col("dst_nation"), col("l_extendedprice"))
+        // caller hint: the node universe IS the nation vocabulary (≤ 25
+        // rows) — broadcast regime known at authoring time, so the probe
+        // aggregate job is skipped entirely (GraphOpsSpec pins the job
+        // count)
         graft.operators.GraphOps.pageRank(edges, "src_nation", "dst_nation",
-            "l_extendedprice", damping = 0.85, iters = 5, scoreOut = dec6)
+            "l_extendedprice", damping = 0.85, iters = 5, scoreOut = dec6,
+            broadcastRank = Some(true))
           .orderBy("node")
       },
       Some(s"""WITH e AS (SELECT cn.n_name AS src, sn.n_name AS dst,

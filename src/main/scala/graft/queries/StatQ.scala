@@ -1226,9 +1226,15 @@ object StatQ {
               |    sum(CAST(value AS DOUBLE)) AS s,
               |    sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS q
               |  FROM events GROUP BY 1, 2),
-              |cum AS (SELECT d, arm, sum(n) OVER w AS cn, sum(s) OVER w AS cs,
+              |grid AS (SELECT d, arm
+              |  FROM (SELECT DISTINCT d FROM daily)
+              |  CROSS JOIN (VALUES ('a'), ('b')) arms(arm)),
+              |cum AS (SELECT grid.d, grid.arm,
+              |    sum(n) OVER w AS cn, sum(s) OVER w AS cs,
               |    sum(q) OVER w AS cq
-              |  FROM daily WINDOW w AS (PARTITION BY arm ORDER BY d
+              |  FROM grid LEFT JOIN daily
+              |    ON daily.d = grid.d AND daily.arm = grid.arm
+              |  WINDOW w AS (PARTITION BY grid.arm ORDER BY grid.d
               |    ROWS UNBOUNDED PRECEDING)),
               |byday AS (SELECT d,
               |    max(CASE WHEN arm = 'a' THEN cn END) AS na,

@@ -1,0 +1,137 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-exponent probe: times the most expensive gate queries at the
+  * base SF and at a `factor`× synthetic blow-up, and reports the observed
+  * scaling exponent log(T_big/T_base)/log(factor) per query — the number
+  * that exposes a quadratic tail hiding below sf0.1 (a linear operator
+  * lands near 1.0, log-linear slightly above, an accidental all-pairs
+  * near 2.0; local-mode scheduling floors push cheap queries BELOW 1).
+  *
+  * The blow-up is `factor` disjoint shards of the base data, not `factor`
+  * identical copies: every entity key (order/cust/supp/part keys, doc,
+  * user, event, vec ids) is offset per shard so join multiplicities stay
+  * realistic (10 identical copies would square join outputs, measuring a
+  * self-inflicted blow-up, not scaling). Dimension vocabularies (nation,
+  * region, event_type, lang, source, label) are deliberately NOT sharded
+  * — at 100 TB the fact tables grow and the vocabularies do not. Document
+  * text gets a per-shard salt token appended so the dedup family does not
+  * see 10-clique artificial duplicate groups (within-shard dup structure
+  * is preserved: both members of a pair carry the same salt).
+  *
+  * Output: one JSON line {sf, factor, queries: {name: {t_base, t_big,
+  * exponent}}} — committed per round as SCALE_rN.json; any exponent
+  * > ~1.3 needs a named explanation or a fix (VERDICT r9 task 6). */
+object ScaleProbe {
+
+  /** Per-shard key offset — far above any base-table key range. */
+  private val Shard = 1L << 40
+
+  /** Columns that identify sharded ENTITIES (offset per copy); nation /
+    * region keys and categorical vocabularies stay fixed. */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders"     -> Seq("o_orderkey", "o_custkey"),
+    "customer"   -> Seq("c_custkey"),
+    "supplier"   -> Seq("s_suppkey"),
+    "part"       -> Seq("p_partkey"),
+    "events"     -> Seq("event_id", "user_id"),
+    "documents"  -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "nation"     -> Seq(),
+    "region"     -> Seq())
+
+  private def blowUp(spark: SparkSession, sfDir: String, outDir: String,
+                     factor: Int): Unit = {
+    val fs = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.exists(fs.resolve("_DONE"))) return
+    keyCols.foreach { case (table, keys) =>
+      val base = spark.read.parquet(s"$sfDir/$table.parquet")
+      val shards = (0 until (if (keys.isEmpty) 1 else factor)).map { i =>
+        val off = i.toLong * Shard
+        val shifted = keys.foldLeft(base) { (df, k) =>
+          df.withColumn(k, (col(k) + lit(off)).cast(df.schema(k).dataType))
+        }
+        if (table == "documents" && i > 0)
+          shifted.withColumn("text",
+            concat(col("text"), lit(s" shardsalt$i")))
+        else shifted
+      }
+      // spread across enough files that the blown-up scan parallelizes
+      // (the single-row-group trap): one file per shard at least
+      shards.reduce(_ unionByName _)
+        .repartition(math.max(factor, 8))
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+    java.nio.file.Files.createFile(fs.resolve("_DONE"))
+  }
+
+  /** The probe set: the bench sweep's most expensive queries plus one
+    * representative per heavy family (graph-iterative, all-pairs-risk
+    * dedup, window, join, ANN, corpus HOF). */
+  private val probes = Seq(
+    "q246_triangle_census",
+    "q233_trade_pagerank",
+    "q287_bfs_reach",
+    "q196_fuzzy_pairs",
+    "q244_hampel_despike",
+    "q30_lag_features",
+    "q104_range_binned",
+    "q65_neardup_clusters",
+    "q55_ngram_jaccard",
+    "q217_trigram_surprisal",
+    "q107_subseq_search",
+    "q110_ann_ivfpq",
+    "q247_item_neighbors",
+    "q283_sole_late_supplier")
+
+  private def timeOnce(spark: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution.toRdd
+      .foreachPartition((_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outPath = if (args.length > 1) args(1) else "SCALE_latest.json"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val bigDir = if (args.length > 3) args(3) else "/tmp/graft_scale_big"
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .config("spark.sql.codegen.cache.maxEntries", 10000)
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    blowUp(spark, sfDir, bigDir, factor)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val sel = only.fold(probes)(f => probes.filter(f))
+    val rows = sel.map { name =>
+      def best(dir: String): Double =
+        (1 to passes).map { _ =>
+          spark.sqlContext.clearCache()
+          timeOnce(spark, name, dir)
+        }.min
+      val tb = best(sfDir)
+      val tg = best(bigDir)
+      val exp = math.log(tg / tb) / math.log(factor.toDouble)
+      System.err.println(f"$name%-28s base $tb%7.2fs  big $tg%7.2fs  exp ${exp}%5.2f")
+      f""""$name":{"t_base":$tb%.3f,"t_big":$tg%.3f,"exponent":$exp%.3f}"""
+    }
+    val json = s"""{"sf":"$sfDir","factor":$factor,"passes":$passes,""" +
+      s""""queries":${rows.mkString("{", ",", "}")}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

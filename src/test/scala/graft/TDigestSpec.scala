@@ -69,6 +69,32 @@ class TDigestSpec extends SparkSpec {
     }
   }
 
+  test("rollup adopts the inputs' delta: high-res sketches stay high-res") {
+    VectorFunctions.register(spark)
+    // δ=1000 per-group digests over a wide uniform stream; a rollup that
+    // silently re-compressed at the merge buffer's seed δ=100 would land
+    // near 2δ=200 centroids — adopting the input δ keeps far more
+    val xs = (1 to 200000).map(i => ((i * 2654435761L) % 1000003).toDouble)
+    val merged = xs.toDF("v")
+      .withColumn("g", (col("v") % 8).cast("int"))
+      .groupBy("g")
+      .agg(call_function("graft_tdigest_agg", col("v"), lit(1000)).as("sk"))
+      .agg(call_function("graft_tdigest_merge", col("sk")))
+      .head().getAs[Array[Byte]](0)
+    val bb = java.nio.ByteBuffer.wrap(merged)
+    val outDelta = bb.getInt
+    val k = bb.getInt
+    assert(outDelta == 1000, s"merge must adopt the stored delta, got $outDelta")
+    assert(k > 400, s"rollup of delta=1000 digests kept only $k centroids")
+    // and the tail stays sharp
+    val sorted = xs.toArray.sorted
+    for (q <- Seq(0.5, 0.99, 0.999)) {
+      val est = TDigest.quantile(merged, q).asInstanceOf[Double]
+      assert(math.abs(rankOf(sorted, est) - q) < 0.005,
+        s"q=$q est $est rank err ${math.abs(rankOf(sorted, est) - q)}")
+    }
+  }
+
   test("the accuracy bound is repartition-invariant (bytes need not be)") {
     VectorFunctions.register(spark)
     val xs = (1 to 5000).map(i => (i % 997).toDouble)

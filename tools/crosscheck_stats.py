@@ -680,8 +680,11 @@ def main():
         days = sorted(ev.d.unique())
         r6 = lambda x: np.floor(x * 1e6 + 0.500618034) / 1e6
         lam_max, good = 0.0, True
-        ms = ms.sort_values("day").reset_index(drop=True)
-        for i, day in enumerate(days):
+        # key the dump by day VALUE, not position: if an early one-arm day
+        # is skipped by the len<2 guard below, positional pairing would
+        # read the wrong Spark row for every later day
+        ms = ms.set_index(ms.day.astype(str).str[:10])
+        for day in days:
             sub = ev[ev.d <= day]
             A, B = sub[sub.arm == 'a'].x, sub[sub.arm == 'b'].x
             if len(A) < 2 or len(B) < 2:
@@ -692,7 +695,11 @@ def main():
                      np.exp(d_ * d_ / (2 * se2 * (se2 + 1))))
             lam_max = max(lam_max, lam)
             p = r6(min(1.0, 1.0 / lam_max))
-            row = ms.iloc[i]
+            key = str(day)[:10]
+            if key not in ms.index:
+                good = False
+                break
+            row = ms.loc[key]
             good &= (abs(row['diff'] - d_) < 2e-6
                      and abs(row.p_always_valid - p) < 2e-5)
         ok &= good
