@@ -725,6 +725,20 @@ object CorpusQ {
              |FROM p GROUP BY pair
              |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin)),
 
+    // Full BPE tokenizer TRAINING (Sennrich ACL'16) — the count→merge→
+    // rewrite LOOP that q118's single pair-count step feeds: 25 merge
+    // rounds on the distinct-word vocab (corpus touched once; each round
+    // is one vocab-sized aggregate + one bounded argmax collect + one
+    // guarded rewrite, localCheckpointed — per-iteration plan shape in
+    // BpeOps scaladoc). Deterministic count-desc/lexicographic argmax →
+    // rows-only with BpeSpec pinning the hand-worked Sennrich example
+    // and tools/crosscheck_stats.py replaying the full 25-round loop in
+    // independent Python.
+    "q301_bpe_train" -> Q(
+      (s, d) => graft.operators.BpeOps.bpeTrain(
+          Tables.documents(s, d), "doc_id", "text", merges = 25)
+        .orderBy("rank")),
+
     // DSIR importance weights (Xie et al. NeurIPS'23): English docs stand in
     // for the target distribution; every non-English doc is scored by the
     // log-likelihood ratio of its hashed-bigram buckets under target vs raw

@@ -756,6 +756,11 @@ object ExtrasQ {
       },
       None),
 
+    // Mergeable histogram quantile rollup: per-day value sketches + the
+    // merged-corpus p50/p90/p99 — the quantile twin of the q106 HLL
+    // rollup. Rows-only: estimates are sketch-resolution-specific;
+    // HistogramSketchSpec pins the one-bin-width error bound, exact
+    // sketch-level merge, and repartition invariance.
     "q141_hist_quantiles" -> Q(
       (s, d) => graft.operators.EventOps.histQuantileRollup(
           Tables.events(s, d), "ts", "value",

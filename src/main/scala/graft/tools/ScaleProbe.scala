@@ -70,22 +70,31 @@ object ScaleProbe {
 
   /** The probe set: the bench sweep's most expensive queries plus one
     * representative per heavy family (graph-iterative, all-pairs-risk
-    * dedup, window, join, ANN, corpus HOF). */
-  private val probes = Seq(
-    "q246_triangle_census",
-    "q233_trade_pagerank",
-    "q287_bfs_reach",
-    "q196_fuzzy_pairs",
-    "q244_hampel_despike",
-    "q30_lag_features",
-    "q104_range_binned",
-    "q65_neardup_clusters",
-    "q55_ngram_jaccard",
-    "q217_trigram_surprisal",
-    "q107_subseq_search",
-    "q110_ann_ivfpq",
-    "q247_item_neighbors",
-    "q283_sole_late_supplier")
+    * dedup, window, join, ANN, corpus HOF), each with the blow-up factor
+    * it is measured at. Default 10×; the two CO-OCCURRENCE-BLOCKED
+    * queries are measured at 3× because their pair stage is quadratic in
+    * BLOCK DENSITY, not row count — their blocking keys (q246: hour ×
+    * event_type × k-decile; q196: length bucket) are vocabulary keys
+    * that do NOT shard, so a k× blow-up multiplies within-block pairs by
+    * k² (10× = 100× pair work, which this box's disk cannot shuffle).
+    * The probe's job is to EXHIBIT that ~2 exponent, and 3× does; the
+    * production fix at real scale is more blocking entropy or a
+    * per-block cap, not a bigger disk. */
+  private val probes: Seq[(String, Int)] = Seq(
+    "q246_triangle_census" -> 3,
+    "q233_trade_pagerank" -> 10,
+    "q287_bfs_reach" -> 10,
+    "q196_fuzzy_pairs" -> 3,
+    "q244_hampel_despike" -> 10,
+    "q30_lag_features" -> 10,
+    "q104_range_binned" -> 10,
+    "q65_neardup_clusters" -> 10,
+    "q55_ngram_jaccard" -> 10,
+    "q217_trigram_surprisal" -> 10,
+    "q107_subseq_search" -> 10,
+    "q110_ann_ivfpq" -> 10,
+    "q247_item_neighbors" -> 10,
+    "q283_sole_late_supplier" -> 10)
 
   private def timeOnce(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
@@ -97,8 +106,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outPath = if (args.length > 1) args(1) else "SCALE_latest.json"
-    val factor = if (args.length > 2) args(2).toInt else 10
-    val bigDir = if (args.length > 3) args(3) else "/tmp/graft_scale_big"
+    val bigRoot = if (args.length > 2) args(2) else "/tmp/graft_scale_big"
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -112,22 +120,40 @@ object ScaleProbe {
       .config("spark.driver.memory", "16g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    blowUp(spark, sfDir, bigDir, factor)
+    val factors = probes.map(_._2).distinct.sorted
+    val bigDirs = factors.map { f =>
+      val d = s"$bigRoot/x$f"
+      blowUp(spark, sfDir, d, f)
+      f -> d
+    }.toMap
+    // warm the session (codegen compiler, parquet readers, shuffle +
+    // broadcast machinery) so the FIRST timed pass measures the query,
+    // not JVM init — the Bench protocol's warmup block
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val rg = spark.read.parquet(s"$sfDir/region.parquet")
+      li.filter(col("l_quantity") > 0).groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("s")).orderBy("l_returnflag").count()
+      li.limit(1024).join(broadcast(rg),
+        li("l_orderkey") % 5 === rg("r_regionkey")).count()
+    } catch { case _: Throwable => () }
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val sel = only.fold(probes)(f => probes.filter(f))
-    val rows = sel.map { name =>
+    val sel = only.fold(probes)(f => probes.filter(p => f(p._1)))
+    val rows = sel.map { case (name, factor) =>
       def best(dir: String): Double =
         (1 to passes).map { _ =>
           spark.sqlContext.clearCache()
           timeOnce(spark, name, dir)
         }.min
       val tb = best(sfDir)
-      val tg = best(bigDir)
+      val tg = best(bigDirs(factor))
       val exp = math.log(tg / tb) / math.log(factor.toDouble)
-      System.err.println(f"$name%-28s base $tb%7.2fs  big $tg%7.2fs  exp ${exp}%5.2f")
-      f""""$name":{"t_base":$tb%.3f,"t_big":$tg%.3f,"exponent":$exp%.3f}"""
+      System.err.println(
+        f"$name%-28s base $tb%7.2fs  x$factor%-2d $tg%7.2fs  exp ${exp}%5.2f")
+      f""""$name":{"t_base":$tb%.3f,"t_big":$tg%.3f,"factor":$factor,""" +
+        f""""exponent":$exp%.3f}"""
     }
-    val json = s"""{"sf":"$sfDir","factor":$factor,"passes":$passes,""" +
+    val json = s"""{"sf":"$sfDir","passes":$passes,""" +
       s""""queries":${rows.mkString("{", ",", "}")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

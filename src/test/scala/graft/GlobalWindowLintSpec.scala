@@ -54,7 +54,7 @@ class GlobalWindowLintSpec extends SparkSpec {
     "q274_kruskal_wallis" ->
       "midranks over the distinct-value table (the q171 bound, k-group form); continuous-measure swap is pooled-quantile binning",
     "q284_bh_fdr" ->
-      "BH rank over the test-FAMILY table: one row per completed test by construction (StatOps.bhFdr scale contract)",
+      "BH rank over the test-FAMILY table: one row per completed test by construction (ExperimentOps.bhFdr scale contract)",
     "q297_msprt" ->
       "running max of lambda over the day-cumulative table: calendar-bounded (#days rows)",
     "q237_quality_auc" ->

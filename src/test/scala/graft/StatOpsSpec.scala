@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
-import graft.operators.{EventOps, StatOps}
+import graft.operators.{EventOps, ExperimentOps, StatOps}
 import graft.queries.Q.dec6
 
 /** Boundary semantics of the statistical operators (independent numpy
@@ -32,12 +32,12 @@ class StatOpsSpec extends SparkSpec {
 
   test("bootstrap CI brackets the point mean and is reproducible") {
     val ev = graft.sources.Tables.events(spark, sfTiny)
-    val r1 = StatOps.bootstrapMeanCi(ev, "value", b = 32, level = 0.95,
+    val r1 = ExperimentOps.bootstrapMeanCi(ev, "value", b = 32, level = 0.95,
       idCol = "event_id", scoreOut = dec6).head()
     val (mean, lo, hi) = (r1.getDouble(1), r1.getDouble(2), r1.getDouble(3))
     assert(lo < mean && mean < hi, s"CI [$lo, $hi] must bracket $mean")
     assert(hi - lo < mean, "CI implausibly wide for this sample size")
-    val r2 = StatOps.bootstrapMeanCi(ev.repartition(7), "value", b = 32,
+    val r2 = ExperimentOps.bootstrapMeanCi(ev.repartition(7), "value", b = 32,
       level = 0.95, idCol = "event_id", scoreOut = dec6).head()
     assert(r1.getDouble(2) == r2.getDouble(2) && r1.getDouble(3) == r2.getDouble(3),
       "hash-drawn replicates must be partition-invariant")
@@ -45,14 +45,14 @@ class StatOpsSpec extends SparkSpec {
 
   test("ab arms partition users deterministically; z is 0 when arms are identical") {
     val ev = graft.sources.Tables.events(spark, sfTiny)
-    val r = StatOps.abTest(ev, "user_id",
+    val r = ExperimentOps.abTest(ev, "user_id",
       successCond = col("event_type") === "purchase" && col("value") > 100, dec6)
       .head()
     val users = ev.select("user_id").distinct().count()
     assert(r.getLong(0) + r.getLong(1) == users, "arms must partition all users")
     // mirrored outcome: success independent of arm assignment parity check —
     // same cond, same data, re-run must be byte-identical
-    val r2 = StatOps.abTest(ev.repartition(5), "user_id",
+    val r2 = ExperimentOps.abTest(ev.repartition(5), "user_id",
       successCond = col("event_type") === "purchase" && col("value") > 100, dec6)
       .head()
     assert(r.toSeq == r2.toSeq, "assignment must be a pure function of user id")
@@ -265,7 +265,7 @@ class StatOpsSpec extends SparkSpec {
     // the z=0.5 test survives.
     val tests = Seq(("a", 5.0), ("b", 2.2), ("c", 1.6), ("d", 0.5))
       .toDF("k", "z")
-    val out = graft.operators.StatOps.bhFdr(tests, "k", "z", alpha = 0.25,
+    val out = graft.operators.ExperimentOps.bhFdr(tests, "k", "z", alpha = 0.25,
         scoreOut = dec6)
       .orderBy("rank").collect()
     assert(out.map(_.getAs[String]("test_key")).toSeq ==
@@ -274,7 +274,7 @@ class StatOpsSpec extends SparkSpec {
     // two-sided p of z=2.2 matches the textbook normal table to 4dp
     assert(math.abs(out(1).getAs[Double]("p") - 0.0278) < 5e-4)
     // no test qualifying → zero rejections (null kmax path)
-    val none = graft.operators.StatOps.bhFdr(
+    val none = graft.operators.ExperimentOps.bhFdr(
         Seq(("a", 0.1), ("b", 0.2)).toDF("k", "z"), "k", "z",
         alpha = 0.05, scoreOut = dec6).collect()
     assert(none.forall(_.getAs[Int]("reject") == 0))

@@ -706,6 +706,57 @@ def main():
         print(f"{'PASS' if good else 'FAIL'} q297 msprt: dense cumulative "
               f"replay over {len(ms)} days")
 
+    # --- BPE training (q301): full count-merge-rewrite loop replay ---
+    bp = dump("q301_bpe_train")
+    if bp is not None:
+        import re
+        from collections import Counter
+        txts = con.execute("SELECT text FROM documents").df().text
+        freq = Counter()
+        for t in txts:
+            # match Spark: trim() strips SPACES only; \s is the Java
+            # (ASCII) class, not python's unicode one
+            for w in re.split(r'[ \t\n\x0b\f\r]+', str(t).strip(' ')):
+                if w:
+                    freq[w] += 1
+        vocab = Counter()
+        for w, f in freq.items():
+            vocab[tuple(list(w) + ['</w>'])] += f
+        merges = []
+        for _ in range(len(bp)):
+            pc = Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += f
+            if not pc:
+                break
+            (a, b), cnt = min(pc.items(),
+                              key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            merges.append((a, b, a + b, cnt))
+            nv = Counter()
+            for syms, f in vocab.items():
+                out, p = [], None
+                for s in syms:
+                    if p is None:
+                        p = s
+                    elif p == a and s == b:
+                        out.append(a + b)
+                        p = None
+                    else:
+                        out.append(p)
+                        p = s
+                if p is not None:
+                    out.append(p)
+                nv[tuple(out)] += f
+            vocab = nv
+        bp = bp.sort_values("rank")
+        good = len(bp) == len(merges) and all(
+            (r.left, r.right, r.merged, int(r.cnt)) == m
+            for (_, r), m in zip(bp.iterrows(), merges))
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q301 bpe: {len(merges)}-round "
+              f"count-merge-rewrite loop replay matches exactly")
+
     # --- Yule-Walker AR(2) (q280): dense lagged-vector products ---
     yw = dump("q280_yule_walker_ar2")
     if yw is not None:
