@@ -272,4 +272,71 @@ object GraphOps {
               (col("deg").cast("double") * (col("deg") - lit(1))))
           .otherwise(lit(0.0))).as("clustering"))
   }
+
+  /** HITS hubs & authorities (Kleinberg '99) by `iters` unrolled
+    * mutual-reinforcement steps over a weighted directed edge list:
+    * h(u) ← Σ_{u→v} w·a(v), a(v) ← Σ_{u→v} w·h(u), each vector
+    * L1-normalized per step (Kleinberg's convergence to the principal
+    * eigenvectors of WWᵀ/WᵀW is norm-independent; L1 keeps both scores a
+    * probability-like mass, the PageRank convention here). The
+    * directional complement of [[pageRank]]: rank rewards being POINTED
+    * AT by rank; HITS separates pointing-well (hub) from being-pointed-at
+    * (authority) — on an event-transition graph, "what funnels flow"
+    * vs "what flow lands on".
+    *
+    * Same superstep shape and regimes as [[pageRank]]: parallel edges
+    * pre-merged and persisted; each iteration is one src-keyed and one
+    * dst-keyed edge⋈vector equi-join plus a scalar normalizer crossjoin
+    * (1-row aggregate — AQE broadcasts it); vectors are node-sized and
+    * [[Ckpt.step]]-materialized per step (O(1) lineage, `reliableEvery`
+    * for durable snapshots). `broadcastVec = Some(true)` is the bounded-
+    * vocabulary caller hint (the q233 convention) — the vector enters
+    * the edge joins broadcast; `Some(false)`/auto keeps it
+    * hash-partitioned for web-scale graphs.
+    *
+    * Returns (node, hub, authority), each column summing to 1; nodes
+    * with no out-edges (resp. in-edges) score 0 on that side. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           weightCol: String, iters: Int, scoreOut: Column => Column,
+           broadcastVec: Option[Boolean] = None,
+           broadcastNodeLimit: Long = 1000000L,
+           reliableEvery: Int = 0): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
+    val e = edges
+      .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(sum(col(weightCol).cast("double")).as("w"))
+      .persist()
+    val nodeTab = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    val bcast = broadcastVec.getOrElse(
+      nodeTab.count() <= broadcastNodeLimit)
+    def h(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    def l1norm(raw: DataFrame, c: String): DataFrame = {
+      val tot = raw.agg(sum(c).as("__tot"))
+      raw.crossJoin(tot).select(col("node"), (col(c) / col("__tot")).as(c))
+    }
+    val n0 = nodeTab.crossJoin(nodeTab.agg(count(lit(1)).cast("double").as("__N")))
+    var auth: DataFrame = (if (bcast) n0.coalesce(1) else n0)
+      .select(col("node"), (lit(1.0) / col("__N")).as("a"))
+      .localCheckpoint()
+    var hub: DataFrame = auth.select(col("node"), col("a").as("h"))
+    for (i <- 1 to iters) {
+      val hraw = e.join(h(auth), col("dst") === col("node"))
+        .groupBy(col("src").as("node")).agg(sum(col("w") * col("a")).as("h"))
+      hub = Ckpt.step(
+        { val n = l1norm(hraw, "h"); if (bcast) n.coalesce(1) else n },
+        i, reliableEvery)
+      val araw = e.join(h(hub), col("src") === col("node"))
+        .groupBy(col("dst").as("node")).agg(sum(col("w") * col("h")).as("a"))
+      auth = Ckpt.step(
+        { val n = l1norm(araw, "a"); if (bcast) n.coalesce(1) else n },
+        i, reliableEvery)
+    }
+    nodeTab
+      .join(hub, Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
+      .select(col("node"),
+        scoreOut(coalesce(col("h"), lit(0.0))).as("hub"),
+        scoreOut(coalesce(col("a"), lit(0.0))).as("authority"))
+  }
 }

@@ -576,4 +576,97 @@ object SeasonalOps {
     }
     perPeriod.reduce(_ unionAll _)
   }
+
+  /** Theta-method one-step backtest (Assimakopoulos & Nikolopoulos '00 —
+    * the M3-competition winner; Hyndman & Billah '03 showed it is SES
+    * with drift b/2): x̂_t = l_{t−1} + b/2 with l the SES level ([[ewma]],
+    * smoothing `alpha`) and b the per-hour OLS trend slope, scored
+    * against the naive x_{t−1} per the q291 backtest discipline — never
+    * ship a forecast without its naive baseline.
+    *
+    * The SES recursion is the linear [[scanSeries]] fold; the slope is
+    * one moment aggregate on the CENTERED hour index (the q187
+    * cancellation lesson), ROUNDED before the forecast arithmetic so
+    * x̂ is identical arithmetic on identical (rounded) doubles in both
+    * engines. The one-step lag is a series-partitioned window over the
+    * grid. Returns (series, n_hours, slope, mae_theta, mae_naive, skill).
+    */
+  def thetaBacktest(grid: DataFrame, seriesCol: String, tsCol: String,
+                    valueCol: String, alpha: Double,
+                    scoreOut: Column => Column): DataFrame = {
+    val lev = ewma(grid, seriesCol, tsCol, valueCol, alpha, scoreOut)
+    val slope = grid
+      .select(col(seriesCol),
+        floor(unix_timestamp(date_trunc("hour", col(tsCol))) / 3600L).as("idx"),
+        col(valueCol).cast("double").as("y"))
+      .groupBy(seriesCol)
+      .agg(avg("idx").as("__mi"), avg("y").as("__my"),
+        avg(col("idx") * col("y")).as("__mxy"),
+        avg(col("idx") * col("idx")).as("__mxx"))
+      .select(col(seriesCol),
+        scoreOut((col("__mxy") - col("__mi") * col("__my")) /
+          (col("__mxx") - col("__mi") * col("__mi"))).as("slope"))
+    val w = Window.partitionBy(seriesCol).orderBy(tsCol)
+    lev
+      .withColumn("__lp", lag("ewma", 1).over(w))
+      .withColumn("__xp", lag("x", 1).over(w))
+      .join(slope, seriesCol)
+      .filter(col("__lp").isNotNull)
+      .groupBy(seriesCol)
+      .agg(count(lit(1)).as("n_steps"),
+        first("slope").as("slope"),
+        avg(abs(col("x") - (col("__lp") + col("slope") / lit(2.0)))).as("__mt"),
+        avg(abs(col("x") - col("__xp"))).as("__mn"))
+      .select(col(seriesCol).as("series"), col("n_steps"), col("slope"),
+        scoreOut(col("__mt")).as("mae_theta"),
+        scoreOut(col("__mn")).as("mae_naive"),
+        scoreOut(lit(1.0) - col("__mt") / col("__mn")).as("skill"))
+  }
+
+  /** Croston's method for INTERMITTENT demand (Croston '72) — the
+    * forecaster for series that are mostly zero (spare parts, rare
+    * high-value events, error spikes), where SES over the raw series
+    * decays toward zero between demands and spikes on each one. Separate
+    * SES folds (smoothing `alpha`) over the demand SIZES z_i and the
+    * inter-demand INTERVALS p_i (in days); the demand-rate forecast is
+    * z_hat/p_hat per day.
+    *
+    * Occurrences collapse map-side to one (series, day, size) row per
+    * demand day; each series then reduces to ONE row carrying its sorted
+    * occurrence array — demand sequences are sparse by definition, so the
+    * array is occurrence-bounded, not event-bounded. Both folds run as
+    * Catalyst `aggregate` HOFs in fixed order ((1−α)·acc + α·x), so a
+    * DuckDB `list_reduce` replays them bit-for-bit. Init per Croston:
+    * z-SES starts at z_1, interval-SES at the first observed interval
+    * (series with < 2 demand days are dropped — no interval exists).
+    * Returns (series, n_demands, z_hat, p_hat, rate_per_day). */
+  def crostonForecast(events: DataFrame, seriesCol: String, tsCol: String,
+                      demandFilter: Column, alpha: Double,
+                      scoreOut: Column => Column): DataFrame = {
+    val daily = events.filter(demandFilter)
+      .select(col(seriesCol).as("series"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date")).as("day"))
+      .groupBy("series", "day").agg(count(lit(1)).cast("double").as("z"))
+    val packed = daily.groupBy("series")
+      .agg(sort_array(collect_list(struct(col("day"), col("z")))).as("occ"))
+      .filter(size(col("occ")) >= 2)
+      .select(col("series"), size(col("occ")).as("n_demands"),
+        transform(col("occ"), o => o.getField("z")).as("zs"),
+        transform(col("occ"), o => o.getField("day").cast("double")).as("ds"))
+    val a = lit(alpha)
+    def ses(arr: Column): Column =
+      aggregate(slice(arr, lit(2), size(arr)), element_at(arr, 1),
+        (acc, x) => (lit(1.0) - a) * acc + a * x)
+    val intervals = zip_with(
+      slice(col("ds"), lit(2), size(col("ds"))),
+      slice(col("ds"), lit(1), size(col("ds")) - 1),
+      (b, aa) => b - aa)
+    packed
+      .withColumn("__zh", ses(col("zs")))
+      .withColumn("__ph", ses(intervals))
+      .select(col("series"), col("n_demands"),
+        scoreOut(col("__zh")).as("z_hat"),
+        scoreOut(col("__ph")).as("p_hat"),
+        scoreOut(col("__zh") / col("__ph")).as("rate_per_day"))
+  }
 }

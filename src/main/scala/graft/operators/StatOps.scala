@@ -1186,4 +1186,102 @@ object StatOps {
         (abs(col("phi2")) < 1 && col("phi1") + col("phi2") < 1 &&
           col("phi2") - col("phi1") < 1).cast("int"))
   }
+
+  /** Ljung–Box portmanteau test per series: Q = n(n+2)·Σ_{k=1..h} ρ̂²_k/(n−k)
+    * over the hourly-mean collapse, χ²_h under the white-noise H₀ — the
+    * residual-diagnostics gate run AFTER any fit (q280 AR(2), q215
+    * Holt-Winters): leftover autocorrelation means the model left signal
+    * on the table. Box-Pierce without the (n+2)/(n−k) correction is
+    * anti-conservative at these n; Ljung's correction is the standard.
+    *
+    * Each ρ̂_k is the gap-robust lag-k autocovariance via an integer-hour
+    * equi-join on the persisted hourly collapse (the q174/q280 machinery —
+    * a missing hour drops the pair instead of pairing wrong neighbors),
+    * normalized by the global Σc² and ROUNDED before the Q sum so the
+    * derived statistic is pure arithmetic on rounded values. Scale: one
+    * hourly hash agg + h agg-sized self-joins on (series, idx) — the
+    * hourly table is grid-sized, never the raw event stream. */
+  def ljungBox(events: DataFrame, seriesCol: String, tsCol: String,
+               valueCol: String, maxLag: Int, crit: Double,
+               scoreOut: Column => Column): DataFrame = {
+    require(maxLag >= 1, s"need at least one lag, got $maxLag")
+    val hourly = events
+      .select(col(seriesCol).as("series"),
+        floor(unix_timestamp(date_trunc("hour", col(tsCol))) / 3600L).as("idx"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy("series", "idx").agg(avg("v").as("y"))
+      .persist()
+    val means = hourly.groupBy("series").agg(avg("y").as("__m"))
+    val c = hourly.join(means, "series")
+      .select(col("series"), col("idx"), (col("y") - col("__m")).as("c"))
+      .persist()
+    val c0 = c.groupBy("series")
+      .agg(count(lit(1)).cast("long").as("n_hours"),
+        sum(col("c") * col("c")).as("__c0"))
+    def rho(k: Int) = c
+      .join(c.select(col("series"), (col("idx") + k).as("idx"),
+          col("c").as("cl")),
+        Seq("series", "idx"))
+      .groupBy("series").agg(sum(col("c") * col("cl")).as(s"__ck$k"))
+    val withR = (1 to maxLag).foldLeft(c0)((acc, k) => acc.join(rho(k), "series"))
+    val rks = (1 to maxLag).map(k => scoreOut(col(s"__ck$k") / col("__c0")))
+    val n = col("n_hours").cast("double")
+    val qStat = rks.zipWithIndex.map { case (r, i) =>
+      r * r / (n - lit((i + 1).toDouble))
+    }.reduce(_ + _) * n * (n + lit(2.0))
+    withR.select(col("series"), col("n_hours"),
+      scoreOut(qStat).as("q_lb"), lit(maxLag).as("df"),
+      (scoreOut(qStat) <= crit).cast("int").as("white_noise"))
+  }
+
+  /** Durbin–Watson first-order residual autocorrelation per series:
+    * DW = Σ(e_t − e_{t−1})² / Σe_t² over the residuals of the per-series
+    * OLS time trend (the q187 fit) on the hourly-mean collapse — DW ≈
+    * 2(1−ρ₁), so < 1.5 flags positive autocorrelation (trend-fit standard
+    * errors are lies) and > 2.5 negative. The regression-residual
+    * complement of [[ljungBox]]'s raw-series portmanteau.
+    *
+    * The trend is fit on the CENTERED hour index (the q187
+    * epoch-cancellation lesson) and (slope, mean) are ROUNDED before the
+    * residuals, so e_t is identical arithmetic on identical doubles in
+    * both engines. Adjacent pairs come from the idx+1 equi-join — a gap
+    * hour drops the pair rather than differencing across it. Scale: one
+    * hourly hash agg, one moment agg, one agg-sized self-join. */
+  def durbinWatson(events: DataFrame, seriesCol: String, tsCol: String,
+                   valueCol: String, scoreOut: Column => Column): DataFrame = {
+    val hourly = events
+      .select(col(seriesCol).as("series"),
+        floor(unix_timestamp(date_trunc("hour", col(tsCol))) / 3600L).as("idx"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy("series", "idx").agg(avg("v").as("y"))
+      .persist()
+    val fit = hourly.groupBy("series")
+      .agg(count(lit(1)).cast("long").as("n_hours"),
+        avg("idx").as("__mi"), avg("y").as("__my"),
+        avg(col("idx") * col("y")).as("__mxy"),
+        avg(col("idx") * col("idx")).as("__mxx"))
+      .select(col("series"), col("n_hours"),
+        col("__mi"), scoreOut(col("__my")).as("__b0"),
+        scoreOut((col("__mxy") - col("__mi") * col("__my")) /
+          (col("__mxx") - col("__mi") * col("__mi"))).as("__b1"))
+    val resid = hourly.join(fit, "series")
+      .select(col("series"), col("idx"), col("n_hours"),
+        (col("y") - (col("__b0") + col("__b1") * (col("idx") - col("__mi"))))
+          .as("e"))
+      .persist()
+    val den = resid.groupBy("series")
+      .agg(first("n_hours").as("n_hours"), sum(col("e") * col("e")).as("__ss"))
+    val num = resid
+      .join(resid.select(col("series"), (col("idx") + 1).as("idx"),
+          col("e").as("ep")),
+        Seq("series", "idx"))
+      .groupBy("series")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum((col("e") - col("ep")) * (col("e") - col("ep"))).as("__sd"))
+    den.join(num, "series")
+      .select(col("series"), col("n_hours"), col("n_pairs"),
+        scoreOut(col("__sd") / col("__ss")).as("dw"),
+        scoreOut(lit(1.0) - col("__sd") / col("__ss") / lit(2.0)).as("rho1"),
+        (col("__sd") / col("__ss") < 1.5).cast("int").as("positive_autocorr"))
+  }
 }

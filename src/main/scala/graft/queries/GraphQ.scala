@@ -175,5 +175,57 @@ object GraphQ {
              |  WHERE bfs.hop < 3)
              |SELECT node, min(hop) AS hop FROM bfs
              |GROUP BY node ORDER BY node""".stripMargin)),
+
+    // HITS hubs & authorities (4 iterations, L1-normalized) over the
+    // event-transition graph (the q146 Markov edges: src → next event
+    // type, weight = transition count): hub = "what funnels flow",
+    // authority = "what flow lands on" — the directional decomposition
+    // PageRank's single score can't express. The node universe is the
+    // event-type vocabulary, so the vector-broadcast hint skips the
+    // probe job (the q233 convention). Oracle: the mutual-reinforcement
+    // recursion unrolled as one CTE pair per iteration.
+    "q306_hits" -> Q(
+      (s, d) => {
+        val edges = graft.operators.EventOps.markovTransitions(
+            Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+            scoreOut = identity)
+          .select(col("cur_state"), col("next_state"), col("n"))
+        graft.operators.GraphOps.hits(edges, "cur_state", "next_state", "n",
+            iters = 4, scoreOut = dec6, broadcastVec = Some(true))
+          .orderBy("node")
+      },
+      Some {
+        // AS MATERIALIZED: each iteration references its predecessor ~4×
+        // (join + scalar-subquery normalizers); inlined, the plan grows
+        // 4^iters copies of the base scan and DuckDB never finishes.
+        val steps = (1 to 4).map { i =>
+          val pa = if (i == 1) "a0" else s"a${i - 1}"
+          s"""hr$i AS MATERIALIZED (SELECT e.src AS node, sum(e.w * p.a) AS h
+             |  FROM e JOIN $pa p ON e.dst = p.node GROUP BY 1),
+             |h$i AS MATERIALIZED (SELECT node,
+             |  h / (SELECT sum(h) FROM hr$i) AS h FROM hr$i),
+             |ar$i AS MATERIALIZED (SELECT e.dst AS node, sum(e.w * p.h) AS a
+             |  FROM e JOIN h$i p ON e.src = p.node GROUP BY 1),
+             |a$i AS MATERIALIZED (SELECT node,
+             |  a / (SELECT sum(a) FROM ar$i) AS a FROM ar$i)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH x AS (SELECT event_type AS src,
+           |    lead(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS dst FROM events),
+           |e AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+           |  FROM x WHERE dst IS NOT NULL GROUP BY 1, 2),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |a0 AS (SELECT node,
+           |    1.0 / (SELECT count(*) FROM nodes) AS a FROM nodes),
+           |$steps
+           |SELECT n.node AS node,
+           |  ${r6("coalesce(h4.h, 0.0)")} AS hub,
+           |  ${r6("coalesce(a4.a, 0.0)")} AS authority
+           |FROM nodes n
+           |LEFT JOIN h4 ON n.node = h4.node
+           |LEFT JOIN a4 ON n.node = a4.node
+           |ORDER BY node""".stripMargin
+      }),
   )
 }

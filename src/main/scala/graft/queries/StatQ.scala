@@ -1006,5 +1006,77 @@ object StatQ {
           Tables.events(s, d), "ts", "value", delta = 100, scoreOut = dec6)
         .orderBy("day"),
       None),
+
+    // Ljung-Box portmanteau (h=6, χ²₆ 95% = 12.5916) per event type over
+    // the hourly means — the residual-diagnostics gate after any fit:
+    // leftover autocorrelation means the model left signal behind. Each
+    // ρ̂_k rides the gap-robust q174/q280 lag equi-join and is rounded
+    // before the Q sum.
+    "q304_ljung_box" -> Q(
+      (s, d) => graft.operators.StatOps.ljungBox(
+          Tables.events(s, d), "event_type", "ts", "value",
+          maxLag = 6, crit = 12.5916, scoreOut = dec6)
+        .orderBy("series"),
+      Some {
+        val rks = (1 to 6).map(k =>
+          s"""c$k AS (SELECT a.series AS series, sum(a.c * b.c) AS ck
+             |  FROM c a JOIN c b ON a.series = b.series
+             |    AND b.idx = a.idx + $k GROUP BY 1)""".stripMargin).mkString(",\n")
+        val joins = (1 to 6).map(k => s"JOIN c$k USING (series)").mkString(" ")
+        val qsum = (1 to 6).map(k =>
+          s"${r6(s"c$k.ck / c0.ss")} * ${r6(s"c$k.ck / c0.ss")} / (n - $k.0)")
+          .mkString(" + ")
+        s"""WITH hourly AS (SELECT event_type AS series,
+           |    CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT) AS idx,
+           |    avg(CAST(value AS DOUBLE)) AS y
+           |  FROM events GROUP BY 1, 2),
+           |m AS (SELECT series, avg(y) AS m FROM hourly GROUP BY 1),
+           |c AS (SELECT h.series AS series, idx, y - m.m AS c
+           |  FROM hourly h JOIN m USING (series)),
+           |c0 AS (SELECT series, CAST(count(*) AS BIGINT) AS n_hours,
+           |    sum(c * c) AS ss FROM c GROUP BY 1),
+           |$rks,
+           |q AS (SELECT c0.series AS series, c0.n_hours,
+           |    CAST(c0.n_hours AS DOUBLE) AS n, c0.ss, ${(1 to 6).map(k => s"c$k.ck AS ck$k").mkString(", ")}
+           |  FROM c0 $joins),
+           |f AS (SELECT series, n_hours,
+           |    ${r6(s"(${(1 to 6).map(k => s"${r6(s"ck$k / ss")} * ${r6(s"ck$k / ss")} / (n - $k.0)").mkString(" + ")}) * n * (n + 2.0)")} AS q_lb
+           |  FROM q)
+           |SELECT series, n_hours, q_lb, 6 AS df,
+           |  CAST(q_lb <= 12.5916 AS INT) AS white_noise
+           |FROM f ORDER BY series""".stripMargin
+      }),
+
+    // Durbin-Watson first-order residual autocorrelation per event type:
+    // DW over the residuals of the per-series OLS hourly trend (slope and
+    // intercept rounded BEFORE the residuals — identical arithmetic both
+    // engines); adjacent pairs via the idx+1 equi-join, so a gap hour
+    // drops the pair instead of differencing across it.
+    "q305_durbin_watson" -> Q(
+      (s, d) => graft.operators.StatOps.durbinWatson(
+          Tables.events(s, d), "event_type", "ts", "value", scoreOut = dec6)
+        .orderBy("series"),
+      Some(s"""WITH hourly AS (SELECT event_type AS series,
+              |    CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT) AS idx,
+              |    avg(CAST(value AS DOUBLE)) AS y
+              |  FROM events GROUP BY 1, 2),
+              |fit AS (SELECT series, CAST(count(*) AS BIGINT) AS n_hours,
+              |    avg(idx) AS mi, ${r6("avg(y)")} AS b0,
+              |    ${r6("""(avg(idx * y) - avg(idx) * avg(y))
+              |      / (avg(CAST(idx AS DOUBLE) * idx) - avg(idx) * avg(idx))""")} AS b1
+              |  FROM hourly GROUP BY 1),
+              |e AS (SELECT h.series AS series, idx, n_hours,
+              |    y - (b0 + b1 * (idx - mi)) AS e
+              |  FROM hourly h JOIN fit USING (series)),
+              |den AS (SELECT series, any_value(n_hours) AS n_hours,
+              |    sum(e * e) AS ss FROM e GROUP BY 1),
+              |num AS (SELECT a.series AS series, CAST(count(*) AS BIGINT) AS n_pairs,
+              |    sum((b.e - a.e) * (b.e - a.e)) AS sd
+              |  FROM e a JOIN e b ON a.series = b.series AND b.idx = a.idx + 1
+              |  GROUP BY 1)
+              |SELECT den.series AS series, n_hours, n_pairs,
+              |  ${r6("sd / ss")} AS dw, ${r6("1.0 - sd / ss / 2.0")} AS rho1,
+              |  CAST(sd / ss < 1.5 AS INT) AS positive_autocorr
+              |FROM den JOIN num USING (series) ORDER BY series""".stripMargin)),
   )
 }

@@ -713,6 +713,81 @@ object WindowQ {
            |SELECT ts, event_type, ${r6(s"${2.0 * wlen} * (1.0 - corr)")} AS dist2
            |FROM scored WHERE varx > 1e-12
            |ORDER BY dist2, event_type, ts LIMIT 10""".stripMargin
-      })
+      }),
+
+    // Theta-method one-step backtest (alpha = 0.25 — binary-exact
+    // coefficients, the q214 convention): SES level + OLS drift/2 scored
+    // against naive x_{t-1} per the q291 discipline. The oracle replays
+    // the SES recursion (q214's recursive CTE), fits the slope from the
+    // same rounded moments, and walks the same one-step lag join.
+    "q307_theta_backtest" -> Q(
+      (s, d) => graft.operators.SeasonalOps.thetaBacktest(
+          series(s, d).filter(col("v").isNotNull),
+          "event_type", "ts", "v", alpha = 0.25, scoreOut = dec6)
+        .orderBy("series"),
+      Some(s"""WITH RECURSIVE $sqlSeries,
+              |-- MATERIALIZED: the recursion re-evaluates g per step when
+              |-- inlined — 744 replays of the grid-window scan (~19 s → <1 s)
+              |g AS MATERIALIZED (SELECT ts, event_type, CAST(v AS DOUBLE) AS v,
+              |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts)
+              |    AS INT) AS r,
+              |  CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT) AS idx
+              |  FROM series WHERE v IS NOT NULL),
+              |rec(event_type, r, y) AS (
+              |  SELECT event_type, r, v FROM g WHERE r = 1
+              |  UNION ALL
+              |  SELECT g.event_type, g.r, 0.75 * rec.y + 0.25 * g.v
+              |  FROM rec JOIN g ON g.event_type = rec.event_type
+              |    AND g.r = rec.r + 1),
+              |sl AS (SELECT event_type,
+              |  ${r6("""(avg(idx * v) - avg(idx) * avg(v))
+              |    / (avg(CAST(idx AS DOUBLE) * idx) - avg(idx) * avg(idx))""")} AS slope
+              |  FROM g GROUP BY 1),
+              |l AS (SELECT event_type, r, ${r6("y")} AS lev FROM rec),
+              |x AS (SELECT g.event_type AS event_type, g.v AS x, l.lev AS lp,
+              |    gp.v AS xp
+              |  FROM g
+              |  JOIN l ON l.event_type = g.event_type AND l.r = g.r - 1
+              |  JOIN g gp ON gp.event_type = g.event_type AND gp.r = g.r - 1),
+              |ag AS (SELECT x.event_type AS series, count(*) AS n_steps,
+              |    any_value(slope) AS slope,
+              |    avg(abs(x - (lp + slope / 2.0))) AS mt,
+              |    avg(abs(x - xp)) AS mn
+              |  FROM x JOIN sl USING (event_type) GROUP BY 1)
+              |SELECT series, n_steps, slope, ${r6("mt")} AS mae_theta,
+              |  ${r6("mn")} AS mae_naive, ${r6("1.0 - mt / mn")} AS skill
+              |FROM ag ORDER BY series""".stripMargin)),
+
+    // Croston intermittent-demand forecast (alpha = 0.125 — binary-exact):
+    // daily counts of rare high-value events (value >= 300) are the demand
+    // sizes; separate SES folds over sizes and day-gaps give the
+    // rate-per-day forecast. The oracle replays both folds with
+    // list_reduce — DuckDB's fold order IS Spark's `aggregate` order.
+    "q308_croston" -> Q(
+      (s, d) => graft.operators.SeasonalOps.crostonForecast(
+          Tables.events(s, d), "event_type", "ts",
+          demandFilter = col("value").cast("double") >= 300.0,
+          alpha = 0.125, scoreOut = dec6)
+        .orderBy("series"),
+      Some(s"""WITH daily AS (SELECT event_type AS series,
+              |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+              |    CAST(count(*) AS DOUBLE) AS z
+              |  FROM events WHERE CAST(value AS DOUBLE) >= 300.0
+              |  GROUP BY 1, 2),
+              |packed AS (SELECT series,
+              |    list(z ORDER BY day) AS zs,
+              |    list(CAST(day AS DOUBLE) ORDER BY day) AS ds,
+              |    CAST(count(*) AS INT) AS n
+              |  FROM daily GROUP BY 1 HAVING count(*) >= 2),
+              |iv AS (SELECT series, n, zs,
+              |    list_transform(generate_series(2, n), i -> ds[i] - ds[i-1]) AS ivs
+              |  FROM packed),
+              |f AS (SELECT series, n AS n_demands,
+              |    list_reduce(zs, (acc, x) -> 0.875 * acc + 0.125 * x) AS zh,
+              |    list_reduce(ivs, (acc, x) -> 0.875 * acc + 0.125 * x) AS ph
+              |  FROM iv)
+              |SELECT series, n_demands, ${r6("zh")} AS z_hat,
+              |  ${r6("ph")} AS p_hat, ${r6("zh / ph")} AS rate_per_day
+              |FROM f ORDER BY series""".stripMargin)),
   )
 }
