@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Price-style series diagnostics: running-peak drawdown, Cutler's RSI,
+  * and MACD. The reference's feature stages stop at z-scores and drift
+  * (`feature_engineering.py`); these are the standard next indicators a
+  * monitoring pipeline layers on the same forward-filled grid, expressed
+  * the same way as [[WindowOps]] — per-series `partitionBy` windows (the
+  * long-layout scale contract: one series per partition group, never a
+  * global sort) plus, for MACD's coupled recursions, the linear
+  * collected-grid fold of [[SeasonalOps.ewma]].
+  */
+object FinanceOps {
+
+  /** Per-series maximum drawdown from the running peak: for each row the
+    * peak is `max(v)` over the unbounded-preceding frame; the drawdown is
+    * `peak − v` (absolute — always defined) and `(peak − v)/peak`
+    * (relative — NULL while the running peak is ≤ 0, where the ratio has
+    * no meaning). The reported trough is the EARLIEST row attaining the
+    * maximum ROUNDED absolute drawdown, so the argmax is deterministic
+    * cross-engine (the q282 rounded-argmax discipline).
+    *
+    * One window pass + one series-keyed aggregate — no self-joins, no
+    * global sort. Returns (series, n, peak_value, trough_value,
+    * trough_ts, max_dd_abs, max_dd_rel). */
+  def maxDrawdown(grid: DataFrame, seriesCol: String, tsCol: String,
+                  valueCol: String, scoreOut: Column => Column): DataFrame = {
+    val w = Window.partitionBy(seriesCol).orderBy(tsCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = grid
+      .select(col(seriesCol), col(tsCol), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__peak", max("__v").over(w))
+      .withColumn("__dd", scoreOut(col("__peak") - col("__v")))
+    val pick = Window.partitionBy(seriesCol)
+      .orderBy(col("__dd").desc, col(tsCol).asc)
+    dd.withColumn("__rk", row_number().over(pick))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(seriesCol)))
+      .filter(col("__rk") === 1)
+      .select(col(seriesCol), col("__n").as("n"),
+        scoreOut(col("__peak")).as("peak_value"),
+        scoreOut(col("__v")).as("trough_value"),
+        col(tsCol).as("trough_ts"),
+        col("__dd").as("max_dd_abs"),
+        scoreOut(when(col("__peak") > 0,
+          (col("__peak") - col("__v")) / col("__peak"))).as("max_dd_rel"))
+  }
+
+  /** Cutler's RSI (simple-moving-average form — the window-expressible
+    * variant; Wilder's original is an α=1/n EWMA, available by feeding
+    * the gain/loss columns through [[SeasonalOps.ewma]]): over the last
+    * `n` one-step diffs, RSI = 100 − 100/(1 + avgGain/avgLoss), with the
+    * all-gain degenerate case pinned to 100. Rows are emitted only once
+    * the diff window is FULL (`min_periods = n`, the W5 contract).
+    *
+    * Returns (series, ts, v, rsi). */
+  def rsiCutler(grid: DataFrame, seriesCol: String, tsCol: String,
+                valueCol: String, n: Int,
+                scoreOut: Column => Column): DataFrame = {
+    require(n >= 2, s"rsi window must be >= 2, got $n")
+    val ws = Window.partitionBy(seriesCol).orderBy(tsCol)
+    val wf = ws.rowsBetween(-(n - 1), 0)
+    grid
+      .select(col(seriesCol), col(tsCol), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("__d", col("v") - lag("v", 1).over(ws))
+      .withColumn("__g", greatest(col("__d"), lit(0.0)))
+      .withColumn("__l", greatest(-col("__d"), lit(0.0)))
+      .withColumn("__cnt", count("__d").over(wf))
+      .withColumn("__ag", avg("__g").over(wf))
+      .withColumn("__al", avg("__l").over(wf))
+      .filter(col("__cnt") === n)
+      .select(col(seriesCol), col(tsCol), col("v"),
+        scoreOut(when(col("__al") > 0,
+            lit(100.0) - lit(100.0) / (lit(1.0) + col("__ag") / col("__al")))
+          .otherwise(lit(100.0))).as("rsi"))
+  }
+
+  /** MACD(fast, slow, signal): three COUPLED exponential recursions —
+    * e_f and e_s over the values, the signal line over their difference —
+    * folded in ONE linear pass over each series' collected grid (the
+    * [[SeasonalOps.ewma]] scale contract: grid-bounded state per series,
+    * no partition-less window, no driver collect; a per-recursion
+    * `ewma()` call would collect the grid three times). α = 2/(span+1),
+    * seeds: e = x₁, signal = macd₁. Each step is fixed-order IEEE
+    * arithmetic, so a DuckDB recursive CTE carrying (e_f, e_s, sig)
+    * replays it bit-for-bit.
+    *
+    * Returns (series, ts, x, macd, signal, histogram). */
+  def macd(grid: DataFrame, seriesCol: String, tsCol: String,
+           valueCol: String, fast: Int = 12, slow: Int = 26,
+           signalSpan: Int = 9, scoreOut: Column => Column): DataFrame = {
+    require(fast < slow, s"fast span must be < slow, got $fast/$slow")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
+    val aF = 2.0 / (fast + 1); val aS = 2.0 / (slow + 1)
+    val aG = 2.0 / (signalSpan + 1)
+    val collected = grid
+      .select(col(seriesCol), col(tsCol).as("__t"),
+        col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+      .groupBy(seriesCol)
+      .agg(sort_array(collect_list(struct(col("__t"), col("__x")))).as("arr"))
+    val outSchema = StructType(collected.schema.fields ++ Seq(
+      StructField("__m", ArrayType(DoubleType), nullable = true),
+      StructField("__s", ArrayType(DoubleType), nullable = true)))
+    val withYs = collected.mapPartitions { it =>
+      it.map { r =>
+        val arr = r.getSeq[Row](1)
+        val xs = arr.map(_.getDouble(1))
+        val m = new Array[Double](xs.length)
+        val sg = new Array[Double](xs.length)
+        var eF = 0.0; var eS = 0.0
+        var i = 0
+        while (i < xs.length) {
+          val x = xs(i)
+          if (i == 0) { eF = x; eS = x } else {
+            eF = (1.0 - aF) * eF + aF * x
+            eS = (1.0 - aS) * eS + aS * x
+          }
+          m(i) = eF - eS
+          sg(i) = if (i == 0) m(0) else (1.0 - aG) * sg(i - 1) + aG * m(i)
+          i += 1
+        }
+        Row(r.get(0), arr, m, sg)
+      }
+    }(Encoders.row(outSchema))
+    withYs
+      .select(col(seriesCol),
+        explode(arrays_zip(col("arr"), col("__m"), col("__s"))).as("__z"))
+      .select(col(seriesCol), col("__z.arr.__t").as(tsCol),
+        col("__z.arr.__x").as("x"),
+        scoreOut(col("__z.__m")).as("macd"),
+        scoreOut(col("__z.__s")).as("signal"),
+        scoreOut(col("__z.__m") - col("__z.__s")).as("histogram"))
+  }
+}

@@ -339,4 +339,97 @@ object GraphOps {
         scoreOut(coalesce(col("h"), lit(0.0))).as("hub"),
         scoreOut(coalesce(col("a"), lit(0.0))).as("authority"))
   }
+
+  /** Adamic–Adar link prediction over an undirected edge list: for every
+    * NON-adjacent pair (u, w) sharing at least one neighbor,
+    * AA(u, w) = Σ_{v ∈ N(u)∩N(w)} 1/ln(deg v) — rare shared friends
+    * count more (Adamic & Adar '03). A shared neighbor has degree ≥ 2 by
+    * construction, so ln(deg) > 0 always.
+    *
+    * Wedge enumeration at the shared neighbor costs Σ_v deg(v)² — unlike
+    * [[triangleStats]] the degree-ordered orientation does NOT apply,
+    * because the pair (u, w) must be scored at EVERY common v, not a
+    * canonical one. The scale control is `maxDegree`: wedge CENTERS
+    * above it are skipped, the standard hub cap — a 10⁶-degree hub would
+    * contribute 10¹² wedges of weight 1/ln(10⁶) ≈ 0.07 each, a flood of
+    * near-zero evidence. Skipped hubs are still counted in every node's
+    * DEGREE (the cap prunes wedge centers, never the graph). The final
+    * anti-join removes already-adjacent pairs.
+    *
+    * Returns (node_a, node_b, n_common, aa_score), node_a < node_b. */
+  def adamicAdar(edges: DataFrame, aCol: String, bCol: String,
+                 maxDegree: Option[Long],
+                 scoreOut: Column => Column): DataFrame = {
+    val canon = edges.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist()
+    val sym = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val centers = maxDegree.fold(deg)(cap => deg.filter(col("deg") <= cap))
+    // wedges keyed at the center v: (v, u) ⋈ (v, w), u < w — each
+    // unordered pair scored once per shared neighbor
+    val byCenter = sym.select(col("u").as("ctr"), col("v").as("leaf"))
+      .join(centers.select(col("node").as("ctr"),
+        (lit(1.0) / log(col("deg").cast("double"))).as("__w")), "ctr")
+    val pairs = byCenter.select(col("ctr"), col("leaf").as("na"), col("__w"))
+      .join(byCenter.select(col("ctr"), col("leaf").as("nb")), Seq("ctr"))
+      .filter(col("na") < col("nb"))
+      .groupBy(col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_common"), sum("__w").as("__aa"))
+    pairs
+      .join(canon, col("na") === col("u") && col("nb") === col("v"),
+        "left_anti")
+      .select(col("na").as("node_a"), col("nb").as("node_b"),
+        col("n_common"), scoreOut(col("__aa")).as("aa_score"))
+  }
+
+  /** k-core of an undirected graph: the maximal subgraph where every
+    * node keeps degree ≥ k, by the standard iterative peel — drop
+    * sub-k nodes, recompute degrees on the induced subgraph, repeat to
+    * fixpoint (Seidman '83; convergence ≤ #nodes rounds, in practice a
+    * handful). Each round is one degree aggregate + two semi-joins, all
+    * keyed on node ids; surviving-edge state is [[Ckpt.step]]-
+    * materialized per round (the Pregel discipline — and the same
+    * `reliableEvery` fault contract). The per-round `count()` on the
+    * node-sized degree table is the fixpoint test — one scalar job per
+    * round, the honest cost of a data-dependent loop.
+    *
+    * Returns the surviving (node, degree) — degree within the core. */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxRounds: Int = 50, reliableEvery: Int = 0): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    var e = edges.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var keepCount = -1L
+    var round = 1
+    var deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    var done = false
+    while (round <= maxRounds && !done) {
+      val keep = deg.filter(col("degree") >= k).persist()
+      val n = keep.count()
+      if (n == keepCount || n == 0) done = true
+      else {
+        keepCount = n
+        e = Ckpt.step(
+          e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+            .join(keep.select(col("node").as("v")), Seq("v"), "left_semi"),
+          round, reliableEvery)
+        deg = e.select(col("u").as("node"))
+          .unionAll(e.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("degree"))
+      }
+      round += 1
+    }
+    deg.filter(col("degree") >= k)
+  }
 }

@@ -1284,4 +1284,150 @@ object StatOps {
         scoreOut(lit(1.0) - col("__sd") / col("__ss") / lit(2.0)).as("rho1"),
         (col("__sd") / col("__ss") < 1.5).cast("int").as("positive_autocorr"))
   }
+
+  /** Wald–Wolfowitz runs test per series on the SIGNS of the one-step
+    * hourly diffs: randomness of up/down moves, the sign-level complement
+    * of [[durbinWatson]]'s magnitude-level ρ₁. Zero diffs are dropped
+    * (the classical reduction), then R = 1 + #sign-changes over the
+    * remaining sequence; under H₀, R ~ N(μ, σ²) with
+    * μ = 2·n₊·n₋/(n₊+n₋) + 1 and the standard variance. Too few runs ⇒
+    * trending; too many ⇒ mean-reverting.
+    *
+    * Scale: one hourly hash agg, two per-series window passes (diff,
+    * then adjacent-sign change over the zero-filtered sequence), one
+    * series-keyed aggregate. Returns (series, n_plus, n_minus, runs,
+    * z_runs, random at |z| ≤ 1.96). */
+  def runsTest(events: DataFrame, seriesCol: String, tsCol: String,
+               valueCol: String, scoreOut: Column => Column): DataFrame = {
+    val hourly = events
+      .select(col(seriesCol).as("series"),
+        date_trunc("hour", col(tsCol)).as("h"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy("series", "h").agg(avg("v").as("y"))
+    val ws = Window.partitionBy("series").orderBy("h")
+    val signs = hourly
+      .withColumn("__d", col("y") - lag("y", 1).over(ws))
+      .filter(col("__d") =!= 0.0) // drops nulls (first row) and ties
+      .withColumn("__s", when(col("__d") > 0, 1).otherwise(-1))
+      .withColumn("__chg",
+        (col("__s") =!= lag("__s", 1).over(ws)).cast("int"))
+    val agg = signs.groupBy("series").agg(
+      sum(when(col("__s") === 1, 1L).otherwise(0L)).as("n_plus"),
+      sum(when(col("__s") === -1, 1L).otherwise(0L)).as("n_minus"),
+      (coalesce(sum("__chg"), lit(0L)) + lit(1L)).as("runs"))
+    val n1 = col("n_plus").cast("double"); val n2 = col("n_minus").cast("double")
+    val nn = n1 + n2
+    val mu = lit(2.0) * n1 * n2 / nn + lit(1.0)
+    val v2 = (lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nn)) /
+      (nn * nn * (nn - lit(1.0)))
+    val z = (col("runs").cast("double") - mu) / sqrt(v2)
+    agg.filter(col("n_plus") >= 1 && col("n_minus") >= 1 && nn > 1)
+      .select(col("series"), col("n_plus"), col("n_minus"), col("runs"),
+        scoreOut(z).as("z_runs"),
+        (abs(scoreOut(z)) <= 1.96).cast("int").as("random"))
+  }
+
+  /** Anderson–Darling test for EXPONENTIALITY of inter-arrival gaps per
+    * series — "are arrivals Poisson?", the distribution-shape upgrade of
+    * q261's Weibull moment fit. With F(x) = 1 − e^{−x/mean} and the
+    * one-sided identity A² = −n − (1/n)·Σᵢ[(2i−1)·ln F(xᵢ) +
+    * (2(n−i)+1)·ln(1−F(xᵢ))] over the ASCENDING order statistics, the
+    * n+1−i pairing folds away, so one rank pass + one aggregate suffices
+    * (no self-join). The Stephens small-sample correction for the
+    * estimated-mean case scales by (1 + 0.6/n); reject at the 5% point
+    * 1.341 (d'Agostino & Stephens table 4.14).
+    *
+    * Zero gaps (duplicate timestamps) are dropped — F(0) = 0 would send
+    * ln F to −∞. The gap mean is ROUNDED before F so both engines
+    * exponentiate identical doubles. Scale: per-series window diff +
+    * rank, then one aggregate; the rank is per-series (long-layout, no
+    * global sort). */
+  def adExponentiality(events: DataFrame, seriesCol: String, tsCol: String,
+                       scoreOut: Column => Column): DataFrame = {
+    val ws = Window.partitionBy("series").orderBy("ts")
+    val gaps = events
+      .select(col(seriesCol).as("series"), col(tsCol).as("ts"))
+      // timestamp→double keeps sub-second precision (micros/1e6), the
+      // same value DuckDB's epoch() reports — unix_timestamp would floor
+      // to whole seconds and disagree on sub-second arrivals
+      .withColumn("__gap",
+        col("ts").cast("double") - lag("ts", 1).over(ws).cast("double"))
+      .filter(col("__gap") > 0)
+    val withMean = gaps
+      .join(gaps.groupBy("series").agg(
+          count(lit(1)).cast("long").as("n_gaps"),
+          avg("__gap").as("__mg")), "series")
+      .withColumn("__m", scoreOut(col("__mg")))
+    val wr = Window.partitionBy("series").orderBy("__gap", "ts")
+    val ranked = withMean
+      .withColumn("__i", row_number().over(wr).cast("double"))
+      // clamp: a gap hundreds of means out underflows exp to 0 and sends
+      // ln(1−F) to −∞; pin F strictly inside (0,1) — mirrored in oracles
+      .withColumn("__z", least(lit(1.0) - lit(1e-15),
+        lit(1.0) - exp(-col("__gap") / col("__m"))))
+    val n = col("n_gaps").cast("double")
+    val term = (lit(2.0) * col("__i") - lit(1.0)) * log(col("__z")) +
+      (lit(2.0) * (n - col("__i")) + lit(1.0)) * log(lit(1.0) - col("__z"))
+    ranked.groupBy("series")
+      .agg(first("n_gaps").as("n_gaps"), first("__m").as("mean_gap_s"),
+        (-first(n) - sum(term) / first(n)).as("__a2"))
+      .select(col("series"), col("n_gaps"), col("mean_gap_s"),
+        scoreOut(col("__a2")).as("a2"),
+        scoreOut(col("__a2") * (lit(1.0) + lit(0.6) / col("n_gaps"))).as("a2_mod"),
+        (scoreOut(col("__a2") * (lit(1.0) + lit(0.6) / col("n_gaps"))) >
+          1.341).cast("int").as("reject_exponential"))
+  }
+
+  /** Cliff's delta effect size for every series pair: δ = P(a > b) −
+    * P(a < b), the scale-free ordinal effect the Mann-Whitney p-value
+    * (q171) doesn't report — at gate/production n, EVERYTHING is
+    * "significant"; δ says whether anyone should care. Computed from
+    * midranks, never the O(n·m) pairwise matrix: with R₁ the rank-sum of
+    * group a in the combined ordering, U₁ = R₁ − n₁(n₁+1)/2 counts
+    * a-over-b pairs (ties half) and δ = 2U₁/(n₁n₂) − 1. |δ| bands:
+    * negligible < 0.147 ≤ small < 0.33 ≤ medium < 0.474 ≤ large
+    * (Romano et al. 2006).
+    *
+    * One midrank pass per pair member via a shared rank table: rank the
+    * POOLED column once (rank partitioned by nothing would be a global
+    * sort — instead ranks are per-PAIR over the pair's union, built from
+    * a pair-exploded table keyed (pair, group), so the sort is
+    * per-partition-group). Pairs are the k² series combinations of a
+    * BOUNDED series universe (event types — dozens, not data-sized). */
+  def cliffsDelta(events: DataFrame, seriesCol: String, valueCol: String,
+                  scoreOut: Column => Column): DataFrame = {
+    val base = events.select(col(seriesCol).as("g"),
+      col(valueCol).cast("double").as("v")).filter(col("v").isNotNull)
+    val pairs = base.select(col("g").as("ga")).distinct()
+      .crossJoin(base.select(col("g").as("gb")).distinct())
+      .filter(col("ga") < col("gb"))
+    // explode each row into every pair its group participates in:
+    // row volume = n_rows × (k−1), the same blow-up the pairwise rank
+    // tests (q178/q179) accept for a bounded k
+    val tagged = base.join(pairs, col("g") === col("ga") || col("g") === col("gb"))
+      .select(col("ga"), col("gb"), col("g"), col("v"))
+    val wr = Window.partitionBy("ga", "gb").orderBy("v")
+    val ranked = tagged
+      .withColumn("__rk", rank().over(wr).cast("double"))
+      .withColumn("__cnt", count(lit(1)).over(
+        Window.partitionBy("ga", "gb", "v")).cast("double"))
+      .withColumn("__mid", col("__rk") + (col("__cnt") - lit(1.0)) / lit(2.0))
+    ranked.groupBy("ga", "gb")
+      .agg(
+        sum(when(col("g") === col("ga"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("g") === col("gb"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("g") === col("ga"), col("__mid"))).as("__r1"))
+      .select(col("ga").as("series_a"), col("gb").as("series_b"),
+        col("n_a"), col("n_b"), {
+          val n1 = col("n_a").cast("double"); val n2 = col("n_b").cast("double")
+          val u1 = col("__r1") - n1 * (n1 + lit(1.0)) / lit(2.0)
+          val delta = lit(2.0) * u1 / (n1 * n2) - lit(1.0)
+          scoreOut(delta).as("cliffs_delta")
+        })
+      .withColumn("magnitude",
+        when(abs(col("cliffs_delta")) < 0.147, "negligible")
+          .when(abs(col("cliffs_delta")) < 0.33, "small")
+          .when(abs(col("cliffs_delta")) < 0.474, "medium")
+          .otherwise("large"))
+  }
 }

@@ -1839,5 +1839,82 @@ object CorpusQ {
               |  ${r6("avg(abs(a.z - b.z))")} AS delta
               |FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Distributed Lloyd k-means (k = 8, 5 iterations) over the embedding
+    // corpus — the SemDeDup cluster-then-prune stage at corpus scale:
+    // assignment is k unrolled codegen expressions per row, the update
+    // shuffles O(k*d) doubles per iteration, only the centroid table
+    // touches the driver. Deterministic smallest-id init + dec6-rounded
+    // centroids per step → the numpy replay in tools/crosscheck_stats.py
+    // reproduces the whole trajectory; ClusterSpec pins two planted
+    // blobs converging to their exact means.
+    "q326_kmeans_embeddings" -> Q(
+      (s, d) => graft.operators.ClusterOps.lloyd(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 8, iters = 5, scoreOut = dec6)
+        .orderBy("cluster_id"),
+      None),
+
+    // TextRank keyword extraction (Mihalcea & Tarau '04): PageRank over
+    // the word co-occurrence graph (window = 3 raw-split positions,
+    // words >= 3 letters, both directions), top-20 by rank — keyword
+    // scoring as a pure COMPOSITION of the tokenizer and GraphOps
+    // .pageRank (auto regime: the node universe is the vocabulary, so
+    // one probe aggregate picks the broadcast path until Heaps-law
+    // growth crosses the limit). The oracle unrolls the same 5 power
+    // steps (the q233 pattern) over the same tokenization.
+    "q327_textrank" -> Q(
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(lower(col("text")), "[^a-z]+"))
+              .as(Seq("pos", "w")))
+          .filter(length(col("w")) >= 3)
+        val co = tok.as("a").join(tok.as("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("b.pos") > col("a.pos") &&
+              col("b.pos") - col("a.pos") <= 3 &&
+              col("a.w") =!= col("b.w"))
+          .select(col("a.w").as("src"), col("b.w").as("dst"))
+        val edges = co.unionAll(co.select(col("dst").as("src"),
+            col("src").as("dst")))
+          .withColumn("wt", lit(1.0))
+        graft.operators.GraphOps.pageRank(edges, "src", "dst", "wt",
+            damping = 0.85, iters = 5, scoreOut = dec6)
+          .orderBy(col("rank").desc, col("node"))
+          .limit(20)
+      },
+      Some {
+        val steps = (1 to 5).map { i =>
+          s"""d$i AS (SELECT coalesce(sum(r), 0) AS dm FROM r${i - 1}
+             |  WHERE node NOT IN (SELECT DISTINCT src FROM norm)),
+             |c$i AS (SELECT dst, sum(r * p) AS cin FROM norm
+             |  JOIN r${i - 1} ON norm.src = r${i - 1}.node GROUP BY dst),
+             |r$i AS (SELECT n.node, (1.0 - 0.85) / (SELECT N FROM nn)
+             |  + 0.85 * (coalesce(c.cin, 0) + (SELECT dm FROM d$i)
+             |    / (SELECT N FROM nn)) AS r
+             |  FROM nodes n LEFT JOIN c$i c ON n.node = c.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH tok AS (SELECT doc_id, u.x.w AS w, u.x.i AS pos FROM (
+           |    SELECT doc_id, unnest(list_transform(
+           |      regexp_split_to_array(lower(text), '[^a-z]+'),
+           |      (x, i) -> {'w': x, 'i': i})) AS x
+           |    FROM documents) u WHERE length(x.w) >= 3),
+           |co AS (SELECT a.w AS src, b.w AS dst FROM tok a JOIN tok b
+           |  ON a.doc_id = b.doc_id AND b.pos > a.pos
+           |  AND b.pos - a.pos <= 3 AND a.w <> b.w),
+           |e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM
+           |  (SELECT src, dst FROM co
+           |   UNION ALL SELECT dst, src FROM co) GROUP BY 1, 2),
+           |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+           |norm AS (SELECT e.src, e.dst, e.w / ow.ow AS p
+           |  FROM e JOIN ow ON e.src = ow.src),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM nodes),
+           |r0 AS (SELECT node, 1.0 / (SELECT N FROM nn) AS r FROM nodes),
+           |$steps
+           |SELECT node, ${r6("r")} AS rank FROM r5
+           |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+      }),
   )
 }

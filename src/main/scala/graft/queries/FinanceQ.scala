@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.FinanceOps
+import Q.{dec4, dec6, r6}
+import scala.collection.immutable.ListMap
+
+/** Price-style indicator suite over the forward-filled hourly grid
+  * (WindowQ.series): running-peak drawdown, Cutler's RSI, MACD — the
+  * standard monitoring indicators layered on the same per-series window
+  * discipline as WindowQ (partitionBy(event_type), never a global sort).
+  */
+object FinanceQ {
+
+  import WindowQ.{series, sqlSeries}
+
+  val queries: ListMap[String, Q] = ListMap(
+
+    // Maximum drawdown from the running peak, per series: one
+    // unbounded-preceding window pass, argmax on the ROUNDED absolute
+    // drawdown with the earliest-ts tiebreak (the q282 rounded-argmax
+    // discipline), relative drawdown NULL while the peak is <= 0.
+    "q312_max_drawdown" -> Q(
+      (s, d) => FinanceOps.maxDrawdown(
+          series(s, d), "event_type", "ts", "v", scoreOut = dec6)
+        .orderBy("event_type"),
+      Some(s"""WITH $sqlSeries,
+              |g AS (SELECT ts, event_type, CAST(v AS DOUBLE) AS v
+              |  FROM series WHERE v IS NOT NULL),
+              |dd AS (SELECT event_type, ts, v,
+              |    max(v) OVER (PARTITION BY event_type ORDER BY ts
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+              |  FROM g),
+              |r AS (SELECT event_type, ts, v, peak,
+              |    ${r6("peak - v")} AS ddabs,
+              |    row_number() OVER (PARTITION BY event_type
+              |      ORDER BY ${r6("peak - v")} DESC, ts) AS rk,
+              |    count(*) OVER (PARTITION BY event_type) AS n
+              |  FROM dd)
+              |SELECT event_type, n, ${r6("peak")} AS peak_value,
+              |  ${r6("v")} AS trough_value, ts AS trough_ts,
+              |  ddabs AS max_dd_abs,
+              |  CASE WHEN peak > 0 THEN ${r6("(peak - v) / peak")} END
+              |    AS max_dd_rel
+              |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin)),
+
+    // Cutler's RSI-14 (SMA of gains/losses over the last 14 one-step
+    // diffs), emitted only on full windows (min_periods, the W5
+    // contract); the all-gain degenerate case pins to 100.
+    "q313_rsi" -> Q(
+      (s, d) => FinanceOps.rsiCutler(
+          series(s, d), "event_type", "ts", "v", n = 14, scoreOut = dec6)
+        .orderBy("ts", "event_type"),
+      Some(s"""WITH $sqlSeries,
+              |g AS (SELECT ts, event_type, CAST(v AS DOUBLE) AS v
+              |  FROM series WHERE v IS NOT NULL),
+              |d AS (SELECT ts, event_type, v,
+              |    v - lag(v) OVER (PARTITION BY event_type ORDER BY ts) AS dd
+              |  FROM g),
+              |f AS (SELECT ts, event_type, v,
+              |    count(dd) OVER w AS cnt,
+              |    avg(CASE WHEN dd > 0 THEN dd
+              |        WHEN dd IS NOT NULL THEN 0.0 END) OVER w AS ag,
+              |    avg(CASE WHEN dd < 0 THEN -dd
+              |        WHEN dd IS NOT NULL THEN 0.0 END) OVER w AS al
+              |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY ts
+              |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+              |SELECT ts, event_type, v,
+              |  ${r6("CASE WHEN al > 0 THEN 100.0 - 100.0 / (1.0 + ag / al) ELSE 100.0 END")}
+              |    AS rsi
+              |FROM f WHERE cnt = 14 ORDER BY ts, event_type""".stripMargin)),
+
+    // MACD(12, 26, 9): three coupled EMA recursions folded in one linear
+    // pass per series; the oracle's recursive CTE carries (e_f, e_s, sig)
+    // and replays the identical fixed-order IEEE arithmetic, so values
+    // match bit-for-bit before the output rounding (the q214/q286
+    // recursive-oracle discipline). Seeds: e = x_1, so macd_1 = 0 exactly
+    // and the signal line seeds at 0.
+    "q314_macd" -> Q(
+      (s, d) => FinanceOps.macd(
+          series(s, d), "event_type", "ts", "v",
+          fast = 12, slow = 26, signalSpan = 9, scoreOut = dec6)
+        .select(col("ts"), col("event_type"), col("macd"), col("signal"),
+          col("histogram"))
+        .orderBy("ts", "event_type"),
+      Some(s"""WITH RECURSIVE $sqlSeries,
+              |g AS (SELECT ts, event_type, CAST(v AS DOUBLE) AS v,
+              |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts)
+              |    AS INT) AS r
+              |  FROM series WHERE v IS NOT NULL),
+              |rec(event_type, r, ts, ef, es, sig) AS (
+              |  SELECT event_type, r, ts, v, v, CAST(0.0 AS DOUBLE)
+              |  FROM g WHERE r = 1
+              |  UNION ALL
+              |  SELECT g.event_type, g.r, g.ts,
+              |    (1.0 - 2.0/13.0) * rec.ef + (2.0/13.0) * g.v,
+              |    (1.0 - 2.0/27.0) * rec.es + (2.0/27.0) * g.v,
+              |    (1.0 - 2.0/10.0) * rec.sig + (2.0/10.0)
+              |      * (((1.0 - 2.0/13.0) * rec.ef + (2.0/13.0) * g.v)
+              |       - ((1.0 - 2.0/27.0) * rec.es + (2.0/27.0) * g.v))
+              |  FROM rec JOIN g ON g.event_type = rec.event_type
+              |    AND g.r = rec.r + 1)
+              |SELECT ts, event_type, ${r6("ef - es")} AS macd,
+              |  ${r6("sig")} AS signal,
+              |  ${r6("(ef - es) - sig")} AS histogram
+              |FROM rec ORDER BY ts, event_type""".stripMargin))
+  )
+}

@@ -227,5 +227,75 @@ object GraphQ {
            |LEFT JOIN a4 ON n.node = a4.node
            |ORDER BY node""".stripMargin
       }),
+
+    // Adamic-Adar link prediction over the q246 co-activity graph: score
+    // every NON-adjacent user pair by their shared-neighbor rarity mass
+    // (1/ln deg per common neighbor), hub centers above degree 500
+    // skipped (the documented wedge cap — near-zero evidence at
+    // quadratic cost), top-200 by rounded score. "Who should know each
+    // other but don't yet" — the recommendation complement of q246's
+    // "how clustered is what already exists".
+    "q322_adamic_adar" -> Q(
+      (s, d) => graft.operators.GraphOps.adamicAdar(
+          coActivityEdges(s, d), "ua", "ub",
+          maxDegree = Some(500L), scoreOut = dec6)
+        .orderBy(col("aa_score").desc, col("node_a"), col("node_b"))
+        .limit(200),
+      Some(s"""WITH $sqlCoActivity,
+              |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+              |deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1),
+              |w AS (SELECT sym.u AS ctr, sym.v AS leaf,
+              |    1.0 / ln(CAST(deg AS DOUBLE)) AS wt
+              |  FROM sym JOIN deg ON sym.u = deg.node WHERE deg <= 500),
+              |p AS (SELECT a.leaf AS na, b.leaf AS nb,
+              |    CAST(count(*) AS BIGINT) AS n_common, sum(a.wt) AS aa
+              |  FROM w a JOIN w b ON a.ctr = b.ctr AND a.leaf < b.leaf
+              |  GROUP BY 1, 2)
+              |SELECT na AS node_a, nb AS node_b, n_common,
+              |  ${r6("aa")} AS aa_score
+              |FROM p WHERE NOT EXISTS (SELECT 1 FROM e
+              |  WHERE e.u = na AND e.v = nb)
+              |ORDER BY aa_score DESC, node_a, node_b
+              |LIMIT 200""".stripMargin)),
+
+    // 2-core of the co-activity graph: iterative peel to the maximal
+    // subgraph of everywhere-degree>=2 — strips pendant users whose only
+    // co-activity is one partner, leaving the mutually-embedded
+    // community (Seidman '83). Data-dependent loop → no SQL oracle;
+    // GraphExtraSpec pins the peel cascade and the fixpoint contract.
+    "q323_kcore" -> Q(
+      (s, d) => graft.operators.GraphOps.kCore(
+          coActivityEdges(s, d), "ua", "ub", k = 2)
+        .orderBy("node"),
+      None),
   )
+
+  /** The q246 co-activity graph: users active in the same (hour, type,
+    * k-decile) bucket form an undirected edge — shared by the triangle
+    * census, Adamic-Adar and k-core entries. */
+  private def coActivityEdges(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame = {
+    val b = Tables.events(s, d).select(
+        date_trunc("hour", col("ts")).as("h"), col("event_type").as("t"),
+        (get_json_object(col("props"), "$.k").cast("int") / lit(10))
+          .cast("int").as("kd"),
+        col("user_id").as("u"))
+      .distinct()
+    b.select(col("h"), col("t"), col("kd"), col("u").as("ua"))
+      .join(b.select(col("h"), col("t"), col("kd"), col("u").as("ub")),
+        Seq("h", "t", "kd"))
+      .filter(col("ua") < col("ub"))
+      .select("ua", "ub")
+  }
+
+  /** Oracle-side mirror of [[coActivityEdges]] (the q246 CTE pair),
+    * ending at `e(u, v)` with u < v. (A def, not a val — `queries` above
+    * initializes first and would read a val as null.) */
+  private def sqlCoActivity: String =
+    s"""b AS (SELECT DISTINCT date_trunc('hour', ts) AS h,
+       |  event_type AS t,
+       |  CAST(json_extract_string(props, '$$.k') AS INT) // 10 AS kd,
+       |  user_id AS u FROM events),
+       |e AS (SELECT DISTINCT a.u AS u, b2.u AS v FROM b a JOIN b b2
+       |  ON a.h = b2.h AND a.t = b2.t AND a.kd = b2.kd AND a.u < b2.u)""".stripMargin
 }

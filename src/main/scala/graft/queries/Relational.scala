@@ -1024,6 +1024,96 @@ object Relational {
               |JOIN orders ON l_orderkey = o_orderkey
               |JOIN supplier ON l_suppkey = s_suppkey
               |JOIN nation ON s_nationkey = n_nationkey
-              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // TPC-H Q13-shaped customer order-count distribution: customers LEFT
+    // JOIN their non-urgent orders, per-customer count, then the
+    // histogram of counts (how many customers placed k orders — k=0 kept
+    // by the outer join). The filter rides the join condition, NOT a
+    // WHERE (a WHERE would silently turn the outer join inner and drop
+    // the zero-order bucket). Two customer-keyed aggregates; the second
+    // input is customer-sized, so only the first shuffles real volume.
+    "q309_custdist" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_orderkey", "o_custkey")
+        Tables.customer(s, d).select("c_custkey")
+          .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey)
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // TPC-H Q17-shaped small-quantity revenue: average yearly revenue
+    // lost if small-quantity orders (qty < 20% of the part's mean qty)
+    // for one brand+type slice went unfilled. The correlated scalar
+    // subquery decorrelates to a per-part aggregate joined back — and
+    // CRITICALLY the aggregate runs over lineitem ALREADY semi-joined to
+    // the filtered part list (a sub-percent brand+type slice), never over
+    // the full fact table. The slice is SF-PROPORTIONAL, so it carries no
+    // broadcast hint — AQE picks broadcast while it fits and falls back
+    // to shuffle join past that (the q293 discipline). One fact-scan,
+    // two passes over the slice.
+    "q310_small_qty_revenue" -> Q(
+      (s, d) => {
+        val pk = Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
+          .select("p_partkey")
+        val slice = Tables.lineitem(s, d)
+          .join(pk, col("l_partkey") === col("p_partkey"))
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .persist()
+        val avgQ = slice.groupBy("l_partkey")
+          .agg((lit(0.2) * avg("l_quantity")).as("__qcap"))
+        slice.join(avgQ, Seq("l_partkey"))
+          .filter(col("l_quantity") < col("__qcap"))
+          .agg(count(lit(1)).as("n_small_lines"),
+            dec4(sum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+      },
+      Some(s"""SELECT count(*) AS n_small_lines,
+              |  ${Q.r4("sum(l_extendedprice) / 7.0")} AS avg_yearly
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+              |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+              |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)),
+
+    // TPC-H Q18-shaped large-volume customers: orders whose total line
+    // quantity exceeds 300, with the buyer. The HAVING aggregate runs on
+    // the 2-column (orderkey, qty) projection FIRST, and survivors —
+    // dozens, not millions — drive semi-sized joins to orders and
+    // customer. Never join-then-aggregate: the wide row would ride the
+    // whole shuffle for a predicate only qty decides.
+    "q311_large_volume" -> Q(
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("total_qty"))
+          .filter(col("total_qty") > 300)
+        big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), dec4(col("o_totalprice")).as("totalprice"),
+            dec4(col("total_qty")).as("total_qty"))
+          .orderBy(col("totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some(s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+              |  ${Q.r4("o_totalprice")} AS totalprice,
+              |  ${Q.r4("sum(l_quantity)")} AS total_qty
+              |FROM customer JOIN orders ON c_custkey = o_custkey
+              |JOIN lineitem ON o_orderkey = l_orderkey
+              |GROUP BY 1, 2, 3, 4, o_totalprice
+              |HAVING sum(l_quantity) > 300
+              |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin))
   )
 }

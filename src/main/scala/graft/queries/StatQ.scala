@@ -1078,5 +1078,374 @@ object StatQ {
               |  ${r6("sd / ss")} AS dw, ${r6("1.0 - sd / ss / 2.0")} AS rho1,
               |  CAST(sd / ss < 1.5 AS INT) AS positive_autocorr
               |FROM den JOIN num USING (series) ORDER BY series""".stripMargin)),
+
+    // Wald-Wolfowitz runs test on the SIGNS of hourly diffs per event
+    // type — sign-level randomness beside q305's magnitude-level rho1.
+    // Zero diffs drop (classical reduction); runs = 1 + sign changes.
+    "q315_runs_test" -> Q(
+      (s, d) => graft.operators.StatOps.runsTest(
+          Tables.events(s, d), "event_type", "ts", "value", scoreOut = dec6)
+        .orderBy("series"),
+      Some {
+        val z = """(runs - (2.0 * n_plus * n_minus / (n_plus + n_minus + 0.0)
+          |    + 1.0))
+          |  / sqrt((2.0 * n_plus * n_minus
+          |      * (2.0 * n_plus * n_minus - (n_plus + n_minus)))
+          |    / ((n_plus + n_minus + 0.0) * (n_plus + n_minus)
+          |      * (n_plus + n_minus - 1.0)))""".stripMargin
+        s"""WITH hourly AS (SELECT event_type AS series,
+           |    date_trunc('hour', ts) AS h, avg(CAST(value AS DOUBLE)) AS y
+           |  FROM events GROUP BY 1, 2),
+           |d AS (SELECT series, h,
+           |    y - lag(y) OVER (PARTITION BY series ORDER BY h) AS dd
+           |  FROM hourly),
+           |sg AS (SELECT series, h, CASE WHEN dd > 0 THEN 1 ELSE -1 END AS s
+           |  FROM d WHERE dd <> 0),
+           |c AS (SELECT series, s, CASE WHEN
+           |    s <> lag(s) OVER (PARTITION BY series ORDER BY h) THEN 1 END
+           |    AS chg FROM sg),
+           |a AS (SELECT series,
+           |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+           |    CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_minus,
+           |    CAST(coalesce(sum(chg), 0) + 1 AS BIGINT) AS runs
+           |  FROM c GROUP BY 1)
+           |SELECT series, n_plus, n_minus, runs, ${r6(z)} AS z_runs,
+           |  CAST(abs(${r6(z)}) <= 1.96 AS INT) AS random
+           |FROM a
+           |WHERE n_plus >= 1 AND n_minus >= 1 AND n_plus + n_minus > 1
+           |ORDER BY series""".stripMargin
+      }),
+
+    // Anderson-Darling exponentiality of inter-arrival gaps per event
+    // type ("are arrivals Poisson?") — the order-statistic identity
+    // folds the n+1-i pairing away, so one per-series rank pass + one
+    // aggregate; no self-join. Gap mean rounded before F; F clamped
+    // inside (0,1) on both engines.
+    "q316_ad_exponentiality" -> Q(
+      (s, d) => graft.operators.StatOps.adExponentiality(
+          Tables.events(s, d), "event_type", "ts", scoreOut = dec6)
+        .orderBy("series"),
+      Some(s"""WITH g AS (SELECT event_type AS series, ts,
+              |    epoch(ts) - epoch(lag(ts) OVER (
+              |      PARTITION BY event_type ORDER BY ts)) AS gap
+              |  FROM events),
+              |g2 AS (SELECT series, ts, CAST(gap AS DOUBLE) AS gap
+              |  FROM g WHERE gap > 0),
+              |m AS (SELECT series, CAST(count(*) AS BIGINT) AS n_gaps,
+              |    ${r6("avg(gap)")} AS mg FROM g2 GROUP BY 1),
+              |r AS (SELECT series, n_gaps, mg,
+              |    CAST(row_number() OVER (PARTITION BY series
+              |      ORDER BY gap, ts) AS DOUBLE) AS i,
+              |    least(1.0 - 1e-15, 1.0 - exp(-gap / mg)) AS z
+              |  FROM g2 JOIN m USING (series)),
+              |a AS (SELECT series, any_value(n_gaps) AS n_gaps,
+              |    any_value(mg) AS mean_gap_s,
+              |    (-CAST(any_value(n_gaps) AS DOUBLE))
+              |      - sum((2.0 * i - 1.0) * ln(z)
+              |          + (2.0 * (n_gaps - i) + 1.0) * ln(1.0 - z))
+              |        / any_value(n_gaps) AS a2r
+              |  FROM r GROUP BY 1)
+              |SELECT series, n_gaps, mean_gap_s, ${r6("a2r")} AS a2,
+              |  ${r6("a2r * (1.0 + 0.6 / n_gaps)")} AS a2_mod,
+              |  CAST(${r6("a2r * (1.0 + 0.6 / n_gaps)")} > 1.341 AS INT)
+              |    AS reject_exponential
+              |FROM a ORDER BY series""".stripMargin)),
+
+    // Cliff's delta ordinal effect size for every event-type pair — the
+    // magnitude beside q171's Mann-Whitney p-value, from midranks (never
+    // the O(n*m) pairwise matrix), with the Romano et al. bands.
+    "q317_cliffs_delta" -> Q(
+      (s, d) => graft.operators.StatOps.cliffsDelta(
+          Tables.events(s, d), "event_type", "value", scoreOut = dec6)
+        .orderBy("series_a", "series_b"),
+      Some {
+        val delta = """2.0 * (r1 - n_a * (n_a + 1.0) / 2.0)
+          |  / (CAST(n_a AS DOUBLE) * n_b) - 1.0""".stripMargin
+        s"""WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+           |  FROM events WHERE value IS NOT NULL),
+           |pairs AS (SELECT a.g AS ga, b.g AS gb
+           |  FROM (SELECT DISTINCT g FROM base) a,
+           |       (SELECT DISTINCT g FROM base) b WHERE a.g < b.g),
+           |tagged AS (SELECT ga, gb, g, v FROM base
+           |  JOIN pairs ON g = ga OR g = gb),
+           |ranked AS (SELECT ga, gb, g,
+           |    CAST(rank() OVER (PARTITION BY ga, gb ORDER BY v) AS DOUBLE)
+           |      + (CAST(count(*) OVER (PARTITION BY ga, gb, v) AS DOUBLE)
+           |         - 1.0) / 2.0 AS mid
+           |  FROM tagged),
+           |agg AS (SELECT ga, gb,
+           |    CAST(sum(CASE WHEN g = ga THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |    CAST(sum(CASE WHEN g = gb THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           |    sum(CASE WHEN g = ga THEN mid END) AS r1
+           |  FROM ranked GROUP BY 1, 2)
+           |SELECT ga AS series_a, gb AS series_b, n_a, n_b,
+           |  ${r6(delta)} AS cliffs_delta,
+           |  CASE WHEN abs(${r6(delta)}) < 0.147 THEN 'negligible'
+           |    WHEN abs(${r6(delta)}) < 0.33 THEN 'small'
+           |    WHEN abs(${r6(delta)}) < 0.474 THEN 'medium'
+           |    ELSE 'large' END AS magnitude
+           |FROM agg ORDER BY series_a, series_b""".stripMargin
+      }),
+
+    // Augmented Dickey-Fuller unit-root test (1 augmentation lag,
+    // constant) per event type — the stationarity gate before trusting
+    // q187's trend or q280's AR fit. Consecutive hour triples via idx
+    // equi-joins; regressors centered by ROUNDED means (intercept drops
+    // from the solve); Cramer 2x2 on one moment aggregate.
+    "q318_adf_test" -> Q(
+      (s, d) => graft.operators.RegressionOps.adfTest(
+          Tables.events(s, d), "event_type", "ts", "value", scoreOut = dec6)
+        .orderBy("series"),
+      Some(s"""WITH hourly AS (SELECT event_type AS series,
+              |    CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT)
+              |      AS idx,
+              |    avg(CAST(value AS DOUBLE)) AS y
+              |  FROM events GROUP BY 1, 2),
+              |rws AS (SELECT t0.series AS series, (t0.y - t1.y) AS dy,
+              |    t1.y AS x1, (t1.y - t2.y) AS x2
+              |  FROM hourly t0
+              |  JOIN hourly t1 ON t1.series = t0.series AND t1.idx = t0.idx - 1
+              |  JOIN hourly t2 ON t2.series = t0.series AND t2.idx = t0.idx - 2),
+              |m AS (SELECT series, ${r6("avg(dy)")} AS mdy,
+              |    ${r6("avg(x1)")} AS mx1, ${r6("avg(x2)")} AS mx2
+              |  FROM rws GROUP BY 1),
+              |c AS (SELECT rws.series AS series, dy - mdy AS cy, x1 - mx1 AS c1,
+              |    x2 - mx2 AS c2 FROM rws JOIN m USING (series)),
+              |sm AS (SELECT series, CAST(count(*) AS BIGINT) AS n_obs,
+              |    sum(c1 * c1) AS s11, sum(c1 * c2) AS s12,
+              |    sum(c2 * c2) AS s22, sum(c1 * cy) AS s1y,
+              |    sum(c2 * cy) AS s2y, sum(cy * cy) AS syy
+              |  FROM c GROUP BY 1),
+              |b AS (SELECT *,
+              |    ${r6("(s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12)")}
+              |      AS phi,
+              |    ${r6("(s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12)")}
+              |      AS psi
+              |  FROM sm),
+              |f AS (SELECT series, n_obs, phi, psi,
+              |    ${r6("""phi / sqrt((syy - 2.0 * (phi * s1y + psi * s2y)
+              |      + phi * phi * s11 + 2.0 * phi * psi * s12
+              |      + psi * psi * s22) / (n_obs - 3.0)
+              |      * s22 / (s11 * s22 - s12 * s12))""")} AS t_adf
+              |  FROM b WHERE n_obs > 3 AND s11 * s22 - s12 * s12 <> 0)
+              |SELECT series, n_obs, phi, psi, t_adf,
+              |  CAST(t_adf < -2.86 AS INT) AS unit_root_rejected
+              |FROM f ORDER BY series""".stripMargin)),
+
+    // Hurst exponent by rescaled-range analysis over power-of-two blocks
+    // (16..128 hours) per event type: H > 0.5 trending, < 0.5 mean-
+    // reverting — the long-memory complement of q174's short-lag ACF.
+    // Block moments rounded before the deviations; the log-log x-axis is
+    // the exact integer log2(m).
+    "q319_hurst_rs" -> Q(
+      (s, d) => graft.operators.RegressionOps.hurstRS(
+          Tables.events(s, d), "event_type", "ts", "value",
+          blockSizes = Seq(16, 32, 64, 128), scoreOut = dec6)
+        .orderBy("series"),
+      Some(s"""WITH hourly AS (SELECT event_type AS series,
+              |    CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT)
+              |      AS idx,
+              |    avg(CAST(value AS DOUBLE)) AS y
+              |  FROM events GROUP BY 1, 2),
+              |rk AS (SELECT series, idx, y,
+              |    row_number() OVER (PARTITION BY series ORDER BY idx) AS r
+              |  FROM hourly),
+              |b AS (SELECT series, m, log2m, ((r - 1) // m) AS blk, r, y
+              |  FROM rk CROSS JOIN (SELECT unnest([16, 32, 64, 128]) AS m,
+              |    unnest([4.0, 5.0, 6.0, 7.0]) AS log2m)),
+              |c AS (SELECT *, count(*) OVER (PARTITION BY series, m, blk)
+              |    AS cnt FROM b),
+              |st AS (SELECT series, m, log2m, blk, r, y,
+              |    ${r6("avg(y) OVER (PARTITION BY series, m, blk)")} AS bm,
+              |    ${r6("avg(y * y) OVER (PARTITION BY series, m, blk)")} AS m2
+              |  FROM c WHERE cnt = m),
+              |cm AS (SELECT series, m, log2m, blk, bm, m2,
+              |    sum(y - bm) OVER (PARTITION BY series, m, blk ORDER BY r
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu
+              |  FROM st),
+              |pb AS (SELECT series, m, log2m, blk,
+              |    max(cu) - min(cu) AS rr, any_value(sqrt(m2 - bm * bm)) AS ss
+              |  FROM cm GROUP BY 1, 2, 3, 4),
+              |pm AS (SELECT series, m, log2m,
+              |    ${r6("avg(ln(rr / ss) / ln(2.0))")} AS mlrs
+              |  FROM pb WHERE ss > 0 AND rr > 0 GROUP BY 1, 2, 3),
+              |fit AS (SELECT series, CAST(count(*) AS BIGINT) AS n_points,
+              |    avg(log2m) AS mx, avg(mlrs) AS my,
+              |    avg(log2m * mlrs) AS mxy, avg(log2m * log2m) AS mxx
+              |  FROM pm GROUP BY 1)
+              |SELECT series, n_points,
+              |  ${r6("(mxy - mx * my) / (mxx - mx * mx)")} AS hurst,
+              |  ${r6("my - (mxy - mx * my) / (mxx - mx * mx) * mx")}
+              |    AS intercept_log2
+              |FROM fit WHERE n_points >= 2 ORDER BY series""".stripMargin)),
+
+    // PACF lags 1..6 by Durbin-Levinson per event type — AR order
+    // selection (PACF cuts off at the true order). Gap-robust lag
+    // covariances (the q304 joins), then the recursion unrolled as
+    // column arithmetic with every phi ROUNDED per level; the oracle
+    // unrolls the identical recursion over the same rounded rho, so the
+    // match is bit-exact by construction.
+    "q320_pacf" -> Q(
+      (s, d) => graft.operators.RegressionOps.pacfDL(
+          Tables.events(s, d), "event_type", "ts", "value",
+          maxLag = 6, scoreOut = dec6)
+        .orderBy("series"),
+      Some {
+        val maxLag = 6
+        val cks = (1 to maxLag).map(k =>
+          s"""ck$k AS (SELECT a.series AS series, sum(a.c * b.c) AS ck
+             |  FROM c a JOIN c b ON a.series = b.series
+             |    AND b.idx = a.idx + $k GROUP BY 1)""".stripMargin)
+          .mkString(",\n")
+        val joins = (1 to maxLag).map(k => s"JOIN ck$k USING (series)").mkString(" ")
+        val rhos = (1 to maxLag).map(k =>
+          s"${r6(s"ck$k.ck / c0.ss")} AS rho$k").mkString(", ")
+        // Durbin-Levinson as one CTE per level, mirroring RegressionOps
+        // .pacfDL: phi_k_k from the rounded level-(k-1) row, then the
+        // phi_k_j updates — identical left-fold sum order as the Column
+        // reduce(_ + _)
+        val levels = (2 to maxLag).flatMap { k =>
+          val num = (1 until k).map(j => s"phi_${k - 1}_$j * rho${k - j}")
+            .mkString(" + ")
+          val den = (1 until k).map(j => s"phi_${k - 1}_$j * rho$j")
+            .mkString(" + ")
+          val kk =
+            s"""p${k}a AS (SELECT *,
+               |  ${r6(s"(rho$k - ($num)) / (1.0 - ($den))")} AS phi_${k}_$k
+               |  FROM p${k - 1})""".stripMargin
+          val js = (1 until k).map(j =>
+            s"${r6(s"phi_${k - 1}_$j - phi_${k}_$k * phi_${k - 1}_${k - j}")} AS phi_${k}_$j")
+            .mkString(", ")
+          Seq(kk, s"p$k AS (SELECT *, $js FROM p${k}a)")
+        }.mkString(",\n")
+        s"""WITH hourly AS (SELECT event_type AS series,
+           |    CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT)
+           |      AS idx,
+           |    avg(CAST(value AS DOUBLE)) AS y
+           |  FROM events GROUP BY 1, 2),
+           |m AS (SELECT series, avg(y) AS mu FROM hourly GROUP BY 1),
+           |c AS (SELECT h.series AS series, idx, y - mu AS c
+           |  FROM hourly h JOIN m USING (series)),
+           |c0 AS (SELECT series, CAST(count(*) AS BIGINT) AS n_hours,
+           |    sum(c * c) AS ss FROM c GROUP BY 1),
+           |$cks,
+           |r AS (SELECT c0.series AS series, n_hours, $rhos
+           |  FROM c0 $joins),
+           |p1 AS (SELECT *, rho1 AS phi_1_1 FROM r),
+           |$levels
+           |SELECT series, n_hours,
+           |  ${(1 to maxLag).map(k => s"phi_${k}_$k AS pacf_$k").mkString(", ")}
+           |FROM p$maxLag ORDER BY series""".stripMargin
+      }),
+
+    // Ridge regression (lambda = 100) of extended price on quantity and
+    // retail price per return flag — the sufficient-statistics estimator:
+    // one means pass (rounded), one Gram pass, Cramer 2x2 inside the
+    // plan. The shuffle carries O(groups x p^2) numbers at any row count.
+    "q321_ridge_price" -> Q(
+      (s, d) => graft.operators.RegressionOps.ridge2(
+          Tables.lineitem(s, d)
+            .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+            .select(col("l_returnflag"), col("l_extendedprice"),
+              col("l_quantity"), col("p_retailprice")),
+          "l_returnflag", "l_extendedprice", "l_quantity", "p_retailprice",
+          lambda = 100.0, scoreOut = dec6)
+        .orderBy("l_returnflag"),
+      Some(s"""WITH base AS (SELECT l_returnflag AS g,
+              |    CAST(l_extendedprice AS DOUBLE) AS y,
+              |    CAST(l_quantity AS DOUBLE) AS x1,
+              |    CAST(p_retailprice AS DOUBLE) AS x2
+              |  FROM lineitem JOIN part ON l_partkey = p_partkey
+              |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+              |    AND p_retailprice IS NOT NULL),
+              |m AS (SELECT g, ${r6("avg(y)")} AS my, ${r6("avg(x1)")} AS m1,
+              |    ${r6("avg(x2)")} AS m2 FROM base GROUP BY 1),
+              |c AS (SELECT base.g AS g, my, m1, m2, y - my AS cy,
+              |    x1 - m1 AS c1, x2 - m2 AS c2 FROM base JOIN m USING (g)),
+              |sm AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+              |    any_value(my) AS my, any_value(m1) AS m1,
+              |    any_value(m2) AS m2,
+              |    sum(c1 * c1) AS s11, sum(c1 * c2) AS s12,
+              |    sum(c2 * c2) AS s22, sum(c1 * cy) AS s1y,
+              |    sum(c2 * cy) AS s2y, sum(cy * cy) AS syy
+              |  FROM c GROUP BY 1),
+              |b AS (SELECT *,
+              |    ${r6("""((s22 + 100.0) * s1y - s12 * s2y)
+              |      / ((s11 + 100.0) * (s22 + 100.0) - s12 * s12)""")} AS b1,
+              |    ${r6("""((s11 + 100.0) * s2y - s12 * s1y)
+              |      / ((s11 + 100.0) * (s22 + 100.0) - s12 * s12)""")} AS b2
+              |  FROM sm)
+              |SELECT g AS l_returnflag, n, ${r6("my - b1 * m1 - b2 * m2")}
+              |    AS b0, b1, b2,
+              |  ${r6("""1.0 - (syy - 2.0 * (b1 * s1y + b2 * s2y)
+              |    + b1 * b1 * s11 + 2.0 * b1 * b2 * s12 + b2 * b2 * s22)
+              |    / syy""")} AS r2
+              |FROM b ORDER BY l_returnflag""".stripMargin)),
+
+    // Logistic regression (return-flag ~ quantity + discount, per line
+    // status) by 4 Newton steps, each ONE sufficient-stats aggregate +
+    // a Cramer 3x3 inside the plan; beta ROUNDED per step so the
+    // oracle's unrolled replay is bit-identical. The distributed-ML
+    // pattern at 100 TB: K scans, 10 doubles of shuffle per group.
+    "q325_logistic_returns" -> Q(
+      (s, d) => graft.operators.RegressionOps.logisticNewton(
+          Tables.lineitem(s, d), "l_linestatus",
+          labelCol = (col("l_returnflag") === "R").cast("int"),
+          "l_quantity", "l_discount", iters = 4, scoreOut = dec6)
+        .orderBy("l_linestatus"),
+      Some {
+        val iters = 4
+        val det = """h00 * (h11 * h22 - h12 * h12)
+          |      - h01 * (h01 * h22 - h12 * h02)
+          |      + h02 * (h01 * h12 - h11 * h02)""".stripMargin
+        val d0 = """g0 * (h11 * h22 - h12 * h12)
+          |      - h01 * (g1 * h22 - h12 * g2)
+          |      + h02 * (g1 * h12 - h11 * g2)""".stripMargin
+        val d1 = """h00 * (g1 * h22 - g2 * h12)
+          |      - g0 * (h01 * h22 - h12 * h02)
+          |      + h02 * (h01 * g2 - g1 * h02)""".stripMargin
+        val d2 = """h00 * (h11 * g2 - h12 * g1)
+          |      - h01 * (h01 * g2 - g1 * h02)
+          |      + g0 * (h01 * h12 - h11 * h02)""".stripMargin
+        val pExpr = "1.0 / (1.0 + exp(-least(30.0, greatest(-30.0, " +
+          "b0 + b1 * x1 + b2 * x2))))"
+        val steps = (1 to iters).map { i =>
+          s"""j$i AS (SELECT g, y, x1, x2, b0, b1, b2, $pExpr AS p
+             |  FROM base JOIN bt${i - 1} USING (g)),
+             |s$i AS (SELECT g,
+             |    any_value(b0) AS pb0, any_value(b1) AS pb1,
+             |    any_value(b2) AS pb2,
+             |    sum(y - p) AS g0, sum((y - p) * x1) AS g1,
+             |    sum((y - p) * x2) AS g2,
+             |    sum(p * (1.0 - p)) AS h00,
+             |    sum(p * (1.0 - p) * x1) AS h01,
+             |    sum(p * (1.0 - p) * x2) AS h02,
+             |    sum(p * (1.0 - p) * x1 * x1) AS h11,
+             |    sum(p * (1.0 - p) * x1 * x2) AS h12,
+             |    sum(p * (1.0 - p) * x2 * x2) AS h22
+             |  FROM j$i GROUP BY 1),
+             |bt$i AS (SELECT g,
+             |    ${r6(s"pb0 + ($d0) / ($det)")} AS b0,
+             |    ${r6(s"pb1 + ($d1) / ($det)")} AS b1,
+             |    ${r6(s"pb2 + ($d2) / ($det)")} AS b2
+             |  FROM s$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH base AS (SELECT l_linestatus AS g,
+           |    CAST(CAST(l_returnflag = 'R' AS INT) AS DOUBLE) AS y,
+           |    CAST(l_quantity AS DOUBLE) AS x1,
+           |    CAST(l_discount AS DOUBLE) AS x2
+           |  FROM lineitem),
+           |bt0 AS (SELECT DISTINCT g, 0.0 AS b0, 0.0 AS b1, 0.0 AS b2
+           |  FROM base),
+           |$steps,
+           |jf AS (SELECT g, y, x1, x2, b0, b1, b2, $pExpr AS p
+           |  FROM base JOIN bt$iters USING (g))
+           |SELECT g AS l_linestatus, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(y) AS BIGINT) AS n_pos,
+           |  any_value(b0) AS b0, any_value(b1) AS b1, any_value(b2) AS b2,
+           |  ${r6("sum(y * ln(p) + (1.0 - y) * ln(1.0 - p))")} AS log_lik,
+           |  ${r6("avg(CAST((p >= 0.5) = (y = 1.0) AS DOUBLE))")} AS accuracy
+           |FROM jf GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
   )
 }

@@ -759,20 +759,20 @@ object WindowQ {
               |FROM ag ORDER BY series""".stripMargin)),
 
     // Croston intermittent-demand forecast (alpha = 0.125 — binary-exact):
-    // daily counts of rare high-value events (value >= 300) are the demand
+    // daily counts of rare high-value events (value >= 200) are the demand
     // sizes; separate SES folds over sizes and day-gaps give the
     // rate-per-day forecast. The oracle replays both folds with
     // list_reduce — DuckDB's fold order IS Spark's `aggregate` order.
     "q308_croston" -> Q(
       (s, d) => graft.operators.SeasonalOps.crostonForecast(
           Tables.events(s, d), "event_type", "ts",
-          demandFilter = col("value").cast("double") >= 300.0,
+          demandFilter = col("value").cast("double") >= 200.0,
           alpha = 0.125, scoreOut = dec6)
         .orderBy("series"),
       Some(s"""WITH daily AS (SELECT event_type AS series,
               |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
               |    CAST(count(*) AS DOUBLE) AS z
-              |  FROM events WHERE CAST(value AS DOUBLE) >= 300.0
+              |  FROM events WHERE CAST(value AS DOUBLE) >= 200.0
               |  GROUP BY 1, 2),
               |packed AS (SELECT series,
               |    list(z ORDER BY day) AS zs,
@@ -789,5 +789,18 @@ object WindowQ {
               |SELECT series, n_demands, ${r6("zh")} AS z_hat,
               |  ${r6("ph")} AS p_hat, ${r6("zh / ph")} AS rate_per_day
               |FROM f ORDER BY series""".stripMargin)),
+
+    // Banded DTW (Sakoe-Chiba band = 24 h) between every pair of
+    // z-normalized hourly profiles: shape similarity allowing a day of
+    // time slippage — the alignment-tolerant upgrade of q192's pointwise
+    // correlation. Each series is one collected-grid row; each pair's DP
+    // is O(len*band) in one task. Data-dependent DP → no SQL oracle;
+    // GraphExtraSpec pins the DP against hand-walked alignments.
+    "q324_dtw_profiles" -> Q(
+      (s, d) => graft.operators.DtwOps.dtwPairs(
+          series(s, d).filter(col("v").isNotNull),
+          "event_type", "ts", "v", band = 24, scoreOut = dec6)
+        .orderBy("series_a", "series_b"),
+      None),
   )
 }

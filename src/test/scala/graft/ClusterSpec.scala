@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ClusterOps, RegressionOps}
+import graft.queries.Q.dec6
+
+/** Planted fixtures for distributed Lloyd k-means (q326) and the Newton
+  * logistic regression (q325). */
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lloyd: two planted blobs converge to their exact means in one step") {
+    // blob A around (0, 0, ...), blob B around (10, 10, ...): ids chosen
+    // so smallest-id init picks one point from each blob
+    val d = 4
+    def vec(c: Double, eps: Double) = Seq.tabulate(d)(i => (c + (i % 2) * eps).toFloat)
+    val rows = Seq(
+      (0L, vec(0.0, 0.5)), (1L, vec(10.0, 0.5)),
+      (2L, vec(0.0, -0.5)), (3L, vec(10.0, -0.5)),
+      (4L, vec(0.2, 0.0)), (5L, vec(10.2, 0.0)))
+    val out = ClusterOps.lloyd(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 2, iters = 3, scoreOut = dec6)
+      .orderBy("cluster_id").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Long]("n_points") == 3L),
+      s"balanced blobs: ${out.mkString(",")}")
+    // blob A: mean vector ≈ (0.0667, 0.0667+0, ...) — just pin that
+    // within-cluster inertia is tiny vs the 10-unit separation
+    assert(out.forall(_.getAs[Double]("inertia") < 2.0))
+    val norms = out.map(_.getAs[Double]("centroid_norm")).sorted
+    assert(norms(0) < 1.0 && norms(1) > 19.0,
+      s"centroids must sit at the blob centers: ${norms.mkString(",")}")
+  }
+
+  test("lloyd: ties break to the lowest cluster id and empty clusters keep their centroid") {
+    // all points identical → every distance ties; argmin must pick
+    // cluster 0 and cluster 1 goes (and stays) empty without crashing
+    val rows = (0L to 5L).map(i => (i, Seq.fill(3)(1.0f)))
+    val out = ClusterOps.lloyd(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 2, iters = 2, scoreOut = dec6).collect()
+    assert(out.length == 1 && out.head.getAs[Int]("cluster_id") == 0)
+    assert(out.head.getAs[Long]("n_points") == 6L)
+    assert(out.head.getAs[Double]("inertia") == 0.0)
+  }
+
+  test("logistic newton separates a planted logit and beats the base rate") {
+    // y depends on x1 positively, x2 negatively through a crisp threshold
+    var seed = 11L
+    def nxt(): Double = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      (seed >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val rows = (1 to 2000).map { _ =>
+      val x1 = nxt() * 4 - 2; val x2 = nxt() * 4 - 2
+      val p = 1.0 / (1.0 + math.exp(-(0.5 + 2.0 * x1 - 1.5 * x2)))
+      ("g", if (nxt() < p) 1 else 0, x1, x2)
+    }
+    val r = RegressionOps.logisticNewton(rows.toDF("g", "y", "x1", "x2"),
+      "g", labelCol = col("y"), "x1", "x2", iters = 6, scoreOut = dec6).head()
+    assert(r.getAs[Double]("b1") > 1.0, s"b1 sign/scale: ${r.getAs[Double]("b1")}")
+    assert(r.getAs[Double]("b2") < -0.5, s"b2 sign: ${r.getAs[Double]("b2")}")
+    val baseRate = math.max(r.getAs[Long]("n_pos").toDouble / r.getAs[Long]("n"),
+      1.0 - r.getAs[Long]("n_pos").toDouble / r.getAs[Long]("n"))
+    assert(r.getAs[Double]("accuracy") > baseRate + 0.1,
+      s"accuracy ${r.getAs[Double]("accuracy")} must beat base rate $baseRate")
+    assert(r.getAs[Double]("log_lik") < 0.0)
+  }
+
+  test("logistic newton: beta stays at the separating optimum under a class flip") {
+    // flipping labels must flip every coefficient sign exactly (the
+    // symmetry of the likelihood — a cheap closed-form invariant)
+    val rows = (1 to 500).map { i =>
+      val x1 = (i % 10).toDouble; val x2 = ((i * 7) % 10).toDouble
+      ("g", if (x1 - x2 > 0) 1 else 0, x1, x2)
+    }
+    val df = rows.toDF("g", "y", "x1", "x2")
+    val a = RegressionOps.logisticNewton(df, "g", col("y"), "x1", "x2",
+      iters = 4, scoreOut = dec6).head()
+    val b = RegressionOps.logisticNewton(df, "g", lit(1) - col("y"), "x1", "x2",
+      iters = 4, scoreOut = dec6).head()
+    for (c <- Seq("b0", "b1", "b2"))
+      assert(math.abs(a.getAs[Double](c) + b.getAs[Double](c)) < 1e-4,
+        s"$c must flip sign: ${a.getAs[Double](c)} vs ${b.getAs[Double](c)}")
+    assert(a.getAs[Double]("accuracy") == b.getAs[Double]("accuracy"))
+  }
+}

@@ -122,7 +122,12 @@ class GlobalWindowLintSpec extends SparkSpec {
     // conformalNaive's own joins are equi (broadcast q_hat); the two
     // flagged BNLJs are the series() fixture's alignToGrid crossjoins,
     // duplicated across the calibrate and coverage branches
-    "q234_conformal_coverage")
+    "q234_conformal_coverage",
+    // theta backtest reads the series() grid twice (SES fold + slope
+    // moments), so the fixture's alignToGrid crossjoin appears in both
+    // branches; the finance indicators each read it once
+    "q307_theta_backtest",
+    "q312_max_drawdown", "q313_rsi", "q314_macd")
 
   private val allowBnlj: Map[String, String] =
     seriesGridQueries.map(_ -> seriesGridBound).toMap ++ Map(
@@ -155,7 +160,18 @@ class GlobalWindowLintSpec extends SparkSpec {
       "with the top-k word head (GlobalLimit k=20 subtree): groups x k " +
       "cells, domain-sized by construction"),
     "q73_kiln_label" -> "interval side of the J3/J4 range join: maintenance-log-sized",
-    "q75_training_matrix" -> "interval side of the range join: maintenance-log-sized"
+    "q75_training_matrix" -> "interval side of the range join: maintenance-log-sized",
+    "q317_cliffs_delta" -> ("broadcast side is the event-type pair table " +
+      "(k^2 rows of an enum-sized domain vocabulary) driving the " +
+      "pair-explode membership join — never data volume"),
+    "q319_hurst_rs" -> ("broadcast side is the LITERAL block-size table " +
+      "(|blockSizes| = 4 rows by construction) crossjoined onto the " +
+      "hourly collapse"),
+    "q324_dtw_profiles" -> ("the flagged joins are (a) the series() " +
+      "fixture's alignToGrid key-set crossjoin (enum-sized event_type x " +
+      "hourly grid), duplicated across both sides of (b) the pair " +
+      "crossjoin of the per-series collected-grid table — series-key-" +
+      "domain-sized, one row per series by construction")
   )
 
   /** The BNLJs in `plan` whose broadcast side is NOT a provably-1-row
@@ -228,7 +244,7 @@ class GlobalWindowLintSpec extends SparkSpec {
     * excluded). */
   private val allowHint: Map[String, String] =
     (allowBnlj - "q184_sample_diversity" - "q298_shapley_attribution"
-      - "q300_burrows_delta") ++ Map(
+      - "q300_burrows_delta" - "q317_cliffs_delta") ++ Map(
       "q03_join_agg" ->
         "broadcast sides are nation (25 rows) / region (5 rows): constant-size dims",
       "q199_rollup_revenue" ->

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{DtwOps, GraphOps}
+import graft.queries.Q.dec6
+
+/** Hand-graph fixtures for Adamic-Adar (q322), the k-core peel (q323)
+  * and banded DTW (q324). */
+class GraphExtraSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("adamic-adar: path a-b-c scores (a,c) = 1/ln(2); adjacent pairs excluded") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = GraphOps.adamicAdar(e, "a", "b", None, dec6).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("node_a") == 1L && r.getAs[Long]("node_b") == 3L)
+    assert(r.getAs[Long]("n_common") == 1L)
+    assert(math.abs(r.getAs[Double]("aa_score") - 1.0 / math.log(2.0)) < 1e-6)
+  }
+
+  test("adamic-adar: a triangle has no non-adjacent pairs; the hub cap prunes wedge centers") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    assert(GraphOps.adamicAdar(tri, "a", "b", None, dec6).isEmpty)
+    // star: center 0 connects 1..4 → all leaf pairs share only the hub
+    val star = (1L to 4L).map((0L, _)).toDF("a", "b")
+    assert(GraphOps.adamicAdar(star, "a", "b", None, dec6).count() == 6)
+    // cap below the hub degree (4) removes every wedge
+    assert(GraphOps.adamicAdar(star, "a", "b", Some(3L), dec6).isEmpty)
+  }
+
+  test("k-core: pendant chain peels in cascade, the 4-clique survives k=3") {
+    // 4-clique {1,2,3,4} + chain 4-5-6: peeling 6 (deg 1) exposes 5
+    val e = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))).toDF("a", "b")
+    val core3 = GraphOps.kCore(e, "a", "b", k = 3).orderBy("node").collect()
+    assert(core3.map(_.getAs[Long]("node")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(core3.forall(_.getAs[Long]("degree") == 3L))
+    // k=2: the chain dies (6 then 5), the clique stays
+    val core2 = GraphOps.kCore(e, "a", "b", k = 2).orderBy("node").collect()
+    assert(core2.map(_.getAs[Long]("node")).toSeq == Seq(1L, 2L, 3L, 4L))
+    // k above the max degree empties the graph
+    assert(GraphOps.kCore(e, "a", "b", k = 5).isEmpty)
+  }
+
+  test("dtw DP: repeat-tolerant alignment is free, band restriction costs") {
+    assert(DtwOps.dtwBanded(Array(1, 2, 3), Array(1, 2, 2, 3), band = 2) == 0.0)
+    // impulse shifted by 2: a band of 2 warps around it for free, a band
+    // of 1 cannot reach the alignment and pays both mismatches
+    val a = Array(0.0, 1.0, 0.0, 0.0, 0.0)
+    val b = Array(0.0, 0.0, 0.0, 1.0, 0.0)
+    val wide = DtwOps.dtwBanded(a, b, band = 2)
+    val tight = DtwOps.dtwBanded(a, b, band = 1)
+    assert(wide == 0.0, s"band 2 must absorb the 2-step shift, got $wide")
+    assert(tight == 2.0, s"band 1 pays both mismatches, got $tight")
+  }
+
+  test("dtwPairs: affine rescaling is invisible after z-normalization") {
+    def ts(i: Int) = Timestamp.valueOf(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00")
+    val base = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 2.0, 7.0)
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq(("a", ts(i), v), ("b", ts(i), 10.0 * v + 5.0)) }
+    val r = DtwOps.dtwPairs(rows.toDF("g", "t", "v"), "g", "t", "v",
+      band = 3, scoreOut = dec6).head()
+    assert(r.getAs[String]("series_a") == "a" && r.getAs[String]("series_b") == "b")
+    assert(r.getAs[Long]("n_a") == 8 && r.getAs[Long]("n_b") == 8)
+    // mu/sd are dec6-ROUNDED before the DP (the replay contract), so the
+    // two normalizations differ at the rounding grid, not at zero
+    assert(math.abs(r.getAs[Double]("dtw")) < 1e-4,
+      s"z-normalized identical shapes must be ~0, got ${r.getAs[Double]("dtw")}")
+  }
+}

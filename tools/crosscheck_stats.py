@@ -788,6 +788,109 @@ def main():
         print(f"{'PASS' if good else 'FAIL'} q280 yule-walker: "
               f"dense lagged products over {len(yw)} series")
 
+    # --- k-core (q323): plain-python peel with sets, vs the join loop ---
+    kc = dump("q323_kcore")
+    if kc is not None:
+        edges = set(map(tuple, con.execute(
+            "WITH b AS (SELECT DISTINCT date_trunc('hour', ts) h, event_type t, "
+            "CAST(json_extract_string(props, '$.k') AS INT) // 10 kd, user_id u "
+            "FROM events) SELECT DISTINCT a.u, b2.u FROM b a JOIN b b2 "
+            "ON a.h=b2.h AND a.t=b2.t AND a.kd=b2.kd AND a.u < b2.u"
+        ).fetchall()))
+        from collections import Counter
+        E = set(edges)
+        while True:
+            deg = Counter()
+            for u, v in E:
+                deg[u] += 1
+                deg[v] += 1
+            keep = {n for n, dd in deg.items() if dd >= 2}
+            E2 = {(u, v) for u, v in E if u in keep and v in keep}
+            if E2 == E:
+                break
+            E = E2
+        want = {n: dd for n, dd in deg.items() if dd >= 2}
+        got = {int(r.node): int(r.degree) for _, r in kc.iterrows()}
+        good = got == want
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q323 k-core: python set peel "
+              f"({len(want)} core nodes) matches the join loop")
+
+    # --- DTW (q324): full-matrix numpy DP with a band mask, vs the
+    #     two-row banded scan ---
+    dt = dump("q324_dtw_profiles")
+    if dt is not None:
+        grid = con.execute(
+            "WITH hours AS (SELECT unnest(generate_series("
+            "  date_trunc('hour', (SELECT min(ts) FROM events)),"
+            "  date_trunc('hour', (SELECT max(ts) FROM events)),"
+            "  INTERVAL 1 HOUR)) h),"
+            "keys AS (SELECT DISTINCT event_type t FROM events),"
+            "hourly AS (SELECT event_type t, date_trunc('hour', ts) h,"
+            "  avg(CAST(value AS DOUBLE)) v FROM events GROUP BY 1, 2),"
+            "al AS (SELECT keys.t, hours.h, hourly.v FROM hours"
+            "  CROSS JOIN keys LEFT JOIN hourly"
+            "  ON hourly.t = keys.t AND hourly.h = hours.h)"
+            "SELECT t, h, last_value(v IGNORE NULLS) OVER ("
+            "  PARTITION BY t ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING"
+            "  AND CURRENT ROW) v FROM al ORDER BY t, h").df()
+        rnd = lambda x: np.floor(x * 1e6 + 0.500618034) / 1e6
+        series = {}
+        for t_, g in grid.dropna(subset=["v"]).groupby("t"):
+            v = g.v.to_numpy()
+            mu = rnd(v.mean())
+            sd = rnd(np.sqrt((v ** 2).mean() - v.mean() ** 2))
+            if sd > 0:
+                series[t_] = (v - mu) / sd
+        good = True
+        for _, row in dt.iterrows():
+            a, b = series[row.series_a], series[row.series_b]
+            n, mm = len(a), len(b)
+            w = max(24, abs(n - mm))
+            D = np.full((n + 1, mm + 1), np.inf)
+            D[0, 0] = 0.0
+            for i in range(1, n + 1):
+                for j in range(max(1, i - w), min(mm, i + w) + 1):
+                    D[i, j] = abs(a[i - 1] - b[j - 1]) + min(
+                        D[i - 1, j], D[i, j - 1], D[i - 1, j - 1])
+            good &= (row.n_a == n and row.n_b == mm
+                     and abs(row.dtw - D[n, mm]) < 2e-6)
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q324 dtw: full-matrix numpy DP "
+              f"over {len(dt)} pairs matches the banded two-row scan")
+
+    # --- Lloyd k-means (q326): numpy replay of the full trajectory ---
+    km = dump("q326_kmeans_embeddings")
+    if km is not None:
+        emb = con.execute(
+            f"SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v "
+            f"FROM read_parquet('{sf}/embeddings.parquet') ORDER BY vec_id"
+        ).df()
+        X = np.stack(emb.v.to_numpy())
+        rnd = lambda x: np.floor(x * 1e6 + 0.500618034) / 1e6
+        k, iters = 8, 5
+        cents = X[:k].copy()  # smallest-id init (emb is id-ordered)
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)  # first-min tie break, same as Spark
+            for c in range(k):
+                if (a == c).any():
+                    cents[c] = rnd(X[a == c].mean(axis=0))
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        good = True
+        for _, row in km.iterrows():
+            c = int(row.cluster_id)
+            mask = a == c
+            good &= (int(row.n_points) == int(mask.sum())
+                     and abs(row.inertia - d2[mask, c].sum()) < 1e-4
+                     and abs(row.centroid_norm
+                             - np.sqrt((cents[c] ** 2).sum())) < 2e-6)
+        good &= len(km) == len(np.unique(a))
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q326 k-means: numpy trajectory "
+              f"replay over {len(X)} vectors, {len(km)} live clusters")
+
     sys.exit(0 if ok else 1)
 
 
