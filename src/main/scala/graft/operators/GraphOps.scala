@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph algorithms as unrolled DataFrame joins. The per-node
@@ -385,6 +386,48 @@ object GraphOps {
         "left_anti")
       .select(col("na").as("node_a"), col("nb").as("node_b"),
         col("n_common"), scoreOut(col("__aa")).as("aa_score"))
+  }
+
+  /** Synchronous label propagation (Raghavan '07) for community
+    * detection, made DETERMINISTIC: every node starts labeled with its
+    * own id; each superstep relabels every node with its neighbors'
+    * modal label, ties broken by the SMALLEST label — the classical
+    * random tiebreak replaced by a total order, so the result is a pure
+    * function of the graph and an external engine (the unrolled SQL
+    * oracle) replays it exactly. Fixed `iters` supersteps (synchronous
+    * LPA may oscillate on bipartite structures; a fixed horizon is the
+    * standard fix and keeps the oracle finite).
+    *
+    * Superstep cost: one edge⋈label equi-join + one (node, label) count
+    * + one per-node argmax window — all keyed on node ids, state is
+    * node-sized, [[Ckpt.step]]-materialized (the Pregel discipline).
+    * Returns (node, label) — nodes sharing a label are one community. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       iters: Int, reliableEvery: Int = 0): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"1 <= iters <= 20, got $iters")
+    val canon = edges.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val sym = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    val nodes = sym.select(col("u").as("node")).distinct().persist()
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    for (i <- 1 to iters) {
+      val counted = sym
+        .join(labels.select(col("node").as("v"), col("label").as("nl")), "v")
+        .groupBy(col("u").as("node"), col("nl"))
+        .agg(count(lit(1)).as("c"))
+      val pick = Window.partitionBy("node")
+        .orderBy(col("c").desc, col("nl").asc)
+      labels = Ckpt.step(
+        counted.withColumn("__rk", row_number().over(pick))
+          .filter(col("__rk") === 1)
+          .select(col("node"), col("nl").as("label")),
+        i, reliableEvery)
+    }
+    labels
   }
 
   /** k-core of an undirected graph: the maximal subgraph where every

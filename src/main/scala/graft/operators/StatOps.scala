@@ -1430,4 +1430,94 @@ object StatOps {
           .when(abs(col("cliffs_delta")) < 0.474, "medium")
           .otherwise("large"))
   }
+
+  /** Negative-binomial overdispersion diagnostic for daily event counts
+    * per series: a Poisson model (q332's naive assumption everywhere
+    * counts are modeled) demands variance ≈ mean; real event streams are
+    * overdispersed (bursts, weekly cycles). Reports the dispersion index
+    * v/m, the method-of-moments NB size k̂ = m²/(v − m) (NULL when the
+    * data is UNDER-dispersed — no NB exists there), and the
+    * Wilson-Hilferty normal approximation of the χ² dispersion test:
+    * z = √(2χ²) − √(2·df − 1) with χ² = (n−1)·v_samp/m. The flag is
+    * ONE-SIDED (z > 1.96): an under-dispersed series also rejects
+    * equidispersion, but it is not NB territory.
+    *
+    * One calendar collapse + one moment aggregate; moments are ROUNDED
+    * before the derived statistics (the ljungBox discipline).
+    * Returns (series, n_days, mean_daily, var_daily, dispersion, k_hat,
+    * z_disp, overdispersed). */
+  def negbinOverdispersion(events: DataFrame, seriesCol: String,
+                           tsCol: String,
+                           scoreOut: Column => Column): DataFrame = {
+    val daily = events
+      .select(col(seriesCol).as("series"), to_date(col(tsCol)).as("day"))
+      .groupBy("series", "day").agg(count(lit(1)).cast("double").as("c"))
+    val m = daily.groupBy("series").agg(
+      count(lit(1)).cast("long").as("n_days"),
+      scoreOut(avg("c")).as("mean_daily"),
+      scoreOut(avg(col("c") * col("c"))).as("__m2"))
+    val v = scoreOut(col("__m2") - col("mean_daily") * col("mean_daily"))
+    val n = col("n_days").cast("double")
+    // sample variance from the population moments: v_samp = n/(n−1) · v_pop
+    val chi2 = (n - lit(1.0)) * (n / (n - lit(1.0)) * v) / col("mean_daily")
+    val z = sqrt(lit(2.0) * chi2) - sqrt(lit(2.0) * (n - lit(1.0)) - lit(1.0))
+    m.filter(col("n_days") >= 3 && col("mean_daily") > 0)
+      .withColumn("var_daily", v)
+      .select(col("series"), col("n_days"), col("mean_daily"),
+        col("var_daily"),
+        scoreOut(col("var_daily") / col("mean_daily")).as("dispersion"),
+        scoreOut(when(col("var_daily") > col("mean_daily"),
+          col("mean_daily") * col("mean_daily") /
+            (col("var_daily") - col("mean_daily")))).as("k_hat"),
+        scoreOut(z).as("z_disp"),
+        (scoreOut(z) > 1.96).cast("int").as("overdispersed"))
+  }
+
+  /** Mutual information between series pairs over their aligned hourly
+    * activity, with each series discretized into `bins` equal-frequency
+    * levels (quartiles by default): MI = Σ p(a,b)·log₂(p(a,b)/(p(a)p(b)))
+    * — the dependence measure that sees what q192's Pearson and q273's
+    * Spearman cannot (non-monotone coupling). Discretization via ntile
+    * per series (a per-series window — long-layout); the joint table is
+    * hours-sized, the MI fold is bins²-sized per pair.
+    *
+    * Returns (series_a, series_b, n_hours, mi_bits, nmi) with
+    * nmi = MI/log₂(bins) ∈ [0,1]. */
+  def mutualInfoMatrix(events: DataFrame, seriesCol: String, tsCol: String,
+                       valueCol: String, bins: Int,
+                       scoreOut: Column => Column): DataFrame = {
+    require(bins >= 2 && bins <= 32, s"2 <= bins <= 32, got $bins")
+    val hourly = events
+      .select(col(seriesCol).as("s"),
+        date_trunc("hour", col(tsCol)).as("h"),
+        col(valueCol).cast("double").as("v"))
+      // the hourly mean is ROUNDED before it becomes a SORT KEY: two
+      // near-tied means could otherwise order differently across engines
+      // (sum-association ulp) and flip an ntile boundary
+      .groupBy("s", "h").agg(scoreOut(avg("v")).as("y"))
+    val lev = hourly.withColumn("q",
+      ntile(bins).over(Window.partitionBy("s").orderBy("y", "h")))
+    val joint = lev.select(col("s").as("sa"), col("h"), col("q").as("qa"))
+      .join(lev.select(col("s").as("sb"), col("h"), col("q").as("qb")),
+        Seq("h"))
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb", "qa", "qb")
+      .agg(count(lit(1)).cast("double").as("nab"))
+      .persist()
+    val tot = joint.groupBy("sa", "sb").agg(sum("nab").as("nt"))
+    val ma = joint.groupBy("sa", "sb", "qa").agg(sum("nab").as("na"))
+    val mb = joint.groupBy("sa", "sb", "qb").agg(sum("nab").as("nb"))
+    joint.join(tot, Seq("sa", "sb"))
+      .join(ma, Seq("sa", "sb", "qa"))
+      .join(mb, Seq("sa", "sb", "qb"))
+      .groupBy(col("sa").as("series_a"), col("sb").as("series_b"))
+      .agg(max(col("nt")).cast("long").as("n_hours"),
+        sum((col("nab") / col("nt")) *
+          log(col("nab") * col("nt") / (col("na") * col("nb"))) /
+          log(lit(2.0))).as("__mi"))
+      .select(col("series_a"), col("series_b"), col("n_hours"),
+        scoreOut(col("__mi")).as("mi_bits"),
+        scoreOut(col("__mi") / (log(lit(bins.toDouble)) / log(lit(2.0))))
+          .as("nmi"))
+  }
 }

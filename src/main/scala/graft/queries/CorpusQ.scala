@@ -1876,6 +1876,9 @@ object CorpusQ {
               col("b.pos") - col("a.pos") <= 3 &&
               col("a.w") =!= col("b.w"))
           .select(col("a.w").as("src"), col("b.w").as("dst"))
+          // both union branches read co — unpersisted, the tokenize +
+          // window join pipeline runs twice
+          .persist()
         val edges = co.unionAll(co.select(col("dst").as("src"),
             col("src").as("dst")))
           .withColumn("wt", lit(1.0))

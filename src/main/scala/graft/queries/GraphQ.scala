@@ -230,15 +230,19 @@ object GraphQ {
 
     // Adamic-Adar link prediction over the q246 co-activity graph: score
     // every NON-adjacent user pair by their shared-neighbor rarity mass
-    // (1/ln deg per common neighbor), hub centers above degree 500
+    // (1/ln deg per common neighbor), hub centers above degree 150
     // skipped (the documented wedge cap — near-zero evidence at
-    // quadratic cost), top-200 by rounded score. "Who should know each
+    // quadratic cost; the 150-user panel makes the graph uniformly
+    // dense at sf0.1, 46M wedges uncapped vs 4.5M capped, while the
+    // sf0.01 gate graph tops out at degree 28, so the cap never bites
+    // where the oracle checks the uncapped math), top-200 by rounded
+    // score. "Who should know each
     // other but don't yet" — the recommendation complement of q246's
     // "how clustered is what already exists".
     "q322_adamic_adar" -> Q(
       (s, d) => graft.operators.GraphOps.adamicAdar(
           coActivityEdges(s, d), "ua", "ub",
-          maxDegree = Some(500L), scoreOut = dec6)
+          maxDegree = Some(150L), scoreOut = dec6)
         .orderBy(col("aa_score").desc, col("node_a"), col("node_b"))
         .limit(200),
       Some(s"""WITH $sqlCoActivity,
@@ -246,7 +250,7 @@ object GraphQ {
               |deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1),
               |w AS (SELECT sym.u AS ctr, sym.v AS leaf,
               |    1.0 / ln(CAST(deg AS DOUBLE)) AS wt
-              |  FROM sym JOIN deg ON sym.u = deg.node WHERE deg <= 500),
+              |  FROM sym JOIN deg ON sym.u = deg.node WHERE deg <= 150),
               |p AS (SELECT a.leaf AS na, b.leaf AS nb,
               |    CAST(count(*) AS BIGINT) AS n_common, sum(a.wt) AS aa
               |  FROM w a JOIN w b ON a.ctr = b.ctr AND a.leaf < b.leaf
@@ -268,6 +272,31 @@ object GraphQ {
           coActivityEdges(s, d), "ua", "ub", k = 2)
         .orderBy("node"),
       None),
+
+    // Deterministic synchronous label propagation (4 supersteps,
+    // smallest-label tiebreak) on the co-activity graph — community ids
+    // per user. The classical random tiebreak is replaced by a total
+    // order, so the oracle can unroll the identical 4 steps.
+    "q330_label_propagation" -> Q(
+      (s, d) => graft.operators.GraphOps.labelPropagation(
+          coActivityEdges(s, d), "ua", "ub", iters = 4)
+        .orderBy("node"),
+      Some {
+        val steps = (1 to 4).map { i =>
+          s"""c$i AS (SELECT sym.u AS node, l.label AS nl, count(*) AS c
+             |  FROM sym JOIN l${i - 1} l ON sym.v = l.node GROUP BY 1, 2),
+             |l$i AS (SELECT node, nl AS label FROM (
+             |  SELECT node, nl, row_number() OVER (PARTITION BY node
+             |    ORDER BY c DESC, nl) AS rk FROM c$i) WHERE rk = 1)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH $sqlCoActivity,
+           |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+           |nodes AS (SELECT DISTINCT u AS node FROM sym),
+           |l0 AS (SELECT node, node AS label FROM nodes),
+           |$steps
+           |SELECT node, label FROM l4 ORDER BY node""".stripMargin
+      }),
   )
 
   /** The q246 co-activity graph: users active in the same (hour, type,

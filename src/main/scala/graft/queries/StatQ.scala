@@ -1447,5 +1447,71 @@ object StatQ {
            |  ${r6("avg(CAST((p >= 0.5) = (y = 1.0) AS DOUBLE))")} AS accuracy
            |FROM jf GROUP BY 1 ORDER BY 1""".stripMargin
       }),
+
+    // Negative-binomial overdispersion of daily event counts per type:
+    // dispersion index, method-of-moments NB size, and the
+    // Wilson-Hilferty z of the chi-square dispersion test — the "is
+    // Poisson even plausible" gate before any count model.
+    "q328_negbin_overdispersion" -> Q(
+      (s, d) => graft.operators.StatOps.negbinOverdispersion(
+          Tables.events(s, d), "event_type", "ts", scoreOut = dec6)
+        .orderBy("series"),
+      Some {
+        val z = """sqrt(2.0 * ((n_days - 1.0)
+          |    * ((n_days + 0.0) / (n_days - 1.0) * var_daily)
+          |    / mean_daily))
+          |  - sqrt(2.0 * (n_days - 1.0) - 1.0)""".stripMargin
+        s"""WITH daily AS (SELECT event_type AS series, CAST(ts AS DATE) AS day,
+           |    CAST(count(*) AS DOUBLE) AS c FROM events GROUP BY 1, 2),
+           |m AS (SELECT series, CAST(count(*) AS BIGINT) AS n_days,
+           |    ${r6("avg(c)")} AS mean_daily, ${r6("avg(c * c)")} AS m2
+           |  FROM daily GROUP BY 1),
+           |f AS (SELECT series, n_days, mean_daily,
+           |    ${r6("m2 - mean_daily * mean_daily")} AS var_daily
+           |  FROM m WHERE n_days >= 3 AND mean_daily > 0)
+           |SELECT series, n_days, mean_daily, var_daily,
+           |  ${r6("var_daily / mean_daily")} AS dispersion,
+           |  CASE WHEN var_daily > mean_daily THEN
+           |    ${r6("mean_daily * mean_daily / (var_daily - mean_daily)")}
+           |    END AS k_hat,
+           |  ${r6(z)} AS z_disp,
+           |  CAST(${r6(z)} > 1.96 AS INT) AS overdispersed
+           |FROM f ORDER BY series""".stripMargin
+      }),
+
+    // Binned mutual information between hourly profiles of every series
+    // pair (quartile levels): the dependence q192's Pearson and q273's
+    // Spearman cannot see (non-monotone coupling). Hourly means ROUNDED
+    // before they become ntile sort keys (cross-engine order stability).
+    "q329_mutual_info" -> Q(
+      (s, d) => graft.operators.StatOps.mutualInfoMatrix(
+          Tables.events(s, d), "event_type", "ts", "value",
+          bins = 4, scoreOut = dec6)
+        .orderBy("series_a", "series_b"),
+      Some(s"""WITH hourly AS (SELECT event_type AS s,
+              |    date_trunc('hour', ts) AS h,
+              |    ${r6("avg(CAST(value AS DOUBLE))")} AS y
+              |  FROM events GROUP BY 1, 2),
+              |lev AS (SELECT s, h,
+              |    ntile(4) OVER (PARTITION BY s ORDER BY y, h) AS q
+              |  FROM hourly),
+              |joint AS (SELECT a.s AS sa, b.s AS sb, a.q AS qa, b.q AS qb,
+              |    CAST(count(*) AS DOUBLE) AS nab
+              |  FROM lev a JOIN lev b ON a.h = b.h AND a.s < b.s
+              |  GROUP BY 1, 2, 3, 4),
+              |tot AS (SELECT sa, sb, sum(nab) AS nt FROM joint GROUP BY 1, 2),
+              |ma AS (SELECT sa, sb, qa, sum(nab) AS na FROM joint
+              |  GROUP BY 1, 2, 3),
+              |mb AS (SELECT sa, sb, qb, sum(nab) AS nb FROM joint
+              |  GROUP BY 1, 2, 3)
+              |SELECT sa AS series_a, sb AS series_b,
+              |  CAST(max(nt) AS BIGINT) AS n_hours,
+              |  ${r6("sum((nab / nt) * ln(nab * nt / (na * nb)) / ln(2.0))")}
+              |    AS mi_bits,
+              |  ${r6("""sum((nab / nt) * ln(nab * nt / (na * nb)) / ln(2.0))
+              |    / (ln(4.0) / ln(2.0))""")} AS nmi
+              |FROM joint JOIN tot USING (sa, sb) JOIN ma USING (sa, sb, qa)
+              |JOIN mb USING (sa, sb, qb)
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

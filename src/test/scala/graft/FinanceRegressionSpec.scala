@@ -168,6 +168,47 @@ class FinanceRegressionSpec extends SparkSpec {
     assert(r.getAs[Double]("hurst") > 0.9, s"ramp H=${r.getAs[Double]("hurst")}")
   }
 
+  test("negbin overdispersion: constant daily counts read underdispersed, bursts overdispersed") {
+    // series "flat": 4 events every day for 10 days (var 0);
+    // series "burst": alternating 1 and 19 events (var >> mean)
+    val rows = (0 until 10).flatMap { d =>
+      val day = f"2024-01-${d + 1}%02d"
+      (1 to 4).map(i => ("flat", Timestamp.valueOf(s"$day 0$i:00:00"))) ++
+        (1 to (if (d % 2 == 0) 1 else 19))
+          .map(i => ("burst", Timestamp.valueOf(f"$day ${i % 24}%02d:30:00")))
+    }
+    val out = StatOps.negbinOverdispersion(rows.toDF("g", "t"), "g", "t", dec6)
+      .collect().map(r => r.getAs[String]("series") -> r).toMap
+    val flat = out("flat")
+    assert(flat.getAs[Double]("dispersion") == 0.0)
+    assert(flat.isNullAt(flat.fieldIndex("k_hat")), "no NB exists for var < mean")
+    assert(flat.getAs[Int]("overdispersed") == 0)
+    val burst = out("burst")
+    assert(burst.getAs[Double]("mean_daily") == 10.0)
+    // var_pop = 81 → dispersion 8.1, k = 100/71
+    assert(math.abs(burst.getAs[Double]("dispersion") - 8.1) < 1e-6)
+    assert(math.abs(burst.getAs[Double]("k_hat") - 100.0 / 71.0) < 1e-4)
+    assert(burst.getAs[Int]("overdispersed") == 1)
+  }
+
+  test("mutual information: a series against its own copy scores log2(bins) bits, nmi=1") {
+    val rows = (0 until 96).flatMap { i =>
+      val t = Timestamp.valueOf(f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00")
+      val v = math.sin(i / 7.0) * 10
+      Seq(("a", t, v), ("b", t, v), ("noise", t, ((i * 37) % 17).toDouble))
+    }
+    val out = StatOps.mutualInfoMatrix(rows.toDF("g", "t", "v"), "g", "t", "v",
+      bins = 4, scoreOut = dec6).collect()
+      .map(r => (r.getAs[String]("series_a"), r.getAs[String]("series_b")) -> r).toMap
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("n_hours") == 96)
+    assert(math.abs(ab.getAs[Double]("mi_bits") - 2.0) < 1e-6,
+      s"identical series carry log2(4)=2 bits, got ${ab.getAs[Double]("mi_bits")}")
+    assert(math.abs(ab.getAs[Double]("nmi") - 1.0) < 1e-6)
+    // the pseudo-random series shares far less information
+    assert(out(("a", "noise")).getAs[Double]("nmi") < 0.5)
+  }
+
   test("pacf replays Durbin-Levinson on the operator's own rounded rho") {
     var seed = 7L
     def nxt(): Double = {

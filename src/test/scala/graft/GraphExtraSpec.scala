@@ -44,6 +44,18 @@ class GraphExtraSpec extends SparkSpec {
     assert(GraphOps.kCore(e, "a", "b", k = 5).isEmpty)
   }
 
+  test("label propagation: two triangles with one bridge resolve to two communities") {
+    // hand-walked 4-step sync LPA with min-label ties (see scaladoc):
+    // {1,2,3} settles on label 1, {4,5,6} on label 3
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("a", "b")
+    val got = GraphOps.labelPropagation(e, "a", "b", iters = 4)
+      .orderBy("node").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L),
+      s"got $got")
+  }
+
   test("dtw DP: repeat-tolerant alignment is free, band restriction costs") {
     assert(DtwOps.dtwBanded(Array(1, 2, 3), Array(1, 2, 2, 3), band = 2) == 0.0)
     // impulse shifted by 2: a band of 2 warps around it for free, a band
