@@ -344,6 +344,36 @@ object ExperimentOps {
     * window over that family table (named GlobalWindowLint entry); m and
     * the largest qualifying rank are scalar-aggregate crossjoins. p is
     * rounded before ranking, rank ties break on the key. */
+  /** Holm–Bonferroni step-down correction over a family of z-tests —
+    * the FWER-controlling sibling of [[bhFdr]] (which controls FDR): use
+    * Holm when ONE false positive is unacceptable (launch gates), BH
+    * when a bounded false-discovery fraction is fine (screening).
+    * Adjusted p = running max over the p-ascending order of
+    * (m − rank + 1)·p, capped at 1 (the standard monotonization; reject
+    * adj ≤ α is exactly the sequential step-down rule). Same p-value
+    * construction, bounded-family global window, and rounding contract
+    * as [[bhFdr]]. Returns (test_key, z, p, rank, p_holm, reject). */
+  def holm(tests: DataFrame, keyCol: String, zCol: String, alpha: Double,
+           scoreOut: Column => Column): DataFrame = {
+    val base = tests
+      .select(col(keyCol).as("test_key"), col(zCol).cast("double").as("z"))
+      .withColumn("p",
+        scoreOut(lit(2.0) * StatOps.normalUpperTail(abs(col("z")))))
+    val m = base.agg(count(lit(1)).as("__m"))
+    val ranked = base.crossJoin(m)
+      .withColumn("rank",
+        row_number().over(Window.orderBy("p", "test_key")).cast("long"))
+      .withColumn("__raw",
+        (col("__m") - col("rank") + lit(1L)).cast("double") * col("p"))
+    ranked
+      .withColumn("p_holm", scoreOut(least(lit(1.0),
+        max("__raw").over(Window.orderBy("rank")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))))
+      .select(col("test_key"), scoreOut(col("z")).as("z"), col("p"),
+        col("rank"), col("p_holm"),
+        (col("p_holm") <= alpha).cast("int").as("reject"))
+  }
+
   def bhFdr(tests: DataFrame, keyCol: String, zCol: String, alpha: Double,
             scoreOut: Column => Column): DataFrame = {
     val base = tests

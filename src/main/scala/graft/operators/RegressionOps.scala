@@ -255,6 +255,94 @@ object RegressionOps {
       (1 to maxLag).map(k => col(s"phi_${k}_$k").as(s"pacf_$k")): _*)
   }
 
+  /** Huber robust regression (two features + intercept) by `iters` IRLS
+    * steps — the outlier-resistant sibling of [[ridge2]]: rows whose
+    * absolute residual exceeds `delta` get weight δ/|r| instead of 1
+    * (Huber '64), so a fat-fingered price cannot drag the fit the way it
+    * drags OLS. Each step is ONE weighted-moments aggregate: weighted
+    * means (ROUNDED — they center the step's normal equations), the five
+    * weighted Gram sums, a Cramer 2×2, and the intercept recovered from
+    * the weighted means. β is ROUNDED per step (the logisticNewton
+    * replay contract). Step 1 runs with all weights 1 — plain OLS — so
+    * the recursion needs no separate seed.
+    *
+    * Returns (group, n, n_downweighted, b0, b1, b2). */
+  def huber2(df: DataFrame, groupCol: String, yCol: String,
+             x1Col: String, x2Col: String, delta: Double, iters: Int,
+             scoreOut: Column => Column): DataFrame = {
+    require(delta > 0 && iters >= 1 && iters <= 16,
+      s"delta > 0, 1 <= iters <= 16: got $delta, $iters")
+    val base = df.select(col(groupCol).as("g"),
+        col(yCol).cast("double").as("y"),
+        col(x1Col).cast("double").as("x1"),
+        col(x2Col).cast("double").as("x2"))
+      .filter(col("y").isNotNull && col("x1").isNotNull && col("x2").isNotNull)
+      .persist()
+    var beta: Option[DataFrame] = None
+    var joined: DataFrame = null
+    for (_ <- 1 to iters) {
+      joined = beta match {
+        case None => base.withColumn("w", lit(1.0))
+        case Some(b) => base.join(b, "g")
+          .withColumn("__r",
+            col("y") - (col("b0") + col("b1") * col("x1") +
+              col("b2") * col("x2")))
+          .withColumn("w", when(abs(col("__r")) <= delta, lit(1.0))
+            .otherwise(lit(delta) / abs(col("__r"))))
+      }
+      val sums = joined.groupBy("g").agg(
+        sum("w").as("sw"),
+        sum(col("w") * col("y")).as("swy"),
+        sum(col("w") * col("x1")).as("sw1"),
+        sum(col("w") * col("x2")).as("sw2"),
+        sum(col("w") * col("x1") * col("x1")).as("s11r"),
+        sum(col("w") * col("x1") * col("x2")).as("s12r"),
+        sum(col("w") * col("x2") * col("x2")).as("s22r"),
+        sum(col("w") * col("x1") * col("y")).as("s1yr"),
+        sum(col("w") * col("x2") * col("y")).as("s2yr"))
+      val my = scoreOut(col("swy") / col("sw"))
+      val m1 = scoreOut(col("sw1") / col("sw"))
+      val m2 = scoreOut(col("sw2") / col("sw"))
+      val withM = sums.withColumn("my", my).withColumn("m1", m1)
+        .withColumn("m2", m2)
+      // centered weighted Gram from the raw sums (König-Huygens), written
+      // exactly as Σw·ab − ma·Σw·b − mb·Σw·a + ma·mb·Σw so the oracle can
+      // mirror the operation order
+      def cen(sab: Column, sa: Column, sb: Column, ma: Column, mb: Column) =
+        sab - ma * sb - mb * sa + ma * mb * col("sw")
+      val s11 = cen(col("s11r"), col("sw1"), col("sw1"), col("m1"), col("m1"))
+      val s12 = cen(col("s12r"), col("sw1"), col("sw2"), col("m1"), col("m2"))
+      val s22 = cen(col("s22r"), col("sw2"), col("sw2"), col("m2"), col("m2"))
+      val s1y = cen(col("s1yr"), col("sw1"), col("swy"), col("m1"), col("my"))
+      val s2y = cen(col("s2yr"), col("sw2"), col("swy"), col("m2"), col("my"))
+      val solved = withM
+        .withColumn("s11", s11).withColumn("s12", s12).withColumn("s22", s22)
+        .withColumn("s1y", s1y).withColumn("s2y", s2y)
+      // b0 from the same weighted means and the ROUNDED b1/b2
+      beta = Some(solved.select(col("g"), col("my"), col("m1"), col("m2"),
+          col("s11"), col("s12"), col("s22"), col("s1y"), col("s2y"))
+        .withColumn("b1", scoreOut(
+          (col("s22") * col("s1y") - col("s12") * col("s2y")) /
+            (col("s11") * col("s22") - col("s12") * col("s12"))))
+        .withColumn("b2", scoreOut(
+          (col("s11") * col("s2y") - col("s12") * col("s1y")) /
+            (col("s11") * col("s22") - col("s12") * col("s12"))))
+        .withColumn("b0", scoreOut(col("my") -
+          col("b1") * col("m1") - col("b2") * col("m2")))
+        .select("g", "b0", "b1", "b2"))
+    }
+    val fin = base.join(beta.get, "g")
+      .withColumn("__r",
+        col("y") - (col("b0") + col("b1") * col("x1") +
+          col("b2") * col("x2")))
+    fin.groupBy("g").agg(
+        count(lit(1)).cast("long").as("n"),
+        sum((abs(col("__r")) > delta).cast("long")).as("n_downweighted"),
+        first("b0").as("b0"), first("b1").as("b1"), first("b2").as("b2"))
+      .select(col("g").as(groupCol), col("n"), col("n_downweighted"),
+        col("b0"), col("b1"), col("b2"))
+  }
+
   /** Logistic regression (two features + intercept) by `iters` Newton
     * steps, each step ONE aggregate: per group, the gradient g = Xᵀ(y−p)
     * and Hessian H = XᵀWX reduce to nine weighted sums; the 3×3 solve is

@@ -1473,6 +1473,108 @@ object StatOps {
         (scoreOut(z) > 1.96).cast("int").as("overdispersed"))
   }
 
+  /** Log-rank test between two survival cohorts (Mantel '66) — "do the
+    * curves differ", the hypothesis test q158's Kaplan-Meier plot only
+    * eyeballs. Input is subject-level (group, duration, event∈{0,1});
+    * at each distinct EVENT time t: nᵍ(t) subjects still at risk,
+    * dᵍ(t) events; O_a = Σd_a, E_a = Σ d·n_a/n, V = Σ d·(n_a/n)·
+    * (1−n_a/n)·(n−d)/(n−1) (hypergeometric), z = (O_a − E_a)/√V.
+    * Cohort "a" is the lexicographically smaller group label.
+    *
+    * The at-risk table is (event-times × groups)-sized: the distinct
+    * event-time table is calendar-bounded (durations arrive pre-rounded
+    * to days/hours by the caller), broadcast into one non-equi join
+    * against subjects, then a single aggregate — subjects are scanned
+    * twice and never pairwise. Returns one row:
+    * (group_a, group_b, n_a, n_b, o_a, e_a, v_lr, z_logrank, curves_differ). */
+  def logRankTest(subjects: DataFrame, groupCol: String, durationCol: String,
+                  eventCol: String, scoreOut: Column => Column): DataFrame = {
+    val base = subjects.select(col(groupCol).as("g"),
+        col(durationCol).cast("double").as("t"),
+        col(eventCol).cast("int").as("e"))
+      .filter(col("t").isNotNull)
+      .persist()
+    val ga = base.select("g").distinct()
+      .agg(min("g").as("ga"), max("g").as("gb"))
+    // rows outside {ga, gb} (a 3rd group) are excluded, never silently
+    // pooled into the at-risk sets
+    val ab = base.crossJoin(broadcast(ga))
+      .filter(col("g") === col("ga") || col("g") === col("gb"))
+      .persist()
+    val times = ab.filter(col("e") === 1).select(col("t").as("et"))
+      .distinct()
+    val atRisk = ab
+      .join(broadcast(times), col("t") >= col("et"))
+      .groupBy("et")
+      .agg(
+        sum(when(col("g") === col("ga"), 1L).otherwise(0L)).as("n_a_t"),
+        count(lit(1)).as("n_t"),
+        sum(when(col("g") === col("ga") && col("e") === 1 &&
+          col("t") === col("et"), 1L).otherwise(0L)).as("d_a_t"),
+        sum(when(col("e") === 1 && col("t") === col("et"), 1L)
+          .otherwise(0L)).as("d_t"))
+      .filter(col("n_t") > 1)
+    val na = col("n_a_t").cast("double"); val nt = col("n_t").cast("double")
+    val dt = col("d_t").cast("double")
+    val terms = atRisk.agg(
+      sum(col("d_a_t")).cast("double").as("o_a"),
+      sum(dt * na / nt).as("e_a"),
+      sum(dt * (na / nt) * (lit(1.0) - na / nt) *
+        (nt - dt) / (nt - lit(1.0))).as("v_lr"))
+    val counts = ab.agg(
+      first("ga").as("group_a"), first("gb").as("group_b"),
+      sum(when(col("g") === col("ga"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("g") === col("gb"), 1L).otherwise(0L)).as("n_b"))
+    val z = (col("o_a") - col("e_a")) / sqrt(col("v_lr"))
+    counts.crossJoin(terms)
+      .filter(col("v_lr") > 0)
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("o_a").cast("long").as("o_a"), scoreOut(col("e_a")).as("e_a"),
+        scoreOut(col("v_lr")).as("v_lr"), scoreOut(z).as("z_logrank"),
+        (abs(scoreOut(z)) > 1.96).cast("int").as("curves_differ"))
+  }
+
+  /** HBOS — histogram-based outlier score (Goldstein & Dengel '12): per
+    * feature, an equal-width histogram over the [rounded min, rounded
+    * max] span; an event's score is Σ_f log₁₀(maxcount_f / count_f(bin))
+    * — tall bins score 0, empty tails score high. The O(n) unsupervised
+    * scorer beside the model-based detectors (q36 z-score, q157 MAD,
+    * q231 grid): no distances, no windows, embarrassingly parallel.
+    *
+    * Features arrive MELTED (id, feature, x) so the histogram pass is
+    * one hash aggregate over features × bins cells; the score join is
+    * feature×bins-sized (broadcast) against the melted stream. Bin
+    * edges derive from ROUNDED min/max, so binning replays identically
+    * in any engine. Constant features (width 0) are skipped. Returns
+    * the top-`k` (id, n_features, hbos) by rounded score, id tiebreak. */
+  def hbos(melted: DataFrame, idCol: String, featureCol: String,
+           valueCol: String, nBins: Int, k: Int,
+           scoreOut: Column => Column): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"2 <= nBins <= 1000, got $nBins")
+    val base = melted.select(col(idCol).as("id"),
+        col(featureCol).as("f"), col(valueCol).cast("double").as("x"))
+      .filter(col("x").isNotNull)
+      .persist()
+    val span = base.groupBy("f").agg(
+        scoreOut(min("x")).as("mn"), scoreOut(max("x")).as("mx"))
+      .filter(col("mx") > col("mn"))
+      .withColumn("w", (col("mx") - col("mn")) / lit(nBins.toDouble))
+    val binned = base.join(broadcast(span), "f")
+      .withColumn("b", greatest(lit(0L), least(lit(nBins - 1L),
+        floor((col("x") - col("mn")) / col("w")))))
+    val hist = binned.groupBy("f", "b").agg(count(lit(1)).as("c"))
+      .withColumn("maxc", max("c").over(Window.partitionBy("f")))
+    binned.select(col("id"), col("f"), col("b"))
+      .join(broadcast(hist), Seq("f", "b"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_features"),
+        sum(log(col("maxc").cast("double") / col("c")) / log(lit(10.0)))
+          .as("__s"))
+      .select(col("id"), col("n_features"), scoreOut(col("__s")).as("hbos"))
+      .orderBy(col("hbos").desc, col("id"))
+      .limit(k)
+  }
+
   /** Mutual information between series pairs over their aligned hourly
     * activity, with each series discretized into `bins` equal-frequency
     * levels (quartiles by default): MI = Σ p(a,b)·log₂(p(a,b)/(p(a)p(b)))

@@ -88,31 +88,7 @@ object ExperimentQ {
             .select("series", "z"),
           "series", "z", alpha = 0.05, scoreOut = dec6)
         .orderBy("rank"),
-      Some(s"""WITH daily AS (SELECT event_type AS series, CAST(ts AS DATE) AS d,
-              |    ${r6("avg(CAST(value AS DOUBLE))")} AS y
-              |  FROM events GROUP BY 1, 2),
-              |p AS (SELECT a.series, CAST(sum(sign(b.y - a.y)) AS DOUBLE) AS s
-              |  FROM daily a JOIN daily b ON a.series = b.series AND a.d < b.d
-              |  GROUP BY 1),
-              |t AS (SELECT series, CAST(sum(t) AS DOUBLE) AS n,
-              |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS DOUBLE) AS tsum
-              |  FROM (SELECT series, y, count(*) AS t FROM daily GROUP BY 1, 2)
-              |  GROUP BY 1),
-              |v AS (SELECT p.series, n, s,
-              |    (n * (n - 1) * (2 * n + 5) - tsum) / 18.0 AS vr
-              |  FROM p JOIN t ON p.series = t.series),
-              |zz AS (SELECT series AS test_key,
-              |    ${r6("""CASE WHEN s > 0 THEN (s - 1) / sqrt(vr)
-              |      WHEN s < 0 THEN (s + 1) / sqrt(vr) ELSE 0.0 END""")} AS z
-              |  FROM v),
-              |pv AS (SELECT test_key, z,
-              |    1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM zz),
-              |pp AS (SELECT test_key, z,
-              |    ${r6("""2.0 * exp(-z * z / 2.0) / sqrt(2.0 * pi())
-              |      * (tt * (0.319381530 + tt * (-0.356563782
-              |        + tt * (1.781477937 + tt * (-1.821255978
-              |        + tt * 1.330274429)))))""")} AS p
-              |  FROM pv),
+      Some(s"""WITH $sqlMkFamilyP,
               |rk AS (SELECT test_key, z, p,
               |    CAST(row_number() OVER (ORDER BY p, test_key) AS BIGINT)
               |      AS rank,
@@ -373,5 +349,63 @@ object ExperimentQ {
               |    / sqrt(saq / naq + sap / nap + sbq / nbq + sbp / nbp))
               |    > 1.96 AS INT) AS significant_95
               |FROM p""".stripMargin)),
+
+    // Holm-Bonferroni step-down over the same q275 Mann-Kendall family —
+    // FWER control beside q284's FDR: use Holm when ONE false positive
+    // is unacceptable (launch gates), BH for screening. Adjusted p is
+    // the running max of (m - rank + 1) * p, capped at 1.
+    "q331_holm" -> Q(
+      (s, d) => graft.operators.ExperimentOps.holm(
+          graft.operators.StatOps.mannKendall(
+              Tables.events(s, d), "event_type", "ts", "value",
+              scoreOut = dec6)
+            .select("series", "z"),
+          "series", "z", alpha = 0.05, scoreOut = dec6)
+        .orderBy("rank"),
+      Some(s"""WITH $sqlMkFamilyP,
+              |rk AS (SELECT test_key, z, p,
+              |    CAST(row_number() OVER (ORDER BY p, test_key) AS BIGINT)
+              |      AS rank,
+              |    count(*) OVER () AS m FROM pp),
+              |h AS (SELECT test_key, z, p, rank,
+              |    ${r6("""least(1.0, max(CAST(m - rank + 1 AS DOUBLE) * p)
+              |      OVER (ORDER BY rank
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""")}
+              |      AS p_holm
+              |  FROM rk)
+              |SELECT test_key, z, p, rank, p_holm,
+              |  CAST(p_holm <= 0.05 AS INT) AS reject
+              |FROM h ORDER BY rank""".stripMargin)),
   )
+
+  /** Shared oracle prefix for the multiple-testing entries (q284, q331):
+    * the q275 Mann-Kendall z family plus the Zelen-Severo Φ polynomial,
+    * ending at `pp(test_key, z, p)`. (A def — `queries` above
+    * initializes first and would read a val as null.) */
+  private def sqlMkFamilyP: String =
+    s"""daily AS (SELECT event_type AS series, CAST(ts AS DATE) AS d,
+       |    ${r6("avg(CAST(value AS DOUBLE))")} AS y
+       |  FROM events GROUP BY 1, 2),
+       |p AS (SELECT a.series, CAST(sum(sign(b.y - a.y)) AS DOUBLE) AS s
+       |  FROM daily a JOIN daily b ON a.series = b.series AND a.d < b.d
+       |  GROUP BY 1),
+       |t AS (SELECT series, CAST(sum(t) AS DOUBLE) AS n,
+       |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS DOUBLE) AS tsum
+       |  FROM (SELECT series, y, count(*) AS t FROM daily GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |v AS (SELECT p.series, n, s,
+       |    (n * (n - 1) * (2 * n + 5) - tsum) / 18.0 AS vr
+       |  FROM p JOIN t ON p.series = t.series),
+       |zz AS (SELECT series AS test_key,
+       |    ${r6("""CASE WHEN s > 0 THEN (s - 1) / sqrt(vr)
+       |      WHEN s < 0 THEN (s + 1) / sqrt(vr) ELSE 0.0 END""")} AS z
+       |  FROM v),
+       |pv AS (SELECT test_key, z,
+       |    1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM zz),
+       |pp AS (SELECT test_key, z,
+       |    ${r6("""2.0 * exp(-z * z / 2.0) / sqrt(2.0 * pi())
+       |      * (tt * (0.319381530 + tt * (-0.356563782
+       |        + tt * (1.781477937 + tt * (-1.821255978
+       |        + tt * 1.330274429)))))""")} AS p
+       |  FROM pv)""".stripMargin
 }

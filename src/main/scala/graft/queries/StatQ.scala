@@ -1513,5 +1513,170 @@ object StatQ {
               |FROM joint JOIN tot USING (sa, sb) JOIN ma USING (sa, sb, qa)
               |JOIN mb USING (sa, sb, qb)
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Log-rank test: do the even/odd user cohorts (the q168 split-arm
+    // convention — an A/A null by construction; the spec plants real
+    // signal) share the time-to-first-purchase curve? Duration = days
+    // from a user's first event to their first purchase; the panel has
+    // no never-buyers, so every subject is an event (no censoring — the
+    // test handles both). The hypothesis test q158's Kaplan-Meier plot
+    // only eyeballs.
+    "q332_logrank" -> Q(
+      (s, d) => {
+        val subj = Tables.events(s, d).groupBy("user_id")
+          .agg(min("ts").as("__f"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("__p"))
+          .filter(col("__p").isNotNull)
+          .select(
+            when(col("user_id") % 2 === 0, "even").otherwise("odd")
+              .as("cohort"),
+            datediff(to_date(col("__p")), to_date(col("__f")))
+              .cast("double").as("dur_days"),
+            lit(1).as("converted"))
+        graft.operators.StatOps.logRankTest(subj, "cohort", "dur_days",
+          "converted", scoreOut = dec6)
+      },
+      Some(s"""WITH subj AS (SELECT
+              |    CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g,
+              |    CAST(date_diff('day', CAST(min(ts) AS DATE),
+              |      CAST(min(CASE WHEN event_type = 'purchase' THEN ts END)
+              |        AS DATE)) AS DOUBLE) AS t,
+              |    1 AS e
+              |  FROM events GROUP BY user_id
+              |  HAVING min(CASE WHEN event_type = 'purchase' THEN ts END)
+              |    IS NOT NULL),
+              |times AS (SELECT DISTINCT t AS et FROM subj WHERE e = 1),
+              |ar AS (SELECT et,
+              |    sum(CASE WHEN g = 'even' THEN 1 ELSE 0 END) AS n_a_t,
+              |    count(*) AS n_t,
+              |    sum(CASE WHEN g = 'even' AND e = 1 AND t = et
+              |      THEN 1 ELSE 0 END) AS d_a_t,
+              |    sum(CASE WHEN e = 1 AND t = et THEN 1 ELSE 0 END) AS d_t
+              |  FROM subj JOIN times ON t >= et GROUP BY et),
+              |tm AS (SELECT CAST(sum(d_a_t) AS DOUBLE) AS o_a,
+              |    sum(CAST(d_t AS DOUBLE) * n_a_t / n_t) AS e_a,
+              |    sum(CAST(d_t AS DOUBLE)
+              |      * (CAST(n_a_t AS DOUBLE) / n_t)
+              |      * (1.0 - CAST(n_a_t AS DOUBLE) / n_t)
+              |      * (n_t - CAST(d_t AS DOUBLE)) / (n_t - 1.0)) AS v_lr
+              |  FROM ar WHERE n_t > 1),
+              |ct AS (SELECT 'even' AS group_a, 'odd' AS group_b,
+              |    CAST(sum(CASE WHEN g = 'even' THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_a,
+              |    CAST(sum(CASE WHEN g = 'odd' THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_b
+              |  FROM subj)
+              |SELECT group_a, group_b, n_a, n_b,
+              |  CAST(o_a AS BIGINT) AS o_a, ${r6("e_a")} AS e_a,
+              |  ${r6("v_lr")} AS v_lr,
+              |  ${r6("(o_a - e_a) / sqrt(v_lr)")} AS z_logrank,
+              |  CAST(abs(${r6("(o_a - e_a) / sqrt(v_lr)")}) > 1.96 AS INT)
+              |    AS curves_differ
+              |FROM ct, tm WHERE v_lr > 0""".stripMargin)),
+
+    // HBOS unsupervised outlier score over (value, hour-of-day): per
+    // feature an equal-width histogram on rounded [min, max]; score =
+    // sum of log10(maxcount/count) — the O(n) density scorer beside the
+    // model-based detectors (q36/q157/q231). Top-20 by rounded score.
+    "q333_hbos" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val melted = ev.select(col("event_id").as("id"), lit("value").as("f"),
+            col("value").cast("double").as("x"))
+          .unionAll(ev.select(col("event_id").as("id"), lit("hour").as("f"),
+            hour(col("ts")).cast("double").as("x")))
+        graft.operators.StatOps.hbos(melted, "id", "f", "x",
+            nBins = 20, k = 20, scoreOut = dec6)
+      },
+      Some(s"""WITH melted AS (
+              |  SELECT event_id AS id, 'value' AS f,
+              |    CAST(value AS DOUBLE) AS x FROM events
+              |  UNION ALL
+              |  SELECT event_id, 'hour', CAST(hour(ts) AS DOUBLE)
+              |  FROM events),
+              |span AS (SELECT f, ${r6("min(x)")} AS mn, ${r6("max(x)")} AS mx
+              |  FROM melted GROUP BY 1),
+              |-- width test on the ROUNDED span (the Spark side's filter)
+              |sp2 AS (SELECT f, mn, (mx - mn) / 20.0 AS w FROM span
+              |  WHERE mx > mn),
+              |binned AS (SELECT id, melted.f AS f,
+              |    greatest(0, least(19, CAST(floor((x - mn) / w) AS BIGINT)))
+              |      AS b
+              |  FROM melted JOIN sp2 ON melted.f = sp2.f),
+              |hist AS (SELECT f, b, count(*) AS c FROM binned GROUP BY 1, 2),
+              |hm AS (SELECT f, b, c, max(c) OVER (PARTITION BY f) AS maxc
+              |  FROM hist)
+              |SELECT id, CAST(count(*) AS BIGINT) AS n_features,
+              |  ${r6("""sum(ln(CAST(maxc AS DOUBLE) / c) / ln(10.0))""")}
+              |    AS hbos
+              |FROM binned JOIN hm USING (f, b)
+              |GROUP BY id
+              |ORDER BY hbos DESC, id LIMIT 20""".stripMargin)),
+
+    // Huber robust regression (extended price ~ quantity + retail price
+    // per return flag, delta = 25000 ~ the median |OLS residual|) by 3 IRLS steps — q321's ridge with
+    // outlier resistance: heavy-residual rows reweight to delta/|r|.
+    // Step 1 is plain OLS (all weights 1); each step one weighted-
+    // moments aggregate + Cramer 2x2 on the weighted-centered Gram,
+    // betas rounded per step so the oracle's unrolled replay is
+    // bit-identical (the q325 contract).
+    "q334_huber_price" -> Q(
+      (s, d) => graft.operators.RegressionOps.huber2(
+          Tables.lineitem(s, d)
+            .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+            .select(col("l_returnflag"), col("l_extendedprice"),
+              col("l_quantity"), col("p_retailprice")),
+          "l_returnflag", "l_extendedprice", "l_quantity", "p_retailprice",
+          delta = 25000.0, iters = 3, scoreOut = dec6)
+        .orderBy("l_returnflag"),
+      Some {
+        val iters = 3
+        val det = "(s11 * s22 - s12 * s12)"
+        val steps = (1 to iters).map { i =>
+          val wSrc =
+            if (i == 1) "SELECT g, y, x1, x2, 1.0 AS w FROM base"
+            else s"""SELECT g, y, x1, x2,
+               |    CASE WHEN abs(y - (b0 + b1 * x1 + b2 * x2)) <= 25000.0
+               |      THEN 1.0
+               |      ELSE 25000.0 / abs(y - (b0 + b1 * x1 + b2 * x2)) END AS w
+               |  FROM base JOIN bt${i - 1} USING (g)""".stripMargin
+          s"""w$i AS ($wSrc),
+             |s$i AS (SELECT g, sum(w) AS sw, sum(w * y) AS swy,
+             |    sum(w * x1) AS sw1, sum(w * x2) AS sw2,
+             |    sum(w * x1 * x1) AS s11r, sum(w * x1 * x2) AS s12r,
+             |    sum(w * x2 * x2) AS s22r, sum(w * x1 * y) AS s1yr,
+             |    sum(w * x2 * y) AS s2yr
+             |  FROM w$i GROUP BY 1),
+             |m$i AS (SELECT *, ${r6("swy / sw")} AS my,
+             |    ${r6("sw1 / sw")} AS m1, ${r6("sw2 / sw")} AS m2 FROM s$i),
+             |c$i AS (SELECT *,
+             |    s11r - m1 * sw1 - m1 * sw1 + m1 * m1 * sw AS s11,
+             |    s12r - m1 * sw2 - m2 * sw1 + m1 * m2 * sw AS s12,
+             |    s22r - m2 * sw2 - m2 * sw2 + m2 * m2 * sw AS s22,
+             |    s1yr - m1 * swy - my * sw1 + m1 * my * sw AS s1y,
+             |    s2yr - m2 * swy - my * sw2 + m2 * my * sw AS s2y
+             |  FROM m$i),
+             |bt${i}a AS (SELECT g, my, m1, m2,
+             |    ${r6(s"(s22 * s1y - s12 * s2y) / $det")} AS b1,
+             |    ${r6(s"(s11 * s2y - s12 * s1y) / $det")} AS b2 FROM c$i),
+             |bt$i AS (SELECT g, b1, b2,
+             |    ${r6("my - b1 * m1 - b2 * m2")} AS b0 FROM bt${i}a)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH base AS (SELECT l_returnflag AS g,
+           |    CAST(l_extendedprice AS DOUBLE) AS y,
+           |    CAST(l_quantity AS DOUBLE) AS x1,
+           |    CAST(p_retailprice AS DOUBLE) AS x2
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+           |$steps,
+           |fin AS (SELECT base.g AS g,
+           |    y - (b0 + b1 * x1 + b2 * x2) AS r, b0, b1, b2
+           |  FROM base JOIN bt$iters USING (g))
+           |SELECT g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CASE WHEN abs(r) > 25000.0 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_downweighted,
+           |  any_value(b0) AS b0, any_value(b1) AS b1, any_value(b2) AS b2
+           |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
   )
 }

@@ -94,7 +94,17 @@ object ScaleProbe {
     "q107_subseq_search" -> 10,
     "q110_ann_ivfpq" -> 10,
     "q247_item_neighbors" -> 10,
-    "q283_sole_late_supplier" -> 10)
+    "q283_sole_late_supplier" -> 10,
+    // round-10 additions: the wedge-bounded AA and the LPA supersteps
+    // ride the same co-activity blocking keys as q246 (vocabulary keys,
+    // k× rows = k² within-block pairs) → measured at 3×; the iterative
+    // estimators and the banded DTW are row-linear → 10×
+    "q322_adamic_adar" -> 3,
+    "q330_label_propagation" -> 3,
+    "q325_logistic_returns" -> 10,
+    "q326_kmeans_embeddings" -> 10,
+    "q324_dtw_profiles" -> 10,
+    "q320_pacf" -> 10)
 
   private def timeOnce(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()

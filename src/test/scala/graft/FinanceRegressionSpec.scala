@@ -209,6 +209,80 @@ class FinanceRegressionSpec extends SparkSpec {
     assert(out(("a", "noise")).getAs[Double]("nmi") < 0.5)
   }
 
+  test("huber IRLS shrugs off the outlier that drags OLS") {
+    // clean line y = 1 + 2*x1 + 0*x2, one wild row at the end
+    val clean = (1 to 60).map { i =>
+      val x1 = (i % 7).toDouble; val x2 = (i % 5).toDouble
+      ("g", 1.0 + 2.0 * x1, x1, x2)
+    }
+    val dirty = clean :+ (("g", 10000.0, 3.0, 2.0))
+    val df = dirty.toDF("g", "y", "x1", "x2")
+    val ols = RegressionOps.ridge2(df, "g", "y", "x1", "x2", 0.0, dec6).head()
+    val hub = RegressionOps.huber2(df, "g", "y", "x1", "x2",
+      delta = 2.0, iters = 6, scoreOut = dec6).head()
+    assert(math.abs(ols.getAs[Double]("b1") - 2.0) > 1.0,
+      s"OLS must be visibly dragged: b1=${ols.getAs[Double]("b1")}")
+    assert(math.abs(hub.getAs[Double]("b1") - 2.0) < 0.2,
+      s"huber must hold the clean slope: b1=${hub.getAs[Double]("b1")}")
+    assert(hub.getAs[Long]("n_downweighted") >= 1)
+    // with no outliers and a huge delta, huber IS the OLS fit exactly
+    val cleanDf = clean.toDF("g", "y", "x1", "x2")
+    val h2 = RegressionOps.huber2(cleanDf, "g", "y", "x1", "x2",
+      delta = 1e9, iters = 2, scoreOut = dec6).head()
+    val o2 = RegressionOps.ridge2(cleanDf, "g", "y", "x1", "x2", 0.0, dec6).head()
+    for (c <- Seq("b0", "b1", "b2"))
+      assert(math.abs(h2.getAs[Double](c) - o2.getAs[Double](c)) < 1e-5,
+        s"$c: huber ${h2.getAs[Double](c)} vs ols ${o2.getAs[Double](c)}")
+  }
+
+  test("log-rank: hand-walked 6-subject table; disjoint cohorts reject") {
+    // A dies at 1,2,3; B at 4,5,6 — O_a=3, E_a=1.15, V=0.6775
+    val subj = Seq(("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 1),
+      ("b", 4.0, 1), ("b", 5.0, 1), ("b", 6.0, 1)).toDF("g", "t", "e")
+    val r = StatOps.logRankTest(subj, "g", "t", "e", dec6).head()
+    assert(r.getAs[String]("group_a") == "a" && r.getAs[Long]("n_a") == 3)
+    assert(r.getAs[Long]("o_a") == 3)
+    assert(math.abs(r.getAs[Double]("e_a") - 1.15) < 1e-6)
+    assert(math.abs(r.getAs[Double]("v_lr") - 0.6775) < 1e-6)
+    assert(math.abs(r.getAs[Double]("z_logrank") - 1.85 / math.sqrt(0.6775)) < 1e-4)
+    assert(r.getAs[Int]("curves_differ") == 1)
+    // censored-only rows contribute at-risk mass but no events
+    val cens = subj.union(Seq(("a", 10.0, 0), ("b", 10.0, 0)).toDF("g", "t", "e"))
+    val r2 = StatOps.logRankTest(cens, "g", "t", "e", dec6).head()
+    assert(r2.getAs[Long]("o_a") == 3 && r2.getAs[Long]("n_a") == 4)
+    assert(r2.getAs[Double]("e_a") < r.getAs[Double]("e_a") + 1.0)
+  }
+
+  test("holm step-down: strong test survives, weak family members do not") {
+    val tests = Seq(("k1", 4.0), ("k2", 2.0), ("k3", 1.0), ("k4", 0.0))
+      .toDF("k", "z")
+    val out = graft.operators.ExperimentOps.holm(tests, "k", "z",
+      alpha = 0.05, scoreOut = dec6).orderBy("rank").collect()
+    assert(out.map(_.getAs[String]("test_key")).toSeq ==
+      Seq("k1", "k2", "k3", "k4"), "rank order follows p ascending")
+    assert(out.map(_.getAs[Int]("reject")).toSeq == Seq(1, 0, 0, 0))
+    val adj = out.map(_.getAs[Double]("p_holm"))
+    assert(adj.zip(adj.tail).forall { case (a, b) => a <= b },
+      s"adjusted p must be monotone: ${adj.mkString(",")}")
+    assert(adj.last == 1.0, "the z=0 test caps at adjusted p = 1")
+    // holm is never more permissive than bonferroni's m*p on the smallest p
+    val p1 = out.head.getAs[Double]("p")
+    assert(math.abs(adj.head - math.min(1.0, 4.0 * p1)) < 1e-9)
+  }
+
+  test("hbos: the density outlier tops the ranking; constant features are skipped") {
+    val rows = ((1 to 30).map(i => (i.toLong, "x", (i % 10).toDouble)) :+
+      (99L, "x", 100.0)) ++
+      (1 to 30).map(i => (i.toLong, "const", 5.0)) :+ ((99L, "const", 5.0))
+    val out = StatOps.hbos(rows.toDF("id", "f", "v"), "id", "f", "v",
+      nBins = 10, k = 5, scoreOut = dec6).collect()
+    assert(out.head.getAs[Long]("id") == 99L,
+      s"the lone 100.0 must rank first: ${out.mkString(",")}")
+    assert(out.forall(_.getAs[Long]("n_features") == 1L),
+      "the zero-width feature must be skipped")
+    assert(out.head.getAs[Double]("hbos") > out.last.getAs[Double]("hbos"))
+  }
+
   test("pacf replays Durbin-Levinson on the operator's own rounded rho") {
     var seed = 7L
     def nxt(): Double = {

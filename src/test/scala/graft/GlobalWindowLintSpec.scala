@@ -55,6 +55,8 @@ class GlobalWindowLintSpec extends SparkSpec {
       "midranks over the distinct-value table (the q171 bound, k-group form); continuous-measure swap is pooled-quantile binning",
     "q284_bh_fdr" ->
       "BH rank over the test-FAMILY table: one row per completed test by construction (ExperimentOps.bhFdr scale contract)",
+    "q331_holm" ->
+      "Holm rank + running max over the test-FAMILY table: one row per completed test by construction (ExperimentOps.holm scale contract)",
     "q297_msprt" ->
       "running max of lambda over the day-cumulative table: calendar-bounded (#days rows)",
     "q237_quality_auc" ->
@@ -171,7 +173,10 @@ class GlobalWindowLintSpec extends SparkSpec {
       "fixture's alignToGrid key-set crossjoin (enum-sized event_type x " +
       "hourly grid), duplicated across both sides of (b) the pair " +
       "crossjoin of the per-series collected-grid table — series-key-" +
-      "domain-sized, one row per series by construction")
+      "domain-sized, one row per series by construction"),
+    "q332_logrank" -> ("broadcast side is the DISTINCT event-time table: " +
+      "durations arrive pre-rounded to calendar days, so it is " +
+      "calendar-bounded (#days rows), never subject-sized")
   )
 
   /** The BNLJs in `plan` whose broadcast side is NOT a provably-1-row
@@ -244,7 +249,11 @@ class GlobalWindowLintSpec extends SparkSpec {
     * excluded). */
   private val allowHint: Map[String, String] =
     (allowBnlj - "q184_sample_diversity" - "q298_shapley_attribution"
-      - "q300_burrows_delta" - "q317_cliffs_delta") ++ Map(
+      - "q300_burrows_delta" - "q317_cliffs_delta"
+      // q332's hinted event-time table carries the ga scalar-aggregate
+      // crossjoin in its subtree, so the hint lint's structural escape
+      // already covers it (only the BNLJ entry is needed)
+      - "q332_logrank") ++ Map(
       "q03_join_agg" ->
         "broadcast sides are nation (25 rows) / region (5 rows): constant-size dims",
       "q199_rollup_revenue" ->
@@ -275,7 +284,10 @@ class GlobalWindowLintSpec extends SparkSpec {
       "q264_norm_outliers" ->
         "broadcast side is the per-series Tukey fence table: series-key-domain-sized",
       "q263_revenue_cohorts" -> ("broadcast side is the week-0 revenue row per " +
-        "cohort week: calendar-bounded (#weeks)")
+        "cohort week: calendar-bounded (#weeks)"),
+      "q333_hbos" -> ("broadcast sides are the per-feature span table " +
+        "(one row per MELTED feature name, |features| = 2) and the " +
+        "histogram (features x nBins rows) — both bin-bounded constants")
     )
 
   /** Explicit broadcast() hints in the ANALYZED plan whose hinted subtree
