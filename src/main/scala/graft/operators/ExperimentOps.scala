@@ -344,6 +344,60 @@ object ExperimentOps {
     * window over that family table (named GlobalWindowLint entry); m and
     * the largest qualifying rank are scalar-aggregate crossjoins. p is
     * rounded before ranking, rank ties break on the key. */
+  /** Inverse-propensity-weighted (Hájek) average treatment effect for an
+    * OBSERVATIONAL treatment — where q168's randomized z-test is not
+    * available because nobody randomized (who gets hit by errors, who
+    * sees a feature organically). Propensity ê(x) comes from
+    * [[RegressionOps.logisticNewton]] (per-step-rounded betas — the
+    * whole estimator replays in an external engine); weights are clipped
+    * to [clip, 1−clip] (the standard positivity trim: a unit with
+    * ê ≈ 0/1 otherwise dominates the estimate); the Hájek ratio form
+    * self-normalizes the weights. ATE = Σ(t·y/ê)/Σ(t/ê) −
+    * Σ((1−t)·y/(1−ê))/Σ((1−t)/(1−ê)), reported beside the CONFOUNDED
+    * naive difference so the adjustment is visible.
+    *
+    * Scale: the logistic's iters+1 scans plus two more (score, weighted
+    * means) — everything map-side-combined aggregates over the unit
+    * table. Returns one row: (n, n_treated, b0, b1, b2, mu_treated,
+    * mu_control, ate_ipw, naive_diff). */
+  def ipwAte(units: DataFrame, treatCol: String, yCol: String,
+             x1Col: String, x2Col: String, iters: Int, clip: Double,
+             scoreOut: Column => Column): DataFrame = {
+    require(clip > 0 && clip < 0.5, s"clip in (0, 0.5), got $clip")
+    val base = units.select(lit("all").as("g"),
+        col(treatCol).cast("double").as("t"),
+        col(yCol).cast("double").as("y"),
+        col(x1Col).cast("double").as("x1"),
+        col(x2Col).cast("double").as("x2"))
+      .filter(col("t").isNotNull && col("y").isNotNull &&
+        col("x1").isNotNull && col("x2").isNotNull)
+      .persist()
+    val betas = RegressionOps.logisticNewton(base, "g", col("t"),
+        "x1", "x2", iters, scoreOut)
+      .select(col("g"), col("b0"), col("b1"), col("b2"))
+    val zRaw = col("b0") + col("b1") * col("x1") + col("b2") * col("x2")
+    val p = lit(1.0) / (lit(1.0) +
+      exp(-least(lit(30.0), greatest(lit(-30.0), zRaw))))
+    val scored = base.join(betas, "g")
+      .withColumn("e", least(lit(1.0 - clip), greatest(lit(clip), p)))
+    scored.agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("t")).cast("long").as("n_treated"),
+        first("b0").as("b0"), first("b1").as("b1"), first("b2").as("b2"),
+        (sum(col("t") * col("y") / col("e")) /
+          sum(col("t") / col("e"))).as("__mu1"),
+        (sum((lit(1.0) - col("t")) * col("y") / (lit(1.0) - col("e"))) /
+          sum((lit(1.0) - col("t")) / (lit(1.0) - col("e")))).as("__mu0"),
+        (sum(col("t") * col("y")) / sum(col("t")) -
+          sum((lit(1.0) - col("t")) * col("y")) / sum(lit(1.0) - col("t")))
+          .as("__naive"))
+      .select(col("n"), col("n_treated"), col("b0"), col("b1"), col("b2"),
+        scoreOut(col("__mu1")).as("mu_treated"),
+        scoreOut(col("__mu0")).as("mu_control"),
+        scoreOut(col("__mu1") - col("__mu0")).as("ate_ipw"),
+        scoreOut(col("__naive")).as("naive_diff"))
+  }
+
   /** Holm–Bonferroni step-down correction over a family of z-tests —
     * the FWER-controlling sibling of [[bhFdr]] (which controls FDR): use
     * Holm when ONE false positive is unacceptable (launch gates), BH

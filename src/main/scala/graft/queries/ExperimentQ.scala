@@ -354,6 +354,63 @@ object ExperimentQ {
     // FWER control beside q284's FDR: use Holm when ONE false positive
     // is unacceptable (launch gates), BH for screening. Adjusted p is
     // the running max of (m - rank + 1) * p, capped at 1.
+    // IPW (Hajek) average treatment effect of heavy error exposure on
+    // purchase revenue — the OBSERVATIONAL estimator beside q168's
+    // randomized test: treatment (above-mean error count) is confounded
+    // with activity, the exact confounders (log event count, active
+    // days) feed the q325 Newton propensity, and the clipped
+    // inverse-propensity weights reweight the naive (confounded)
+    // difference toward the adjusted effect. Both numbers reported.
+    "q335_ipw_ate" -> Q(
+      (s, d) => {
+        val users = Tables.events(s, d).groupBy("user_id").agg(
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("__err"),
+          count(lit(1)).as("__n"),
+          countDistinct(to_date(col("ts"))).as("__days"),
+          sum(when(col("event_type") === "purchase",
+            col("value").cast("double")).otherwise(0.0)).as("__y"))
+        val thr = users.agg(dec6(avg("__err")).as("__thr"))
+        val units = users.crossJoin(broadcast(thr)).select(
+          (col("__err") > col("__thr")).cast("int").as("t"),
+          col("__y").as("y"),
+          log(lit(1.0) + col("__n")).as("x1"),
+          col("__days").cast("double").as("x2"))
+        graft.operators.ExperimentOps.ipwAte(units, "t", "y", "x1", "x2",
+          iters = 4, clip = 0.05, scoreOut = dec6)
+      },
+      Some(s"""WITH u AS (SELECT user_id,
+              |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              |      AS err,
+              |    count(*) AS nevt,
+              |    count(DISTINCT CAST(ts AS DATE)) AS days,
+              |    sum(CASE WHEN event_type = 'purchase'
+              |      THEN CAST(value AS DOUBLE) ELSE 0.0 END) AS yy
+              |  FROM events GROUP BY 1),
+              |thr AS (SELECT ${r6("avg(err)")} AS thr FROM u),
+              |-- the Newton chain's label column is named y = TREATMENT;
+              |-- the outcome rides along as yy
+              |base AS (SELECT 'all' AS g,
+              |    CAST(CAST(err > thr AS INT) AS DOUBLE) AS y, yy,
+              |    ln(1.0 + nevt) AS x1, CAST(days AS DOUBLE) AS x2
+              |  FROM u, thr),
+              |${NewtonSql.steps(4)},
+              |sc AS (SELECT g, y AS t, yy, b0, b1, b2,
+              |    least(1.0 - 0.05, greatest(0.05, ${NewtonSql.pExpr})) AS e
+              |  FROM base JOIN bt4 USING (g))
+              |SELECT CAST(count(*) AS BIGINT) AS n,
+              |  CAST(sum(t) AS BIGINT) AS n_treated,
+              |  any_value(b0) AS b0, any_value(b1) AS b1, any_value(b2) AS b2,
+              |  ${r6("sum(t * yy / e) / sum(t / e)")} AS mu_treated,
+              |  ${r6("""sum((1.0 - t) * yy / (1.0 - e))
+              |    / sum((1.0 - t) / (1.0 - e))""")} AS mu_control,
+              |  ${r6("""sum(t * yy / e) / sum(t / e)
+              |    - sum((1.0 - t) * yy / (1.0 - e))
+              |      / sum((1.0 - t) / (1.0 - e))""")} AS ate_ipw,
+              |  ${r6("""sum(t * yy) / sum(t)
+              |    - sum((1.0 - t) * yy) / sum(1.0 - t)""")} AS naive_diff
+              |FROM sc""".stripMargin)),
+
     "q331_holm" -> Q(
       (s, d) => graft.operators.ExperimentOps.holm(
           graft.operators.StatOps.mannKendall(

@@ -1395,50 +1395,13 @@ object StatQ {
         .orderBy("l_linestatus"),
       Some {
         val iters = 4
-        val det = """h00 * (h11 * h22 - h12 * h12)
-          |      - h01 * (h01 * h22 - h12 * h02)
-          |      + h02 * (h01 * h12 - h11 * h02)""".stripMargin
-        val d0 = """g0 * (h11 * h22 - h12 * h12)
-          |      - h01 * (g1 * h22 - h12 * g2)
-          |      + h02 * (g1 * h12 - h11 * g2)""".stripMargin
-        val d1 = """h00 * (g1 * h22 - g2 * h12)
-          |      - g0 * (h01 * h22 - h12 * h02)
-          |      + h02 * (h01 * g2 - g1 * h02)""".stripMargin
-        val d2 = """h00 * (h11 * g2 - h12 * g1)
-          |      - h01 * (h01 * g2 - g1 * h02)
-          |      + g0 * (h01 * h12 - h11 * h02)""".stripMargin
-        val pExpr = "1.0 / (1.0 + exp(-least(30.0, greatest(-30.0, " +
-          "b0 + b1 * x1 + b2 * x2))))"
-        val steps = (1 to iters).map { i =>
-          s"""j$i AS (SELECT g, y, x1, x2, b0, b1, b2, $pExpr AS p
-             |  FROM base JOIN bt${i - 1} USING (g)),
-             |s$i AS (SELECT g,
-             |    any_value(b0) AS pb0, any_value(b1) AS pb1,
-             |    any_value(b2) AS pb2,
-             |    sum(y - p) AS g0, sum((y - p) * x1) AS g1,
-             |    sum((y - p) * x2) AS g2,
-             |    sum(p * (1.0 - p)) AS h00,
-             |    sum(p * (1.0 - p) * x1) AS h01,
-             |    sum(p * (1.0 - p) * x2) AS h02,
-             |    sum(p * (1.0 - p) * x1 * x1) AS h11,
-             |    sum(p * (1.0 - p) * x1 * x2) AS h12,
-             |    sum(p * (1.0 - p) * x2 * x2) AS h22
-             |  FROM j$i GROUP BY 1),
-             |bt$i AS (SELECT g,
-             |    ${r6(s"pb0 + ($d0) / ($det)")} AS b0,
-             |    ${r6(s"pb1 + ($d1) / ($det)")} AS b1,
-             |    ${r6(s"pb2 + ($d2) / ($det)")} AS b2
-             |  FROM s$i)""".stripMargin
-        }.mkString(",\n")
         s"""WITH base AS (SELECT l_linestatus AS g,
            |    CAST(CAST(l_returnflag = 'R' AS INT) AS DOUBLE) AS y,
            |    CAST(l_quantity AS DOUBLE) AS x1,
            |    CAST(l_discount AS DOUBLE) AS x2
            |  FROM lineitem),
-           |bt0 AS (SELECT DISTINCT g, 0.0 AS b0, 0.0 AS b1, 0.0 AS b2
-           |  FROM base),
-           |$steps,
-           |jf AS (SELECT g, y, x1, x2, b0, b1, b2, $pExpr AS p
+           |${NewtonSql.steps(iters)},
+           |jf AS (SELECT g, y, x1, x2, b0, b1, b2, ${NewtonSql.pExpr} AS p
            |  FROM base JOIN bt$iters USING (g))
            |SELECT g AS l_linestatus, CAST(count(*) AS BIGINT) AS n,
            |  CAST(sum(y) AS BIGINT) AS n_pos,

@@ -66,6 +66,34 @@ class ClusterSpec extends SparkSpec {
     assert(r.getAs[Double]("log_lik") < 0.0)
   }
 
+  test("ipw-ate strips planted confounding the naive difference reports") {
+    // no true effect: y = 10 + 5*x1 + noise, but treatment propensity
+    // RISES with x1 — the naive treated-vs-control gap is pure
+    // confounding; IPW must shrink it hard toward 0
+    var seed = 23L
+    def nxt(): Double = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      (seed >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val rows = (1 to 4000).map { _ =>
+      val x1 = nxt() * 4 - 2; val x2 = nxt() * 2 - 1
+      val e = 1.0 / (1.0 + math.exp(-(1.2 * x1 + 0.3 * x2)))
+      val t = if (nxt() < e) 1 else 0
+      val y = 10.0 + 5.0 * x1 + (nxt() - 0.5)
+      (t, y, x1, x2)
+    }
+    val r = graft.operators.ExperimentOps.ipwAte(
+      rows.toDF("t", "y", "x1", "x2"), "t", "y", "x1", "x2",
+      iters = 6, clip = 0.02, scoreOut = dec6).head()
+    val naive = r.getAs[Double]("naive_diff")
+    val ate = r.getAs[Double]("ate_ipw")
+    assert(naive > 2.0, s"the confounded gap must be large: $naive")
+    assert(math.abs(ate) < naive / 4,
+      s"IPW must strip most of the confounding: ate=$ate naive=$naive")
+    assert(r.getAs[Double]("b1") > 0.5, "propensity must load on x1")
+    assert(r.getAs[Long]("n") == 4000)
+  }
+
   test("logistic newton: beta stays at the separating optimum under a class flip") {
     // flipping labels must flip every coefficient sign exactly (the
     // symmetry of the likelihood — a cheap closed-form invariant)
