@@ -29,8 +29,14 @@ decomposition over per-group arrays) and Yule-Walker AR(2) (q280,
 dense gap-masked lagged-vector products), Wasserstein-1 (q289, searchsorted
 ECDF area) and CUPED (q290, dense covariate adjustment with hashlib arms).
 
+Round 10 adds the k-core peel (q323, plain-python set loop), banded DTW
+(q324, full-matrix numpy DP vs the two-row banded scan) and Lloyd k-means
+(q326, full numpy trajectory replay) — and fixes a silent-skip bug: the
+q301 block rebound `out` (the verify dir) to a list, so every dump() after
+it returned None and q280's check had stopped running without failing.
+
 Usage: python3 tools/crosscheck_stats.py [sf_dir] [verify_out_dir]
-Last verified 2026-08-15 (r9): all twenty-eight match to 6 decimals at sf0.01.
+Last verified 2026-08-16 (r10): all thirty-two match to 6 decimals at sf0.01.
 """
 import sys, glob
 import duckdb
@@ -734,20 +740,22 @@ def main():
                               key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
             merges.append((a, b, a + b, cnt))
             nv = Counter()
+            # NB: locals must not shadow `out` (the verify dir) — doing so
+            # silently killed every dump() after this block (r10 fix)
             for syms, f in vocab.items():
-                out, p = [], None
+                rewritten, prev = [], None
                 for s in syms:
-                    if p is None:
-                        p = s
-                    elif p == a and s == b:
-                        out.append(a + b)
-                        p = None
+                    if prev is None:
+                        prev = s
+                    elif prev == a and s == b:
+                        rewritten.append(a + b)
+                        prev = None
                     else:
-                        out.append(p)
-                        p = s
-                if p is not None:
-                    out.append(p)
-                nv[tuple(out)] += f
+                        rewritten.append(prev)
+                        prev = s
+                if prev is not None:
+                    rewritten.append(prev)
+                nv[tuple(rewritten)] += f
             vocab = nv
         bp = bp.sort_values("rank")
         good = len(bp) == len(merges) and all(
