@@ -471,6 +471,10 @@ object GraphOps {
           .unionAll(e.select(col("v").as("node")))
           .groupBy("node").agg(count(lit(1)).as("degree"))
       }
+      // the eager checkpoint above (or the fixpoint decision) has consumed
+      // this round's keep-set — release it, or a long peel accumulates one
+      // node-sized cache per round for the life of the job
+      keep.unpersist()
       round += 1
     }
     deg.filter(col("degree") >= k)

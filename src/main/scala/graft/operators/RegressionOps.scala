@@ -188,7 +188,12 @@ object RegressionOps {
         wb.orderBy("r").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val perBlock = stats.groupBy("series", "m", "log2m", "blk")
       .agg((max("__cum") - min("__cum")).as("__R"),
-        first(sqrt(col("__m2") - col("__bm") * col("__bm"))).as("__S"))
+        // the ROUNDED moments can land m2 − bm² a hair NEGATIVE on a
+        // near-constant block; clamp before the root (Spark would yield
+        // NaN and drop it at S > 0, but DuckDB hard-errors on sqrt of a
+        // negative — the oracle mirrors this clamp)
+        first(sqrt(greatest(lit(0.0),
+          col("__m2") - col("__bm") * col("__bm")))).as("__S"))
       .filter(col("__S") > 0 && col("__R") > 0)
       .select(col("series"), col("m"), col("log2m"),
         (log(col("__R") / col("__S")) / log(lit(2.0))).as("__lrs"))

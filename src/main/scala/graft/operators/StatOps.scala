@@ -1321,7 +1321,9 @@ object StatOps {
     val v2 = (lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nn)) /
       (nn * nn * (nn - lit(1.0)))
     val z = (col("runs").cast("double") - mu) / sqrt(v2)
-    agg.filter(col("n_plus") >= 1 && col("n_minus") >= 1 && nn > 1)
+    // nn > 2 also excludes the (1, 1) degenerate where the variance is
+    // exactly 0 (z would be Inf on Spark, NULL in a replaying engine)
+    agg.filter(col("n_plus") >= 1 && col("n_minus") >= 1 && nn > 2)
       .select(col("series"), col("n_plus"), col("n_minus"), col("runs"),
         scoreOut(z).as("z_runs"),
         (abs(scoreOut(z)) <= 1.96).cast("int").as("random"))
@@ -1393,7 +1395,14 @@ object StatOps {
     * sort — instead ranks are per-PAIR over the pair's union, built from
     * a pair-exploded table keyed (pair, group), so the sort is
     * per-partition-group). Pairs are the k² series combinations of a
-    * BOUNDED series universe (event types — dozens, not data-sized). */
+    * BOUNDED series universe (event types — dozens, not data-sized).
+    *
+    * Scale note: each (pair) window group still holds BOTH member
+    * series' rows in one task — fine while a series pair fits an
+    * executor, the same contract as q171. Past that, compute U from the
+    * POOLED-QUANTILE-BINNED midranks instead (the q179 machinery —
+    * bins-sized rank table) and transform: δ = 2U/(n₁n₂) − 1 holds
+    * unchanged on binned midranks, at binning resolution. */
   def cliffsDelta(events: DataFrame, seriesCol: String, valueCol: String,
                   scoreOut: Column => Column): DataFrame = {
     val base = events.select(col(seriesCol).as("g"),

@@ -1112,7 +1112,7 @@ object StatQ {
            |SELECT series, n_plus, n_minus, runs, ${r6(z)} AS z_runs,
            |  CAST(abs(${r6(z)}) <= 1.96 AS INT) AS random
            |FROM a
-           |WHERE n_plus >= 1 AND n_minus >= 1 AND n_plus + n_minus > 1
+           |WHERE n_plus >= 1 AND n_minus >= 1 AND n_plus + n_minus > 2
            |ORDER BY series""".stripMargin
       }),
 
@@ -1264,7 +1264,8 @@ object StatQ {
               |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu
               |  FROM st),
               |pb AS (SELECT series, m, log2m, blk,
-              |    max(cu) - min(cu) AS rr, any_value(sqrt(m2 - bm * bm)) AS ss
+              |    max(cu) - min(cu) AS rr,
+              |    any_value(sqrt(greatest(0.0, m2 - bm * bm))) AS ss
               |  FROM cm GROUP BY 1, 2, 3, 4),
               |pm AS (SELECT series, m, log2m,
               |    ${r6("avg(ln(rr / ss) / ln(2.0))")} AS mlrs
