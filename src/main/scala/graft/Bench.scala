@@ -79,8 +79,14 @@ object Bench {
     val benchT0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
 
+    // `load` = the 1-min loadavg sampled at the END of each timed pass:
+    // a contaminated pass (co-tenant burst mid-sweep, the r8-r10 driver
+    // failure mode) is identifiable post hoc from the artifact alone —
+    // a 14 s max beside load [1.9, 15.2, 2.1] is machine noise, not a
+    // regression, and the min from a low-load pass is the honest number.
     final case class R(median: Double, min: Double, max: Double,
-                       ok: Boolean, err: Option[String])
+                       ok: Boolean, err: Option[String],
+                       load: Seq[Double] = Nil)
     // Crash-proofing (round 5 lost the entire driver bench to a late
     // crash): results accumulate here, the artifact is rewritten in place
     // after EVERY query, and a shutdown hook emits whatever completed if
@@ -133,7 +139,8 @@ object Bench {
         if (!withDetail) ""
         else results.map { case (k, v) =>
           val e = v.err.map(m => "\"" + jsonEscape(m) + "\"").getOrElse("null")
-          s"""\"$k\":{"median":${v.median},"min":${v.min},"max":${v.max},"ok":${v.ok},"err":$e}"""
+          val ld = v.load.mkString("[", ",", "]")
+          s"""\"$k\":{"median":${v.median},"min":${v.min},"max":${v.max},"ok":${v.ok},"err":$e,"load":$ld}"""
         }.mkString(""""queries_detail":{""", ",", "},")
       val failedAll = results.collect { case (k, v) if !v.ok => "\"" + k + "\"" }.toSeq
       val failed = (if (withDetail) failedAll else failedAll.take(10))
@@ -163,6 +170,7 @@ object Bench {
 
     selected.foreach { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
       var p = 0
       // budget exceeded → single-pass mode for everything still queued
@@ -183,6 +191,7 @@ object Bench {
           err = Some(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}")
         }
         if (err.isEmpty) times += (System.nanoTime() - t0) / 1e9
+        loads += math.rint(osBean.getSystemLoadAverage * 100) / 100
         // release per-query persisted intermediates (dedup ops materialize
         // their exploded shingle tables): leaked blocks would degrade every
         // later pass/query via eviction pressure — clear at the boundary,
@@ -200,8 +209,9 @@ object Bench {
       }
       val sorted = times.sorted
       val r =
-        if (err.isDefined) R(-1.0, -1.0, -1.0, ok = false, err)
-        else R(sorted(sorted.size / 2), sorted.head, sorted.last, ok = true, None)
+        if (err.isDefined) R(-1.0, -1.0, -1.0, ok = false, err, loads.toSeq)
+        else R(sorted(sorted.size / 2), sorted.head, sorted.last, ok = true,
+          None, loads.toSeq)
       done.put(name, r)
       flush(partial = true) // rewrite-in-place; a crash after this keeps `name`
     }

@@ -147,8 +147,11 @@ object BpeOps {
       "composed-expression encode nests one fold per merge — fine for " +
         "a demo-sized list, but a real vocabulary (10k+ merges) should " +
         "bake the merge ranks into a mapPartitions encoder instead")
+    // drop empty words (split of an all-whitespace doc yields [""]) —
+    // the same convention the trainer's explode filter applies
     docs.withColumn("bpe_tokens",
-      flatten(transform(TextOps.tokens(col(textCol)),
+      flatten(transform(
+        filter(TextOps.tokens(col(textCol)), w => w =!= ""),
         w => mergeListEncode(w, mergeList))))
   }
 
@@ -157,5 +160,80 @@ object BpeOps {
   private def mergeListEncode(w: Column, mergeList: Seq[(String, String)]): Column = {
     val base = concat(filter(split(w, ""), s => s =!= ""), array(lit(EndMark)))
     mergeList.foldLeft(base) { case (acc, (a, b)) => mergePair(acc, a, b) }
+  }
+
+  /** One word → its BPE symbols under `mergeList`, plain-JVM replay of
+    * [[mergeListEncode]]'s fold (chars + [[EndMark]], then each merge in
+    * rank order as ONE greedy left-to-right fuse pass — identical
+    * pending/flush semantics to [[mergePair]], so the two encoders are
+    * spec-checked equal). Each pass is O(|syms|); the fused array is
+    * only reallocated when the pair actually occurred. */
+  private[graft] def encodeWord(w: String,
+                                mergeList: Array[(String, String)]): Array[String] = {
+    var syms: Array[String] = w.split("").filter(_.nonEmpty) :+ EndMark
+    var m = 0
+    while (m < mergeList.length) {
+      val (a, b) = mergeList(m)
+      if (syms.length >= 2) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        if (out.length < syms.length) syms = out.toArray
+      }
+      m += 1
+    }
+    syms
+  }
+
+  /** Row shapes for the bulk encoder's typed pipeline. */
+  final case class BpeDocIn(id: Long, grp: String, text: String)
+  final case class BpeDocTokens(id: Long, grp: String, n_words: Long,
+                                tokens: Seq[String])
+
+  /** Corpus-scale tokenizer ENCODE: apply a trained merge list (q301's
+    * output) to every document in ONE `mapPartitions` scan — the 100 TB
+    * path the [[bpeEncode]] scaladoc promises. The merge list is
+    * tokenizer METADATA (≤ vocab-size rows), shipped to executors as a
+    * Spark broadcast and replayed per word by [[encodeWord]]; a
+    * per-partition word→symbols cache (Zipf's law: the head of the
+    * distinct-word distribution covers most positions) makes repeated
+    * words O(1), capped at 2^20 entries so a pathological partition
+    * can't OOM the executor. No join, no shuffle, no driver collect —
+    * the plan is scan → project, and downstream aggregates (fertility,
+    * token counts) combine map-side as usual.
+    *
+    * Returns (id, grp, n_words, tokens): the tokenized document plus
+    * its whitespace word count (the fertility denominator). */
+  def bpeTokenize(docs: DataFrame, idCol: String, grpCol: String,
+                  textCol: String,
+                  mergeList: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(mergeList.toArray)
+    docs.select(col(idCol).cast("long").as("id"), col(grpCol).as("grp"),
+        col(textCol).as("text")).as[BpeDocIn]
+      .mapPartitions { rows =>
+        val merges = bc.value
+        val cache = new java.util.HashMap[String, Array[String]]()
+        rows.map { r =>
+          val words = Option(r.text).getOrElse("").trim
+            .split("\\s+").filter(_.nonEmpty)
+          val out = new scala.collection.mutable.ArrayBuffer[String]()
+          words.foreach { w =>
+            var syms = cache.get(w)
+            if (syms == null) {
+              syms = encodeWord(w, merges)
+              if (cache.size < (1 << 20)) cache.put(w, syms)
+            }
+            out ++= syms
+          }
+          BpeDocTokens(r.id, r.grp, words.length.toLong, out.toSeq)
+        }
+      }
+      .toDF("id", "grp", "n_words", "tokens")
   }
 }

@@ -283,7 +283,28 @@ object CorpusOps {
     * (id, n_feats, dsir_logratio); documents too short for a single
     * n-gram get (0, 0.0). */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-                  isTarget: Column, buckets: Int = 4096, n: Int = 2): DataFrame = {
+                  isTarget: Column, buckets: Int = 4096, n: Int = 2): DataFrame =
+    nbScore(docs, idCol, textCol, isTarget, buckets, n,
+      rawOnly = true, roundLr = false, "dsir_logratio")
+
+  /** Naive-Bayes log-count-ratio scores for EVERY document (the NBSVM /
+    * fastText-flavored feature: Wang & Manning, ACL'12 §2.1) — the
+    * [[dsirWeights]] machinery with the target slice defined by a LABEL
+    * instead of a language, scored over the full corpus rather than the
+    * raw pool only. Per-bucket log-ratios are rounded to 6 decimals
+    * before the per-doc sum so a replaying engine agrees bit-for-bit
+    * (the ln() last-ulp discipline). Same scale shape as dsirWeights:
+    * one exploded traversal, ≤`buckets` rows of collected fit metadata
+    * baked back as one literal array, no join in the score pass. */
+  def nbLogRatio(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, buckets: Int = 4096, n: Int = 2): DataFrame =
+    nbScore(docs, idCol, textCol, isTarget, buckets, n,
+      rawOnly = false, roundLr = true, "nb_logratio")
+
+  private def nbScore(docs: DataFrame, idCol: String, textCol: String,
+                      isTarget: Column, buckets: Int, n: Int,
+                      rawOnly: Boolean, roundLr: Boolean,
+                      scoreName: String): DataFrame = {
     require(buckets > 0 && buckets <= 4096, s"buckets must be in (0, 4096], got $buckets")
     // guard: sequence(1, 0) yields a DESCENDING [1, 0], not an empty array
     val mk = transform(
@@ -333,19 +354,24 @@ object CorpusOps {
     // one array-typed Literal, NOT a 4096-child CreateArray — the latter
     // costs visible analysis/codegen time at this width
     val lrLit = lit((0 until buckets).map { b =>
-      math.log((ct(b) + 1.0) / (nt + buckets)) -
+      val raw = math.log((ct(b) + 1.0) / (nt + buckets)) -
         math.log((cr(b) + 1.0) / (nr + buckets))
+      if (roundLr) math.rint(raw * 1e6) / 1e6 else raw
     }.toArray)
-    val scored = perDoc.filter(col("__tgt") === 0)
+    val scorees = if (rawOnly) perDoc.filter(col("__tgt") === 0) else perDoc
+    val scored = scorees
       .withColumn("lr", element_at(lrLit, col("b") + 1))
       .groupBy(idCol)
       .agg(sum(col("nb")).as("n_feats"),
-        sum(col("lr") * col("nb")).as("dsir_logratio"))
-    docs.filter(!isTarget).select(col(idCol))
+        sum(col("lr") * col("nb")).as(scoreName))
+    val ids =
+      if (rawOnly) docs.filter(!isTarget).select(col(idCol))
+      else docs.select(col(idCol))
+    ids
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("dsir_logratio"), lit(0.0)).as("dsir_logratio"))
+        coalesce(col(scoreName), lit(0.0)).as(scoreName))
   }
 
   /** Corpus snapshot diff — dataset versioning's core primitive: classify

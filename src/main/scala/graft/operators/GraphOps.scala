@@ -430,6 +430,116 @@ object GraphOps {
     labels
   }
 
+  /** One-level Louvain modularity communities (Blondel, Guillaume,
+    * Lambiotte & Lefebvre '08 §2), SEMI-SYNCHRONOUS deterministic
+    * variant: each round the ACTIVE half of the nodes (id parity ==
+    * round parity — the two-class coloring of Cordasco & Gargano's
+    * semi-synchronous label propagation, '11) evaluates, in parallel,
+    * the modularity gain of adopting each neighboring community (plus
+    * staying put) — gain(i→C) ∝ k_{i,C} − k_i·Σ_tot(C∖i)/(2m), the
+    * Blondel ΔQ with the constant 1/(2m) factored out — and adopts the
+    * argmax (gain rounded to 6 decimals before ranking, community-id
+    * tiebreak, so the replay is total-ordered). The classical algorithm
+    * moves nodes one at a time; the parallel sweep trades that
+    * sequential optimum for throughput (the trade every distributed
+    * Louvain makes — Que et al. IPDPS'15), and the alternating parity
+    * classes break the pairwise swap cycles a FULLY synchronous sweep
+    * falls into (two singletons adopting each other forever — the
+    * GraphExtraSpec fixture oscillates with period 2 without this).
+    * Parity is not a proper coloring — same-parity neighbors still move
+    * together — so the fixed round budget remains the hard oscillation
+    * bound. Node ids must be numeric (id % 2 is the class). Unlike
+    * label propagation (q330) the result carries its own quality
+    * number: the returned modularity
+    * Q = Σ_C [n_int(C)/m − (Σ_tot(C)/(2m))²].
+    *
+    * Scale shape: per round one label-keyed Σ_tot aggregate, one
+    * edge-shaped neighbor-community count, a full-outer candidate
+    * union, and a per-node argmax window — all partitioned by node or
+    * label, nothing corpus-global except the scalar edge-count m
+    * (a scalar-aggregate crossjoin, no collected metadata). Labels are
+    * [[Ckpt.step]]-materialized per round (the Pregel discipline, with
+    * the `reliableEvery` durable-checkpoint contract).
+    *
+    * Returns the `topK` communities by size:
+    * (community, n_nodes, n_internal, sigma_tot, modularity) —
+    * modularity is the whole-partition Q, repeated per row. */
+  def louvainOneLevel(edges: DataFrame, aCol: String, bCol: String,
+                      rounds: Int, topK: Int, scoreOut: Column => Column,
+                      reliableEvery: Int = 0): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"1 <= rounds <= 10, got $rounds")
+    val canon = edges.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist()
+    val sym = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    val deg = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).cast("double").as("deg")).persist()
+    val mRow = canon.agg(count(lit(1)).cast("double").as("m"))
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    for (i <- 1 to rounds) {
+      val lab = labels
+      val active = (i % 2).toLong
+      val isActive = pmod(col("node").cast("long"), lit(2L)) === active
+      val stot = lab.join(deg, "node")
+        .groupBy("label").agg(sum("deg").as("stot"))
+      val nbr = sym
+        .filter(pmod(col("u").cast("long"), lit(2L)) === active)
+        .join(lab.select(col("node").as("v"), col("label").as("nl")), "v")
+        .groupBy(col("u").as("node"), col("nl"))
+        .agg(count(lit(1)).cast("double").as("kic"))
+      // candidate set = neighbor communities ∪ {current}: a node with no
+      // neighbor in its own community still scores staying put
+      val cand = nbr
+        .join(lab.filter(isActive).select(col("node"), col("label").as("nl")),
+          Seq("node", "nl"), "full_outer")
+        .select(col("node"), col("nl"), coalesce(col("kic"), lit(0.0)).as("kic"))
+      val stotAdj = col("stot") -
+        when(col("nl") === col("label"), col("deg")).otherwise(lit(0.0))
+      val scored = cand
+        .join(lab, "node")
+        .join(deg, "node")
+        .join(stot.select(col("label").as("nl"), col("stot")), "nl")
+        .crossJoin(broadcast(mRow))
+        .withColumn("__s", scoreOut(
+          col("kic") - col("deg") * stotAdj / (lit(2.0) * col("m"))))
+      val pick = Window.partitionBy("node").orderBy(col("__s").desc, col("nl").asc)
+      val moved = scored.withColumn("__rk", row_number().over(pick))
+        .filter(col("__rk") === 1)
+        .select(col("node"), col("nl").as("label"))
+      labels = Ckpt.step(
+        moved.unionByName(lab.filter(!isActive)), i, reliableEvery)
+    }
+    val nNodes = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+    val stotF = labels.join(deg, "node")
+      .groupBy("label").agg(sum("deg").as("stot"))
+    val internal = canon
+      .join(labels.select(col("node").as("u"), col("label").as("la")), "u")
+      .join(labels.select(col("node").as("v"), col("label").as("lb")), "v")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).cast("double").as("n_int"))
+    val comm = nNodes.join(stotF, "label")
+      .join(internal, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("n_int"), lit(0.0)).as("n_int"), col("stot"))
+    val qRow = comm.crossJoin(broadcast(mRow))
+      .agg(sum(col("n_int") / col("m") -
+        (col("stot") / (lit(2.0) * col("m"))) *
+          (col("stot") / (lit(2.0) * col("m")))).as("__q"))
+    comm.crossJoin(broadcast(qRow))
+      .select(col("label").as("community"), col("n_nodes"),
+        col("n_int").cast("long").as("n_internal"),
+        col("stot").cast("long").as("sigma_tot"),
+        scoreOut(col("__q")).as("modularity"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(topK)
+  }
+
   /** k-core of an undirected graph: the maximal subgraph where every
     * node keeps degree ≥ k, by the standard iterative peel — drop
     * sub-k nodes, recompute degrees on the induced subgraph, repeat to

@@ -1490,11 +1490,16 @@ object StatOps {
     * (1−n_a/n)·(n−d)/(n−1) (hypergeometric), z = (O_a − E_a)/√V.
     * Cohort "a" is the lexicographically smaller group label.
     *
-    * The at-risk table is (event-times × groups)-sized: the distinct
-    * event-time table is calendar-bounded (durations arrive pre-rounded
-    * to days/hours by the caller), broadcast into one non-equi join
-    * against subjects, then a single aggregate — subjects are scanned
-    * twice and never pairwise. Returns one row:
+    * The at-risk table is built WITHOUT any non-equi join: one
+    * per-duration aggregate collapses subjects to (t, c_a, c_all, d_a,
+    * d_t) — distinct-duration-sized, calendar-bounded because durations
+    * arrive pre-rounded to days/hours by the caller — then a
+    * from-the-right cumulative window (sum over t' ≥ t, descending
+    * order) recovers the at-risk counts n_a(t), n(t). Subjects are
+    * scanned twice (once for the collapse, once for the group counts)
+    * and never pairwise: O(n) scan + a #durations-sized global window,
+    * vs the previous subjects × event-times broadcast join whose
+    * intermediate was O(n·T). Returns one row:
     * (group_a, group_b, n_a, n_b, o_a, e_a, v_lr, z_logrank, curves_differ). */
   def logRankTest(subjects: DataFrame, groupCol: String, durationCol: String,
                   eventCol: String, scoreOut: Column => Column): DataFrame = {
@@ -1510,19 +1515,23 @@ object StatOps {
     val ab = base.crossJoin(broadcast(ga))
       .filter(col("g") === col("ga") || col("g") === col("gb"))
       .persist()
-    val times = ab.filter(col("e") === 1).select(col("t").as("et"))
-      .distinct()
-    val atRisk = ab
-      .join(broadcast(times), col("t") >= col("et"))
-      .groupBy("et")
-      .agg(
-        sum(when(col("g") === col("ga"), 1L).otherwise(0L)).as("n_a_t"),
-        count(lit(1)).as("n_t"),
-        sum(when(col("g") === col("ga") && col("e") === 1 &&
-          col("t") === col("et"), 1L).otherwise(0L)).as("d_a_t"),
-        sum(when(col("e") === 1 && col("t") === col("et"), 1L)
-          .otherwise(0L)).as("d_t"))
-      .filter(col("n_t") > 1)
+    val perT = ab.groupBy("t").agg(
+      sum(when(col("g") === col("ga"), 1L).otherwise(0L)).as("c_a"),
+      count(lit(1)).as("c_all"),
+      sum(when(col("g") === col("ga") && col("e") === 1, 1L)
+        .otherwise(0L)).as("d_a_t"),
+      sum(when(col("e") === 1, 1L).otherwise(0L)).as("d_t"))
+    // n(t) = #subjects with duration >= t: cumulative sum over the
+    // duration-DESCENDING order of the distinct-duration table (global
+    // window, but its input is the calendar-bounded collapse, not rows)
+    val wGe = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = perT
+      .withColumn("n_a_t", sum("c_a").over(wGe))
+      .withColumn("n_t", sum("c_all").over(wGe))
+      .filter(col("d_t") > 0 && col("n_t") > 1)
+      .select(col("t").as("et"), col("n_a_t"), col("n_t"),
+        col("d_a_t"), col("d_t"))
     val na = col("n_a_t").cast("double"); val nt = col("n_t").cast("double")
     val dt = col("d_t").cast("double")
     val terms = atRisk.agg(
@@ -1541,6 +1550,79 @@ object StatOps {
         col("o_a").cast("long").as("o_a"), scoreOut(col("e_a")).as("e_a"),
         scoreOut(col("v_lr")).as("v_lr"), scoreOut(z).as("z_logrank"),
         (abs(scoreOut(z)) > 1.96).cast("int").as("curves_differ"))
+  }
+
+  /** Cox proportional-hazards regression, single covariate, Breslow tie
+    * convention (Cox '72; Breslow '74): Newton-Raphson on the partial
+    * likelihood. Per iteration the risk-set sums S_k(t) = Σ_{t_j ≥ t}
+    * x_j^k·exp(βx_j) (k = 0, 1, 2) come from ONE per-duration collapse
+    * followed by the q332 from-the-right cumulative window — O(n) scan +
+    * a #durations-sized global window per step, never a subjects×times
+    * join — then the score U = Σ_events [x̄_t·d_t subtracted] and
+    * information I reduce to one scalar aggregate. β is carried between
+    * steps as a 1-row frame (scalar-aggregate crossjoin — no driver
+    * collect), rounded to 6 decimals per step so any replaying engine
+    * walks the identical trajectory (the q325 Newton contract).
+    *
+    * Returns one row: (n, n_events, beta, hazard_ratio, se_beta,
+    * z_wald, log_lik) — log_lik is the Breslow partial log-likelihood
+    * at the final β. Durations should arrive pre-rounded (days/hours)
+    * so the per-duration collapse is calendar-bounded. */
+  def coxPh(subjects: DataFrame, durationCol: String, eventCol: String,
+            xCol: String, iters: Int, scoreOut: Column => Column): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"1 <= iters <= 8, got $iters")
+    val base = subjects.select(
+        col(durationCol).cast("double").as("t"),
+        col(eventCol).cast("int").as("e"),
+        col(xCol).cast("double").as("x"))
+      .filter(col("t").isNotNull && col("x").isNotNull)
+      .persist()
+    val wGe = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def riskSets(beta: DataFrame): DataFrame = {
+      val ex = exp(col("b") * col("x"))
+      base.crossJoin(broadcast(beta))
+        .groupBy("t")
+        .agg(first("b").as("b"),
+          sum(ex).as("c0"),
+          sum(col("x") * ex).as("c1"),
+          sum(col("x") * col("x") * ex).as("c2"),
+          sum(col("e")).cast("double").as("d"),
+          sum(when(col("e") === 1, col("x")).otherwise(lit(0.0))).as("dx"))
+        .withColumn("s0", sum("c0").over(wGe))
+        .withColumn("s1", sum("c1").over(wGe))
+        .withColumn("s2", sum("c2").over(wGe))
+        .filter(col("d") > 0)
+    }
+    var beta = subjects.sparkSession.range(1).select(lit(0.0).as("b"))
+    for (_ <- 1 to iters) {
+      // degenerate-information guard (constant covariate, all-tied
+      // durations): I = 0 would drive β to NaN — hold β instead
+      beta = riskSets(beta).agg(
+          first("b").as("pb"),
+          sum(col("dx") - col("d") * col("s1") / col("s0")).as("u"),
+          sum(col("d") * (col("s2") / col("s0") -
+            (col("s1") / col("s0")) * (col("s1") / col("s0")))).as("inf"))
+        .select(scoreOut(when(col("inf") > 0,
+          col("pb") + col("u") / col("inf")).otherwise(col("pb"))).as("b"))
+    }
+    val fin = riskSets(beta).agg(
+      first("b").as("b"),
+      sum(col("d") * (col("s2") / col("s0") -
+        (col("s1") / col("s0")) * (col("s1") / col("s0")))).as("inf"),
+      sum(col("dx")).as("sdx"),
+      sum(col("d") * log(col("s0"))).as("dls0"))
+    val counts = base.agg(count(lit(1)).as("n"),
+      sum(col("e")).cast("long").as("n_events"))
+    counts.crossJoin(broadcast(fin))
+      .select(col("n"), col("n_events"),
+        col("b").as("beta"),
+        scoreOut(exp(col("b"))).as("hazard_ratio"),
+        scoreOut(when(col("inf") > 0, lit(1.0) / sqrt(col("inf"))))
+          .as("se_beta"),
+        scoreOut(when(col("inf") > 0, col("b") * sqrt(col("inf"))))
+          .as("z_wald"),
+        scoreOut(col("b") * col("sdx") - col("dls0")).as("log_lik"))
   }
 
   /** HBOS — histogram-based outlier score (Goldstein & Dengel '12): per

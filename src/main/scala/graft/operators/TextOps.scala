@@ -110,6 +110,16 @@ object TextOps {
   def gramHashes(toks: Column, k: Int): Column =
     transform(shingles(toks, k), g => xxhash64(g))
 
+  /** md5-derived 60-bit gram hashes (15 hex digits) — the oracle-parity
+    * twin of [[gramHashes]]: an external SQL engine reproduces the values
+    * bit-for-bit (the q114 bucket-hash discipline), at ~2-3× the hash
+    * cost. Production swaps [[gramHashes]] (xxhash64) back in — every
+    * consumer only compares hashes for equality/minimum, never reads
+    * their bits. */
+  def gramHashesMd5(toks: Column, k: Int): Column =
+    transform(shingles(toks, k),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("bigint"))
+
   /** Winnowing document sketch (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     * MOSS algorithm): slide a window of `w` consecutive gram hashes, keep
     * each window's minimum, dedup. The guarantee: two documents sharing a

@@ -758,15 +758,58 @@ object ExtrasQ {
 
     // Mergeable histogram quantile rollup: per-day value sketches + the
     // merged-corpus p50/p90/p99 — the quantile twin of the q106 HLL
-    // rollup. Rows-only: estimates are sketch-resolution-specific;
-    // HistogramSketchSpec pins the one-bin-width error bound, exact
-    // sketch-level merge, and repartition invariance.
+    // rollup. The fixed-bin counters and the walk-and-interpolate
+    // estimate are pure arithmetic, so the oracle replays the sketch
+    // exactly (bin cells, cumulative walk, linear interpolation — the
+    // HistogramSketch.quantile expression mirrored term for term);
+    // HistogramSketchSpec still pins the one-bin-width error bound,
+    // exact sketch-level merge, and repartition invariance.
     "q141_hist_quantiles" -> Q(
       (s, d) => graft.operators.EventOps.histQuantileRollup(
           Tables.events(s, d), "ts", "value",
           bins = 1000, lo = 0.0, hi = 500.0, scoreOut = dec6)
         .orderBy("day"),
-      None),
+      Some {
+        // mirrors HistogramSketch.cell / .quantile with bins=1000,
+        // lo=0.0, hi=500.0: w = (hi - lo) / bins, est = lo + (bin-1)*w
+        // + (target - cum_prev)/c * w; bin 0 = underflow -> lo,
+        // bin 1001 = overflow -> hi
+        val wexpr = "((500.0 - 0.0) / 1000)"
+        s"""WITH v AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+           |  CAST(value AS DOUBLE) AS v FROM events),
+           |cells AS (SELECT day, CASE WHEN v < 0.0 THEN 0
+           |    WHEN v >= 500.0 THEN 1001
+           |    ELSE 1 + least(CAST(floor((v - 0.0) / (500.0 - 0.0) * 1000)
+           |      AS INT), 999) END AS bin FROM v),
+           |hd AS (SELECT day, bin, CAST(count(*) AS DOUBLE) AS c
+           |  FROM cells GROUP BY 1, 2),
+           |ha AS (SELECT '__all__' AS day, bin, CAST(count(*) AS DOUBLE) AS c
+           |  FROM cells GROUP BY bin),
+           |h AS (SELECT * FROM hd UNION ALL SELECT * FROM ha),
+           |n AS (SELECT day, sum(c) AS n FROM h GROUP BY 1),
+           |cum AS (SELECT day, bin, c, sum(c) OVER (PARTITION BY day
+           |  ORDER BY bin) AS ci FROM h),
+           |qt AS (SELECT n.day, q, n.n FROM n,
+           |  (VALUES (0.5), (0.9), (0.99)) t(q)
+           |  WHERE n.day = '__all__' OR q = 0.5),
+           |pick AS (SELECT cum.day, qt.q, cum.bin, cum.c,
+           |  cum.ci - cum.c AS cp, qt.n,
+           |  row_number() OVER (PARTITION BY cum.day, qt.q
+           |    ORDER BY cum.bin) AS rn
+           |  FROM cum JOIN qt ON qt.day = cum.day AND cum.ci >= qt.q * qt.n),
+           |est AS (SELECT day, q, CASE WHEN bin = 0 THEN 0.0
+           |    WHEN bin = 1001 THEN 500.0
+           |    ELSE 0.0 + (bin - 1) * $wexpr + ((q * n - cp) / c) * $wexpr
+           |  END AS e FROM pick WHERE rn = 1)
+           |SELECT n.day, CAST(n.n AS BIGINT) AS n,
+           |  ${r6("max(CASE WHEN est.q = 0.5 THEN est.e END)")} AS p50,
+           |  CASE WHEN n.day = '__all__' THEN
+           |    ${r6("max(CASE WHEN est.q = 0.9 THEN est.e END)")} END AS p90,
+           |  CASE WHEN n.day = '__all__' THEN
+           |    ${r6("max(CASE WHEN est.q = 0.99 THEN est.e END)")} END AS p99
+           |FROM n JOIN est ON n.day = est.day
+           |GROUP BY n.day, n.n ORDER BY n.day""".stripMargin
+      }),
 
     // PSI feature-drift monitor: value distribution of the first half of
     // the month vs the second, 10 fixed bins + under/overflow, Laplace-

@@ -283,7 +283,7 @@ object GraphQ {
         .orderBy("node"),
       Some {
         val steps = (1 to 4).map { i =>
-          s"""c$i AS (SELECT sym.u AS node, l.label AS nl, count(*) AS c
+          s"""c$i AS MATERIALIZED (SELECT sym.u AS node, l.label AS nl, count(*) AS c
              |  FROM sym JOIN l${i - 1} l ON sym.v = l.node GROUP BY 1, 2),
              |l$i AS (SELECT node, nl AS label FROM (
              |  SELECT node, nl, row_number() OVER (PARTITION BY node
@@ -296,6 +296,70 @@ object GraphQ {
            |l0 AS (SELECT node, node AS label FROM nodes),
            |$steps
            |SELECT node, label FROM l4 ORDER BY node""".stripMargin
+      }),
+
+    // One-level Louvain (Blondel '08), semi-synchronous deterministic
+    // sweep on the co-activity graph: per round the id-parity-active
+    // half of the nodes adopts the max-modularity-gain neighbor
+    // community (dec6-rounded gain, community-id tiebreak; the
+    // alternating parity classes break synchronous swap cycles), 4
+    // rounds, then the top-20 communities by size with the partition's
+    // modularity Q — the quality number label propagation (q330) can't
+    // give. The oracle unrolls the identical 4 rounds (same rounded
+    // gains, same tiebreak, same parity classes).
+    "q337_louvain" -> Q(
+      (s, d) => graft.operators.GraphOps.louvainOneLevel(
+        coActivityEdges(s, d), "ua", "ub", rounds = 4, topK = 20,
+        scoreOut = dec6),
+      Some {
+        val steps = (1 to 4).map { i =>
+          val act = i % 2
+          s"""st$i AS MATERIALIZED (SELECT label, sum(deg) AS stot FROM c${i - 1}
+             |  JOIN d USING (node) GROUP BY 1),
+             |nb$i AS MATERIALIZED (SELECT sym.u AS node, l.label AS nl,
+             |  CAST(count(*) AS DOUBLE) AS kic
+             |  FROM sym JOIN c${i - 1} l ON sym.v = l.node
+             |  WHERE sym.u % 2 = $act GROUP BY 1, 2),
+             |ca$i AS MATERIALIZED (SELECT coalesce(nb.node, cu.node) AS node,
+             |  coalesce(nb.nl, cu.label) AS nl, coalesce(nb.kic, 0.0) AS kic
+             |  FROM nb$i nb FULL OUTER JOIN
+             |  (SELECT node, label FROM c${i - 1} WHERE node % 2 = $act) cu
+             |  ON nb.node = cu.node AND nb.nl = cu.label),
+             |sc$i AS MATERIALIZED (SELECT ca.node, ca.nl,
+             |  ${r6(s"""ca.kic - d.deg * (st.stot -
+             |    CASE WHEN ca.nl = cu.label THEN d.deg ELSE 0.0 END)
+             |    / (2.0 * mm.m)""")} AS s
+             |  FROM ca$i ca JOIN c${i - 1} cu ON ca.node = cu.node
+             |  JOIN d ON ca.node = d.node
+             |  JOIN st$i st ON ca.nl = st.label, mm),
+             |c$i AS MATERIALIZED (SELECT node, nl AS label FROM (SELECT node, nl,
+             |  row_number() OVER (PARTITION BY node ORDER BY s DESC, nl)
+             |    AS rk FROM sc$i) WHERE rk = 1
+             |  UNION ALL SELECT node, label FROM c${i - 1}
+             |  WHERE node % 2 <> $act)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $sqlCoActivity,
+           |sym AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+           |d AS MATERIALIZED (SELECT u AS node, CAST(count(*) AS DOUBLE) AS deg
+           |  FROM sym GROUP BY 1),
+           |mm AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
+           |c0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym),
+           |$steps,
+           |nn2 AS (SELECT label, count(*) AS n_nodes FROM c4 GROUP BY 1),
+           |stf AS (SELECT label, sum(deg) AS stot FROM c4
+           |  JOIN d USING (node) GROUP BY 1),
+           |itn AS (SELECT a.label, CAST(count(*) AS DOUBLE) AS n_int
+           |  FROM e JOIN c4 a ON e.u = a.node JOIN c4 b ON e.v = b.node
+           |  WHERE a.label = b.label GROUP BY 1),
+           |comm AS (SELECT nn2.label, nn2.n_nodes,
+           |  coalesce(itn.n_int, 0.0) AS n_int, stf.stot
+           |  FROM nn2 JOIN stf USING (label) LEFT JOIN itn USING (label)),
+           |qq AS (SELECT sum(n_int / m - (stot / (2.0 * m))
+           |  * (stot / (2.0 * m))) AS q FROM comm, mm)
+           |SELECT label AS community, n_nodes,
+           |  CAST(n_int AS BIGINT) AS n_internal,
+           |  CAST(stot AS BIGINT) AS sigma_tot, ${r6("qq.q")} AS modularity
+           |FROM comm, qq ORDER BY n_nodes DESC, community LIMIT 20""".stripMargin
       }),
   )
 

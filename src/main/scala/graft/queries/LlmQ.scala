@@ -266,8 +266,10 @@ object LlmQ {
     // fingerprints before the join (a passage shared by >25 docs is
     // template text, not plagiarized content — and it's also the join's
     // quadratic term: this corpus has winnow hashes shared by 100s of
-    // docs). xxhash64-specific → rows-only check; the winnowing guarantees
-    // are spec-verified.
+    // docs). Gram hashes are md5-derived (gramHashesMd5) so the
+    // window-min selection — and hence the pair set — replays bit-for-bit
+    // in the oracle; production swaps xxhash64 back in (hashes are only
+    // compared, never read). Winnowing guarantees stay spec-verified.
     "q66_winnow_pairs" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -277,7 +279,7 @@ object LlmQ {
         // the tokenize→winnow→df-window pipeline (the DedupOps pattern);
         // Bench/Verify release the blocks at the query boundary
         val fp = docs
-          .withColumn("g", TextOps.gramHashes(col("t"), 3)) // bind before winnow
+          .withColumn("g", TextOps.gramHashesMd5(col("t"), 3)) // bind before winnow
           .select(col("doc_id"), explode_outer(TextOps.winnowMins(col("g"), 4)).as("f"))
           .filter(col("f").isNotNull)
           .withColumn("df", count(lit(1)).over(Window.partitionBy("f")))
@@ -290,7 +292,26 @@ object LlmQ {
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= 2)
           .orderBy("id_a", "id_b")
-      }),
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\s+') AS t FROM documents),
+             |g AS (SELECT doc_id, list_transform(
+             |  generate_series(1, greatest(len(t) - 2, 0)),
+             |  i -> CAST(('0x' || substring(md5(
+             |    concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 15)) AS BIGINT)) AS gh
+             |  FROM tk),
+             |w AS (SELECT doc_id, CASE
+             |  WHEN len(gh) - 3 >= 1 THEN list_distinct(list_transform(
+             |    generate_series(1, len(gh) - 3), i -> list_min(gh[i:i+3])))
+             |  WHEN len(gh) >= 1 THEN [list_min(gh)]
+             |  ELSE [] END AS mins FROM g),
+             |fp AS (SELECT doc_id, unnest(mins) AS f FROM w),
+             |fd AS (SELECT doc_id, f FROM (SELECT doc_id, f,
+             |  count(*) OVER (PARTITION BY f) AS df FROM fp) WHERE df <= 25)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(count(*) AS BIGINT) AS n_shared
+             |FROM fd a JOIN fd b ON a.f = b.f AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin)),
 
     // Multi-probe LSH ANN (Hamming ≤ 1 around the query signature): the
     // OR-amplification recall lever over q59's single probe.

@@ -1642,5 +1642,77 @@ object StatQ {
            |  any_value(b0) AS b0, any_value(b1) AS b1, any_value(b2) AS b2
            |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
       }),
+
+    // Cox proportional-hazards regression (Breslow ties) on
+    // time-to-first-purchase with log-activity as the covariate — the
+    // survival-REGRESSION step after q158's Kaplan-Meier curve and
+    // q332's two-group log-rank: does higher engagement accelerate the
+    // hazard, with an effect size (hazard ratio), a Wald z, and the
+    // partial log-likelihood. 3 Newton steps, per-step-rounded β, each
+    // step one per-duration collapse + the q332 cumulative at-risk
+    // window + a scalar aggregate; the oracle unrolls the identical
+    // trajectory.
+    "q340_cox_ph" -> Q(
+      (s, d) => {
+        val subj = Tables.events(s, d).groupBy("user_id")
+          .agg(min("ts").as("__f"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("__p"),
+            count(lit(1)).as("__c"))
+          .filter(col("__p").isNotNull)
+          .select(
+            datediff(to_date(col("__p")), to_date(col("__f")))
+              .cast("double").as("dur_days"),
+            lit(1).as("converted"),
+            dec6(log(col("__c").cast("double"))).as("log_activity"))
+        graft.operators.StatOps.coxPh(subj, "dur_days", "converted",
+          "log_activity", iters = 3, scoreOut = dec6)
+      },
+      Some {
+        def step(i: Int) =
+          s"""pd$i AS (SELECT t, any_value(b) AS b,
+             |    sum(exp(b * x)) AS c0, sum(x * exp(b * x)) AS c1,
+             |    sum(x * x * exp(b * x)) AS c2,
+             |    CAST(sum(e) AS DOUBLE) AS d,
+             |    sum(CASE WHEN e = 1 THEN x ELSE 0.0 END) AS dx
+             |  FROM subj, bt${i - 1} GROUP BY t),
+             |cw$i AS (SELECT t, b, d, dx,
+             |    sum(c0) OVER w AS s0, sum(c1) OVER w AS s1,
+             |    sum(c2) OVER w AS s2
+             |  FROM pd$i WINDOW w AS (ORDER BY t DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
+            .stripMargin
+        val steps = (1 to 3).map { i =>
+          step(i) + ",\n" +
+            s"""bt$i AS (SELECT ${r6("""CASE WHEN
+               |  sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0))) > 0
+               |  THEN any_value(b) + sum(dx - d * s1 / s0)
+               |    / sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0)))
+               |  ELSE any_value(b) END""")} AS b
+               |  FROM cw$i WHERE d > 0)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH subj AS (SELECT
+           |    CAST(date_diff('day', CAST(min(ts) AS DATE),
+           |      CAST(min(CASE WHEN event_type = 'purchase' THEN ts END)
+           |        AS DATE)) AS DOUBLE) AS t,
+           |    1 AS e,
+           |    ${r6("ln(CAST(count(*) AS DOUBLE))")} AS x
+           |  FROM events GROUP BY user_id
+           |  HAVING min(CASE WHEN event_type = 'purchase' THEN ts END)
+           |    IS NOT NULL),
+           |bt0 AS (SELECT 0.0 AS b),
+           |$steps,
+           |${step(4)},
+           |fin AS (SELECT any_value(b) AS b,
+           |    sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0))) AS inf,
+           |    sum(dx) AS sdx, sum(d * ln(s0)) AS dls0
+           |  FROM cw4 WHERE d > 0),
+           |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(e) AS BIGINT) AS n_events FROM subj)
+           |SELECT n, n_events, b AS beta, ${r6("exp(b)")} AS hazard_ratio,
+           |  CASE WHEN inf > 0 THEN ${r6("1.0 / sqrt(inf)")} END AS se_beta,
+           |  CASE WHEN inf > 0 THEN ${r6("b * sqrt(inf)")} END AS z_wald,
+           |  ${r6("b * sdx - dls0")} AS log_lik
+           |FROM cnt, fin""".stripMargin
+      }),
   )
 }

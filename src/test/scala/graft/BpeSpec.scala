@@ -68,4 +68,47 @@ class BpeSpec extends SparkSpec {
       .collect()
     assert(out.length == 2, out.mkString(", "))
   }
+
+  test("bulk mapPartitions encoder == composed-expression encoder") {
+    val docs = corpus("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+    val merges = BpeOps.bpeTrain(docs, "doc_id", "text", merges = 5)
+      .orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val probe = Seq(
+      (1L, "g1", "lowest lower"),
+      (2L, "g1", "newest widest unseen"),
+      (3L, "g2", ""),                       // empty doc: 0 words, 0 tokens
+      (4L, "g2", "  low   low  "),          // whitespace runs collapse
+      (5L, "g2", "aaaa lowestlow"))
+      .toDF("doc_id", "source", "text")
+    val viaExpr = BpeOps.bpeEncode(probe, "text", merges)
+      .select(col("doc_id"), col("bpe_tokens"))
+      .as[(Long, Seq[String])].collect().toMap
+    val viaBulk = BpeOps.bpeTokenize(probe, "doc_id", "source", "text", merges)
+      .select(col("id"), col("tokens"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(viaBulk.keySet == viaExpr.keySet)
+    viaBulk.foreach { case (id, toks) =>
+      assert(toks == viaExpr(id), s"doc $id: $toks vs ${viaExpr(id)}")
+    }
+    // n_words is the whitespace word count (the fertility denominator)
+    val words = BpeOps.bpeTokenize(probe, "doc_id", "source", "text", merges)
+      .select(col("id"), col("n_words")).as[(Long, Long)].collect().toMap
+    assert(words == Map(1L -> 2L, 2L -> 3L, 3L -> 0L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("bulk encoder: trained segmentation, cache-independent") {
+    val docs = corpus("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+    val merges = BpeOps.bpeTrain(docs, "doc_id", "text", merges = 5)
+      .orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // repeated words exercise the per-partition cache path; 1 partition
+    // forces every row through the same cache instance
+    val rep = Seq((1L, "s", "lowest lowest lowest newest"))
+      .toDF("doc_id", "source", "text").coalesce(1)
+    val toks = BpeOps.bpeTokenize(rep, "doc_id", "source", "text", merges)
+      .select(col("tokens")).as[Seq[String]].head()
+    assert(toks == Seq("low", "est</w>", "low", "est</w>", "low", "est</w>",
+      "n", "e", "w", "est</w>"), toks.mkString("|"))
+  }
 }

@@ -253,6 +253,33 @@ class FinanceRegressionSpec extends SparkSpec {
     assert(r2.getAs[Double]("e_a") < r.getAs[Double]("e_a") + 1.0)
   }
 
+  test("cox ph: 4-subject alternating covariate — python-fixed trajectory") {
+    // subjects (t, e, x) = (1,1,1),(2,1,0),(3,1,1),(4,1,0); 3 Newton
+    // steps with per-step dec6 rounding walk β = 0.923077 → 0.940565 →
+    // 0.940614 (independent python partial-likelihood replay; Breslow)
+    val subj = Seq((1.0, 1, 1.0), (2.0, 1, 0.0), (3.0, 1, 1.0),
+      (4.0, 1, 0.0)).toDF("t", "e", "x")
+    val r = StatOps.coxPh(subj, "t", "e", "x", iters = 3, scoreOut = dec6)
+      .head()
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("n_events") == 4)
+    assert(math.abs(r.getAs[Double]("beta") - 0.940614) < 1e-6)
+    assert(math.abs(r.getAs[Double]("hazard_ratio") - 2.561554) < 1e-6)
+    assert(math.abs(r.getAs[Double]("se_beta") - 1.240258) < 1e-6)
+    assert(math.abs(r.getAs[Double]("z_wald") - 0.758402) < 1e-6)
+    assert(math.abs(r.getAs[Double]("log_lik") - (-2.869976)) < 1e-6)
+  }
+
+  test("cox ph: constant covariate is information-free — β holds at 0") {
+    val subj = Seq((1.0, 1, 2.0), (2.0, 1, 2.0), (3.0, 1, 2.0))
+      .toDF("t", "e", "x")
+    val r = StatOps.coxPh(subj, "t", "e", "x", iters = 3, scoreOut = dec6)
+      .head()
+    assert(r.getAs[Double]("beta") == 0.0)
+    assert(r.getAs[Double]("hazard_ratio") == 1.0)
+    assert(r.isNullAt(r.fieldIndex("se_beta")))
+    assert(r.isNullAt(r.fieldIndex("z_wald")))
+  }
+
   test("holm step-down: strong test survives, weak family members do not") {
     val tests = Seq(("k1", 4.0), ("k2", 2.0), ("k3", 1.0), ("k4", 0.0))
       .toDF("k", "z")

@@ -66,7 +66,19 @@ class GlobalWindowLintSpec extends SparkSpec {
     "q178_ks_binned" ->
       "support table capped at bins=64 rows by pooled-quantile construction",
     "q179_mw_binned" ->
-      "rank table capped at bins=64 rows by pooled-quantile construction"
+      "rank table capped at bins=64 rows by pooled-quantile construction",
+    "q332_logrank" ->
+      ("from-the-right cumulative at-risk window over the per-duration " +
+        "collapse: one row per DISTINCT duration, calendar-bounded " +
+        "(durations arrive pre-rounded to days — #days rows, never subjects)"),
+    "q339_classifier_eval" ->
+      ("three rocAuc midrank windows over distinct ROUNDED-score tables " +
+        "(the q237 bound: dec6 scores in [0,1] / bounded NB log-ratios " +
+        "cap the support independent of corpus size)"),
+    "q340_cox_ph" ->
+      ("per-Newton-step cumulative risk-set windows over the per-duration " +
+        "collapse (the q332 bound: one row per DISTINCT duration, " +
+        "calendar-bounded — durations arrive pre-rounded to days)")
   )
 
   private def finalPlan(df: DataFrame): SparkPlan =
@@ -173,10 +185,7 @@ class GlobalWindowLintSpec extends SparkSpec {
       "fixture's alignToGrid key-set crossjoin (enum-sized event_type x " +
       "hourly grid), duplicated across both sides of (b) the pair " +
       "crossjoin of the per-series collected-grid table — series-key-" +
-      "domain-sized, one row per series by construction"),
-    "q332_logrank" -> ("broadcast side is the DISTINCT event-time table: " +
-      "durations arrive pre-rounded to calendar days, so it is " +
-      "calendar-bounded (#days rows), never subject-sized")
+      "domain-sized, one row per series by construction")
   )
 
   /** The BNLJs in `plan` whose broadcast side is NOT a provably-1-row
@@ -249,11 +258,7 @@ class GlobalWindowLintSpec extends SparkSpec {
     * excluded). */
   private val allowHint: Map[String, String] =
     (allowBnlj - "q184_sample_diversity" - "q298_shapley_attribution"
-      - "q300_burrows_delta" - "q317_cliffs_delta"
-      // q332's hinted event-time table carries the ga scalar-aggregate
-      // crossjoin in its subtree, so the hint lint's structural escape
-      // already covers it (only the BNLJ entry is needed)
-      - "q332_logrank") ++ Map(
+      - "q300_burrows_delta" - "q317_cliffs_delta") ++ Map(
       "q03_join_agg" ->
         "broadcast sides are nation (25 rows) / region (5 rows): constant-size dims",
       "q199_rollup_revenue" ->

@@ -56,6 +56,50 @@ class GraphExtraSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("louvain: two triangles with one bridge — clean split, Q = 5/14") {
+    // hand-walked 4-round semi-sync sweep (parity classes; see scaladoc):
+    // r1 (odd active): 1→C2 (gain 1−2·2/14), 3→C1 (tie C1/C2, min label),
+    // 5→C6; r2 (even active): 4→C6 (gain 2−3·4/14); r3: 3→C2 (kic 2);
+    // r4: no moves. Final {1,2,3}=C2, {4,5,6}=C6, each n_int 3, Σtot 7,
+    // Q = 2·(3/7 − (7/14)²) = 5/14
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("a", "b")
+    val out = GraphOps.louvainOneLevel(e, "a", "b", rounds = 4, topK = 10,
+        scoreOut = dec6)
+      .orderBy("community").collect()
+    assert(out.map(_.getAs[Long]("community")).toSeq == Seq(2L, 6L),
+      out.mkString(", "))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") == 3L)
+      assert(r.getAs[Long]("n_internal") == 3L)
+      assert(r.getAs[Long]("sigma_tot") == 7L)
+      assert(math.abs(r.getAs[Double]("modularity") - 5.0 / 14.0) < 1e-5)
+    }
+  }
+
+  test("louvain: partition validity and modularity self-consistency") {
+    // clique {1,2,3,4} + pendant 5: whatever the sweep settles on, the
+    // result must be a PARTITION (n_nodes sums to |V|) whose reported Q
+    // recomputes from its own per-community columns
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L)).toDF("a", "b")
+    val m = 7.0
+    val rows = GraphOps.louvainOneLevel(e, "a", "b", rounds = 4, topK = 100,
+      scoreOut = dec6).collect()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == 5L)
+    assert(rows.map(_.getAs[Long]("sigma_tot")).sum == 14L) // = 2m
+    val q = rows.map { r =>
+      r.getAs[Long]("n_internal") / m -
+        math.pow(r.getAs[Long]("sigma_tot") / (2.0 * m), 2)
+    }.sum
+    assert(math.abs(q - rows.head.getAs[Double]("modularity")) < 1e-5,
+      s"recomputed $q vs ${rows.head.getAs[Double]("modularity")}")
+    // determinism: a second run returns the identical frame
+    val again = GraphOps.louvainOneLevel(e, "a", "b", rounds = 4, topK = 100,
+      scoreOut = dec6).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("dtw DP: repeat-tolerant alignment is free, band restriction costs") {
     assert(DtwOps.dtwBanded(Array(1, 2, 3), Array(1, 2, 2, 3), band = 2) == 0.0)
     // impulse shifted by 2: a band of 2 warps around it for free, a band

@@ -765,6 +765,211 @@ def main():
         print(f"{'PASS' if good else 'FAIL'} q301 bpe: {len(merges)}-round "
               f"count-merge-rewrite loop replay matches exactly")
 
+    # --- BPE corpus ENCODE + fertility (q336): train + apply replay ---
+    be = dump("q336_bpe_encode")
+    if be is not None:
+        import re
+        from collections import Counter
+
+        def fuse_once(syms, a_, b_):
+            rew, prev = [], None
+            for s_ in syms:
+                if prev is None:
+                    prev = s_
+                elif prev == a_ and s_ == b_:
+                    rew.append(a_ + b_)
+                    prev = None
+                else:
+                    rew.append(prev)
+                    prev = s_
+            if prev is not None:
+                rew.append(prev)
+            return rew
+
+        docs2 = con.execute("SELECT source, text FROM documents").df()
+        freq = Counter()
+        per_doc = []
+        for src, t in zip(docs2.source, docs2.text):
+            ws = [w for w in re.split(r'[ \t\n\x0b\f\r]+', str(t).strip(' '))
+                  if w]
+            per_doc.append((src, ws))
+            for w in ws:
+                freq[w] += 1
+        vocab = Counter()
+        for w, f in freq.items():
+            vocab[tuple(list(w) + ['</w>'])] += f
+        merges2 = []
+        for _ in range(25):
+            pc = Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += f
+            if not pc:
+                break
+            (a_, b_), _cnt = min(pc.items(),
+                                 key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            merges2.append((a_, b_))
+            nv = Counter()
+            for syms, f in vocab.items():
+                nv[tuple(fuse_once(syms, a_, b_))] += f
+            vocab = nv
+        enc_cache = {}
+
+        def enc_len(w):
+            if w not in enc_cache:
+                syms = list(w) + ['</w>']
+                for a_, b_ in merges2:
+                    syms = fuse_once(syms, a_, b_)
+                enc_cache[w] = len(syms)
+            return enc_cache[w]
+
+        agg = {}
+        for src, ws in per_doc:
+            a0 = agg.setdefault(src, [0, 0, 0])
+            a0[0] += 1
+            a0[1] += len(ws)
+            a0[2] += sum(enc_len(w) for w in ws)
+        good = len(be) == len(agg)
+        for _, r in be.iterrows():
+            nd, nw, nt = agg.get(r.source, (0, 0, 0))
+            good &= (int(r.n_docs) == nd and int(r.n_words) == nw
+                     and int(r.n_tokens) == nt
+                     and abs(r.bpe_fertility - r6(nt / nw)) < 2e-6)
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q336 bpe encode: "
+              f"trained-tokenizer fertility over {len(be)} sources matches "
+              f"the full train+encode python replay")
+
+    # --- Louvain one-level (q337): set/dict semi-sync sweep replay ---
+    lv = dump("q337_louvain")
+    if lv is not None:
+        from collections import defaultdict
+        brows = con.execute(
+            "SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS t, "
+            "CAST(json_extract_string(props, '$.k') AS INT) // 10 AS kd, "
+            "user_id AS u FROM events").df()
+        bucket = defaultdict(set)
+        for h, t, kd, u in zip(brows.h, brows.t, brows.kd, brows.u):
+            bucket[(h, t, kd)].add(int(u))
+        edges = set()
+        for us in bucket.values():
+            us = sorted(us)
+            for i in range(len(us)):
+                for j in range(i + 1, len(us)):
+                    edges.add((us[i], us[j]))
+        adj = defaultdict(list)
+        for u, v in edges:
+            adj[u].append(v)
+            adj[v].append(u)
+        m = float(len(edges))
+        deg = {n: float(len(vs)) for n, vs in adj.items()}
+        label = {n: n for n in adj}
+        for rnd in range(1, 5):
+            act = rnd % 2
+            stot = defaultdict(float)
+            for n, l in label.items():
+                stot[l] += deg[n]
+            nxt = dict(label)
+            for n in adj:
+                if n % 2 != act:
+                    continue
+                kic = defaultdict(float)
+                for v in adj[n]:
+                    kic[label[v]] += 1.0
+                kic.setdefault(label[n], 0.0)
+                best = None
+                for c, k in kic.items():
+                    sadj = stot[c] - (deg[n] if c == label[n] else 0.0)
+                    s = float(r6(k - deg[n] * sadj / (2.0 * m)))
+                    if best is None or (s, -c) > (best[0], -best[1]):
+                        best = (s, c)
+                nxt[n] = best[1]
+            label = nxt
+        comm = defaultdict(lambda: [0, 0.0, 0.0])   # n_nodes, n_int, stot
+        for n, l in label.items():
+            comm[l][0] += 1
+            comm[l][2] += deg[n]
+        for u, v in edges:
+            if label[u] == label[v]:
+                comm[label[u]][1] += 1.0
+        q_mod = sum(ni / m - (st / (2.0 * m)) ** 2
+                    for _, ni, st in comm.values())
+        top = sorted(((c, nn, ni, st) for c, (nn, ni, st) in comm.items()),
+                     key=lambda x: (-x[1], x[0]))[:20]
+        good = len(lv) == len(top)
+        lv2 = lv.sort_values(["n_nodes", "community"],
+                             ascending=[False, True]).reset_index(drop=True)
+        for (c, nn, ni, st), (_, r) in zip(top, lv2.iterrows()):
+            good &= (int(r.community) == c and int(r.n_nodes) == nn
+                     and int(r.n_internal) == int(ni)
+                     and int(r.sigma_tot) == int(st)
+                     and abs(r.modularity - r6(q_mod)) < 2e-6)
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q337 louvain: semi-sync "
+              f"set/dict sweep over {len(adj)} nodes / {len(edges)} edges, "
+              f"Q={q_mod:.6f}")
+
+    # --- Quality classifier (q338): full featurize + Newton replay ---
+    qc = dump("q338_quality_classifier")
+    if qc is not None:
+        import hashlib, math
+        from collections import defaultdict
+        docs3 = con.execute(
+            "SELECT doc_id, source, text FROM documents").df()
+        rows = []
+        for did, src, t in zip(docs3.doc_id, docs3.source, docs3.text):
+            ws = [w for w in re.split(r'[ \t\n\x0b\f\r]+', str(t).strip(' '))
+                  if w != '']
+            n = len(ws)
+            tf = (max(ws.count(x) for x in set(ws)) / n) if n else None
+            bigrams = [f"{ws[i]} {ws[i + 1]}" for i in range(n - 1)]
+            dg = (1.0 - len(set(bigrams)) / (n - 1)) if n > 1 else 0.0
+            sr = sum(1 for w in ws if w in STOP) / n if n else 0.0
+            keep = int(tf is not None and r6(tf) <= 0.2 and r6(dg) <= 0.3
+                       and r6(sr) >= 0.05 and n >= 50)
+            rows.append((did, src, keep, n, bigrams))
+        B = 4096
+        ct = np.zeros(B)
+        cr = np.zeros(B)
+        def bkt(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:3], 16) % B
+        for _, _, keep, _, bigrams in rows:
+            for g in bigrams:
+                if keep:
+                    ct[bkt(g)] += 1
+                else:
+                    cr[bkt(g)] += 1
+        nt_, nr_ = ct.sum(), cr.sum()
+        lr = r6(np.log((ct + 1.0) / (nt_ + B)) - np.log((cr + 1.0) / (nr_ + B)))
+        groups = defaultdict(list)
+        for _, src, keep, n, bigrams in rows:
+            x1 = float(r6(sum(lr[bkt(g)] for g in bigrams) / len(bigrams))) \
+                if bigrams else 0.0
+            x2 = float(r6(math.log(n + 1.0)))
+            groups[src].append((float(keep), x1, x2))
+        good = True
+        for _, r in qc.iterrows():
+            pts = np.array(groups[r.source])
+            y, x1, x2 = pts[:, 0], pts[:, 1], pts[:, 2]
+            b = np.zeros(3)
+            for _ in range(4):
+                z = np.clip(b[0] + b[1] * x1 + b[2] * x2, -30.0, 30.0)
+                p = 1.0 / (1.0 + np.exp(-z))
+                w = p * (1.0 - p)
+                g = np.array([np.sum(y - p), np.sum((y - p) * x1),
+                              np.sum((y - p) * x2)])
+                H = np.array([
+                    [np.sum(w), np.sum(w * x1), np.sum(w * x2)],
+                    [np.sum(w * x1), np.sum(w * x1 * x1), np.sum(w * x1 * x2)],
+                    [np.sum(w * x2), np.sum(w * x1 * x2), np.sum(w * x2 * x2)]])
+                b = r6(b + np.linalg.solve(H, g))
+            good &= (abs(r.b0 - b[0]) < 2e-6 and abs(r.b1 - b[1]) < 2e-6
+                     and abs(r.b2 - b[2]) < 2e-6)
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q338 classifier: hashed-bigram "
+              f"NB features + 4-step Newton trajectory over {len(qc)} "
+              f"sources (numpy linalg.solve vs the Cramer plan)")
+
     # --- Yule-Walker AR(2) (q280): dense lagged-vector products ---
     yw = dump("q280_yule_walker_ar2")
     if yw is not None:
