@@ -88,4 +88,55 @@ object ClusterOps {
         scoreOut(col("__in")).as("inertia"),
         scoreOut(col("__cn")).as("centroid_norm"))
   }
+
+  /** DBSCAN (Ester, Kriegel, Sander & Xu, KDD'96) over a PRECOMPUTED
+    * eps-neighbor pair list — candidate generation is pluggable, which
+    * is the whole scale story: the gate feeds exact all-pairs
+    * ([[SimilarityOps.exactCosinePairs]], quadratic, oracle-replayable);
+    * a 100 TB run feeds LSH-bucketed candidates (the q59/q213 machinery)
+    * and inherits their recall bound. Conventions made deterministic so
+    * any engine replays the same partition: a point is CORE when its
+    * eps-neighborhood (including itself) holds ≥ `minPts` points;
+    * clusters are connected components of the core-core subgraph labeled
+    * by their minimum core id ([[DedupOps.nearDupClusters]]' star-forest
+    * contraction — log-round flooding, not a sequential seed scan);
+    * BORDER points adopt the MINIMUM cluster label among their core
+    * neighbors (the textbook first-come assignment is scan-order-
+    * dependent — min is its order-free replacement); everything else is
+    * NOISE.
+    *
+    * Returns one row per point: (id, n_neighbors, point_type, cluster) —
+    * cluster is null for noise. */
+  def dbscan(points: DataFrame, idCol: String, pairs: DataFrame,
+             minPts: Int, reliableEvery: Int = 0): DataFrame = {
+    require(minPts >= 2, s"minPts must be >= 2, got $minPts")
+    val p2 = pairs.select(col("id_a"), col("id_b")).persist()
+    val sym = p2.unionAll(p2.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val ncnt = sym.groupBy(col("id_a").as(idCol))
+      .agg(count(lit(1)).as("n_neighbors"))
+    val withN = points.select(col(idCol)).join(ncnt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
+      .persist()
+    val core = withN.filter(col("n_neighbors") + lit(1) >= minPts)
+      .select(col(idCol))
+    val coreEdges = p2
+      .join(core.select(col(idCol).as("id_a")), "id_a")
+      .join(core.select(col(idCol).as("id_b")), "id_b")
+      .select("id_a", "id_b")
+    val coreClusters = DedupOps
+      .nearDupClusters(core, coreEdges, idCol, reliableEvery = reliableEvery)
+      .select(col("id").as(idCol), col("cluster"))
+    val nbrCluster = sym
+      .join(coreClusters.select(col(idCol).as("id_b"), col("cluster")), "id_b")
+      .groupBy(col("id_a").as(idCol))
+      .agg(min("cluster").as("__bc"))
+    withN.join(coreClusters, Seq(idCol), "left")
+      .join(nbrCluster, Seq(idCol), "left")
+      .select(col(idCol), col("n_neighbors"),
+        when(col("cluster").isNotNull, lit("core"))
+          .when(col("__bc").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("point_type"),
+        coalesce(col("cluster"), col("__bc")).as("cluster"))
+  }
 }

@@ -137,4 +137,68 @@ object FinanceOps {
         scoreOut(col("__z.__s")).as("signal"),
         scoreOut(col("__z.__m") - col("__z.__s")).as("histogram"))
   }
+
+  /** GARCH(1,1) conditional-volatility FILTER (Bollerslev '86) with
+    * caller-fixed parameters — the RiskMetrics-style recursion
+    * h_t = ω + α·r²_{t-1} + β·h_{t-1} over first-difference innovations
+    * r_t = x_t − x_{t-1}, initialized at the unconditional variance
+    * ω/(1−α−β). A filter, not a fit: the parameters are inputs (an MLE
+    * fit is a non-convex 3-parameter search — out of scope beside the
+    * in-plan sufficient-statistics solvers), but the filtered σ_t and
+    * the standardized innovation z_t = r_t/σ_t are the volatility-
+    * regime / anomaly signals a risk pipeline actually consumes.
+    *
+    * The coupled recursion is not window-expressible (the MACD
+    * precedent): per series ONE linear `mapPartitions` fold over the
+    * collected grid — grid-bounded rows per task, series-partitioned,
+    * no shuffle beyond the collapse. The recursion is +,*,/ only, so a
+    * replaying engine (the recursive-CTE oracle) matches bit-for-bit;
+    * outputs rounded via `scoreOut`.
+    *
+    * Returns (series, ts, ret, sigma, z) — one row per innovation
+    * (grid rows 2..n); series shorter than 2 points emit nothing. */
+  def garchFilter(grid: DataFrame, seriesCol: String, tsCol: String,
+                  valueCol: String, omega: Double, alphaP: Double,
+                  betaP: Double, scoreOut: Column => Column): DataFrame = {
+    require(omega > 0, s"omega must be > 0, got $omega")
+    require(alphaP >= 0 && betaP >= 0 && alphaP + betaP < 1,
+      s"need alpha, beta >= 0 and alpha + beta < 1, got $alphaP/$betaP")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
+    val h0 = omega / (1.0 - alphaP - betaP)
+    val collected = grid
+      .select(col(seriesCol), col(tsCol).as("__t"),
+        col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+      .groupBy(seriesCol)
+      .agg(sort_array(collect_list(struct(col("__t"), col("__x")))).as("arr"))
+    val outSchema = StructType(collected.schema.fields ++ Seq(
+      StructField("__r", ArrayType(DoubleType), nullable = true),
+      StructField("__h", ArrayType(DoubleType), nullable = true)))
+    val folded = collected.mapPartitions { it =>
+      it.map { r =>
+        val arr = r.getSeq[Row](1)
+        val xs = arr.map(_.getDouble(1))
+        val n = math.max(xs.length - 1, 0)
+        val rets = new Array[Double](n)
+        val hs = new Array[Double](n)
+        var j = 0
+        while (j < n) {
+          rets(j) = xs(j + 1) - xs(j)
+          hs(j) =
+            if (j == 0) h0
+            else omega + alphaP * rets(j - 1) * rets(j - 1) + betaP * hs(j - 1)
+          j += 1
+        }
+        Row(r.get(0), arr.drop(1), rets, hs)
+      }
+    }(Encoders.row(outSchema))
+    folded
+      .select(col(seriesCol),
+        explode(arrays_zip(col("arr"), col("__r"), col("__h"))).as("__z"))
+      .select(col(seriesCol), col("__z.arr.__t").as(tsCol),
+        scoreOut(col("__z.__r")).as("ret"),
+        scoreOut(sqrt(col("__z.__h"))).as("sigma"),
+        scoreOut(col("__z.__r") / sqrt(col("__z.__h"))).as("z"))
+  }
 }

@@ -396,6 +396,31 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), scoreOut(col("cos_sim")).as("cos_sim"))
   }
 
+  /** Exact all-pairs cosine candidates (id_a < id_b) above a threshold
+    * applied to the dec6-ROUNDED similarity — the boundary-stable
+    * candidate generator for density clustering ([[graft.operators.
+    * ClusterOps.dbscan]]): a pair at cos ≈ threshold must fall on the
+    * same side in every replaying engine, so the comparison runs on the
+    * rounded value. Deliberately QUADRATIC (one BNLJ over the vector
+    * table) — correct as the small-table / oracle-parity path only; at
+    * corpus scale feed dbscan the LSH-bucketed candidates instead (the
+    * q59/q213 machinery — same output shape, recall-bounded). */
+  def exactCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double,
+                       scoreOut: Column => Column): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", normFast(col("v")))
+    val a = e.select(col(idCol).as("id_a"), col("v").as("va"), col("nv").as("na"))
+    val b = e.select(col(idCol).as("id_b"), col("v").as("vb"), col("nv").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", scoreOut(
+        when(col("na") > 0 && col("nb") > 0,
+          dotFast(col("va"), col("vb")) / (col("na") * col("nb")))))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   /** Symmetric per-vector int8 quantization (the storage/serving format
     * ANN indexes ship at scale — 4× smaller than float32, SIMD-friendly):
     * scale = 127 / max|x|, q_i = floor(x_i·scale + 0.5). A pure per-row

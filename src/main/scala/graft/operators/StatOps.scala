@@ -1594,7 +1594,10 @@ object StatOps {
         .withColumn("s2", sum("c2").over(wGe))
         .filter(col("d") > 0)
     }
-    var beta = subjects.sparkSession.range(1).select(lit(0.0).as("b"))
+    // init as a grouping-free AGGREGATE (provably 1 row), not a bare
+    // LocalRelation projection — the broadcast-side structural bound
+    // every lint (and reader) can see
+    var beta = subjects.sparkSession.range(1).agg(min(lit(0.0)).as("b"))
     for (_ <- 1 to iters) {
       // degenerate-information guard (constant covariate, all-tied
       // durations): I = 0 would drive β to NaN — hold β instead

@@ -1267,5 +1267,62 @@ object CorpusQ {
           k = 8, iters = 5, scoreOut = dec6)
         .orderBy("cluster_id"),
       None),
+
+    // DBSCAN density clustering over the embeddings (cos ≥ 0.3 pairs,
+    // minPts 5): core = ≥5-point eps-neighborhood incl. self, clusters =
+    // core-subgraph components labeled by min id (the q65 flooding),
+    // borders adopt the min core-neighbor cluster — every convention
+    // total-ordered so the oracle's brute pairs + transitive-closure CTE
+    // replays the identical partition. The gate feeds exact all-pairs
+    // (vector-table-sized BNLJ — the parity path); production feeds
+    // dbscan LSH-bucketed candidates instead (ClusterOps.dbscan scaladoc).
+    "q342_dbscan" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pairs = SimilarityOps.exactCosinePairs(emb, "vec_id", "embedding",
+          threshold = 0.3, scoreOut = dec6)
+        graft.operators.ClusterOps.dbscan(emb, "vec_id", pairs, minPts = 5)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE e AS (SELECT vec_id,
+              |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |  FROM embeddings),
+              |nrm AS (SELECT vec_id, v,
+              |  sqrt(list_reduce(list_prepend(0.0,
+              |    list_transform(v, y -> y * y)), (acc, y) -> acc + y)) AS nv
+              |  FROM e),
+              |p AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib
+              |  FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+              |  WHERE ${r6("""CASE WHEN a.nv > 0 AND b.nv > 0 THEN
+              |    list_reduce(list_prepend(0.0,
+              |      list_transform(generate_series(1, len(a.v)),
+              |        i -> a.v[i] * b.v[i])), (acc, y) -> acc + y)
+              |    / (a.nv * b.nv) END""")} >= 0.3),
+              |sym AS MATERIALIZED (SELECT ia AS a, ib AS b FROM p
+              |  UNION ALL SELECT ib, ia FROM p),
+              |wn AS (SELECT e.vec_id,
+              |  CAST(coalesce(nn.n, 0) AS BIGINT) AS n_neighbors
+              |  FROM e LEFT JOIN (SELECT a, count(*) AS n FROM sym GROUP BY a) nn
+              |  ON nn.a = e.vec_id),
+              |core AS (SELECT vec_id FROM wn WHERE n_neighbors + 1 >= 5),
+              |ed AS MATERIALIZED (SELECT s.a, s.b FROM sym s
+              |  JOIN core c1 ON s.a = c1.vec_id
+              |  JOIN core c2 ON s.b = c2.vec_id),
+              |reach(a, b) AS (SELECT a, b FROM ed
+              |  UNION SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a),
+              |cc AS (SELECT c.vec_id,
+              |  least(c.vec_id, coalesce(min(r.b), c.vec_id)) AS cluster
+              |  FROM core c LEFT JOIN reach r ON r.a = c.vec_id
+              |  GROUP BY c.vec_id),
+              |bc AS (SELECT s.a AS vec_id, min(cc.cluster) AS bcl
+              |  FROM sym s JOIN cc ON s.b = cc.vec_id GROUP BY 1)
+              |SELECT wn.vec_id, wn.n_neighbors,
+              |  CASE WHEN cc.cluster IS NOT NULL THEN 'core'
+              |    WHEN bc.bcl IS NOT NULL THEN 'border'
+              |    ELSE 'noise' END AS point_type,
+              |  coalesce(cc.cluster, bc.bcl) AS cluster
+              |FROM wn LEFT JOIN cc ON cc.vec_id = wn.vec_id
+              |LEFT JOIN bc ON bc.vec_id = wn.vec_id
+              |ORDER BY wn.vec_id""".stripMargin)),
   )
 }

@@ -103,6 +103,42 @@ object FinanceQ {
               |SELECT ts, event_type, ${r6("ef - es")} AS macd,
               |  ${r6("sig")} AS signal,
               |  ${r6("(ef - es) - sig")} AS histogram
+              |FROM rec ORDER BY ts, event_type""".stripMargin)),
+
+    // GARCH(1,1) volatility filter (Bollerslev '86; fixed RiskMetrics-
+    // style parameters ω=5, α=0.05, β=0.9) on first-difference
+    // innovations of the hourly grid: conditional σ_t and standardized
+    // z_t — the volatility-regime lens beside q214's EWMA level and
+    // q36's fixed-window z-score. One mapPartitions fold per series
+    // (the MACD justified-recursion precedent); the oracle replays the
+    // identical recursion as a recursive CTE (+,*,/ only → bit-equal).
+    "q341_garch_vol" -> Q(
+      (s, d) => FinanceOps.garchFilter(
+          series(s, d), "event_type", "ts", "v",
+          omega = 5.0, alphaP = 0.05, betaP = 0.9, scoreOut = dec6)
+        .select(col("ts"), col("event_type"), col("ret"), col("sigma"),
+          col("z"))
+        .orderBy("ts", "event_type"),
+      Some(s"""WITH RECURSIVE $sqlSeries,
+              |g AS (SELECT ts, event_type, CAST(v AS DOUBLE) AS v,
+              |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts)
+              |    AS INT) AS r
+              |  FROM series WHERE v IS NOT NULL),
+              |d AS (SELECT b.event_type, b.ts, b.r - 1 AS i,
+              |  b.v - a.v AS ret
+              |  FROM g a JOIN g b ON b.event_type = a.event_type
+              |    AND b.r = a.r + 1),
+              |rec(event_type, i, ts, ret, h) AS (
+              |  SELECT event_type, i, ts, ret,
+              |    5.0 / (CAST(1.0 AS DOUBLE) - 0.05 - 0.9)
+              |  FROM d WHERE i = 1
+              |  UNION ALL
+              |  SELECT d.event_type, d.i, d.ts, d.ret,
+              |    5.0 + 0.05 * rec.ret * rec.ret + 0.9 * rec.h
+              |  FROM rec JOIN d ON d.event_type = rec.event_type
+              |    AND d.i = rec.i + 1)
+              |SELECT ts, event_type, ${r6("ret")} AS ret,
+              |  ${r6("sqrt(h)")} AS sigma, ${r6("ret / sqrt(h)")} AS z
               |FROM rec ORDER BY ts, event_type""".stripMargin))
   )
 }

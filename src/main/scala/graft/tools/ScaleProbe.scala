@@ -104,7 +104,20 @@ object ScaleProbe {
     "q325_logistic_returns" -> 10,
     "q326_kmeans_embeddings" -> 10,
     "q324_dtw_profiles" -> 10,
-    "q320_pacf" -> 10)
+    "q320_pacf" -> 10,
+    // round-11 additions: BPE encode (one corpus scan + vocab-sized
+    // training rounds), the classifier's featurize+Newton, Cox's
+    // per-duration collapses, GARCH's per-series folds — row-linear →
+    // 10×; Louvain rides the q246/q330 co-activity blocking keys
+    // (k× rows = k² within-block pairs) → 3×; DBSCAN's gate path is the
+    // DELIBERATE exact all-pairs quadratic (vector-table-sized, scale
+    // swap = LSH candidates) → 3× to exhibit, not hide, the exponent
+    "q336_bpe_encode" -> 10,
+    "q338_quality_classifier" -> 10,
+    "q340_cox_ph" -> 10,
+    "q341_garch_vol" -> 10,
+    "q337_louvain" -> 3,
+    "q342_dbscan" -> 3)
 
   private def timeOnce(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()

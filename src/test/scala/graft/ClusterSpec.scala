@@ -111,4 +111,59 @@ class ClusterSpec extends SparkSpec {
         s"$c must flip sign: ${a.getAs[Double](c)} vs ${b.getAs[Double](c)}")
     assert(a.getAs[Double]("accuracy") == b.getAs[Double]("accuracy"))
   }
+
+  test("dbscan: clique core, pendant border, isolate noise") {
+    // pairs: complete graph on {1..5} + edge (1,6); minPts 5 ⇒
+    // 1..5 core (neighborhood incl. self ≥ 5), 6 border via core
+    // neighbor 1, 7 noise; cluster label = component min = 1
+    val points = (1L to 7L).toDF("vec_id")
+    val pairs = ((for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)) :+
+      ((1L, 6L))).toDF("id_a", "id_b")
+    val out = ClusterOps.dbscan(points, "vec_id", pairs, minPts = 5)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_neighbors"),
+        r.getAs[String]("point_type"),
+        Option(r.getAs[java.lang.Long]("cluster")).map(_.toLong)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, "core", Some(1L)), (2L, 4L, "core", Some(1L)),
+      (3L, 4L, "core", Some(1L)), (4L, 4L, "core", Some(1L)),
+      (5L, 4L, "core", Some(1L)), (6L, 1L, "border", Some(1L)),
+      (7L, 0L, "noise", None)), out.mkString(", "))
+  }
+
+  test("dbscan: two components get distinct min-id labels") {
+    val points = (1L to 8L).toDF("vec_id")
+    // two 4-cliques {1..4} and {5..8}, minPts 4 ⇒ all core, two clusters
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val pairs = (clique(1L to 4L) ++ clique(5L to 8L)).toDF("id_a", "id_b")
+    val out = ClusterOps.dbscan(points, "vec_id", pairs, minPts = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster"))
+      .toMap
+    assert((1L to 4L).forall(out(_) == 1L) && (5L to 8L).forall(out(_) == 5L),
+      out.toString)
+  }
+
+  test("garch filter: hand recursion on a 4-point series") {
+    import java.sql.Timestamp
+    val ts = (0 to 3).map(h => Timestamp.valueOf(f"2024-01-01 0$h:00:00"))
+    val rows = Seq(("s", ts(0), 10.0), ("s", ts(1), 12.0),
+      ("s", ts(2), 9.0), ("s", ts(3), 9.5))
+    val out = graft.operators.FinanceOps.garchFilter(
+        rows.toDF("event_type", "ts", "v"), "event_type", "ts", "v",
+        omega = 5.0, alphaP = 0.05, betaP = 0.9,
+        scoreOut = graft.queries.Q.dec6)
+      .orderBy("ts").collect()
+    // h1 = 5/(1-.05-.9) = 100; h2 = 5 + .05·4 + .9·100 = 95.2;
+    // h3 = 5 + .05·9 + .9·95.2 = 91.13
+    val exp = Seq((2.0, 100.0), (-3.0, 95.2), (0.5, 91.13))
+    assert(out.length == 3)
+    out.zip(exp).foreach { case (r, (ret, h)) =>
+      assert(r.getAs[Double]("ret") == ret)
+      assert(math.abs(r.getAs[Double]("sigma") - math.rint(
+        math.sqrt(h) * 1e6) / 1e6) < 2e-6, s"sigma ${r}")
+      assert(math.abs(r.getAs[Double]("z") - math.rint(
+        ret / math.sqrt(h) * 1e6) / 1e6) < 2e-6, s"z ${r}")
+    }
+  }
 }

@@ -141,7 +141,7 @@ class GlobalWindowLintSpec extends SparkSpec {
     // moments), so the fixture's alignToGrid crossjoin appears in both
     // branches; the finance indicators each read it once
     "q307_theta_backtest",
-    "q312_max_drawdown", "q313_rsi", "q314_macd")
+    "q312_max_drawdown", "q313_rsi", "q314_macd", "q341_garch_vol")
 
   private val allowBnlj: Map[String, String] =
     seriesGridQueries.map(_ -> seriesGridBound).toMap ++ Map(
@@ -186,6 +186,11 @@ class GlobalWindowLintSpec extends SparkSpec {
       "hourly grid), duplicated across both sides of (b) the pair " +
       "crossjoin of the per-series collected-grid table — series-key-" +
       "domain-sized, one row per series by construction")
+    // q342_dbscan's exact all-pairs BNLJ (SimilarityOps.exactCosinePairs,
+    // the deliberate oracle-parity quadratic — scale swap is the LSH
+    // q59/q213 machinery, scaladoc'd) sits BELOW dbscan's persist(), so
+    // the lint's plan walk sees only the InMemoryRelation scan — a named
+    // entry here would be flagged stale
   )
 
   /** The BNLJs in `plan` whose broadcast side is NOT a provably-1-row

@@ -970,6 +970,90 @@ def main():
               f"NB features + 4-step Newton trajectory over {len(qc)} "
               f"sources (numpy linalg.solve vs the Cramer plan)")
 
+    # --- Cox PH (q340): explicit per-event risk-set loops ---
+    cx = dump("q340_cox_ph")
+    if cx is not None:
+        import math
+        subj = con.execute(
+            "SELECT CAST(date_diff('day', CAST(min(ts) AS DATE), "
+            "CAST(min(CASE WHEN event_type = 'purchase' THEN ts END) "
+            "AS DATE)) AS DOUBLE) AS t, "
+            "ln(CAST(count(*) AS DOUBLE)) AS x "
+            "FROM events GROUP BY user_id "
+            "HAVING min(CASE WHEN event_type = 'purchase' THEN ts END) "
+            "IS NOT NULL").df()
+        tv = subj.t.to_numpy()
+        xv = r6(subj.x.to_numpy())
+        times = np.unique(tv)
+
+        def cox_stats(b):
+            U = I = dls0 = sdx = 0.0
+            for et in times:
+                risk = xv[tv >= et]
+                ev = xv[tv == et]
+                w = np.exp(b * risk)
+                s0 = w.sum(); s1 = (risk * w).sum(); s2 = (risk ** 2 * w).sum()
+                d = len(ev)
+                U += ev.sum() - d * s1 / s0
+                I += d * (s2 / s0 - (s1 / s0) ** 2)
+                dls0 += d * math.log(s0)
+                sdx += ev.sum()
+            return U, I, dls0, sdx
+
+        b = 0.0
+        for _ in range(3):
+            U, I, _, _ = cox_stats(b)
+            b = float(r6(b + U / I))
+        U, I, dls0, sdx = cox_stats(b)
+        r = cx.iloc[0]
+        good = (int(r.n) == len(tv) and abs(r.beta - b) < 2e-6
+                and abs(r.hazard_ratio - r6(math.exp(b))) < 2e-6
+                and abs(r.se_beta - r6(1.0 / math.sqrt(I))) < 2e-6
+                and abs(r.z_wald - r6(b * math.sqrt(I))) < 2e-6
+                and abs(r.log_lik - r6(b * sdx - dls0)) < 2e-5)
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q340 cox ph: per-event "
+              f"risk-set loop Newton over {len(tv)} subjects, "
+              f"beta={b:.6f}")
+
+    # --- GARCH(1,1) filter (q341): pandas recursion per series ---
+    gv = dump("q341_garch_vol")
+    if gv is not None:
+        hourly = con.execute(
+            "SELECT event_type s, date_trunc('hour', ts) h, "
+            "avg(CAST(value AS DOUBLE)) v FROM events "
+            "GROUP BY 1, 2 ORDER BY 1, 2").df()
+        # ffill onto the full hourly grid (the series() fixture semantics)
+        lo, hi = hourly.h.min(), hourly.h.max()
+        grid = pd.date_range(lo, hi, freq="h")
+        good = True
+        n_checked = 0
+        om, al, be_ = 5.0, 0.05, 0.9
+        for s_, sub in hourly.groupby("s"):
+            v = sub.set_index("h").v.reindex(grid).ffill().dropna()
+            x = v.to_numpy()
+            if len(x) < 2:
+                continue
+            r = np.diff(x)
+            h = np.empty(len(r))
+            h[0] = om / (1.0 - al - be_)
+            for j in range(1, len(r)):
+                h[j] = om + al * r[j - 1] * r[j - 1] + be_ * h[j - 1]
+            mine = pd.DataFrame({
+                "ts": v.index[1:], "ret": r6(r), "sigma": r6(np.sqrt(h)),
+                "z": r6(r / np.sqrt(h))})
+            got = gv[gv.event_type == s_].sort_values("ts")
+            if len(got) != len(mine):
+                good = False
+                break
+            for c in ["ret", "sigma", "z"]:
+                good &= bool(np.all(np.abs(got[c].to_numpy()
+                                           - mine[c].to_numpy()) < 2e-6))
+            n_checked += len(got)
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q341 garch: pandas recursion "
+              f"replay over {n_checked} grid innovations")
+
     # --- Yule-Walker AR(2) (q280): dense lagged-vector products ---
     yw = dump("q280_yule_walker_ar2")
     if yw is not None:
