@@ -790,17 +790,22 @@ object TokenizerQ {
     // training target; the composite lands at ~38% positive with both
     // classes present in every source at sf0.001 and sf0.01 (probed).
     val srat = tops.markerCount(col("t"), stop) / size(col("t"))
-    val labeled = docs.withColumn("keep",
-      (dec6(tops.topTokenFrac(col("t"))) <= 0.2 &&
-        dec6(tops.dupBigramFrac(col("t"))) <= 0.3 &&
-        dec6(srat) >= 0.05 &&
-        size(col("t")) >= 50).cast("int"))
-    val feats = CorpusOps.nbLogRatio(labeled, "doc_id", "text",
-      isTarget = col("keep") === 1, buckets = 4096, n = 2)
-    labeled.select(col("doc_id"), col("source"), col("keep"),
+    // materialize the label/length/heuristic columns ONCE: the Gopher
+    // HOFs (topTokenFrac is O(distinct·tokens) per doc) would otherwise
+    // evaluate twice — inside nbLogRatio's target expression AND in the
+    // feature pass (measured ~2× the query's cost at sf0.1)
+    val labeled = docs.select(col("doc_id"), col("source"), col("text"),
+        (dec6(tops.topTokenFrac(col("t"))) <= 0.2 &&
+          dec6(tops.dupBigramFrac(col("t"))) <= 0.3 &&
+          dec6(srat) >= 0.05 &&
+          size(col("t")) >= 50).cast("int").as("keep"),
         size(col("t")).as("nt"),
         dec6(least(lit(1.0), size(col("t")) / lit(200.0)) *
           (lit(1.0) - srat)).as("hscore"))
+      .localCheckpoint()
+    val feats = CorpusOps.nbLogRatio(labeled, "doc_id", "text",
+      isTarget = col("keep") === 1, buckets = 4096, n = 2)
+    labeled
       .join(feats, "doc_id")
       .select(col("source"), col("keep"), col("hscore"),
         dec6(when(col("n_feats") > 0, col("nb_logratio") / col("n_feats"))
