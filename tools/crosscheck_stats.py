@@ -1054,6 +1054,68 @@ def main():
         print(f"{'PASS' if good else 'FAIL'} q341 garch: pandas recursion "
               f"replay over {n_checked} grid innovations")
 
+    # --- DBSCAN (q342): dense numpy pairs + python union-find ---
+    db = dump("q342_dbscan")
+    if db is not None:
+        con.execute(f"CREATE VIEW IF NOT EXISTS embeddings AS "
+                    f"SELECT * FROM read_parquet('{sf}/embeddings.parquet')")
+        emb = con.execute(
+            "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").df()
+        ids = emb.vec_id.to_numpy()
+        V = np.stack(emb.embedding.values).astype(float)
+        nv = np.linalg.norm(V, axis=1)
+        S = (V @ V.T) / np.outer(nv, nv)
+        S = r6(S)
+        np.fill_diagonal(S, -2.0)
+        adjm = S >= 0.3
+        nn = adjm.sum(axis=1)
+        core = nn + 1 >= 5
+        parent = list(range(len(ids)))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        ii, jj = np.nonzero(np.triu(adjm & np.outer(core, core)))
+        for a_, b_ in zip(ii, jj):
+            ra, rb = find(int(a_)), find(int(b_))
+            if ra != rb:
+                if ids[ra] < ids[rb]:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        cluster = {}
+        ptype = {}
+        for i in range(len(ids)):
+            if core[i]:
+                cluster[ids[i]] = ids[find(i)]
+                ptype[ids[i]] = "core"
+            else:
+                cn = [cluster.get(ids[j]) for j in np.nonzero(adjm[i])[0]
+                      if core[j]]
+                # border adopts the MIN core-neighbor cluster; else noise
+                if cn:
+                    cluster[ids[i]] = min(ids[find(j)]
+                                          for j in np.nonzero(adjm[i])[0]
+                                          if core[j])
+                    ptype[ids[i]] = "border"
+                else:
+                    cluster[ids[i]] = None
+                    ptype[ids[i]] = "noise"
+        good = len(db) == len(ids)
+        for _, r in db.iterrows():
+            vid = int(r.vec_id)
+            want = cluster[vid]
+            got = None if pd.isna(r.cluster) else int(r.cluster)
+            good &= (r.point_type == ptype[vid] and got == want
+                     and int(r.n_neighbors) == int(nn[list(ids).index(vid)]))
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q342 dbscan: dense numpy "
+              f"pairs + union-find replay over {len(ids)} vectors "
+              f"({int(core.sum())} core)")
+
     # --- Yule-Walker AR(2) (q280): dense lagged-vector products ---
     yw = dump("q280_yule_walker_ar2")
     if yw is not None:
