@@ -84,9 +84,15 @@ object Bench {
     // failure mode) is identifiable post hoc from the artifact alone —
     // a 14 s max beside load [1.9, 15.2, 2.1] is machine noise, not a
     // regression, and the min from a low-load pass is the honest number.
+    // `gc` = JVM garbage-collection time (seconds) accumulated DURING each
+    // timed pass (GarbageCollectorMXBean collection-time deltas): the r11
+    // q196 stall ran 19-90 s at loadavg 1.1 — CPU contention the load
+    // field can see, but a memory-bound stall (old-gen churn after 330
+    // queries of heap history) it cannot. A pass whose gc ≈ its wall time
+    // is an eviction/GC artifact, not a code regression.
     final case class R(median: Double, min: Double, max: Double,
                        ok: Boolean, err: Option[String],
-                       load: Seq[Double] = Nil)
+                       load: Seq[Double] = Nil, gc: Seq[Double] = Nil)
     // Crash-proofing (round 5 lost the entire driver bench to a late
     // crash): results accumulate here, the artifact is rewritten in place
     // after EVERY query, and a shutdown hook emits whatever completed if
@@ -140,7 +146,8 @@ object Bench {
         else results.map { case (k, v) =>
           val e = v.err.map(m => "\"" + jsonEscape(m) + "\"").getOrElse("null")
           val ld = v.load.mkString("[", ",", "]")
-          s"""\"$k\":{"median":${v.median},"min":${v.min},"max":${v.max},"ok":${v.ok},"err":$e,"load":$ld}"""
+          val gc = v.gc.mkString("[", ",", "]")
+          s"""\"$k\":{"median":${v.median},"min":${v.min},"max":${v.max},"ok":${v.ok},"err":$e,"load":$ld,"gc":$gc}"""
         }.mkString(""""queries_detail":{""", ",", "},")
       val failedAll = results.collect { case (k, v) if !v.ok => "\"" + k + "\"" }.toSeq
       val failed = (if (withDetail) failedAll else failedAll.take(10))
@@ -168,14 +175,20 @@ object Bench {
         flush(partial = true)
       }))
 
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(b.getCollectionTime, 0L)).sum
     selected.foreach { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val gcs = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
       var p = 0
       // budget exceeded → single-pass mode for everything still queued
       val passesHere = if (timeBudget.exists(elapsed > _)) 1 else passes
       while (p < passesHere && err.isEmpty) {
+        val gc0 = gcMillis
         val t0 = System.nanoTime()
         // Full-consume action, NOT count(): under `df.count()` Catalyst
         // prunes every output column the aggregate doesn't reference —
@@ -192,6 +205,7 @@ object Bench {
         }
         if (err.isEmpty) times += (System.nanoTime() - t0) / 1e9
         loads += math.rint(osBean.getSystemLoadAverage * 100) / 100
+        gcs += math.rint((gcMillis - gc0) / 1000.0 * 1000) / 1000
         // release per-query persisted intermediates (dedup ops materialize
         // their exploded shingle tables): leaked blocks would degrade every
         // later pass/query via eviction pressure — clear at the boundary,
@@ -209,9 +223,9 @@ object Bench {
       }
       val sorted = times.sorted
       val r =
-        if (err.isDefined) R(-1.0, -1.0, -1.0, ok = false, err, loads.toSeq)
+        if (err.isDefined) R(-1.0, -1.0, -1.0, ok = false, err, loads.toSeq, gcs.toSeq)
         else R(sorted(sorted.size / 2), sorted.head, sorted.last, ok = true,
-          None, loads.toSeq)
+          None, loads.toSeq, gcs.toSeq)
       done.put(name, r)
       flush(partial = true) // rewrite-in-place; a crash after this keeps `name`
     }

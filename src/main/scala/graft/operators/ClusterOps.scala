@@ -110,7 +110,18 @@ object ClusterOps {
   def dbscan(points: DataFrame, idCol: String, pairs: DataFrame,
              minPts: Int, reliableEvery: Int = 0): DataFrame = {
     require(minPts >= 2, s"minPts must be >= 2, got $minPts")
-    val p2 = pairs.select(col("id_a"), col("id_b")).persist()
+    // Canonicalize + dedup the pair feed: a generator that emits the same
+    // pair from multiple LSH bands (or symmetric (a,b)/(b,a) rows) would
+    // otherwise double-count n_neighbors and misclassify core points. The
+    // distinct is one shuffle on the (already small relative to the CC
+    // contraction) pair table — cheap insurance that makes the documented
+    // "swap in bucketed candidates" path safe by construction.
+    val p2 = pairs
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+      .persist()
     val sym = p2.unionAll(p2.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val ncnt = sym.groupBy(col("id_a").as(idCol))
       .agg(count(lit(1)).as("n_neighbors"))

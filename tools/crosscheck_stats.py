@@ -722,7 +722,7 @@ def main():
         for t in txts:
             # match Spark: trim() strips SPACES only; \s is the Java
             # (ASCII) class, not python's unicode one
-            for w in re.split(r'[ \t\n\x0b\f\r]+', str(t).strip(' ')):
+            for w in re.split(r'[ \t\n\x0b\f\r]+', ('' if t is None else str(t)).strip(' ')):
                 if w:
                     freq[w] += 1
         vocab = Counter()
@@ -790,7 +790,7 @@ def main():
         freq = Counter()
         per_doc = []
         for src, t in zip(docs2.source, docs2.text):
-            ws = [w for w in re.split(r'[ \t\n\x0b\f\r]+', str(t).strip(' '))
+            ws = [w for w in re.split(r'[ \t\n\x0b\f\r]+', ('' if t is None else str(t)).strip(' '))
                   if w]
             per_doc.append((src, ws))
             for w in ws:
@@ -918,7 +918,7 @@ def main():
             "SELECT doc_id, source, text FROM documents").df()
         rows = []
         for did, src, t in zip(docs3.doc_id, docs3.source, docs3.text):
-            ws = [w for w in re.split(r'[ \t\n\x0b\f\r]+', str(t).strip(' '))
+            ws = [w for w in re.split(r'[ \t\n\x0b\f\r]+', ('' if t is None else str(t)).strip(' '))
                   if w != '']
             n = len(ws)
             tf = (max(ws.count(x) for x in set(ws)) / n) if n else None
