@@ -1648,21 +1648,27 @@ object StatQ {
     // survival-REGRESSION step after q158's Kaplan-Meier curve and
     // q332's two-group log-rank: does higher engagement accelerate the
     // hazard, with an effect size (hazard ratio), a Wald z, and the
-    // partial log-likelihood. 3 Newton steps, per-step-rounded β, each
-    // step one per-duration collapse + the q332 cumulative at-risk
+    // partial log-likelihood. The cohort is the 3-day ACTIVATION WINDOW:
+    // converted = first purchase within 3 days of first touch, everyone
+    // else CENSORED at day 3 (every panel user eventually purchases, so
+    // administrative right-censoring at a fixed horizon is the honest
+    // censoring mechanism — ~10% of users at sf0.01, both classes at
+    // sf0.001 probed) — the gate now exercises the e = 0 risk-set path,
+    // not just the operator spec. 3 Newton steps, per-step-rounded β,
+    // each step one per-duration collapse + the q332 cumulative at-risk
     // window + a scalar aggregate; the oracle unrolls the identical
-    // trajectory.
+    // trajectory including the censored rows.
     "q340_cox_ph" -> Q(
       (s, d) => {
+        val pd = datediff(to_date(col("__p")), to_date(col("__f")))
+        val conv = col("__p").isNotNull && pd <= 3
         val subj = Tables.events(s, d).groupBy("user_id")
           .agg(min("ts").as("__f"),
             min(when(col("event_type") === "purchase", col("ts"))).as("__p"),
             count(lit(1)).as("__c"))
-          .filter(col("__p").isNotNull)
           .select(
-            datediff(to_date(col("__p")), to_date(col("__f")))
-              .cast("double").as("dur_days"),
-            lit(1).as("converted"),
+            when(conv, pd.cast("double")).otherwise(lit(3.0)).as("dur_days"),
+            when(conv, lit(1)).otherwise(lit(0)).as("converted"),
             dec6(log(col("__c").cast("double"))).as("log_activity"))
         graft.operators.StatOps.coxPh(subj, "dur_days", "converted",
           "log_activity", iters = 3, scoreOut = dec6)
@@ -1690,15 +1696,17 @@ object StatQ {
                |  ELSE any_value(b) END""")} AS b
                |  FROM cw$i WHERE d > 0)""".stripMargin
         }.mkString(",\n")
-        s"""WITH subj AS (SELECT
-           |    CAST(date_diff('day', CAST(min(ts) AS DATE),
+        s"""WITH raw AS (SELECT
+           |    date_diff('day', CAST(min(ts) AS DATE),
            |      CAST(min(CASE WHEN event_type = 'purchase' THEN ts END)
-           |        AS DATE)) AS DOUBLE) AS t,
-           |    1 AS e,
+           |        AS DATE)) AS pd,
            |    ${r6("ln(CAST(count(*) AS DOUBLE))")} AS x
-           |  FROM events GROUP BY user_id
-           |  HAVING min(CASE WHEN event_type = 'purchase' THEN ts END)
-           |    IS NOT NULL),
+           |  FROM events GROUP BY user_id),
+           |subj AS (SELECT
+           |    CASE WHEN pd IS NOT NULL AND pd <= 3
+           |      THEN CAST(pd AS DOUBLE) ELSE 3.0 END AS t,
+           |    CASE WHEN pd IS NOT NULL AND pd <= 3 THEN 1 ELSE 0 END AS e,
+           |    x FROM raw),
            |bt0 AS (SELECT 0.0 AS b),
            |$steps,
            |${step(4)},

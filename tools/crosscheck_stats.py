@@ -974,23 +974,28 @@ def main():
     cx = dump("q340_cox_ph")
     if cx is not None:
         import math
+        # 3-day activation-window cohort: converted = purchase within
+        # 3 days of first touch; everyone else administratively censored
+        # at day 3 (the q340 gate's e = 0 rows)
         subj = con.execute(
-            "SELECT CAST(date_diff('day', CAST(min(ts) AS DATE), "
+            "SELECT CASE WHEN pd IS NOT NULL AND pd <= 3 "
+            "THEN CAST(pd AS DOUBLE) ELSE 3.0 END AS t, "
+            "CASE WHEN pd IS NOT NULL AND pd <= 3 THEN 1 ELSE 0 END AS e, "
+            "x FROM (SELECT date_diff('day', CAST(min(ts) AS DATE), "
             "CAST(min(CASE WHEN event_type = 'purchase' THEN ts END) "
-            "AS DATE)) AS DOUBLE) AS t, "
+            "AS DATE)) AS pd, "
             "ln(CAST(count(*) AS DOUBLE)) AS x "
-            "FROM events GROUP BY user_id "
-            "HAVING min(CASE WHEN event_type = 'purchase' THEN ts END) "
-            "IS NOT NULL").df()
+            "FROM events GROUP BY user_id)").df()
         tv = subj.t.to_numpy()
+        evt = subj.e.to_numpy()
         xv = r6(subj.x.to_numpy())
-        times = np.unique(tv)
+        times = np.unique(tv[evt == 1])
 
         def cox_stats(b):
             U = I = dls0 = sdx = 0.0
             for et in times:
                 risk = xv[tv >= et]
-                ev = xv[tv == et]
+                ev = xv[(tv == et) & (evt == 1)]
                 w = np.exp(b * risk)
                 s0 = w.sum(); s1 = (risk * w).sum(); s2 = (risk ** 2 * w).sum()
                 d = len(ev)
@@ -1006,15 +1011,17 @@ def main():
             b = float(r6(b + U / I))
         U, I, dls0, sdx = cox_stats(b)
         r = cx.iloc[0]
-        good = (int(r.n) == len(tv) and abs(r.beta - b) < 2e-6
+        good = (int(r.n) == len(tv) and int(r.n_events) == int(evt.sum())
+                and int(r.n_events) < int(r.n)  # the gate must exercise censoring
+                and abs(r.beta - b) < 2e-6
                 and abs(r.hazard_ratio - r6(math.exp(b))) < 2e-6
                 and abs(r.se_beta - r6(1.0 / math.sqrt(I))) < 2e-6
                 and abs(r.z_wald - r6(b * math.sqrt(I))) < 2e-6
                 and abs(r.log_lik - r6(b * sdx - dls0)) < 2e-5)
         ok &= good
         print(f"{'PASS' if good else 'FAIL'} q340 cox ph: per-event "
-              f"risk-set loop Newton over {len(tv)} subjects, "
-              f"beta={b:.6f}")
+              f"risk-set loop Newton over {len(tv)} subjects "
+              f"({len(tv) - int(evt.sum())} censored), beta={b:.6f}")
 
     # --- GARCH(1,1) filter (q341): pandas recursion per series ---
     gv = dump("q341_garch_vol")
