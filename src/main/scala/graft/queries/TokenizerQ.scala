@@ -772,6 +772,139 @@ object TokenizerQ {
               |  CASE WHEN np > 0 AND nn > 0 THEN
               |    ${r6("(rp - np * (np + 1) / 2) / (np * nn)")} END AS auc
               |FROM ag ORDER BY model""".stripMargin)),
+
+    // Curation funnel v2: q92's four-stage cascade (exact dedup →
+    // near-dup clusters → benchmark decontamination → quality cut) with
+    // the TRAINED q338 classifier probability as the quality score —
+    // the swap q339 measured the case for (AUC 0.999 trained vs 0.841
+    // heuristic). Both cuts run at the 70th percentile over the train
+    // split so the comparison is kept-rate-matched: n_final_static is
+    // exactly q92's n_final, n_final_trained is the v2 funnel, and the
+    // swapped_in/out columns are the documents the upgrade actually
+    // moves. The classifier is the q338 artifact verbatim (corpus-wide
+    // fit, per source, 4 Newton steps, dec6 per step) — the oracle
+    // replays featurize + fit + score via classifierBaseSql + NewtonSql
+    // and the funnel stages via q92's window/recursive-CTE machinery.
+    "q343_curation_funnel_v2" -> Q(
+      (s, d) => {
+        val base = classifierBase(s, d).localCheckpoint()
+        val beta = graft.operators.RegressionOps.logisticNewton(base, "source",
+            labelCol = col("keep"), "x1", "x2", iters = 4, scoreOut = dec6)
+          .select(col("source"), col("b0"), col("b1"), col("b2"))
+        val z = col("b0") + col("b1") * col("x1") + col("b2") * col("x2")
+        val zc = least(lit(30.0), greatest(lit(-30.0), z))
+        // beta is a 20-row per-source frame: size stats broadcast it on
+        // their own (no explicit hint — the hint lint's bounded-subtree
+        // proof doesn't extend through the grouped Newton aggregates)
+        val scored = base.join(beta, "source")
+          .select(col("doc_id"), col("hscore"),
+            dec6(lit(1.0) / (lit(1.0) + exp(-zc))).as("p_keep"))
+        val docs = Tables.documents(s, d)
+        val eval = docs.filter(col("doc_id") % 37 === 0)
+        val train = docs.filter(col("doc_id") % 37 =!= 0)
+        val exact = graft.operators.DedupOps.exactDedup(train, "doc_id", "text")
+          .select(col("doc_id"), col("is_duplicate").as("d_exact"))
+        val near = graft.operators.DedupOps.nearDupClusters(train,
+            graft.operators.DedupOps
+              .ngramJaccardPairs(train, "doc_id", "text", 3, 0.5), "doc_id")
+          .select(col("id").as("doc_id"), col("is_duplicate").as("d_near"))
+        val contam = CorpusOps.contamination(train, eval, "doc_id", "text", n = 5)
+          .select(col("doc_id"), col("contaminated"))
+        val tsc = train.select("doc_id").join(scored, "doc_id")
+        val cuts = tsc.agg(
+          expr("percentile(hscore, 0.7)").as("cut_s"),
+          expr("percentile(p_keep, 0.7)").as("cut_t"))
+        val flags = exact.join(near, "doc_id").join(contam, "doc_id")
+          .join(tsc, "doc_id").crossJoin(broadcast(cuts))
+          .withColumn("ks", (col("hscore") >= col("cut_s")).cast("int"))
+          .withColumn("kt", (col("p_keep") >= col("cut_t")).cast("int"))
+        val clean = col("d_exact") === 0 && col("d_near") === 0 &&
+          col("contaminated") === 0
+        flags.agg(
+            count(lit(1)).as("n_total"),
+            sum(clean.cast("int")).as("n_clean"),
+            sum((clean && col("ks") === 1).cast("int")).as("n_final_static"),
+            sum((clean && col("kt") === 1).cast("int")).as("n_final_trained"),
+            sum((clean && col("kt") === 1 && col("ks") === 0).cast("int"))
+              .as("n_swapped_in"),
+            sum((clean && col("kt") === 0 && col("ks") === 1).cast("int"))
+              .as("n_swapped_out"))
+          .select(col("n_total"), col("n_clean"),
+            col("n_final_static"), col("n_final_trained"),
+            col("n_swapped_in"), col("n_swapped_out"),
+            dec6(col("n_final_static").cast("double") / col("n_total"))
+              .as("kept_rate_static"),
+            dec6(col("n_final_trained").cast("double") / col("n_total"))
+              .as("kept_rate_trained"))
+      },
+      Some(s"""WITH RECURSIVE $classifierBaseSql,
+              |${NewtonSql.steps(4)},
+              |dsc AS (SELECT base.doc_id, base.hscore,
+              |  ${r6(NewtonSql.pExpr)} AS p FROM base JOIN bt4 USING (g)),
+              |train AS (SELECT * FROM documents WHERE doc_id % 37 <> 0),
+              |ex AS (SELECT doc_id,
+              |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+              |  FROM train),
+              |exact AS (SELECT doc_id,
+              |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY fp) AS INT)
+              |    AS d_exact FROM ex),
+              |ftoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |  FROM train),
+              |fsh AS (SELECT doc_id, list_distinct(list_transform(
+              |  generate_series(1, greatest(len(t) - 2, 0)),
+              |  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s FROM ftoks),
+              |fp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM fsh a JOIN fsh b ON a.doc_id < b.doc_id
+              |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              |    / len(list_distinct(a.s || b.s)) >= 0.5),
+              |fed AS (SELECT id_a AS a, id_b AS b FROM fp
+              |  UNION SELECT id_b, id_a FROM fp),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM fed
+              |  UNION
+              |  SELECT r.a, fed.b FROM reach r JOIN fed ON r.b = fed.a),
+              |near AS (SELECT t.doc_id,
+              |  CAST(least(t.doc_id, coalesce(min(r.b), t.doc_id))
+              |    <> t.doc_id AS INT) AS d_near
+              |  FROM train t LEFT JOIN reach r ON r.a = t.doc_id
+              |  GROUP BY t.doc_id),
+              |sh5 AS (SELECT doc_id, list_distinct(list_transform(
+              |  generate_series(1, greatest(len(t) - 4, 0)),
+              |  i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS s
+              |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |    FROM documents)),
+              |ev AS (SELECT DISTINCT unnest(s) AS g5 FROM sh5 WHERE doc_id % 37 = 0),
+              |ftr AS (SELECT doc_id, unnest(s) AS g5 FROM sh5 WHERE doc_id % 37 <> 0),
+              |contam AS (SELECT t.doc_id,
+              |  CAST(count(ev.g5) > 0 AS INT) AS contaminated
+              |  FROM (SELECT doc_id FROM train) t
+              |  LEFT JOIN ftr ON ftr.doc_id = t.doc_id
+              |  LEFT JOIN ev ON ftr.g5 = ev.g5 GROUP BY t.doc_id),
+              |tsc AS (SELECT d2.doc_id, d2.hscore, d2.p
+              |  FROM dsc d2 JOIN train t ON t.doc_id = d2.doc_id),
+              |cuts AS (SELECT quantile_cont(hscore, 0.7) AS cut_s,
+              |  quantile_cont(p, 0.7) AS cut_t FROM tsc),
+              |flags AS (SELECT e.doc_id, d_exact, d_near, contaminated,
+              |  CAST(hscore >= cut_s AS INT) AS ks,
+              |  CAST(p >= cut_t AS INT) AS kt
+              |  FROM exact e JOIN near USING (doc_id) JOIN contam USING (doc_id)
+              |  JOIN tsc USING (doc_id), cuts)
+              |SELECT count(*) AS n_total,
+              |  CAST(sum(CAST(d_exact = 0 AND d_near = 0 AND contaminated = 0
+              |    AS INT)) AS BIGINT) AS n_clean,
+              |  CAST(sum(CAST(d_exact = 0 AND d_near = 0 AND contaminated = 0
+              |    AND ks = 1 AS INT)) AS BIGINT) AS n_final_static,
+              |  CAST(sum(CAST(d_exact = 0 AND d_near = 0 AND contaminated = 0
+              |    AND kt = 1 AS INT)) AS BIGINT) AS n_final_trained,
+              |  CAST(sum(CAST(d_exact = 0 AND d_near = 0 AND contaminated = 0
+              |    AND kt = 1 AND ks = 0 AS INT)) AS BIGINT) AS n_swapped_in,
+              |  CAST(sum(CAST(d_exact = 0 AND d_near = 0 AND contaminated = 0
+              |    AND kt = 0 AND ks = 1 AS INT)) AS BIGINT) AS n_swapped_out,
+              |  ${r6("sum(CAST(d_exact = 0 AND d_near = 0 AND contaminated = 0 AND ks = 1 AS INT)) / CAST(count(*) AS DOUBLE)")}
+              |    AS kept_rate_static,
+              |  ${r6("sum(CAST(d_exact = 0 AND d_near = 0 AND contaminated = 0 AND kt = 1 AS INT)) / CAST(count(*) AS DOUBLE)")}
+              |    AS kept_rate_trained
+              |FROM flags""".stripMargin)),
   )
 
   /** Shared featurization for the q338/q339 classifier pair: the q237
@@ -807,7 +940,7 @@ object TokenizerQ {
       isTarget = col("keep") === 1, buckets = 4096, n = 2)
     labeled
       .join(feats, "doc_id")
-      .select(col("source"), col("keep"), col("hscore"),
+      .select(col("doc_id"), col("source"), col("keep"), col("hscore"),
         dec6(when(col("n_feats") > 0, col("nb_logratio") / col("n_feats"))
           .otherwise(lit(0.0))).as("x1"),
         dec6(log(col("nt").cast("double") + lit(1.0))).as("x2"))
@@ -850,7 +983,8 @@ object TokenizerQ {
        |  - ln((cr + 1.0) / (nrc + 4096.0))""")} AS lr FROM cnt, tot),
        |sc AS (SELECT doc_id, count(*) AS n_feats, sum(lr) AS sl
        |  FROM pos JOIN ratio USING (b) GROUP BY doc_id),
-       |base AS (SELECT l.source AS g, CAST(l.keep AS DOUBLE) AS y, l.hscore,
+       |base AS (SELECT l.doc_id, l.source AS g, CAST(l.keep AS DOUBLE) AS y,
+       |  l.hscore,
        |  ${r6("""CASE WHEN coalesce(sc.n_feats, 0) > 0
        |    THEN sc.sl / sc.n_feats ELSE 0.0 END""")} AS x1,
        |  ${r6("ln(CAST(l.nt AS DOUBLE) + 1.0)")} AS x2

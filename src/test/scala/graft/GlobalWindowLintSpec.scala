@@ -285,6 +285,9 @@ class GlobalWindowLintSpec extends SparkSpec {
         "n-gram hash set: eval-suite-sized, not corpus-scaled"),
       "q92_curation_funnel" -> ("broadcast side is the DISTINCT eval-benchmark " +
         "n-gram hash set: eval-suite-sized, not corpus-scaled"),
+      "q343_curation_funnel_v2" -> ("broadcast side is the DISTINCT " +
+        "eval-benchmark n-gram hash set (the q92 contamination stage): " +
+        "eval-suite-sized, not corpus-scaled"),
       "q91_centroid_outlier" ->
         "broadcast side is the per-label centroid table: label-domain-sized",
       "q177_local_peaks" -> ("broadcast side is the per-series global mean/std " +
