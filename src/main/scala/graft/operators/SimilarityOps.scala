@@ -396,6 +396,63 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), scoreOut(col("cos_sim")).as("cos_sim"))
   }
 
+  /** Banded sign-LSH cosine candidate pairs (id_a < id_b) — the
+    * SCALE-PATH candidate generator for density clustering
+    * ([[graft.operators.ClusterOps.dbscan]]) and near-dup search: the
+    * nPlanes-bit sign signature is split into `nPlanes / bandBits`
+    * bands, a pair becomes a candidate when ANY band matches exactly
+    * (classic AND-OR amplification: per-band match prob = p^bandBits,
+    * candidate prob = 1 − (1 − p^bandBits)^bands, p = 1 − θ/π), and only
+    * candidates pay the exact dot product — computed once per DISTINCT
+    * pair, after the (id_a, id_b) dedup, never inside the band join.
+    * Every stage is an equi-join keyed on (band, band_value): at corpus
+    * scale the band table is shuffle-partitioned by bucket and the
+    * quadratic term is bounded by bucket size, the same economics as the
+    * q59/q213 machinery. Recall is tunable (more bands ↑ recall, bigger
+    * bandBits ↓ candidate volume); the q344 gate pins bucketed ≡ exact
+    * on the fixture by verifying the LSH path against the brute-force
+    * DuckDB oracle (the q213 contract — a recall regression is a hash
+    * mismatch, not a silent quality drop). The returned cosine is
+    * rounded by `scoreOut` BEFORE the threshold compare, matching
+    * [[exactCosinePairs]]'s boundary-stability convention. */
+  def lshBandedCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, nPlanes: Int, bandBits: Int,
+                           dim: Int, seed: Long,
+                           scoreOut: Column => Column): DataFrame = {
+    require(nPlanes >= bandBits && nPlanes <= 62 && nPlanes % bandBits == 0,
+      s"need bandBits <= nPlanes <= 62 with bandBits | nPlanes, got $nPlanes/$bandBits")
+    VectorFunctions.register(emb.sparkSession)
+    val hp = hyperplanes(seed, nPlanes, dim)
+    val nBands = nPlanes / bandBits
+    val sig = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .withColumn("__bkt", lshBucket(col("v"), hp))
+      .persist()
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("__bkt"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bv"))
+    }
+    val bands = sig
+      .select(col(idCol), explode(array(bandStructs: _*)).as("__bb"))
+      .select(col(idCol), col("__bb.band").as("band"), col("__bb.bv").as("bv"))
+    val cand = bands.select(col(idCol).as("id_a"), col("band"), col("bv"))
+      .join(bands.select(col(idCol).as("id_b"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val va = sig.select(col(idCol).as("id_a"), col("v").as("va"),
+      normFast(col("v")).as("na"))
+    val vb = sig.select(col(idCol).as("id_b"), col("v").as("vb"),
+      normFast(col("v")).as("nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos_sim", scoreOut(
+        when(col("na") > 0 && col("nb") > 0,
+          dotFast(col("va"), col("vb")) / (col("na") * col("nb")))))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   /** Exact all-pairs cosine candidates (id_a < id_b) above a threshold
     * applied to the dec6-ROUNDED similarity — the boundary-stable
     * candidate generator for density clustering ([[graft.operators.

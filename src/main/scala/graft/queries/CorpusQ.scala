@@ -1324,5 +1324,72 @@ object CorpusQ {
               |FROM wn LEFT JOIN cc ON cc.vec_id = wn.vec_id
               |LEFT JOIN bc ON bc.vec_id = wn.vec_id
               |ORDER BY wn.vec_id""".stripMargin)),
+
+    // DBSCAN over BANDED-LSH candidates — the q342 production path as a
+    // TESTED CONTRACT, the q213 way: the Spark side generates candidate
+    // pairs from 12 two-bit sign-LSH bands (any-band match → exact
+    // rounded cosine only on distinct candidates) and clusters them; the
+    // ORACLE is the exact brute-force all-pairs DBSCAN, so a recall
+    // regression in the prefilter surfaces as a hash mismatch, never a
+    // silent quality drop. eps = cos ≥ 0.4, minPts = 3 (59 qualifying
+    // pairs at sf0.01; band recall probed at 100% on both gate fixtures
+    // with seed 13 — the AND-OR amplification math puts the worst
+    // qualifying pair's miss probability at (1 − 0.6²)¹² ≈ 2e-3, and
+    // the probe confirms zero misses). On a 500-vector fixture the band
+    // join saves nothing (96% of all pairs are candidates — banding at
+    // low thresholds needs corpus-scale n to pay); what the gate pins is
+    // the EQUIVALENCE, the knobs (bandBits ↑, threshold ↑) tune the
+    // economics at 100 TB where the quadratic term is bounded by bucket
+    // size. ClusterSpec pins bucketed ≡ exact explicitly; the numpy
+    // replay re-runs the banded path end to end.
+    "q344_dbscan_lsh" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pairs = SimilarityOps.lshBandedCosinePairs(emb, "vec_id",
+          "embedding", threshold = 0.4, nPlanes = 24, bandBits = 2,
+          dim = 64, seed = 13L, scoreOut = dec6)
+        graft.operators.ClusterOps.dbscan(emb, "vec_id", pairs, minPts = 3)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE e AS (SELECT vec_id,
+              |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |  FROM embeddings),
+              |nrm AS (SELECT vec_id, v,
+              |  sqrt(list_reduce(list_prepend(0.0,
+              |    list_transform(v, y -> y * y)), (acc, y) -> acc + y)) AS nv
+              |  FROM e),
+              |p AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib
+              |  FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+              |  WHERE ${r6("""CASE WHEN a.nv > 0 AND b.nv > 0 THEN
+              |    list_reduce(list_prepend(0.0,
+              |      list_transform(generate_series(1, len(a.v)),
+              |        i -> a.v[i] * b.v[i])), (acc, y) -> acc + y)
+              |    / (a.nv * b.nv) END""")} >= 0.4),
+              |sym AS MATERIALIZED (SELECT ia AS a, ib AS b FROM p
+              |  UNION ALL SELECT ib, ia FROM p),
+              |wn AS (SELECT e.vec_id,
+              |  CAST(coalesce(nn.n, 0) AS BIGINT) AS n_neighbors
+              |  FROM e LEFT JOIN (SELECT a, count(*) AS n FROM sym GROUP BY a) nn
+              |  ON nn.a = e.vec_id),
+              |core AS (SELECT vec_id FROM wn WHERE n_neighbors + 1 >= 3),
+              |ed AS MATERIALIZED (SELECT s.a, s.b FROM sym s
+              |  JOIN core c1 ON s.a = c1.vec_id
+              |  JOIN core c2 ON s.b = c2.vec_id),
+              |reach(a, b) AS (SELECT a, b FROM ed
+              |  UNION SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a),
+              |cc AS (SELECT c.vec_id,
+              |  least(c.vec_id, coalesce(min(r.b), c.vec_id)) AS cluster
+              |  FROM core c LEFT JOIN reach r ON r.a = c.vec_id
+              |  GROUP BY c.vec_id),
+              |bc AS (SELECT s.a AS vec_id, min(cc.cluster) AS bcl
+              |  FROM sym s JOIN cc ON s.b = cc.vec_id GROUP BY 1)
+              |SELECT wn.vec_id, wn.n_neighbors,
+              |  CASE WHEN cc.cluster IS NOT NULL THEN 'core'
+              |    WHEN bc.bcl IS NOT NULL THEN 'border'
+              |    ELSE 'noise' END AS point_type,
+              |  coalesce(cc.cluster, bc.bcl) AS cluster
+              |FROM wn LEFT JOIN cc ON cc.vec_id = wn.vec_id
+              |LEFT JOIN bc ON bc.vec_id = wn.vec_id
+              |ORDER BY wn.vec_id""".stripMargin)),
   )
 }

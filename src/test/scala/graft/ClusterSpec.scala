@@ -144,6 +144,47 @@ class ClusterSpec extends SparkSpec {
       out.toString)
   }
 
+  test("dbscan dedups a duplicate / symmetric pair feed") {
+    // the same edge arriving from several LSH bands — as raw duplicates
+    // AND as the reversed orientation — must count as ONE neighbor, or
+    // multi-band candidate feeds silently promote border points to core
+    val points = (1L to 3L).toDF("vec_id")
+    val pairs = Seq((1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L))
+      .toDF("id_a", "id_b")
+    val out = ClusterOps.dbscan(points, "vec_id", pairs, minPts = 3)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_neighbors"),
+        r.getAs[String]("point_type")))
+    assert(out.toSeq == Seq((1L, 1L, "border"), (2L, 2L, "core"),
+      (3L, 1L, "border")), out.mkString(", "))
+  }
+
+  test("banded LSH candidates ≡ exact pairs, and the q344 DBSCAN partition matches") {
+    // the q344 contract on the gate fixture: the 12×2-bit band feed
+    // recovers EVERY rounded-cosine ≥ 0.4 pair (probed recall 1.0 at
+    // seed 13), so the bucketed DBSCAN partition is the exact one
+    import graft.operators.SimilarityOps
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val exact = SimilarityOps.exactCosinePairs(
+      emb, "vec_id", "embedding", threshold = 0.4, scoreOut = dec6)
+    val lsh = SimilarityOps.lshBandedCosinePairs(
+      emb, "vec_id", "embedding", threshold = 0.4, nPlanes = 24,
+      bandBits = 2, dim = 64, seed = 13L, scoreOut = dec6)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cos_sim"))).toSet
+    val (pe, pl) = (pairSet(exact), pairSet(lsh))
+    assert(pe == pl,
+      s"banded recall broke: missing=${(pe -- pl).take(5)} extra=${(pl -- pe).take(5)}")
+    assert(pe.nonEmpty, "fixture must have qualifying pairs")
+    def partition(pairs: org.apache.spark.sql.DataFrame) =
+      ClusterOps.dbscan(emb, "vec_id", pairs, minPts = 3)
+        .collect().map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[Long]("n_neighbors"), r.getAs[String]("point_type"),
+          Option(r.getAs[java.lang.Long]("cluster")))).toSet
+    assert(partition(exact) == partition(lsh))
+  }
+
   test("garch filter: hand recursion on a 4-point series") {
     import java.sql.Timestamp
     val ts = (0 to 3).map(h => Timestamp.valueOf(f"2024-01-01 0$h:00:00"))

@@ -1123,6 +1123,101 @@ def main():
               f"pairs + union-find replay over {len(ids)} vectors "
               f"({int(core.sum())} core)")
 
+    # --- DBSCAN over banded LSH (q344): java-Random planes + band
+    # buckets + the same union-find, asserting banded adjacency == exact ---
+    dbl = dump("q344_dbscan_lsh")
+    if dbl is not None:
+        con.execute(f"CREATE VIEW IF NOT EXISTS embeddings AS "
+                    f"SELECT * FROM read_parquet('{sf}/embeddings.parquet')")
+        emb = con.execute(
+            "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").df()
+        ids = emb.vec_id.to_numpy()
+        V = np.stack(emb.embedding.values).astype(float)
+
+        # scala.util.Random == java.util.Random: 48-bit LCG + Marsaglia
+        # polar nextGaussian — the hyperplanes(seed=13, 24, 64) replay
+        _M48 = (1 << 48) - 1
+
+        class _JR:
+            def __init__(self, seed):
+                self.s = (seed ^ 0x5DEECE66D) & _M48
+                self.g = None
+            def _n(self, bits):
+                self.s = (self.s * 0x5DEECE66D + 0xB) & _M48
+                return self.s >> (48 - bits)
+            def nd(self):
+                return ((self._n(26) << 27) + self._n(27)) / float(1 << 53)
+            def ng(self):
+                import math as _m
+                if self.g is not None:
+                    g = self.g; self.g = None; return g
+                while True:
+                    v1 = 2 * self.nd() - 1; v2 = 2 * self.nd() - 1
+                    t = v1 * v1 + v2 * v2
+                    if 0 < t < 1:
+                        mlt = _m.sqrt(-2 * _m.log(t) / t)
+                        self.g = v2 * mlt
+                        return v1 * mlt
+
+        _jr = _JR(13)
+        P = np.array([[_jr.ng() for _ in range(64)] for _ in range(24)])
+        sig = (V @ P.T) > 0  # n x 24 sign bits
+        nv = np.linalg.norm(V, axis=1)
+        S = r6((V @ V.T) / np.outer(nv, nv))
+        np.fill_diagonal(S, -2.0)
+        exact_adj = S >= 0.4
+        cand = np.zeros_like(exact_adj)
+        for b in range(12):
+            key = sig[:, 2 * b] + 2 * sig[:, 2 * b + 1]
+            same = key[:, None] == key[None, :]
+            cand |= same
+        np.fill_diagonal(cand, False)
+        lsh_adj = cand & (S >= 0.4)
+        recall_ok = bool((exact_adj == lsh_adj).all())
+        nn2 = lsh_adj.sum(axis=1)
+        core2 = nn2 + 1 >= 3
+        parent2 = list(range(len(ids)))
+
+        def find2(a):
+            while parent2[a] != a:
+                parent2[a] = parent2[parent2[a]]
+                a = parent2[a]
+            return a
+
+        ii, jj = np.nonzero(np.triu(lsh_adj & np.outer(core2, core2)))
+        for a_, b_ in zip(ii, jj):
+            ra, rb = find2(int(a_)), find2(int(b_))
+            if ra != rb:
+                if ids[ra] < ids[rb]:
+                    parent2[rb] = ra
+                else:
+                    parent2[ra] = rb
+        cl2 = {}
+        pt2 = {}
+        for i in range(len(ids)):
+            if core2[i]:
+                cl2[ids[i]] = ids[find2(i)]
+                pt2[ids[i]] = "core"
+            else:
+                cn = [j for j in np.nonzero(lsh_adj[i])[0] if core2[j]]
+                if cn:
+                    cl2[ids[i]] = min(ids[find2(j)] for j in cn)
+                    pt2[ids[i]] = "border"
+                else:
+                    cl2[ids[i]] = None
+                    pt2[ids[i]] = "noise"
+        good = recall_ok and len(dbl) == len(ids)
+        idx_of = {v: i for i, v in enumerate(ids)}
+        for _, r in dbl.iterrows():
+            vid = int(r.vec_id)
+            got = None if pd.isna(r.cluster) else int(r.cluster)
+            good &= (r.point_type == pt2[vid] and got == cl2[vid]
+                     and int(r.n_neighbors) == int(nn2[idx_of[vid]]))
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q344 dbscan lsh: banded "
+              f"java-Random-plane replay over {len(ids)} vectors, "
+              f"band recall {'1.0' if recall_ok else 'BROKEN'}")
+
     # --- Yule-Walker AR(2) (q280): dense lagged-vector products ---
     yw = dump("q280_yule_walker_ar2")
     if yw is not None:
