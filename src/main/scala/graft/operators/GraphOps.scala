@@ -221,15 +221,45 @@ object GraphOps {
     * Returns (node, degree, n_triangles, clustering) where clustering =
     * 2T / (deg·(deg−1)), defined 0 for degree < 2. */
   def triangleStats(edges: DataFrame, aCol: String, bCol: String,
-                    scoreOut: Column => Column): DataFrame = {
+                    scoreOut: Column => Column,
+                    maxDegree: Option[Long] = None): DataFrame = {
     // canonical undirected edge set: u < v, loops dropped. Persisted —
     // degrees, orientation and the closing join all re-read it.
-    val e = edges.select(
+    val eRaw = edges.select(
         least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .persist()
+    // Optional hub cap — the 100 TB knob (the q322 Adamic-Adar
+    // precedent): the degree-ordered orientation bounds wedge volume at
+    // O(m^1.5) only when SOME corner of each triangle has modest degree;
+    // on a uniformly dense graph (every degree ≈ d) wedge volume is
+    // Θ(n·d²) and no orientation helps — q246's 3×-density probe
+    // honestly measured exponent 2.0. With maxDegree set, nodes whose
+    // FULL-graph degree exceeds the cap are dropped and the census runs
+    // EXACTLY on the induced non-hub subgraph (degrees, triangles and
+    // clustering all recomputed within it; nodes isolated by the cap
+    // leave the output): a celebrity's clustering coefficient is ≈ 0 at
+    // quadratic cost — near-zero evidence the cap trades away, the same
+    // call every production triangle counter ships (cf. also
+    // DOULION-style edge sampling, Tsourakakis KDD'09, when hub
+    // triangles themselves are the question). The cap is mirrored in
+    // the q345 oracle, so the capped semantics — not just the fast
+    // path — is what the gate checks.
+    val e = maxDegree match {
+      case None => eRaw
+      case Some(cap) =>
+        val fullDeg = eRaw.select(col("u").as("node"))
+          .unionAll(eRaw.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val keep = fullDeg.filter(col("deg") <= cap).select("node")
+        eRaw
+          .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+          .select("u", "v")
+          .persist()
+    }
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))

@@ -69,6 +69,46 @@ object GraphQ {
               |ORDER BY node""".stripMargin)),
 
 
+    // Hub-capped triangle census — q246's 100 TB path as a gated
+    // contract (the q322 Adamic-Adar precedent, closing q246's honest
+    // density-quadratic scale grade): nodes whose full-graph degree
+    // exceeds 150 are dropped and the census runs EXACTLY on the induced
+    // non-hub subgraph. On a uniformly dense graph no orientation bounds
+    // wedge volume (q246 measured exponent 2.0 at 3× density); the cap
+    // restores n·cap² ≤ linear-in-m wedge work, trading away only
+    // celebrity coefficients that are ≈ 0 anyway. The sf0.01 gate graph
+    // tops out at degree 28, so the oracle — which MIRRORS the cap —
+    // checks the capped machinery on a graph where capped ≡ exact; the
+    // 3× ScaleProbe is where the cap visibly bites (and where q246
+    // exhibits the quadratic this entry retires).
+    "q345_triangle_core" -> Q(
+      (s, d) => graft.operators.GraphOps.triangleStats(
+          coActivityEdges(s, d), "ua", "ub", dec6, maxDegree = Some(150L))
+        .orderBy("node"),
+      Some(s"""WITH $sqlCoActivity,
+              |deg0 AS (SELECT node, count(*) AS dg FROM
+              |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              |  GROUP BY node),
+              |keep AS (SELECT node FROM deg0 WHERE dg <= 150),
+              |ec AS (SELECT e.u, e.v FROM e
+              |  JOIN keep ka ON e.u = ka.node
+              |  JOIN keep kb ON e.v = kb.node),
+              |deg AS (SELECT node, count(*) AS degree FROM
+              |  (SELECT u AS node FROM ec UNION ALL SELECT v FROM ec)
+              |  GROUP BY node),
+              |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              |  FROM ec e1 JOIN ec e2 ON e1.v = e2.u
+              |  JOIN ec e3 ON e3.u = e1.u AND e3.v = e2.v),
+              |tn AS (SELECT node, count(*) AS n_tri FROM
+              |  (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+              |   UNION ALL SELECT c FROM tri) GROUP BY node)
+              |SELECT deg.node, deg.degree,
+              |  coalesce(tn.n_tri, 0) AS n_triangles,
+              |  ${r6("CASE WHEN deg.degree >= 2 THEN 2.0 * coalesce(tn.n_tri, 0) / (deg.degree * (deg.degree - 1.0)) ELSE 0.0 END")} AS clustering
+              |FROM deg LEFT JOIN tn USING (node)
+              |ORDER BY node""".stripMargin)),
+
+
     // Item-item collaborative similarity ("users who touched X also
     // touched Y"): binary user×item interactions on the props content
     // key, per-pair cosine, top-5 neighbors per item. Rank runs over the

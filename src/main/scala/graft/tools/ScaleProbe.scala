@@ -117,7 +117,15 @@ object ScaleProbe {
     "q340_cox_ph" -> 10,
     "q341_garch_vol" -> 10,
     "q337_louvain" -> 3,
-    "q342_dbscan" -> 3)
+    "q342_dbscan" -> 3,
+    // round-12 additions: the hub-capped census rides the q246 blocking
+    // keys (3× to compare against q246's exhibited ~2 exponent — the cap
+    // must hold it near 1), the LSH DBSCAN and the funnel/GARCH-fit
+    // pipelines are candidate-bounded / row-linear → the same factors as
+    // their exact/static siblings
+    "q345_triangle_core" -> 3,
+    "q344_dbscan_lsh" -> 3,
+    "q343_curation_funnel_v2" -> 10)
 
   private def timeOnce(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()

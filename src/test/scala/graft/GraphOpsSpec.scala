@@ -123,6 +123,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(row("e") == ((1L, 0L, 0.0)))
   }
 
+  test("triangleStats maxDegree: hubs drop, induced census exact, no-bite = identity") {
+    // triangle {a,b,c} plus hub h wired to everything (deg 5 > cap 3):
+    // capped census = census of the induced subgraph without h — the
+    // triangle survives with within-subgraph degrees, h and its
+    // pendant-only neighbors leave the output
+    val e = (Seq(("a", "b"), ("a", "c"), ("b", "c")) ++
+        Seq("a", "b", "c", "p", "q").map(("h", _)))
+      .toDF("x", "y")
+    val capped = GraphOps.triangleStats(e, "x", "y", dec6,
+        maxDegree = Some(3L))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(capped.keySet == Set("a", "b", "c"),
+      s"hub and cap-isolated nodes must leave: $capped")
+    assert(Seq("a", "b", "c").forall(capped(_) == ((2L, 1L, 1.0))))
+    // a cap no node exceeds is the identity: same rows as the exact path
+    val exact = GraphOps.triangleStats(e, "x", "y", dec6)
+      .collect().map(_.toSeq).toSet
+    val noBite = GraphOps.triangleStats(e, "x", "y", dec6,
+        maxDegree = Some(100L))
+      .collect().map(_.toSeq).toSet
+    assert(noBite == exact)
+  }
+
   test("bfsHops: min-hop distances, early stop, directed asymmetry") {
     // path 1-2-3-4-5 plus shortcut 1-4; island 9-10
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
