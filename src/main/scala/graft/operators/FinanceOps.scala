@@ -157,6 +157,130 @@ object FinanceOps {
     *
     * Returns (series, ts, ret, sigma, z) — one row per innovation
     * (grid rows 2..n); series shorter than 2 points emit nothing. */
+  /** GARCH(1,1) with variance-targeting moment estimation (Engle &
+    * Mezrich '96 flavor) — [[garchFilter]]'s fixed RiskMetrics knobs
+    * replaced by per-series FITTED (ω, α, β), still closed-form, no MLE
+    * machinery: squared innovations follow an ARMA(1,1) whose ACF decays
+    * at rate α+β from lag 1 (Bollerslev '86 §4), so persistence is
+    * estimated as φ̂ = ρ₂/ρ₁ (clamped to [0, 0.98]), α̂ solves the exact
+    * lag-1 relation ρ₁ = α(1−αβ−β²)/(1−2αβ−β²) — a quadratic in α given
+    * φ, taken at its positive root and clamped to [0, φ̂] — β̂ = φ̂ − α̂,
+    * and ω̂ = σ̂²(1−φ̂) targets the sample variance. Degenerate moments
+    * (ρ₁ ≤ 0, ρ₂ ≤ 0, negative discriminant) fall back to α = β = 0:
+    * the filter degrades to the constant sample variance, never to an
+    * explosive or negative regime.
+    *
+    * Scale/parity shape: moments are ONE window-lag pass + one map-side
+    * combinable aggregate per series (no collect); every derived
+    * quantity (σ̂², ρ₁, ρ₂, φ̂, α̂, β̂, ω̂) is dec6-ROUNDED in sequence so
+    * a replaying engine walks the identical closed-form chain (aggregate
+    * ulp noise absorbed by the BIAS, the q325 rounded-state contract);
+    * the filter itself is the [[garchFilter]] per-series linear fold
+    * with the fitted params riding the collapsed row (+,*,/ only →
+    * bit-equal in a recursive-CTE replay). Output: one row per
+    * innovation with (ret, sigma, z) plus the fitted (alpha, beta,
+    * omega) repeated per series. */
+  def garchFitVt(grid: DataFrame, seriesCol: String, tsCol: String,
+                 valueCol: String, scoreOut: Column => Column): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
+    def d6(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(graft.queries.Q.BIAS)) / lit(1000000.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(seriesCol).orderBy("__t")
+    val rets = grid
+      .select(col(seriesCol), col(tsCol).as("__t"),
+        col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+      .withColumn("__ret", col("__x") - lag("__x", 1).over(w))
+      .filter(col("__ret").isNotNull)
+      .withColumn("__a", col("__ret") * col("__ret"))
+      .withColumn("__al1", lag("__a", 1).over(w))
+      .withColumn("__al2", lag("__a", 2).over(w))
+    val mo = rets.groupBy(seriesCol).agg(
+      avg("__ret").as("mr"), avg("__a").as("ma"),
+      avg(col("__a") * col("__a")).as("maa"),
+      sum(when(col("__al1").isNotNull, col("__a") * col("__al1"))).as("s1x"),
+      sum(when(col("__al1").isNotNull, col("__a"))).as("s1a"),
+      sum("__al1").as("s1l"), count("__al1").cast("double").as("n1"),
+      sum(when(col("__al2").isNotNull, col("__a") * col("__al2"))).as("s2x"),
+      sum(when(col("__al2").isNotNull, col("__a"))).as("s2a"),
+      sum("__al2").as("s2l"), count("__al2").cast("double").as("n2"))
+    // γ0 (population) and the pair-restricted centered autocovariances —
+    // the estimator DEFINITION is part of the contract; the oracle
+    // mirrors these formulas textually
+    val g0 = col("maa") - col("ma") * col("ma")
+    def gk(sx: String, sa: String, sl: String, nk: String): Column =
+      (col(sx) - col("ma") * col(sa) - col("ma") * col(sl) +
+        col(nk) * col("ma") * col("ma")) / col(nk) / g0
+    val p0 = mo.select(col(seriesCol),
+      d6(col("ma") - col("mr") * col("mr")).as("s2"),
+      d6(when(g0 > 0 && col("n1") > 0, gk("s1x", "s1a", "s1l", "n1"))
+        .otherwise(lit(0.0))).as("rho1"),
+      d6(when(g0 > 0 && col("n2") > 0, gk("s2x", "s2a", "s2l", "n2"))
+        .otherwise(lit(0.0))).as("rho2"))
+    val p1 = p0.withColumn("phi",
+      d6(when(col("rho1") > 0 && col("rho2") > 0,
+        least(lit(0.98), greatest(lit(0.0), col("rho2") / col("rho1"))))
+        .otherwise(lit(0.0))))
+    // ρ₁ = α(1−βφ)/(1+β²−2βφ) with β = φ−α reduces to
+    // (φ−ρ₁)α² + (1−φ²)α − ρ₁(1−φ²) = 0 — positive root, clamped
+    val qA = col("phi") - col("rho1")
+    val qB = lit(1.0) - col("phi") * col("phi")
+    val disc = qB * qB + lit(4.0) * qA * col("rho1") * qB
+    val alphaRaw = when(col("phi") <= 0 || col("rho1") <= 0, lit(0.0))
+      .when(abs(qA) < lit(1e-9), col("rho1"))
+      .when(disc < 0, col("rho1"))
+      .otherwise((-qB + sqrt(disc)) / (lit(2.0) * qA))
+    val params = p1
+      .withColumn("alpha", d6(least(col("phi"), greatest(lit(0.0), alphaRaw))))
+      .withColumn("beta", d6(col("phi") - col("alpha")))
+      .withColumn("omega",
+        d6(col("s2") * (lit(1.0) - col("alpha") - col("beta"))))
+      .select(col(seriesCol), col("s2"), col("alpha"), col("beta"),
+        col("omega"))
+    val collected = grid
+      .select(col(seriesCol), col(tsCol).as("__t"),
+        col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+      .groupBy(seriesCol)
+      .agg(sort_array(collect_list(struct(col("__t"), col("__x")))).as("arr"))
+      .join(params, Seq(seriesCol))
+    val outSchema = StructType(collected.schema.fields ++ Seq(
+      StructField("__r", ArrayType(DoubleType), nullable = true),
+      StructField("__h", ArrayType(DoubleType), nullable = true)))
+    val folded = collected.mapPartitions { it =>
+      it.map { r =>
+        val arr = r.getSeq[Row](1)
+        val alphaP = r.getDouble(3); val betaP = r.getDouble(4)
+        val omega = r.getDouble(5)
+        val xs = arr.map(_.getDouble(1))
+        val n = math.max(xs.length - 1, 0)
+        val rs = new Array[Double](n)
+        val hs = new Array[Double](n)
+        var j = 0
+        while (j < n) {
+          rs(j) = xs(j + 1) - xs(j)
+          hs(j) =
+            if (j == 0) omega / (1.0 - alphaP - betaP)
+            else omega + alphaP * rs(j - 1) * rs(j - 1) + betaP * hs(j - 1)
+          j += 1
+        }
+        Row(r.get(0), arr.drop(1), r.get(2), alphaP, betaP, omega, rs, hs)
+      }
+    }(Encoders.row(outSchema))
+    folded
+      .select(col(seriesCol), col("alpha"), col("beta"), col("omega"),
+        explode(arrays_zip(col("arr"), col("__r"), col("__h"))).as("__z"))
+      .select(col(seriesCol), col("__z.arr.__t").as(tsCol),
+        scoreOut(col("__z.__r")).as("ret"),
+        scoreOut(when(col("__z.__h") > 0, sqrt(col("__z.__h")))
+          .otherwise(lit(0.0))).as("sigma"),
+        scoreOut(when(col("__z.__h") > 0,
+          col("__z.__r") / sqrt(col("__z.__h")))).as("z"),
+        col("alpha"), col("beta"), col("omega"))
+  }
+
   def garchFilter(grid: DataFrame, seriesCol: String, tsCol: String,
                   valueCol: String, omega: Double, alphaP: Double,
                   betaP: Double, scoreOut: Column => Column): DataFrame = {

@@ -139,6 +139,89 @@ object FinanceQ {
               |    AND d.i = rec.i + 1)
               |SELECT ts, event_type, ${r6("ret")} AS ret,
               |  ${r6("sqrt(h)")} AS sigma, ${r6("ret / sqrt(h)")} AS z
-              |FROM rec ORDER BY ts, event_type""".stripMargin))
+              |FROM rec ORDER BY ts, event_type""".stripMargin)),
+
+    // GARCH(1,1) variance-targeting FIT (q341's follow-on): per-series
+    // fitted (ω, α, β) by closed-form method of moments — σ̂² targets the
+    // sample variance, persistence φ̂ = ρ₂/ρ₁ from the ACF of squared
+    // innovations (geometric decay from lag 1, Bollerslev '86 §4), α̂
+    // the positive root of the exact lag-1 ACF relation, β̂ = φ̂ − α̂ —
+    // then the same bit-replayable filter recursion under the fitted
+    // params. Every derived moment/param is dec6-rounded in sequence
+    // (the rounded-state contract), so the oracle's aggregate + CASE
+    // chain + recursive CTE replays the identical trajectory; degenerate
+    // moments fall back to the constant-variance filter, never an
+    // explosive regime.
+    "q346_garch_fit" -> Q(
+      (s, d) => FinanceOps.garchFitVt(
+          series(s, d), "event_type", "ts", "v", scoreOut = dec6)
+        .select(col("ts"), col("event_type"), col("ret"), col("sigma"),
+          col("z"), col("alpha"), col("beta"), col("omega"))
+        .orderBy("ts", "event_type"),
+      Some(s"""WITH RECURSIVE $sqlSeries,
+              |g AS (SELECT ts, event_type, CAST(v AS DOUBLE) AS v,
+              |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts)
+              |    AS INT) AS r
+              |  FROM series WHERE v IS NOT NULL),
+              |d AS (SELECT b.event_type, b.ts, b.r - 1 AS i,
+              |  b.v - a.v AS ret
+              |  FROM g a JOIN g b ON b.event_type = a.event_type
+              |    AND b.r = a.r + 1),
+              |aa AS (SELECT event_type, ts, i, ret, ret * ret AS a FROM d),
+              |la AS (SELECT event_type, i, ret, a,
+              |  lag(a, 1) OVER w AS al1, lag(a, 2) OVER w AS al2
+              |  FROM aa WINDOW w AS (PARTITION BY event_type ORDER BY i)),
+              |mo AS (SELECT event_type,
+              |  avg(ret) AS mr, avg(a) AS ma, avg(a * a) AS maa,
+              |  sum(CASE WHEN al1 IS NOT NULL THEN a * al1 END) AS s1x,
+              |  sum(CASE WHEN al1 IS NOT NULL THEN a END) AS s1a,
+              |  sum(al1) AS s1l, CAST(count(al1) AS DOUBLE) AS n1,
+              |  sum(CASE WHEN al2 IS NOT NULL THEN a * al2 END) AS s2x,
+              |  sum(CASE WHEN al2 IS NOT NULL THEN a END) AS s2a,
+              |  sum(al2) AS s2l, CAST(count(al2) AS DOUBLE) AS n2
+              |  FROM la GROUP BY 1),
+              |p0 AS (SELECT event_type,
+              |  ${r6("ma - mr * mr")} AS s2,
+              |  ${r6("""CASE WHEN maa - ma * ma > 0 AND n1 > 0
+              |    THEN (s1x - ma * s1a - ma * s1l + n1 * ma * ma) / n1
+              |      / (maa - ma * ma) ELSE 0.0 END""")} AS rho1,
+              |  ${r6("""CASE WHEN maa - ma * ma > 0 AND n2 > 0
+              |    THEN (s2x - ma * s2a - ma * s2l + n2 * ma * ma) / n2
+              |      / (maa - ma * ma) ELSE 0.0 END""")} AS rho2
+              |  FROM mo),
+              |p1 AS (SELECT *, ${r6("""CASE WHEN rho1 > 0 AND rho2 > 0
+              |  THEN least(0.98, greatest(0.0, rho2 / rho1))
+              |  ELSE 0.0 END""")} AS phi FROM p0),
+              |p2 AS (SELECT event_type, s2, rho1, phi,
+              |  ${r6("""least(phi, greatest(0.0, CASE
+              |    WHEN phi <= 0 OR rho1 <= 0 THEN 0.0
+              |    WHEN abs(phi - rho1) < 1e-9 THEN rho1
+              |    WHEN (1.0 - phi * phi) * (1.0 - phi * phi)
+              |      + 4.0 * (phi - rho1) * rho1 * (1.0 - phi * phi) < 0
+              |      THEN rho1
+              |    ELSE (-(1.0 - phi * phi) + sqrt(
+              |      (1.0 - phi * phi) * (1.0 - phi * phi)
+              |      + 4.0 * (phi - rho1) * rho1 * (1.0 - phi * phi)))
+              |      / (2.0 * (phi - rho1)) END))""")} AS alpha
+              |  FROM p1),
+              |p3 AS (SELECT *, ${r6("phi - alpha")} AS beta FROM p2),
+              |pp AS (SELECT event_type, s2, alpha, beta,
+              |  ${r6("s2 * (1.0 - alpha - beta)")} AS omega FROM p3),
+              |rec(event_type, i, ts, ret, h) AS (
+              |  SELECT d.event_type, d.i, d.ts, d.ret,
+              |    pp.omega / (CAST(1.0 AS DOUBLE) - pp.alpha - pp.beta)
+              |  FROM d JOIN pp USING (event_type) WHERE d.i = 1
+              |  UNION ALL
+              |  SELECT d.event_type, d.i, d.ts, d.ret,
+              |    pp.omega + pp.alpha * rec.ret * rec.ret + pp.beta * rec.h
+              |  FROM rec JOIN d ON d.event_type = rec.event_type
+              |    AND d.i = rec.i + 1
+              |  JOIN pp ON pp.event_type = rec.event_type)
+              |SELECT rec.ts, rec.event_type, ${r6("ret")} AS ret,
+              |  ${r6("CASE WHEN h > 0 THEN sqrt(h) ELSE 0.0 END")} AS sigma,
+              |  CASE WHEN h > 0 THEN ${r6("ret / sqrt(h)")} END AS z,
+              |  pp.alpha, pp.beta, pp.omega
+              |FROM rec JOIN pp USING (event_type)
+              |ORDER BY rec.ts, rec.event_type""".stripMargin))
   )
 }

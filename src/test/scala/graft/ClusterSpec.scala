@@ -185,6 +185,51 @@ class ClusterSpec extends SparkSpec {
     assert(partition(exact) == partition(lsh))
   }
 
+  test("garch variance-targeting fit: param bounds, recursion consistency, degenerate fallback") {
+    import java.sql.Timestamp
+    // volatility-clustered series: calm stretch then a burst — enough
+    // structure for non-degenerate moments
+    val xs = Seq(10.0, 10.5, 10.2, 10.4, 10.3, 10.5, 18.0, 4.0, 16.0,
+      6.0, 14.0, 10.1, 10.3, 10.2, 10.4, 10.3)
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      ("s", Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00"), x)
+    }
+    val out = graft.operators.FinanceOps.garchFitVt(
+        rows.toDF("event_type", "ts", "v"), "event_type", "ts", "v",
+        scoreOut = graft.queries.Q.dec6)
+      .orderBy("ts").collect()
+    assert(out.length == xs.length - 1)
+    val (al, be, om) = (out.head.getAs[Double]("alpha"),
+      out.head.getAs[Double]("beta"), out.head.getAs[Double]("omega"))
+    assert(al >= 0 && be >= 0 && al + be <= 0.98 + 1e-9, s"bounds: $al/$be")
+    assert(om > 0, s"omega must stay positive: $om")
+    // re-fold the recursion independently from the fitted params and the
+    // raw inputs: sigma/z must match the operator's explode within 2e-6
+    val r = xs.sliding(2).map { case Seq(a, b) => b - a }.toArray
+    val h = new Array[Double](r.length)
+    h(0) = om / (1.0 - al - be)
+    for (j <- 1 until r.length)
+      h(j) = om + al * r(j - 1) * r(j - 1) + be * h(j - 1)
+    def rnd6(x: Double) =
+      math.floor(x * 1e6 + graft.queries.Q.BIAS) / 1e6
+    out.zipWithIndex.foreach { case (row, j) =>
+      assert(math.abs(row.getAs[Double]("sigma") - rnd6(math.sqrt(h(j)))) < 2e-6)
+      assert(math.abs(row.getAs[Double]("z") - rnd6(r(j) / math.sqrt(h(j)))) < 2e-6)
+    }
+    // constant series → zero returns, degenerate moments → α = β = ω = 0,
+    // σ = 0 and z null (never a division blow-up)
+    val flat = (0 to 5).map(i =>
+      ("f", Timestamp.valueOf(f"2024-01-01 0$i%01d:00:00"), 7.0))
+    val fo = graft.operators.FinanceOps.garchFitVt(
+        flat.toDF("event_type", "ts", "v"), "event_type", "ts", "v",
+        scoreOut = graft.queries.Q.dec6)
+      .collect()
+    assert(fo.length == 5)
+    assert(fo.forall(x => x.getAs[Double]("alpha") == 0.0 &&
+      x.getAs[Double]("beta") == 0.0 && x.getAs[Double]("omega") == 0.0 &&
+      x.getAs[Double]("sigma") == 0.0 && x.isNullAt(x.fieldIndex("z"))))
+  }
+
   test("garch filter: hand recursion on a 4-point series") {
     import java.sql.Timestamp
     val ts = (0 to 3).map(h => Timestamp.valueOf(f"2024-01-01 0$h:00:00"))

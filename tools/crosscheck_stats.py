@@ -1061,6 +1061,79 @@ def main():
         print(f"{'PASS' if good else 'FAIL'} q341 garch: pandas recursion "
               f"replay over {n_checked} grid innovations")
 
+    # --- GARCH variance-targeting fit (q346): pandas moments + fitted
+    # recursion per series (the q341 replay with the closed-form MoM
+    # param chain recomputed independently) ---
+    gf = dump("q346_garch_fit")
+    if gf is not None:
+        import math
+        hourly = con.execute(
+            "SELECT event_type s, date_trunc('hour', ts) h, "
+            "avg(CAST(value AS DOUBLE)) v FROM events "
+            "GROUP BY 1, 2 ORDER BY 1, 2").df()
+        lo, hi = hourly.h.min(), hourly.h.max()
+        grid = pd.date_range(lo, hi, freq="h")
+        good = True
+        n_checked = 0
+        for s_, sub in hourly.groupby("s"):
+            v = sub.set_index("h").v.reindex(grid).ffill().dropna()
+            x = v.to_numpy()
+            if len(x) < 2:
+                continue
+            r = np.diff(x)
+            a = r * r
+            mr, ma, maa = r.mean(), a.mean(), (a * a).mean()
+            g0 = maa - ma * ma
+            s2 = float(r6(ma - mr * mr))
+
+            def rho(k):
+                if g0 <= 0 or len(a) <= k:
+                    return 0.0
+                at, al_ = a[k:], a[:-k]
+                nk = float(len(at))
+                return float(r6((np.sum(at * al_) - ma * np.sum(at)
+                                 - ma * np.sum(al_) + nk * ma * ma)
+                                / nk / g0))
+            rho1, rho2 = rho(1), rho(2)
+            phi = float(r6(min(0.98, max(0.0, rho2 / rho1))
+                           if rho1 > 0 and rho2 > 0 else 0.0))
+            if phi <= 0 or rho1 <= 0:
+                araw = 0.0
+            elif abs(phi - rho1) < 1e-9:
+                araw = rho1
+            else:
+                B = 1.0 - phi * phi
+                disc = B * B + 4.0 * (phi - rho1) * rho1 * B
+                araw = rho1 if disc < 0 else \
+                    (-B + math.sqrt(disc)) / (2.0 * (phi - rho1))
+            alpha = float(r6(min(phi, max(0.0, araw))))
+            beta = float(r6(phi - alpha))
+            omega = float(r6(s2 * (1.0 - alpha - beta)))
+            h = np.empty(len(r))
+            h[0] = omega / (1.0 - alpha - beta)
+            for j in range(1, len(r)):
+                h[j] = omega + alpha * r[j - 1] * r[j - 1] + beta * h[j - 1]
+            got = gf[gf.event_type == s_].sort_values("ts")
+            if len(got) != len(r):
+                good = False
+                break
+            good &= bool(abs(got.alpha.iloc[0] - alpha) < 1e-9
+                         and abs(got.beta.iloc[0] - beta) < 1e-9
+                         and abs(got.omega.iloc[0] - omega) < 1e-9)
+            sig = np.where(h > 0, np.sqrt(np.maximum(h, 0)), 0.0)
+            zv = np.where(h > 0, r / np.where(h > 0, np.sqrt(np.maximum(h, 0)), 1.0), np.nan)
+            good &= bool(np.all(np.abs(got.ret.to_numpy() - r6(r)) < 2e-6))
+            good &= bool(np.all(np.abs(got.sigma.to_numpy() - r6(sig)) < 2e-6))
+            gz = got.z.to_numpy()
+            mask = ~np.isnan(zv)
+            good &= bool(np.all(np.isnan(gz) == ~mask))
+            good &= bool(np.all(np.abs(gz[mask] - r6(zv[mask])) < 2e-6))
+            n_checked += len(got)
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q346 garch fit: pandas "
+              f"moment-chain + fitted recursion over {n_checked} "
+              f"innovations")
+
     # --- DBSCAN (q342): dense numpy pairs + python union-find ---
     db = dump("q342_dbscan")
     if db is not None:
