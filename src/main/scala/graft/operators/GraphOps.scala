@@ -498,22 +498,223 @@ object GraphOps {
                       rounds: Int, topK: Int, scoreOut: Column => Column,
                       reliableEvery: Int = 0): DataFrame = {
     require(rounds >= 1 && rounds <= 10, s"1 <= rounds <= 10, got $rounds")
-    val canon = edges.select(
+    val canon = canonEdges(edges, aCol, bCol).persist()
+    val labels = louvainSweepW(canon.withColumn("w", lit(1.0)), rounds,
+      scoreOut, reliableEvery, roundOffset = 0)
+    val (comm, qRow) = communitySummary(canon, labels)
+    comm.crossJoin(broadcast(qRow))
+      .select(col("label").as("community"), col("n_nodes"),
+        col("n_int").cast("long").as("n_internal"),
+        col("stot").cast("long").as("sigma_tot"),
+        scoreOut(col("__q")).as("modularity"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(topK)
+  }
+
+  /** Multi-level Louvain (Blondel '08 §2, the aggregation phase): run
+    * the one-level semi-synchronous sweep, CONTRACT each community to a
+    * super-node (parallel edges merge by weight sum; intra-community
+    * edges become self-loops carrying their weight — a self-loop
+    * contributes 2w to its super-node's weighted degree and nothing to
+    * any neighbor gain), run the SAME weighted sweep on the contracted
+    * graph, and compose labels back onto the original nodes. Modularity
+    * of a contracted partition equals modularity of the induced
+    * partition on the original graph, so both levels' Q are computed
+    * where they are defined: on the original edges. The classical
+    * sequential algorithm is monotone in Q by construction; a PARALLEL
+    * sweep can overshoot, so this operator keeps the BETTER of the two
+    * partitions (one 1-row collect per level — the bounded-scalar
+    * driver-collect convention), making Q(level 2) ≥ Q(level 1) a
+    * guarantee rather than a hope. The contracted graph is
+    * community-sized — the level-2 sweep costs a vanishing fraction of
+    * level 1 at scale.
+    *
+    * Returns the `topK` level-2 communities by ORIGINAL-node count:
+    * (community, n_nodes, n_internal, sigma_tot, modularity_l1,
+    * modularity_l2). */
+  def louvainMultiLevel(edges: DataFrame, aCol: String, bCol: String,
+                        rounds: Int, topK: Int, scoreOut: Column => Column,
+                        reliableEvery: Int = 0,
+                        seqLimit: Long = 1000000L): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"1 <= rounds <= 10, got $rounds")
+    val spark = edges.sparkSession
+    val canon = canonEdges(edges, aCol, bCol).persist()
+    val l1 = louvainSweepW(canon.withColumn("w", lit(1.0)), rounds,
+      scoreOut, reliableEvery, roundOffset = 0).persist()
+    val superE = canon
+      .join(l1.select(col("node").as("u"), col("label").as("la")), "u")
+      .join(l1.select(col("node").as("v"), col("label").as("lb")), "v")
+      .select(least(col("la"), col("lb")).as("u"),
+        greatest(col("la"), col("lb")).as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).cast("double").as("w"))
+      .persist()
+    // Level-2 regime switch. The parity sweep's simultaneous moves are
+    // the right trade on a node-scale graph, but on the CONTRACTED graph
+    // they degenerate: community labels concentrate on one id parity and
+    // same-parity super-node chains chase each other's stale labels
+    // (measured on a contracted path: three super-nodes cycle for every
+    // round budget, zero net moves). The contracted graph is community-
+    // sized — the entire point of the aggregation phase — so up to
+    // `seqLimit` super-edges it is collected and swept with Blondel's
+    // SEQUENTIAL local moving (ascending-id node order, dec6-rounded
+    // gains, community-id tiebreak, move only on strict improvement →
+    // every accepted move raises Q, monotone by construction). Beyond
+    // the limit the distributed parity sweep runs with a keep-best
+    // guard; either way Q(l2) ≥ Q(l1) is a guarantee, not a hope.
+    val nSuper = superE.count()
+    val l2 =
+      if (nSuper <= seqLimit) {
+        val triples = superE.collect().map(r =>
+          (r.get(0), r.get(1), r.getDouble(2)))
+        val moved = seqLocalMoving(triples, rounds)
+        val labType = l1.schema("label").dataType
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", labType),
+          org.apache.spark.sql.types.StructField("label", labType)))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            moved.toSeq.map { case (a, b) =>
+              org.apache.spark.sql.Row(a, b) }, 1),
+          schema)
+      } else
+        louvainSweepW(superE, rounds, scoreOut, reliableEvery,
+          roundOffset = rounds)
+    val composed = l1.select(col("node"), col("label").as("__c1"))
+      .join(l2.select(col("node").as("__c1"), col("label")), "__c1")
+      .select(col("node"), col("label"))
+      .localCheckpoint()
+    val (_, q1Row) = communitySummary(canon, l1)
+    val (comm2, q2Row) = communitySummary(canon, composed)
+    val q1 = q1Row.head.getDouble(0)
+    val q2 = q2Row.head.getDouble(0)
+    // keep-best: a level-2 sweep that overshot (only possible on the
+    // distributed branch) is discarded and level 1 IS the final
+    // partition (then modularity_l2 = modularity_l1)
+    val (commF, qF) =
+      if (q2 + 1e-12 >= q1) (comm2, q2) else communitySummary(canon, l1)._1 -> q1
+    commF
+      .select(col("label").as("community"), col("n_nodes"),
+        col("n_int").cast("long").as("n_internal"),
+        col("stot").cast("long").as("sigma_tot"),
+        scoreOut(lit(q1)).as("modularity_l1"),
+        scoreOut(lit(qF)).as("modularity_l2"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(topK)
+  }
+
+  /** Blondel's sequential local-moving pass over a collected WEIGHTED
+    * canonical edge list (u ≤ v, self-loops allowed) — the level-2
+    * driver-side sweep of [[louvainMultiLevel]]: nodes visited in
+    * ascending id order, each adopting the strictly-best-gain neighbor
+    * community (gain rounded to 6 decimals before comparison, smallest
+    * community id on ties — the same total order as the distributed
+    * sweep), up to `maxPasses` passes with early stop when a pass moves
+    * nothing. Every accepted single move raises modularity, so the
+    * result is monotone by construction. Node ids must share one
+    * runtime type with a total order (the community labels do). */
+  private[graft] def seqLocalMoving(triples: Array[(Any, Any, Double)],
+                                    maxPasses: Int): Map[Any, Any] = {
+    def rnd6(x: Double): Double =
+      math.floor(x * 1e6 + graft.queries.Q.BIAS) / 1e6
+    implicit val ord: Ordering[Any] = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int = (a, b) match {
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
+        case (x: String, y: String) => x.compareTo(y)
+        case (x: Number, y: Number) =>
+          java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+        case _ => a.toString.compareTo(b.toString)
+      }
+    }
+    val adj = scala.collection.mutable.Map.empty[Any,
+      scala.collection.mutable.Map[Any, Double]]
+    var selfW = Map.empty[Any, Double].withDefaultValue(0.0)
+    var m = 0.0
+    triples.foreach { case (u, v, w) =>
+      m += w
+      if (u == v) selfW += u -> (selfW(u) + w)
+      else {
+        adj.getOrElseUpdate(u, scala.collection.mutable.Map.empty)
+          .updateWith(v)(o => Some(o.getOrElse(0.0) + w))
+        adj.getOrElseUpdate(v, scala.collection.mutable.Map.empty)
+          .updateWith(u)(o => Some(o.getOrElse(0.0) + w))
+      }
+    }
+    val nodes = (adj.keySet ++ selfW.keySet).toSeq.sorted
+    val k = nodes.map(n => n ->
+      (adj.get(n).map(_.values.sum).getOrElse(0.0) + 2.0 * selfW(n))).toMap
+    val label = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    val stot = scala.collection.mutable.Map(nodes.map(n => n -> k(n)): _*)
+    var pass = 0
+    var movedAny = true
+    while (pass < maxPasses && movedAny) {
+      movedAny = false
+      nodes.foreach { n =>
+        val cur = label(n)
+        val kic = scala.collection.mutable.Map.empty[Any, Double]
+        adj.getOrElse(n, scala.collection.mutable.Map.empty).foreach {
+          case (nb, w) =>
+            kic.updateWith(label(nb))(o => Some(o.getOrElse(0.0) + w))
+        }
+        def gain(c: Any): Double = {
+          val adjStot = stot(c) - (if (c == cur) k(n) else 0.0)
+          rnd6(kic.getOrElse(c, 0.0) - k(n) * adjStot / (2.0 * m))
+        }
+        val cands = (kic.keySet + cur).toSeq.sorted
+        val best = cands.maxBy(c => (gain(c), c))(
+          Ordering.Tuple2(Ordering.Double.TotalOrdering, ord.reverse))
+        if (best != cur && gain(best) > gain(cur)) {
+          stot(cur) -= k(n)
+          stot.updateWith(best)(o => Some(o.getOrElse(0.0) + k(n)))
+          label(n) = best
+          movedAny = true
+        }
+      }
+      pass += 1
+    }
+    label.toMap
+  }
+
+  /** Canonical undirected edge set: u < v, loops dropped, deduped. */
+  private def canonEdges(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    edges.select(
         least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+
+  /** The semi-synchronous Louvain sweep of [[louvainOneLevel]],
+    * generalized to WEIGHTED canonical edges (u ≤ v, self-loops allowed
+    * — the contracted-graph shape): edge weight replaces edge count in
+    * the degree, Σ_tot and k_{i,C} sums; a self-loop contributes 2w to
+    * its node's weighted degree (standard convention — it is both
+    * endpoints) and nothing to any neighbor-community gain. With w ≡ 1
+    * and no loops this is EXACTLY the one-level sweep (sums of ones are
+    * counts, bit-for-bit). `roundOffset` keeps parity classes and
+    * checkpoint indices distinct across levels. */
+  private[graft] def louvainSweepW(canonW: DataFrame, rounds: Int,
+                            scoreOut: Column => Column, reliableEvery: Int,
+                            roundOffset: Int): DataFrame = {
+    val nonLoop = canonW.filter(col("u") =!= col("v"))
+    val loops = canonW.filter(col("u") === col("v"))
+      .groupBy(col("u").as("node")).agg(sum("w").as("__wl"))
+    val sym = nonLoop.select(col("u"), col("v"), col("w"))
+      .unionAll(nonLoop.select(col("v").as("u"), col("u").as("v"), col("w")))
       .persist()
-    val sym = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+    val nodes = canonW.select(col("u").as("node"))
+      .unionAll(canonW.select(col("v").as("node"))).distinct().persist()
+    val deg = nodes
+      .join(sym.groupBy(col("u").as("node")).agg(sum("w").as("__wd")),
+        Seq("node"), "left")
+      .join(loops, Seq("node"), "left")
+      .select(col("node"), (coalesce(col("__wd"), lit(0.0)) +
+        lit(2.0) * coalesce(col("__wl"), lit(0.0))).as("deg"))
       .persist()
-    val deg = sym.groupBy(col("u").as("node"))
-      .agg(count(lit(1)).cast("double").as("deg")).persist()
-    val mRow = canon.agg(count(lit(1)).cast("double").as("m"))
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    val mRow = canonW.agg(sum("w").as("m"))
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
     for (i <- 1 to rounds) {
       val lab = labels
-      val active = (i % 2).toLong
+      val active = ((i + roundOffset) % 2).toLong
       val isActive = pmod(col("node").cast("long"), lit(2L)) === active
       val stot = lab.join(deg, "node")
         .groupBy("label").agg(sum("deg").as("stot"))
@@ -521,7 +722,7 @@ object GraphOps {
         .filter(pmod(col("u").cast("long"), lit(2L)) === active)
         .join(lab.select(col("node").as("v"), col("label").as("nl")), "v")
         .groupBy(col("u").as("node"), col("nl"))
-        .agg(count(lit(1)).cast("double").as("kic"))
+        .agg(sum("w").as("kic"))
       // candidate set = neighbor communities ∪ {current}: a node with no
       // neighbor in its own community still scores staying put
       val cand = nbr
@@ -542,8 +743,21 @@ object GraphOps {
         .filter(col("__rk") === 1)
         .select(col("node"), col("nl").as("label"))
       labels = Ckpt.step(
-        moved.unionByName(lab.filter(!isActive)), i, reliableEvery)
+        moved.unionByName(lab.filter(!isActive)), i + roundOffset, reliableEvery)
     }
+    labels
+  }
+
+  /** Per-community (n_nodes, n_int, stot) frame + 1-row modularity of a
+    * labeling over the UNWEIGHTED canonical edge set — shared by the
+    * one-level and multi-level summaries (level-2 quality is computed
+    * where it is defined: on the original edges). */
+  private def communitySummary(canon: DataFrame,
+                               labels: DataFrame): (DataFrame, DataFrame) = {
+    val sym = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    val mRow = canon.agg(count(lit(1)).cast("double").as("m"))
     val nNodes = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
     val stotF = labels.join(deg, "node")
       .groupBy("label").agg(sum("deg").as("stot"))
@@ -561,13 +775,7 @@ object GraphOps {
       .agg(sum(col("n_int") / col("m") -
         (col("stot") / (lit(2.0) * col("m"))) *
           (col("stot") / (lit(2.0) * col("m")))).as("__q"))
-    comm.crossJoin(broadcast(qRow))
-      .select(col("label").as("community"), col("n_nodes"),
-        col("n_int").cast("long").as("n_internal"),
-        col("stot").cast("long").as("sigma_tot"),
-        scoreOut(col("__q")).as("modularity"))
-      .orderBy(col("n_nodes").desc, col("community"))
-      .limit(topK)
+    (comm, qRow)
   }
 
   /** k-core of an undirected graph: the maximal subgraph where every

@@ -347,6 +347,25 @@ object GraphQ {
     // modularity Q — the quality number label propagation (q330) can't
     // give. The oracle unrolls the identical 4 rounds (same rounded
     // gains, same tiebreak, same parity classes).
+    // Multi-level Louvain (q337's aggregation phase, Blondel '08 §2):
+    // contract level-1 communities to super-nodes (parallel edges merge
+    // by weight, intra-community edges become self-loops), re-run the
+    // same semi-sync weighted sweep on the community-sized graph,
+    // compose labels back, and KEEP THE BETTER partition — the parallel
+    // sweep can overshoot, so Q(l2) ≥ Q(l1) holds by construction (one
+    // 1-row collect per level, the bounded-scalar convention). Both Q's
+    // are computed on the ORIGINAL graph. Two data-dependent sweeps +
+    // the keep-best branch → no SQL oracle; GraphExtraSpec pins the
+    // contraction arithmetic, the monotonicity guarantee and a fixture
+    // where level 2 strictly improves; the python replay re-runs both
+    // levels end to end.
+    "q347_louvain_multilevel" -> Q(
+      (s, d) => graft.operators.GraphOps.louvainMultiLevel(
+          coActivityEdges(s, d), "ua", "ub", rounds = 4, topK = 20,
+          scoreOut = dec6)
+        .orderBy(col("n_nodes").desc, col("community")),
+      None),
+
     "q337_louvain" -> Q(
       (s, d) => graft.operators.GraphOps.louvainOneLevel(
         coActivityEdges(s, d), "ua", "ub", rounds = 4, topK = 20,

@@ -100,6 +100,61 @@ class GraphExtraSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("louvain multi-level: contraction strictly improves an undershot path partition") {
+    // P12: the 4-round parity sweep settles at sizes (3,3,2,2,2),
+    // Q1 = 0.433884; the contracted-graph sequential pass merges the
+    // short segments into (5,4,3), Q2 = 0.466942 — the level-2 phase
+    // must find strictly positive gain here, and the output Qs must
+    // recompute from the partition's own columns
+    val e = (1L to 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = GraphOps.louvainMultiLevel(e, "a", "b", rounds = 4,
+        topK = 100, scoreOut = dec6).collect()
+    val q1 = out.head.getAs[Double]("modularity_l1")
+    val q2 = out.head.getAs[Double]("modularity_l2")
+    assert(q2 > q1 + 1e-6, s"level 2 must strictly improve: $q1 -> $q2")
+    assert(math.abs(q1 - 0.433884) < 1e-5 && math.abs(q2 - 0.466942) < 1e-5)
+    assert(out.map(_.getAs[Long]("n_nodes")).sum == 12L)
+    val m = 11.0
+    val qRecomp = out.map { r =>
+      r.getAs[Long]("n_internal") / m -
+        math.pow(r.getAs[Long]("sigma_tot") / (2.0 * m), 2)
+    }.sum
+    assert(math.abs(qRecomp - q2) < 1e-5, s"recomputed $qRecomp vs $q2")
+  }
+
+  test("louvain multi-level: an already-optimal partition is left alone (monotone guarantee)") {
+    // chain of four bridged triangles: level 1 finds the triangles and
+    // no super-node merge has positive gain — level 2 must not DEGRADE
+    // the partition (Q2 == Q1, same communities as one-level)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (7L, 8L), (8L, 9L), (7L, 9L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (3L, 4L), (6L, 7L), (9L, 10L)).toDF("a", "b")
+    val out = GraphOps.louvainMultiLevel(e, "a", "b", rounds = 4,
+        topK = 100, scoreOut = dec6).collect()
+    assert(out.length == 4 && out.forall(_.getAs[Long]("n_nodes") == 3L))
+    assert(out.forall(r => r.getAs[Double]("modularity_l2") ==
+      r.getAs[Double]("modularity_l1")))
+    val one = GraphOps.louvainOneLevel(e, "a", "b", rounds = 4,
+        topK = 100, scoreOut = dec6).collect()
+      .map(_.getAs[Long]("community")).toSet
+    assert(out.map(_.getAs[Long]("community")).toSet == one)
+  }
+
+  test("seqLocalMoving: weighted self-loops count 2w in degree, merges a chained pair graph") {
+    // contracted path: A(self 2)-B(self 2)-C(self 1)-D(self 1)-E(self 1),
+    // unit bridges — the exact shape the parity sweep chased labels on;
+    // the sequential pass must merge the light tail without oscillating
+    val triples = Array[(Any, Any, Double)](
+      (1L, 1L, 2.0), (4L, 4L, 2.0), (7L, 7L, 1.0), (9L, 9L, 1.0),
+      (11L, 11L, 1.0), (1L, 4L, 1.0), (4L, 7L, 1.0), (7L, 9L, 1.0),
+      (9L, 11L, 1.0))
+    val lab = GraphOps.seqLocalMoving(triples, maxPasses = 4)
+    assert(lab.size == 5)
+    // the three light tail nodes merge; the heavy pair stays apart from
+    // them (hand-checked gains: 9→11 = +0.4545 first move)
+    assert(lab(9L) == lab(11L), lab.toString)
+  }
+
   test("dtw DP: repeat-tolerant alignment is free, band restriction costs") {
     assert(DtwOps.dtwBanded(Array(1, 2, 3), Array(1, 2, 2, 3), band = 2) == 0.0)
     // impulse shifted by 2: a band of 2 warps around it for free, a band

@@ -909,6 +909,125 @@ def main():
               f"set/dict sweep over {len(adj)} nodes / {len(edges)} edges, "
               f"Q={q_mod:.6f}")
 
+    # --- Louvain multi-level (q347): semi-sync level 1 + contraction +
+    # sequential local moving + keep-best, all replayed in sets/dicts ---
+    ml = dump("q347_louvain_multilevel")
+    if ml is not None:
+        from collections import defaultdict
+        brows = con.execute(
+            "SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS t, "
+            "CAST(json_extract_string(props, '$.k') AS INT) // 10 AS kd, "
+            "user_id AS u FROM events").df()
+        bucket = defaultdict(set)
+        for h, t, kd, u in zip(brows.h, brows.t, brows.kd, brows.u):
+            bucket[(h, t, kd)].add(int(u))
+        edges = set()
+        for us in bucket.values():
+            us = sorted(us)
+            for i in range(len(us)):
+                for j in range(i + 1, len(us)):
+                    edges.add((us[i], us[j]))
+        adj = defaultdict(list)
+        for u, v in edges:
+            adj[u].append(v)
+            adj[v].append(u)
+        m = float(len(edges))
+        deg = {n: float(len(vs)) for n, vs in adj.items()}
+        label = {n: n for n in adj}
+        for rnd in range(1, 5):          # level 1: the q337 sweep verbatim
+            act = rnd % 2
+            stot = defaultdict(float)
+            for n, l in label.items():
+                stot[l] += deg[n]
+            nxt = dict(label)
+            for n in adj:
+                if n % 2 != act:
+                    continue
+                kic = defaultdict(float)
+                for v in adj[n]:
+                    kic[label[v]] += 1.0
+                kic.setdefault(label[n], 0.0)
+                best = None
+                for c, k in kic.items():
+                    sadj = stot[c] - (deg[n] if c == label[n] else 0.0)
+                    sc = float(r6(k - deg[n] * sadj / (2.0 * m)))
+                    if best is None or (sc, -c) > (best[0], -best[1]):
+                        best = (sc, c)
+                nxt[n] = best[1]
+            label = nxt
+
+        def quality(lab):
+            comm = defaultdict(lambda: [0, 0.0, 0.0])
+            for n, l in lab.items():
+                comm[l][0] += 1
+                comm[l][2] += deg[n]
+            for u, v in edges:
+                if lab[u] == lab[v]:
+                    comm[lab[u]][1] += 1.0
+            q = sum(ni / m - (st / (2.0 * m)) ** 2
+                    for _, ni, st in comm.values())
+            return comm, q
+
+        _, q1v = quality(label)
+        # contraction: communities -> weighted super-graph with self-loops
+        superw = defaultdict(float)
+        for u, v in edges:
+            a, b = label[u], label[v]
+            superw[(min(a, b), max(a, b))] += 1.0
+        sadj = defaultdict(dict)
+        sself = defaultdict(float)
+        m2 = sum(superw.values())
+        for (a, b), w in superw.items():
+            if a == b:
+                sself[a] += w
+            else:
+                sadj[a][b] = sadj[a].get(b, 0.0) + w
+                sadj[b][a] = sadj[b].get(a, 0.0) + w
+        snodes = sorted(set(sadj) | set(sself))
+        k2 = {n: sum(sadj[n].values()) + 2.0 * sself[n] for n in snodes}
+        lab2 = {n: n for n in snodes}
+        stot2 = {n: k2[n] for n in snodes}
+        for _pass in range(4):           # sequential local moving
+            moved = False
+            for n in snodes:
+                cur = lab2[n]
+                kic = defaultdict(float)
+                for nb, w in sadj[n].items():
+                    kic[lab2[nb]] += w
+                cands = sorted(set(kic) | {cur})
+
+                def gain(c):
+                    a_ = stot2.get(c, 0.0) - (k2[n] if c == cur else 0.0)
+                    return float(r6(kic.get(c, 0.0)
+                                    - k2[n] * a_ / (2.0 * m2)))
+                best = max(cands, key=lambda c: (gain(c), -c))
+                if best != cur and gain(best) > gain(cur):
+                    stot2[cur] -= k2[n]
+                    stot2[best] = stot2.get(best, 0.0) + k2[n]
+                    lab2[n] = best
+                    moved = True
+            if not moved:
+                break
+        composed = {n: lab2[label[n]] for n in adj}
+        comm2, q2v = quality(composed)
+        commf, qf = (comm2, q2v) if q2v + 1e-12 >= q1v \
+            else quality(label)
+        top = sorted(((c, nn, ni, st) for c, (nn, ni, st) in commf.items()),
+                     key=lambda x: (-x[1], x[0]))[:20]
+        good = len(ml) == len(top) and q2v + 1e-12 >= q1v
+        ml2 = ml.sort_values(["n_nodes", "community"],
+                             ascending=[False, True]).reset_index(drop=True)
+        for (c, nn, ni, st), (_, r) in zip(top, ml2.iterrows()):
+            good &= (int(r.community) == c and int(r.n_nodes) == nn
+                     and int(r.n_internal) == int(ni)
+                     and int(r.sigma_tot) == int(st)
+                     and abs(r.modularity_l1 - r6(q1v)) < 2e-6
+                     and abs(r.modularity_l2 - r6(qf)) < 2e-6)
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} q347 louvain multilevel: "
+              f"contraction + sequential local moving, "
+              f"Q1={q1v:.6f} -> Q2={qf:.6f}")
+
     # --- Quality classifier (q338): full featurize + Newton replay ---
     qc = dump("q338_quality_classifier")
     if qc is not None:
