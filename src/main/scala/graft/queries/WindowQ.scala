@@ -794,13 +794,63 @@ object WindowQ {
     // z-normalized hourly profiles: shape similarity allowing a day of
     // time slippage — the alignment-tolerant upgrade of q192's pointwise
     // correlation. Each series is one collected-grid row; each pair's DP
-    // is O(len*band) in one task. Data-dependent DP → no SQL oracle;
-    // GraphExtraSpec pins the DP against hand-walked alignments.
+    // is O(len*band) in one task. The oracle replays the DP as an
+    // ANTI-DIAGONAL recursive CTE (cells on diagonal i+j depend only on
+    // diagonals i+j−1 and i+j−2, so each recursion step materializes one
+    // whole diagonal as a list — the within-row left-to-right dependency
+    // that blocks a per-row unroll vanishes): per cell the identical
+    // |za_i − zb_j| + least(up, left, diag) arithmetic over the
+    // identically rounded z-profiles (mu/sd dec6 on both sides, the raw
+    // division after), so values match bit-for-bit before the output
+    // rounding. Out-of-band cells carry 1e300 in SQL vs Infinity in
+    // Scala: both lose every min against any reachable path, and the
+    // final cell is always reachable (w ≥ |n_a − n_b|). GraphExtraSpec
+    // still pins the DP against hand-walked alignments.
     "q324_dtw_profiles" -> Q(
       (s, d) => graft.operators.DtwOps.dtwPairs(
           series(s, d).filter(col("v").isNotNull),
           "event_type", "ts", "v", band = 24, scoreOut = dec6)
         .orderBy("series_a", "series_b"),
-      None),
+      Some(s"""WITH RECURSIVE $sqlSeries,
+              |g AS (SELECT event_type, ts, CAST(v AS DOUBLE) AS x
+              |  FROM series WHERE v IS NOT NULL),
+              |st AS (SELECT event_type, list(x ORDER BY ts) AS xs,
+              |  CAST(count(*) AS BIGINT) AS n,
+              |  ${r6("avg(x)")} AS mu,
+              |  ${r6("sqrt(avg(x * x) - avg(x) * avg(x))")} AS sd
+              |  FROM g GROUP BY 1),
+              |z AS (SELECT event_type, n,
+              |  list_transform(xs, e -> (e - mu) / sd) AS zs
+              |  FROM st WHERE sd > 0),
+              |pr AS (SELECT a.event_type AS sa, b.event_type AS sb,
+              |  a.n AS na, b.n AS nb, a.zs AS za, b.zs AS zb,
+              |  greatest(24, abs(a.n - b.n)) AS w
+              |  FROM z a JOIN z b ON a.event_type < b.event_type),
+              |rec(sa, sb, d, prv, cur) AS (
+              |  SELECT sa, sb, 0,
+              |    list_transform(generate_series(0, CAST(na AS INT)),
+              |      i -> 1e300),
+              |    list_transform(generate_series(0, CAST(na AS INT)),
+              |      i -> CASE WHEN i = 0 THEN 0.0 ELSE 1e300 END)
+              |  FROM pr
+              |  UNION ALL
+              |  SELECT r.sa, r.sb, r.d + 1, r.cur,
+              |    list_transform(generate_series(0, CAST(p.na AS INT)), i ->
+              |      CASE WHEN i = 0 THEN 1e300
+              |        WHEN r.d + 1 - i < 1 OR r.d + 1 - i > p.nb THEN 1e300
+              |        WHEN abs(i - (r.d + 1 - i)) > p.w THEN 1e300
+              |        ELSE abs(p.za[i] - p.zb[r.d + 1 - i])
+              |          + least(r.cur[i], r.cur[i + 1], r.prv[i])
+              |      END)
+              |  FROM rec r JOIN pr p ON p.sa = r.sa AND p.sb = r.sb
+              |  WHERE r.d < p.na + p.nb)
+              |SELECT r.sa AS series_a, r.sb AS series_b,
+              |  p.na AS n_a, p.nb AS n_b,
+              |  ${r6("r.cur[CAST(p.na AS INT) + 1]")} AS dtw,
+              |  ${r6("r.cur[CAST(p.na AS INT) + 1] / CAST(p.na + p.nb AS DOUBLE)")}
+              |    AS dtw_per_step
+              |FROM rec r JOIN pr p ON p.sa = r.sa AND p.sb = r.sb
+              |WHERE r.d = p.na + p.nb
+              |ORDER BY series_a, series_b""".stripMargin)),
   )
 }
