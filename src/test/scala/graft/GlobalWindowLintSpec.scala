@@ -141,7 +141,11 @@ class GlobalWindowLintSpec extends SparkSpec {
     // moments), so the fixture's alignToGrid crossjoin appears in both
     // branches; the finance indicators each read it once
     "q307_theta_backtest",
-    "q312_max_drawdown", "q313_rsi", "q314_macd", "q341_garch_vol")
+    "q312_max_drawdown", "q313_rsi", "q314_macd", "q341_garch_vol",
+    // the variance-targeting fit reads the series() grid twice (moment
+    // windows + the collected filter fold), so the fixture's alignToGrid
+    // crossjoin appears in both branches
+    "q346_garch_fit")
 
   private val allowBnlj: Map[String, String] =
     seriesGridQueries.map(_ -> seriesGridBound).toMap ++ Map(
