@@ -125,7 +125,9 @@ object ScaleProbe {
     // their exact/static siblings
     "q345_triangle_core" -> 3,
     "q344_dbscan_lsh" -> 3,
-    "q343_curation_funnel_v2" -> 10)
+    "q343_curation_funnel_v2" -> 10,
+    "q346_garch_fit" -> 10,
+    "q347_louvain_multilevel" -> 3)
 
   private def timeOnce(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
