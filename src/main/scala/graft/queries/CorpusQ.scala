@@ -1258,15 +1258,21 @@ object CorpusQ {
     // assignment is k unrolled codegen expressions per row, the update
     // shuffles O(k*d) doubles per iteration, only the centroid table
     // touches the driver. Deterministic smallest-id init + dec6-rounded
-    // centroids per step → the numpy replay in tools/crosscheck_stats.py
-    // reproduces the whole trajectory; ClusterSpec pins two planted
-    // blobs converging to their exact means.
+    // centroids per step make the whole trajectory engine-replayable:
+    // the oracle (rows-only → HASH-GREEN in round 12) unrolls all 5
+    // assign→mean→round steps as MATERIALIZED CTEs — assignment ties
+    // break to the lowest cluster id (array_position first-match ≡
+    // ORDER BY d2, c), empty clusters keep their previous centroid via
+    // the left-join fallback, and every distance/norm fold runs in
+    // index order so the bits match before the dec6 grid. The numpy
+    // replay in tools/crosscheck_stats.py reproduces the same
+    // trajectory independently; ClusterSpec pins two planted blobs.
     "q326_kmeans_embeddings" -> Q(
       (s, d) => graft.operators.ClusterOps.lloyd(
           Tables.embeddings(s, d), "vec_id", "embedding",
           k = 8, iters = 5, scoreOut = dec6)
         .orderBy("cluster_id"),
-      None),
+      Some(lloydOracle(k = 8, iters = 5, dim = 64))),
 
     // DBSCAN density clustering over the embeddings (cos ≥ 0.3 pairs,
     // minPts 5): core = ≥5-point eps-neighborhood incl. self, clusters =
@@ -1392,4 +1398,59 @@ object CorpusQ {
               |LEFT JOIN bc ON bc.vec_id = wn.vec_id
               |ORDER BY wn.vec_id""".stripMargin)),
   )
+
+  /** q326's Lloyd-trajectory oracle: unrolls `iters` assign→mean→round
+    * steps over the embedding table. Assignment replicates the Scala
+    * side's `array_position(ds, array_min(ds))` first-match semantics
+    * as `row_number() OVER (ORDER BY d2, c)` (exact-bit d2 equality —
+    * both engines fold the squared distance in index order over the
+    * SAME dec6-rounded centroids); empty clusters keep their previous
+    * centroid via the left-join fallback, the documented lloyd
+    * convention. Per-step CTEs are MATERIALIZED: c{i} feeds both
+    * a{i+1} and c{i+1}'s fallback, and an inlined double reference
+    * would re-expand the whole prefix per level (the q337 lesson).
+    * A `def` — `queries` above initializes first. */
+  private def lloydOracle(k: Int, iters: Int, dim: Int): String = {
+    def d2fold(vExpr: String, centExpr: String): String =
+      s"""list_reduce(list_prepend(0.0, list_transform(
+         |        generate_series(1, $dim),
+         |        j -> ($vExpr[j] - $centExpr[j]) * ($vExpr[j] - $centExpr[j]))),
+         |        (acc, y) -> acc + y)""".stripMargin
+    def assign(name: String, prev: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, v, c, d2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2, c) AS rk FROM (
+         |      SELECT e.vec_id, e.v, cc.c,
+         |        ${d2fold("e.v", "cc.cent")} AS d2
+         |      FROM e CROSS JOIN $prev cc))
+         |  WHERE rk = 1)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      Seq(assign(s"a$i", s"c${i - 1}"),
+        s"""m$i AS MATERIALIZED (SELECT c, j AS pos,
+           |  ${r6("sum(v[j]) / count(*)")} AS mu
+           |  FROM a$i, generate_series(1, $dim) t(j) GROUP BY c, j)"""
+          .stripMargin,
+        s"""c$i AS MATERIALIZED (SELECT p.c, coalesce(n.cent, p.cent) AS cent
+           |  FROM c${i - 1} p LEFT JOIN (SELECT c, list(mu ORDER BY pos) AS cent
+           |    FROM m$i GROUP BY c) n ON n.c = p.c)""".stripMargin
+      ).mkString(",\n")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |c0 AS MATERIALIZED (SELECT
+       |  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+       |  v AS cent FROM e ORDER BY vec_id LIMIT $k),
+       |$steps,
+       |${assign("af", s"c$iters")},
+       |nt AS (SELECT c, sqrt(list_reduce(list_prepend(0.0,
+       |  list_transform(cent, y -> y * y)), (acc, y) -> acc + y)) AS nrm
+       |  FROM c$iters)
+       |SELECT af.c AS cluster_id, CAST(count(*) AS BIGINT) AS n_points,
+       |  ${r6("sum(af.d2)")} AS inertia,
+       |  ${r6("any_value(nt.nrm)")} AS centroid_norm
+       |FROM af JOIN nt ON nt.c = af.c
+       |GROUP BY af.c ORDER BY cluster_id""".stripMargin
+  }
 }

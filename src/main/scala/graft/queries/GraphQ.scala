@@ -109,6 +109,37 @@ object GraphQ {
               |ORDER BY node""".stripMargin)),
 
 
+    // DOULION triangle-count estimate (Tsourakakis KDD'09) on the same
+    // co-activity graph — the OTHER 100 TB census knob beside q345's
+    // hub cap: every edge kept with p = 0.5 under a deterministic
+    // md5-derived coin (the q66 hash convention, so the oracle flips
+    // the IDENTICAL coins), exact census on the sparsified graph, p⁻³
+    // correction. The cap changes the EXPONENT by excluding hubs;
+    // DOULION keeps hub triangles in expectation at a p² constant
+    // discount — at production scale p shrinks as the graph grows and
+    // the estimate stays unbiased (rel. σ ≈ sqrt(p⁻³ − 1)/sqrt(T)).
+    // GraphOpsSpec pins keepPct = 100 ≡ exact and the coin determinism;
+    // the estimate-vs-exact gap on this graph is itself visible in the
+    // gate output next to q246's exact rows.
+    "q348_triangle_doulion" -> Q(
+      (s, d) => graft.operators.GraphOps.triangleCountDoulion(
+          coActivityEdges(s, d), "ua", "ub", keepPct = 50, scoreOut = dec6),
+      Some(s"""WITH $sqlCoActivity,
+              |kept AS (SELECT u, v FROM e
+              |  WHERE CAST(('0x' || substring(md5(
+              |    CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 6))
+              |    AS BIGINT) % 100 < 50),
+              |tri AS (SELECT e1.u AS a FROM kept e1
+              |  JOIN kept e2 ON e1.v = e2.u
+              |  JOIN kept e3 ON e3.u = e1.u AND e3.v = e2.v),
+              |ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges_sampled
+              |  FROM kept),
+              |tc AS (SELECT CAST(count(*) AS BIGINT) AS n_tri_sampled FROM tri)
+              |SELECT 50 AS keep_pct, ec.n_edges_sampled, tc.n_tri_sampled,
+              |  ${r6("CAST(tc.n_tri_sampled AS DOUBLE) / (0.5 * 0.5 * 0.5)")}
+              |    AS est_triangles
+              |FROM ec, tc""".stripMargin)),
+
     // Item-item collaborative similarity ("users who touched X also
     // touched Y"): binary user×item interactions on the props content
     // key, per-pair cosine, top-5 neighbors per item. Rank runs over the

@@ -253,11 +253,16 @@ object LlmQ {
               |${r6("CASE WHEN nv > 0 AND nq > 0 THEN dot / (nv * nq) END")} AS cos_sim
               |FROM x ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
 
-    // LSH-bucketed ANN (8 random hyperplanes): candidates share the query's
-    // sign-bit bucket. Plane-specific → rows-only check.
+    // LSH-bucketed ANN (4 random hyperplanes): candidates share the
+    // query's sign-bit bucket. The seeded planes are DATA-INDEPENDENT,
+    // so the oracle embeds them as literal arrays and replays bucket +
+    // cosine + top-k exactly (the q344 technique; converted rows-only →
+    // hash-green in round 12 — signs are bit-stable because both
+    // engines fold the dot product in index order).
     "q59_ann_lsh" -> Q(
       (s, d) => SimilarityOps.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        queryId = 0L, k = 10, seed = 7L, nPlanes = 4, dim = 64, scoreOut = dec6)),
+        queryId = 0L, k = 10, seed = 7L, nPlanes = 4, dim = 64, scoreOut = dec6),
+      Some(lshAnnOracle(probeDist = 0))),
 
     // Winnowing (MOSS) sketch near-dups: shared-fingerprint equi-join over
     // each doc's window-min gram hashes — finds overlapping-PASSAGE
@@ -314,11 +319,14 @@ object LlmQ {
              |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin)),
 
     // Multi-probe LSH ANN (Hamming ≤ 1 around the query signature): the
-    // OR-amplification recall lever over q59's single probe.
-    // Plane-specific → rows-only check; recall cross-validated in spec.
+    // OR-amplification recall lever over q59's single probe. Same
+    // literal-plane oracle as q59 (hash-green since round 12): Hamming
+    // ≤ 1 over 4 bits enumerates as bucket ∈ {qb, qb⊕1, qb⊕2, qb⊕4,
+    // qb⊕8} — identical candidate set, no bit_count needed.
     "q63_ann_multiprobe" -> Q(
       (s, d) => SimilarityOps.lshTopKMultiProbe(Tables.embeddings(s, d), "vec_id", "embedding",
-        queryId = 0L, k = 10, seed = 7L, nPlanes = 4, dim = 64, probeDist = 1, scoreOut = dec6)),
+        queryId = 0L, k = 10, seed = 7L, nPlanes = 4, dim = 64, probeDist = 1, scoreOut = dec6),
+      Some(lshAnnOracle(probeDist = 1))),
 
     // IVF ANN: k-means coarse quantizer (16 cells), probe the 4 nearest.
     // Centroid-specific → rows-only check; recall cross-validated in spec.
@@ -1182,4 +1190,44 @@ object LlmQ {
               |  ${r6("s.lo")} AS min_cos, ${r6("s.hi")} AS max_cos
               |FROM c, s""".stripMargin))
   )
+
+  /** Shared oracle for the q59/q63 LSH ANN pair: the seeded hyperplanes
+    * (data-INDEPENDENT, `hyperplanes(7, 4, 64)`) are rendered as literal
+    * arrays into the SQL, the sign-bit bucket is the identical in-index-
+    * order dot-product fold (`Double.toString` round-trips exactly, so
+    * the parsed plane bits — and hence every sign — match Spark's), and
+    * the candidate filter is bucket equality (`probeDist = 0`) or the
+    * Hamming ≤ 1 xor enumeration (`probeDist = 1`). A `def` — `queries`
+    * above initializes first and would read a forward-referenced val as
+    * null. */
+  private def lshAnnOracle(probeDist: Int): String = {
+    require(probeDist == 0 || probeDist == 1)
+    val planes = SimilarityOps.hyperplanes(seed = 7L, planes = 4, dim = 64)
+    def dotFold(vExpr: String, qExpr: String): String =
+      s"""list_reduce(list_prepend(0.0, list_transform(
+         |    generate_series(1, 64), i -> $vExpr[i] * $qExpr[i])),
+         |    (acc, y) -> acc + y)""".stripMargin
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val lit = p.mkString("[", ", ", "]")
+      s"""(CASE WHEN ${dotFold("v", s"($lit)")} > 0
+         |    THEN ${1L << i} ELSE 0 END)""".stripMargin
+    }.mkString("\n  + ")
+    val cand =
+      if (probeDist == 0) "sg.bucket = q.qb"
+      else ("sg.bucket = q.qb" +: (0 until 4).map(i =>
+        s"sg.bucket = xor(q.qb, ${1L << i})")).mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sg AS (SELECT vec_id, v,
+       |  $bucket AS bucket,
+       |  sqrt(list_reduce(list_prepend(0.0,
+       |    list_transform(v, y -> y * y)), (acc, y) -> acc + y)) AS nv
+       |  FROM e),
+       |q AS (SELECT v AS qv, bucket AS qb, nv AS qn FROM sg WHERE vec_id = 0)
+       |SELECT sg.vec_id, ${r6(s"""CASE WHEN sg.nv > 0 AND q.qn > 0
+       |  THEN (${dotFold("sg.v", "q.qv")}) / (sg.nv * q.qn) END""")} AS cos_sim
+       |FROM sg, q WHERE $cand
+       |ORDER BY cos_sim DESC NULLS LAST, sg.vec_id LIMIT 10""".stripMargin
+  }
 }

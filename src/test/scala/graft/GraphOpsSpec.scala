@@ -147,6 +147,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(noBite == exact)
   }
 
+  test("doulion: keepPct 100 is the exact count; the md5 coin is deterministic") {
+    // two triangles sharing node b: exact T = 2
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("b", "d"), ("d", "f"),
+        ("b", "f"))
+      .toDF("x", "y")
+    val full = GraphOps.triangleCountDoulion(e, "x", "y", keepPct = 100,
+      scoreOut = dec6).head()
+    assert(full.getAs[Long]("n_tri_sampled") == 2L)
+    assert(full.getAs[Long]("n_edges_sampled") == 6L)
+    assert(full.getAs[Double]("est_triangles") == 2.0)
+    // the sampled run is a pure function of the edge set (hash coin):
+    // two invocations agree, the estimate is count / p^3
+    val s1 = GraphOps.triangleCountDoulion(e, "x", "y", keepPct = 50,
+      scoreOut = dec6).head()
+    val s2 = GraphOps.triangleCountDoulion(e, "x", "y", keepPct = 50,
+      scoreOut = dec6).head()
+    assert(s1.toSeq == s2.toSeq)
+    assert(math.abs(s1.getAs[Double]("est_triangles") -
+      s1.getAs[Long]("n_tri_sampled") / 0.125) < 1e-9)
+  }
+
   test("bfsHops: min-hop distances, early stop, directed asymmetry") {
     // path 1-2-3-4-5 plus shortcut 1-4; island 9-10
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
