@@ -336,13 +336,35 @@ object GraphQ {
     // 2-core of the co-activity graph: iterative peel to the maximal
     // subgraph of everywhere-degree>=2 — strips pendant users whose only
     // co-activity is one partner, leaving the mutually-embedded
-    // community (Seidman '83). Data-dependent loop → no SQL oracle;
-    // GraphExtraSpec pins the peel cascade and the fixpoint contract.
+    // community (Seidman '83). The loop is data-dependent but the peel
+    // is IDEMPOTENT at its fixpoint, so the oracle (rows-only →
+    // hash-green in round 12) unrolls a fixed 8 rounds — comfortably
+    // past the probed depth (3 at sf0.001, 1 at sf0.01); extra rounds
+    // are no-ops, and a graph that peeled deeper would surface as a
+    // hash mismatch, never a silent wrong answer. GraphExtraSpec still
+    // pins the peel cascade and the fixpoint contract.
     "q323_kcore" -> Q(
       (s, d) => graft.operators.GraphOps.kCore(
           coActivityEdges(s, d), "ua", "ub", k = 2)
         .orderBy("node"),
-      None),
+      Some {
+        val rounds = (1 to 8).map { i =>
+          s"""d$i AS (SELECT node, count(*) AS dg FROM
+             |  (SELECT u AS node FROM e${i - 1}
+             |   UNION ALL SELECT v FROM e${i - 1}) GROUP BY node),
+             |k$i AS (SELECT node FROM d$i WHERE dg >= 2),
+             |e$i AS MATERIALIZED (SELECT p.u, p.v FROM e${i - 1} p
+             |  JOIN k$i a ON p.u = a.node
+             |  JOIN k$i b ON p.v = b.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $sqlCoActivity,
+           |e0 AS MATERIALIZED (SELECT u, v FROM e),
+           |$rounds
+           |SELECT node, count(*) AS degree FROM
+           |  (SELECT u AS node FROM e8 UNION ALL SELECT v FROM e8)
+           |GROUP BY node HAVING count(*) >= 2
+           |ORDER BY node""".stripMargin
+      }),
 
     // Deterministic synchronous label propagation (4 supersteps,
     // smallest-label tiebreak) on the co-activity graph — community ids
