@@ -809,10 +809,15 @@ object GraphOps {
       .filter(col("la") === col("lb"))
       .groupBy(col("la").as("label"))
       .agg(count(lit(1)).cast("double").as("n_int"))
+    // persisted: every caller reads comm twice (the 1-row modularity
+    // aggregate AND the final community frame) — unpersisted, the three
+    // label joins re-execute per consumer. Community-sized, so the
+    // cache is trivially small.
     val comm = nNodes.join(stotF, "label")
       .join(internal, Seq("label"), "left")
       .select(col("label"), col("n_nodes"),
         coalesce(col("n_int"), lit(0.0)).as("n_int"), col("stot"))
+      .persist()
     val qRow = comm.crossJoin(broadcast(mRow))
       .agg(sum(col("n_int") / col("m") -
         (col("stot") / (lit(2.0) * col("m"))) *
