@@ -798,12 +798,76 @@ object CorpusQ {
     // MMR diversity re-rank of the query's top-50 cosine candidates
     // (λ = 0.7) — the post-ANN pass that keeps a retrieval context from
     // being k near-copies. Greedy argmax is driver-side over the BOUNDED
-    // candidate set; rows-only (sequential greedy isn't SQL), MmrSpec pins
-    // the semantics.
+    // candidate set; the oracle (rows-only → HASH-GREEN in round 12)
+    // replays the sequential greedy as a recursive CTE carrying the
+    // per-candidate max-sim array and the picked set as LIST state —
+    // every dot/norm fold runs in index order (graft_dot's loop ≡
+    // list_reduce), so the raw relevances, the top-50 cut, the argmax
+    // ties (first-in-(−rel, id)-order ≡ list_position first match) and
+    // the scores are bit-identical before the dec6 output rounding.
+    // MmrJsSpec still pins the semantics on planted fixtures.
     "q131_mmr_rerank" -> Q(
       (s, d) => SimilarityOps.mmrRerank(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, candN = 50, k = 10, lambda = 0.7, scoreOut = dec6),
-      None),
+      Some {
+        def fold(a: String, b: String) =
+          s"""list_reduce(list_prepend(0.0, list_transform(
+             |        generate_series(1, 64), dd -> $a[dd] * $b[dd])),
+             |        (acc, y) -> acc + y)""".stripMargin
+        def nrm(a: String) =
+          s"""sqrt(list_reduce(list_prepend(0.0,
+             |    list_transform($a, y -> y * y)), (acc, y) -> acc + y))"""
+            .stripMargin
+        // (1.0 - 0.7) is CAST to DOUBLE: bare DuckDB decimals subtract
+        // exactly to 0.3, while Scala's 1 - lambda is the double
+        // 0.30000000000000004 — the q341 CAST convention
+        val score = "CASE WHEN list_contains(picked, i) THEN -1e300 " +
+          "ELSE 0.7 * rels[i] - (CAST(1.0 AS DOUBLE) - 0.7) * prem[i] END"
+        s"""WITH RECURSIVE e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |q AS (SELECT v AS qv, ${nrm("v")} AS qn FROM e WHERE vec_id = 0),
+           |cd AS MATERIALIZED (SELECT e.vec_id,
+           |  CASE WHEN ${nrm("e.v")} > 0 AND q.qn > 0
+           |    THEN ${fold("e.v", "q.qv")} / (${nrm("e.v")} * q.qn)
+           |    ELSE 0.0 END AS rel,
+           |  e.v FROM e, q WHERE e.vec_id <> 0
+           |  ORDER BY rel DESC, e.vec_id LIMIT 50),
+           |cv AS MATERIALIZED (SELECT
+           |  list(v ORDER BY rel DESC, vec_id) AS vs,
+           |  list(rel ORDER BY rel DESC, vec_id) AS rels,
+           |  list(vec_id ORDER BY rel DESC, vec_id) AS ids,
+           |  list(${nrm("v")} ORDER BY rel DESC, vec_id) AS nrms,
+           |  CAST(count(*) AS INT) AS n FROM cd),
+           |rec(rank, bi, prem, picked) AS (
+           |  SELECT 1, list_position(s, list_max(s)), prem, picked FROM (
+           |    SELECT list_transform(generate_series(1, n), i -> $score) AS s,
+           |      prem, picked FROM (
+           |      SELECT n, rels,
+           |        list_transform(generate_series(1, n),
+           |          i -> CAST(0.0 AS DOUBLE)) AS prem,
+           |        CAST([] AS INT[]) AS picked FROM cv))
+           |  UNION ALL
+           |  SELECT rank + 1, list_position(s, list_max(s)), prem, picked FROM (
+           |    SELECT rank, prem, picked,
+           |      list_transform(generate_series(1, n), i -> $score) AS s
+           |    FROM (
+           |      SELECT rec.rank, cv.rels, cv.n,
+           |        list_transform(generate_series(1, cv.n), i ->
+           |          greatest(rec.prem[i],
+           |            CASE WHEN cv.nrms[i] = 0 OR cv.nrms[rec.bi] = 0
+           |              THEN CAST(0.0 AS DOUBLE)
+           |              ELSE ${fold("cv.vs[i]", "cv.vs[rec.bi]")}
+           |                / (cv.nrms[i] * cv.nrms[rec.bi]) END)) AS prem,
+           |        list_append(rec.picked, rec.bi) AS picked
+           |      FROM rec, cv WHERE rec.rank < 10)))
+           |SELECT CAST(rec.rank AS INT) AS mmr_rank, cv.ids[rec.bi] AS vec_id,
+           |  ${r6("cv.rels[rec.bi]")} AS relevance,
+           |  ${r6("rec.prem[rec.bi]")} AS max_sim_sel,
+           |  ${r6("0.7 * cv.rels[rec.bi] - (CAST(1.0 AS DOUBLE) - 0.7) * rec.prem[rec.bi]")}
+           |    AS mmr_score
+           |FROM rec, cv ORDER BY mmr_rank""".stripMargin
+      }),
 
     // Weighted sampling without replacement (A-Res): 25 docs ∝ token
     // count, keys from a portable multiplicative hash — both engines
