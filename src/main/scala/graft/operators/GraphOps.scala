@@ -352,11 +352,17 @@ object GraphOps {
       .localCheckpoint()
     var hub: DataFrame = auth.select(col("node"), col("a").as("h"))
     for (i <- 1 to iters) {
+      // materialization discipline: only the FULL-iteration boundary
+      // (auth) checkpoints — hub stays a lazy 1-join/1-agg function of
+      // the checkpointed auth, so lineage depth is a constant 2 per
+      // round while the per-iteration job count halves. The last
+      // iteration checkpoints hub too: the final assembly reads both
+      // vectors, and an un-materialized hub would re-run its edge join
+      // a second time there (same total edge passes, half the jobs).
       val hraw = e.join(h(auth), col("dst") === col("node"))
         .groupBy(col("src").as("node")).agg(sum(col("w") * col("a")).as("h"))
-      hub = Ckpt.step(
-        { val n = l1norm(hraw, "h"); if (bcast) n.coalesce(1) else n },
-        i, reliableEvery)
+      val hn = { val n = l1norm(hraw, "h"); if (bcast) n.coalesce(1) else n }
+      hub = if (i == iters) Ckpt.step(hn, i, reliableEvery) else hn
       val araw = e.join(h(hub), col("src") === col("node"))
         .groupBy(col("dst").as("node")).agg(sum(col("w") * col("h")).as("a"))
       auth = Ckpt.step(
@@ -433,7 +439,8 @@ object GraphOps {
     * node-sized, [[Ckpt.step]]-materialized (the Pregel discipline).
     * Returns (node, label) — nodes sharing a label are one community. */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
-                       iters: Int, reliableEvery: Int = 0): DataFrame = {
+                       iters: Int, reliableEvery: Int = 0,
+                       broadcastNodeLimit: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 20, s"1 <= iters <= 20, got $iters")
     val canon = edges.select(
         least(col(aCol), col(bCol)).as("u"),
@@ -443,10 +450,15 @@ object GraphOps {
     val sym = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
       .persist()
     val nodes = sym.select(col("u").as("node")).distinct().persist()
+    // broadcast regime (the [[pageRank]] convention): a node-sized label
+    // state that fits an executor enters the edge join broadcast — the
+    // edge table is never shuffled; above the limit the join shuffles
+    val bcast = nodes.count() <= broadcastNodeLimit
+    def h(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var labels = nodes.withColumn("label", col("node")).localCheckpoint()
     for (i <- 1 to iters) {
       val counted = sym
-        .join(labels.select(col("node").as("v"), col("label").as("nl")), "v")
+        .join(h(labels.select(col("node").as("v"), col("label").as("nl"))), "v")
         .groupBy(col("u").as("node"), col("nl"))
         .agg(count(lit(1)).as("c"))
       val pick = Window.partitionBy("node")
@@ -499,9 +511,9 @@ object GraphOps {
                       reliableEvery: Int = 0): DataFrame = {
     require(rounds >= 1 && rounds <= 10, s"1 <= rounds <= 10, got $rounds")
     val canon = canonEdges(edges, aCol, bCol).persist()
-    val labels = louvainSweepW(canon.withColumn("w", lit(1.0)), rounds,
-      scoreOut, reliableEvery, roundOffset = 0)
-    val (comm, qRow) = communitySummary(canon, labels)
+    val (labels, bcast) = louvainSweepW(canon.withColumn("w", lit(1.0)),
+      rounds, scoreOut, reliableEvery, roundOffset = 0)
+    val (comm, qRow) = communitySummary(canon, labels, bcast)
     comm.crossJoin(broadcast(qRow))
       .select(col("label").as("community"), col("n_nodes"),
         col("n_int").cast("long").as("n_internal"),
@@ -539,11 +551,15 @@ object GraphOps {
     require(rounds >= 1 && rounds <= 10, s"1 <= rounds <= 10, got $rounds")
     val spark = edges.sparkSession
     val canon = canonEdges(edges, aCol, bCol).persist()
-    val l1 = louvainSweepW(canon.withColumn("w", lit(1.0)), rounds,
-      scoreOut, reliableEvery, roundOffset = 0).persist()
+    val (l1u, bcast) = louvainSweepW(canon.withColumn("w", lit(1.0)), rounds,
+      scoreOut, reliableEvery, roundOffset = 0)
+    val l1 = l1u.persist()
+    // node-sized label frames ride the edge-shaped joins broadcast in
+    // the bounded regime (the sweep's probe decides once)
+    def hb(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val superE = canon
-      .join(l1.select(col("node").as("u"), col("label").as("la")), "u")
-      .join(l1.select(col("node").as("v"), col("label").as("lb")), "v")
+      .join(hb(l1.select(col("node").as("u"), col("label").as("la"))), "u")
+      .join(hb(l1.select(col("node").as("v"), col("label").as("lb"))), "v")
       .select(least(col("la"), col("lb")).as("u"),
         greatest(col("la"), col("lb")).as("v"))
       .groupBy("u", "v").agg(count(lit(1)).cast("double").as("w"))
@@ -578,20 +594,21 @@ object GraphOps {
           schema)
       } else
         louvainSweepW(superE, rounds, scoreOut, reliableEvery,
-          roundOffset = rounds)
+          roundOffset = rounds)._1
     val composed = l1.select(col("node"), col("label").as("__c1"))
       .join(l2.select(col("node").as("__c1"), col("label")), "__c1")
       .select(col("node"), col("label"))
       .localCheckpoint()
-    val (_, q1Row) = communitySummary(canon, l1)
-    val (comm2, q2Row) = communitySummary(canon, composed)
+    val (_, q1Row) = communitySummary(canon, l1, bcast)
+    val (comm2, q2Row) = communitySummary(canon, composed, bcast)
     val q1 = q1Row.head.getDouble(0)
     val q2 = q2Row.head.getDouble(0)
     // keep-best: a level-2 sweep that overshot (only possible on the
     // distributed branch) is discarded and level 1 IS the final
     // partition (then modularity_l2 = modularity_l1)
     val (commF, qF) =
-      if (q2 + 1e-12 >= q1) (comm2, q2) else communitySummary(canon, l1)._1 -> q1
+      if (q2 + 1e-12 >= q1) (comm2, q2)
+      else communitySummary(canon, l1, bcast)._1 -> q1
     commF
       .select(col("label").as("community"), col("n_nodes"),
         col("n_int").cast("long").as("n_internal"),
@@ -736,7 +753,9 @@ object GraphOps {
     * checkpoint indices distinct across levels. */
   private[graft] def louvainSweepW(canonW: DataFrame, rounds: Int,
                             scoreOut: Column => Column, reliableEvery: Int,
-                            roundOffset: Int): DataFrame = {
+                            roundOffset: Int,
+                            broadcastNodeLimit: Long = 1000000L)
+      : (DataFrame, Boolean) = {
     val nonLoop = canonW.filter(col("u") =!= col("v"))
     val loops = canonW.filter(col("u") === col("v"))
       .groupBy(col("u").as("node")).agg(sum("w").as("__wl"))
@@ -751,51 +770,69 @@ object GraphOps {
       .join(loops, Seq("node"), "left")
       .select(col("node"), (coalesce(col("__wd"), lit(0.0)) +
         lit(2.0) * coalesce(col("__wl"), lit(0.0))).as("deg"))
-      .persist()
     val mRow = canonW.agg(sum("w").as("m"))
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    // Broadcast regime (the [[pageRank]] convention): the label state is
+    // node-sized; when it fits an executor, shipping it into the edge
+    // join broadcast beats shuffling the edge table — one count on the
+    // persisted node table decides. Above the limit every node-keyed
+    // join shuffles (web-scale regime), exactly as before.
+    val bcast = nodes.count() <= broadcastNodeLimit
+    def h(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    // the label state CARRIES the node's static weighted degree: the
+    // per-round Σ_tot aggregate and the gain scoring read it off the
+    // state instead of re-joining the degree table every round (two
+    // node-keyed joins per round removed — post-localCheckpoint the
+    // node-sized state has no stats and those joins planned as full
+    // SortMergeJoins)
+    var labels = nodes.join(deg, "node")
+      .select(col("node"), col("node").as("label"), col("deg"))
+      .localCheckpoint()
     for (i <- 1 to rounds) {
       val lab = labels
       val active = ((i + roundOffset) % 2).toLong
       val isActive = pmod(col("node").cast("long"), lit(2L)) === active
-      val stot = lab.join(deg, "node")
-        .groupBy("label").agg(sum("deg").as("stot"))
-      val nbr = sym
+      val act = lab.filter(isActive)
+      val stot = lab.groupBy("label").agg(sum("deg").as("stot"))
+      // candidate set = neighbor communities ∪ {current}, built as ONE
+      // partial-aggregated sum instead of the former aggregate +
+      // full-outer join: the stay row rides the union as a kic=0.0 term
+      // (x + 0.0 is exact for every IEEE double, and an empty neighbor
+      // sum lands on 0.0 exactly as the former coalesce did)
+      val counted = sym
         .filter(pmod(col("u").cast("long"), lit(2L)) === active)
-        .join(lab.select(col("node").as("v"), col("label").as("nl")), "v")
-        .groupBy(col("u").as("node"), col("nl"))
-        .agg(sum("w").as("kic"))
-      // candidate set = neighbor communities ∪ {current}: a node with no
-      // neighbor in its own community still scores staying put
-      val cand = nbr
-        .join(lab.filter(isActive).select(col("node"), col("label").as("nl")),
-          Seq("node", "nl"), "full_outer")
-        .select(col("node"), col("nl"), coalesce(col("kic"), lit(0.0)).as("kic"))
+        .join(h(lab.select(col("node").as("v"), col("label").as("nl"))), "v")
+        .select(col("u").as("node"), col("nl"), col("w").as("kic"))
+        .unionByName(act.select(col("node"), col("label").as("nl"),
+          lit(0.0).as("kic")))
+        .groupBy("node", "nl").agg(sum("kic").as("kic"))
       val stotAdj = col("stot") -
         when(col("nl") === col("label"), col("deg")).otherwise(lit(0.0))
-      val scored = cand
-        .join(lab, "node")
-        .join(deg, "node")
-        .join(stot.select(col("label").as("nl"), col("stot")), "nl")
+      val scored = counted
+        .join(h(act.select(col("node"), col("label"), col("deg"))), "node")
+        .join(h(stot.select(col("label").as("nl"), col("stot"))), "nl")
         .crossJoin(broadcast(mRow))
         .withColumn("__s", scoreOut(
           col("kic") - col("deg") * stotAdj / (lit(2.0) * col("m"))))
       val pick = Window.partitionBy("node").orderBy(col("__s").desc, col("nl").asc)
       val moved = scored.withColumn("__rk", row_number().over(pick))
         .filter(col("__rk") === 1)
-        .select(col("node"), col("nl").as("label"))
+        .select(col("node"), col("nl").as("label"), col("deg"))
       labels = Ckpt.step(
         moved.unionByName(lab.filter(!isActive)), i + roundOffset, reliableEvery)
     }
-    labels
+    (labels.select("node", "label"), bcast)
   }
 
   /** Per-community (n_nodes, n_int, stot) frame + 1-row modularity of a
     * labeling over the UNWEIGHTED canonical edge set — shared by the
     * one-level and multi-level summaries (level-2 quality is computed
     * where it is defined: on the original edges). */
-  private def communitySummary(canon: DataFrame,
-                               labels: DataFrame): (DataFrame, DataFrame) = {
+  private def communitySummary(canon: DataFrame, labels: DataFrame,
+                               bcast: Boolean): (DataFrame, DataFrame) = {
+    // in the bounded regime the node-sized label frame enters the
+    // edge-shaped joins broadcast (post-localCheckpoint it has no stats,
+    // so those joins would otherwise plan as full SortMergeJoins)
+    def h(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val sym = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u").as("node"))
       .agg(count(lit(1)).cast("double").as("deg"))
@@ -804,8 +841,8 @@ object GraphOps {
     val stotF = labels.join(deg, "node")
       .groupBy("label").agg(sum("deg").as("stot"))
     val internal = canon
-      .join(labels.select(col("node").as("u"), col("label").as("la")), "u")
-      .join(labels.select(col("node").as("v"), col("label").as("lb")), "v")
+      .join(h(labels.select(col("node").as("u"), col("label").as("la"))), "u")
+      .join(h(labels.select(col("node").as("v"), col("label").as("lb"))), "v")
       .filter(col("la") === col("lb"))
       .groupBy(col("la").as("label"))
       .agg(count(lit(1)).cast("double").as("n_int"))
@@ -838,7 +875,8 @@ object GraphOps {
     *
     * Returns the surviving (node, degree) — degree within the core. */
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
-            maxRounds: Int = 50, reliableEvery: Int = 0): DataFrame = {
+            maxRounds: Int = 50, reliableEvery: Int = 0,
+            broadcastNodeLimit: Long = 1000000L): DataFrame = {
     require(k >= 1, s"k >= 1, got $k")
     var e = edges.select(
         least(col(aCol), col(bCol)).as("u"),
@@ -858,9 +896,16 @@ object GraphOps {
       if (n == keepCount || n == 0) done = true
       else {
         keepCount = n
+        // the fixpoint count doubles as the broadcast-regime probe (the
+        // [[pageRank]] convention, zero extra jobs): a keep-set that fits
+        // an executor rides both semi-joins broadcast, so the surviving
+        // edge table is filtered in place instead of shuffled twice per
+        // peel round; above the limit the semi-joins shuffle as before
+        def h(df: DataFrame): DataFrame =
+          if (n <= broadcastNodeLimit) broadcast(df) else df
         e = Ckpt.step(
-          e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
-            .join(keep.select(col("node").as("v")), Seq("v"), "left_semi"),
+          e.join(h(keep.select(col("node").as("u"))), Seq("u"), "left_semi")
+            .join(h(keep.select(col("node").as("v"))), Seq("v"), "left_semi"),
           round, reliableEvery)
         deg = e.select(col("u").as("node"))
           .unionAll(e.select(col("v").as("node")))

@@ -31,23 +31,9 @@ object GraphQ {
     // with degree; the panel density is a gate artifact, not a plan
     // defect.
     "q246_triangle_census" -> Q(
-      (s, d) => {
-        // (a pre-spread of the single-partition scan was measured here and
-        // does NOT help — the cost is the wedge phase, not the parse)
-        val b = Tables.events(s, d).select(
-            date_trunc("hour", col("ts")).as("h"), col("event_type").as("t"),
-            (get_json_object(col("props"), "$.k").cast("int") / lit(10))
-              .cast("int").as("kd"),
-            col("user_id").as("u"))
-          .distinct()
-        val edges = b.select(col("h"), col("t"), col("kd"), col("u").as("ua"))
-          .join(b.select(col("h"), col("t"), col("kd"), col("u").as("ub")),
-            Seq("h", "t", "kd"))
-          .filter(col("ua") < col("ub"))
-          .select("ua", "ub")
-        graft.operators.GraphOps.triangleStats(edges, "ua", "ub", dec6)
-          .orderBy("node")
-      },
+      (s, d) => graft.operators.GraphOps.triangleStats(
+          coActivityEdges(s, d), "ua", "ub", dec6)
+        .orderBy("node"),
       Some(s"""WITH b AS (SELECT DISTINCT date_trunc('hour', ts) AS h,
               |  event_type AS t,
               |  CAST(json_extract_string(props, '$$.k') AS INT) // 10 AS kd,
@@ -480,7 +466,14 @@ object GraphQ {
     * census, Adamic-Adar and k-core entries. */
   private def coActivityEdges(s: org.apache.spark.sql.SparkSession,
                               d: String): org.apache.spark.sql.DataFrame = {
-    val b = Tables.events(s, d).select(
+    // spread the single-row-group scan BEFORE the per-row JSON parse:
+    // unspread, date_trunc + get_json_object + the distinct's partial
+    // agg run single-task (profiled 1.5 s of every census/community
+    // query at sf0.1 — guide §2.5 input skew); projecting the four used
+    // columns first keeps the rebalance shuffle narrow
+    val b = graft.operators.Spread.ifNarrow(Tables.events(s, d)
+        .select(col("ts"), col("event_type"), col("props"), col("user_id")))
+      .select(
         date_trunc("hour", col("ts")).as("h"), col("event_type").as("t"),
         (get_json_object(col("props"), "$.k").cast("int") / lit(10))
           .cast("int").as("kd"),
