@@ -97,6 +97,11 @@ object BpeOps {
         filter(split(col("w"), ""), s => s =!= ""),
         array(lit(EndMark))).as("syms"), col("freq"))
     var vocab = vocab0.localCheckpoint()
+    // previous vocab generation, unpersisted one round LATE: the current
+    // generation checkpoints LAZILY (its blocks materialize inside the
+    // next round's top-pair collect — one job per round instead of two),
+    // so its parent's blocks must outlive it by one collect
+    var lagged: DataFrame = null
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var rank = 1
@@ -112,6 +117,10 @@ object BpeOps {
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect()
+      // the collect above has materialized `vocab`'s deferred checkpoint,
+      // so the generation BEFORE it is now safe to release (the DedupOps
+      // superseded-generation discipline, shifted one round)
+      if (lagged != null) { lagged.unpersist(blocking = false); lagged = null }
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1),
@@ -121,14 +130,12 @@ object BpeOps {
           when(containsPair(col("syms"), a, b), mergePair(col("syms"), a, b))
             .otherwise(col("syms")).as("syms"),
           col("freq"))
-        val prev = vocab
-        vocab = Ckpt.step(next, rank, reliableEvery)
-        // superseded-generation unpersist (the DedupOps discipline):
-        // the new checkpoint's blocks are materialized, drop the old
-        prev.unpersist(blocking = false)
+        lagged = vocab
+        vocab = Ckpt.step(next, rank, reliableEvery, eager = false)
       }
       rank += 1
     }
+    if (lagged != null) lagged.unpersist(blocking = false)
     vocab.unpersist(blocking = false)
     learned.toSeq.toDF("rank", "left", "right", "merged", "cnt")
   }

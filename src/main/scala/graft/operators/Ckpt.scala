@@ -25,10 +25,18 @@ object Ckpt {
   /** Materialize `df` (eagerly, one job — the honest Pregel cost):
     * reliable `checkpoint()` when `reliableEvery > 0`, a checkpoint dir
     * is set, and `step` is a multiple of `reliableEvery`; otherwise
-    * `localCheckpoint()`. Steps count from 1. */
-  def step(df: DataFrame, step: Int, reliableEvery: Int): DataFrame = {
+    * `localCheckpoint()`. Steps count from 1.
+    *
+    * `eager = false` defers materialization to the step's FIRST consumer
+    * (the checkpoint blocks are written as a side effect of that job) —
+    * right when every superstep is immediately followed by an action
+    * that reads it anyway (the BPE trainer's top-pair collect), halving
+    * the per-step job count. The caller must not unpersist the PREVIOUS
+    * generation until the deferred step has actually materialized. */
+  def step(df: DataFrame, step: Int, reliableEvery: Int,
+           eager: Boolean = true): DataFrame = {
     val reliable = reliableEvery > 0 && step % reliableEvery == 0 &&
       df.sparkSession.sparkContext.getCheckpointDir.isDefined
-    if (reliable) df.checkpoint() else df.localCheckpoint()
+    if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
   }
 }

@@ -370,12 +370,19 @@ object RegressionOps {
                      x1Col: String, x2Col: String, iters: Int,
                      scoreOut: Column => Column): DataFrame = {
     require(iters >= 1 && iters <= 16, s"1 <= iters <= 16, got $iters")
+    // EAGER materialization (localCheckpoint, not lazy persist): the
+    // solver reads this frame iters+2 times — once per Newton moment
+    // aggregate plus the init and final passes — and profiling q338
+    // showed every consumer re-running the upstream featurize aggregate
+    // (24.7 MB re-read ×6 at sf0.1) under the lazy persist. Checkpoint
+    // also truncates the per-step plan: beta_i no longer nests the whole
+    // featurize pipeline of every earlier step.
     val base = df.select(col(groupCol).as("g"),
         labelCol.cast("double").as("y"),
         col(x1Col).cast("double").as("x1"),
         col(x2Col).cast("double").as("x2"))
       .filter(col("y").isNotNull && col("x1").isNotNull && col("x2").isNotNull)
-      .persist()
+      .localCheckpoint()
     var beta = base.groupBy("g").agg(
       lit(0.0).as("b0"), lit(0.0).as("b1"), lit(0.0).as("b2"))
     def zOf = {
@@ -384,7 +391,10 @@ object RegressionOps {
     }
     for (_ <- 1 to iters) {
       val p = lit(1.0) / (lit(1.0) + exp(-zOf))
-      val joined = base.join(beta, "g")
+      // beta is a group-count-sized coefficient frame (one row per g) —
+      // post-aggregate its stats are unknown and the join would plan as
+      // a SortMergeJoin; broadcast is the honest shape at any scale
+      val joined = base.join(broadcast(beta), "g")
         .withColumn("__p", p)
         .withColumn("__w", col("__p") * (lit(1.0) - col("__p")))
         .withColumn("__r", col("y") - col("__p"))
@@ -419,7 +429,7 @@ object RegressionOps {
         scoreOut(col("pb2") + d2 / det).as("b2"))
     }
     val p = lit(1.0) / (lit(1.0) + exp(-zOf))
-    base.join(beta, "g")
+    base.join(broadcast(beta), "g")
       .withColumn("__p", p)
       .groupBy("g")
       .agg(count(lit(1)).cast("long").as("n"),

@@ -916,7 +916,13 @@ object TokenizerQ {
                              d: String): org.apache.spark.sql.DataFrame = {
     val stop = Seq("a", "the", "and", "of", "in", "to")
     val tops = graft.operators.TextOps
-    val docs = Tables.documents(s, d).withColumn("t", tops.tokens(col("text")))
+    // spread the single-row-group scan BEFORE the Gopher HOFs:
+    // topTokenFrac is O(distinct·tokens) per doc and profiled 1.2-1.4 s
+    // single-task at sf0.1 (guide §2.5 input skew); project the three
+    // used columns first so the rebalance shuffle stays narrow
+    val docs = graft.operators.Spread.ifNarrow(Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text")))
+      .withColumn("t", tops.tokens(col("text")))
     // Gopher-style composite weak label: repetition gates (q237) PLUS
     // stopword density and minimum length (Rae et al. '21 §A1.1 flavor).
     // The q237 pair alone keeps 98.6% of this corpus — a degenerate
