@@ -304,7 +304,26 @@ class GlobalWindowLintSpec extends SparkSpec {
         "cohort week: calendar-bounded (#weeks)"),
       "q333_hbos" -> ("broadcast sides are the per-feature span table " +
         "(one row per MELTED feature name, |features| = 2) and the " +
-        "histogram (features x nBins rows) — both bin-bounded constants")
+        "histogram (features x nBins rows) — both bin-bounded constants"),
+      "q325_logistic_returns" -> ("broadcast sides are the per-group Newton " +
+        "β frames: one row per group key (asset domain), feature-count-sized " +
+        "payload — one hint per unrolled Newton step"),
+      "q335_ipw_ate" -> ("broadcast sides are the per-group Newton β frames " +
+        "of the propensity model: one row per group key, " +
+        "feature-count-sized payload"),
+      "q338_quality_classifier" -> ("broadcast sides are the per-source " +
+        "Newton β frames: one row per corpus source (|sources| ≤ 10), " +
+        "feature-count-sized payload — one hint per unrolled Newton step"),
+      "q339_classifier_eval" -> ("broadcast sides are the per-source Newton " +
+        "β frames (the q338 solver replayed for the AUC ablation): one row " +
+        "per corpus source, feature-count-sized payload"),
+      "q337_louvain" -> ("broadcast sides are the regime-probed node-sized " +
+        "label/Σ_tot frames: hint applied only when nodes.count() ≤ " +
+        "broadcastNodeLimit (partitioned SortMergeJoin fallback above — " +
+        "the pageRank regime convention)"),
+      "q347_louvain_multilevel" -> ("broadcast sides are the regime-probed " +
+        "node-sized contraction/label frames: hint applied only when " +
+        "nodes.count() ≤ broadcastNodeLimit (partitioned fallback above)")
     )
 
   /** Explicit broadcast() hints in the ANALYZED plan whose hinted subtree
