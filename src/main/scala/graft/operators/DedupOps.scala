@@ -745,8 +745,14 @@ object DedupOps {
     val keyed = docs.select(
       (col(idCol) +: col(textCol) +: blockCols.map(col)) :+
         floor(length(col(textCol)) / lenBucket).cast("int").as("__lb"): _*)
-    val a = keyed.select(col(idCol).as("id_a") +: col(textCol).as("t_a") +:
-      blockCols.map(col) :+ col("__lb"): _*)
+    // side a is the STREAMED side of the candidate join (b broadcasts) and
+    // carries the thresholded-DP confirm: spread it so the per-pair DP work
+    // runs at cluster parallelism instead of inheriting the scan's single
+    // row-group partition (profiled: both 2.7 s single-task stages of q196
+    // — the orderBy sample pass and the final pass — were the whole
+    // candidate+DP pipeline on one core; guide §2.5 input skew)
+    val a = Spread.ifNarrow(keyed.select(col(idCol).as("id_a") +:
+      col(textCol).as("t_a") +: blockCols.map(col) :+ col("__lb"): _*))
     // b carries its TRUE bucket in __lb_b and joins on the exploded
     // {lb−1, lb}: a match means a.__lb ∈ {b.lb−1, b.lb}, i.e. side a's
     // bucket ≤ side b's. A cross-bucket pair therefore appears exactly
@@ -803,8 +809,9 @@ object DedupOps {
     val keyed = docs.select(
       (col(idCol) +: blockCols.map(col)) :+ length(col(textCol)).as("__len") :+
         floor(length(col(textCol)) / lenBucket).cast("int").as("__lb"): _*)
-    val a = keyed.select(col(idCol).as("id_a") +: col("__len").as("__len_a") +:
-      blockCols.map(col) :+ col("__lb"): _*)
+    // same streamed-side spread as [[fuzzyDupPairs]] (see its comment)
+    val a = Spread.ifNarrow(keyed.select(col(idCol).as("id_a") +:
+      col("__len").as("__len_a") +: blockCols.map(col) :+ col("__lb"): _*))
     // same gated downward explode as [[fuzzyDupPairs]] (see its comment)
     val b = keyed.select(col(idCol).as("id_b") +: col("__len").as("__len_b") +:
       blockCols.map(col) :+ col("__lb").as("__lb_b") :+

@@ -424,7 +424,12 @@ object SimilarityOps {
     VectorFunctions.register(emb.sparkSession)
     val hp = hyperplanes(seed, nPlanes, dim)
     val nBands = nPlanes / bandBits
-    val sig = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    // spread the single-row-group scan BEFORE the signature fold: unspread,
+    // the band self-join's streamed side inherits the scan's ONE partition
+    // and the whole candidate-pair production (the quadratic term) runs
+    // single-task — profiled 2.05 s of q344's 6.8 s as one 32-core-idle
+    // stage writing the 12M-pair exchange (guide §2.5 input skew)
+    val sig = Spread.ifNarrow(emb.select(col(idCol), toDouble(col(vecCol)).as("v")))
       .withColumn("__bkt", lshBucket(col("v"), hp))
       .persist()
     val bandStructs = (0 until nBands).map { b =>
