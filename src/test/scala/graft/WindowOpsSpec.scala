@@ -81,6 +81,30 @@ class WindowOpsSpec extends SparkSpec {
     assert(r.getDouble(3) == 5.0 && r.getDouble(4) == 2.0) // median, MAD
   }
 
+  test("hampel: chunked execution is row-identical across chunk boundaries") {
+    import java.sql.Timestamp
+    // 300 rows per series, two series, spikes planted ON and AROUND the
+    // chunkRows=64 boundaries (63/64/65, 127/128, 192) plus mid-chunk —
+    // every halo case (pos < half feeding the previous chunk, pos >=
+    // chunkRows-half feeding the next) carries real flagged rows. The
+    // chunked result must equal the effectively-unchunked one row for row.
+    val spikes = Set(40, 63, 64, 65, 127, 128, 192, 255)
+    val rows = for (k <- Seq("a", "b"); i <- 0 until 300) yield {
+      val v = if (spikes(i)) 500.0 + i else math.sin(i / 7.0) * (if (k == "a") 1 else 3)
+      (k, new Timestamp(i * 60000L), i.toLong, v)
+    }
+    val df = rows.toDF("k", "ts", "id", "v")
+    def run(c: Int) = WindowOps
+      .hampel(df, "k", "ts", "id", "v", half = 12, nSigmas = 3.0, chunkRows = c)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
+    val chunked = run(64)
+    val whole = run(1 << 20) // one chunk: the original single-window shape
+    assert(chunked.nonEmpty && chunked.exists(t => Set(63L, 64L, 65L)(t._2)),
+      "fixture must flag rows at the chunk boundary")
+    assert(chunked == whole)
+  }
+
   test("hampel: short edge frames pass through unflagged") {
     import java.sql.Timestamp
     // spike at the very first row: its frame is short (3 of 5) so it is
