@@ -245,7 +245,12 @@ object SimilarityOps {
   def fitIvf(emb: DataFrame, idCol: String, vecCol: String,
              nCells: Int, seed: Long, trainFraction: Double = 1.0,
              maxIter: Int = 20, maxTrainRows: Int = 100000): (DataFrame, Seq[Array[Double]]) = {
-    val e = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    // spread the single-row-group scan: cell assignment and the PQ encode
+    // riding on `indexed` are per-row interpreted HOF folds over literal
+    // codebooks — profiled as a 3 s single-task stage on q110 when the
+    // scan's one partition flowed through (guide §2.5). trainSample is
+    // hash-ordered, so the collected sample is partitioning-independent.
+    val e = Spread.ifNarrow(emb.select(col(idCol), toDouble(col(vecCol)).as("v")))
     val centers = kmeansLite(trainSample(e, idCol, trainFraction, seed, maxTrainRows),
       nCells, seed, maxIter).toIndexedSeq
     val cell = element_at(array_sort(cellDists(centers)), 1)("cell")
@@ -542,7 +547,9 @@ object SimilarityOps {
   def fitPq(emb: DataFrame, idCol: String, vecCol: String,
             m: Int, k: Int, seed: Long, trainFraction: Double = 1.0,
             maxIter: Int = 20, maxTrainRows: Int = 100000): (DataFrame, Seq[Seq[Array[Double]]]) = {
-    val e = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    // same narrow-scan spread as [[fitIvf]] (the PQ encode is the
+    // expensive per-row pass); trainSample stays partitioning-independent
+    val e = Spread.ifNarrow(emb.select(col(idCol), toDouble(col(vecCol)).as("v")))
     val sample = trainSample(e, idCol, trainFraction, seed, maxTrainRows)
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")

@@ -73,7 +73,11 @@ object LlmQ {
     // stopword/length half). Pure HOFs both sides.
     "q69_repetition" -> Q(
       (s, d) => {
-        val docs = Tables.documents(s, d).withColumn("t", TextOps.tokens(col("text")))
+        // spread before the per-doc quadratic HOFs (top-token frac scans
+        // distinct×all tokens): unspread this ran as two ~1.2 s single-task
+        // stages (orderBy sample + final) with 31 cores idle
+        val docs = graft.operators.Spread.ifNarrow(Tables.documents(s, d))
+          .withColumn("t", TextOps.tokens(col("text")))
         docs.select(col("doc_id"),
             dec6(TextOps.topTokenFrac(col("t"))).as("top_token_frac"),
             dec6(TextOps.dupBigramFrac(col("t"))).as("dup_2gram_frac"))
