@@ -104,7 +104,9 @@ object CleanOps {
     val nonWs = length(regexp_replace(col(textCol), "\\s", ""))
     def frac(c: Column): Column =
       scoreOut(when(nonWs > 0, c.cast("double") / nonWs).otherwise(lit(0.0)))
-    docs.select(col(idCol),
+    // six full-text regex passes per row: spread the narrow gate scan so
+    // they run at cluster parallelism (guide §2.5)
+    Spread.ifNarrow(docs.select(col(idCol), col(textCol))).select(col(idCol),
       nonWs.cast("long").as("n_chars"),
       frac(classCount("a-zA-Z\\u00C0-\\u024F")).as("latin_frac"),
       frac(classCount("\\u0400-\\u04FF")).as("cyrillic_frac"),

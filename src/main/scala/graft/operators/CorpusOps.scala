@@ -100,7 +100,10 @@ object CorpusOps {
     * short docs preserved. */
   def dupNgramSpans(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 8): DataFrame = {
-    val pos = docs
+    // spread the narrow gate scan before the tokenize+shingle HOFs (the
+    // trigramSurprisal precedent): unspread, the whole positional-gram
+    // production ran as one 8.9 s task at sf0.1 (guide §2.5)
+    val pos = Spread.ifNarrow(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
       .select(col(idCol), TextOps.hashedShingleSeq(col("__t"), n).as("g"))
       .select(col(idCol), explode_outer(col("g")).as("h"))
@@ -455,7 +458,10 @@ object CorpusOps {
     * documents with < 2 tokens get (0, 0.0). */
   def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
                       k: Double = 0.5, minDf: Long = 1L): DataFrame = {
-    val toks = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+    // narrow-scan spread before the tokenizer HOF (trigramSurprisal
+    // precedent; profiled 1.4 s single-task bigram production on q116)
+    val toks = Spread.ifNarrow(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
     // same sequence(1, 0) == [1, 0] guard as dsirWeights
     val mkBig = transform(
       sequence(lit(1), size(col("__t")) - lit(1)),
@@ -1097,7 +1103,8 @@ object CorpusOps {
     * Returns (id, n_dup_pos, n_runs, max_run_grams, max_span_tokens). */
   def dupSpanRuns(docs: DataFrame, idCol: String, textCol: String,
                   n: Int = 8): DataFrame = {
-    val pos = docs
+    // same narrow-scan spread as [[dupNgramSpans]] (tokenize+shingle HOFs)
+    val pos = Spread.ifNarrow(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
       .select(col(idCol), posexplode_outer(TextOps.hashedShingleSeq(col("__t"), n)))
       .toDF(idCol, "pos", "h")
@@ -1174,7 +1181,10 @@ object CorpusOps {
       md5(concat_ws("_", col(idCol).cast("string"), i.cast("string")).cast("binary")),
       1, 1), 16, 10).cast("int")
     val masked = transform(toks, (_, i) => digit(i) < maskOf16)
-    docs.select(col(idCol), toks.as("__t"), masked.as("__m"))
+    // pure per-row map, but each row pays tokenize + per-token md5 coins —
+    // spread so the one-partition gate scan doesn't serialize it
+    Spread.ifNarrow(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), toks.as("__t"), masked.as("__m"))
       .select(col(idCol),
         size(col("__t")).cast("long").as("n_tokens"),
         size(filter(col("__m"), m => m)).cast("long").as("n_masked"),

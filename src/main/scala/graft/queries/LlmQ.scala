@@ -282,7 +282,8 @@ object LlmQ {
     "q66_winnow_pairs" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = Tables.documents(s, d).withColumn("t", TextOps.tokens(col("text")))
+        val docs = graft.operators.Spread.ifNarrow(Tables.documents(s, d))
+          .withColumn("t", TextOps.tokens(col("text")))
         // persist: the two join branches alias columns differently, so their
         // exchanges canonicalize differently and ReuseExchange cannot share
         // the tokenize→winnow→df-window pipeline (the DedupOps pattern);
@@ -577,7 +578,9 @@ object LlmQ {
     "q228_calibration" -> Q(
       (s, d) => {
         val stop = Seq("a", "the", "and", "of", "in", "to")
-        val docs = Tables.documents(s, d)
+        // spread the narrow gate scan before the quadratic repetition HOFs
+        // (top-token frac is distinct x tokens per doc) — the q69 fix
+        val docs = graft.operators.Spread.ifNarrow(Tables.documents(s, d))
           .withColumn("t", TextOps.tokens(col("text")))
         val ratio = TextOps.markerCount(col("t"), stop) / size(col("t"))
         val scored = docs.select(
@@ -633,7 +636,9 @@ object LlmQ {
     "q276_isotonic_calibration" -> Q(
       (s, d) => {
         val stop = Seq("a", "the", "and", "of", "in", "to")
-        val docs = Tables.documents(s, d)
+        // spread the narrow gate scan before the quadratic repetition HOFs
+        // (top-token frac is distinct x tokens per doc) — the q69 fix
+        val docs = graft.operators.Spread.ifNarrow(Tables.documents(s, d))
           .withColumn("t", TextOps.tokens(col("text")))
         val ratio = TextOps.markerCount(col("t"), stop) / size(col("t"))
         val scored = docs.select(
@@ -709,7 +714,9 @@ object LlmQ {
     "q232_labeler_kappa" -> Q(
       (s, d) => {
         val stop = Seq("a", "the", "and", "of", "in", "to")
-        val docs = Tables.documents(s, d)
+        // spread the narrow gate scan before the quadratic repetition HOFs
+        // (top-token frac is distinct x tokens per doc) — the q69 fix
+        val docs = graft.operators.Spread.ifNarrow(Tables.documents(s, d))
           .withColumn("t", TextOps.tokens(col("text")))
         val ratio = TextOps.markerCount(col("t"), stop) / size(col("t"))
         val labeled = docs.select(
@@ -797,7 +804,9 @@ object LlmQ {
     "q236_source_report" -> Q(
       (s, d) => {
         val stop = Seq("a", "the", "and", "of", "in", "to")
-        val docs = Tables.documents(s, d)
+        // spread the narrow gate scan before the quadratic repetition HOFs
+        // (top-token frac is distinct x tokens per doc) — the q69 fix
+        val docs = graft.operators.Spread.ifNarrow(Tables.documents(s, d))
           .withColumn("t", TextOps.tokens(col("text")))
         val ratio = TextOps.markerCount(col("t"), stop) / size(col("t"))
         val q = least(lit(1.0), size(col("t")) / lit(200.0)) *
@@ -847,7 +856,9 @@ object LlmQ {
     "q237_quality_auc" -> Q(
       (s, d) => {
         val stop = Seq("a", "the", "and", "of", "in", "to")
-        val docs = Tables.documents(s, d)
+        // spread the narrow gate scan before the quadratic repetition HOFs
+        // (top-token frac is distinct x tokens per doc) — the q69 fix
+        val docs = graft.operators.Spread.ifNarrow(Tables.documents(s, d))
           .withColumn("t", TextOps.tokens(col("text")))
         val ratio = TextOps.markerCount(col("t"), stop) / size(col("t"))
         val scored = docs.select(
@@ -899,7 +910,9 @@ object LlmQ {
     "q239_pareto_frontier" -> Q(
       (s, d) => {
         val stop = Seq("a", "the", "and", "of", "in", "to")
-        val docs = Tables.documents(s, d)
+        // spread the narrow gate scan before the quadratic repetition HOFs
+        // (top-token frac is distinct x tokens per doc) — the q69 fix
+        val docs = graft.operators.Spread.ifNarrow(Tables.documents(s, d))
           .withColumn("t", TextOps.tokens(col("text")))
         val ratio = TextOps.markerCount(col("t"), stop) / size(col("t"))
         val base = docs.select(col("doc_id"), col("source"),
@@ -935,7 +948,9 @@ object LlmQ {
     "q221_quality_pr_curve" -> Q(
       (s, d) => {
         val stop = Seq("a", "the", "and", "of", "in", "to")
-        val docs = Tables.documents(s, d)
+        // spread the narrow gate scan before the quadratic repetition HOFs
+        // (top-token frac is distinct x tokens per doc) — the q69 fix
+        val docs = graft.operators.Spread.ifNarrow(Tables.documents(s, d))
           .withColumn("t", TextOps.tokens(col("text")))
         val ratio = TextOps.markerCount(col("t"), stop) / size(col("t"))
         val scored = docs.select(

@@ -614,7 +614,10 @@ object TokenizerQ {
     // steps (the q233 pattern) over the same tokenization.
     "q327_textrank" -> Q(
       (s, d) => {
-        val tok = Tables.documents(s, d)
+        // spread before the tokenize explode: the co-occurrence self-join
+        // inherits the scan's one partition through it (profiled 0.9 s
+        // two-task stage building the exchange; guide §2.5)
+        val tok = graft.operators.Spread.ifNarrow(Tables.documents(s, d))
           .select(col("doc_id"),
             posexplode(split(lower(col("text")), "[^a-z]+"))
               .as(Seq("pos", "w")))
