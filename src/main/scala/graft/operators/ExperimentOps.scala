@@ -87,7 +87,10 @@ object ExperimentOps {
     val nBlocks = (b + 15) / 16
     val pool = concat((1 to nBlocks).map(k =>
       md5(concat(col(idCol).cast("string"), lit(s"_$k")).cast("binary"))): _*)
-    val reps = events.select(v.as("v"), pool.as("hp"))
+    // spread the narrow scan before the md5 pool + b-way explode (the
+    // per-row-expensive stage; profiled 1.9 s single-task at sf0.1)
+    val reps = Spread.ifNarrow(events.select(col(idCol), v.as("v")))
+      .select(col("v"), pool.as("hp"))
       .select(col("v"), col("hp"), explode(sequence(lit(1), lit(b))).as("r"))
       .filter(col("hp").substr(col("r") * 2 - 1, lit(2)) < lit("a2"))
     val means = reps.groupBy("r").agg(avg("v").as("m"))

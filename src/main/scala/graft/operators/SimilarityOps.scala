@@ -755,7 +755,11 @@ object SimilarityOps {
       : (Array[Double], Array[Double], Seq[Array[Double]], Long) = {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     import org.apache.spark.ml.stat.Summarizer
-    val e = emb.select(toDouble(col(vecCol)).as("v"))
+    // spread the narrow scan: the dim² outer product per row (4096 doubles
+    // at dim 64) otherwise aggregates in ONE task (profiled 1.7 s at
+    // sf0.1); the moment sums drift only in the last ulp under the changed
+    // partial order, absorbed by the dec6 rounding downstream
+    val e = Spread.ifNarrow(emb.select(toDouble(col(vecCol)).as("v")))
     val outer = flatten(transform(col("v"), x => transform(col("v"), y => x * y)))
     val row = e.agg(
       vector_to_array(Summarizer.mean(array_to_vector(col("v")))).as("m"),

@@ -69,10 +69,15 @@ trait StatDistOps {
   def madOutliers(events: DataFrame, seriesCol: String, valueCol: String,
                   zCut: Double, scoreOut: Column => Column): DataFrame = {
     val v = col(valueCol).cast("double")
-    val med = events.groupBy(seriesCol)
-      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
-    val withMed = events.select(col(seriesCol), v.as("v"))
-      .join(med, Seq(seriesCol))
+    // spread the narrow scan: both exact-percentile partial aggregates
+    // (med, then MAD over absdev) otherwise buffer the full table in ONE
+    // task (profiled 2×3.2 s single-task broadcast builds at sf0.1).
+    // Exact percentile is a pure function of the value multiset, so the
+    // result is partitioning-independent.
+    val base = Spread.ifNarrow(events.select(col(seriesCol), v.as("v"))).persist()
+    val med = base.groupBy(seriesCol)
+      .agg(expr("percentile(v, 0.5)").as("med"))
+    val withMed = base.join(med, Seq(seriesCol))
     val mad = withMed
       .withColumn("absdev", abs(col("v") - col("med")))
       .groupBy(seriesCol)
