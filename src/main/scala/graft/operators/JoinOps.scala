@@ -67,7 +67,10 @@ object JoinOps {
       .filter(hi > lo)
       .withColumn("__bin",
         explode(sequence(bin(lo), floorDiv(unix_micros(hi.cast("timestamp")) - 1))))
-    facts.withColumn("__bin", bin(factTs))
+    // the interval side broadcasts (tiny), so the fact side streams at
+    // scan parallelism — spread a narrow single-row-group scan or the
+    // whole bin+join+filter pipeline runs single-task (guide §2.5)
+    Spread.ifNarrow(facts).withColumn("__bin", bin(factTs))
       .join(iv, Seq("__bin"))
       .filter(factTs >= lo && factTs < hi)
       .drop("__bin")

@@ -301,7 +301,11 @@ object Relational {
       // decimal path keys a boxed value→count map per group, and the
       // oracle's quantile_cont computes in double anyway (dec4 absorbs
       // the shared ulp).
-      (s, d) => Tables.lineitem(s, d)
+      // spread the single-row-group scan: the percentile partial buffers
+      // all 600k values in ONE task otherwise (exact percentile is a pure
+      // function of the value multiset — partitioning-independent)
+      (s, d) => graft.operators.Spread.ifNarrow(
+          Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice"))
         .groupBy("l_returnflag")
         .agg(expr(
           "percentile(CAST(l_extendedprice AS DOUBLE), array(0.5, 0.95, 0.99))")
