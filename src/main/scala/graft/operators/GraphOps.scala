@@ -194,7 +194,12 @@ object GraphOps {
         .withColumn("hop", lit(h)), h, reliableEvery)
       if (next.isEmpty) done = true
       else {
-        visited = Ckpt.step(visited.union(next), h, reliableEvery)
+        // coalesce: the visited union otherwise accumulates one exchange
+        // width of partitions per hop (the louvainSweepW lesson)
+        visited = Ckpt.step(
+          visited.union(next)
+            .coalesce(spark.sparkContext.defaultParallelism),
+          h, reliableEvery)
         frontier = next
       }
       h += 1
@@ -817,8 +822,17 @@ object GraphOps {
       val moved = scored.withColumn("__rk", row_number().over(pick))
         .filter(col("__rk") === 1)
         .select(col("node"), col("nl").as("label"), col("deg"))
+      // coalesce BEFORE the checkpoint: the union's partition count is
+      // moved's (one exchange worth) PLUS the previous checkpoint's —
+      // uncoalesced it grows by a full exchange width every round
+      // (profiled: 64→96→128→160→192-task stages by round 4 for a
+      // node-sized label state, pure scheduling overhead). Narrow merge,
+      // no shuffle; the node-sized state re-spreads at the next round's
+      // exchange anyway.
       labels = Ckpt.step(
-        moved.unionByName(lab.filter(!isActive)), i + roundOffset, reliableEvery)
+        moved.unionByName(lab.filter(!isActive))
+          .coalesce(canonW.sparkSession.sparkContext.defaultParallelism),
+        i + roundOffset, reliableEvery)
     }
     (labels.select("node", "label"), bcast)
   }

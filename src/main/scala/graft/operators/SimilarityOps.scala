@@ -476,7 +476,10 @@ object SimilarityOps {
                        threshold: Double,
                        scoreOut: Column => Column): DataFrame = {
     VectorFunctions.register(emb.sparkSession)
-    val e = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    // deliberately quadratic, but not deliberately SERIAL: spread the
+    // streamed side so the BNLJ's n² dot products run at cluster
+    // parallelism instead of the scan's one row-group partition
+    val e = Spread.ifNarrow(emb.select(col(idCol), toDouble(col(vecCol)).as("v")))
       .withColumn("nv", normFast(col("v")))
     val a = e.select(col(idCol).as("id_a"), col("v").as("va"), col("nv").as("na"))
     val b = e.select(col(idCol).as("id_b"), col("v").as("vb"), col("nv").as("nb"))
