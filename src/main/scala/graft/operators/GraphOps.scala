@@ -292,8 +292,15 @@ object GraphOps {
         Seq("s"))
       .filter(col("__rb") < col("__rc"))
       .select(col("s").as("a"), col("b"), col("c"))
+    // SHUFFLE_HASH on the edge side: the closing join's streamed side is
+    // the O(m^1.5) wedge table — a SortMergeJoin SORTS those 5.5M rows
+    // (at sf0.1) before probing, while hashing the m-sized edge side per
+    // partition skips that sort entirely (guide §3.1: shuffled hash when
+    // one side is moderately small per partition; the build side is
+    // edges/shuffle-partitions, never wedge-scaled)
     val tri = wedges
-      .join(oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+      .join(oriented.select(col("s").as("b"), col("t").as("c")).hint("shuffle_hash"),
+        Seq("b", "c"))
       .persist()
     val perNode = tri.select(col("a").as("node"))
       .unionAll(tri.select(col("b").as("node")))
